@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+import graft.transform.Financials
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * `queries` aggregates every per-operator query pack; `oracleSql` holds
+  * the DuckDB-equivalent SQL for each (omitted only where genuinely not
+  * SQL-expressible → driver falls back to a rows-only check).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship (SURVEY.md §7.5): the reference's own verify query — for a
+    * symbol, the 10 most recent financial facts (date desc, statement,
+    * metric) — on a fact table produced live by the G1 nested-JSON
+    * unpivot from raw payloads. Driver smoke-checks rows > 0 on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Financials.latestFacts(
+      Financials.normalize(ReferenceQueries.fixtureRaw(spark)), "AAA")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.defs ++ ReferenceQueries.defs
+
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles ++ ReferenceQueries.oracles
 }

@@ -1,0 +1,121 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** Explicit schemas for the reference-shaped data model (SURVEY.md §1).
+  * Output schemas are fixed (reference DDL); the raw payload is typed only
+  * on the consumed fields — everything else stays reachable through the
+  * raw JSON string (SURVEY.md §7.4 risk: ~150 open-ended info keys).
+  */
+object Schemas {
+
+  /** Stage-0 stock universe CSV (reference stocks_full.csv:1;
+    * construction main.py:311). market_cap is a human-formatted string —
+    * parsing it to double is the engine's job (Functions.parseMarketCap).
+    */
+  val stocksCsv: StructType = StructType(Seq(
+    StructField("symbol", StringType),
+    StructField("company", StringType),
+    StructField("industry", StringType),
+    StructField("market_cap", StringType)))
+
+  /** Raw zone row (reference yahoo_financials DDL, details.py:192–201).
+    * The surrogate id is dropped — never queried in the reference.
+    */
+  val rawZone: StructType = StructType(Seq(
+    StructField("symbol", StringType, nullable = false),
+    StructField("payload", StringType),
+    StructField("loaded_at", TimestampType)))
+
+  /** One statement pane: {dateString → {metricName → value}}.
+    * ORIENTATION TRAP (SURVEY.md §7.4; Financilas.py:84–96): outer keys
+    * are DATE strings like "2024-12-31 00:00:00", inner keys are METRIC
+    * names. Leaf values are parsed as STRING first so that a non-scalar
+    * leaf (dict/list) degrades to an uncastable string → null value
+    * (reference P7 skips non-scalars, Financilas.py:99–100) instead of
+    * nulling the whole pane.
+    */
+  val pane: DataType = MapType(StringType, MapType(StringType, StringType))
+
+  val statement: StructType = StructType(Seq(
+    StructField("yearly", pane),
+    StructField("quarterly", pane)))
+
+  /** info — only the ~20 fields the reference consumes
+    * (Summary.py:149–204, Financilas.py:73–76).
+    */
+  val info: StructType = StructType(Seq(
+    StructField("symbol", StringType),
+    StructField("longName", StringType),
+    StructField("shortName", StringType),
+    StructField("displayName", StringType),
+    StructField("longBusinessSummary", StringType),
+    StructField("sector", StringType),
+    StructField("sectorDisp", StringType),
+    StructField("industry", StringType),
+    StructField("industryDisp", StringType),
+    StructField("website", StringType),
+    StructField("irWebsite", StringType),
+    StructField("fullTimeEmployees", StringType), // int|str in the wild → string + digitsToInt
+    StructField("city", StringType),
+    StructField("state", StringType),
+    StructField("province", StringType),
+    StructField("country", StringType),
+    StructField("currency", StringType),
+    StructField("financialCurrency", StringType)))
+
+  /** Full payload document (assembled at details.py:139–153). */
+  val payload: StructType = StructType(Seq(
+    StructField("info", info),
+    StructField("cashflow", statement),
+    StructField("balancesheet", statement),
+    StructField("incomestatement", statement)))
+
+  /** Long-format fact table (reference financials DDL,
+    * Financilas.py:16–30). Logical key:
+    * (stock, statement_type, metric, date).
+    */
+  val financials: StructType = StructType(Seq(
+    StructField("stock", StringType, nullable = false),
+    StructField("yf_name", StringType),
+    StructField("statement_type", StringType, nullable = false),
+    StructField("metric", StringType, nullable = false),
+    StructField("stockcurrency", StringType),
+    StructField("financialcurrency", StringType),
+    StructField("calendar_year", IntegerType),
+    StructField("period", IntegerType),
+    StructField("value", DoubleType),
+    StructField("date", DateType)))
+
+  /** Wide profile dimension (reference summary DDL, Summary.py:17–35). */
+  val summary: StructType = StructType(Seq(
+    StructField("stock", StringType, nullable = false),
+    StructField("yf_name", StringType),
+    StructField("long_summary", StringType),
+    StructField("sector", StringType),
+    StructField("industry", StringType),
+    StructField("website", StringType),
+    StructField("employees", IntegerType),
+    StructField("city", StringType),
+    StructField("state", StringType),
+    StructField("country", StringType),
+    StructField("currency", StringType),
+    StructField("founded_year", IntegerType),
+    StructField("former_name", StringType),
+    StructField("updated_at", TimestampType)))
+}
+
+/** Typed row models for API boundaries (SURVEY.md §1.3). */
+case class FinancialFact(
+    stock: String, yf_name: Option[String], statement_type: String,
+    metric: String, stockcurrency: Option[String],
+    financialcurrency: Option[String], calendar_year: Option[Int],
+    period: Option[Int], value: Option[Double], date: java.sql.Date)
+
+case class CompanySummary(
+    stock: String, yf_name: Option[String], long_summary: Option[String],
+    sector: Option[String], industry: Option[String], website: Option[String],
+    employees: Option[Int], city: Option[String], state: Option[String],
+    country: Option[String], currency: Option[String],
+    founded_year: Option[Int], former_name: Option[String],
+    updated_at: java.sql.Timestamp)

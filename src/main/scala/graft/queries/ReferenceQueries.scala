@@ -1,0 +1,172 @@
+package graft.queries
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Functions._
+import graft.transform.{Financials, Summary}
+
+/** Reference-parity queries over deterministic in-code fixtures — these
+  * validate the exact semantics the reference implements in Python loops
+  * (market-cap parse, regex enrichment, employees cast, and the flagship
+  * nested-JSON unpivot). Fixtures are inline so the oracle can be an
+  * independent DuckDB computation (VALUES + the same declarative logic)
+  * or a hand-derived golden row set.
+  */
+object ReferenceQueries {
+
+  /** Raw-zone fixture (shape of yahoo_financials, details.py:192–201).
+    * Covers: latest-per-symbol dedup, yearly/quarterly PK collision
+    * (last-write-wins), null + "NaN" + non-scalar metric values, empty
+    * metric name, empty panes, a double-encoded payload, and a malformed
+    * payload (FIXTURES.md §A2 checklist).
+    */
+  def fixtureRaw(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val aaaNew =
+      """{"info":{"symbol":"AAA","longName":"Alpha Corp","currency":"USD","financialCurrency":"USD"},
+        |"cashflow":{"yearly":{"2024-06-30 00:00:00":{"FreeCashFlow":10.0,"NetIncome":5.5}},
+        |"quarterly":{"2024-06-30 00:00:00":{"FreeCashFlow":2.5},"2024-03-31 00:00:00":{"FreeCashFlow":"NaN"}}},
+        |"balancesheet":{"yearly":{"2024-06-30 00:00:00":{"TotalAssets":100.0,"":1.0}},"quarterly":{}},
+        |"incomestatement":{"yearly":{"2024-06-30 00:00:00":{"Revenue":null}},"quarterly":{}}}"""
+        .stripMargin.replace("\n", "")
+    val aaaOld =
+      """{"info":{"longName":"Alpha Old"},"cashflow":{"yearly":{"2024-06-30 00:00:00":{"FreeCashFlow":999.0}},"quarterly":{}}}"""
+    val bbbInner =
+      """{"info":{"symbol":"BBB","shortName":"Beta Inc","currency":"EUR","financialCurrency":"USD"},
+        |"balancesheet":{"yearly":{"2023-12-31 00:00:00":{"TotalAssets":50.0,"Breakdown":{"x":1}}},"quarterly":{}}}"""
+        .stripMargin.replace("\n", "")
+    // double-encoded: the JSON document serialized again as a JSON string
+    val bbbDouble = "\"" + bbbInner.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    Seq(
+      ("AAA", aaaNew, Timestamp.valueOf("2025-01-02 00:00:00")),
+      ("AAA", aaaOld, Timestamp.valueOf("2025-01-01 00:00:00")),
+      ("BBB", bbbDouble, Timestamp.valueOf("2025-01-02 00:00:00")),
+      ("CCC", "{not json", Timestamp.valueOf("2025-01-02 00:00:00")))
+      .toDF("symbol", "payload", "loaded_at")
+  }
+
+  /** Profile fixture paragraphs exercising F5–F7 edge cases:
+    * 3-part HQ, 2-part HQ, 1-part HQ, >3-part tail re-join,
+    * no matches, case-insensitivity.
+    */
+  def fixtureSummaries(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("P1", "Acme Corp, formerly known as OldAcme Inc, was founded in 1987. It is headquartered in Austin, Texas, United States."),
+      ("P2", "Beta LLC is headquartered in Paris, France."),
+      ("P3", "Gamma was founded in 1999 and is headquartered in Singapore."),
+      ("P4", "Delta Industries, headquartered in San Jose, California, Santa Clara County, United States, makes widgets."),
+      ("P5", "Epsilon provides services worldwide with no further details"),
+      ("P6", "It was FOUNDED IN 2001."))
+      .toDF("id", "summary")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // G1 — flagship nested-JSON unpivot → financials fact table.
+    "q21_fin_unpivot" -> ((s, _) => Financials.normalize(fixtureRaw(s))),
+
+    // F18 — market-cap string → double USD.
+    "q18_market_cap" -> ((s, _) => {
+      import s.implicits._
+      Seq("32.42B", "760.88M", "297.82K", "3,371.44B", "1.5T", "", "n/a", "42")
+        .toDF("market_cap")
+        .select(col("market_cap"), parseMarketCap(col("market_cap")).as("market_cap_usd"))
+    }),
+
+    // F5–F7 — regex enrichment of business summaries.
+    "q19_summary_extract" -> ((s, _) => {
+      val hq = hqParts(col("summary"))
+      fixtureSummaries(s).select(
+        col("id"),
+        foundedYear(col("summary")).as("founded_year"),
+        formerName(col("summary")).as("former_name"),
+        hq("hq_city").as("city"), hq("hq_state").as("state"),
+        hq("hq_country").as("country"))
+    }),
+
+    // F8 — employees digit-strip cast.
+    "q20_employees" -> ((s, _) => {
+      import s.implicits._
+      Seq("1,200", "5000", "about 300 people", "", "n/a")
+        .toDF("raw")
+        .select(col("raw"), digitsToInt(col("raw")).as("employees"))
+    }))
+
+  /** DuckDB oracles. q18/q19/q20 are independent re-computations of the
+    * same declarative logic in DuckDB SQL (true differential tests);
+    * q21's unpivot is not reasonably SQL-expressible, so its oracle is
+    * the hand-derived golden row multiset from the reference semantics
+    * (Financilas.py:71–107 applied to the fixture by hand).
+    */
+  val oracles: Map[String, String] = Map(
+
+    "q21_fin_unpivot" ->
+      """SELECT stock, yf_name, statement_type, metric, stockcurrency,
+        |  financialcurrency, CAST(calendar_year AS INT) AS calendar_year,
+        |  CAST(period AS INT) AS period, CAST(value AS DOUBLE) AS value, date
+        |FROM (VALUES
+        |  ('AAA','Alpha Corp','BS','TotalAssets','USD','USD',2024,4,100.0,DATE '2024-06-30'),
+        |  ('AAA','Alpha Corp','CF','FreeCashFlow','USD','USD',2024,1,NULL,DATE '2024-03-31'),
+        |  ('AAA','Alpha Corp','CF','FreeCashFlow','USD','USD',2024,2,2.5,DATE '2024-06-30'),
+        |  ('AAA','Alpha Corp','CF','NetIncome','USD','USD',2024,4,5.5,DATE '2024-06-30'),
+        |  ('AAA','Alpha Corp','IS','Revenue','USD','USD',2024,4,NULL,DATE '2024-06-30'),
+        |  ('BBB','Beta Inc','BS','TotalAssets','EUR','USD',2023,4,50.0,DATE '2023-12-31')
+        |) t(stock, yf_name, statement_type, metric, stockcurrency,
+        |    financialcurrency, calendar_year, period, value, date)""".stripMargin,
+
+    "q18_market_cap" ->
+      """WITH src(market_cap) AS (VALUES
+        |  ('32.42B'),('760.88M'),('297.82K'),('3,371.44B'),('1.5T'),(''),('n/a'),('42')),
+        |parsed AS (
+        |  SELECT market_cap,
+        |    regexp_extract(upper(trim(replace(market_cap, ',', ''))),
+        |      '^([0-9]*\.?[0-9]+)([KMBT]?)$', 1) AS num,
+        |    regexp_extract(upper(trim(replace(market_cap, ',', ''))),
+        |      '^([0-9]*\.?[0-9]+)([KMBT]?)$', 2) AS sfx
+        |  FROM src)
+        |SELECT market_cap,
+        |  CASE WHEN num = '' THEN NULL
+        |       ELSE CAST(num AS DOUBLE) *
+        |         CASE sfx WHEN 'K' THEN 1e3 WHEN 'M' THEN 1e6
+        |                  WHEN 'B' THEN 1e9 WHEN 'T' THEN 1e12 ELSE 1.0 END
+        |  END AS market_cap_usd
+        |FROM parsed""".stripMargin,
+
+    "q19_summary_extract" ->
+      """WITH src(id, summary) AS (VALUES
+        |  ('P1', 'Acme Corp, formerly known as OldAcme Inc, was founded in 1987. It is headquartered in Austin, Texas, United States.'),
+        |  ('P2', 'Beta LLC is headquartered in Paris, France.'),
+        |  ('P3', 'Gamma was founded in 1999 and is headquartered in Singapore.'),
+        |  ('P4', 'Delta Industries, headquartered in San Jose, California, Santa Clara County, United States, makes widgets.'),
+        |  ('P5', 'Epsilon provides services worldwide with no further details'),
+        |  ('P6', 'It was FOUNDED IN 2001.')),
+        |ext AS (
+        |  SELECT id,
+        |    NULLIF(regexp_extract(summary, '(?i)\bfounded in (\d{4})\b', 1), '') AS fy,
+        |    NULLIF(trim(regexp_replace(regexp_extract(summary,
+        |      '(?i)\bformerly known as ([^.,;]+)', 1), '\s+', ' ', 'g')), '') AS former,
+        |    NULLIF(trim(regexp_replace(regexp_extract(summary,
+        |      '(?i)\bheadquartered in ([^.]*?)(?:\.|$)', 1), '\s+', ' ', 'g')), '') AS loc
+        |  FROM src),
+        |parts AS (
+        |  SELECT id, fy, former, loc,
+        |    CASE WHEN loc IS NULL THEN NULL
+        |         ELSE list_transform(str_split(loc, ','), x -> trim(x)) END AS p
+        |  FROM ext)
+        |SELECT id, CAST(fy AS INT) AS founded_year, former AS former_name,
+        |  CASE WHEN p IS NOT NULL AND len(p) >= 1 THEN p[1] END AS city,
+        |  CASE WHEN p IS NOT NULL AND len(p) >= 3 THEN p[2] END AS state,
+        |  CASE WHEN p IS NULL THEN NULL
+        |       WHEN len(p) = 2 THEN p[2]
+        |       WHEN len(p) >= 3 THEN array_to_string(p[3:], ', ') END AS country
+        |FROM parts""".stripMargin,
+
+    "q20_employees" ->
+      """WITH src(raw) AS (VALUES
+        |  ('1,200'),('5000'),('about 300 people'),(''),('n/a'))
+        |SELECT raw,
+        |  CAST(NULLIF(regexp_replace(raw, '[^0-9]', '', 'g'), '') AS INT) AS employees
+        |FROM src""".stripMargin)
+}

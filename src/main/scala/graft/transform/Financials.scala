@@ -1,0 +1,132 @@
+package graft.transform
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Functions._
+import graft.model.Schemas
+
+/** G1 — the flagship operator chain: raw payload documents → long-format
+  * `financials` fact table (reference Financilas.py:71–107 + main loop
+  * 197–247).
+  *
+  * Reference shape: ~5.5k sequential point queries + per-symbol Python
+  * dict loops + batched upserts (≈276 transactions). Spark shape: ONE
+  * declarative DAG —
+  *   raw → latest-per-symbol (agg) → from_json(typed schema)
+  *       → 6-pane stack (union of projections, no shuffle)
+  *       → explode(dates) → explode(metrics)
+  *       → derived time columns → value cast + NaN guard
+  *       → PK dedup (agg, pane-precedence order)
+  * Exactly two exchanges (the two keyed aggregates); all scalar work
+  * stays inside whole-stage codegen.
+  */
+object Financials {
+
+  /** (code, payload field, frequency, precedence). Precedence encodes the
+    * reference's iteration order — cashflow, balancesheet(sic order:
+    * payload assembly details.py:139–153 is cashflow, balancesheet,
+    * incomestatement), yearly before quarterly inside each — so on a PK
+    * collision (same stock/statement/metric/date from both panes) the
+    * LAST write wins in MySQL; we keep the max precedence
+    * (SURVEY.md §7.4 upsert-semantics risk).
+    */
+  private val panes = Seq(
+    ("CF", "cashflow", "yearly", 0), ("CF", "cashflow", "quarterly", 1),
+    ("BS", "balancesheet", "yearly", 2), ("BS", "balancesheet", "quarterly", 3),
+    ("IS", "incomestatement", "yearly", 4), ("IS", "incomestatement", "quarterly", 5))
+
+  /** Parse a raw payload column robustly (F10 — parse_json_value,
+    * Financilas.py:147–165): plain parse, and on null retry after
+    * stripping an outer layer of quoting/escaping (the reference's
+    * double-encoded-JSON fallback). Malformed stays null → 0 fact rows
+    * for that symbol, no failure.
+    */
+  def parsePayload(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val direct = from_json(payload, Schemas.payload)
+    val unescaped = regexp_replace(
+      regexp_replace(regexp_extract(payload, "^\"(.*)\"$", 1), "\\\\\"", "\""),
+      "\\\\\\\\", "\\\\")
+    val retry = from_json(unescaped, Schemas.payload)
+    // from_json returns an all-null struct (not null) on a malformed
+    // record, so coalesce can't detect the double-encoded case — branch
+    // on the payload shape instead (a JSON document never starts with ").
+    when(trim(payload).startsWith("\""), retry).otherwise(direct)
+  }
+
+  /** Raw zone (symbol, payload, loaded_at) → financials fact rows.
+    * Column set and semantics match the reference DDL
+    * (Financilas.py:16–30); see Schemas.financials.
+    */
+  def normalize(raw: DataFrame): DataFrame = {
+    // J2 semantics: one payload per symbol, latest loaded_at wins
+    // (load_one_row's LIMIT 1 over the unique (symbol, loaded_at) key).
+    val latest = Upsert.latestByKey(
+      raw.select(col("symbol"), col("payload"), col("loaded_at")),
+      Seq("symbol"), col("loaded_at"))
+
+    val parsed = latest
+      .withColumn("p", parsePayload(col("payload")))
+      .select(
+        col("symbol").as("stock"),
+        // F9 name coalesce (Financilas.py:74–76)
+        coalesce(col("p.info.longName"), col("p.info.shortName"),
+          col("p.info.displayName")).as("yf_name"),
+        col("p.info.currency").as("stockcurrency"),
+        col("p.info.financialCurrency").as("financialcurrency"),
+        col("p.cashflow").as("cashflow"),
+        col("p.balancesheet").as("balancesheet"),
+        col("p.incomestatement").as("incomestatement"))
+
+    // 6-pane stack: narrow unions of projections — no shuffle, and each
+    // branch prunes to exactly one map column at the parquet scan.
+    val stacked = panes.map { case (code, field, freq, prec) =>
+      parsed.select(
+        col("stock"), col("yf_name"), col("stockcurrency"), col("financialcurrency"),
+        lit(code).as("statement_type"), lit(freq).as("freq"), lit(prec).as("pane_prec"),
+        col(s"$field.$freq").as("pane"))
+    }.reduce(_ unionByName _)
+
+    // Orientation: OUTER map keys are DATES, inner are METRICS
+    // (Financilas.py:84–96). explode is the built-in Generator — stays
+    // codegen-adjacent, no custom Generator needed.
+    val exploded = stacked
+      .select(col("*"), explode(col("pane")).as(Seq("date_str", "metrics")))
+      .drop("pane")
+      .select(col("*"), explode(col("metrics")).as(Seq("metric", "value_str")))
+      .drop("metrics")
+
+    val derived = exploded
+      .withColumn("date", dateFromPrefix(col("date_str")))   // F12
+      .filter(col("date").isNotNull)                          // skip-on-parse-failure (Financilas.py:92)
+      .filter(length(col("metric")) > 0)                      // P9 truthy key
+      // P7 — reference SKIPS non-scalar metric values (dict/list,
+      // Financilas.py:99–100): a nested value survives the string-typed
+      // pane parse as raw JSON text, so drop object/array-shaped leaves.
+      .filter(col("value_str").isNull ||
+        !(col("value_str").startsWith("{") || col("value_str").startsWith("[")))
+      .withColumn("calendar_year", year(col("date")))         // F13
+      .withColumn("period", periodOf(col("freq"), col("date"))) // F14
+      // P7+P8: non-scalar leaf → uncastable string → null; NaN/Inf → null
+      .withColumn("value", nanToNull(col("value_str").cast("double")))
+
+    // PK dedup (stock, statement_type, metric, date): later pane wins —
+    // replicates ON-DUPLICATE-KEY last-write-wins under the reference's
+    // pane iteration order.
+    Upsert.latestByKey(
+      derived.select("stock", "yf_name", "statement_type", "metric",
+        "stockcurrency", "financialcurrency", "calendar_year", "period",
+        "value", "date", "pane_prec"),
+      Seq("stock", "statement_type", "metric", "date"), col("pane_prec"))
+      .select("stock", "yf_name", "statement_type", "metric", "stockcurrency",
+        "financialcurrency", "calendar_year", "period", "value", "date")
+  }
+
+  /** The reference's own verify query (Financilas.py:186–195): latest 10
+    * facts for one symbol, ordered date desc, statement, metric.
+    * Plans as TakeOrderedAndProject — no full sort at scale.
+    */
+  def latestFacts(fact: DataFrame, symbol: String, k: Int = 10): DataFrame =
+    fact.filter(col("stock") === symbol)
+      .orderBy(col("date").desc, col("statement_type"), col("metric"))
+      .limit(k)
+}
