@@ -26,10 +26,24 @@ object Functions {
   /** F2 — whitespace collapse (Summary.py:110–114). */
   def collapseWs(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
 
-  /** F3 — clean_text: collapse whitespace then cap at 200,000 chars
-    * (Summary.py:110–115).
+  /** Python-truthiness or-chain (`a or b or c`): an operand falls through
+    * when null OR empty string — plain `coalesce` only skips nulls, which
+    * diverges from every reference coalesce site (e.g. Summary.py:154–173
+    * `info.get("sector") or info.get("sectorDisp")`). Returns the last
+    * operand verbatim when all are falsy, exactly like Python.
     */
-  def cleanText(c: Column): Column = substring(collapseWs(c), 1, 200000)
+  def pyOr(cs: Column*): Column =
+    cs.reduceRight((a, b) => when(a.isNull || a === "", b).otherwise(a))
+
+  /** F3 — clean_text, faithful to Summary.py:110–115: falsy input
+    * (null/"") → null; otherwise strip + whitespace-collapse + cap at
+    * 200,000 chars. NOTE a whitespace-only input collapses to "" and is
+    * RETURNED as "" (not null) — the reference checks falsiness before
+    * cleaning, not after.
+    */
+  def cleanText(c: Column): Column =
+    when(c.isNull || c === "", lit(null))
+      .otherwise(substring(collapseWs(c), 1, 200000))
 
   /** F5 — founded year from a business summary:
     * `(?i)\bfounded in (\d{4})\b` → int (Summary.py:118,126–131).
@@ -71,6 +85,16 @@ object Functions {
     val d = regexp_replace(c.cast("string"), "[^0-9]", "")
     when(d === "", lit(null)).otherwise(d).cast("int")
   }
+
+  /** F8, type-aware (Summary.py:186–198): the reference branches on the
+    * JSON type of fullTimeEmployees — numeric → `int()` truncation,
+    * string → digit-strip. Our schema reads the field as string (JSON
+    * numbers keep their token text), so branch on numeric shape:
+    * "1200.0" → 1200 (truncate), "1,200" → 1200 (strip), garbage → null.
+    */
+  def employeesToInt(c: Column): Column =
+    when(c.rlike("^[0-9]+(\\.[0-9]+)?$"), c.cast("double").cast("int"))
+      .otherwise(digitsToInt(c))
 
   /** F12 — date parse with never-throw fallback
     * (Financilas.py:86–92): take first 10 chars, parse yyyy-MM-dd,

@@ -46,9 +46,11 @@ object Schemas {
     */
   val info: StructType = StructType(Seq(
     StructField("symbol", StringType),
+    StructField("ticker", StringType),     // stock fallback #2 (Summary.py:152)
     StructField("longName", StringType),
     StructField("shortName", StringType),
     StructField("displayName", StringType),
+    StructField("name", StringType),       // yf_name fallback #4 (Summary.py:155–157)
     StructField("longBusinessSummary", StringType),
     StructField("sector", StringType),
     StructField("sectorDisp", StringType),
@@ -64,9 +66,16 @@ object Schemas {
     StructField("currency", StringType),
     StructField("financialCurrency", StringType)))
 
-  /** Full payload document (assembled at details.py:139–153). */
+  /** Full payload document (assembled at details.py:139–153). The extra
+    * top-level `summary` / `profile.longBusinessSummary` fields back the
+    * long_summary fallback chain (Summary.py:158–162) for payloads not
+    * assembled by the reference's own loader.
+    */
   val payload: StructType = StructType(Seq(
     StructField("info", info),
+    StructField("summary", StringType),
+    StructField("profile", StructType(Seq(
+      StructField("longBusinessSummary", StringType)))),
     StructField("cashflow", statement),
     StructField("balancesheet", statement),
     StructField("incomestatement", statement)))

@@ -20,13 +20,14 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Read the physical INT64 as long (legacy nanosAsLong)
-    * and convert to a micros timestamp — the testdata has no
-    * sub-microsecond digits, so this matches DuckDB's ns→us conversion
-    * exactly.
+    * reader rejects. Read the physical INT64 as long (legacy nanosAsLong
+    * — REQUIRED ENGINE CONFIG, set once in the session builder by
+    * Bench/Verify/tests, not mutated here: a read-time conf.set would be
+    * an order-dependent global side effect on the shared session) and
+    * convert to a micros timestamp — the testdata has no sub-microsecond
+    * digits, so this matches DuckDB's ns→us conversion exactly.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),

@@ -23,17 +23,18 @@ import graft.model.Schemas
 object Financials {
 
   /** (code, payload field, frequency, precedence). Precedence encodes the
-    * reference's iteration order — cashflow, balancesheet(sic order:
-    * payload assembly details.py:139–153 is cashflow, balancesheet,
-    * incomestatement), yearly before quarterly inside each — so on a PK
-    * collision (same stock/statement/metric/date from both panes) the
-    * LAST write wins in MySQL; we keep the max precedence
-    * (SURVEY.md §7.4 upsert-semantics risk).
+    * reference's iteration order — folder_map is cashflow→CF,
+    * incomestatement→IS, balancesheet→BS (Financilas.py:78), yearly
+    * before quarterly inside each (Financilas.py:82) — so on a PK
+    * collision the LAST write wins in MySQL; we keep the max precedence.
+    * Cross-statement precedence can never fire (statement_type is part of
+    * the PK); the only live collision is yearly-vs-quarterly on the same
+    * (stock, statement, metric, date), where quarterly wins.
     */
   private val panes = Seq(
     ("CF", "cashflow", "yearly", 0), ("CF", "cashflow", "quarterly", 1),
-    ("BS", "balancesheet", "yearly", 2), ("BS", "balancesheet", "quarterly", 3),
-    ("IS", "incomestatement", "yearly", 4), ("IS", "incomestatement", "quarterly", 5))
+    ("IS", "incomestatement", "yearly", 2), ("IS", "incomestatement", "quarterly", 3),
+    ("BS", "balancesheet", "yearly", 4), ("BS", "balancesheet", "quarterly", 5))
 
   /** Parse a raw payload column robustly (F10 — parse_json_value,
     * Financilas.py:147–165): plain parse, and on null retry after
@@ -68,8 +69,8 @@ object Financials {
       .withColumn("p", parsePayload(col("payload")))
       .select(
         col("symbol").as("stock"),
-        // F9 name coalesce (Financilas.py:74–76)
-        coalesce(col("p.info.longName"), col("p.info.shortName"),
+        // F9 name chain (Financilas.py:76) — python-or, "" falls through
+        pyOr(col("p.info.longName"), col("p.info.shortName"),
           col("p.info.displayName")).as("yf_name"),
         col("p.info.currency").as("stockcurrency"),
         col("p.info.financialCurrency").as("financialcurrency"),
@@ -77,14 +78,24 @@ object Financials {
         col("p.balancesheet").as("balancesheet"),
         col("p.incomestatement").as("incomestatement"))
 
-    // 6-pane stack: narrow unions of projections — no shuffle, and each
-    // branch prunes to exactly one map column at the parquet scan.
-    val stacked = panes.map { case (code, field, freq, prec) =>
-      parsed.select(
+    // 6-pane stack as ONE generator over a literal array of
+    // (statement, freq, precedence, pane) structs: the payload is parsed
+    // by a single from_json and each document is expanded by one explode.
+    // (The previous 6-branch union re-executed the from_json per branch —
+    // 6 full decode passes over the most expensive expression in the
+    // pipeline; at 100 TB that dominates the job.) Codegen subexpression
+    // elimination evaluates the shared parse once per input row.
+    val stacked = parsed
+      .select(
         col("stock"), col("yf_name"), col("stockcurrency"), col("financialcurrency"),
-        lit(code).as("statement_type"), lit(freq).as("freq"), lit(prec).as("pane_prec"),
-        col(s"$field.$freq").as("pane"))
-    }.reduce(_ unionByName _)
+        explode(array(panes.map { case (code, field, freq, prec) =>
+          struct(lit(code).as("statement_type"), lit(freq).as("freq"),
+            lit(prec).as("pane_prec"), col(s"$field.$freq").as("pane"))
+        }: _*)).as("ps"))
+      .select(col("stock"), col("yf_name"), col("stockcurrency"),
+        col("financialcurrency"), col("ps.statement_type").as("statement_type"),
+        col("ps.freq").as("freq"), col("ps.pane_prec").as("pane_prec"),
+        col("ps.pane").as("pane"))
 
     // Orientation: OUTER map keys are DATES, inner are METRICS
     // (Financilas.py:84–96). explode is the built-in Generator — stays

@@ -3,13 +3,25 @@ package graft.transform
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.Functions._
-import graft.model.Schemas
 
 /** Profile extraction — raw payload documents → wide `summary` dimension
   * (reference Summary.py:149–221 normalize_summary + 122–147
-  * extract_from_summary), re-expressed as one select of coalesce /
+  * extract_from_summary), re-expressed as one select of pyOr /
   * regexp_extract / split / case expressions. Zero UDFs; the whole row
   * is produced inside whole-stage codegen from a single from_json.
+  *
+  * Fidelity notes (each maps a reference line):
+  *  - stock: table key FIRST, payload symbol/ticker as fallback
+  *    (Summary.py:152 `symbol_hint or info.get("symbol") or
+  *    info.get("ticker")`).
+  *  - every coalesce site is a python-or (empty string falls through),
+  *    via Functions.pyOr.
+  *  - clean_text applies AFTER the or-chain, to yf_name, long_summary,
+  *    sector, industry, website, city, state, country, currency
+  *    (Summary.py:175–184).
+  *  - regex enrichment runs over the CLEANED long_summary
+  *    (Summary.py:201), and the explicit field wins non-destructively
+  *    (Summary.py:202–204).
   */
 object Summary {
 
@@ -20,27 +32,30 @@ object Summary {
 
     val p = latest.withColumn("p", Financials.parsePayload(col("payload")))
     val info = col("p.info")
-    val summaryTxt = cleanText(info("longBusinessSummary"))
-    val hq = hqParts(info("longBusinessSummary"))
+    // long_summary fallback chain (Summary.py:158–162), cleaned
+    val longSummary = cleanText(pyOr(info("longBusinessSummary"),
+      col("p.summary"), col("p.profile.longBusinessSummary")))
+    val hq = hqParts(longSummary)
 
     p.select(
-      // stock: info.symbol falls back to the raw key (Summary.py:151–153)
-      coalesce(info("symbol"), col("symbol")).as("stock"),
-      // F9 coalesce chains (Summary.py:154–173, 200–204)
-      coalesce(info("longName"), info("shortName"), info("displayName")).as("yf_name"),
-      when(summaryTxt === "", lit(null)).otherwise(summaryTxt).as("long_summary"),
-      coalesce(info("sector"), info("sectorDisp")).as("sector"),
-      coalesce(info("industry"), info("industryDisp")).as("industry"),
-      coalesce(info("website"), info("irWebsite")).as("website"),
-      digitsToInt(info("fullTimeEmployees")).as("employees"),          // F8
-      // non-destructive enrich: explicit field first, regex-HQ fallback
-      coalesce(info("city"), hq("hq_city")).as("city"),
-      coalesce(info("state"), info("province"), hq("hq_state")).as("state"),
-      coalesce(info("country"), hq("hq_country")).as("country"),
-      coalesce(info("currency"), info("financialCurrency")).as("currency"),
-      foundedYear(info("longBusinessSummary")).as("founded_year"),      // F5
-      formerName(info("longBusinessSummary")).as("former_name"),        // F6
+      pyOr(col("symbol"), info("symbol"), info("ticker")).as("stock"),
+      cleanText(pyOr(info("longName"), info("shortName"),
+        info("displayName"), info("name"))).as("yf_name"),
+      longSummary.as("long_summary"),
+      cleanText(pyOr(info("sector"), info("sectorDisp"))).as("sector"),
+      cleanText(pyOr(info("industry"), info("industryDisp"))).as("industry"),
+      cleanText(pyOr(info("website"), info("irWebsite"))).as("website"),
+      employeesToInt(info("fullTimeEmployees")).as("employees"),        // F8
+      // non-destructive enrich: cleaned explicit field first, regex-HQ
+      // fallback (Summary.py:202–204) — python-or, so "" falls through
+      pyOr(cleanText(info("city")), hq("hq_city")).as("city"),
+      pyOr(cleanText(pyOr(info("state"), info("province"))), hq("hq_state")).as("state"),
+      pyOr(cleanText(info("country")), hq("hq_country")).as("country"),
+      cleanText(pyOr(info("currency"), info("financialCurrency"))).as("currency"),
+      foundedYear(longSummary).as("founded_year"),                      // F5
+      formerName(longSummary).as("former_name"),                        // F6
       current_timestamp().as("updated_at"))
-      .filter(col("stock").isNotNull)                                   // P10
+      // P10 — reference skips falsy stock (Summary.py:289–291)
+      .filter(col("stock").isNotNull && col("stock") =!= "")
   }
 }
