@@ -1,0 +1,154 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Functions.collapseWs
+import TextHash._
+
+/** Deduplication operators for large-scale text corpora — the
+  * training-data-pipeline half of the engine (north star; no reference
+  * analogue beyond the keyed upsert kernel in transform/Upsert.scala).
+  *
+  * Scale discipline shared by every operator here:
+  *  - NO all-pairs comparison anywhere. Candidate pairs come from an
+  *    equi-join (content hash, shared shingle, or LSH band bucket), so
+  *    the plan is always scan → exchange-on-key → hash join, never a
+  *    cartesian. At 100 TB the bucket key is what bounds the work.
+  *  - Aggregates, not windows, for per-key reduction (map-side partial
+  *    combine; AQE skew-split applies to hot buckets — a stop-shingle
+  *    at web scale is exactly a skewed join key).
+  */
+object Dedup {
+
+  /** Exact content dedup: normalize (lowercase + whitespace collapse) →
+    * md5 content key → one group row per distinct content with the
+    * canonical (minimum) id and the copy count. One shuffle on the
+    * 128-bit key; at 100 TB this is the cheapest possible full-corpus
+    * dedup (the classic first pass before any near-dup work).
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        md5Hex(collapseWs(lower(col(textCol)))).as("content_key"))
+      .groupBy(col("content_key"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-document distinct shingle sets: (id, shingle) exploded + the
+    * per-doc shingle count. Shared by the exact-Jaccard and MinHash
+    * paths.
+    */
+  private def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), shingles(tokens(col(textCol)), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), explode(col("sh")).as("shingle"))
+
+  /** Exact n-gram-Jaccard near-duplicate pairs via a shingle
+    * inverted-index self-join (the "ssjoin" shape): docs sharing ≥1
+    * shingle become candidates, shared-shingle counts come from one
+    * aggregation, and Jaccard = |∩| / (|A|+|B|-|∩|) filters ≥ threshold.
+    *
+    * Any pair with Jaccard > 0 shares a shingle, so candidate
+    * generation is EXACT (no recall loss) while still being an
+    * equi-join — never an all-pairs product. At 100 TB the refinement
+    * is prefix filtering (only the rarest few shingles per doc need to
+    * be indexed to guarantee recall at a given threshold); the join
+    * shape stays the same.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val shared = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("n_a") + col("n_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: numHashes permutation minima per doc, one
+    * aggregation over the exploded shingles (h_i = min (a_i·x+b_i) mod P
+    * — map-side combinable, no sort).
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, numHashes: Int): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+      .withColumn("x", hash60(col("shingle")) % P)
+    val mins = minhashPerms(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("x") + lit(b)) % P).as(s"h$i")
+    }
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Near-duplicate pairs via banded MinHash LSH: docs agreeing on ALL
+    * rows of ≥1 band become candidates (equi-join on the band key), then
+    * exact shingle-set Jaccard verifies ≥ threshold. Probabilistic
+    * recall (a true pair missing every band is possible), deterministic
+    * output (fixed permutation constants — both engines compute the
+    * identical candidate set). This is the shape that scales: signature
+    * cost is linear in corpus size, and the self-join touches only
+    * band-bucket collisions.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, numHashes: Int, bands: Int,
+                      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
+    val bandRows = sig.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", (0 until rows).map(r => col(s"h${b * rows + r}")): _*)
+            .as("bk"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val cand = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // verify candidates with exact Jaccard over the shingle sets
+    val shSets = docs
+      .select(col(idCol).as("id"), shingles(tokens(col(textCol)), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    cand
+      .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 60-bit SimHash fingerprint per document: for each bit position,
+    * sum ±1 votes from every shingle's content hash; the bit is set when
+    * the vote is positive. Two documents with small Hamming distance
+    * between fingerprints are near-duplicates.
+    *
+    * Shape: explode (shingle-hash × bit-position) vote rows, then two
+    * keyed aggregations — both map-side combinable, so the fingerprint
+    * build is one pipeline of partial aggregates at any scale (the md5
+    * per shingle is computed once, before the bit fan-out).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              n: Int, bits: Int = 60): DataFrame =
+    shingleRows(docs, idCol, textCol, n)
+      .withColumn("h", hash60(col("shingle")))
+      .select(col("id"), col("h"),
+        explode(sequence(lit(0), lit(bits - 1))).as("j"))
+      .groupBy(col("id"), col("j"))
+      .agg(sum(when(expr("shiftright(h, j) & 1") === 1, 1L).otherwise(-1L)).as("vote"))
+      .groupBy(col("id"))
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
+        .otherwise(0L)).as("simhash"))
+}

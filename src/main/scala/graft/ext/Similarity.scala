@@ -1,0 +1,106 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Functions.{cosineSim, toDoubleArray}
+import TextHash.hyperplanes
+
+/** Similarity search over embedding columns (array<float>) — the
+  * ANN half of the training-data-pipeline operator pack.
+  *
+  * Determinism: all arithmetic is double-precision sequential folds
+  * (functions.aggregate / zip_with), which both Spark and the DuckDB
+  * oracle execute as the same IEEE operation sequence — results are
+  * bit-identical across engines and across cluster sizes (no
+  * reduction-order dependence).
+  *
+  * Scale: the brute-force path broadcasts the (small) query set and
+  * streams the corpus once — correct baseline, O(|corpus|·|queries|).
+  * The LSH path replaces that with an equi-join on a sign-hyperplane
+  * bucket key, making candidate generation O(collisions): the plan is
+  * scan → hash join, never a product against the full corpus.
+  */
+object Similarity {
+
+  /** Sign-LSH bucket signature: bit j set iff the embedding's dot
+    * product with deterministic ±1 hyperplane j is positive. The
+    * hyperplane matrix is inlined as literals (computed once on the
+    * driver — no per-row hashing of hyperplane entries).
+    */
+  def signSignature(emb: Column, bits: Int, dims: Int): Column = {
+    val planes = hyperplanes(bits, dims)
+    (0 until bits).map { j =>
+      val w = array(planes(j).map(lit): _*)
+      val dot = aggregate(zip_with(emb, w, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Exact top-k cosine neighbors for a query subset, brute force:
+    * broadcast-nested-loop of queries × corpus (queries side is small by
+    * contract), per-partition cosine, then a bounded rank window
+    * partitioned by query. The window partitions by query id, so no
+    * global single-partition sort.
+    */
+  def bruteForceTopK(vectors: DataFrame, idCol: String, embCol: String,
+                     queries: DataFrame, k: Int): DataFrame = {
+    val corpus = vectors.select(col(idCol).as("nbr_id"),
+      toDoubleArray(col(embCol)).as("nbr_emb"))
+    val q = queries.select(col(idCol).as("query_id"),
+      toDoubleArray(col(embCol)).as("q_emb"))
+    val scored = corpus.join(broadcast(q), col("nbr_id") =!= col("query_id"))
+      .withColumn("cosine", cosineSim(col("q_emb"), col("nbr_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("cosine"), col("rank"))
+  }
+
+  /** Approximate top-k via sign-LSH buckets: only corpus vectors in the
+    * SAME bucket as the query are scored (equi-join on the signature).
+    * Recall is probabilistic; the result is deterministic (fixed
+    * hyperplanes). At scale: add multi-probe (flip one bit) or more
+    * tables for recall — the join shape is unchanged.
+    */
+  def lshTopK(vectors: DataFrame, idCol: String, embCol: String,
+              queries: DataFrame, k: Int, bits: Int, dims: Int): DataFrame = {
+    val corpus = vectors.select(col(idCol).as("nbr_id"),
+      toDoubleArray(col(embCol)).as("nbr_emb"))
+      .withColumn("sig", signSignature(col("nbr_emb"), bits, dims))
+    val q = queries.select(col(idCol).as("query_id"),
+      toDoubleArray(col(embCol)).as("q_emb"))
+      .withColumn("sig", signSignature(col("q_emb"), bits, dims))
+    val scored = corpus.join(broadcast(q), Seq("sig"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("cosine", cosineSim(col("q_emb"), col("nbr_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("cosine"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed: self-join the
+    * corpus on the bucket signature (a.id < b.id), verify cosine ≥
+    * threshold. Never all-pairs — the signature equi-join bounds the
+    * comparisons to same-bucket collisions, which is what makes
+    * embedding dedup feasible at 100 TB.
+    */
+  def nearDupPairs(vectors: DataFrame, idCol: String, embCol: String,
+                   threshold: Double, bits: Int, dims: Int): DataFrame = {
+    val sigs = vectors.select(col(idCol).as("id"),
+      toDoubleArray(col(embCol)).as("emb"))
+      .withColumn("sig", signSignature(col("emb"), bits, dims))
+    sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .withColumn("cosine", cosineSim(col("a.emb"), col("b.emb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+}

