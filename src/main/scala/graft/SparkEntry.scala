@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ext.ExtQueries
 import graft.queries._
 import graft.transform.Financials
 
@@ -21,8 +22,8 @@ object SparkEntry {
       Financials.normalize(ReferenceQueries.fixtureRaw(spark)), "AAA")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++ ReferenceQueries.defs
+    RelationalQueries.defs ++ ReferenceQueries.defs ++ ExtQueries.defs
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ ReferenceQueries.oracles
+    RelationalQueries.oracles ++ ReferenceQueries.oracles ++ ExtQueries.oracles
 }

@@ -1,0 +1,338 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Tables
+
+/** Correctness queries for the LLM-data-pipeline operator pack (dedup,
+  * similarity search, text analysis) over the `documents` / `embeddings`
+  * testdata — the north-star extension surface (no reference analogue;
+  * the reference stops at relational ETL).
+  *
+  * Every query has a full DuckDB oracle that recomputes the SAME
+  * deterministic pipeline in SQL — the MinHash permutation and
+  * hyperplane constants are inlined from TextHash into the generated
+  * oracle text, so both engines evaluate identical integer/IEEE
+  * operation sequences (see TextHash's cross-engine hashing contract).
+  */
+object ExtQueries {
+
+  // Fixed operator parameters — shared by the Spark defs and the
+  // generated oracle SQL below. Small enough to be cheap at sf0.01,
+  // shaped exactly like the 100 TB configuration (only numHashes/bits
+  // grow with scale, never the join shape).
+  private val ShingleN = 3
+  private val NumHashes = 16
+  private val Bands = 4
+  private val JaccardThreshold = 0.5
+  private val KnnK = 10
+  private val KnnQueryIds = 5 // vec_id < 5 → 5 query vectors
+  private val LshBits = 4
+  private val EmbDims = 64
+  private val CosineThreshold = 0.3
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact content dedup: normalize → md5 group key → canonical id +
+    // copy count. One shuffle on the 128-bit key.
+    "q22_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")),
+
+    // MinHash signatures (16 permutations over 3-gram shingles): one
+    // aggregation over the exploded shingles, map-side combinable.
+    "q23_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text",
+        ShingleN, NumHashes)),
+
+    // Banded-LSH near-dup pairs (4 bands × 4 rows) with exact-Jaccard
+    // verification — candidate generation is an equi-join on the band
+    // key, never all-pairs.
+    "q24_lsh_neardup" -> ((s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        ShingleN, NumHashes, Bands, JaccardThreshold)),
+
+    // Exact n-gram-Jaccard pairs via the shingle inverted-index
+    // self-join (exact recall; the LSH query above is the scale path).
+    "q25_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        ShingleN, JaccardThreshold)),
+
+    // 60-bit SimHash fingerprints per document.
+    "q26_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d), "doc_id", "text", ShingleN)),
+
+    // Text profiling: counts, quality score, language guess, rolling
+    // fingerprint — pure projection, no shuffle.
+    "q27_text_stats" -> ((s, d) =>
+      TextStats.profile(Tables.documents(s, d), "doc_id", "text")),
+
+    // Exact top-k cosine neighbors for a small query set (broadcast
+    // nested loop — the correctness baseline for ANN).
+    "q28_knn_brute" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < KnnQueryIds), KnnK)
+    }),
+
+    // Approximate top-k via sign-LSH buckets (equi-join on the
+    // signature — the 100 TB path; deterministic hyperplanes).
+    "q29_knn_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < KnnQueryIds), KnnK, LshBits, EmbDims)
+    }),
+
+    // Embedding-cosine near-dup pairs, LSH-bucketed self-join.
+    "q30_embed_neardup" -> ((s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id",
+        "embedding", CosineThreshold, LshBits, EmbDims)))
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle generation. Shared fragments mirror the Column
+  // expressions in TextHash/Dedup/TextStats/Similarity one-for-one; the
+  // folds are sequential (list_reduce) so IEEE operation order matches
+  // Spark's `aggregate` exactly.
+  // ------------------------------------------------------------------
+
+  private val P = TextHash.P
+
+  /** Tokenize → distinct 3-gram shingles, per doc (twin of
+    * TextHash.tokens + TextHash.shingles).
+    */
+  private val shingleCtes =
+    s"""toks AS (
+       |  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT id,
+       |    CASE WHEN len(t) >= $ShingleN THEN
+       |      list_distinct(list_transform(range(1, len(t) - ${ShingleN - 2}),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+       |    ELSE CAST([] AS VARCHAR[]) END AS s
+       |  FROM toks)""".stripMargin
+
+  /** 60-bit md5-prefix hash of a string expression (twin of
+    * TextHash.hash60).
+    */
+  private def hash60Sql(x: String): String =
+    s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+
+  /** Exploded shingle rows with the MinHash domain value x (twin of
+    * Dedup.shingleRows + the `% P` mapping).
+    */
+  private val xsCte =
+    s"""xs AS (
+       |  SELECT id, ${hash60Sql("u")} % $P AS x
+       |  FROM (SELECT id, unnest(s) AS u FROM sh WHERE len(s) > 0))""".stripMargin
+
+  /** MinHash signature aggregation (twin of Dedup.minhashSignatures). */
+  private val sigCte = {
+    val mins = TextHash.minhashPerms(NumHashes).zipWithIndex.map {
+      case ((a, b), i) => s"min(($a * x + $b) % $P) AS h$i"
+    }.mkString(",\n    ")
+    s"""sig AS (
+       |  SELECT id,
+       |    $mins
+       |  FROM xs GROUP BY id)""".stripMargin
+  }
+
+  /** Sequential left fold `((0 + x1) + x2) + …` — twin of Spark's
+    * `aggregate(items, 0.0, (acc, x) => acc + x)`.
+    */
+  private def foldSum(items: String): String =
+    s"list_reduce(list_prepend(0.0, $items), (acc, x) -> acc + x)"
+
+  /** Twin of Functions.dotProduct (zip_with product, then fold). */
+  private def dotSql(a: String, b: String): String =
+    foldSum(s"list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])")
+
+  /** Twin of Functions.l2Norm (fold of acc + x*x). */
+  private def normSql(a: String): String =
+    s"sqrt(list_reduce(list_prepend(0.0, list_transform($a, x -> x * x)), (acc, x) -> acc + x))"
+
+  /** Twin of Functions.cosineSim (null on zero norms). */
+  private def cosineSql(a: String, b: String): String =
+    s"""CASE WHEN ${normSql(a)} * ${normSql(b)} = 0.0 THEN NULL
+       |     ELSE ${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}) END""".stripMargin
+
+  /** Twin of Similarity.signSignature: bit j set iff dot(v, plane_j) > 0.
+    * Hyperplane ±1 entries inlined as a literal list per bit.
+    */
+  private def signSigSql(v: String): String =
+    TextHash.hyperplanes(LshBits, EmbDims).zipWithIndex.map { case (w, j) =>
+      val lits = w.map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
+      val dot = foldSum(
+        s"list_transform(range(1, len($v) + 1), i -> $v[i] * (LIST_VALUE($lits))[i])")
+      s"(CASE WHEN $dot > 0.0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Banded LSH candidate pairs + exact-Jaccard verification (twin of
+    * Dedup.minhashLshPairs).
+    */
+  private val lshPairsSql = {
+    val rows = NumHashes / Bands
+    val bandSelects = (0 until Bands).map { b =>
+      val cols = (0 until rows).map(r => s"h${b * rows + r}").mkString(", ")
+      s"SELECT id, $b AS band, concat_ws('_', $cols) AS bk FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shingleCtes,
+       |$xsCte,
+       |$sigCte,
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bk = b.bk AND a.id < b.id),
+       |sets AS (SELECT id, s FROM sh WHERE len(s) > 0),
+       |verified AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS shared,
+       |    len(a.s) AS na, len(b.s) AS nb
+       |  FROM cand c
+       |  JOIN sets a ON a.id = c.id_a
+       |  JOIN sets b ON b.id = c.id_b)
+       |SELECT id_a, id_b,
+       |  CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) AS jaccard
+       |FROM verified
+       |WHERE CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) >= $JaccardThreshold""".stripMargin
+  }
+
+  /** Exact shingle-inverted-index Jaccard pairs (twin of
+    * Dedup.jaccardPairs).
+    */
+  private val jaccardPairsSql =
+    s"""WITH $shingleCtes,
+       |rows_ AS (SELECT id, unnest(s) AS shingle FROM sh WHERE len(s) > 0),
+       |counts AS (SELECT id, count(*) AS n_sh FROM rows_ GROUP BY id),
+       |shared AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+       |  FROM rows_ a JOIN rows_ b
+       |    ON a.shingle = b.shingle AND a.id < b.id
+       |  GROUP BY a.id, b.id),
+       |j AS (
+       |  SELECT s.id_a, s.id_b,
+       |    CAST(s.shared AS DOUBLE) /
+       |      CAST(ca.n_sh + cb.n_sh - s.shared AS DOUBLE) AS jaccard
+       |  FROM shared s
+       |  JOIN counts ca ON ca.id = s.id_a
+       |  JOIN counts cb ON cb.id = s.id_b)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $JaccardThreshold""".stripMargin
+
+  /** SimHash twin (votes per bit, then bit assembly). */
+  private val simhashSql =
+    s"""WITH $shingleCtes,
+       |hx AS (
+       |  SELECT id, ${hash60Sql("u")} AS h
+       |  FROM (SELECT id, unnest(s) AS u FROM sh WHERE len(s) > 0)),
+       |v AS (
+       |  SELECT id, j,
+       |    CAST(sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS vote
+       |  FROM hx CROSS JOIN (SELECT unnest(range(0, 60)) AS j) js
+       |  GROUP BY id, j)
+       |SELECT id,
+       |  CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j)
+       |           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+       |FROM v GROUP BY id""".stripMargin
+
+  /** TextStats.profile twin. */
+  private val textStatsSql = {
+    val ratios = TextStats.stopwords.map { case (lang, words) =>
+      val in = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(t, x -> x IN ($in))) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS r_$lang"
+    }.mkString(",\n    ")
+    val langs = TextStats.stopwords.map(_._1)
+    val best = s"greatest(${langs.map(l => s"r_$l").mkString(", ")})"
+    val guess = langs.map(l =>
+      s"WHEN r_$l = best AND best > 0.0 THEN '$l'").mkString(" ")
+    s"""WITH base AS (
+       |  SELECT doc_id AS id, text,
+       |    regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |m AS (
+       |  SELECT id, text, t,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(t) AS BIGINT) AS n_tokens,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(t, x -> CAST(length(x) AS BIGINT))),
+       |      (acc, x) -> acc + x) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS avg_token_len,
+       |    $ratios
+       |  FROM base),
+       |g AS (SELECT *, ${best} AS best FROM m)
+       |SELECT id, n_chars, n_tokens, avg_token_len,
+       |  r_en AS stopword_ratio,
+       |  0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+       |    + 0.3 * (1.0 - r_en)
+       |    + 0.3 * least(1.0, avg_token_len / 8.0) AS quality,
+       |  CASE $guess ELSE 'und' END AS lang_guess,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, length(text) + 1),
+       |        i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+       |    (acc, x) -> (acc * 31 + x) % ${TextHash.FpMod}) AS fingerprint
+       |FROM g""".stripMargin
+  }
+
+  /** Brute-force top-k cosine twin. */
+  private val knnBruteSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $KnnQueryIds),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS nbr_id,
+       |    ${cosineSql("q.qv", "e.v")} AS cosine
+       |  FROM e JOIN q ON e.vec_id <> q.query_id),
+       |r AS (
+       |  SELECT query_id, nbr_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, nbr_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= $KnnK""".stripMargin
+
+  /** Sign-LSH top-k twin. */
+  private val knnLshSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |s AS (SELECT vec_id, v, ${signSigSql("v")} AS sig FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, sig FROM s WHERE vec_id < $KnnQueryIds),
+       |scored AS (
+       |  SELECT q.query_id, s.vec_id AS nbr_id,
+       |    ${cosineSql("q.qv", "s.v")} AS cosine
+       |  FROM s JOIN q ON s.sig = q.sig AND s.vec_id <> q.query_id),
+       |r AS (
+       |  SELECT query_id, nbr_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, nbr_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= $KnnK""".stripMargin
+
+  /** Embedding near-dup pairs twin. */
+  private val embedNearDupSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |s AS (SELECT vec_id, v, ${signSigSql("v")} AS sig FROM e),
+       |p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${cosineSql("a.v", "b.v")} AS cosine
+       |  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, cosine FROM p WHERE cosine >= $CosineThreshold""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q22_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_key,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q23_minhash_sig" -> {
+      val hs = (0 until NumHashes).map(i => s"h$i").mkString(", ")
+      s"WITH $shingleCtes,\n$xsCte,\n$sigCte\nSELECT id, $hs FROM sig"
+    },
+    "q24_lsh_neardup" -> lshPairsSql,
+    "q25_jaccard_pairs" -> jaccardPairsSql,
+    "q26_simhash" -> simhashSql,
+    "q27_text_stats" -> textStatsSql,
+    "q28_knn_brute" -> knnBruteSql,
+    "q29_knn_lsh" -> knnLshSql,
+    "q30_embed_neardup" -> embedNearDupSql)
+}

@@ -89,9 +89,15 @@ object TextHash {
   }
 
   /** Rolling polynomial fingerprint of a string: left fold over the
-    * UTF-8 code points of the character sequence,
-    * acc = (acc * 31 + codepoint) mod 1e9+7. Streams through codegen;
-    * DuckDB twin uses list_reduce over str_split(s, '').
+    * characters, acc = (acc * 31 + code) mod 1e9+7. Streams through
+    * codegen; the DuckDB twin is list_reduce over per-position ord().
+    *
+    * CONTRACT: deterministic cross-engine for BMP text only. Java's
+    * split-per-character yields UTF-16 code units, so a supplementary-
+    * plane character (emoji etc.) folds its two surrogate values where
+    * DuckDB's ord() folds the single code point. Corpus-curation inputs
+    * here are BMP; extend with a codepoint-safe expression before using
+    * on supplementary-plane text.
     */
   val FpMod: Long = 1000000007L
   def rollingFingerprint(c: Column): Column =

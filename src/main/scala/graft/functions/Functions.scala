@@ -91,9 +91,13 @@ object Functions {
     * string → digit-strip. Our schema reads the field as string (JSON
     * numbers keep their token text), so branch on numeric shape:
     * "1200.0" → 1200 (truncate), "1,200" → 1200 (strip), garbage → null.
+    * The numeric-shape regex covers every JSON number token — sign and
+    * exponent forms included — so "-5" → -5 and "1.2e3" → 1200 exactly
+    * like Python's int() on the parsed number (not a digit-strip).
     */
   def employeesToInt(c: Column): Column =
-    when(c.rlike("^[0-9]+(\\.[0-9]+)?$"), c.cast("double").cast("int"))
+    when(c.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"),
+      c.cast("double").cast("int"))
       .otherwise(digitsToInt(c))
 
   /** F12 — date parse with never-throw fallback

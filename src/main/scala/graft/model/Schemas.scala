@@ -69,16 +69,21 @@ object Schemas {
   /** Full payload document (assembled at details.py:139–153). The extra
     * top-level `summary` / `profile.longBusinessSummary` fields back the
     * long_summary fallback chain (Summary.py:158–162) for payloads not
-    * assembled by the reference's own loader.
+    * assembled by the reference's own loader. The root-level copies of
+    * every info field back the reference's `info = obj.get('info') or
+    * obj` fallback (Summary.py:151): a payload with NO `info` key reads
+    * all profile fields from the root object instead.
     */
-  val payload: StructType = StructType(Seq(
-    StructField("info", info),
-    StructField("summary", StringType),
-    StructField("profile", StructType(Seq(
-      StructField("longBusinessSummary", StringType)))),
-    StructField("cashflow", statement),
-    StructField("balancesheet", statement),
-    StructField("incomestatement", statement)))
+  val payload: StructType = StructType(
+    Seq(
+      StructField("info", info),
+      StructField("summary", StringType),
+      StructField("profile", StructType(Seq(
+        StructField("longBusinessSummary", StringType)))),
+      StructField("cashflow", statement),
+      StructField("balancesheet", statement),
+      StructField("incomestatement", statement))
+      ++ info.fields) // root-level info-field copies (Summary.py:151)
 
   /** Long-format fact table (reference financials DDL,
     * Financilas.py:16–30). Logical key:

@@ -1,6 +1,6 @@
 package graft.transform
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Functions._
 
@@ -31,7 +31,15 @@ object Summary {
       Seq("symbol"), col("loaded_at"))
 
     val p = latest.withColumn("p", Financials.parsePayload(col("payload")))
-    val info = col("p.info")
+    // Summary.py:151 `info = obj.get('info') or obj` — all-or-nothing:
+    // when the payload has no `info` key, EVERY profile field reads from
+    // the root object; when info exists, fields come from info only (a
+    // field missing inside info does NOT fall back to the root). The
+    // typed parse can't distinguish `"info": {}` from info-with-unknown-
+    // keys, so the empty-dict edge resolves to the info side — a
+    // deliberate, documented deviation (reference: {} is falsy → root).
+    def info(f: String): Column =
+      when(col("p.info").isNull, col(s"p.$f")).otherwise(col(s"p.info.$f"))
     // long_summary fallback chain (Summary.py:158–162), cleaned
     val longSummary = cleanText(pyOr(info("longBusinessSummary"),
       col("p.summary"), col("p.profile.longBusinessSummary")))
