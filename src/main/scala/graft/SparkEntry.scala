@@ -22,8 +22,10 @@ object SparkEntry {
       Financials.normalize(ReferenceQueries.fixtureRaw(spark)), "AAA")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++ ReferenceQueries.defs ++ ExtQueries.defs
+    RelationalQueries.defs ++ ReferenceQueries.defs ++ ExtQueries.defs ++
+      PipelineQueries.defs
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ ReferenceQueries.oracles ++ ExtQueries.oracles
+    RelationalQueries.oracles ++ ReferenceQueries.oracles ++
+      ExtQueries.oracles ++ PipelineQueries.oracles
 }

@@ -1,0 +1,210 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.ingest.StockUniverse
+import graft.model.Schemas
+import graft.sources.Sinks
+import graft.streaming.EventStream
+import graft.transform.{Financials, Summary}
+
+/** Pipeline-surface queries: the full Summary dimension build, the real
+  * stock-universe CSV ingest, offset paging (O4), point query (S7/O3),
+  * the CSV sink round-trip (S3), JSON serialize round-trip (F16), and
+  * the Structured-Streaming analogue over events (SURVEY.md §2.10).
+  */
+object PipelineQueries {
+
+  /** Raw-zone fixture for the profile pipeline (Summary.py:149–221).
+    * Covers: latest-per-symbol dedup, python-or fallthrough on "",
+    * regex enrichment + non-destructive merge, employees numeric vs
+    * digit-strip vs signed token, the root-object fallback
+    * (Summary.py:151 `info = obj.get('info') or obj`), a double-encoded
+    * payload, and the P10 falsy-stock filter.
+    */
+  def fixtureProfiles(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val aaaNew =
+      """{"info":{"symbol":"AAA","longName":"Alpha Corp","shortName":"Alpha",
+        |"sector":"","sectorDisp":"Technology","industry":"Software",
+        |"website":"https://alpha.example","fullTimeEmployees":"12500",
+        |"city":"","state":"","country":"","currency":"USD",
+        |"longBusinessSummary":"Alpha Corp, formerly known as Alpha Legacy Systems, was founded in 1987. It is headquartered in Austin, Texas, United States."}}"""
+        .stripMargin.replace("\n", "")
+    val aaaOld = """{"info":{"symbol":"AAA","longName":"Alpha Stale"}}"""
+    // NO "info" key → every profile field reads from the root object
+    val bbbRoot =
+      """{"longName":"Beta Industries","sector":"Energy","fullTimeEmployees":"-5",
+        |"country":"Norway","currency":"NOK",
+        |"longBusinessSummary":"Beta Industries is headquartered in Oslo, Norway."}"""
+        .stripMargin.replace("\n", "")
+    val cccMin = """{"info":{"symbol":"CCC","fullTimeEmployees":"about 300 people"}}"""
+    val dddInner = """{"info":{"symbol":"DDD","longName":"Delta Co","currency":"USD"}}"""
+    val dddDouble =
+      "\"" + dddInner.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    Seq(
+      ("AAA", aaaNew, Timestamp.valueOf("2025-01-02 00:00:00")),
+      ("AAA", aaaOld, Timestamp.valueOf("2025-01-01 00:00:00")),
+      ("BBB", bbbRoot, Timestamp.valueOf("2025-01-02 00:00:00")),
+      ("CCC", cccMin, Timestamp.valueOf("2025-01-02 00:00:00")),
+      ("DDD", dddDouble, Timestamp.valueOf("2025-01-02 00:00:00")),
+      ("", "{}", Timestamp.valueOf("2025-01-02 00:00:00"))) // P10: filtered
+      .toDF("symbol", "payload", "loaded_at")
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The whole Stage-3 profile pipeline (Summary.py main loop) in one
+    // declarative job. updated_at (current_timestamp) dropped for the
+    // deterministic compare.
+    "q31_summary_normalize" -> ((s, _) =>
+      Summary.normalize(fixtureProfiles(s)).drop("updated_at")),
+
+    // Stage-0 ingest of the REAL reference CSV (5,510 rows): explicit
+    // schema, clean chain (P3/P4/P5/A1), latent market-cap parse (F18).
+    "q32_stock_ingest" -> ((s, _) =>
+      StockUniverse.clean(
+        StockUniverse.readCsv(s, "/root/reference/stocks_full.csv"))),
+
+    // O4 — offset paging (Summary.py:85–89 LIMIT offset,1 shape), done
+    // scale-safe: TakeOrderedAndProject caps the set at offset+k rows
+    // BEFORE the row_number window, so the single-partition window sees
+    // 120 rows, never the full table.
+    "q33_offset_page" -> ((s, d) => {
+      val top = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey")).limit(120)
+      top.withColumn("rn", row_number().over(Window.orderBy(col("o_orderkey"))))
+        .filter(col("rn") > 100)
+    }),
+
+    // S7/O3 — point query: equality filter + LIMIT 1 (Financilas.py
+    // load_one_row). event_id is unique so the row is deterministic.
+    "q34_point_query" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") === 500L)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+        .limit(1)),
+
+    // S3 — CSV sink round-trip: write nation through the library sink,
+    // read it back with an explicit schema, results must equal the
+    // source table (quoting/nulls/headers survive the hop).
+    "q35_csv_roundtrip" -> ((s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_sink_nation"
+      Sinks.writeCsv(Tables.nation(s, d), path)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.option("header", "true").schema(schema).csv(path)
+    }),
+
+    // F16 — JSON serialize: payload → parse → to_json(struct) → reparse
+    // → extract. The serialize-reparse hop must be the identity on the
+    // typed fields (the reference's clean_json + json.dumps path,
+    // details.py:77–126,217).
+    "q36_json_roundtrip" -> ((s, _) => {
+      val reSchema = StructType(Seq(
+        StructField("info", Schemas.info),
+        StructField("cashflow", Schemas.statement)))
+      ReferenceQueries.fixtureRaw(s)
+        .withColumn("p", Financials.parsePayload(col("payload")))
+        .withColumn("js", to_json(struct(col("p.info").as("info"),
+          col("p.cashflow").as("cashflow"))))
+        .withColumn("r", from_json(col("js"), reSchema))
+        .select(col("symbol"),
+          col("r.info.longName").as("yf_name"),
+          element_at(element_at(col("r.cashflow.yearly"),
+            "2024-06-30 00:00:00"), "FreeCashFlow").cast("double").as("fcf"))
+    }),
+
+    // STR — the streaming analogue (AvailableNow + watermark + keyed
+    // dedup + tumbling window), run to completion inside the query.
+    "q37_stream_window" -> ((s, d) => EventStream.tumblingCounts(s, d)))
+
+  /** Market-cap parse fragment shared with the q18 oracle. */
+  private def mcapSql(col: String): String =
+    s"""CASE WHEN regexp_extract(upper(trim(replace($col, ',', ''))),
+       |       '^([0-9]*\\.?[0-9]+)([KMBT]?)$$', 1) = '' THEN NULL
+       |  ELSE CAST(regexp_extract(upper(trim(replace($col, ',', ''))),
+       |         '^([0-9]*\\.?[0-9]+)([KMBT]?)$$', 1) AS DOUBLE) *
+       |    CASE regexp_extract(upper(trim(replace($col, ',', ''))),
+       |           '^([0-9]*\\.?[0-9]+)([KMBT]?)$$', 2)
+       |      WHEN 'K' THEN 1e3 WHEN 'M' THEN 1e6
+       |      WHEN 'B' THEN 1e9 WHEN 'T' THEN 1e12 ELSE 1.0 END
+       |END""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    // Hand-derived golden rows (reference semantics applied to the
+    // fixture by hand — same convention as q21's oracle).
+    "q31_summary_normalize" ->
+      """SELECT stock, yf_name, long_summary, sector, industry, website,
+        |  CAST(employees AS INT) AS employees, city, state, country,
+        |  currency, CAST(founded_year AS INT) AS founded_year, former_name
+        |FROM (VALUES
+        |  ('AAA', 'Alpha Corp',
+        |   'Alpha Corp, formerly known as Alpha Legacy Systems, was founded in 1987. It is headquartered in Austin, Texas, United States.',
+        |   'Technology', 'Software', 'https://alpha.example', 12500,
+        |   'Austin', 'Texas', 'United States', 'USD', 1987,
+        |   'Alpha Legacy Systems'),
+        |  ('BBB', 'Beta Industries',
+        |   'Beta Industries is headquartered in Oslo, Norway.',
+        |   'Energy', NULL, NULL, -5, 'Oslo', NULL, 'Norway', 'NOK',
+        |   NULL, NULL),
+        |  ('CCC', NULL, NULL, NULL, NULL, NULL, 300, NULL, NULL, NULL,
+        |   NULL, NULL, NULL),
+        |  ('DDD', 'Delta Co', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |   NULL, 'USD', NULL, NULL)
+        |) t(stock, yf_name, long_summary, sector, industry, website,
+        |    employees, city, state, country, currency, founded_year,
+        |    former_name)""".stripMargin,
+
+    "q32_stock_ingest" ->
+      s"""WITH raw AS (
+         |  SELECT symbol, company, industry, market_cap
+         |  FROM read_csv('/root/reference/stocks_full.csv',
+         |                header = true, all_varchar = true)),
+         |kept AS (
+         |  SELECT trim(symbol) AS symbol, company, industry, market_cap
+         |  FROM raw
+         |  WHERE NOT (symbol IS NULL AND company IS NULL
+         |             AND industry IS NULL AND market_cap IS NULL)
+         |    AND symbol IS NOT NULL AND trim(symbol) <> '')
+         |SELECT symbol, company, industry, market_cap,
+         |  ${mcapSql("market_cap")} AS market_cap_usd
+         |FROM kept""".stripMargin,
+
+    "q33_offset_page" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, CAST(rn AS INT) AS rn
+        |FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+        |        row_number() OVER (ORDER BY o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn > 100 AND rn <= 120""".stripMargin,
+
+    "q34_point_query" ->
+      """SELECT event_id, user_id, event_type, value, ts
+        |FROM events WHERE event_id = 500""".stripMargin,
+
+    "q35_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+    "q36_json_roundtrip" ->
+      """SELECT symbol, yf_name, CAST(fcf AS DOUBLE) AS fcf FROM (VALUES
+        |  ('AAA', 'Alpha Corp', 10.0),
+        |  ('AAA', 'Alpha Old', 999.0),
+        |  ('BBB', NULL, NULL),
+        |  ('CCC', NULL, NULL)
+        |) t(symbol, yf_name, fcf)""".stripMargin,
+
+    "q37_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS win_start,
+        |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2, 3""".stripMargin)
+}
