@@ -79,11 +79,14 @@ object Functions {
   }
 
   /** F8 — employees: strip non-digits, cast to int (Summary.py:186–198).
-    * "1,200" → 1200; "" / all-garbage → null.
+    * "1,200" → 1200; "" / all-garbage → null. try_cast, not cast: the
+    * reference wraps the conversion in try/except → None, and under
+    * Spark's default ANSI mode a digit string that overflows INT would
+    * otherwise throw and kill the whole job.
     */
   def digitsToInt(c: Column): Column = {
     val d = regexp_replace(c.cast("string"), "[^0-9]", "")
-    when(d === "", lit(null)).otherwise(d).cast("int")
+    when(d === "", lit(null)).otherwise(d).try_cast("int")
   }
 
   /** F8, type-aware (Summary.py:186–198): the reference branches on the
@@ -97,15 +100,19 @@ object Functions {
     */
   def employeesToInt(c: Column): Column =
     when(c.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"),
-      c.cast("double").cast("int"))
+      // try_cast on the int step: an exponent form can overflow to ±Inf
+      // and ANSI double→int would throw (reference: except → None)
+      c.cast("double").try_cast("int"))
       .otherwise(digitsToInt(c))
 
   /** F12 — date parse with never-throw fallback
     * (Financilas.py:86–92): take first 10 chars, parse yyyy-MM-dd,
-    * null on failure (caller filters).
+    * null on failure (caller filters). try_to_date, not to_date: under
+    * Spark's default ANSI mode a malformed date string would otherwise
+    * throw — the reference skips the row and continues.
     */
   def dateFromPrefix(c: Column): Column =
-    to_date(substring(c, 1, 10), "yyyy-MM-dd")
+    try_to_date(substring(c, 1, 10), "yyyy-MM-dd")
 
   /** F14 — fiscal period: yearly rows pin to 4, else calendar quarter
     * (Financilas.py:68–69,94).

@@ -117,8 +117,11 @@ object Financials {
         !(col("value_str").startsWith("{") || col("value_str").startsWith("[")))
       .withColumn("calendar_year", year(col("date")))         // F13
       .withColumn("period", periodOf(col("freq"), col("date"))) // F14
-      // P7+P8: non-scalar leaf → uncastable string → null; NaN/Inf → null
-      .withColumn("value", nanToNull(col("value_str").cast("double")))
+      // P7+P8: non-scalar leaf → uncastable string → null; NaN/Inf →
+      // null. try_cast: a non-numeric scalar leaf (bare string token)
+      // must degrade to null, not throw under ANSI — the reference
+      // never aborts the run on one bad leaf.
+      .withColumn("value", nanToNull(col("value_str").try_cast("double")))
 
     // PK dedup (stock, statement_type, metric, date): later pane wins —
     // replicates ON-DUPLICATE-KEY last-write-wins under the reference's

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, TextHash}
+
+/** Dedup operator pack: exact groups, shingles, exact Jaccard, banded
+  * MinHash-LSH recall on planted near-dups, SimHash stability.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "The quick brown fox jumps over the lazy dog today"),
+    (2L, "the  QUICK   brown fox jumps over the lazy dog today"), // exact dup after normalize
+    (3L, "The quick brown fox jumps over the lazy cat today"),    // near dup of 1
+    (4L, "completely different text about spark catalyst engines here"),
+    (5L, "ab"))                                                   // < n tokens → no shingles
+    .toDF("doc_id", "text")
+
+  test("exactGroups: normalized-content key groups case/space variants") {
+    val got = Dedup.exactGroups(docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
+      .toSet
+    assert(got.contains((1L, 2L))) // docs 1+2 collapse, canonical id 1
+    assert(got.size === 4)         // 5 docs → 4 distinct contents
+  }
+
+  test("shingles: short docs yield empty set, no descending-sequence crash") {
+    val sh = docs.select(col("doc_id"),
+      TextHash.shingles(TextHash.tokens(col("text")), 3).as("s"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    assert(sh(5L).isEmpty)
+    assert(sh(1L).size === 8) // 10 tokens → 8 trigrams, all distinct
+    assert(sh(1L).contains("The quick brown"))
+  }
+
+  test("jaccardPairs: hand-computed overlap, threshold filter") {
+    // 10 tokens → 8 trigrams per doc. 1 vs 3 differ at token 9 → the 2
+    // trigrams covering it differ → shared 6, jaccard 6/10. 1 vs 2
+    // differ at tokens 1-2 (case) → same: 6/10. 2 vs 3 differ at both
+    // sites → shared 4, jaccard 4/12 < 0.4 → filtered.
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(got === Set((1L, 2L, 0.6), (1L, 3L, 0.6)))
+  }
+
+  test("minhashLshPairs: planted near-identical pair survives banding + verify") {
+    val planted = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (12L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairs(planted, "doc_id", "text", 3, 16, 4, 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard")))
+    assert(got.toSeq === Seq((10L, 11L, 1.0))) // identical → every band agrees
+  }
+
+  test("minhash signatures: identical docs get identical signatures") {
+    val two = Seq((1L, "spark catalyst tungsten codegen shuffle exchange"),
+      (2L, "spark catalyst tungsten codegen shuffle exchange"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(two, "doc_id", "text", 3, 8)
+      .collect().map(r => (0 until 8).map(i => r.getAs[Long](s"h$i")))
+    assert(sigs(0) === sigs(1))
+  }
+
+  test("simhash: identical docs identical, 60-bit range") {
+    val two = Seq((1L, "spark catalyst tungsten codegen shuffle exchange"),
+      (2L, "spark catalyst tungsten codegen shuffle exchange"),
+      (3L, "utterly different words entirely unrelated content stream"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.simhash(two, "doc_id", "text", 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+    assert(fp.values.forall(v => v >= 0L && v < (1L << 60)))
+  }
+}
