@@ -1,5 +1,21 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Per-round benchmark main. Prints exactly one JSON line
+  * {"metric","value","unit","queries","sf",...} for the driver.
+  *
+  * Measurement contract:
+  *  - Every query is consumed through the noop datasource sink, which
+  *    materializes EVERY output column through the whole plan. A bare
+  *    `.count()` would let Catalyst prune the projection — pure-projection
+  *    queries (string funcs, text profiling) would time nothing.
+  *  - One untimed warmup pass at the smallest scale factor runs each
+  *    query's full code path first (JIT + codegen compile + classloading),
+  *    so the timed pass measures steady-state execution, not first-touch
+  *    compilation noise.
+  *  - A failed query reports in "failed" and counts -1 in "queries" —
+  *    never silently folded into a green-looking total.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,19 +23,38 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // see Tables.events
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def consume(fn: (SparkSession, String) => DataFrame, dir: String): Unit =
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+
+    // Warmup at the smallest sf that exists (JIT-warms the identical code
+    // paths at ~1% of the data cost); fall back to the bench dir itself.
+    val warmDir = Seq("/root/testdata/sf0.001", sfDir)
+      .find(d => new java.io.File(d).isDirectory).getOrElse(sfDir)
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try consume(fn, warmDir) catch { case _: Throwable => () }
+    }
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { consume(fn, sfDir); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.filter(_._2 < 0).keys
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

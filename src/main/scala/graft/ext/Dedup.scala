@@ -135,20 +135,25 @@ object Dedup {
     * the vote is positive. Two documents with small Hamming distance
     * between fingerprints are near-duplicates.
     *
-    * Shape: explode (shingle-hash × bit-position) vote rows, then two
-    * keyed aggregations — both map-side combinable, so the fingerprint
-    * build is one pipeline of partial aggregates at any scale (the md5
-    * per shingle is computed once, before the bit fan-out).
+    * Shape: ONE aggregation — the per-bit votes are `bits` conditional
+    * sums over the same shingle-hash rows (bit positions are constants,
+    * so each vote is a static expression, no bit-position explode). The
+    * shuffle carries one row per (id, shingle), map-side combined to one
+    * partial row per id per partition; an exploded bit axis would
+    * multiply shuffle volume by the bit width for no information gain.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
-              n: Int, bits: Int = 60): DataFrame =
+              n: Int, bits: Int = 60): DataFrame = {
+    val votes = (0 until bits).map { j =>
+      sum(when(expr(s"shiftright(h, $j) & 1") === 1, 1L).otherwise(-1L)).as(s"v$j")
+    }
+    val assemble = (0 until bits).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
     shingleRows(docs, idCol, textCol, n)
       .withColumn("h", hash60(col("shingle")))
-      .select(col("id"), col("h"),
-        explode(sequence(lit(0), lit(bits - 1))).as("j"))
-      .groupBy(col("id"), col("j"))
-      .agg(sum(when(expr("shiftright(h, j) & 1") === 1, 1L).otherwise(-1L)).as("vote"))
       .groupBy(col("id"))
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
-        .otherwise(0L)).as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"), assemble.as("simhash"))
+  }
 }
