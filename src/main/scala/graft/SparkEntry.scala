@@ -23,9 +23,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ ReferenceQueries.defs ++ ExtQueries.defs ++
-      PipelineQueries.defs
+      PipelineQueries.defs ++ ScaleQueries.defs
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ ReferenceQueries.oracles ++
-      ExtQueries.oracles ++ PipelineQueries.oracles
+      ExtQueries.oracles ++ PipelineQueries.oracles ++ ScaleQueries.oracles
 }

@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ingest.{RawZone, RawZoneGen}
+import graft.sources.Sinks
+import graft.transform.{Financials, Summary, Upsert}
+
+/** Scale-proportional pipeline queries: the flagship G1 unpivot and the
+  * Summary dimension build running on an sf-proportional synthetic raw
+  * zone (7.92M fact rows at sf0.1 — the reference's 8M-row workload,
+  * Total.PNG), plus the two-sided upsert + raw-zone append round-trip.
+  *
+  * Oracle strategy: the raw zone is a pure arithmetic function of the
+  * symbol index (RawZoneGen), so DuckDB REGENERATES the expected output
+  * from range() cross joins — a first-principles differential test of
+  * the whole generate → JSON → parse → unpivot → dedup → layout → write
+  * → read pipeline. Nothing is golden-row hand-derivation; every row is
+  * recomputed independently by both engines.
+  */
+object ScaleQueries {
+
+  private def n(d: String): Int = RawZoneGen.symbolCount(RawZoneGen.sfOf(d))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // G1 at scale — the engine's name claim. Generate the raw zone,
+    // write it with the load-date-partitioned layout, read it back,
+    // normalize (latest-per-symbol dedup → from_json → 6-pane explode →
+    // double explode → derived cols → PK dedup), write the fact table
+    // with the clustered-PK layout, read it back. sf0.01 → 792,000 rows;
+    // sf0.1 → 7,920,000 rows (the reference's COUNT(*) is 7,891,303).
+    "q38_fin_unpivot_sf" -> ((s, d) => {
+      val syms = n(d)
+      val rawPath = Sinks.tmpPath(s"rawzone_$syms")
+      val factPath = Sinks.tmpPath(s"fact_$syms")
+      Sinks.writeRawZone(RawZoneGen.payloads(s, syms), rawPath)
+      Sinks.writeFact(Financials.normalize(s.read.parquet(rawPath)), factPath)
+      s.read.parquet(factPath)
+    }),
+
+    // The Summary dimension over the same synthetic universe: one row
+    // per symbol, stale generations dropped by the latest-per-symbol
+    // dedup, city/state/country filled purely by the F5–F7 regex
+    // enrichment (the generator omits them from info).
+    "q39_summary_sf" -> ((s, d) =>
+      Summary.normalize(RawZoneGen.payloads(s, n(d))).drop("updated_at")),
+
+    // S5 + J3 two-sided: append two generations through the raw-zone
+    // append sink, read the directory back, upsert incoming over
+    // existing (key o_orderkey, incoming generation wins; overlapping
+    // keys are orderkeys divisible by 6).
+    "q40_upsert_roundtrip" -> ((s, d) => {
+      val path = Sinks.tmpPath(s"upsert_orders_${new java.io.File(d).getName}")
+      Sinks.deleteRecursively(path)
+      val orders = Tables.orders(s, d)
+      val gen0 = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          lit(0L).as("gen"))
+      val gen1 = orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 100000.0).as("o_totalprice"), lit(1L).as("gen"))
+      Sinks.appendRawZone(gen0, path)
+      Sinks.appendRawZone(gen1, path)
+      val all = s.read.parquet(path)
+      Upsert.upsert(all.filter(col("gen") === 0), all.filter(col("gen") === 1),
+        Seq("o_orderkey"), col("gen"))
+    }))
+
+  // ------------------------------------------------------------------
+  // Oracles. N is inlined for the driver's verify scale (sf0.01) — the
+  // Spark defs compute the same N from the sf dir at runtime.
+  // ------------------------------------------------------------------
+
+  private val VerifyN = RawZoneGen.symbolCount(0.01)
+
+  /** The generator's date axis as a VALUES list (f = freq index, d =
+    * date index within the freq — the oracle twin of RawZoneGen's pane
+    * layout).
+    */
+  private val datesValues: String = {
+    val y = RawZoneGen.YearlyDates.zipWithIndex.map { case (dt, d) =>
+      s"(0, $d, DATE '${dt.take(10)}')"
+    }
+    val q = RawZoneGen.QuarterlyDates.zipWithIndex.map { case (dt, d) =>
+      s"(1, $d, DATE '${dt.take(10)}')"
+    }
+    (y ++ q).mkString(",\n    ")
+  }
+
+  val oracles: Map[String, String] = Map(
+
+    // Regenerate all 891,000 emitted rows (550 × 3 × 9 × 60) from the
+    // leaf-value law, then apply the PK last-write-wins pane precedence
+    // (quarterly beats yearly on the 2024-12-31 collision) → 792,000.
+    "q38_fin_unpivot_sf" ->
+      s"""WITH syms AS (SELECT range AS i FROM range(0, $VerifyN)),
+         |stmts(s, code) AS (VALUES (0, 'CF'), (1, 'IS'), (2, 'BS')),
+         |dates(f, d, dt) AS (VALUES
+         |    $datesValues),
+         |mets AS (SELECT range AS m FROM range(0, ${RawZoneGen.MetricsPerStatement})),
+         |rows_ AS (
+         |  SELECT
+         |    'S' || lpad(CAST(i AS VARCHAR), 5, '0') AS stock,
+         |    'Synth Corp ' || CAST(i AS VARCHAR) AS yf_name,
+         |    code AS statement_type,
+         |    code || '_M' || lpad(CAST(m AS VARCHAR), 2, '0') AS metric,
+         |    (LIST_VALUE('USD','EUR','JPY','GBP'))[CAST(i % 4 AS INT) + 1] AS stockcurrency,
+         |    'USD' AS financialcurrency,
+         |    CAST(year(dt) AS INT) AS calendar_year,
+         |    CAST(CASE WHEN f = 0 THEN 4 ELSE quarter(dt) END AS INT) AS period,
+         |    CASE WHEN (i*31 + s*17 + f*13 + d*7 + m*3) % 97 = 0 THEN NULL
+         |         ELSE CAST((i*31 + s*17 + f*13 + d*7 + m*3) % 1000 AS DOUBLE)
+         |            + CAST((i*31 + s*17 + f*13 + d*7 + m*3) % 7 AS DOUBLE) * 0.25
+         |    END AS value,
+         |    dt AS date,
+         |    s*2 + f AS prec
+         |  FROM syms, stmts, dates, mets)
+         |SELECT stock, yf_name, statement_type, metric, stockcurrency,
+         |  financialcurrency, calendar_year, period, value, date
+         |FROM rows_
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY stock, statement_type, metric, date
+         |  ORDER BY prec DESC) = 1""".stripMargin,
+
+    // Regenerate the expected summary row per symbol: profile fields
+    // straight from the generator law, city/state/country/founded/former
+    // from what the F5–F7 regexes must extract out of the generated
+    // business-summary sentence.
+    "q39_summary_sf" ->
+      s"""WITH syms AS (SELECT range AS i FROM range(0, $VerifyN))
+         |SELECT
+         |  'S' || lpad(CAST(i AS VARCHAR), 5, '0') AS stock,
+         |  'Synth Corp ' || CAST(i AS VARCHAR) AS yf_name,
+         |  'Synth Corp ' || CAST(i AS VARCHAR)
+         |    || CASE WHEN i % 3 = 0
+         |            THEN ', formerly known as Old Synth ' || CAST(i AS VARCHAR) || ','
+         |            ELSE '' END
+         |    || ' was founded in ' || CAST(1900 + i % 120 AS VARCHAR) || '.'
+         |    || (LIST_VALUE(' It is headquartered in Austin, Texas, United States.',
+         |                   ' It is headquartered in Paris, France.',
+         |                   ' It is headquartered in Singapore.',
+         |                   ''))[CAST(i % 4 AS INT) + 1] AS long_summary,
+         |  (LIST_VALUE('Technology','Energy','Healthcare','Financials','Utilities'))[CAST(i % 5 AS INT) + 1] AS sector,
+         |  'Industry ' || CAST(i % 7 AS VARCHAR) AS industry,
+         |  'https://synth' || CAST(i AS VARCHAR) || '.example' AS website,
+         |  CAST((i*37) % 90000 + 10 AS INT) AS employees,
+         |  CASE CAST(i % 4 AS INT) WHEN 0 THEN 'Austin' WHEN 1 THEN 'Paris'
+         |       WHEN 2 THEN 'Singapore' END AS city,
+         |  CASE CAST(i % 4 AS INT) WHEN 0 THEN 'Texas' END AS state,
+         |  CASE CAST(i % 4 AS INT) WHEN 0 THEN 'United States'
+         |       WHEN 1 THEN 'France' END AS country,
+         |  (LIST_VALUE('USD','EUR','JPY','GBP'))[CAST(i % 4 AS INT) + 1] AS currency,
+         |  CAST(1900 + i % 120 AS INT) AS founded_year,
+         |  CASE WHEN i % 3 = 0 THEN 'Old Synth ' || CAST(i AS VARCHAR) END AS former_name
+         |FROM syms""".stripMargin,
+
+    "q40_upsert_roundtrip" ->
+      """WITH g0 AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, CAST(0 AS BIGINT) AS gen
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |g1 AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 100000.0 AS o_totalprice,
+        |    CAST(1 AS BIGINT) AS gen
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |u AS (SELECT * FROM g0 UNION ALL SELECT * FROM g1)
+        |SELECT o_orderkey, o_custkey, o_totalprice, gen
+        |FROM u
+        |QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY gen DESC) = 1""".stripMargin)
+}

@@ -1,20 +1,41 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import java.io.File
 
-/** Library write paths (reference S3/S5):
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Library write paths (reference S3/S5) plus the physical-layout policy
+  * for the two big tables (SURVEY.md §4.3):
   *  - CSV sink: main.py:318–319 (stocks_full.csv emit) and
   *    details.py:301–303 (symbols_loaded.csv emit). Spark's default
   *    quoting is minimal-style, matching the reference's QUOTE_MINIMAL.
   *  - Raw-zone append sink: details.py:207–227 (per-symbol INSERT +
   *    COMMIT). Spark file-commit protocol gives task-level atomicity —
   *    the engine-side analogue of the reference's per-row transaction.
-  *
-  * Both are thin, deliberately: the sink IS the DataFrame writer; the
-  * library's job is only to pin the options that reference parity
-  * requires (header on, append semantics for the raw zone).
+  *  - Fact sink: the reference clusters the fact table on its PK
+  *    (Financilas.py:28); the parquet analogue is hash-distribute by the
+  *    leading key + sort files on the full PK, so scans get min/max
+  *    pruning and downstream per-stock work is co-located.
   */
 object Sinks {
+
+  /** Session-unique scratch path: same JVM reuses it (warmup + timed
+    * bench pass hit the same staged data), concurrent suite runs in
+    * separate JVMs never collide.
+    */
+  def tmpPath(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${ProcessHandle.current().pid()}/$name"
+
+  /** Local-filesystem recursive delete, for re-runnable scratch sinks. */
+  def deleteRecursively(path: String): Unit = {
+    def rm(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    val f = new File(path)
+    if (f.exists()) rm(f)
+  }
 
   /** S3 — header'd CSV directory sink (minimal quoting = Spark default). */
   def writeCsv(df: DataFrame, path: String): Unit =
@@ -27,4 +48,26 @@ object Sinks {
     */
   def appendRawZone(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
+
+  /** Raw zone, laid out for 100 TB: partitioned by load date (SURVEY.md
+    * §4.3), so incremental re-normalization prunes to the new day's
+    * partition instead of rescanning the full history. Expects a
+    * `loaded_at` timestamp column.
+    */
+  def writeRawZone(df: DataFrame, path: String): Unit =
+    df.withColumn("load_date", to_date(col("loaded_at")))
+      .write.mode("overwrite").partitionBy("load_date").parquet(path)
+
+  /** Fact table, laid out like the reference's clustered PK
+    * (stock, statement_type, metric, date — Financilas.py:28):
+    * hash-distributed on `stock` into a bounded file count and sorted
+    * within each file on the full PK. Parquet row-group min/max stats
+    * then prune point/range scans on the leading key, and every
+    * downstream per-stock operation (latestFacts, per-symbol exports)
+    * reads one co-located, pre-sorted file run.
+    */
+  def writeFact(df: DataFrame, path: String, buckets: Int = 32): Unit =
+    df.repartition(buckets, col("stock"))
+      .sortWithinPartitions("stock", "statement_type", "metric", "date")
+      .write.mode("overwrite").parquet(path)
 }

@@ -59,11 +59,12 @@ object Financials {
     * (Financilas.py:16–30); see Schemas.financials.
     */
   def normalize(raw: DataFrame): DataFrame = {
+    // S10: candidate-name column resolution with positional fallback and
+    // hard-fail on a missing payload column (Financilas.py:113–133).
     // J2 semantics: one payload per symbol, latest loaded_at wins
     // (load_one_row's LIMIT 1 over the unique (symbol, loaded_at) key).
     val latest = Upsert.latestByKey(
-      raw.select(col("symbol"), col("payload"), col("loaded_at")),
-      Seq("symbol"), col("loaded_at"))
+      graft.ingest.RawZone.resolve(raw), Seq("symbol"), col("loaded_at"))
 
     val parsed = latest
       .withColumn("p", parsePayload(col("payload")))

@@ -26,9 +26,9 @@ import graft.functions.Functions._
 object Summary {
 
   def normalize(raw: DataFrame): DataFrame = {
+    // S10 column resolution (Summary.py:50–66), then J2 latest-per-symbol
     val latest = Upsert.latestByKey(
-      raw.select(col("symbol"), col("payload"), col("loaded_at")),
-      Seq("symbol"), col("loaded_at"))
+      graft.ingest.RawZone.resolve(raw), Seq("symbol"), col("loaded_at"))
 
     val p = latest.withColumn("p", Financials.parsePayload(col("payload")))
     // Summary.py:151 `info = obj.get('info') or obj` — all-or-nothing:
