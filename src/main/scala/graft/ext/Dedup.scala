@@ -44,32 +44,64 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .select(col("id"), explode(col("sh")).as("shingle"))
 
-  /** Exact n-gram-Jaccard near-duplicate pairs via a shingle
-    * inverted-index self-join (the "ssjoin" shape): docs sharing ≥1
-    * shingle become candidates, shared-shingle counts come from one
-    * aggregation, and Jaccard = |∩| / (|A|+|B|-|∩|) filters ≥ threshold.
+  /** Prefix-filtered candidate pairs for exact Jaccard ≥ threshold
+    * (Chaudhuri/Bayardo-style ssjoin): rank every shingle by global
+    * document frequency (rarest first, shingle text as the total-order
+    * tie-break), index only each document's first
+    * ⌊(1−τ)·|sh|⌋+1 shingles under that order, and equi-join the
+    * indexed prefixes.
     *
-    * Any pair with Jaccard > 0 shares a shingle, so candidate
-    * generation is EXACT (no recall loss) while still being an
-    * equi-join — never an all-pairs product. At 100 TB the refinement
-    * is prefix filtering (only the rarest few shingles per doc need to
-    * be indexed to guarantee recall at a given threshold); the join
-    * shape stays the same.
+    * Recall-lossless: if J(A,B) ≥ τ then |A∩B| ≥ τ·|A∪B| ≥ τ·max(|A|,|B|),
+    * so the globally-smallest common shingle cannot sit outside either
+    * prefix (else that side's intersection would fit in its suffix of
+    * size ⌈τ·|X|⌉−1 < τ·|X|). What it buys at scale: a stop-shingle
+    * shared by k documents has maximal document frequency, sorts LAST,
+    * and falls outside every non-trivial prefix — so it generates zero
+    * join rows instead of k². Candidate volume is driven by RARE
+    * shingle collisions, which is exactly the near-duplicate signal.
+    */
+  private[graft] def prefixCandidates(docs: DataFrame, idCol: String,
+                                    textCol: String, n: Int,
+                                    threshold: Double): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val docFreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val nSh = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    // per-doc rank under the GLOBAL (df, shingle) total order; the sort
+    // is per-doc (bounded by document size), never global
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("shingle"))
+    val prefix = sh.join(docFreq, "shingle").join(nSh, "id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <=
+        floor(lit(1.0 - threshold) * col("n_sh")).cast("int") + 1)
+      .select(col("id"), col("shingle"))
+    prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram-Jaccard near-duplicate pairs: prefix-filtered
+    * candidate generation (above) + exact shingle-set verification.
+    * Output is EXACTLY every pair with Jaccard ≥ threshold — the prefix
+    * filter loses no recall, it only bounds the candidate join. The
+    * verify step joins candidates back to the per-doc shingle ARRAYS
+    * (not exploded rows), so a verified pair costs one array intersect,
+    * not a per-shingle aggregation.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, n)
-    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val shared = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(counts.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(counts.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+    val shSets = docs
+      .select(col(idCol).as("id"), shingles(tokens(col(textCol)), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    prefixCandidates(docs, idCol, textCol, n, threshold)
+      .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("shared",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard", col("shared").cast("double") /
-        (col("n_a") + col("n_b") - col("shared")).cast("double"))
+        (size(col("sh_a")) + size(col("sh_b")) - col("shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

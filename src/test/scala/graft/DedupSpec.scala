@@ -45,6 +45,56 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 0.6), (1L, 3L, 0.6)))
   }
 
+  test("jaccardPairs: hot shared shingle generates no quadratic candidate blowup") {
+    // 40 docs all containing the stop-trigram "the common filler" but
+    // pairwise dissimilar (J ≈ 1/15 < τ), plus one planted near-dup
+    // pair. Without prefix filtering the hot shingle alone emits
+    // 40·39/2 = 780 candidate rows; with it, the hot shingle has
+    // maximal document frequency, sorts last in the global order, and
+    // falls outside every prefix.
+    val hot = (0 until 40).map { i =>
+      (100L + i, s"the common filler w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f")
+    }
+    val planted = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (901L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"))
+    val df = (hot ++ planted).toDF("doc_id", "text")
+
+    val cands = Dedup.prefixCandidates(df, "doc_id", "text", 3, 0.5).count()
+    // the only prefix collision is the planted pair (rare shingles)
+    assert(cands < 10, s"candidate count $cands should be ≪ 780 (hot-key square)")
+
+    // recall check: the planted pair (8 shared of 8∪9=9 → J=8/9) is found
+    val got = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got === Set((900L, 901L)))
+  }
+
+  test("jaccardPairs: prefix filter loses no recall vs brute force") {
+    // 20 docs built from a tiny vocabulary so many borderline pairs
+    // exist; compare against a driver-side exact recompute.
+    val vocab = Vector("red", "blue", "green", "fast", "slow", "car", "boat")
+    val docs20 = (0 until 20).map { i =>
+      val toks = (0 until 8).map(j => vocab((i * 3 + j * 5 + i * j) % vocab.size))
+      (i.toLong, toks.mkString(" "))
+    }
+    val df = docs20.toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    // driver-side oracle: exact shingle sets + all-pairs Jaccard
+    val sets = docs20.map { case (id, t) =>
+      id -> t.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size.toDouble
+      j = inter / (sets(a).size + sets(b).size - inter)
+      if j >= 0.3
+    } yield (a, b, j)).toSet
+    assert(got === want)
+  }
+
   test("minhashLshPairs: planted near-identical pair survives banding + verify") {
     val planted = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
