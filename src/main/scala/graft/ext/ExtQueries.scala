@@ -27,9 +27,17 @@ object ExtQueries {
   private val JaccardThreshold = 0.5
   private val KnnK = 10
   private val KnnQueryIds = 5 // vec_id < 5 → 5 query vectors
-  private val LshBits = 4
   private val EmbDims = 64
   private val CosineThreshold = 0.3
+
+  /** LSH signature width is SCALE-ADAPTIVE: Similarity.bitsFor(N) keeps
+    * expected bucket occupancy ~32 as the corpus grows (sf0.01: N=500 →
+    * 4 bits; sf0.1: N=2000 → 6 bits; 1e9 vectors → 25 bits). The static
+    * oracle SQL inlines the hyperplanes for the driver's verify corpus
+    * (sf0.01, N=500 → 4 bits) — the Spark defs compute the same width
+    * from the live corpus count at runtime.
+    */
+  private val VerifyLshBits = Similarity.bitsFor(500)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -75,17 +83,23 @@ object ExtQueries {
     }),
 
     // Approximate top-k via sign-LSH buckets (equi-join on the
-    // signature — the 100 TB path; deterministic hyperplanes).
+    // signature — the 100 TB path; deterministic hyperplanes,
+    // scale-adaptive width from the live corpus count — a
+    // metadata-only parquet count).
     "q29_knn_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      val bits = Similarity.bitsFor(emb.count())
       Similarity.lshTopK(emb, "vec_id", "embedding",
-        emb.filter(col("vec_id") < KnnQueryIds), KnnK, LshBits, EmbDims)
+        emb.filter(col("vec_id") < KnnQueryIds), KnnK, bits, EmbDims)
     }),
 
-    // Embedding-cosine near-dup pairs, LSH-bucketed self-join.
-    "q30_embed_neardup" -> ((s, d) =>
-      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id",
-        "embedding", CosineThreshold, LshBits, EmbDims)))
+    // Embedding-cosine near-dup pairs, LSH-bucketed self-join,
+    // scale-adaptive width.
+    "q30_embed_neardup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        CosineThreshold, Similarity.bitsFor(emb.count()), EmbDims)
+    }))
 
   // ------------------------------------------------------------------
   // DuckDB oracle generation. Shared fragments mirror the Column
@@ -159,7 +173,7 @@ object ExtQueries {
     * Hyperplane ±1 entries inlined as a literal list per bit.
     */
   private def signSigSql(v: String): String =
-    TextHash.hyperplanes(LshBits, EmbDims).zipWithIndex.map { case (w, j) =>
+    TextHash.hyperplanes(VerifyLshBits, EmbDims).zipWithIndex.map { case (w, j) =>
       val lits = w.map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
       val dot = foldSum(
         s"list_transform(range(1, len($v) + 1), i -> $v[i] * (LIST_VALUE($lits))[i])")

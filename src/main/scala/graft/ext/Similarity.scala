@@ -23,6 +23,22 @@ import TextHash.hyperplanes
   */
 object Similarity {
 
+  /** Scale-adaptive signature width: enough hyperplane bits that the
+    * EXPECTED bucket occupancy stays ≈ targetPerBucket regardless of
+    * corpus size — so the bucketed self-join costs
+    * O(N · targetPerBucket), linear in N, instead of degenerating
+    * toward N²/2^bits under a fixed width. bitsFor(500)=4,
+    * bitsFor(2000)=6, bitsFor(1e6)=15, bitsFor(1e9)=25 — at 100 TB the
+    * signature keeps growing and per-bucket work stays bounded.
+    * (Recall at larger widths comes from multi-probe / multi-table
+    * banding — same join shape, more probe keys — not from shrinking
+    * the signature.)
+    */
+  def bitsFor(corpusSize: Long, targetPerBucket: Int = 32): Int =
+    math.max(4, math.ceil(
+      math.log((corpusSize.toDouble / targetPerBucket).max(1.0)) /
+        math.log(2.0)).toInt)
+
   /** Sign-LSH bucket signature: bit j set iff the embedding's dot
     * product with deterministic ±1 hyperplane j is positive. The
     * hyperplane matrix is inlined as literals (computed once on the

@@ -1,9 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
+import graft.sources.Sinks
+import graft.transform.Upsert
 
 /** Structured Streaming analogue of the reference's incremental batch
   * loop (SURVEY.md §2.10): the reference re-runs details.py and skips
@@ -12,10 +14,12 @@ import org.apache.spark.sql.types._
   * Trigger.AvailableNow (process everything pending, then stop),
   * exactly-once sink effects, watermarked state, and keyed dedup.
   *
-  * Scale: the aggregation state is bounded by the watermark (late
-  * events beyond 1 hour are dropped, state for closed windows is
-  * evicted); dedup state is likewise watermark-scoped. No unbounded
-  * state anywhere — the job runs forever on an unbounded source.
+  * Scale: aggregation state is bounded by the watermark (late events
+  * beyond 1 hour are dropped, state for closed windows is evicted);
+  * dedup state is likewise watermark-scoped; and the SINK is a
+  * distributed parquet table fed through foreachBatch — nothing ever
+  * materializes on the driver, so the same job runs forever on an
+  * unbounded source.
   */
 object EventStream {
 
@@ -27,21 +31,45 @@ object EventStream {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Tumbling 1-hour event counts per type, computed as a STREAM over
-    * the events parquet: readStream → watermark → dropDuplicates on the
-    * event key → windowed aggregate → AvailableNow run to completion →
-    * the final table. Deterministic: the data is finite and the memory
-    * sink holds the complete aggregation result.
+  /** The file-stream source consumes a DIRECTORY of arriving files (the
+    * shape a real deployment has anyway: a landing dir the fetcher
+    * appends to). Stage the single testdata parquet into one — ONCE per
+    * JVM per input dir, not once per query invocation.
+    */
+  private val stagedDirs = scala.collection.concurrent.TrieMap[String, String]()
+  private def stageOnce(s: SparkSession, dir: String): String =
+    stagedDirs.getOrElseUpdate(dir, {
+      val staged = Sinks.tmpPath(s"stream_in_${new java.io.File(dir).getName}")
+      s.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
+        .write.mode("overwrite").parquet(staged)
+      staged
+    })
+
+  /** Tumbling 1-hour event counts per type, computed as a STREAM:
+    * readStream → watermark → keyed dedup → windowed aggregate →
+    * UPDATE-mode foreachBatch that appends each batch's changed windows
+    * (stamped with the batch id) to a parquet changelog through the
+    * raw-zone sink → run to completion → compact the changelog with the
+    * library's last-write-wins kernel (latest batch wins per window).
+    *
+    * This is the reference's per-symbol-commit upsert re-expressed for
+    * streams: every micro-batch is an atomic parquet append (commit),
+    * and the keyed upsert happens on read via Upsert.latestByKey — a
+    * changelog + compaction instead of an in-place rewrite, so a batch
+    * commit costs O(batch), never O(table). The final result is read
+    * from the table, NOT from driver memory: update mode also means the
+    * trailing window (which a watermark would hold back in append mode
+    * on a finite source) is emitted with its final count.
     */
   def tumblingCounts(s: SparkSession, dir: String): DataFrame = {
-    val viewName = "graft_evt_counts"
-    // The file stream source consumes a DIRECTORY of arriving files —
-    // stage the single testdata parquet into one (this is the shape a
-    // real deployment has anyway: a landing dir the fetcher appends to).
-    val staged = s"${System.getProperty("java.io.tmpdir")}/graft_stream_events"
-    s.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
-      .write.mode("overwrite").parquet(staged)
-    s.catalog.dropTempView(viewName) // allow re-runs in one session
+    val staged = stageOnce(s, dir)
+    val tag = new java.io.File(dir).getName
+    val sinkDir = Sinks.tmpPath(s"stream_counts_$tag")
+    val ckptDir = Sinks.tmpPath(s"stream_ckpt_$tag")
+    // fresh run: a stale checkpoint would resume past the staged input
+    // and emit zero batches; a stale sink would leak old windows
+    Sinks.deleteRecursively(sinkDir)
+    Sinks.deleteRecursively(ckptDir)
     val stream = s.readStream.schema(eventsSchema)
       .parquet(staged)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -52,17 +80,19 @@ object EventStream {
       .dropDuplicates("event_id")
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col("event_type"), col("n"))
     val q = stream.writeStream
-      .format("memory").queryName(viewName)
-      // complete mode: emit every window in the final result — append
-      // mode would hold back windows the final watermark hasn't passed,
-      // which on a finite source means the trailing hour never emits
-      .outputMode("complete")
+      .outputMode("update")
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        Sinks.appendRawZone(batch.withColumn("_batch", lit(batchId)), sinkDir)
+      }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(viewName)
-      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
-        col("event_type"), col("n"))
+    Upsert.latestByKey(s.read.parquet(sinkDir),
+        Seq("win_start", "event_type"), col("_batch"))
+      .select("win_start", "win_end", "event_type", "n")
   }
 }

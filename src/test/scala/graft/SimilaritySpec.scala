@@ -31,6 +31,38 @@ class SimilaritySpec extends SparkSpec {
     assert(!got.exists { case (a, b) => Set(a, b) === Set(1L, 3L) })
   }
 
+  test("bitsFor: signature width grows with corpus size, floor 4") {
+    assert(Similarity.bitsFor(100) === 4)
+    assert(Similarity.bitsFor(500) === 4)   // verify corpus (sf0.01)
+    assert(Similarity.bitsFor(2000) === 6)  // bench corpus (sf0.1)
+    assert(Similarity.bitsFor(1000000) === 15)
+    assert(Similarity.bitsFor(1000000000L) === 25)
+  }
+
+  test("scale-adaptive bits keep the bucketed self-join sub-quadratic on a skewed corpus") {
+    import org.apache.spark.sql.functions._
+    // 512 deterministic pseudo-random 16-dim vectors (skewed: all
+    // entries positive-biased, so naive bucketing would crowd buckets)
+    val n = 512
+    val dims = 16
+    val corpus = (0 until n).map { i =>
+      (i.toLong, (0 until dims).map { d =>
+        (((i * 131 + d * 37) % 19) - 7).toFloat // range [-7, 11] — biased positive
+      })
+    }.toDF("vec_id", "embedding")
+    val bits = Similarity.bitsFor(n) // 512/32 = 16 → 4 bits
+    val sigs = corpus.select(
+      Similarity.signSignature(
+        graft.functions.Functions.toDoubleArray(col("embedding")), bits, dims)
+        .as("sig"))
+      .groupBy("sig").count().collect().map(_.getAs[Long]("count"))
+    // candidate pairs the self-join generates = Σ C(bucket, 2); the
+    // all-pairs square is n(n-1)/2 = 130,816
+    val candPairs = sigs.map(c => c * (c - 1) / 2).sum
+    assert(candPairs < n.toLong * (n - 1) / 2 / 4,
+      s"candidate pairs $candPairs should be well under the all-pairs square")
+  }
+
   test("lshTopK: same-bucket neighbors score, result ⊆ brute-force result") {
     val q = vecs.filter($"vec_id" === 1L)
     val lsh = Similarity.lshTopK(vecs, "vec_id", "embedding", q, 3, 4, 4)
