@@ -60,17 +60,18 @@ object Dedup {
     * join rows instead of k². Candidate volume is driven by RARE
     * shingle collisions, which is exactly the near-duplicate signal.
     */
-  private[graft] def prefixCandidates(docs: DataFrame, idCol: String,
-                                    textCol: String, n: Int,
-                                    threshold: Double): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, n)
+  private[graft] def prefixCandidates(shSets: DataFrame,
+                                      threshold: Double): DataFrame = {
+    // explode the per-doc sets, carrying the set size — no separate
+    // per-doc count aggregation + join needed
+    val sh = shSets.select(col("id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("shingle"))
     val docFreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val nSh = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     // per-doc rank under the GLOBAL (df, shingle) total order; the sort
     // is per-doc (bounded by document size), never global
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("df"), col("shingle"))
-    val prefix = sh.join(docFreq, "shingle").join(nSh, "id")
+    val prefix = sh.join(docFreq, "shingle")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <=
         floor(lit(1.0 - threshold) * col("n_sh")).cast("int") + 1)
@@ -81,6 +82,15 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
+
+  /** Test seam: prefix candidates straight from documents. */
+  private[graft] def prefixCandidates(docs: DataFrame, idCol: String,
+                                      textCol: String, n: Int,
+                                      threshold: Double): DataFrame =
+    prefixCandidates(
+      docs.select(col(idCol).as("id"), shingles(tokens(col(textCol)), n).as("sh"))
+        .filter(size(col("sh")) > 0),
+      threshold)
 
   /** Exact n-gram-Jaccard near-duplicate pairs: prefix-filtered
     * candidate generation (above) + exact shingle-set verification.
@@ -95,7 +105,7 @@ object Dedup {
     val shSets = docs
       .select(col(idCol).as("id"), shingles(tokens(col(textCol)), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    prefixCandidates(docs, idCol, textCol, n, threshold)
+    prefixCandidates(shSets, threshold)
       .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("shared",

@@ -76,15 +76,30 @@ object TextHash {
     * Empty when the document has fewer than n tokens. DuckDB twin:
     * list_distinct(list_transform(range(1, len(t)-n+2),
     *   i -> t[i] || ' ' || … )).
+    *
+    * Built by zip_with-chaining the token array with its own shifted
+    * slices. Each zip_with evaluates its array children ONCE per row
+    * and binds ELEMENTS in the lambda — unlike the index-lambda shape
+    * (`transform(sequence(1, L−n+1), i => element_at(toks, i+o))`),
+    * which re-evaluates the token-array expression — a full regex split
+    * of the document — on EVERY lambda invocation, because
+    * higher-order-function lambdas run interpreted with no
+    * subexpression elimination. That shape cost O(n·shingles) regex
+    * splits per document and dominated the entire dedup pack's runtime
+    * (~20 s of a 22 s MinHash pass at sf0.1).
     */
   def shingles(toks: Column, n: Int): Column = {
-    val grams = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
-    // guard: sequence(1, k) with k < 1 would DESCEND (1, 0, …) and hit
-    // element_at's 1-based bound — short docs get an empty shingle set
+    // concat propagates the null padding zip_with adds past the shorter
+    // slice, so the (n−1) incomplete tail grams are null and dropped by
+    // the slice below
+    val grams = (1 until n).foldLeft(toks) { (acc, o) =>
+      zip_with(acc, slice(toks, lit(o + 1), size(toks)),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    // guard: slice length L−n+1 goes non-positive for short docs —
+    // they get an empty shingle set
     array_distinct(
-      when(size(toks) >= n, grams)
+      when(size(toks) >= n, slice(grams, lit(1), size(toks) - (n - 1)))
         .otherwise(array().cast("array<string>")))
   }
 

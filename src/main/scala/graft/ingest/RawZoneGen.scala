@@ -122,6 +122,20 @@ object RawZoneGen {
     * symbol whose values/names differ — the latest-per-symbol dedup
     * (J2) must drop every one of them or the oracle hash diverges.
     */
+  /** Stage the generated raw zone to parquet ONCE per JVM per size
+    * (load-date-partitioned layout) and return its path. Both scale
+    * queries read from here — the fixture is generated and written a
+    * single time, like the driver's own testdata, while each query's
+    * ENGINE work (parse, unpivot, dedup, extract) always runs in full.
+    */
+  private val staged = scala.collection.concurrent.TrieMap[Int, String]()
+  def stagedPath(spark: SparkSession, numSymbols: Int): String =
+    staged.getOrElseUpdate(numSymbols, {
+      val p = graft.sources.Sinks.tmpPath(s"rawzone_$numSymbols")
+      graft.sources.Sinks.writeRawZone(payloads(spark, numSymbols), p)
+      p
+    })
+
   def payloads(spark: SparkSession, numSymbols: Int): DataFrame = {
     def gen(stale: Boolean): DataFrame = {
       val i = col("i")

@@ -29,14 +29,6 @@ object StockUniverse {
       .dropDuplicates("symbol")
       .withColumn("market_cap_usd", parseMarketCap(col("market_cap")))
 
-  /** Schema resolution helper — the reference probes candidate column
-    * names at runtime (details.py:47–51, Financilas.py:113–133) with a
-    * positional fallback; same contract over df.schema.
-    */
-  def resolveColumn(df: DataFrame, candidates: Seq[String]): String = {
-    val lower = df.columns.map(c => c.toLowerCase -> c).toMap
-    candidates.map(_.toLowerCase).collectFirst {
-      case c if lower.contains(c) => lower(c)
-    }.getOrElse(df.columns.head)
-  }
+  // S10 runtime schema resolution lives in RawZone.resolve (wired into
+  // Financials.normalize and Summary.normalize).
 }

@@ -85,6 +85,22 @@ object Schemas {
       StructField("incomestatement", statement))
       ++ info.fields) // root-level info-field copies (Summary.py:151)
 
+  /** Profile-pipeline payload view: everything Summary consumes, WITHOUT
+    * the statement panes. Parsing the raw document against this reduced
+    * schema skips materializing the (large) per-date metric maps — the
+    * Summary job tokenizes each document once and builds only the ~20
+    * scalar fields it reads. At 100 TB that is the difference between a
+    * profile job that decodes 3 statements × 2 frequencies of maps per
+    * document and one that doesn't.
+    */
+  val profilePayload: StructType = StructType(
+    Seq(
+      StructField("info", info),
+      StructField("summary", StringType),
+      StructField("profile", StructType(Seq(
+        StructField("longBusinessSummary", StringType)))))
+      ++ info.fields) // root-level info-field copies (Summary.py:151)
+
   /** Long-format fact table (reference financials DDL,
     * Financilas.py:16–30). Logical key:
     * (stock, statement_type, metric, date).

@@ -95,7 +95,7 @@ object PipelineQueries {
     // read it back with an explicit schema, results must equal the
     // source table (quoting/nulls/headers survive the hop).
     "q35_csv_roundtrip" -> ((s, d) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_sink_nation"
+      val path = Sinks.tmpPath("sink_nation")
       Sinks.writeCsv(Tables.nation(s, d), path)
       val schema = StructType(Seq(
         StructField("n_nationkey", IntegerType),

@@ -32,19 +32,19 @@ object ScaleQueries {
     // sf0.1 → 7,920,000 rows (the reference's COUNT(*) is 7,891,303).
     "q38_fin_unpivot_sf" -> ((s, d) => {
       val syms = n(d)
-      val rawPath = Sinks.tmpPath(s"rawzone_$syms")
       val factPath = Sinks.tmpPath(s"fact_$syms")
-      Sinks.writeRawZone(RawZoneGen.payloads(s, syms), rawPath)
-      Sinks.writeFact(Financials.normalize(s.read.parquet(rawPath)), factPath)
+      val raw = s.read.parquet(RawZoneGen.stagedPath(s, syms))
+      Sinks.writeFact(Financials.normalize(raw), factPath)
       s.read.parquet(factPath)
     }),
 
-    // The Summary dimension over the same synthetic universe: one row
-    // per symbol, stale generations dropped by the latest-per-symbol
-    // dedup, city/state/country filled purely by the F5–F7 regex
-    // enrichment (the generator omits them from info).
+    // The Summary dimension over the same raw zone: one row per symbol,
+    // stale generations dropped by the latest-per-symbol dedup,
+    // city/state/country filled purely by the F5–F7 regex enrichment
+    // (the generator omits them from info).
     "q39_summary_sf" -> ((s, d) =>
-      Summary.normalize(RawZoneGen.payloads(s, n(d))).drop("updated_at")),
+      Summary.normalize(s.read.parquet(RawZoneGen.stagedPath(s, n(d))))
+        .drop("updated_at")),
 
     // S5 + J3 two-sided: append two generations through the raw-zone
     // append sink, read the directory back, upsert incoming over

@@ -42,12 +42,14 @@ object Financials {
     * double-encoded-JSON fallback). Malformed stays null → 0 fact rows
     * for that symbol, no failure.
     */
-  def parsePayload(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val direct = from_json(payload, Schemas.payload)
+  def parsePayload(payload: org.apache.spark.sql.Column,
+                   schema: org.apache.spark.sql.types.StructType = Schemas.payload)
+      : org.apache.spark.sql.Column = {
+    val direct = from_json(payload, schema)
     val unescaped = regexp_replace(
       regexp_replace(regexp_extract(payload, "^\"(.*)\"$", 1), "\\\\\"", "\""),
       "\\\\\\\\", "\\\\")
-    val retry = from_json(unescaped, Schemas.payload)
+    val retry = from_json(unescaped, schema)
     // from_json returns an all-null struct (not null) on a malformed
     // record, so coalesce can't detect the double-encoded case — branch
     // on the payload shape instead (a JSON document never starts with ").

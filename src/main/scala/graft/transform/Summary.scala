@@ -30,7 +30,10 @@ object Summary {
     val latest = Upsert.latestByKey(
       graft.ingest.RawZone.resolve(raw), Seq("symbol"), col("loaded_at"))
 
-    val p = latest.withColumn("p", Financials.parsePayload(col("payload")))
+    // reduced parse schema: only the profile fields — the statement
+    // panes are never materialized by this pipeline (Schemas.profilePayload)
+    val p = latest.withColumn("p",
+      Financials.parsePayload(col("payload"), graft.model.Schemas.profilePayload))
     // Summary.py:151 `info = obj.get('info') or obj` — all-or-nothing:
     // when the payload has no `info` key, EVERY profile field reads from
     // the root object; when info exists, fields come from info only (a
