@@ -125,7 +125,21 @@ object PipelineQueries {
 
     // STR — the streaming analogue (AvailableNow + watermark + keyed
     // dedup + tumbling window), run to completion inside the query.
-    "q37_stream_window" -> ((s, d) => EventStream.tumblingCounts(s, d)))
+    "q37_stream_window" -> ((s, d) => EventStream.tumblingCounts(s, d)),
+
+    // Gap-based sessionization (batch twin of session_window /
+    // flatMapGroupsWithState sessionization): per-user gaps-and-islands,
+    // 30-minute gap.
+    "q41_sessionize" -> ((s, d) =>
+      graft.ext.Sessions.sessionize(Tables.events(s, d), "user_id", "ts", 30)),
+
+    // Multimodal: opaque binary media + typed metadata, batched
+    // per-partition decode (stub codec) — schema, typed boundary, batch
+    // shape and narrow execution are the real 100 TB plumbing.
+    "q42_media_features" -> ((s, d) =>
+      graft.ext.Multimodal.featurize(
+        graft.ext.Multimodal.mediaTable(Tables.documents(s, d), "doc_id", "text"))
+        .toDF()))
 
   /** Market-cap parse fragment shared with the q18 oracle. */
   private def mcapSql(col: String): String =
@@ -206,5 +220,55 @@ object PipelineQueries {
       """SELECT date_trunc('hour', ts) AS win_start,
         |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
         |  event_type, count(*) AS n
-        |FROM events GROUP BY 1, 2, 3""".stripMargin)
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    // independent gaps-and-islands recompute; integer-microsecond gap
+    // arithmetic matches Sessions.sessionize exactly
+    "q41_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |              OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, us)),
+        |s AS (
+        |  SELECT user_id, ts, us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, us
+        |                   ROWS UNBOUNDED PRECEDING) AS sess_seq
+        |  FROM m)
+        |SELECT user_id, CAST(sess_seq AS INT) AS sess_seq,
+        |  min(ts) AS win_start,
+        |  make_timestamp(max(us) + 1800000000) AS win_end,
+        |  count(*) AS n_events,
+        |  max(us) - min(us) AS duration_us
+        |FROM s GROUP BY user_id, sess_seq""".stripMargin,
+
+    // byte-level recompute over the (pure-ASCII) corpus: ord(char) =
+    // byte value, so the blob features fold over character codes
+    "q42_media_features" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  (LIST_VALUE('png','wav','mp4'))[CAST(doc_id % 3 AS INT) + 1] AS format,
+        |  CAST((doc_id % 8 + 1) * 64 AS INT) AS width,
+        |  CAST((doc_id % 5 + 1) * 48 AS INT) AS height,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+        |    (a, x) -> a + x) AS BIGINT) AS byte_sum,
+        |  CASE WHEN strlen(text) = 0 THEN 0.0
+        |       ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |              list_transform(range(1, length(text) + 1),
+        |                i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+        |            (a, x) -> a + x) AS DOUBLE) / CAST(strlen(text) AS DOUBLE)
+        |  END AS byte_mean,
+        |  CASE WHEN strlen(text) = 0 THEN -1
+        |       ELSE CAST(ord(substr(text, 1, 1)) AS INT) END AS first_byte,
+        |  CASE WHEN strlen(text) = 0 THEN -1
+        |       ELSE CAST(ord(substr(text, length(text), 1)) AS INT) END AS last_byte,
+        |  CAST((doc_id % 8 + 1) * 64 AS DOUBLE) /
+        |    CAST((doc_id % 5 + 1) * 48 AS DOUBLE) AS aspect
+        |FROM documents""".stripMargin)
 }
