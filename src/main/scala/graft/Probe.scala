@@ -73,6 +73,24 @@ object Probe {
     println(f"[probe] ${"writeFact"}%-32s ${(System.nanoTime() - t1) / 1e9}%8.2f s")
     time("summary over staged raw")(Summary.normalize(raw).drop("updated_at"))
     time("summary over live gen")(Summary.normalize(gen).drop("updated_at"))
+
+    // q25 stage attribution
+    import graft.ext.Dedup
+    val shSets = docs.select(col("doc_id").as("id"),
+      shingles(tokens(col("text")), 3).as("sh")).filter(size(col("sh")) > 0)
+    time("q25 shingle sets")(shSets)
+    time("q25 prefix candidates")(Dedup.prefixCandidates(docs, "doc_id", "text", 3, 0.5))
+    time("q25 full")(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5))
+
+    // raw-zone write codec experiment
+    Seq("snappy", "lz4", "zstd", "none").foreach { codec =>
+      val p = Sinks.tmpPath(s"probe_codec_$codec")
+      val t = System.nanoTime()
+      gen.withColumn("load_date", to_date(col("loaded_at")))
+        .write.mode("overwrite").option("compression", codec)
+        .partitionBy("load_date").parquet(p)
+      println(f"[probe] write codec=$codec%-22s ${(System.nanoTime() - t) / 1e9}%8.2f s")
+    }
     spark.stop()
   }
 }

@@ -76,10 +76,23 @@ object Dedup {
       .filter(col("rk") <=
         floor(lit(1.0 - threshold) * col("n_sh")).cast("int") + 1)
       .select(col("id"), col("shingle"))
-    prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // Pair generation from per-shingle POSTING LISTS rather than a
+    // prefix⋈prefix self-join: a self-join executes the whole prefix
+    // subtree (tokenize → shingle → explode → df join → window) twice;
+    // collecting each shingle's (prefix-filtered, therefore small)
+    // posting list computes it once, and the pair expansion is an array
+    // combination over an already-bound column — re-evaluating a bound
+    // attribute inside the lambda is a row-field read, not a recompute.
+    // Sorting the list makes (id_a < id_b) by construction.
+    val posting = prefix
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    posting
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
   }
 
@@ -87,10 +100,7 @@ object Dedup {
   private[graft] def prefixCandidates(docs: DataFrame, idCol: String,
                                       textCol: String, n: Int,
                                       threshold: Double): DataFrame =
-    prefixCandidates(
-      docs.select(col(idCol).as("id"), shingles(tokens(col(textCol)), n).as("sh"))
-        .filter(size(col("sh")) > 0),
-      threshold)
+    prefixCandidates(fingerprintSets(docs, idCol, textCol, n), threshold)
 
   /** Exact n-gram-Jaccard near-duplicate pairs: prefix-filtered
     * candidate generation (above) + exact shingle-set verification.
@@ -100,11 +110,27 @@ object Dedup {
     * (not exploded rows), so a verified pair costs one array intersect,
     * not a per-shingle aggregation.
     */
+  /** Per-doc sets of 60-bit shingle FINGERPRINTS (hash60 of each
+    * shingle): the whole Jaccard pipeline — document frequencies,
+    * prefix ranking, candidate join, and the per-pair set intersection
+    * — runs on 8-byte longs instead of ~20-byte strings, which at
+    * corpus scale cuts shuffle volume ~4× and makes the verify-step
+    * intersections integer compares. Set sizes and intersections are
+    * identical to the string sets barring an md5-prefix collision
+    * (≈ k²/2⁶¹ — immaterial at any realistic shingle count, and the
+    * DuckDB oracle recomputing over raw strings would surface one as a
+    * hash mismatch).
+    */
+  private def fingerprintSets(docs: DataFrame, idCol: String, textCol: String,
+                              n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        transform(shingles(tokens(col(textCol)), n), s => hash60(s)).as("sh"))
+      .filter(size(col("sh")) > 0)
+
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
-    val shSets = docs
-      .select(col(idCol).as("id"), shingles(tokens(col(textCol)), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val shSets = fingerprintSets(docs, idCol, textCol, n)
     prefixCandidates(shSets, threshold)
       .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
