@@ -18,13 +18,36 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df =
-      if (name == "entry") SparkEntry.entry(spark)
-      else SparkEntry.queries(name)(spark, sfDir)
-    df.explain("formatted")
-    val plan = df.queryExecution.executedPlan.toString
-    println(s"[explain] from_json occurrences: " +
-      "from_json".r.findAllIn(plan).length)
+    if (name == "all") {
+      // one-line audit per query: exchanges, generators, broadcast vs
+      // sort-merge joins, from_json count — and a hard flag on any
+      // cartesian product (none may exist; every candidate step in the
+      // library is an equi-join by design)
+      var cartesians = 0
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+        try {
+          val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+          def c(p: String) = p.r.findAllIn(plan).length
+          val cart = c("CartesianProduct") + c("BroadcastNestedLoopJoin")
+          if (c("CartesianProduct") > 0) cartesians += 1
+          println(f"[explain] $n%-26s exchanges=${c("Exchange")}%2d " +
+            f"bhj=${c("BroadcastHashJoin")}%2d smj=${c("SortMergeJoin")}%2d " +
+            f"gen=${c("Generate")}%2d json=${c("from_json")}%2d nlj=$cart%2d" +
+            (if (c("CartesianProduct") > 0) "  << CARTESIAN" else ""))
+        } catch {
+          case e: Throwable => println(s"[explain] $n FAILED: ${e.getMessage}")
+        }
+      }
+      println(s"[explain] cartesian products across all plans: $cartesians")
+    } else {
+      val df =
+        if (name == "entry") SparkEntry.entry(spark)
+        else SparkEntry.queries(name)(spark, sfDir)
+      df.explain("formatted")
+      val plan = df.queryExecution.executedPlan.toString
+      println(s"[explain] from_json occurrences: " +
+        "from_json".r.findAllIn(plan).length)
+    }
     spark.stop()
   }
 }

@@ -267,13 +267,14 @@ object ExtQueries {
        |  SELECT id, text, t,
        |    CAST(length(text) AS BIGINT) AS n_chars,
        |    CAST(len(t) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(text, '${TextStats.BpeIshPattern}')) AS BIGINT) AS n_bpe_tokens,
        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
        |        list_transform(t, x -> CAST(length(x) AS BIGINT))),
        |      (acc, x) -> acc + x) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS avg_token_len,
        |    $ratios
        |  FROM base),
        |g AS (SELECT *, ${best} AS best FROM m)
-       |SELECT id, n_chars, n_tokens, avg_token_len,
+       |SELECT id, n_chars, n_tokens, n_bpe_tokens, avg_token_len,
        |  r_en AS stopword_ratio,
        |  0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
        |    + 0.3 * (1.0 - r_en)

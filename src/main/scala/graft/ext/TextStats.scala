@@ -28,9 +28,19 @@ object TextStats {
     size(filter(toks, t => t.isin(words.map(lit): _*)))
       .cast("double") / size(toks).cast("double")
 
-  /** Profile: id, n_chars, n_tokens, avg_token_len, stopword_ratio
-    * (English set), alpha_ratio, quality score in [0,1], language
-    * guess, and the rolling fingerprint.
+  /** BPE-ish pre-tokenizer regex (letter runs | single digits |
+    * punctuation runs) — the classic GPT-2-style pre-split shape, so
+    * `n_bpe_tokens` tracks subword-tokenizer counts far better than
+    * whitespace counts on punctuation-heavy or digit-heavy text. Shared
+    * verbatim with the DuckDB oracle (plain alternation + char classes,
+    * identical in Java regex and RE2).
+    */
+  val BpeIshPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"
+
+  /** Profile: id, n_chars, n_tokens (whitespace), n_bpe_tokens
+    * (pre-tokenizer regex), avg_token_len, stopword_ratio (English
+    * set), quality score in [0,1], language guess, and the rolling
+    * fingerprint.
     *
     * quality = 0.4·min(1, n_tokens/100) + 0.3·(1 − stopword_ratio)
     *         + 0.3·min(1, avg_token_len/8) — a transparent stand-in for
@@ -60,6 +70,8 @@ object TextStats {
       col(idCol).as("id"),
       length(col(textCol)).cast("long").as("n_chars"),
       nTok.as("n_tokens"),
+      size(regexp_extract_all(col(textCol), lit(BpeIshPattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"),
       avgLen.as("avg_token_len"),
       stopRatio.as("stopword_ratio"),
       quality.as("quality"),

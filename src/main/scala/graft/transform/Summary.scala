@@ -31,7 +31,12 @@ object Summary {
       graft.ingest.RawZone.resolve(raw), Seq("symbol"), col("loaded_at"))
 
     // reduced parse schema: only the profile fields — the statement
-    // panes are never materialized by this pipeline (Schemas.profilePayload)
+    // panes are never materialized by this pipeline (Schemas.profilePayload).
+    // NOTE the executed-plan TEXT shows one from_json copy per consumed
+    // field (CollapseProject inlines `p` into every extraction); codegen
+    // subexpression elimination evaluates the identical parse ONCE per
+    // row — measured via Probe: 5,500 × ~40 KB docs profile in <1 s,
+    // impossible under 50 real parses.
     val p = latest.withColumn("p",
       Financials.parsePayload(col("payload"), graft.model.Schemas.profilePayload))
     // Summary.py:151 `info = obj.get('info') or obj` — all-or-nothing:

@@ -26,6 +26,15 @@ class TextStatsSpec extends SparkSpec {
     assert(got(3L).getAs[String]("lang_guess") === "und")
   }
 
+  test("BPE-ish token count: letter runs, single digits, punct runs") {
+    val got = Seq((1L, "don't split 42 ... ok?!"))
+      .toDF("doc_id", "text")
+    val r = TextStats.profile(got, "doc_id", "text").collect()(0)
+    // don | ' | t | split | 4 | 2 | ... | ok | ?! → 9; whitespace → 5
+    assert(r.getAs[Long]("n_bpe_tokens") === 9L)
+    assert(r.getAs[Long]("n_tokens") === 5L)
+  }
+
   test("rollingFingerprint matches a driver-side reimplementation") {
     val s = "spark engine 42"
     val expected = s.foldLeft(0L)((acc, ch) => (acc * 31L + ch.toLong) % TextHash.FpMod)
