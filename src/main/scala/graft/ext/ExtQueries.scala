@@ -304,13 +304,20 @@ object ExtQueries {
        |  FROM scored)
        |SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= $KnnK""".stripMargin
 
-  /** Sign-LSH top-k twin. */
-  private val knnLshSql =
+  /** Sign-LSH top-k twin (multi-probe: own bucket + every
+    * one-bit-flipped bucket on the query side).
+    */
+  private val knnLshSql = {
+    val probeList = ("sig" +: (0 until VerifyLshBits).map(j =>
+      s"xor(sig, ${1L << j})")).mkString(", ")
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |s AS (SELECT vec_id, v, ${signSigSql("v")} AS sig FROM e),
-       |q AS (SELECT vec_id AS query_id, v AS qv, sig FROM s WHERE vec_id < $KnnQueryIds),
+       |q0 AS (SELECT vec_id AS query_id, v AS qv, sig FROM s WHERE vec_id < $KnnQueryIds),
+       |q AS (
+       |  SELECT query_id, qv, unnest(LIST_VALUE($probeList)) AS sig
+       |  FROM q0),
        |scored AS (
        |  SELECT q.query_id, s.vec_id AS nbr_id,
        |    ${cosineSql("q.qv", "s.v")} AS cosine
@@ -321,6 +328,7 @@ object ExtQueries {
        |      ORDER BY cosine DESC, nbr_id) AS INT) AS rank
        |  FROM scored)
        |SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= $KnnK""".stripMargin
+  }
 
   /** Embedding near-dup pairs twin. */
   private val embedNearDupSql =

@@ -76,20 +76,30 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("cosine"), col("rank"))
   }
 
-  /** Approximate top-k via sign-LSH buckets: only corpus vectors in the
-    * SAME bucket as the query are scored (equi-join on the signature).
-    * Recall is probabilistic; the result is deterministic (fixed
-    * hyperplanes). At scale: add multi-probe (flip one bit) or more
-    * tables for recall — the join shape is unchanged.
+  /** Approximate top-k via sign-LSH buckets with MULTI-PROBE: each
+    * query probes its own bucket plus every Hamming-distance-1 bucket
+    * (one flipped signature bit) — the standard recall lever as the
+    * signature widens with corpus size (bitsFor): a near neighbor that
+    * lands one hyperplane away is still found, and the join stays an
+    * equi-join on the signature. Probing happens on the QUERY side
+    * (small by contract), so the corpus carries one signature row and
+    * the broadcast grows only by (bits+1)×. Probe keys are distinct
+    * values, so no candidate is matched twice. Deterministic (fixed
+    * hyperplanes).
     */
   def lshTopK(vectors: DataFrame, idCol: String, embCol: String,
               queries: DataFrame, k: Int, bits: Int, dims: Int): DataFrame = {
     val corpus = vectors.select(col(idCol).as("nbr_id"),
       toDoubleArray(col(embCol)).as("nbr_emb"))
       .withColumn("sig", signSignature(col("nbr_emb"), bits, dims))
+    val probes = (0 until bits).foldLeft(array(col("qsig"))) { (acc, j) =>
+      array_append(acc, col("qsig").bitwiseXOR(lit(1L << j)))
+    }
     val q = queries.select(col(idCol).as("query_id"),
       toDoubleArray(col(embCol)).as("q_emb"))
-      .withColumn("sig", signSignature(col("q_emb"), bits, dims))
+      .withColumn("qsig", signSignature(col("q_emb"), bits, dims))
+      .withColumn("sig", explode(probes))
+      .drop("qsig")
     val scored = corpus.join(broadcast(q), Seq("sig"))
       .filter(col("nbr_id") =!= col("query_id"))
       .withColumn("cosine", cosineSim(col("q_emb"), col("nbr_emb")))

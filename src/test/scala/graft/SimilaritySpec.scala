@@ -63,6 +63,28 @@ class SimilaritySpec extends SparkSpec {
       s"candidate pairs $candPairs should be well under the all-pairs square")
   }
 
+  test("lshTopK multi-probe: results come from probed buckets and distance-1 buckets contribute") {
+    import org.apache.spark.sql.functions._
+    val dims = 64
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val bits = Similarity.bitsFor(emb.count())
+    val sigs = emb.select(col("vec_id"),
+      Similarity.signSignature(
+        graft.functions.Functions.toDoubleArray(col("embedding")), bits, dims)
+        .as("sig"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("sig")).toMap
+    val got = Similarity.lshTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 5), 10, bits, dims)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id")))
+    val hammings = got.map { case (q, n) =>
+      java.lang.Long.bitCount(sigs(q) ^ sigs(n))
+    }
+    // structural: every result within Hamming 1 of its query's signature
+    assert(hammings.forall(_ <= 1))
+    // multi-probe contributed: some neighbor came from a flipped bucket
+    assert(hammings.exists(_ == 1))
+  }
+
   test("lshTopK: same-bucket neighbors score, result ⊆ brute-force result") {
     val q = vecs.filter($"vec_id" === 1L)
     val lsh = Similarity.lshTopK(vecs, "vec_id", "embedding", q, 3, 4, 4)
