@@ -82,14 +82,18 @@ object Probe {
     time("q25 prefix candidates")(Dedup.prefixCandidates(docs, "doc_id", "text", 3, 0.5))
     time("q25 full")(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5))
 
-    // raw-zone write codec experiment
-    Seq("snappy", "lz4", "zstd", "none").foreach { codec =>
-      val p = Sinks.tmpPath(s"probe_codec_$codec")
+    // raw-zone write experiment: codec × dictionary encoding
+    for {
+      codec <- Seq("zstd", "snappy")
+      dict <- Seq("true", "false")
+    } {
+      val p = Sinks.tmpPath(s"probe_w_${codec}_$dict")
       val t = System.nanoTime()
       gen.withColumn("load_date", to_date(col("loaded_at")))
         .write.mode("overwrite").option("compression", codec)
+        .option("parquet.enable.dictionary", dict)
         .partitionBy("load_date").parquet(p)
-      println(f"[probe] write codec=$codec%-22s ${(System.nanoTime() - t) / 1e9}%8.2f s")
+      println(f"[probe] write $codec dict=$dict%-14s ${(System.nanoTime() - t) / 1e9}%8.2f s")
     }
     spark.stop()
   }
