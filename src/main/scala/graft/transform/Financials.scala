@@ -138,6 +138,16 @@ object Financials {
         "financialcurrency", "calendar_year", "period", "value", "date")
   }
 
+  /** Typed API boundary (SURVEY.md §1.3): the fact table as
+    * Dataset[FinancialFact] — compile-time column safety for library
+    * consumers; the plan is identical to normalize's.
+    */
+  def facts(raw: DataFrame): org.apache.spark.sql.Dataset[graft.model.FinancialFact] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    normalize(raw).as[graft.model.FinancialFact]
+  }
+
   /** The reference's own verify query (Financilas.py:186–195): latest 10
     * facts for one symbol, ordered date desc, statement, metric.
     * Plans as TakeOrderedAndProject — no full sort at scale.

@@ -101,6 +101,13 @@ class UnpivotSpec extends SparkSpec {
     assert(byMetric("NetIncome") === Some(2.0))
   }
 
+  test("typed boundary: facts() round-trips through Dataset[FinancialFact]") {
+    val ds = Financials.facts(ReferenceQueries.fixtureRaw(spark))
+    val aaa = ds.collect().filter(_.stock == "AAA")
+    assert(aaa.length === 5)
+    assert(aaa.forall(_.yf_name.contains("Alpha Corp")))
+  }
+
   test("latestFacts: reference verify query shape (top-10, date desc)") {
     val fact = Financials.normalize(ReferenceQueries.fixtureRaw(spark))
     val rows = Financials.latestFacts(fact, "AAA").collect()
