@@ -330,17 +330,22 @@ object ExtQueries {
        |SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= $KnnK""".stripMargin
   }
 
-  /** Embedding near-dup pairs twin. */
-  private val embedNearDupSql =
+  /** Embedding near-dup pairs twin (multi-probe on side A). */
+  private val embedNearDupSql = {
+    val probeList = ("sig" +: (0 until VerifyLshBits).map(j =>
+      s"xor(sig, ${1L << j})")).mkString(", ")
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |s AS (SELECT vec_id, v, ${signSigSql("v")} AS sig FROM e),
+       |pa AS (
+       |  SELECT vec_id, v, unnest(LIST_VALUE($probeList)) AS sig FROM s),
        |p AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |    ${cosineSql("a.v", "b.v")} AS cosine
-       |  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+       |  FROM pa a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id)
        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= $CosineThreshold""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q22_dedup_exact" ->

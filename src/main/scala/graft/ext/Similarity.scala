@@ -111,18 +111,28 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("cosine"), col("rank"))
   }
 
-  /** Embedding-cosine near-duplicate pairs, LSH-bucketed: self-join the
-    * corpus on the bucket signature (a.id < b.id), verify cosine ≥
-    * threshold. Never all-pairs — the signature equi-join bounds the
-    * comparisons to same-bucket collisions, which is what makes
-    * embedding dedup feasible at 100 TB.
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed with
+    * MULTI-PROBE: side A of the self-join explodes its signature plus
+    * every one-bit flip, so any pair within Hamming distance 1 becomes
+    * a candidate (a near-dup that straddles exactly one hyperplane is
+    * no longer missed), then exact cosine verifies ≥ threshold. Still
+    * never all-pairs — the equi-join touches only (flipped-)bucket
+    * collisions, candidate volume grows by (bits+1)× while bitsFor
+    * keeps per-bucket occupancy constant, so the plan stays
+    * O(N · occupancy · bits) at any corpus size. Probe keys are
+    * distinct, so each qualifying pair matches exactly once.
     */
   def nearDupPairs(vectors: DataFrame, idCol: String, embCol: String,
                    threshold: Double, bits: Int, dims: Int): DataFrame = {
     val sigs = vectors.select(col(idCol).as("id"),
       toDoubleArray(col(embCol)).as("emb"))
       .withColumn("sig", signSignature(col("emb"), bits, dims))
-    sigs.as("a")
+    val probes = (0 until bits).foldLeft(array(col("sig"))) { (acc, j) =>
+      array_append(acc, col("sig").bitwiseXOR(lit(1L << j)))
+    }
+    val probed = sigs.select(col("id"), col("emb"),
+      explode(probes).as("sig"))
+    probed.as("a")
       .join(sigs.as("b"),
         col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
       .withColumn("cosine", cosineSim(col("a.emb"), col("b.emb")))
