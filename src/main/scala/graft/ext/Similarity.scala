@@ -3,7 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.Functions.{cosineSim, toDoubleArray}
+import org.apache.spark.sql.Column
+import graft.functions.Functions.{dotProduct, l2Norm, toDoubleArray}
 import TextHash.hyperplanes
 
 /** Similarity search over embedding columns (array<float>) — the
@@ -54,6 +55,19 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Cosine from PRE-COMPUTED norms: every operator here scores
+    * candidate PAIRS, so evaluating the two L2 norms per pair would be
+    * O(pairs)·dims work for values that only depend on the vectors —
+    * O(N) of them. Each side carries its norm through the join and the
+    * per-pair cost is one dot product. Identical IEEE operations to
+    * Functions.cosineSim (null on zero norms), just not re-evaluated
+    * per pair — results are bit-identical.
+    */
+  private def cosineFromNorms(a: Column, na: Column, b: Column, nb: Column): Column = {
+    val denom = na * nb
+    when(denom === 0.0, lit(null)).otherwise(dotProduct(a, b) / denom)
+  }
+
   /** Exact top-k cosine neighbors for a query subset, brute force:
     * broadcast-nested-loop of queries × corpus (queries side is small by
     * contract), per-partition cosine, then a bounded rank window
@@ -64,10 +78,13 @@ object Similarity {
                      queries: DataFrame, k: Int): DataFrame = {
     val corpus = vectors.select(col(idCol).as("nbr_id"),
       toDoubleArray(col(embCol)).as("nbr_emb"))
+      .withColumn("nbr_nrm", l2Norm(col("nbr_emb")))
     val q = queries.select(col(idCol).as("query_id"),
       toDoubleArray(col(embCol)).as("q_emb"))
+      .withColumn("q_nrm", l2Norm(col("q_emb")))
     val scored = corpus.join(broadcast(q), col("nbr_id") =!= col("query_id"))
-      .withColumn("cosine", cosineSim(col("q_emb"), col("nbr_emb")))
+      .withColumn("cosine", cosineFromNorms(col("q_emb"), col("q_nrm"),
+        col("nbr_emb"), col("nbr_nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id"))
     scored
@@ -91,18 +108,21 @@ object Similarity {
               queries: DataFrame, k: Int, bits: Int, dims: Int): DataFrame = {
     val corpus = vectors.select(col(idCol).as("nbr_id"),
       toDoubleArray(col(embCol)).as("nbr_emb"))
+      .withColumn("nbr_nrm", l2Norm(col("nbr_emb")))
       .withColumn("sig", signSignature(col("nbr_emb"), bits, dims))
     val probes = (0 until bits).foldLeft(array(col("qsig"))) { (acc, j) =>
       array_append(acc, col("qsig").bitwiseXOR(lit(1L << j)))
     }
     val q = queries.select(col(idCol).as("query_id"),
       toDoubleArray(col(embCol)).as("q_emb"))
+      .withColumn("q_nrm", l2Norm(col("q_emb")))
       .withColumn("qsig", signSignature(col("q_emb"), bits, dims))
       .withColumn("sig", explode(probes))
       .drop("qsig")
     val scored = corpus.join(broadcast(q), Seq("sig"))
       .filter(col("nbr_id") =!= col("query_id"))
-      .withColumn("cosine", cosineSim(col("q_emb"), col("nbr_emb")))
+      .withColumn("cosine", cosineFromNorms(col("q_emb"), col("q_nrm"),
+        col("nbr_emb"), col("nbr_nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id"))
     scored
@@ -126,16 +146,18 @@ object Similarity {
                    threshold: Double, bits: Int, dims: Int): DataFrame = {
     val sigs = vectors.select(col(idCol).as("id"),
       toDoubleArray(col(embCol)).as("emb"))
+      .withColumn("nrm", l2Norm(col("emb")))
       .withColumn("sig", signSignature(col("emb"), bits, dims))
     val probes = (0 until bits).foldLeft(array(col("sig"))) { (acc, j) =>
       array_append(acc, col("sig").bitwiseXOR(lit(1L << j)))
     }
-    val probed = sigs.select(col("id"), col("emb"),
+    val probed = sigs.select(col("id"), col("emb"), col("nrm"),
       explode(probes).as("sig"))
     probed.as("a")
       .join(sigs.as("b"),
         col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
-      .withColumn("cosine", cosineSim(col("a.emb"), col("b.emb")))
+      .withColumn("cosine", cosineFromNorms(col("a.emb"), col("a.nrm"),
+        col("b.emb"), col("b.nrm")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
