@@ -99,6 +99,14 @@ object ExtQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.nearDupPairs(emb, "vec_id", "embedding",
         CosineThreshold, Similarity.bitsFor(emb.count()), EmbDims)
+    }),
+
+    // IVF coarse quantizer: per-bucket mean embedding + population,
+    // decimal-exact (order-independent) distributed sums.
+    "q43_bucket_centroids" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bucketCentroids(emb, "vec_id", "embedding",
+        Similarity.bitsFor(emb.count()), EmbDims)
     }))
 
   // ------------------------------------------------------------------
@@ -347,6 +355,26 @@ object ExtQueries {
        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= $CosineThreshold""".stripMargin
   }
 
+  /** IVF coarse-quantizer twin: decimal-exact per-position sums →
+    * one double rounding → mean; list assembled in position order.
+    */
+  private val bucketCentroidsSql =
+    s"""WITH e AS (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |s AS (SELECT v, ${signSigSql("v")} AS sig FROM e),
+       |px AS (
+       |  SELECT sig, i.range - 1 AS pos, v[CAST(i.range AS INT)] AS x
+       |  FROM s, range(1, ${EmbDims + 1}) i),
+       |a AS (
+       |  SELECT sig, pos,
+       |    CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS mean,
+       |    count(*) AS n
+       |  FROM px GROUP BY sig, pos)
+       |SELECT CAST(sig AS BIGINT) AS sig, any_value(n) AS n,
+       |  list(mean ORDER BY pos) AS centroid
+       |FROM a GROUP BY sig""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q22_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_key,
@@ -362,5 +390,6 @@ object ExtQueries {
     "q27_text_stats" -> textStatsSql,
     "q28_knn_brute" -> knnBruteSql,
     "q29_knn_lsh" -> knnLshSql,
-    "q30_embed_neardup" -> embedNearDupSql)
+    "q30_embed_neardup" -> embedNearDupSql,
+    "q43_bucket_centroids" -> bucketCentroidsSql)
 }

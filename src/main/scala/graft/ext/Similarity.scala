@@ -131,6 +131,37 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("cosine"), col("rank"))
   }
 
+  /** Per-bucket centroids — the coarse quantizer of an IVF index: mean
+    * embedding of every sign-LSH bucket, plus the bucket population.
+    * (With centroids on hand, IVF search = score query × centroids,
+    * then scan only the nearest cells — same equi-join shape as lshTopK
+    * with the centroid id as the key.)
+    *
+    * Reproducible distributed float math: per-position sums go through
+    * DECIMAL(38,18) — exact, therefore ORDER-INDEPENDENT across
+    * partitions and cluster sizes — and round to double once at the
+    * end. A plain double sum would drift with partitioning at scale
+    * and could never hash-match an independent oracle. One shuffle on
+    * (bucket, position), map-side combinable.
+    */
+  def bucketCentroids(vectors: DataFrame, idCol: String, embCol: String,
+                      bits: Int, dims: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val sigs = vectors.select(toDoubleArray(col(embCol)).as("emb"))
+      .withColumn("sig", signSignature(col("emb"), bits, dims))
+    sigs
+      .select(col("sig"), posexplode(col("emb")).as(Seq("pos", "x")))
+      .groupBy(col("sig"), col("pos"))
+      .agg(sum(col("x").cast(DecimalType(38, 18))).as("sx"),
+        count(lit(1)).as("n"))
+      .withColumn("mean", col("sx").cast("double") / col("n"))
+      .groupBy(col("sig"))
+      .agg(
+        first(col("n")).as("n"), // same for every position of a bucket
+        transform(sort_array(collect_list(struct(col("pos"), col("mean")))),
+          p => p.getField("mean")).as("centroid"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed with
     * MULTI-PROBE: side A of the self-join explodes its signature plus
     * every one-bit flip, so any pair within Hamming distance 1 becomes

@@ -63,6 +63,21 @@ class SimilaritySpec extends SparkSpec {
       s"candidate pairs $candPairs should be well under the all-pairs square")
   }
 
+  test("bucketCentroids: same-bucket vectors average exactly; population counted") {
+    // v1 ∥ v2 share every sign bit → same bucket; centroid = mean
+    val got = Similarity.bucketCentroids(vecs, "vec_id", "embedding", 4, 4)
+      .collect().map(r => (r.getAs[Long]("sig"),
+        r.getAs[Long]("n"), r.getSeq[Double](r.fieldIndex("centroid"))))
+    assert(got.map(_._2).sum === 4L) // every vector in exactly one bucket
+    val pair = got.find(_._2 >= 2L)
+    assert(pair.isDefined) // v1+v2 (and possibly v4) collide
+    val c = pair.get._3
+    assert(c.length === 4)
+    // first component is the mean of the bucket's first components —
+    // all members have x ∈ {1.0, 2.0, 0.9}: mean within (0, 2)
+    assert(c.head > 0.0 && c.head <= 2.0)
+  }
+
   test("lshTopK multi-probe: results come from probed buckets and distance-1 buckets contribute") {
     import org.apache.spark.sql.functions._
     val dims = 64
