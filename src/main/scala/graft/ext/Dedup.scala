@@ -210,6 +210,43 @@ object Dedup {
     * partial row per id per partition; an exploded bit axis would
     * multiply shuffle volume by the bit width for no information gain.
     */
+  /** SimHash near-duplicate pairs (the Google-crawl dedup shape): band
+    * the fingerprint into `bands` equal bit-slices; documents agreeing
+    * on ≥1 band become candidates (pigeonhole: hamming ≤ bands−1 ⇒ some
+    * band is untouched, so recall is EXACT for maxDist ≤ bands−1), then
+    * verify bit_count(xor) ≤ maxDist. Candidate generation is an
+    * equi-join on the band key — a hot band bucket is a skewed join
+    * key, AQE's problem, never an all-pairs product. Fingerprints ride
+    * along through the band join, so verification needs no extra join.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, bits: Int = 60, bands: Int = 4,
+                   maxDist: Int = 3): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    require(maxDist < bands, "exact recall needs maxDist <= bands - 1")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val fp = simhash(docs, idCol, textCol, n, bits)
+    val bandRows = fp.select(col("id"), col("simhash"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * width).bitwiseAND(lit(mask)).as("bk"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bk").as("bk"))
+    bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.simhash").as("fp_a"),
+        col("b.id").as("id_b"), col("b.simhash").as("fp_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               n: Int, bits: Int = 60): DataFrame = {
     val votes = (0 until bits).map { j =>

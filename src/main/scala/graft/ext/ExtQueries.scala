@@ -29,6 +29,7 @@ object ExtQueries {
   private val KnnQueryIds = 5 // vec_id < 5 → 5 query vectors
   private val EmbDims = 64
   private val CosineThreshold = 0.3
+  private val IvfProbes = 4
 
   /** LSH signature width is SCALE-ADAPTIVE: Similarity.bitsFor(N) keeps
     * expected bucket occupancy ~32 as the corpus grows (sf0.01: N=500 →
@@ -101,12 +102,26 @@ object ExtQueries {
         CosineThreshold, Similarity.bitsFor(emb.count()), EmbDims)
     }),
 
+    // SimHash near-dup pairs: 4-banded 60-bit fingerprints, exact
+    // recall for hamming <= 3.
+    "q44_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", ShingleN)),
+
     // IVF coarse quantizer: per-bucket mean embedding + population,
     // decimal-exact (order-independent) distributed sums.
     "q43_bucket_centroids" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.bucketCentroids(emb, "vec_id", "embedding",
         Similarity.bitsFor(emb.count()), EmbDims)
+    }),
+
+    // IVF search: rank cells by centroid cosine, scan the nProbe
+    // nearest cells' members only.
+    "q45_knn_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < KnnQueryIds), KnnK,
+        Similarity.bitsFor(emb.count()), EmbDims, IvfProbes)
     }))
 
   // ------------------------------------------------------------------
@@ -355,6 +370,35 @@ object ExtQueries {
        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= $CosineThreshold""".stripMargin
   }
 
+  /** SimHash banded near-dup twin: same CTE chain as simhashSql up to
+    * the per-doc fingerprint, then 4 × 15-bit band keys, band-bucket
+    * self-join, xor popcount verify.
+    */
+  private val simhashPairsSql =
+    s"""WITH $shingleCtes,
+       |hx AS (
+       |  SELECT id, ${hash60Sql("u")} AS h
+       |  FROM (SELECT id, unnest(s) AS u FROM sh WHERE len(s) > 0)),
+       |v AS (
+       |  SELECT id, j,
+       |    CAST(sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS vote
+       |  FROM hx CROSS JOIN (SELECT unnest(range(0, 60)) AS j) js
+       |  GROUP BY id, j),
+       |f AS (
+       |  SELECT id,
+       |    CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j)
+       |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS fp
+       |  FROM v GROUP BY id),
+       |bands AS (
+       |  SELECT id, fp, b.range AS band, (fp >> CAST(b.range * 15 AS INT)) & 32767 AS bk
+       |  FROM f, range(0, 4) b),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, a.fp AS fa, b.id AS id_b, b.fp AS fb
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bk = b.bk AND a.id < b.id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin
+
   /** IVF coarse-quantizer twin: decimal-exact per-position sums →
     * one double rounding → mean; list assembled in position order.
     */
@@ -375,6 +419,43 @@ object ExtQueries {
        |  list(mean ORDER BY pos) AS centroid
        |FROM a GROUP BY sig""".stripMargin
 
+  /** IVF search twin: centroid CTEs + per-query cell ranking (nProbe
+    * nearest) + member scan of only those cells + exact rank.
+    */
+  private val knnIvfSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |s AS (SELECT vec_id, v, ${signSigSql("v")} AS sig FROM e),
+       |px AS (
+       |  SELECT sig, i.range - 1 AS pos, v[CAST(i.range AS INT)] AS x
+       |  FROM s, range(1, ${EmbDims + 1}) i),
+       |a AS (
+       |  SELECT sig, pos,
+       |    CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS mean
+       |  FROM px GROUP BY sig, pos),
+       |c AS (SELECT sig, list(mean ORDER BY pos) AS centroid FROM a GROUP BY sig),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM s WHERE vec_id < $KnnQueryIds),
+       |pr AS (
+       |  SELECT q.query_id, q.qv, c.sig,
+       |    ${cosineSql("q.qv", "c.centroid")} AS c_cos
+       |  FROM q, c),
+       |probed AS (
+       |  SELECT query_id, qv, sig FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY c_cos DESC, sig) AS crk FROM pr)
+       |  WHERE crk <= $IvfProbes),
+       |scored AS (
+       |  SELECT p.query_id, s.vec_id AS nbr_id,
+       |    ${cosineSql("p.qv", "s.v")} AS cosine
+       |  FROM s JOIN probed p ON s.sig = p.sig AND s.vec_id <> p.query_id),
+       |r AS (
+       |  SELECT query_id, nbr_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, nbr_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= $KnnK""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q22_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_key,
@@ -391,5 +472,7 @@ object ExtQueries {
     "q28_knn_brute" -> knnBruteSql,
     "q29_knn_lsh" -> knnLshSql,
     "q30_embed_neardup" -> embedNearDupSql,
-    "q43_bucket_centroids" -> bucketCentroidsSql)
+    "q43_bucket_centroids" -> bucketCentroidsSql,
+    "q44_simhash_pairs" -> simhashPairsSql,
+    "q45_knn_ivf" -> knnIvfSql)
 }

@@ -162,6 +162,49 @@ object Similarity {
           p => p.getField("mean")).as("centroid"))
   }
 
+  /** IVF top-k search over the bucketCentroids index: score each query
+    * against the (tiny — 2^bits rows, broadcast) centroid table, keep
+    * its nProbe nearest CELLS, then scan only those cells' members via
+    * an equi-join on the cell id and rank exactly. The query×centroid
+    * scoring is a broadcast nested loop against a bounded table — the
+    * same justified shape as the brute-force baseline, but against
+    * 2^bits centroids instead of N vectors; the corpus-side work is
+    * O(nProbe · occupancy) per query at any corpus size. Deterministic:
+    * cell ranking ties break on the cell id, neighbor ties on the
+    * neighbor id.
+    */
+  def ivfTopK(vectors: DataFrame, idCol: String, embCol: String,
+              queries: DataFrame, k: Int, bits: Int, dims: Int,
+              nProbe: Int): DataFrame = {
+    val cents = bucketCentroids(vectors, idCol, embCol, bits, dims)
+      .select(col("sig"), col("centroid"))
+      .withColumn("c_nrm", l2Norm(col("centroid")))
+    val q = queries.select(col(idCol).as("query_id"),
+      toDoubleArray(col(embCol)).as("q_emb"))
+      .withColumn("q_nrm", l2Norm(col("q_emb")))
+    val cellW = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_cos").desc, col("sig"))
+    val probed = q.join(broadcast(cents), lit(true))
+      .withColumn("c_cos", cosineFromNorms(col("q_emb"), col("q_nrm"),
+        col("centroid"), col("c_nrm")))
+      .withColumn("crk", row_number().over(cellW))
+      .filter(col("crk") <= nProbe)
+      .select(col("sig"), col("query_id"), col("q_emb"), col("q_nrm"))
+    val corpus = vectors.select(col(idCol).as("nbr_id"),
+      toDoubleArray(col(embCol)).as("nbr_emb"))
+      .withColumn("nbr_nrm", l2Norm(col("nbr_emb")))
+      .withColumn("sig", signSignature(col("nbr_emb"), bits, dims))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    corpus.join(broadcast(probed), Seq("sig"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("cosine", cosineFromNorms(col("q_emb"), col("q_nrm"),
+        col("nbr_emb"), col("nbr_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("cosine"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed with
     * MULTI-PROBE: side A of the self-join explodes its signature plus
     * every one-bit flip, so any pair within Hamming distance 1 becomes

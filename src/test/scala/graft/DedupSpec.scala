@@ -116,6 +116,18 @@ class DedupSpec extends SparkSpec {
     assert(sigs(0) === sigs(1))
   }
 
+  test("simhashPairs: identical docs pair at hamming 0; unrelated docs don't pair") {
+    val planted = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (12L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(planted, "doc_id", "text", 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming")))
+    assert(got.toSeq === Seq((10L, 11L, 0)))
+  }
+
   test("simhash: identical docs identical, 60-bit range") {
     val two = Seq((1L, "spark catalyst tungsten codegen shuffle exchange"),
       (2L, "spark catalyst tungsten codegen shuffle exchange"),

@@ -78,6 +78,20 @@ class SimilaritySpec extends SparkSpec {
     assert(c.head > 0.0 && c.head <= 2.0)
   }
 
+  test("ivfTopK: probing ALL cells reproduces brute force exactly") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 3)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+    val bits = 4
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 5, bits, 64,
+      nProbe = 1 << bits) // probe every cell → exhaustive
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+    assert(canon(ivf) === canon(brute))
+  }
+
   test("lshTopK multi-probe: results come from probed buckets and distance-1 buckets contribute") {
     import org.apache.spark.sql.functions._
     val dims = 64
