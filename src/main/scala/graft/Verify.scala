@@ -19,6 +19,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // static-oracle scale guard (see ExtQueries.VerifyLshBits)
+    try graft.ext.ExtQueries.assertVerifyScale(spark, sfDir)
+    catch { case _: Throwable => () } // no embeddings table → nothing to guard
+
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .foreach { case (name, fn) =>

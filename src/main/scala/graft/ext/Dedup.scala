@@ -48,7 +48,7 @@ object Dedup {
     * (Chaudhuri/Bayardo-style ssjoin): rank every shingle by global
     * document frequency (rarest first, shingle text as the total-order
     * tie-break), index only each document's first
-    * ⌊(1−τ)·|sh|⌋+1 shingles under that order, and equi-join the
+    * |sh|−⌈τ·|sh|⌉+1 shingles under that order, and equi-join the
     * indexed prefixes.
     *
     * Recall-lossless: if J(A,B) ≥ τ then |A∩B| ≥ τ·|A∪B| ≥ τ·max(|A|,|B|),
@@ -71,10 +71,17 @@ object Dedup {
     // is per-doc (bounded by document size), never global
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("df"), col("shingle"))
+    // Prefix length n − ⌈τ·n⌉ + 1, with an epsilon guard: in IEEE
+    // doubles (1−τ)·n can land just BELOW its mathematical value when
+    // τ·n is integral ((1.0-0.9)*10 = 0.9999999999999998), and a
+    // floor-based prefix then comes out one shingle short — silently
+    // dropping pairs at exactly J = τ. The ε only ever LENGTHENS the
+    // prefix (more candidates, never lost recall).
     val prefix = sh.join(docFreq, "shingle")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <=
-        floor(lit(1.0 - threshold) * col("n_sh")).cast("int") + 1)
+        (col("n_sh") - ceil(col("n_sh") * lit(threshold) - lit(1e-9)) + 1)
+          .cast("int"))
       .select(col("id"), col("shingle"))
     // Pair generation from per-shingle POSTING LISTS rather than a
     // prefix⋈prefix self-join: a self-join executes the whole prefix

@@ -35,10 +35,36 @@ object ExtQueries {
     * expected bucket occupancy ~32 as the corpus grows (sf0.01: N=500 →
     * 4 bits; sf0.1: N=2000 → 6 bits; 1e9 vectors → 25 bits). The static
     * oracle SQL inlines the hyperplanes for the driver's verify corpus
-    * (sf0.01, N=500 → 4 bits) — the Spark defs compute the same width
-    * from the live corpus count at runtime.
+    * (sf0.01, N=VerifyEmbCount → 4 bits) — the Spark defs compute the
+    * same width from the live corpus count at runtime.
+    * Verify.main calls [[assertVerifyScale]] so a drifted fixture fails
+    * loudly instead of as an opaque hash mismatch on q29/q30/q43/q45.
     */
-  private val VerifyLshBits = Similarity.bitsFor(500)
+  private val VerifyEmbCount = 500L // TESTDATA.md: sf0.01 embeddings rows
+  private val VerifyLshBits = Similarity.bitsFor(VerifyEmbCount)
+
+  /** Loud guard for the static-oracle assumption above: if the verify
+    * corpus's embedding count maps to a different signature width than
+    * the inlined one, say exactly which queries will mismatch and why.
+    */
+  def assertVerifyScale(s: SparkSession, d: String): Unit = {
+    val n = embCount(s, d)
+    if (Similarity.bitsFor(n) != VerifyLshBits)
+      System.err.println(
+        s"[verify] WARNING: embeddings count $n in $d → bitsFor=" +
+          s"${Similarity.bitsFor(n)} but the static oracle SQL inlines " +
+          s"$VerifyLshBits-bit hyperplanes (count $VerifyEmbCount); " +
+          "q29/q30/q43/q45 will hash-mismatch for this corpus.")
+  }
+
+  /** Corpus row count, one metadata-only job per (dir) per JVM — the
+    * defs below need it for the scale-adaptive signature width, and
+    * without caching every query CONSTRUCTION (bench warmup + timed
+    * pass, Explain, Verify) would fire a count job.
+    */
+  private val embCounts = scala.collection.concurrent.TrieMap[String, Long]()
+  private def embCount(s: SparkSession, d: String): Long =
+    embCounts.getOrElseUpdate(d, Tables.embeddings(s, d).count())
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -89,7 +115,7 @@ object ExtQueries {
     // metadata-only parquet count).
     "q29_knn_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val bits = Similarity.bitsFor(emb.count())
+      val bits = Similarity.bitsFor(embCount(s, d))
       Similarity.lshTopK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < KnnQueryIds), KnnK, bits, EmbDims)
     }),
@@ -99,7 +125,7 @@ object ExtQueries {
     "q30_embed_neardup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.nearDupPairs(emb, "vec_id", "embedding",
-        CosineThreshold, Similarity.bitsFor(emb.count()), EmbDims)
+        CosineThreshold, Similarity.bitsFor(embCount(s, d)), EmbDims)
     }),
 
     // SimHash near-dup pairs: 4-banded 60-bit fingerprints, exact
@@ -108,11 +134,13 @@ object ExtQueries {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", ShingleN)),
 
     // IVF coarse quantizer: per-bucket mean embedding + population,
-    // decimal-exact (order-independent) distributed sums.
+    // decimal-exact (order-independent) distributed sums. Registered in
+    // FLAT form (sig, pos, mean, n — scalar columns only): the driver's
+    // compare hashes sorted cells, which an array column defeats.
     "q43_bucket_centroids" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.bucketCentroids(emb, "vec_id", "embedding",
-        Similarity.bitsFor(emb.count()), EmbDims)
+      Similarity.bucketCentroidsFlat(emb, "vec_id", "embedding",
+        Similarity.bitsFor(embCount(s, d)), EmbDims)
     }),
 
     // IVF search: rank cells by centroid cosine, scan the nProbe
@@ -121,7 +149,7 @@ object ExtQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < KnnQueryIds), KnnK,
-        Similarity.bitsFor(emb.count()), EmbDims, IvfProbes)
+        Similarity.bitsFor(embCount(s, d)), EmbDims, IvfProbes)
     }))
 
   // ------------------------------------------------------------------
@@ -399,9 +427,15 @@ object ExtQueries {
        |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
        |FROM cand WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin
 
-  /** IVF coarse-quantizer twin: decimal-exact per-position sums →
-    * one double rounding → mean; list assembled in position order.
+  /** IVF coarse-quantizer twin, flat form: 1e-6-grid integer sums →
+    * one double division sequence → mean; one scalar row per
+    * (bucket, position). The quantize (x·1e6 multiply + round-half-away)
+    * and the divide chain mirror bucketCentroidsFlat op-for-op — both
+    * engines produce bit-identical means (a DECIMAL cast would not:
+    * Spark converts via the shortest round-trip string, DuckDB via the
+    * exact expansion).
     */
+  private val Quantum = Similarity.MeanQuantum // 1e6
   private val bucketCentroidsSql =
     s"""WITH e AS (
        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -412,12 +446,13 @@ object ExtQueries {
        |  FROM s, range(1, ${EmbDims + 1}) i),
        |a AS (
        |  SELECT sig, pos,
-       |    CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS mean,
+       |    CAST(sum(CAST(round(x * $Quantum) AS BIGINT)) AS DOUBLE)
+       |      / $Quantum / count(*) AS mean,
        |    count(*) AS n
        |  FROM px GROUP BY sig, pos)
-       |SELECT CAST(sig AS BIGINT) AS sig, any_value(n) AS n,
-       |  list(mean ORDER BY pos) AS centroid
-       |FROM a GROUP BY sig""".stripMargin
+       |SELECT CAST(sig AS BIGINT) AS sig, CAST(pos AS INT) AS pos, mean,
+       |  CAST(n AS BIGINT) AS n
+       |FROM a""".stripMargin
 
   /** IVF search twin: centroid CTEs + per-query cell ranking (nProbe
     * nearest) + member scan of only those cells + exact rank.
@@ -432,7 +467,8 @@ object ExtQueries {
        |  FROM s, range(1, ${EmbDims + 1}) i),
        |a AS (
        |  SELECT sig, pos,
-       |    CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS mean
+       |    CAST(sum(CAST(round(x * $Quantum) AS BIGINT)) AS DOUBLE)
+       |      / $Quantum / count(*) AS mean
        |  FROM px GROUP BY sig, pos),
        |c AS (SELECT sig, list(mean ORDER BY pos) AS centroid FROM a GROUP BY sig),
        |q AS (SELECT vec_id AS query_id, v AS qv FROM s WHERE vec_id < $KnnQueryIds),

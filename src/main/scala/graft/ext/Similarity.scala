@@ -131,36 +131,61 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("cosine"), col("rank"))
   }
 
-  /** Per-bucket centroids — the coarse quantizer of an IVF index: mean
-    * embedding of every sign-LSH bucket, plus the bucket population.
-    * (With centroids on hand, IVF search = score query × centroids,
-    * then scan only the nearest cells — same equi-join shape as lshTopK
-    * with the centroid id as the key.)
-    *
-    * Reproducible distributed float math: per-position sums go through
-    * DECIMAL(38,18) — exact, therefore ORDER-INDEPENDENT across
-    * partitions and cluster sizes — and round to double once at the
-    * end. A plain double sum would drift with partitioning at scale
-    * and could never hash-match an independent oracle. One shuffle on
-    * (bucket, position), map-side combinable.
+  /** Mean-sum quantum: components are snapped to a 1e-6 grid before the
+    * distributed sum (see bucketCentroidsFlat). Shared with the DuckDB
+    * oracle SQL.
     */
-  def bucketCentroids(vectors: DataFrame, idCol: String, embCol: String,
-                      bits: Int, dims: Int): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
+  val MeanQuantum = 1000000.0
+
+  /** Flat form of the coarse quantizer — one row per (bucket, position)
+    * with scalar columns only: (sig, pos, mean, n). This is the
+    * verification surface (scalar columns hash/compare cleanly across
+    * engines); bucketCentroids assembles the array form from it.
+    *
+    * Reproducible distributed float math: each component is quantized to
+    * the 1e-6 grid — ONE double multiply then a round-half-away-from-zero,
+    * operations both Spark and DuckDB evaluate bit-identically — and the
+    * per-position sums run over exact BIGINTs, which are
+    * ORDER-INDEPENDENT across partitions and cluster sizes; one
+    * double division sequence at the end recovers the mean. A plain
+    * double sum would drift with partitioning at scale, and a
+    * DECIMAL(38,18) cast is NOT cross-engine exact (Spark converts
+    * double→decimal through the shortest round-trip decimal string,
+    * DuckDB through the exact binary expansion — last-ulp divergence on
+    * every irrational-looking component). The 1e-6 input snap is the
+    * documented determinism contract of this operator; for a coarse
+    * quantizer it is far below any semantic signal.
+    */
+  def bucketCentroidsFlat(vectors: DataFrame, idCol: String, embCol: String,
+                          bits: Int, dims: Int): DataFrame = {
     val sigs = vectors.select(toDoubleArray(col(embCol)).as("emb"))
       .withColumn("sig", signSignature(col("emb"), bits, dims))
     sigs
       .select(col("sig"), posexplode(col("emb")).as(Seq("pos", "x")))
       .groupBy(col("sig"), col("pos"))
-      .agg(sum(col("x").cast(DecimalType(38, 18))).as("sx"),
+      .agg(sum(round(col("x") * lit(MeanQuantum)).cast("long")).as("sq"),
         count(lit(1)).as("n"))
-      .withColumn("mean", col("sx").cast("double") / col("n"))
+      .select(col("sig"), col("pos"),
+        (col("sq").cast("double") / lit(MeanQuantum) / col("n")).as("mean"),
+        col("n"))
+  }
+
+  /** Per-bucket centroids — the coarse quantizer of an IVF index: mean
+    * embedding of every sign-LSH bucket, plus the bucket population.
+    * (With centroids on hand, IVF search = score query × centroids,
+    * then scan only the nearest cells — same equi-join shape as lshTopK
+    * with the centroid id as the key.) Array form of
+    * bucketCentroidsFlat; one extra shuffle on the bucket id,
+    * map-side combinable.
+    */
+  def bucketCentroids(vectors: DataFrame, idCol: String, embCol: String,
+                      bits: Int, dims: Int): DataFrame =
+    bucketCentroidsFlat(vectors, idCol, embCol, bits, dims)
       .groupBy(col("sig"))
       .agg(
         first(col("n")).as("n"), // same for every position of a bucket
         transform(sort_array(collect_list(struct(col("pos"), col("mean")))),
           p => p.getField("mean")).as("centroid"))
-  }
 
   /** IVF top-k search over the bucketCentroids index: score each query
     * against the (tiny — 2^bits rows, broadcast) centroid table, keep

@@ -20,12 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object Sinks {
 
-  /** Session-unique scratch path: same JVM reuses it (warmup + timed
+  /** Session-unique scratch root: same JVM reuses it (warmup + timed
     * bench pass hit the same staged data), concurrent suite runs in
-    * separate JVMs never collide.
+    * separate JVMs never collide, and a shutdown hook removes the whole
+    * tree so scratch never accumulates across runs.
     */
-  def tmpPath(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${ProcessHandle.current().pid()}/$name"
+  private lazy val scratchRoot: String = {
+    val root =
+      s"${System.getProperty("java.io.tmpdir")}/graft_${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => deleteRecursively(root), "graft-scratch-cleanup"))
+    root
+  }
+
+  def tmpPath(name: String): String = s"$scratchRoot/$name"
 
   /** Local-filesystem recursive delete, for re-runnable scratch sinks. */
   def deleteRecursively(path: String): Unit = {

@@ -95,6 +95,25 @@ class DedupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("jaccardPairs: τ=0.9 containment pair at exactly J=τ is not lost") {
+    // B's 11 tokens are a prefix of A's 12 → B's 9 shingles ⊂ A's 10,
+    // J = 9/10 = 0.9 exactly. A's one extra shingle (df=1) is globally
+    // rarest and occupies prefix rank 1; the pair is only found if A's
+    // prefix ALSO reaches rank 2. (1−0.9)·10 = 0.9999999999999998 in
+    // doubles, so a floor-based prefix length computes 1, not 2, and
+    // silently drops the pair — this is the regression test for the
+    // epsilon-guarded n−⌈τ·n⌉+1 form.
+    val toks = (1 to 12).map(i => s"tok$i")
+    val pair = Seq(
+      (1L, toks.mkString(" ")),            // 12 tokens → 10 shingles
+      (2L, toks.take(11).mkString(" ")))   // 11 tokens → 9 shingles
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(pair, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(got === Set((1L, 2L, 0.9)))
+  }
+
   test("minhashLshPairs: planted near-identical pair survives banding + verify") {
     val planted = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
