@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ext.ExtQueries
+import graft.ext.{CurationQueries, ExtQueries}
 import graft.queries._
 import graft.transform.Financials
 
@@ -23,9 +23,10 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ ReferenceQueries.defs ++ ExtQueries.defs ++
-      PipelineQueries.defs ++ ScaleQueries.defs
+      PipelineQueries.defs ++ ScaleQueries.defs ++ CurationQueries.defs
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ ReferenceQueries.oracles ++
-      ExtQueries.oracles ++ PipelineQueries.oracles ++ ScaleQueries.oracles
+      ExtQueries.oracles ++ PipelineQueries.oracles ++ ScaleQueries.oracles ++
+      CurationQueries.oracles
 }

@@ -1,0 +1,173 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Tables
+
+/** Correctness queries for the corpus-curation operator pack round 2:
+  * duplicate-cluster assignment (connected components), PII redaction,
+  * deterministic stratified sampling, and the backward as-of join.
+  * Same oracle discipline as ExtQueries: every query has a full DuckDB
+  * twin recomputing the identical deterministic pipeline.
+  */
+object CurationQueries {
+
+  // Fixed parameters shared by the Spark defs and the oracle SQL.
+  private val SampleSalt = "s6"
+  private val SampleRates = Seq("en" -> 0.5, "zh" -> 0.25, "de" -> 1.0)
+  private val DefaultRate = 0.75
+
+  /** Deterministic PII-bearing corpus: the testdata documents are plain
+    * word soup, so the redaction fixture appends synthetic contact lines
+    * derived arithmetically from doc_id (same fixture law pattern as
+    * RawZoneGen): doc_id%4 ∈ {0: all three PII kinds, 1: email only,
+    * 2: IPv4 only, 3: clean}. The OPERATOR under test (Redact.scrub) is
+    * generic; only the fixture is synthetic.
+    */
+  private def piiEnriched(docs: DataFrame): DataFrame = {
+    val i = col("doc_id")
+    val email = concat(lit(" Contact user"), i.cast("string"),
+      lit("@example.com"))
+    val ip = concat(lit(" from host 10."), (i % 256).cast("string"), lit("."),
+      ((i * 7) % 256).cast("string"), lit("."), ((i * 13) % 256).cast("string"))
+    val phone = concat(lit(" or call +1555"),
+      lpad((i % 10000).cast("string"), 7, "0"))
+    docs.select(i.as("doc_id"),
+      concat(col("text"),
+        when(i % 4 === 0 || i % 4 === 1, email).otherwise(lit("")),
+        when(i % 4 === 0 || i % 4 === 2, ip).otherwise(lit("")),
+        when(i % 4 === 0, phone).otherwise(lit(""))).as("text"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Duplicate clusters: exact-Jaccard pairs (the q25 operator) closed
+    // under transitivity — every doc in a near-dup component labeled
+    // with the component's min id.
+    "q46_dedup_clusters" -> ((s, d) =>
+      Graph.connectedComponents(
+        Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          ExtQueries.ShingleN, ExtQueries.JaccardThreshold)
+          .select(col("id_a"), col("id_b")))),
+
+    // PII scrub over the deterministic PII-bearing corpus.
+    "q47_pii_redact" -> ((s, d) =>
+      Redact.scrub(piiEnriched(Tables.documents(s, d)), "doc_id", "text")),
+
+    // Per-language deterministic downsample (en 0.5, zh 0.25, de 1.0,
+    // default 0.75).
+    "q48_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedBernoulli(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", SampleRates.toMap, DefaultRate, SampleSalt)),
+
+    // Purchase→latest-prior-click attribution: backward as-of self-join
+    // on the events table.
+    "q49_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      AsOf.joinBackward(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        Seq("user_id"), "ts", "ts", Seq("event_id", "value"), "click_")
+    }))
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles.
+  // ------------------------------------------------------------------
+
+  /** Recursive transitive closure over the exact-Jaccard pair graph
+    * (CTE chain shared with the q25 oracle), then min reachable id per
+    * node. O(component²) rows in the closure — fine at verify scale;
+    * the ENGINE side is the iterative label-propagation plan.
+    */
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE ${ExtQueries.jaccardCtes},
+       |pairs AS (
+       |  SELECT id_a, id_b FROM j WHERE jaccard >= ${ExtQueries.JaccardThreshold}),
+       |e AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION
+       |  SELECT id_b AS u, id_a AS v FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM e
+       |  UNION
+       |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u)
+       |SELECT u AS id, least(u, min(v)) AS cluster_id
+       |FROM reach GROUP BY u""".stripMargin
+
+  /** Stage-for-stage twin of Redact.scrub over the same enriched
+    * fixture; 'g' = replace all occurrences (Spark's regexp_replace
+    * default).
+    */
+  private val piiRedactSql =
+    s"""WITH enriched AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 4 IN (0, 1)
+       |         THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 4 IN (0, 2)
+       |         THEN ' from host 10.' || CAST(doc_id % 256 AS VARCHAR)
+       |           || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+       |           || '.' || CAST((doc_id * 13) % 256 AS VARCHAR)
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 4 = 0
+       |         THEN ' or call +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0')
+       |         ELSE '' END AS t0
+       |  FROM documents),
+       |s1 AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(t0, '${Redact.EmailPattern}')) AS BIGINT) AS n_emails,
+       |    regexp_replace(t0, '${Redact.EmailPattern}', '<EMAIL>', 'g') AS t1
+       |  FROM enriched),
+       |s2 AS (
+       |  SELECT doc_id, n_emails,
+       |    CAST(len(regexp_extract_all(t1, '${Redact.Ipv4Pattern}')) AS BIGINT) AS n_ipv4,
+       |    regexp_replace(t1, '${Redact.Ipv4Pattern}', '<IP>', 'g') AS t2
+       |  FROM s1)
+       |SELECT doc_id AS id,
+       |  regexp_replace(t2, '${Redact.PhonePattern}', '<PHONE>', 'g') AS redacted,
+       |  n_emails, n_ipv4,
+       |  CAST(len(regexp_extract_all(t2, '${Redact.PhonePattern}')) AS BIGINT) AS n_phones
+       |FROM s2""".stripMargin
+
+  /** Same integer thresholds the operator computes on the driver. */
+  private val stratifiedSampleSql = {
+    val cases = SampleRates.map { case (lang, r) =>
+      s"WHEN '$lang' THEN ${math.round(r * Sampling.Denom)}"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE CAST('0x' || substr(md5('$SampleSalt' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |    % ${Sampling.Denom}
+       |  < CASE lang $cases ELSE ${math.round(DefaultRate * Sampling.Denom)} END""".stripMargin
+  }
+
+  /** Backward as-of twin, written as an explicit latest-prior window
+    * (portable ANSI; also pins the equal-ts and tie-break semantics —
+    * inclusive on ts, greatest event_id wins — that a native ASOF JOIN
+    * leaves implementation-defined).
+    */
+  private val asofJoinSql =
+    """WITH c AS (
+      |  SELECT user_id, ts, event_id, value FROM events
+      |  WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT event_id, user_id, ts, value FROM events
+      |  WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT p.event_id, p.user_id, p.ts, p.value,
+      |    c.ts AS click_ts, c.event_id AS click_event_id,
+      |    c.value AS click_value,
+      |    row_number() OVER (PARTITION BY p.event_id
+      |      ORDER BY c.ts DESC, c.event_id DESC) AS rk
+      |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+      |SELECT event_id, user_id, ts, value, click_ts, click_event_id, click_value
+      |FROM j WHERE rk = 1""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q46_dedup_clusters" -> dedupClustersSql,
+    "q47_pii_redact" -> piiRedactSql,
+    "q48_stratified_sample" -> stratifiedSampleSql,
+    "q49_asof_join" -> asofJoinSql)
+}

@@ -21,10 +21,10 @@ object ExtQueries {
   // generated oracle SQL below. Small enough to be cheap at sf0.01,
   // shaped exactly like the 100 TB configuration (only numHashes/bits
   // grow with scale, never the join shape).
-  private val ShingleN = 3
+  private[ext] val ShingleN = 3
   private val NumHashes = 16
   private val Bands = 4
-  private val JaccardThreshold = 0.5
+  private[ext] val JaccardThreshold = 0.5
   private val KnnK = 10
   private val KnnQueryIds = 5 // vec_id < 5 → 5 query vectors
   private val EmbDims = 64
@@ -263,11 +263,13 @@ object ExtQueries {
        |WHERE CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) >= $JaccardThreshold""".stripMargin
   }
 
-  /** Exact shingle-inverted-index Jaccard pairs (twin of
-    * Dedup.jaccardPairs).
+  /** Exact shingle-inverted-index Jaccard CTE chain — `j` is the final
+    * scored-pairs CTE. Shared with the connected-components oracle
+    * (CurationQueries), which extends the chain with a recursive
+    * closure.
     */
-  private val jaccardPairsSql =
-    s"""WITH $shingleCtes,
+  private[ext] val jaccardCtes =
+    s"""$shingleCtes,
        |rows_ AS (SELECT id, unnest(s) AS shingle FROM sh WHERE len(s) > 0),
        |counts AS (SELECT id, count(*) AS n_sh FROM rows_ GROUP BY id),
        |shared AS (
@@ -281,7 +283,11 @@ object ExtQueries {
        |      CAST(ca.n_sh + cb.n_sh - s.shared AS DOUBLE) AS jaccard
        |  FROM shared s
        |  JOIN counts ca ON ca.id = s.id_a
-       |  JOIN counts cb ON cb.id = s.id_b)
+       |  JOIN counts cb ON cb.id = s.id_b)""".stripMargin
+
+  /** Twin of Dedup.jaccardPairs. */
+  private val jaccardPairsSql =
+    s"""WITH $jaccardCtes
        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $JaccardThreshold""".stripMargin
 
   /** SimHash twin (votes per bit, then bit assembly). */

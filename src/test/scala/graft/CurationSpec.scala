@@ -1,0 +1,128 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.ext.{AsOf, Graph, Redact, Sampling}
+
+/** Curation pack round 2: connected components, PII redaction,
+  * stratified sampling, backward as-of join.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- connected components -----------------------------------------
+
+  test("connectedComponents: chain + separate component + transitivity") {
+    // component {1,2,3,4} is a CHAIN (diameter 3 — needs >1 propagation
+    // round); {7,9} separate; 5,6 not incident to any edge → absent
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (9L, 7L)).toDF("id_a", "id_b")
+    val got = Graph.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 9L -> 7L))
+  }
+
+  test("connectedComponents: long path converges within maxIter") {
+    // path 0-1-2-…-12: diameter 12, min label must reach the far end
+    val edges = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Graph.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 13)
+    assert(got.values.toSet === Set(0L))
+  }
+
+  // ---- PII redaction --------------------------------------------------
+
+  test("scrub: all three kinds, counts and replacement text") {
+    val df = Seq(
+      (1L, "mail bob.smith+tag@corp.example.org now"),
+      (2L, "host 192.168.0.1 and 10.0.0.255 up"),
+      (3L, "call +4915512345678 today"),
+      (4L, "clean text with no pii at all"),
+      (5L, "a+1234567b@x.com")) // phone-shaped run inside an email local part
+      .toDF("doc_id", "text")
+    val got = Redact.scrub(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) === (("mail <EMAIL> now", 1L, 0L, 0L)))
+    assert(got(2L) === (("host <IP> and <IP> up", 0L, 2L, 0L)))
+    assert(got(3L) === (("call <PHONE> today", 0L, 0L, 1L)))
+    assert(got(4L) === (("clean text with no pii at all", 0L, 0L, 0L)))
+    // email redacted FIRST → the +1234567 inside it is never phone-counted
+    assert(got(5L) === (("<EMAIL>", 1L, 0L, 0L)))
+  }
+
+  // ---- stratified sampling -------------------------------------------
+
+  test("stratifiedBernoulli: rate 1 keeps all, rate 0 drops all, deterministic") {
+    val df = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("id", "lang")
+    val all = Sampling.stratifiedBernoulli(df, "id", "lang",
+      Map("en" -> 1.0, "zh" -> 1.0), 0.5, "t").count()
+    assert(all === 200L)
+    val none = Sampling.stratifiedBernoulli(df, "id", "lang",
+      Map("en" -> 0.0, "zh" -> 0.0), 0.5, "t").count()
+    assert(none === 0L)
+    // half-rate sample: deterministic across invocations, plausible size
+    def ids() = Sampling.stratifiedBernoulli(df, "id", "lang",
+      Map("en" -> 0.5), 0.0, "t").collect().map(_.getLong(0)).toSet
+    val s1 = ids()
+    assert(s1 === ids())                    // same salt → same sample
+    assert(s1.forall(_ % 2 == 0))           // zh stratum at default 0.0
+    assert(s1.size > 25 && s1.size < 75)    // ~50 of 100 en docs
+    // different salt → independent sample
+    val s2 = Sampling.stratifiedBernoulli(df, "id", "lang",
+      Map("en" -> 0.5), 0.0, "u").collect().map(_.getLong(0)).toSet
+    assert(s1 !== s2)
+  }
+
+  // ---- as-of join -----------------------------------------------------
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("joinBackward: latest prior wins, inclusive ts, no-match → null") {
+    val clicks = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00"), 1.0),
+      (11L, 1L, ts("2024-01-01 11:00:00"), 2.0),
+      (12L, 2L, ts("2024-01-01 12:00:00"), 3.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val purchases = Seq(
+      (20L, 1L, ts("2024-01-01 10:30:00"), 9.0), // after click 10 only
+      (21L, 1L, ts("2024-01-01 11:00:00"), 9.0), // AT click 11 → inclusive
+      (22L, 2L, ts("2024-01-01 11:59:59"), 9.0), // before user-2's click
+      (23L, 3L, ts("2024-01-01 12:00:00"), 9.0)) // user with no clicks
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = AsOf.joinBackward(purchases, clicks, Seq("user_id"),
+      "ts", "ts", Seq("event_id", "value"), "click_")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("click_event_id"))).toMap
+    assert(got === Map(20L -> Some(10L), 21L -> Some(11L),
+      22L -> None, 23L -> None))
+  }
+
+  test("joinBackward: null payload field does not fall back to older row") {
+    val clicks = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00"), Some(1.0)),
+      (11L, 1L, ts("2024-01-01 11:00:00"), None)) // latest has null value
+      .toDF("event_id", "user_id", "ts", "value")
+    val purchases = Seq((20L, 1L, ts("2024-01-01 12:00:00"), 9.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val row = AsOf.joinBackward(purchases, clicks, Seq("user_id"),
+      "ts", "ts", Seq("event_id", "value"), "click_").collect().head
+    assert(row.getAs[Long]("click_event_id") === 11L)
+    assert(row.isNullAt(row.fieldIndex("click_value"))) // NOT 1.0
+  }
+
+  test("joinBackward: equal-ts right rows resolve to greatest payload") {
+    val clicks = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00"), 1.0),
+      (11L, 1L, ts("2024-01-01 10:00:00"), 2.0)) // same ts, higher id
+      .toDF("event_id", "user_id", "ts", "value")
+    val purchases = Seq((20L, 1L, ts("2024-01-01 12:00:00"), 9.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val row = AsOf.joinBackward(purchases, clicks, Seq("user_id"),
+      "ts", "ts", Seq("event_id", "value"), "click_").collect().head
+    assert(row.getAs[Long]("click_event_id") === 11L)
+  }
+}
