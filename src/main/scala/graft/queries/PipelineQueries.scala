@@ -139,7 +139,11 @@ object PipelineQueries {
     "q42_media_features" -> ((s, d) =>
       graft.ext.Multimodal.featurize(
         graft.ext.Multimodal.mediaTable(Tables.documents(s, d), "doc_id", "text"))
-        .toDF()))
+        .toDF()),
+
+    // STR — streaming sessionization: session_window + watermark in
+    // append mode, sentinel-flushed, exactly-once session emission.
+    "q50_stream_sessions" -> ((s, d) => EventStream.sessionCounts(s, d)))
 
   /** Market-cap parse fragment shared with the q18 oracle. */
   private def mcapSql(col: String): String =
@@ -244,6 +248,29 @@ object PipelineQueries {
         |  make_timestamp(max(us) + 1800000000) AS win_end,
         |  count(*) AS n_events,
         |  max(us) - min(us) AS duration_us
+        |FROM s GROUP BY user_id, sess_seq""".stripMargin,
+
+    // same gaps-and-islands recompute with session_window's boundary
+    // contract: a gap of EXACTLY the 30-minute width starts a new
+    // session (>= break), where the batch sessionizer (q41) uses >
+    "q50_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |              OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, us)),
+        |s AS (
+        |  SELECT user_id, ts, us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, us
+        |                   ROWS UNBOUNDED PRECEDING) AS sess_seq
+        |  FROM m)
+        |SELECT min(ts) AS win_start,
+        |  make_timestamp(max(us) + 1800000000) AS win_end,
+        |  user_id, count(*) AS n_events
         |FROM s GROUP BY user_id, sess_seq""".stripMargin,
 
     // byte-level recompute over the (pure-ASCII) corpus: ord(char) =

@@ -45,6 +45,36 @@ object EventStream {
       staged
     })
 
+  /** Staged input plus one SENTINEL row (user_id −1) timestamped far
+    * past the last real event: on a finite source it advances the
+    * watermark beyond every real session's close, so APPEND mode emits
+    * even the trailing sessions — the batch-replay analogue of the
+    * heartbeat/punctuation event a production event bus carries for
+    * exactly this purpose. (The sentinel's own never-closing session is
+    * the only row the watermark holds back.)
+    */
+  private val sentinelDirs = scala.collection.concurrent.TrieMap[String, String]()
+  private def stageWithSentinel(s: SparkSession, dir: String): String =
+    sentinelDirs.getOrElseUpdate(dir, {
+      val staged = Sinks.tmpPath(s"stream_in_sent_${new java.io.File(dir).getName}")
+      val base = s.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
+      val maxNs = base.agg(max(col("ts"))).head().getLong(0)
+      val sentinel = s.range(1).select(
+        lit(-1L).as("event_id"),
+        lit(maxNs + 3L * 3600L * 1000000000L).as("ts"), // +3 h in ns
+        lit(-1L).as("user_id"), lit("flush").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+      // The file source processes files oldest-first and a watermark only
+      // tolerates intra-delay disorder, so the landing files must arrive
+      // in rough event-time order (the property a real landing dir has).
+      // Stage the history as ONE file — a micro-batch never splits a
+      // file, so no event can be >1 h late relative to an earlier batch
+      // — then the sentinel as a second, newer file.
+      base.repartition(1).write.mode("overwrite").parquet(staged)
+      sentinel.write.mode("append").parquet(staged)
+      staged
+    })
+
   /** Tumbling 1-hour event counts per type, computed as a STREAM:
     * readStream → watermark → keyed dedup → windowed aggregate →
     * UPDATE-mode foreachBatch that appends each batch's changed windows
@@ -94,5 +124,59 @@ object EventStream {
     Upsert.latestByKey(s.read.parquet(sinkDir),
         Seq("win_start", "event_type"), col("_batch"))
       .select("win_start", "win_end", "event_type", "n")
+  }
+
+  /** Streaming sessionization: `session_window` (gap-merged session
+    * state, the built-in replacement for hand-rolled
+    * flatMapGroupsWithState sessionizers) over the watermarked event
+    * stream, in APPEND mode — a session row is emitted exactly once,
+    * when the watermark passes its close, so the sink is a plain
+    * append table needing NO compaction (unlike the update-mode
+    * changelog of tumblingCounts: finalized sessions are immutable).
+    * The trailing-session flush comes from the staged sentinel event
+    * (see stageWithSentinel); the sentinel's own session is the one
+    * row never finalized, and its user_id −1 is filtered out anyway.
+    *
+    * Semantics note (boundary differs from the batch twin
+    * Sessions.sessionize BY CONTRACT of the built-in): session_window
+    * merges an event iff it lands STRICTLY inside the previous
+    * window's [start, last+gap) — a gap of exactly `gap` starts a new
+    * session, where the batch gaps-and-islands uses `> gap`. The
+    * oracle encodes the `>=` break accordingly.
+    */
+  def sessionCounts(s: SparkSession, dir: String,
+                    gapMinutes: Int = 30): DataFrame = {
+    val staged = stageWithSentinel(s, dir)
+    val tag = new java.io.File(dir).getName
+    val sinkDir = Sinks.tmpPath(s"stream_sessions_$tag")
+    val ckptDir = Sinks.tmpPath(s"stream_sess_ckpt_$tag")
+    Sinks.deleteRecursively(sinkDir)
+    Sinks.deleteRecursively(ckptDir)
+    val stream = s.readStream.schema(eventsSchema)
+      .parquet(staged)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      // NO pre-aggregation filter on the sentinel: a non-ts predicate
+      // here gets pushed below the EventTimeWatermark node by the
+      // optimizer, and the sentinel would never reach the watermark
+      // tracker (observed: the last watermark-delay's worth of sessions
+      // stayed unflushed). The sentinel's own session is instead held
+      // back naturally — its close is past the final watermark — so it
+      // never reaches the sink; the read-back filter below is defensive.
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("win"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col("user_id"), col("n_events"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        Sinks.appendRawZone(batch, sinkDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(sinkDir).filter(col("user_id") >= 0)
   }
 }
