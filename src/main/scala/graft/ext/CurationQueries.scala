@@ -16,6 +16,13 @@ object CurationQueries {
   private val SampleSalt = "s6"
   private val SampleRates = Seq("en" -> 0.5, "zh" -> 0.25, "de" -> 1.0)
   private val DefaultRate = 0.75
+  private val QualityMin = 0.55
+  private val PipeSalt = "q51"
+  private val PipeRates = Seq("en" -> 0.6, "und" -> 1.0)
+  private val PipeDefault = 0.8
+  private val PackSalt = "q52"
+  private val PackShards = 8
+  private val PackBudget = 2000L
 
   /** Deterministic PII-bearing corpus: the testdata documents are plain
     * word soup, so the redaction fixture appends synthetic contact lines
@@ -71,7 +78,29 @@ object CurationQueries {
         ev.filter(col("event_type") === "click")
           .select(col("event_id"), col("user_id"), col("ts"), col("value")),
         Seq("user_id"), "ts", "ts", Seq("event_id", "value"), "click_")
-    }))
+    }),
+
+    // End-to-end curation pipeline — the operators composed the way a
+    // corpus release runs them: exact dedup (canonical doc per content)
+    // → quality filter → per-language deterministic downsample.
+    "q51_curation_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keep = Dedup.exactGroups(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val prof = TextStats.profile(docs.join(keep, "doc_id"), "doc_id", "text")
+        .filter(col("quality") >= QualityMin)
+      Sampling.stratifiedBernoulli(prof, "id", "lang_guess",
+        PipeRates.toMap, PipeDefault, PipeSalt)
+        .select(col("id"), col("lang_guess"), col("quality"),
+          col("n_bpe_tokens"))
+    }),
+
+    // Token-budget shard packing: deterministic hash shard + in-shard
+    // hash order + running-sum batch assignment.
+    "q52_pack_shards" -> ((s, d) =>
+      Packing.packShards(Tables.documents(s, d), "doc_id",
+        size(TextHash.tokens(col("text"))), PackShards, PackBudget,
+        PackSalt)))
 
   // ------------------------------------------------------------------
   // DuckDB oracles.
@@ -165,9 +194,52 @@ object CurationQueries {
       |SELECT event_id, user_id, ts, value, click_ts, click_event_id, click_value
       |FROM j WHERE rk = 1""".stripMargin
 
+  /** Pipeline twin: dedup keep-set CTE, TextStats oracle (shared with
+    * q27, parameterized over the kept subset), quality + hash-sample
+    * predicates.
+    */
+  private val curationPipelineSql = {
+    val cases = PipeRates.map { case (lang, r) =>
+      s"WHEN '$lang' THEN ${math.round(r * Sampling.Denom)}"
+    }.mkString(" ")
+    s"""WITH keep AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM documents
+       |  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+       |kept AS (SELECT d.* FROM documents d JOIN keep k USING (doc_id)),
+       |stats AS (${ExtQueries.textStatsSql("kept")})
+       |SELECT id, lang_guess, quality, n_bpe_tokens
+       |FROM stats
+       |WHERE quality >= $QualityMin
+       |  AND CAST('0x' || substr(md5('$PipeSalt' || CAST(id AS VARCHAR)), 1, 15) AS BIGINT)
+       |      % ${Sampling.Denom}
+       |    < CASE lang_guess $cases ELSE ${math.round(PipeDefault * Sampling.Denom)} END""".stripMargin
+  }
+
+  /** Packing twin: same hash shard, same in-shard (hash, id) order,
+    * same running-sum/start-offset batch law.
+    */
+  private val packShardsSql =
+    s"""WITH t AS (
+       |  SELECT doc_id AS id,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |    CAST('0x' || substr(md5('$PackSalt' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM documents),
+       |w AS (
+       |  SELECT id, CAST(h % $PackShards AS INT) AS shard, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY h % $PackShards ORDER BY h, id
+       |                        ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t)
+       |SELECT id, shard,
+       |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / $PackBudget) AS BIGINT) AS batch_id,
+       |  n_tokens
+       |FROM w""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q46_dedup_clusters" -> dedupClustersSql,
     "q47_pii_redact" -> piiRedactSql,
     "q48_stratified_sample" -> stratifiedSampleSql,
-    "q49_asof_join" -> asofJoinSql)
+    "q49_asof_join" -> asofJoinSql,
+    "q51_curation_pipeline" -> curationPipelineSql,
+    "q52_pack_shards" -> packShardsSql)
 }

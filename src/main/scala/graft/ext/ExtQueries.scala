@@ -306,8 +306,11 @@ object ExtQueries {
        |           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
        |FROM v GROUP BY id""".stripMargin
 
-  /** TextStats.profile twin. */
-  private val textStatsSql = {
+  /** TextStats.profile twin, parameterized by the source relation so
+    * the curation-pipeline oracle (CurationQueries q51) can run it over
+    * a deduped subset.
+    */
+  private[ext] def textStatsSql(src: String): String = {
     val ratios = TextStats.stopwords.map { case (lang, words) =>
       val in = words.map(w => s"'$w'").mkString(", ")
       s"CAST(len(list_filter(t, x -> x IN ($in))) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS r_$lang"
@@ -319,7 +322,7 @@ object ExtQueries {
     s"""WITH base AS (
        |  SELECT doc_id AS id, text,
        |    regexp_split_to_array(trim(text), '\\s+') AS t
-       |  FROM documents),
+       |  FROM $src),
        |m AS (
        |  SELECT id, text, t,
        |    CAST(length(text) AS BIGINT) AS n_chars,
@@ -510,7 +513,7 @@ object ExtQueries {
     "q24_lsh_neardup" -> lshPairsSql,
     "q25_jaccard_pairs" -> jaccardPairsSql,
     "q26_simhash" -> simhashSql,
-    "q27_text_stats" -> textStatsSql,
+    "q27_text_stats" -> textStatsSql("documents"),
     "q28_knn_brute" -> knnBruteSql,
     "q29_knn_lsh" -> knnLshSql,
     "q30_embed_neardup" -> embedNearDupSql,

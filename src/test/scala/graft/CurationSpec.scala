@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
-import graft.ext.{AsOf, Graph, Redact, Sampling}
+import graft.ext.{AsOf, Graph, Packing, Redact, Sampling}
 
 /** Curation pack round 2: connected components, PII redaction,
   * stratified sampling, backward as-of join.
@@ -75,6 +75,39 @@ class CurationSpec extends SparkSpec {
     val s2 = Sampling.stratifiedBernoulli(df, "id", "lang",
       Map("en" -> 0.5), 0.0, "u").collect().map(_.getLong(0)).toSet
     assert(s1 !== s2)
+  }
+
+  // ---- shard packing --------------------------------------------------
+
+  test("packShards: exact replay of the shard/order/batch law") {
+    // driver-side twin of TextHash.hash60 for the replay
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val docs = (0L until 100L).map(i => (i, ("w " * (i % 20 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val tokensOf = size(graft.ext.TextHash.tokens(col("text")))
+    def run() = Packing.packShards(docs, "doc_id", tokensOf, 4, 30L, "t")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val rows = run()
+    assert(rows.length === 100)
+    assert(rows.map(_._4).sum === (0L until 100L).map(_ % 20 + 1).sum)
+    rows.foreach { case (id, shard, _, n) =>
+      assert(shard === (h60(s"t$id") % 4).toInt)
+      assert(n === id % 20 + 1)
+    }
+    // replay per shard: order by (hash, id), running sum, start-offset law
+    rows.groupBy(_._2).foreach { case (_, shardRows) =>
+      var cum = 0L
+      shardRows.sortBy { case (id, _, _, _) => (h60(s"t$id"), id) }
+        .foreach { case (_, _, batchId, n) =>
+          assert(batchId === cum / 30L)
+          cum += n
+        }
+    }
+    assert(run().sortBy(_._1).sameElements(rows.sortBy(_._1))) // deterministic
   }
 
   // ---- as-of join -----------------------------------------------------
