@@ -104,20 +104,14 @@ object TextHash {
   }
 
   /** Rolling polynomial fingerprint of a string: left fold over the
-    * characters, acc = (acc * 31 + code) mod 1e9+7. Streams through
-    * codegen; the DuckDB twin is list_reduce over per-position ord().
-    *
-    * CONTRACT: deterministic cross-engine for BMP text only. Java's
-    * split-per-character yields UTF-16 code units, so a supplementary-
-    * plane character (emoji etc.) folds its two surrogate values where
-    * DuckDB's ord() folds the single code point. Corpus-curation inputs
-    * here are BMP; extend with a codepoint-safe expression before using
-    * on supplementary-plane text.
+    * CODE POINTS, acc = (acc * 31 + cp) mod 1e9+7 — a native Catalyst
+    * expression (graft.plans.RollingHashExpr) that inlines the fold
+    * into whole-stage codegen with zero per-character allocation. The
+    * DuckDB twin is list_reduce over per-position ord(); code points
+    * match ord() for ALL of Unicode (the earlier split-per-character
+    * composition folded UTF-16 surrogate halves and was BMP-only).
     */
   val FpMod: Long = 1000000007L
   def rollingFingerprint(c: Column): Column =
-    aggregate(
-      transform(split(c, ""), ch => ascii(ch).cast("long")),
-      lit(0L),
-      (acc, x) => (acc * 31L + x) % FpMod)
+    graft.plans.RollingHashExpr.rollingHash(c, 31L, FpMod)
 }

@@ -52,30 +52,42 @@ object TextStats {
     val nTok = size(toks).cast("long")
     val avgLen = aggregate(transform(toks, t => length(t).cast("long")),
       lit(0L), (acc, x) => acc + x).cast("double") / nTok.cast("double")
-    val stopRatio = ratioIn(toks, stopwords.head._2)
-    val langScores = stopwords.map { case (lang, words) =>
-      lang -> ratioIn(toks, words)
-    }
+    // Two-projection shape ON PURPOSE: the per-language ratios and the
+    // token-fold average are higher-order-function expressions, which
+    // codegen CSE does NOT deduplicate — a single flat select re-expands
+    // every downstream reference (best/guess/quality), re-running the
+    // whitespace split and the stopword filter ~20× per row. Aliasing
+    // them in a lower projection evaluates each ONCE; CollapseProject
+    // keeps the two projections apart precisely because the aliases are
+    // non-cheap and multiply referenced.
+    val ratios = docs.select(
+      (col(idCol).as("id") +:
+        col(textCol).as("_text") +:
+        length(col(textCol)).cast("long").as("n_chars") +:
+        nTok.as("n_tokens") +:
+        size(regexp_extract_all(col(textCol), lit(BpeIshPattern), lit(0)))
+          .cast("long").as("n_bpe_tokens") +:
+        avgLen.as("avg_token_len") +:
+        stopwords.map { case (lang, words) =>
+          ratioIn(toks, words).as(s"_r_$lang")
+        }): _*)
     // argmax with first-listed-language tie-break; all-zero → "und"
-    val best = langScores.map(_._2).reduce((a, b) => greatest(a, b))
-    val guess = langScores.foldRight(lit("und"): Column) {
-      case ((lang, score), rest) => when(score === best && best > 0.0, lang)
-        .otherwise(rest)
+    val best = stopwords.map { case (lang, _) => col(s"_r_$lang") }
+      .reduce((a, b) => greatest(a, b))
+    val guess = stopwords.foldRight(lit("und"): Column) {
+      case ((lang, _), rest) =>
+        when(col(s"_r_$lang") === best && best > 0.0, lang).otherwise(rest)
     }
     val quality =
-      lit(0.4) * least(lit(1.0), nTok.cast("double") / 100.0) +
-        lit(0.3) * (lit(1.0) - stopRatio) +
-        lit(0.3) * least(lit(1.0), avgLen / 8.0)
-    docs.select(
-      col(idCol).as("id"),
-      length(col(textCol)).cast("long").as("n_chars"),
-      nTok.as("n_tokens"),
-      size(regexp_extract_all(col(textCol), lit(BpeIshPattern), lit(0)))
-        .cast("long").as("n_bpe_tokens"),
-      avgLen.as("avg_token_len"),
-      stopRatio.as("stopword_ratio"),
+      lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
+        lit(0.3) * (lit(1.0) - col("_r_en")) +
+        lit(0.3) * least(lit(1.0), col("avg_token_len") / 8.0)
+    ratios.select(
+      col("id"), col("n_chars"), col("n_tokens"), col("n_bpe_tokens"),
+      col("avg_token_len"),
+      col("_r_en").as("stopword_ratio"),
       quality.as("quality"),
       guess.as("lang_guess"),
-      rollingFingerprint(col(textCol)).as("fingerprint"))
+      rollingFingerprint(col("_text")).as("fingerprint"))
   }
 }
