@@ -57,6 +57,67 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("asof backward: result is exactly the argmax prior right row") {
+    val tsGen = Gen.choose(0L, 500L)
+    val evGen = Gen.listOfN(60, for {
+      u <- Gen.choose(1, 5); t <- tsGen; v <- Gen.choose(0, 99)
+    } yield (u.toLong, t, v.toDouble))
+    for (seed <- 1 to 5) {
+      // unique ids per side; timestamps as epoch-second Timestamps
+      val ls = sample(evGen, seed).zipWithIndex
+        .map { case ((u, t, v), i) => (i.toLong, u, new java.sql.Timestamp(t * 1000), v) }
+      val rs = sample(evGen, seed + 100).zipWithIndex
+        .map { case ((u, t, v), i) => (1000L + i, u, new java.sql.Timestamp(t * 1000), v) }
+      val got = graft.ext.AsOf.joinBackward(
+        ls.toDF("event_id", "user_id", "ts", "value"),
+        rs.toDF("event_id", "user_id", "ts", "value"),
+        Seq("user_id"), "ts", "ts", Seq("event_id", "value"), "r_")
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Long]("r_event_id")).map(_.toLong)).toMap
+      // brute-force replay: max (ts, event_id) among right rows with
+      // same user and ts <= left ts
+      ls.foreach { case (id, u, t, _) =>
+        val want = rs.filter(r => r._2 == u && !r._3.after(t))
+          .sortBy(r => (r._3.getTime, r._1)).lastOption.map(_._1)
+        assert(got(id) === want, s"seed=$seed left=$id")
+      }
+    }
+  }
+
+  test("connected components: endpoints agree; cluster_id is the component min") {
+    val edgeGen = Gen.listOfN(25, for {
+      a <- Gen.choose(0L, 19L); b <- Gen.choose(0L, 19L) if a != b
+    } yield (a, b))
+    for (seed <- 1 to 5) {
+      val edges = sample(edgeGen, seed)
+      val got = graft.ext.Graph.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // driver-side union-find replay
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val want = parent.keys.map(x => x -> x).toMap.keys
+        .groupBy(find).flatMap { case (_, m) => val c = m.min; m.map(_ -> c) }
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("stratified sampling is monotone in rate (lower rate ⊆ higher rate)") {
+    val df = (0L until 300L).map(i => (i, if (i % 3 == 0) "en" else "zh"))
+      .toDF("id", "lang")
+    def ids(rEn: Double, rZh: Double) = graft.ext.Sampling
+      .stratifiedBernoulli(df, "id", "lang", Map("en" -> rEn, "zh" -> rZh),
+        0.0, "mono")
+      .collect().map(_.getLong(0)).toSet
+    val lo = ids(0.2, 0.1)
+    val hi = ids(0.6, 0.4)
+    assert(lo.subsetOf(hi))
+    assert(lo.size < hi.size)
+  }
+
   test("market-cap parse law: parse(format(v, suffix)) == v * multiplier") {
     val cases = for {
       n <- Seq("0.5", "1", "42", "297.82", "760.88", "3371.44")
