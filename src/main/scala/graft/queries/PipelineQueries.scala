@@ -143,7 +143,11 @@ object PipelineQueries {
 
     // STR — streaming sessionization: session_window + watermark in
     // append mode, sentinel-flushed, exactly-once session emission.
-    "q50_stream_sessions" -> ((s, d) => EventStream.sessionCounts(s, d)))
+    "q50_stream_sessions" -> ((s, d) => EventStream.sessionCounts(s, d)),
+
+    // STR — stream-stream interval join (attribution window), state
+    // bounded by the two-sided watermark.
+    "q53_stream_join" -> ((s, d) => EventStream.attributionJoin(s, d)))
 
   /** Market-cap parse fragment shared with the q18 oracle. */
   private def mcapSql(col: String): String =
@@ -272,6 +276,16 @@ object PipelineQueries {
         |  make_timestamp(max(us) + 1800000000) AS win_end,
         |  user_id, count(*) AS n_events
         |FROM s GROUP BY user_id, sess_seq""".stripMargin,
+
+    // plain range join over the same interval law
+    "q53_stream_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  c.event_id AS click_event_id, c.ts AS click_ts,
+        |  c.value AS click_value
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin,
 
     // byte-level recompute over the (pure-ASCII) corpus: ord(char) =
     // byte value, so the blob features fold over character codes

@@ -179,4 +179,48 @@ object EventStream {
     q.awaitTermination()
     s.read.parquet(sinkDir).filter(col("user_id") >= 0)
   }
+
+  /** Stream-stream interval join — purchases ⋈ clicks of the same user
+    * within the preceding hour (the attribution join as a STREAM). Both
+    * sides are watermarked so the join's buffered state is evicted once
+    * the watermark passes the interval: state stays O(1 hour of
+    * events) forever, the defining property of a watermarked
+    * stream-stream join. INNER join semantics: matches emit as soon as
+    * both rows have arrived — no watermark gating of output (the
+    * watermark only bounds state and late drops), so no sentinel is
+    * needed; staging still uses the single-file layout so a multi-file
+    * batch split cannot make one side "late" relative to the other.
+    */
+  def attributionJoin(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageWithSentinel(s, dir)
+    val tag = new java.io.File(dir).getName
+    val sinkDir = Sinks.tmpPath(s"stream_attr_$tag")
+    val ckptDir = Sinks.tmpPath(s"stream_attr_ckpt_$tag")
+    Sinks.deleteRecursively(sinkDir)
+    Sinks.deleteRecursively(ckptDir)
+    val ev = s.readStream.schema(eventsSchema).parquet(staged)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", "1 hour")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_event_id"), col("value").as("click_value"))
+      .withWatermark("click_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      expr("""user_id = c_user_id AND
+              click_ts BETWEEN ts - INTERVAL 1 HOUR AND ts"""))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("click_event_id"), col("click_ts"), col("click_value"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        Sinks.appendRawZone(batch, sinkDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(sinkDir)
+  }
 }
