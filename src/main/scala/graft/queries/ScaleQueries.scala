@@ -65,6 +65,32 @@ object ScaleQueries {
       val all = s.read.parquet(path)
       Upsert.upsert(all.filter(col("gen") === 0), all.filter(col("gen") === 1),
         Seq("o_orderkey"), col("gen"))
+    }),
+
+    // Incremental fact maintenance — what the load-date-partitioned raw
+    // zone is FOR: re-normalize one day's partition at a time (the scan
+    // prunes to that partition; day 1 even includes the STALE
+    // generations) and PK-upsert each delta into the running fact
+    // table. Three days of increments — each O(day), never O(history) —
+    // converge to byte-the-same table as the q38 full recompute, so the
+    // oracle IS q38's regenerate-from-law SQL.
+    "q54_incremental_fact" -> ((s, d) => {
+      val syms = n(d)
+      val raw = s.read.parquet(RawZoneGen.stagedPath(s, syms))
+      val pk = Seq("stock", "statement_type", "metric", "date")
+      val days = Seq("2025-08-14", "2025-08-15", "2025-08-16")
+      var prevPath: String = null
+      days.zipWithIndex.foreach { case (day, i) =>
+        val delta = Financials.normalize(
+          raw.filter(col("load_date") === lit(day)))
+        val merged =
+          if (prevPath == null) delta
+          else Upsert.upsert(s.read.parquet(prevPath), delta, pk, lit(0))
+        val out = Sinks.tmpPath(s"fact_incr_${syms}_$i") // no self-overwrite
+        Sinks.writeFact(merged, out)
+        prevPath = out
+      }
+      s.read.parquet(prevPath)
     }))
 
   // ------------------------------------------------------------------
@@ -88,12 +114,12 @@ object ScaleQueries {
     (y ++ q).mkString(",\n    ")
   }
 
-  val oracles: Map[String, String] = Map(
-
-    // Regenerate all 891,000 emitted rows (550 × 3 × 9 × 60) from the
-    // leaf-value law, then apply the PK last-write-wins pane precedence
-    // (quarterly beats yearly on the 2024-12-31 collision) → 792,000.
-    "q38_fin_unpivot_sf" ->
+  // Regenerate all 891,000 emitted rows (550 × 3 × 9 × 60) from the
+  // leaf-value law, then apply the PK last-write-wins pane precedence
+  // (quarterly beats yearly on the 2024-12-31 collision) → 792,000.
+  // Shared by q38 (full recompute) and q54 (incremental maintenance):
+  // the incremental path must CONVERGE to the full table.
+  private val finUnpivotSql =
       s"""WITH syms AS (SELECT range AS i FROM range(0, $VerifyN)),
          |stmts(s, code) AS (VALUES (0, 'CF'), (1, 'IS'), (2, 'BS')),
          |dates(f, d, dt) AS (VALUES
@@ -121,7 +147,12 @@ object ScaleQueries {
          |FROM rows_
          |QUALIFY row_number() OVER (
          |  PARTITION BY stock, statement_type, metric, date
-         |  ORDER BY prec DESC) = 1""".stripMargin,
+         |  ORDER BY prec DESC) = 1""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "q38_fin_unpivot_sf" -> finUnpivotSql,
+    "q54_incremental_fact" -> finUnpivotSql,
 
     // Regenerate the expected summary row per symbol: profile fields
     // straight from the generator law, city/state/country/founded/former
