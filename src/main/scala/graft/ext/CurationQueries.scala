@@ -23,6 +23,7 @@ object CurationQueries {
   private val PackSalt = "q52"
   private val PackShards = 8
   private val PackBudget = 2000L
+  private val MinSharedShingles = 3L
 
   /** Deterministic PII-bearing corpus: the testdata documents are plain
     * word soup, so the redaction fixture appends synthetic contact lines
@@ -100,7 +101,18 @@ object CurationQueries {
     "q52_pack_shards" -> ((s, d) =>
       Packing.packShards(Tables.documents(s, d), "doc_id",
         size(TextHash.tokens(col("text"))), PackShards, PackBudget,
-        PackSalt)))
+        PackSalt)),
+
+    // Benchmark decontamination: every 20th document plays the eval
+    // set; report the other documents sharing >= 3 trigram shingles
+    // with it.
+    "q55_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contamination(
+        docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
+        ExtQueries.ShingleN, MinSharedShingles)
+    }))
 
   // ------------------------------------------------------------------
   // DuckDB oracles.
@@ -235,11 +247,28 @@ object CurationQueries {
        |  n_tokens
        |FROM w""".stripMargin
 
+  /** Decontamination twin over raw shingle strings (the engine joins on
+    * 60-bit fingerprints; identical counts barring an md5-prefix
+    * collision, same argument as the Jaccard pipeline's).
+    */
+  private val decontaminateSql =
+    s"""WITH ${ExtQueries.shingleCtes},
+       |rows_ AS (SELECT id, unnest(s) AS shingle FROM sh WHERE len(s) > 0),
+       |bsh AS (SELECT DISTINCT shingle FROM rows_ WHERE id % 20 = 0),
+       |hits AS (
+       |  SELECT r.id, count(*) AS shared_shingles
+       |  FROM rows_ r JOIN bsh b ON r.shingle = b.shingle
+       |  WHERE r.id % 20 <> 0
+       |  GROUP BY r.id)
+       |SELECT id, CAST(shared_shingles AS BIGINT) AS shared_shingles
+       |FROM hits WHERE shared_shingles >= $MinSharedShingles""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q46_dedup_clusters" -> dedupClustersSql,
     "q47_pii_redact" -> piiRedactSql,
     "q48_stratified_sample" -> stratifiedSampleSql,
     "q49_asof_join" -> asofJoinSql,
     "q51_curation_pipeline" -> curationPipelineSql,
-    "q52_pack_shards" -> packShardsSql)
+    "q52_pack_shards" -> packShardsSql,
+    "q55_decontaminate" -> decontaminateSql)
 }

@@ -149,6 +149,30 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Benchmark decontamination — the pre-training hygiene pass: flag
+    * every corpus document sharing at least `minShared` distinct
+    * n-gram shingles with a benchmark/blocklist corpus (eval-set leak
+    * detection). Bipartite variant of the inverted-index join: the
+    * benchmark's DISTINCT shingle set (small by nature — benchmarks
+    * are) joins the corpus shingle rows on the 60-bit fingerprint, so
+    * the plan is scan → (broadcastable) hash join → count per doc —
+    * the corpus is touched once, never benchmark×corpus pairs.
+    */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchIdCol: String, benchTextCol: String,
+                    n: Int, minShared: Long): DataFrame = {
+    def rows(df: DataFrame, id: String, text: String) =
+      df.select(col(id).as("id"),
+        explode(shingles(tokens(col(text)), n)).as("sh"))
+        .withColumn("sh", hash60(col("sh")))
+    val bsh = rows(bench, benchIdCol, benchTextCol).select(col("sh")).distinct()
+    rows(docs, idCol, textCol)
+      .join(bsh, "sh") // per-doc shingles already distinct → count = distinct count
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .filter(col("shared_shingles") >= minShared)
+  }
+
   /** MinHash signatures: numHashes permutation minima per doc, one
     * aggregation over the exploded shingles (h_i = min (a_i·x+b_i) mod P
     * — map-side combinable, no sort).

@@ -164,7 +164,7 @@ object ExtQueries {
   /** Tokenize → distinct 3-gram shingles, per doc (twin of
     * TextHash.tokens + TextHash.shingles).
     */
-  private val shingleCtes =
+  private[ext] val shingleCtes =
     s"""toks AS (
        |  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS t
        |  FROM documents),

@@ -77,6 +77,26 @@ class CurationSpec extends SparkSpec {
     assert(s1 !== s2)
   }
 
+  // ---- decontamination ------------------------------------------------
+
+  test("contamination: planted benchmark overlap counted exactly") {
+    import graft.ext.Dedup
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      // shares the full 4-trigram run of the benchmark sentence head
+      (1L, "alpha beta gamma delta epsilon noise words here"),
+      // shares exactly one trigram
+      (2L, "alpha beta gamma completely different tail tokens"),
+      // no overlap
+      (3L, "totally unrelated content with zero shared trigrams"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contamination(docs, "doc_id", "text",
+        bench, "doc_id", "text", 3, 2L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L)) // 3 shared trigrams ≥ 2; doc 2 (1) and 3 (0) excluded
+  }
+
   // ---- shard packing --------------------------------------------------
 
   test("packShards: exact replay of the shard/order/batch law") {
