@@ -91,6 +91,37 @@ object ScaleQueries {
         prevPath = out
       }
       s.read.parquet(prevPath)
+    }),
+
+    // Bucketed co-located join — the 100 TB co-location tool the
+    // repartition-based layout can't give: fact and summary are both
+    // written bucketBy(stock) + sortBy(stock) into the session catalog,
+    // so the fact⋈summary sort-merge join needs NO exchange on either
+    // side — the only Exchange in the plan is the 5-row sector
+    // aggregate above it (verified via Explain; the `merge` hint pins
+    // the SMJ so the demonstration doesn't flip to broadcast at small
+    // test scales — at 100 TB neither side broadcasts anyway). The
+    // per-sector value sum is exact: every generated value is a
+    // multiple of 0.25, so sum((value·4) as long)/4 is an
+    // order-independent integer sum on both engines.
+    "q56_bucketed_join" -> ((s, d) => {
+      val syms = n(d)
+      val raw = s.read.parquet(RawZoneGen.stagedPath(s, syms))
+      val factT = s"fact_b_$syms"
+      val sumT = s"summary_b_$syms"
+      Financials.normalize(raw).write.mode("overwrite")
+        .bucketBy(8, "stock").sortBy("stock")
+        .option("path", Sinks.tmpPath(factT)).saveAsTable(factT)
+      Summary.normalize(raw).drop("updated_at").write.mode("overwrite")
+        .bucketBy(8, "stock").sortBy("stock")
+        .option("path", Sinks.tmpPath(sumT)).saveAsTable(sumT)
+      s.table(factT)
+        .hint("merge")
+        .join(s.table(sumT).select(col("stock"), col("sector")), "stock")
+        .groupBy(col("sector"))
+        .agg(count(lit(1)).as("n_facts"),
+          (sum((col("value") * 4).cast("long")).cast("double") / 4.0)
+            .as("sum_value"))
     }))
 
   // ------------------------------------------------------------------
@@ -153,6 +184,17 @@ object ScaleQueries {
 
     "q38_fin_unpivot_sf" -> finUnpivotSql,
     "q54_incremental_fact" -> finUnpivotSql,
+
+    // per-sector rollup over the regenerated fact table; sector law =
+    // i % 5 into the generator's sector list, i recovered from the
+    // stock symbol
+    "q56_bucketed_join" ->
+      s"""WITH fact AS ($finUnpivotSql)
+         |SELECT (LIST_VALUE('Technology','Energy','Healthcare','Financials','Utilities'))
+         |    [CAST(CAST(substr(stock, 2) AS INT) % 5 AS INT) + 1] AS sector,
+         |  count(*) AS n_facts,
+         |  CAST(sum(CAST(value * 4 AS BIGINT)) AS DOUBLE) / 4.0 AS sum_value
+         |FROM fact GROUP BY 1""".stripMargin,
 
     // Regenerate the expected summary row per symbol: profile fields
     // straight from the generator law, city/state/country/founded/former
