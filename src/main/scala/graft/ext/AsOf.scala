@@ -32,10 +32,17 @@ object AsOf {
     *                payload columns are safe: the carried value is the
     *                whole row STRUCT, so a null field never falls back to
     *                an older row's value.
+    * @param toleranceUs optional max staleness in microseconds (pandas
+    *                `merge_asof(tolerance=…)` / kdb window-join): a
+    *                matched right row older than `leftTs − tolerance` is
+    *                reported as no-match. Applied AFTER the carry — a
+    *                filter on the result columns, so the plan shape is
+    *                unchanged.
     */
   def joinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, rightTs: String, payload: Seq[String],
-                   prefix: String = "asof_"): DataFrame = {
+                   prefix: String = "asof_",
+                   toleranceUs: Option[Long] = None): DataFrame = {
     val carried = (rightTs +: payload.filterNot(_ == rightTs)).distinct
     val l = left
       .withColumn("_ts", col(leftTs))
@@ -47,10 +54,15 @@ object AsOf {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ts"), col("_side"), col("_p"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.unionByName(r, allowMissingColumns = true)
+    val matched = l.unionByName(r, allowMissingColumns = true)
       .withColumn("_asof", last(col("_p"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(left.columns.toSeq.map(col) ++
-        carried.map(c => col(s"_asof.$c").as(s"$prefix$c")): _*)
+    val bounded = toleranceUs.fold(matched) { tol =>
+      matched.withColumn("_asof",
+        when(unix_micros(col("_ts")) -
+          unix_micros(col(s"_asof.$rightTs")) <= tol, col("_asof")))
+    }
+    bounded.select(left.columns.toSeq.map(col) ++
+      carried.map(c => col(s"_asof.$c").as(s"$prefix$c")): _*)
   }
 }

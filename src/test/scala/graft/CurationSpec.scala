@@ -167,6 +167,21 @@ class CurationSpec extends SparkSpec {
     assert(row.isNullAt(row.fieldIndex("click_value"))) // NOT 1.0
   }
 
+  test("joinBackward: tolerance turns a stale match into no-match") {
+    val clicks = Seq((10L, 1L, ts("2024-01-01 10:00:00"), 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val purchases = Seq(
+      (20L, 1L, ts("2024-01-01 10:30:00"), 9.0), // 30 min stale — within
+      (21L, 1L, ts("2024-01-01 12:00:00"), 9.0)) // 2 h stale — beyond
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = AsOf.joinBackward(purchases, clicks, Seq("user_id"),
+      "ts", "ts", Seq("event_id"), "click_",
+      toleranceUs = Some(3600L * 1000000L)) // 1 hour
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("click_event_id"))).toMap
+    assert(got === Map(20L -> Some(10L), 21L -> None))
+  }
+
   test("joinBackward: equal-ts right rows resolve to greatest payload") {
     val clicks = Seq(
       (10L, 1L, ts("2024-01-01 10:00:00"), 1.0),
