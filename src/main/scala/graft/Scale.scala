@@ -42,7 +42,7 @@ object Scale {
     }
     val raw = spark.read.parquet(rawPath)
     timed("normalize+writeFact") {
-      Sinks.writeFact(Financials.normalize(raw), factPath)
+      Financials.normalizeInto(raw, factPath) // fused: one exchange
     }
     val fact = spark.read.parquet(factPath)
     val rows = timed("count fact")(fact.count())

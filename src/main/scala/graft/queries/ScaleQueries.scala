@@ -34,7 +34,7 @@ object ScaleQueries {
       val syms = n(d)
       val factPath = Sinks.tmpPath(s"fact_$syms")
       val raw = s.read.parquet(RawZoneGen.stagedPath(s, syms))
-      Sinks.writeFact(Financials.normalize(raw), factPath)
+      Financials.normalizeInto(raw, factPath) // fused: one exchange
       s.read.parquet(factPath)
     }),
 
@@ -77,17 +77,14 @@ object ScaleQueries {
     "q54_incremental_fact" -> ((s, d) => {
       val syms = n(d)
       val raw = s.read.parquet(RawZoneGen.stagedPath(s, syms))
-      val pk = Seq("stock", "statement_type", "metric", "date")
       val days = Seq("2025-08-14", "2025-08-15", "2025-08-16")
       var prevPath: String = null
       days.zipWithIndex.foreach { case (day, i) =>
-        val delta = Financials.normalize(
-          raw.filter(col("load_date") === lit(day)))
-        val merged =
-          if (prevPath == null) delta
-          else Upsert.upsert(s.read.parquet(prevPath), delta, pk, lit(0))
+        val dayRaw = raw.filter(col("load_date") === lit(day))
         val out = Sinks.tmpPath(s"fact_incr_${syms}_$i") // no self-overwrite
-        Sinks.writeFact(merged, out)
+        if (prevPath == null) Financials.normalizeInto(dayRaw, out)
+        else Sinks.upsertFactInto(s.read.parquet(prevPath),
+          Financials.normalize(dayRaw), out)
         prevPath = out
       }
       s.read.parquet(prevPath)

@@ -82,4 +82,24 @@ object Sinks {
     df.repartition(buckets, col("stock"))
       .sortWithinPartitions("stock", "statement_type", "metric", "date")
       .write.mode("overwrite").parquet(path)
+
+  /** Fused PK-upsert → clustered-layout write, ONE full-table exchange:
+    * the union repartitions on `stock` first, and since stock ⊆ PK that
+    * partitioning satisfies the dedup aggregation's required
+    * distribution — the merge runs co-located and the layout write adds
+    * no second shuffle. This is the incremental-maintenance kernel
+    * (upsert + writeFact separately would shuffle the accumulated
+    * table twice per increment).
+    */
+  def upsertFactInto(existing: DataFrame, incoming: DataFrame, path: String,
+                     buckets: Int = 32): Unit = {
+    val pk = graft.transform.Financials.Pk
+    val tagged = existing.withColumn("_gen", lit(0))
+      .unionByName(incoming.withColumn("_gen", lit(1)))
+      .repartition(buckets, col("stock"))
+    graft.transform.Upsert.latestByKey(tagged, pk, col("_gen"))
+      .drop("_gen")
+      .sortWithinPartitions(pk.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
 }

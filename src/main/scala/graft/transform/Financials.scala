@@ -56,11 +56,20 @@ object Financials {
     when(trim(payload).startsWith("\""), retry).otherwise(direct)
   }
 
+  /** PK of the fact table (reference clustered PK, Financilas.py:28). */
+  val Pk: Seq[String] = Seq("stock", "statement_type", "metric", "date")
+
   /** Raw zone (symbol, payload, loaded_at) → financials fact rows.
     * Column set and semantics match the reference DDL
     * (Financilas.py:16–30); see Schemas.financials.
     */
-  def normalize(raw: DataFrame): DataFrame = {
+  def normalize(raw: DataFrame): DataFrame =
+    pkDedup(derivedFacts(raw))
+
+  /** Everything up to (not including) the final PK dedup — one row per
+    * emitted (pane, date, metric) leaf, carrying `pane_prec`.
+    */
+  private def derivedFacts(raw: DataFrame): DataFrame = {
     // S10: candidate-name column resolution with positional fallback and
     // hard-fail on a missing payload column (Financilas.py:113–133).
     // J2 semantics: one payload per symbol, latest loaded_at wins
@@ -126,17 +135,32 @@ object Financials {
       // never aborts the run on one bad leaf.
       .withColumn("value", nanToNull(col("value_str").try_cast("double")))
 
-    // PK dedup (stock, statement_type, metric, date): later pane wins —
-    // replicates ON-DUPLICATE-KEY last-write-wins under the reference's
-    // pane iteration order.
-    Upsert.latestByKey(
-      derived.select("stock", "yf_name", "statement_type", "metric",
-        "stockcurrency", "financialcurrency", "calendar_year", "period",
-        "value", "date", "pane_prec"),
-      Seq("stock", "statement_type", "metric", "date"), col("pane_prec"))
+    derived.select("stock", "yf_name", "statement_type", "metric",
+      "stockcurrency", "financialcurrency", "calendar_year", "period",
+      "value", "date", "pane_prec")
+  }
+
+  /** PK dedup (stock, statement_type, metric, date): later pane wins —
+    * replicates ON-DUPLICATE-KEY last-write-wins under the reference's
+    * pane iteration order.
+    */
+  private def pkDedup(derived: DataFrame): DataFrame =
+    Upsert.latestByKey(derived, Pk, col("pane_prec"))
       .select("stock", "yf_name", "statement_type", "metric", "stockcurrency",
         "financialcurrency", "calendar_year", "period", "value", "date")
-  }
+
+  /** Fused normalize → clustered-layout write, ONE full-table exchange
+    * total: repartition on `stock` BEFORE the PK dedup — since stock ⊆
+    * PK, HashPartitioning(stock) satisfies the dedup aggregation's
+    * ClusteredDistribution(PK), so the dedup runs co-located and the
+    * layout write needs no second repartition (`normalize` + `writeFact`
+    * computes the identical table with TWO full-table exchanges). Use
+    * this entry point when the destination is the clustered layout.
+    */
+  def normalizeInto(raw: DataFrame, path: String, buckets: Int = 32): Unit =
+    pkDedup(derivedFacts(raw).repartition(buckets, col("stock")))
+      .sortWithinPartitions(Pk.map(col): _*)
+      .write.mode("overwrite").parquet(path)
 
   /** Typed API boundary (SURVEY.md §1.3): the fact table as
     * Dataset[FinancialFact] — compile-time column safety for library
