@@ -106,10 +106,7 @@ object Similarity {
     */
   def lshTopK(vectors: DataFrame, idCol: String, embCol: String,
               queries: DataFrame, k: Int, bits: Int, dims: Int): DataFrame = {
-    val corpus = vectors.select(col(idCol).as("nbr_id"),
-      toDoubleArray(col(embCol)).as("nbr_emb"))
-      .withColumn("nbr_nrm", l2Norm(col("nbr_emb")))
-      .withColumn("sig", signSignature(col("nbr_emb"), bits, dims))
+    val corpus = signedCorpus(vectors, idCol, embCol, bits, dims)
     val probes = (0 until bits).foldLeft(array(col("qsig"))) { (acc, j) =>
       array_append(acc, col("qsig").bitwiseXOR(lit(1L << j)))
     }
@@ -132,15 +129,30 @@ object Similarity {
   }
 
   /** Mean-sum quantum: components are snapped to a 1e-6 grid before the
-    * distributed sum (see bucketCentroidsFlat). Shared with the DuckDB
+    * distributed sum (see bucketCentroids). Shared with the DuckDB
     * oracle SQL.
     */
   val MeanQuantum = 1000000.0
 
-  /** Flat form of the coarse quantizer — one row per (bucket, position)
-    * with scalar columns only: (sig, pos, mean, n). This is the
-    * verification surface (scalar columns hash/compare cleanly across
-    * engines); bucketCentroids assembles the array form from it.
+  /** The signed corpus — (nbr_id, nbr_emb, nbr_nrm, sig) — is the IVF
+    * INDEX every consumer below reads: the signature (bits × dims of
+    * interpreted higher-order-function arithmetic per row) is by far the
+    * most expensive projection in this file, so it must be evaluated
+    * exactly once per corpus, not once per consumer.
+    */
+  private def signedCorpus(vectors: DataFrame, idCol: String, embCol: String,
+                           bits: Int, dims: Int): DataFrame =
+    vectors.select(col(idCol).as("nbr_id"),
+      toDoubleArray(col(embCol)).as("nbr_emb"))
+      .withColumn("nbr_nrm", l2Norm(col("nbr_emb")))
+      .withColumn("sig", signSignature(col("nbr_emb"), bits, dims))
+
+  /** Centroid build over an ALREADY-SIGNED corpus — one aggregation
+    * chain: posexplode to (sig, pos, x), quantized order-independent
+    * long sums per (sig, pos) (map-side combinable: each input partition
+    * reduces to ≤ 2^bits·dims rows before the exchange), then the tiny
+    * (2^bits·dims)-row partial is assembled into centroid arrays. The
+    * second groupBy shuffles centroid-sized data only — never the corpus.
     *
     * Reproducible distributed float math: each component is quantized to
     * the 1e-6 grid — ONE double multiply then a round-half-away-from-zero,
@@ -156,36 +168,41 @@ object Similarity {
     * documented determinism contract of this operator; for a coarse
     * quantizer it is far below any semantic signal.
     */
-  def bucketCentroidsFlat(vectors: DataFrame, idCol: String, embCol: String,
-                          bits: Int, dims: Int): DataFrame = {
-    val sigs = vectors.select(toDoubleArray(col(embCol)).as("emb"))
-      .withColumn("sig", signSignature(col("emb"), bits, dims))
-    sigs
-      .select(col("sig"), posexplode(col("emb")).as(Seq("pos", "x")))
+  private def centroidsOf(signed: DataFrame): DataFrame =
+    signed
+      .select(col("sig"), posexplode(col("nbr_emb")).as(Seq("pos", "x")))
       .groupBy(col("sig"), col("pos"))
       .agg(sum(round(col("x") * lit(MeanQuantum)).cast("long")).as("sq"),
         count(lit(1)).as("n"))
-      .select(col("sig"), col("pos"),
-        (col("sq").cast("double") / lit(MeanQuantum) / col("n")).as("mean"),
-        col("n"))
-  }
+      .groupBy(col("sig"))
+      .agg(
+        first(col("n")).as("n"), // same for every position of a bucket
+        transform(sort_array(collect_list(struct(col("pos"),
+          (col("sq").cast("double") / lit(MeanQuantum) / col("n")).as("mean")))),
+          p => p.getField("mean")).as("centroid"))
 
   /** Per-bucket centroids — the coarse quantizer of an IVF index: mean
     * embedding of every sign-LSH bucket, plus the bucket population.
     * (With centroids on hand, IVF search = score query × centroids,
     * then scan only the nearest cells — same equi-join shape as lshTopK
-    * with the centroid id as the key.) Array form of
-    * bucketCentroidsFlat; one extra shuffle on the bucket id,
-    * map-side combinable.
+    * with the centroid id as the key.)
     */
   def bucketCentroids(vectors: DataFrame, idCol: String, embCol: String,
                       bits: Int, dims: Int): DataFrame =
-    bucketCentroidsFlat(vectors, idCol, embCol, bits, dims)
-      .groupBy(col("sig"))
-      .agg(
-        first(col("n")).as("n"), // same for every position of a bucket
-        transform(sort_array(collect_list(struct(col("pos"), col("mean")))),
-          p => p.getField("mean")).as("centroid"))
+    centroidsOf(signedCorpus(vectors, idCol, embCol, bits, dims))
+
+  /** Flat form of the coarse quantizer — one row per (bucket, position)
+    * with scalar columns only: (sig, pos, mean, n). This is the
+    * verification surface (scalar columns hash/compare cleanly across
+    * engines); it is DERIVED from the array form by a posexplode of the
+    * centroid — the array build is the one aggregation chain, never run
+    * twice.
+    */
+  def bucketCentroidsFlat(vectors: DataFrame, idCol: String, embCol: String,
+                          bits: Int, dims: Int): DataFrame =
+    bucketCentroids(vectors, idCol, embCol, bits, dims)
+      .select(col("sig"), posexplode(col("centroid")).as(Seq("pos", "mean")),
+        col("n"))
 
   /** IVF top-k search over the bucketCentroids index: score each query
     * against the (tiny — 2^bits rows, broadcast) centroid table, keep
@@ -201,7 +218,17 @@ object Similarity {
   def ivfTopK(vectors: DataFrame, idCol: String, embCol: String,
               queries: DataFrame, k: Int, bits: Int, dims: Int,
               nProbe: Int): DataFrame = {
-    val cents = bucketCentroids(vectors, idCol, embCol, bits, dims)
+    // The signed corpus is the IVF index: materialize it ONCE
+    // (localCheckpoint — eager, executor-resident) and let BOTH the
+    // centroid build and the member scan read the materialized rows.
+    // Without this the signature subplan appears twice in the DAG and
+    // Spark re-evaluates the bits×dims signature arithmetic per
+    // consumer. In a deployment the index is a written artifact
+    // (writeFact-style clustered parquet) built once and searched many
+    // times; localCheckpoint is the in-session analogue of that build.
+    val corpus = signedCorpus(vectors, idCol, embCol, bits, dims)
+      .localCheckpoint()
+    val cents = centroidsOf(corpus)
       .select(col("sig"), col("centroid"))
       .withColumn("c_nrm", l2Norm(col("centroid")))
     val q = queries.select(col(idCol).as("query_id"),
@@ -215,10 +242,6 @@ object Similarity {
       .withColumn("crk", row_number().over(cellW))
       .filter(col("crk") <= nProbe)
       .select(col("sig"), col("query_id"), col("q_emb"), col("q_nrm"))
-    val corpus = vectors.select(col(idCol).as("nbr_id"),
-      toDoubleArray(col(embCol)).as("nbr_emb"))
-      .withColumn("nbr_nrm", l2Norm(col("nbr_emb")))
-      .withColumn("sig", signSignature(col("nbr_emb"), bits, dims))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("nbr_id"))
     corpus.join(broadcast(probed), Seq("sig"))

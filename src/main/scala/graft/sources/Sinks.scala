@@ -83,23 +83,75 @@ object Sinks {
       .sortWithinPartitions("stock", "statement_type", "metric", "date")
       .write.mode("overwrite").parquet(path)
 
-  /** Fused PK-upsert → clustered-layout write, ONE full-table exchange:
-    * the union repartitions on `stock` first, and since stock ⊆ PK that
-    * partitioning satisfies the dedup aggregation's required
-    * distribution — the merge runs co-located and the layout write adds
-    * no second shuffle. This is the incremental-maintenance kernel
-    * (upsert + writeFact separately would shuffle the accumulated
-    * table twice per increment).
+  /** The stock-hash bucket of the MAINTAINED fact layout. `hash` is the
+    * same Murmur3(seed 42) as `repartition(n, col)`'s HashPartitioning,
+    * so `pmod(hash(stock), n)` equals the shuffle partition id — after a
+    * repartition on `stock` every task holds exactly one bucket value
+    * and the partitionBy write below emits one directory per task with
+    * NO extra exchange.
     */
-  def upsertFactInto(existing: DataFrame, incoming: DataFrame, path: String,
-                     buckets: Int = 32): Unit = {
+  def factBucket(n: Int): org.apache.spark.sql.Column =
+    pmod(hash(col("stock")), lit(n))
+
+  /** Maintained fact layout: the stock-hash bucket is a PHYSICAL
+    * partition column (`bucket=K/` directories), files inside each
+    * bucket sorted on the full PK. Same read properties as [[writeFact]]
+    * (co-located stocks, min/max row-group pruning on the PK prefix,
+    * plus partition pruning for callers that derive the bucket from the
+    * stock — Financials.latestFacts does), and one property writeFact
+    * cannot give: an incremental upsert can OVERWRITE ONLY THE BUCKETS
+    * A DELTA TOUCHES ([[upsertFactDelta]]) — O(delta), never
+    * O(history). Input must already carry the `bucket` column and be
+    * hash-partitioned on `stock` into `buckets` partitions; the sort
+    * prefix `bucket` satisfies the writer's required partition-column
+    * ordering, so no sort is inserted and the PK file order survives.
+    */
+  def writeFactPartitioned(df: DataFrame, path: String,
+                           buckets: Int = 32): Unit = {
     val pk = graft.transform.Financials.Pk
-    val tagged = existing.withColumn("_gen", lit(0))
-      .unionByName(incoming.withColumn("_gen", lit(1)))
+    df.withColumn("bucket", factBucket(buckets))
       .repartition(buckets, col("stock"))
-    graft.transform.Upsert.latestByKey(tagged, pk, col("_gen"))
-      .drop("_gen")
-      .sortWithinPartitions(pk.map(col): _*)
-      .write.mode("overwrite").parquet(path)
+      .sortWithinPartitions(("bucket" +: pk).map(col): _*)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** O(delta) incremental fact upsert — the engine-scale analogue of the
+    * reference's `INSERT … ON DUPLICATE KEY UPDATE`, which touches only
+    * incoming rows (Financilas.py:167–184). Steps:
+    *   1. bucket the (already PK-deduped) delta;
+    *   2. read ONLY the buckets the delta touches from the existing
+    *      layout (partition pruning — untouched buckets are never read);
+    *   3. merge: existing rows whose PK collides with the delta are
+    *      replaced (left-anti + union ≡ incoming-wins last-write-wins);
+    *   4. rewrite ONLY the touched buckets via dynamic partition
+    *      overwrite — untouched bucket directories keep their files
+    *      byte-identical.
+    * Per-increment cost is O(touched buckets) ≈ O(delta · bucket
+    * occupancy) in read, shuffle and write — a daily increment against
+    * a 100 TB history rewrites days, not years. The touched-bucket list
+    * is driver-side partition METADATA (≤ `buckets` ints, same class of
+    * information as partition pruning), not data.
+    */
+  def upsertFactDelta(spark: org.apache.spark.sql.SparkSession,
+                      path: String, incoming: DataFrame,
+                      buckets: Int = 32): Unit = {
+    val pk = graft.transform.Financials.Pk
+    val delta = incoming.withColumn("bucket", factBucket(buckets))
+    val touched = delta.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val existing = spark.read.parquet(path)
+      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+    val merged = existing
+      .join(delta.select(pk.map(col): _*), pk, "left_anti")
+      .unionByName(delta)
+      .repartition(buckets, col("stock"))
+      .sortWithinPartitions(("bucket" +: pk).map(col): _*)
+      // sever lineage so the overwrite below never reads the files it
+      // replaces (and Spark's self-overwrite check cannot trip); the
+      // materialized set is touched-buckets-sized, i.e. delta-scaled
+      .localCheckpoint()
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(path)
   }
 }

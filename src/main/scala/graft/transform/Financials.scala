@@ -149,18 +149,27 @@ object Financials {
       .select("stock", "yf_name", "statement_type", "metric", "stockcurrency",
         "financialcurrency", "calendar_year", "period", "value", "date")
 
-  /** Fused normalize → clustered-layout write, ONE full-table exchange
+  /** Fused normalize → maintained-layout write, ONE full-table exchange
     * total: repartition on `stock` BEFORE the PK dedup — since stock ⊆
     * PK, HashPartitioning(stock) satisfies the dedup aggregation's
     * ClusteredDistribution(PK), so the dedup runs co-located and the
-    * layout write needs no second repartition (`normalize` + `writeFact`
-    * computes the identical table with TWO full-table exchanges). Use
-    * this entry point when the destination is the clustered layout.
+    * layout write needs no second repartition (`normalize` + a separate
+    * layout write computes the identical table with TWO full-table
+    * exchanges). The destination layout is the bucket-PARTITIONED one
+    * (Sinks.writeFactPartitioned): `bucket = pmod(hash(stock), n)` is
+    * exactly the repartition's shuffle partition id, so each write task
+    * holds one bucket and partitionBy adds no exchange and no sort (the
+    * `bucket` sort prefix satisfies the writer's required ordering).
+    * Readers drop/prune the `bucket` virtual column; increments go
+    * through Sinks.upsertFactDelta and rewrite only touched buckets.
     */
   def normalizeInto(raw: DataFrame, path: String, buckets: Int = 32): Unit =
     pkDedup(derivedFacts(raw).repartition(buckets, col("stock")))
-      .sortWithinPartitions(Pk.map(col): _*)
-      .write.mode("overwrite").parquet(path)
+      // bucket is a pure function of stock: recomputing it after the
+      // dedup is a projection — partitioning survives, no exchange
+      .withColumn("bucket", graft.sources.Sinks.factBucket(buckets))
+      .sortWithinPartitions(("bucket" +: Pk).map(col): _*)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** Typed API boundary (SURVEY.md §1.3): the fact table as
     * Dataset[FinancialFact] — compile-time column safety for library
@@ -175,9 +184,24 @@ object Financials {
   /** The reference's own verify query (Financilas.py:186–195): latest 10
     * facts for one symbol, ordered date desc, statement, metric.
     * Plans as TakeOrderedAndProject — no full sort at scale.
+    *
+    * Against the maintained bucket-partitioned layout (a `bucket`
+    * column is present) the symbol's bucket is derived on the driver
+    * and added as an equality predicate, so the scan PARTITION-PRUNES
+    * to one bucket directory — the engine analogue of the reference's
+    * `idx_symbol` lookup (details.py:199) — and parquet min/max stats
+    * on the PK-sorted files prune row groups within it.
     */
-  def latestFacts(fact: DataFrame, symbol: String, k: Int = 10): DataFrame =
-    fact.filter(col("stock") === symbol)
+  def latestFacts(fact: DataFrame, symbol: String, k: Int = 10,
+                  buckets: Int = 32): DataFrame = {
+    val pruned =
+      if (fact.columns.contains("bucket"))
+        fact.filter(col("bucket") ===
+          pmod(hash(lit(symbol)), lit(buckets)))
+      else fact
+    pruned.filter(col("stock") === symbol)
       .orderBy(col("date").desc, col("statement_type"), col("metric"))
       .limit(k)
+      .drop("bucket")
+  }
 }

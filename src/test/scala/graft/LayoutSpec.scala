@@ -1,0 +1,100 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import graft.ingest.RawZoneGen
+import graft.sources.Sinks
+import graft.transform.Financials
+
+/** The maintained (bucket-partitioned) fact layout: O(delta) incremental
+  * upsert — untouched buckets' files stay byte-identical across an
+  * increment — and partition-pruned point lookup.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** name → md5 for every data file under each bucket directory. */
+  private def bucketFiles(path: String): Map[String, Map[String, String]] = {
+    def md5(f: File): String =
+      MessageDigest.getInstance("MD5").digest(Files.readAllBytes(f.toPath))
+        .map("%02x".format(_)).mkString
+    new File(path).listFiles().filter(_.getName.startsWith("bucket="))
+      .map { dir =>
+        dir.getName -> dir.listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> md5(f)).toMap
+      }.toMap
+  }
+
+  test("writeFactPartitioned: one dir per bucket, bucket = pmod(hash(stock), n)") {
+    val path = Sinks.tmpPath("test_fact_part")
+    Sinks.deleteRecursively(path)
+    val fact = Financials.normalize(RawZoneGen.payloads(spark, 6))
+    Sinks.writeFactPartitioned(fact, path, buckets = 4)
+    val back = spark.read.parquet(path)
+    // every row sits in the directory its stock hashes to
+    assert(back.filter(col("bucket") =!= pmod(hash(col("stock")), lit(4)))
+      .count() === 0L)
+    // and the layout loses nothing vs the logical table
+    assert(back.drop("bucket").exceptAll(fact).isEmpty)
+    assert(fact.exceptAll(back.drop("bucket")).isEmpty)
+  }
+
+  test("upsertFactDelta: only touched buckets rewritten; untouched files byte-identical") {
+    val buckets = 4
+    val path = Sinks.tmpPath("test_fact_delta")
+    Sinks.deleteRecursively(path)
+    val base = Financials.normalize(RawZoneGen.payloads(spark, 6)) // S00000–S00005
+    Sinks.writeFactPartitioned(base, path, buckets)
+    val before = bucketFiles(path)
+
+    // delta: replacement rows for S00003 (PK collision → incoming wins)
+    // plus a brand-new symbol S00006
+    val delta = Financials.normalize(RawZoneGen.payloads(spark, 8))
+      .filter(col("stock").isin("S00003", "S00006"))
+      .withColumn("value", col("value") + lit(100000.0))
+    Sinks.upsertFactDelta(spark, path, delta, buckets)
+    val after = bucketFiles(path)
+
+    val touched = delta.select(pmod(hash(col("stock")), lit(buckets)))
+      .distinct().as[Int].collect().map(b => s"bucket=$b").toSet
+    assert(touched.nonEmpty && touched.size <= 2)
+    // the dynamic overwrite must not have touched the other buckets' files
+    (before.keySet -- touched).foreach { b =>
+      assert(after(b) === before(b), s"untouched $b was rewritten")
+    }
+    // merged content: delta symbols carry the shifted values, the rest
+    // are the base rows, and the new symbol is present
+    val back = spark.read.parquet(path).drop("bucket")
+    assert(back.count() === 7 * 1440L)
+    assert(back.filter(col("stock").isin("S00003", "S00006") &&
+      col("value") < 100000.0).count() === 0L)
+    val untouchedRows = back.filter(!col("stock").isin("S00003", "S00006"))
+    val expect = base.filter(!col("stock").isin("S00003"))
+    assert(untouchedRows.exceptAll(expect).isEmpty)
+    assert(expect.exceptAll(untouchedRows).isEmpty)
+  }
+
+  test("latestFacts on the maintained layout: scan partition-prunes to one bucket") {
+    val path = Sinks.tmpPath("test_fact_prune")
+    Sinks.deleteRecursively(path)
+    Sinks.writeFactPartitioned(
+      Financials.normalize(RawZoneGen.payloads(spark, 6)), path, buckets = 4)
+    val q = Financials.latestFacts(spark.read.parquet(path), "S00003",
+      k = 5, buckets = 4)
+    val scan = q.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    assert(scan.metadata("PartitionFilters").contains("bucket"),
+      s"no bucket partition filter in ${scan.metadata("PartitionFilters")}")
+    assert(scan.selectedPartitions.partitionCount === 1) // one bucket dir read
+    // and the pruned lookup returns exactly the unpruned answer
+    val unpruned = Financials.latestFacts(
+      Financials.normalize(RawZoneGen.payloads(spark, 6)), "S00003", k = 5)
+    assert(q.collect().toSeq === unpruned.collect().toSeq)
+  }
+}
