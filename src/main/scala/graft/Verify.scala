@@ -19,9 +19,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // static-oracle scale guard (see ExtQueries.VerifyLshBits)
-    try graft.ext.ExtQueries.assertVerifyScale(spark, sfDir)
-    catch { case _: Throwable => () } // no embeddings table → nothing to guard
+    // static-oracle scale guard (see ExtQueries.VerifyLshBits): probe
+    // for the embeddings table (absent → nothing to guard), then fail
+    // FAST on real drift — the affected queries would otherwise surface
+    // it as an opaque hash mismatch. Skipped when the caller's `only`
+    // filter selects none of the affected queries.
+    val sigQueries = Set("q29_knn_lsh", "q30_embed_neardup",
+      "q43_bucket_centroids", "q45_knn_ivf")
+    if (new java.io.File(s"$sfDir/embeddings.parquet").exists() &&
+        (only.isEmpty || only.exists(sigQueries)))
+      graft.ext.ExtQueries.assertVerifyScale(spark, sfDir)
 
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }

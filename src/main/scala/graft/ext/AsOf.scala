@@ -44,6 +44,18 @@ object AsOf {
                    prefix: String = "asof_",
                    toleranceUs: Option[Long] = None): DataFrame = {
     val carried = (rightTs +: payload.filterNot(_ == rightTs)).distinct
+    // loud contract, not silent clobbering: the four internal working
+    // columns are reserved, and a prefixed output name may not shadow a
+    // left column
+    val internal = Seq("_ts", "_side", "_p", "_asof")
+    val reserved = (left.columns ++ right.columns).filter(internal.contains)
+    require(reserved.isEmpty,
+      s"joinBackward reserves column name(s) ${reserved.mkString(", ")}; " +
+        "rename them on the input")
+    val shadowed = carried.map(prefix + _).filter(left.columns.contains)
+    require(shadowed.isEmpty,
+      s"asof output column(s) ${shadowed.mkString(", ")} would shadow " +
+        "left columns — pass a different prefix")
     val l = left
       .withColumn("_ts", col(leftTs))
       .withColumn("_side", lit(1))

@@ -103,6 +103,17 @@ object CurationQueries {
         size(TextHash.tokens(col("text"))), PackShards, PackBudget,
         PackSalt)),
 
+    // Duplicate clusters over the FULL corpus universe: same component
+    // computation as q46 plus the documents table as the id universe, so
+    // isolated documents come out as singletons (cluster_id = id) — the
+    // exact "keep one per cluster" release semantics.
+    "q58_dedup_clusters_all" -> ((s, d) =>
+      Graph.connectedComponents(
+        Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          ExtQueries.ShingleN, ExtQueries.JaccardThreshold)
+          .select(col("id_a"), col("id_b")),
+        Tables.documents(s, d).select(col("doc_id")))),
+
     // Benchmark decontamination: every 20th document plays the eval
     // set; report the other documents sharing >= 3 trigram shingles
     // with it.
@@ -137,6 +148,14 @@ object CurationQueries {
        |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u)
        |SELECT u AS id, least(u, min(v)) AS cluster_id
        |FROM reach GROUP BY u""".stripMargin
+
+  /** q58: the q46 components left-joined onto the full documents
+    * universe — isolated docs become singletons (cluster_id = id).
+    */
+  private val dedupClustersAllSql =
+    s"""WITH comp AS ($dedupClustersSql)
+       |SELECT d.doc_id AS id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""".stripMargin
 
   /** Stage-for-stage twin of Redact.scrub over the same enriched
     * fixture; 'g' = replace all occurrences (Spark's regexp_replace
@@ -265,6 +284,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q46_dedup_clusters" -> dedupClustersSql,
+    "q58_dedup_clusters_all" -> dedupClustersAllSql,
     "q47_pii_redact" -> piiRedactSql,
     "q48_stratified_sample" -> stratifiedSampleSql,
     "q49_asof_join" -> asofJoinSql,

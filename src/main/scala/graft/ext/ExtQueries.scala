@@ -45,16 +45,19 @@ object ExtQueries {
 
   /** Loud guard for the static-oracle assumption above: if the verify
     * corpus's embedding count maps to a different signature width than
-    * the inlined one, say exactly which queries will mismatch and why.
+    * the inlined one, FAIL FAST naming exactly which queries would
+    * mismatch and why — a drifted fixture must not proceed to an opaque
+    * q29/q30/q43/q45 hash mismatch. Callers probe for the embeddings
+    * table first (Verify.main); this throws only on real drift.
     */
   def assertVerifyScale(s: SparkSession, d: String): Unit = {
     val n = embCount(s, d)
     if (Similarity.bitsFor(n) != VerifyLshBits)
-      System.err.println(
-        s"[verify] WARNING: embeddings count $n in $d → bitsFor=" +
-          s"${Similarity.bitsFor(n)} but the static oracle SQL inlines " +
-          s"$VerifyLshBits-bit hyperplanes (count $VerifyEmbCount); " +
-          "q29/q30/q43/q45 will hash-mismatch for this corpus.")
+      throw new IllegalStateException(
+        s"embeddings count $n in $d → bitsFor=${Similarity.bitsFor(n)} " +
+          s"but the static oracle SQL inlines $VerifyLshBits-bit " +
+          s"hyperplanes (count $VerifyEmbCount); q29/q30/q43/q45 would " +
+          "hash-mismatch for this corpus.")
   }
 
   /** Corpus row count, one metadata-only job per (dir) per JVM — the

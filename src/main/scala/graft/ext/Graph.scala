@@ -28,10 +28,34 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Components over the edge-incident nodes PLUS every node of
+    * `universe` — isolated nodes come out as singletons with
+    * `cluster_id = id`, which is the release semantics of
+    * keep-one-per-duplicate-group over a full corpus (a document with
+    * no near-dup pair is its own survivor). One extra left join on the
+    * node id; the universe side is never iterated.
+    *
+    * @param universe one id column (first column is used)
+    */
+  def connectedComponents(edges: DataFrame, universe: DataFrame,
+                          maxIter: Int): DataFrame = {
+    val idCol = universe.columns.head
+    universe.select(col(idCol).as("id"))
+      .join(connectedComponents(edges, maxIter), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
+  def connectedComponents(edges: DataFrame, universe: DataFrame): DataFrame =
+    connectedComponents(edges, universe, 25)
+
   /** @param edges two id columns (first two columns are used); treated
     *              as undirected. Nodes not incident to any edge are not
-    *              emitted (callers wanting singletons: union the id
-    *              universe with cluster_id = id).
+    *              emitted — pass a `universe` (overload above) to get
+    *              singletons too.
+    * @throws IllegalStateException if labels still change at `maxIter` —
+    *         silently returning non-converged (wrong) labels is never
+    *         acceptable; raise maxIter (diameter rounds needed) or swap
+    *         in the large-star/small-star variant for long-chain graphs.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val Array(ca, cb, _*) = edges.columns
@@ -59,6 +83,11 @@ object Graph {
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "labels are still changing (graph diameter exceeds maxIter). " +
+          "Raise maxIter or use a large-star/small-star formulation.")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 }

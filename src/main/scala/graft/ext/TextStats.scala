@@ -78,14 +78,18 @@ object TextStats {
       case ((lang, _), rest) =>
         when(col(s"_r_$lang") === best && best > 0.0, lang).otherwise(rest)
     }
+    // the "primary language" ratio is the HEAD of the stopwords list by
+    // contract — derive the column name from it so reordering/renaming
+    // the list can never silently change the quality score
+    val rHead = col(s"_r_${stopwords.head._1}")
     val quality =
       lit(0.4) * least(lit(1.0), col("n_tokens").cast("double") / 100.0) +
-        lit(0.3) * (lit(1.0) - col("_r_en")) +
+        lit(0.3) * (lit(1.0) - rHead) +
         lit(0.3) * least(lit(1.0), col("avg_token_len") / 8.0)
     ratios.select(
       col("id"), col("n_chars"), col("n_tokens"), col("n_bpe_tokens"),
       col("avg_token_len"),
-      col("_r_en").as("stopword_ratio"),
+      rHead.as("stopword_ratio"),
       quality.as("quality"),
       guess.as("lang_guess"),
       rollingFingerprint(col("_text")).as("fingerprint"))

@@ -131,6 +131,15 @@ object Sinks {
     * a 100 TB history rewrites days, not years. The touched-bucket list
     * is driver-side partition METADATA (≤ `buckets` ints, same class of
     * information as partition pruning), not data.
+    *
+    * Reading `path` while dynamically overwriting it is safe under the
+    * file-commit protocol: the job stages new files under the output
+    * path and deletes replaced partition directories only at job
+    * COMMIT, after every (read+write) task has finished — verified by
+    * the byte-identity test in LayoutSpec. (As with any multi-directory
+    * dynamic overwrite, the commit itself is not atomic across buckets;
+    * a production deployment would put a transactional table format
+    * over the same layout.)
     */
   def upsertFactDelta(spark: org.apache.spark.sql.SparkSession,
                       path: String, incoming: DataFrame,
@@ -140,16 +149,19 @@ object Sinks {
     val touched = delta.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted
     val existing = spark.read.parquet(path)
-      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
-    val merged = existing
-      .join(delta.select(pk.map(col): _*), pk, "left_anti")
-      .unionByName(delta)
+      .filter(col("bucket").isin(touched.toIndexedSeq: _*))
+    // ONE exchange for the whole merge+write (the q38 fusion, applied
+    // to the touched subset): the tagged union repartitions on `stock`,
+    // which satisfies the PK dedup's required distribution (stock ⊆ PK)
+    // AND is the physical bucket layout — so the last-write-wins merge
+    // runs co-located and the partitioned write adds no further shuffle
+    // or sort (the `bucket` sort prefix satisfies the writer).
+    val tagged = existing.withColumn("_gen", lit(0))
+      .unionByName(delta.withColumn("_gen", lit(1)))
       .repartition(buckets, col("stock"))
+    val merged = graft.transform.Upsert.latestByKey(tagged, pk, col("_gen"))
+      .drop("_gen")
       .sortWithinPartitions(("bucket" +: pk).map(col): _*)
-      // sever lineage so the overwrite below never reads the files it
-      // replaces (and Spark's self-overwrite check cannot trip); the
-      // materialized set is touched-buckets-sized, i.e. delta-scaled
-      .localCheckpoint()
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(path)

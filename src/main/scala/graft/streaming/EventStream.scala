@@ -36,10 +36,20 @@ object EventStream {
     * appends to). Stage the single testdata parquet into one — ONCE per
     * JVM per input dir, not once per query invocation.
     */
+  /** Staged-dir name: basename for readability plus a hash of the FULL
+    * input path — two input dirs sharing a basename (…/a/sf0.01 and
+    * …/b/sf0.01) must never stage over each other while the first
+    * caller's memo still points at the clobbered files.
+    */
+  private def stagedNameFor(prefix: String, dir: String): String = {
+    val full = new java.io.File(dir).getAbsolutePath
+    f"${prefix}_${new java.io.File(dir).getName}_${full.hashCode}%08x"
+  }
+
   private val stagedDirs = scala.collection.concurrent.TrieMap[String, String]()
   private def stageOnce(s: SparkSession, dir: String): String =
     stagedDirs.getOrElseUpdate(dir, {
-      val staged = Sinks.tmpPath(s"stream_in_${new java.io.File(dir).getName}")
+      val staged = Sinks.tmpPath(stagedNameFor("stream_in", dir))
       s.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
         .write.mode("overwrite").parquet(staged)
       staged
@@ -56,9 +66,13 @@ object EventStream {
   private val sentinelDirs = scala.collection.concurrent.TrieMap[String, String]()
   private def stageWithSentinel(s: SparkSession, dir: String): String =
     sentinelDirs.getOrElseUpdate(dir, {
-      val staged = Sinks.tmpPath(s"stream_in_sent_${new java.io.File(dir).getName}")
+      val staged = Sinks.tmpPath(stagedNameFor("stream_in_sent", dir))
       val base = s.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
-      val maxNs = base.agg(max(col("ts"))).head().getLong(0)
+      val maxRow = base.agg(max(col("ts"))).head()
+      require(!maxRow.isNullAt(0),
+        s"events table under $dir is empty — no watermark horizon to " +
+          "stage a flush sentinel against")
+      val maxNs = maxRow.getLong(0)
       val sentinel = s.range(1).select(
         lit(-1L).as("event_id"),
         lit(maxNs + 3L * 3600L * 1000000000L).as("ts"), // +3 h in ns

@@ -74,4 +74,14 @@ object Summary {
       // P10 — reference skips falsy stock (Summary.py:289–291)
       .filter(col("stock").isNotNull && col("stock") =!= "")
   }
+
+  /** Typed API boundary (SURVEY.md §1.3) — the dimension twin of
+    * Financials.facts: compile-time column safety for library
+    * consumers; the plan is identical to normalize's.
+    */
+  def profiles(raw: DataFrame): org.apache.spark.sql.Dataset[graft.model.CompanySummary] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    normalize(raw).as[graft.model.CompanySummary]
+  }
 }

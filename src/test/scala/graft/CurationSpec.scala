@@ -32,6 +32,24 @@ class CurationSpec extends SparkSpec {
     assert(got.values.toSet === Set(0L))
   }
 
+  test("connectedComponents: universe overload emits singletons (cluster_id = id)") {
+    val edges = Seq((2L, 1L), (9L, 7L)).toDF("id_a", "id_b")
+    val universe = Seq(1L, 2L, 5L, 7L, 9L, 11L).toDF("doc_id")
+    val got = Graph.connectedComponents(edges, universe)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 7L -> 7L,
+      9L -> 7L, 11L -> 11L))
+  }
+
+  test("connectedComponents: throws loudly when maxIter is hit before convergence") {
+    // diameter 5 cannot converge in 2 one-hop rounds — silent wrong
+    // labels are never acceptable
+    val edges = (0L until 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException](
+      Graph.connectedComponents(edges, maxIter = 2))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   // ---- PII redaction --------------------------------------------------
 
   test("scrub: all three kinds, counts and replacement text") {
@@ -192,5 +210,22 @@ class CurationSpec extends SparkSpec {
     val row = AsOf.joinBackward(purchases, clicks, Seq("user_id"),
       "ts", "ts", Seq("event_id", "value"), "click_").collect().head
     assert(row.getAs[Long]("click_event_id") === 11L)
+  }
+
+  test("joinBackward: reserved internal names and shadowing prefixes fail loudly") {
+    val clicks = Seq((10L, 1L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    // a left column named _side would be clobbered → refuse
+    val badLeft = Seq((20L, 1L, ts("2024-01-01 12:00:00"), 0))
+      .toDF("event_id", "user_id", "ts", "_side")
+    val e1 = intercept[IllegalArgumentException](AsOf.joinBackward(
+      badLeft, clicks, Seq("user_id"), "ts", "ts", Seq("event_id")))
+    assert(e1.getMessage.contains("_side"))
+    // a prefixed output name colliding with an existing left column
+    val left = Seq((20L, 1L, ts("2024-01-01 12:00:00"), 5L))
+      .toDF("event_id", "user_id", "ts", "click_event_id")
+    val e2 = intercept[IllegalArgumentException](AsOf.joinBackward(
+      left, clicks, Seq("user_id"), "ts", "ts", Seq("event_id"), "click_"))
+    assert(e2.getMessage.contains("click_event_id"))
   }
 }

@@ -108,6 +108,17 @@ class UnpivotSpec extends SparkSpec {
     assert(aaa.forall(_.yf_name.contains("Alpha Corp")))
   }
 
+  test("typed boundary: profiles() round-trips through Dataset[CompanySummary]") {
+    val ds = graft.transform.Summary.profiles(
+      graft.ingest.RawZoneGen.payloads(spark, 4))
+    val rows = ds.collect()
+    assert(rows.length === 4)
+    val s3 = rows.find(_.stock == "S00003").get
+    assert(s3.yf_name.contains("Synth Corp 3"))
+    assert(s3.founded_year.contains(1903))
+    assert(s3.former_name.contains("Old Synth 3"))
+  }
+
   test("latestFacts: reference verify query shape (top-10, date desc)") {
     val fact = Financials.normalize(ReferenceQueries.fixtureRaw(spark))
     val rows = Financials.latestFacts(fact, "AAA").collect()
