@@ -41,19 +41,15 @@ object Similarity {
         math.log(2.0)).toInt)
 
   /** Sign-LSH bucket signature: bit j set iff the embedding's dot
-    * product with deterministic ±1 hyperplane j is positive. The
-    * hyperplane matrix is inlined as literals (computed once on the
-    * driver — no per-row hashing of hyperplane entries).
+    * product with deterministic ±1 hyperplane j is positive. One native
+    * codegen'd pass over the embedding against the whole plane matrix
+    * (graft.plans.SignSignatureExpr) — the previous per-plane HOF folds
+    * evaluated `bits` interpreted lambdas per row; per-plane dots keep
+    * the identical left-to-right IEEE fold, so signatures (and every
+    * oracle hash derived from them) are bit-identical.
     */
-  def signSignature(emb: Column, bits: Int, dims: Int): Column = {
-    val planes = hyperplanes(bits, dims)
-    (0 until bits).map { j =>
-      val w = array(planes(j).map(lit): _*)
-      val dot = aggregate(zip_with(emb, w, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot > 0.0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def signSignature(emb: Column, bits: Int, dims: Int): Column =
+    graft.plans.VectorExprs.signSignature(emb, hyperplanes(bits, dims))
 
   /** Cosine from PRE-COMPUTED norms: every operator here scores
     * candidate PAIRS, so evaluating the two L2 norms per pair would be

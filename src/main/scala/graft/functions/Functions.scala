@@ -152,15 +152,18 @@ object Functions {
     */
   def sumMoney(c: Column): Column = sum(money(c)).cast("double")
 
-  /** Dot product of two double arrays — sequential fold, codegen'd
-    * (functions.aggregate + zip_with; no UDF).
+  /** Dot product of two double arrays — native codegen'd expression
+    * (graft.plans.DotProductExpr), same left-to-right IEEE fold as the
+    * previous aggregate+zip_with composition (higher-order functions
+    * are CodegenFallback: an interpreted lambda per element plus an
+    * intermediate array per row — too slow on the pair-scoring path).
     */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.plans.VectorExprs.vecDot(a, b)
 
-  /** L2 norm of a double array. */
+  /** L2 norm of a double array (native, same fold contract as above). */
   def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+    graft.plans.VectorExprs.vecL2Norm(a)
 
   /** Cosine similarity of two double arrays (null-safe on zero norms). */
   def cosineSim(a: Column, b: Column): Column = {

@@ -145,7 +145,12 @@ object Sinks {
                       path: String, incoming: DataFrame,
                       buckets: Int = 32): Unit = {
     val pk = graft.transform.Financials.Pk
+    // materialize the delta ONCE (day-sized by contract): both the
+    // touched-bucket probe and the merge read it — without this the
+    // delta's upstream pipeline (e.g. a day's parse+unpivot) would run
+    // twice, once for each consumer
     val delta = incoming.withColumn("bucket", factBucket(buckets))
+      .localCheckpoint()
     val touched = delta.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted
     val existing = spark.read.parquet(path)
