@@ -132,7 +132,11 @@ object ScaleQueries {
       days.zipWithIndex.foreach { case (day, i) =>
         val dayRaw = raw.filter(col("load_date") === lit(day))
         if (i == 0) Financials.normalizeInto(dayRaw, path)
-        else Sinks.upsertFactDelta(s, path, Financials.normalize(dayRaw))
+        // the day's key universe is a column-pruned scan of the pruned
+        // raw partition (symbol only, no payload parse) — so the
+        // touched-bucket probe never runs the normalize pipeline
+        else Sinks.upsertFactDelta(s, path, Financials.normalize(dayRaw),
+          deltaStocks = Some(dayRaw.select(col("symbol"))))
       }
       s.read.parquet(path).drop("bucket")
     }),

@@ -141,17 +141,35 @@ object Sinks {
     * a production deployment would put a transactional table format
     * over the same layout.)
     */
+  /** @param deltaStocks optional ONE-column DataFrame of the stocks the
+    *                     delta covers (a superset is fine — extra
+    *                     buckets are read and rewritten unchanged). A
+    *                     caller usually knows this cheaply — e.g. the
+    *                     distinct symbols of the raw-zone partition it
+    *                     just normalized, a column-pruned scan with no
+    *                     payload parse. Without it the probe must run
+    *                     the delta pipeline itself, so the delta is
+    *                     materialized (localCheckpoint) to keep that
+    *                     single-pass.
+    */
   def upsertFactDelta(spark: org.apache.spark.sql.SparkSession,
                       path: String, incoming: DataFrame,
-                      buckets: Int = 32): Unit = {
+                      buckets: Int = 32,
+                      deltaStocks: Option[DataFrame] = None): Unit = {
     val pk = graft.transform.Financials.Pk
-    // materialize the delta ONCE (day-sized by contract): both the
-    // touched-bucket probe and the merge read it — without this the
-    // delta's upstream pipeline (e.g. a day's parse+unpivot) would run
-    // twice, once for each consumer
-    val delta = incoming.withColumn("bucket", factBucket(buckets))
-      .localCheckpoint()
-    val touched = delta.select("bucket").distinct()
+    val (delta, probe) = deltaStocks match {
+      case Some(ks) =>
+        (incoming.withColumn("bucket", factBucket(buckets)),
+          ks.select(pmod(hash(col(ks.columns.head)), lit(buckets)).as("bucket")))
+      case None =>
+        // no key universe given: materialize the delta ONCE so the
+        // touched-bucket probe and the merge share a single run of the
+        // delta's upstream pipeline (e.g. a day's parse+unpivot)
+        val d = incoming.withColumn("bucket", factBucket(buckets))
+          .localCheckpoint()
+        (d, d.select("bucket"))
+    }
+    val touched = probe.distinct()
       .collect().map(_.getInt(0)).sorted
     val existing = spark.read.parquet(path)
       .filter(col("bucket").isin(touched.toIndexedSeq: _*))

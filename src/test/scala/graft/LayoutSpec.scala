@@ -77,6 +77,24 @@ class LayoutSpec extends SparkSpec {
     val expect = base.filter(!col("stock").isin("S00003"))
     assert(untouchedRows.exceptAll(expect).isEmpty)
     assert(expect.exceptAll(untouchedRows).isEmpty)
+
+    // second increment via the caller-supplied key-universe probe: same
+    // touched-bucket discipline, no delta materialization
+    val before2 = bucketFiles(path)
+    val delta2 = Financials.normalize(RawZoneGen.payloads(spark, 6))
+      .filter(col("stock") === "S00001")
+      .withColumn("value", col("value") + lit(500000.0))
+    Sinks.upsertFactDelta(spark, path, delta2, buckets,
+      deltaStocks = Some(Seq("S00001").toDF("stock")))
+    val after2 = bucketFiles(path)
+    val b1 = spark.range(1)
+      .select(pmod(hash(lit("S00001")), lit(buckets))).as[Int].head()
+    (before2.keySet - s"bucket=$b1").foreach { b =>
+      assert(after2(b) === before2(b), s"untouched $b was rewritten")
+    }
+    val s1 = spark.read.parquet(path).filter(col("stock") === "S00001")
+    assert(s1.count() === 1440L)
+    assert(s1.filter(col("value") < 500000.0).count() === 0L)
   }
 
   test("latestFacts on the maintained layout: scan partition-prunes to one bucket") {
