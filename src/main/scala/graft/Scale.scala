@@ -37,22 +37,54 @@ object Scale {
 
     val rawPath = Sinks.tmpPath(s"scale_raw_$n")
     val factPath = Sinks.tmpPath(s"scale_fact_$n")
+    // bucket count scales with the table: a delta's upsert cost is
+    // delta_keys × history/buckets, so buckets must grow with history
+    // for O(delta) to hold (≈ one bucket per file-sized chunk; 512 at
+    // 79M rows ≈ 150k rows/bucket)
+    val buckets = 512
     timed(s"writeRawZone n=$n") {
       Sinks.writeRawZone(RawZoneGen.payloads(spark, n), rawPath)
     }
     val raw = spark.read.parquet(rawPath)
     timed("normalize+writeFact") {
-      Financials.normalizeInto(raw, factPath) // fused: one exchange
+      Financials.normalizeInto(raw, factPath, buckets) // fused: one exchange
     }
     val fact = spark.read.parquet(factPath)
     val rows = timed("count fact")(fact.count())
     val expect = n.toLong * 1440L
     println(s"[scale] fact rows $rows expect $expect " +
       (if (rows == expect) "OK" else "MISMATCH"))
-    // the reference's own verify query on the produced table
+    // the reference's own verify query on the produced table — against
+    // the bucket-partitioned layout this partition-prunes to one dir
     timed("latestFacts point query") {
-      Financials.latestFacts(fact, f"S${n / 2}%05d").collect(): Unit
+      Financials.latestFacts(fact, f"S${n / 2}%05d", buckets = buckets)
+        .collect(): Unit
     }
+    // O(delta) incremental maintenance at scale: a 100-symbol daily
+    // delta against the n-symbol history must cost a small constant,
+    // not a fraction of the full build above. The delta lands as
+    // parquet first (like any real raw-zone day — and the live
+    // generator's 1,620-leaf expression tree inlined into the merge
+    // plan is exactly the codegen-blowup shape a library should not
+    // exercise).
+    val deltaSyms = 100
+    val deltaRaw = Sinks.tmpPath(s"scale_delta_$n")
+    // stale generation included — normalize's latest-per-symbol dedup
+    // drops it, same as the main build
+    Sinks.writeRawZone(RawZoneGen.payloads(spark, deltaSyms), deltaRaw)
+    val delta = Financials.normalize(spark.read.parquet(deltaRaw))
+      .withColumn("value", col("value") + lit(1.0))
+    // the key universe is known a priori (a real daily job knows its
+    // fetch list) — the probe costs nothing
+    val deltaKeys = spark.range(deltaSyms)
+      .select(concat(lit("S"), lpad(col("id").cast("string"), 5, "0")).as("stock"))
+    timed(s"upsert $deltaSyms-symbol delta") {
+      Sinks.upsertFactDelta(spark, factPath, delta, buckets,
+        deltaStocks = Some(deltaKeys))
+    }
+    val after = timed("count after upsert")(spark.read.parquet(factPath).count())
+    println(s"[scale] rows after delta $after expect $expect " +
+      (if (after == expect) "OK" else "MISMATCH"))
     spark.stop()
   }
 }

@@ -126,11 +126,14 @@ object Sinks {
     *   4. rewrite ONLY the touched buckets via dynamic partition
     *      overwrite — untouched bucket directories keep their files
     *      byte-identical.
-    * Per-increment cost is O(touched buckets) ≈ O(delta · bucket
-    * occupancy) in read, shuffle and write — a daily increment against
-    * a 100 TB history rewrites days, not years. The touched-bucket list
-    * is driver-side partition METADATA (≤ `buckets` ints, same class of
-    * information as partition pruning), not data.
+    * Per-increment cost is O(touched buckets) ≈ delta keys × (history /
+    * `buckets`) in read, shuffle and write. SIZE `buckets` WITH THE
+    * TABLE — roughly one bucket per file-sized chunk of history (the
+    * Scale harness uses 512 at 79M rows; a 100 TB table wants tens of
+    * thousands): with too few buckets any moderate delta touches every
+    * bucket and the rewrite degenerates to O(history). The
+    * touched-bucket list is driver-side partition METADATA (≤ `buckets`
+    * ints, same class of information as partition pruning), not data.
     *
     * Reading `path` while dynamically overwriting it is safe under the
     * file-commit protocol: the job stages new files under the output
