@@ -77,31 +77,15 @@ object TextHash {
     * list_distinct(list_transform(range(1, len(t)-n+2),
     *   i -> t[i] || ' ' || … )).
     *
-    * Built by zip_with-chaining the token array with its own shifted
-    * slices. Each zip_with evaluates its array children ONCE per row
-    * and binds ELEMENTS in the lambda — unlike the index-lambda shape
-    * (`transform(sequence(1, L−n+1), i => element_at(toks, i+o))`),
-    * which re-evaluates the token-array expression — a full regex split
-    * of the document — on EVERY lambda invocation, because
-    * higher-order-function lambdas run interpreted with no
-    * subexpression elimination. That shape cost O(n·shingles) regex
-    * splits per document and dominated the entire dedup pack's runtime
-    * (~20 s of a 22 s MinHash pass at sf0.1).
+    * Native expression (graft.plans.ShinglesExpr): one pass with
+    * first-occurrence dedup. The previous zip_with-chain composition —
+    * itself a round-5 fix for the O(n·shingles)-regex-splits
+    * index-lambda shape — still ran n−1 interpreted lambda passes and
+    * materialized n−1 intermediate arrays per document; parity-tested
+    * bit-for-bit against it in ShinglesExprSpec.
     */
-  def shingles(toks: Column, n: Int): Column = {
-    // concat propagates the null padding zip_with adds past the shorter
-    // slice, so the (n−1) incomplete tail grams are null and dropped by
-    // the slice below
-    val grams = (1 until n).foldLeft(toks) { (acc, o) =>
-      zip_with(acc, slice(toks, lit(o + 1), size(toks)),
-        (a, b) => concat(a, lit(" "), b))
-    }
-    // guard: slice length L−n+1 goes non-positive for short docs —
-    // they get an empty shingle set
-    array_distinct(
-      when(size(toks) >= n, slice(grams, lit(1), size(toks) - (n - 1)))
-        .otherwise(array().cast("array<string>")))
-  }
+  def shingles(toks: Column, n: Int): Column =
+    graft.plans.ShinglesExpr.shingles(toks, n)
 
   /** Rolling polynomial fingerprint of a string: left fold over the
     * CODE POINTS, acc = (acc * 31 + cp) mod 1e9+7 — a native Catalyst
