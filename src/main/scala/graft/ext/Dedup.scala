@@ -132,12 +132,18 @@ object Dedup {
                               n: Int): DataFrame =
     docs
       .select(col(idCol).as("id"),
-        transform(shingles(tokens(col(textCol)), n), s => hash60(s)).as("sh"))
+        graft.plans.Hash60ArrayExpr.hash60Array(
+          shingles(tokens(col(textCol)), n)).as("sh"))
       .filter(size(col("sh")) > 0)
 
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
-    val shSets = fingerprintSets(docs, idCol, textCol, n)
+    // The fingerprint sets are this operator's INDEX, consumed three
+    // times (prefix candidates + both verify joins): materialize once
+    // (localCheckpoint — O(docs · shingles) longs, the operator's
+    // working set by definition) instead of re-tokenizing and
+    // re-hashing the corpus per consumer.
+    val shSets = fingerprintSets(docs, idCol, textCol, n).localCheckpoint()
     prefixCandidates(shSets, threshold)
       .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -201,7 +207,18 @@ object Dedup {
                       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
+    // ONE materialized fingerprint-set index feeds both the signature
+    // build (exploded rows) and the exact-Jaccard verify joins — the
+    // corpus is tokenized+hashed once, and the verify intersections run
+    // on 8-byte longs (identical sizes to the string sets barring an
+    // md5-prefix collision, see fingerprintSets).
+    val shSets = fingerprintSets(docs, idCol, textCol, n).localCheckpoint()
+    val sh = shSets.select(col("id"), explode(col("sh")).as("h60"))
+      .withColumn("x", col("h60") % P)
+    val mins = minhashPerms(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("x") + lit(b)) % P).as(s"h$i")
+    }
+    val sig = sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
     val bandRows = sig.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -215,10 +232,6 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // verify candidates with exact Jaccard over the shingle sets
-    val shSets = docs
-      .select(col(idCol).as("id"), shingles(tokens(col(textCol)), n).as("sh"))
-      .filter(size(col("sh")) > 0)
     cand
       .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

@@ -34,6 +34,23 @@ class ShinglesExprSpec extends SparkSpec {
     }
   }
 
+  test("hash60Array: identical to the transform+conv(md5) lambda form") {
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.01")
+    val sh = TextHash.shingles(TextHash.tokens(col("text")), 3)
+    val cmp = docs.select(
+      graft.plans.Hash60ArrayExpr.hash60Array(sh).as("nat"),
+      transform(sh, s => TextHash.hash60(s)).as("hof"))
+      .filter(not(col("nat") === col("hof")))
+    assert(cmp.isEmpty)
+    // null element mirror
+    val withNull = Seq(Seq(Some("a b c"), None)).toDF("arr")
+      .select(graft.plans.Hash60ArrayExpr.hash60Array(col("arr")).as("nat"),
+        transform(col("arr"), s => TextHash.hash60(s)).as("hof"))
+      .collect().head
+    assert(withNull.getSeq[Any](0) === withNull.getSeq[Any](1))
+    assert(withNull.getSeq[Any](0)(1) === null)
+  }
+
   test("edges: short docs, repeats keep first occurrence, null tokens") {
     val df = Seq(
       (1L, "a b c d"),       // 2 trigrams in positional order
