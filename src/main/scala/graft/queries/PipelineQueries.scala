@@ -123,6 +123,28 @@ object PipelineQueries {
             "2024-06-30 00:00:00"), "FreeCashFlow").cast("double").as("fcf"))
     }),
 
+    // S9 — schema conform/repair at the write boundary: a drifted
+    // generation of orders (everything re-typed to string + a stray
+    // column, the shape a loose upstream loader lands) conformed to the
+    // declared schema — missing column as typed nulls, unparsable
+    // values degrading to null, extras dropped. The 'X'-prefixed key
+    // exercises the degrade path.
+    "q59_schema_conform" -> ((s, d) => {
+      val target = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderstatus", StringType),
+        StructField("priority_rank", IntegerType)))
+      val drifted = Tables.orders(s, d).select(
+        when(col("o_orderkey") % 100 === 0,
+          concat(lit("X"), col("o_orderkey").cast("string")))
+          .otherwise(col("o_orderkey").cast("string")).as("o_orderkey"),
+        col("o_totalprice").cast("string").as("o_totalprice"),
+        col("o_orderstatus"),
+        col("o_custkey").as("junk"))
+      graft.sources.SchemaRepair.conform(drifted, target)
+    }),
+
     // STR — the streaming analogue (AvailableNow + watermark + keyed
     // dedup + tumbling window), run to completion inside the query.
     "q37_stream_window" -> ((s, d) => EventStream.tumblingCounts(s, d)),
@@ -229,6 +251,16 @@ object PipelineQueries {
         |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    // conform is deterministic repair: the long→string→long and
+    // double→string→double hops are exact round trips on both engines,
+    // the 'X'-prefixed keys (every 100th) degrade to null, the stray
+    // column disappears, and the missing one is typed null.
+    "q59_schema_conform" ->
+      """SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+        |            ELSE o_orderkey END AS o_orderkey,
+        |  o_totalprice, o_orderstatus, CAST(NULL AS INT) AS priority_rank
+        |FROM orders""".stripMargin,
 
     // independent gaps-and-islands recompute; integer-microsecond gap
     // arithmetic matches Sessions.sessionize exactly
