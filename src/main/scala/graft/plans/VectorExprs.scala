@@ -33,6 +33,11 @@ case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  // NULL is produced even from non-null inputs (null element, length
+  // mismatch) — without this override nullSafeCodeGen renders ev.isNull
+  // as the `false` literal under non-nullable children and the generated
+  // `false = true;` fails to compile (interpreter fallback).
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -81,6 +86,8 @@ case class DotProductExpr(left: Expression, right: Expression)
 case class L2NormExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
+  // null elements yield NULL from non-null arrays — see DotProductExpr
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_l2norm"
 
   override protected def nullSafeEval(input: Any): Any = {

@@ -87,6 +87,40 @@ class VectorExprsSpec extends SparkSpec {
     assert(g.getLong(0) === 0L && g.getLong(1) === 0L)
   }
 
+  test("codegen compiles with NON-nullable array inputs") {
+    // vecDot/vecL2Norm produce NULL even from non-null inputs (null
+    // element, length mismatch), so they must declare nullable=true
+    // regardless of child nullability. With child-derived nullability,
+    // nullSafeCodeGen renders ev.isNull as the literal `false` and the
+    // generated `false = true;` fails to compile — Spark then silently
+    // falls back to interpreted eval, defeating the expression's
+    // purpose. CODEGEN_ONLY makes that fallback a hard error.
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      // array(lit…) columns are non-nullable with non-null elements
+      val df = spark.range(3).select(
+        array((1 to 8).map(i => col("id") * i cast "double"): _*).as("a"),
+        array((1 to 8).map(i => col("id") + i cast "double"): _*).as("b"))
+      assert(!df.schema("a").nullable)
+      val rows = df.select(
+        VectorExprs.vecDot(col("a"), col("b")).as("nd"),
+        VectorExprs.vecL2Norm(col("a")).as("nn"),
+        VectorExprs.signSignature(col("a"), TextHash.hyperplanes(4, 8)).as("ns"),
+        hofDot(col("a"), col("b")).as("hd"),
+        hofNorm(col("a")).as("hn")).collect()
+      rows.foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+          java.lang.Double.doubleToLongBits(r.getDouble(3)))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+          java.lang.Double.doubleToLongBits(r.getDouble(4)))
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("interpreted path (eval) matches codegen: constant-folded literals") {
     // literal inputs are evaluated by ConstantFolding via eval(), not
     // generated code — both paths must agree
