@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected edge list — the clustering
@@ -10,21 +10,29 @@ import org.apache.spark.sql.functions._
   * A~C was never emitted). Every member gets its component's minimum id
   * as `cluster_id` — the canonical survivor choice.
   *
-  * Algorithm: distributed min-label propagation (the Pregel/GraphX CC
-  * kernel). Each round is one equi-join (edge ⋈ label) + one min
-  * aggregate — both map-side combinable, shuffles only on node id,
-  * never all-pairs. Rounds needed = the graph diameter; near-duplicate
-  * components are quasi-cliques from band-bucket collisions, so
-  * diameter stays in the low single digits no matter the corpus size
-  * (the pathological long-chain graph is not what similarity banding
-  * produces; if feeding arbitrary graphs, swap in the large-star/
-  * small-star variant — same join shapes, O(log²) rounds).
+  * Two kernels, composed:
   *
-  * Driver loop discipline: the per-round convergence probe is
-  * `isEmpty` on the changed-label set (a limit-1 boolean action), and
-  * each round's labels are localCheckpoint'ed — lineage stays O(1) per
-  * round instead of stacking the whole iteration history into one plan.
-  * No data ever collects to the driver.
+  * 1. Min-label propagation (the Pregel/GraphX CC kernel) — the FAST
+  *    PATH. Each round is one equi-join (edge ⋈ label) + one min
+  *    aggregate, both map-side combinable, shuffling only on node id.
+  *    Rounds needed = graph diameter; near-duplicate components are
+  *    quasi-cliques from band-bucket collisions, so diameter stays in
+  *    the low single digits no matter the corpus size. The per-round
+  *    convergence check is an `observe` metric (a CollectMetrics node
+  *    computed INSIDE the job that materializes the round's labels) —
+  *    one action per round, no separate probe join. Labels are
+  *    localCheckpoint'ed per round so lineage stays O(1).
+  *
+  * 2. Large-star/small-star (Kiveris et al., "Connected Components in
+  *    MapReduce and Beyond", SoCC '14) — the GENERAL-TOPOLOGY PATH,
+  *    O(log² n) rounds on ANY graph including the adversarial long
+  *    chain. Costlier per round (each star op is a groupBy + a join +
+  *    a distinct), so it is not the default; propagation FALLS BACK to
+  *    it automatically if the diameter exceeds `maxIter` — non-
+  *    convergence is never surfaced as wrong labels OR as an error,
+  *    it just switches algorithm.
+  *
+  * No data ever collects to the driver in either kernel.
   */
 object Graph {
 
@@ -52,42 +60,117 @@ object Graph {
     *              as undirected. Nodes not incident to any edge are not
     *              emitted — pass a `universe` (overload above) to get
     *              singletons too.
-    * @throws IllegalStateException if labels still change at `maxIter` —
-    *         silently returning non-converged (wrong) labels is never
-    *         acceptable; raise maxIter (diameter rounds needed) or swap
-    *         in the large-star/small-star variant for long-chain graphs.
+    * @param maxIter propagation rounds before switching to the
+    *                large-star/small-star kernel (a diameter bound for
+    *                the fast path, NOT a correctness bound — labels are
+    *                exact either way)
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val Array(ca, cb, _*) = edges.columns
     val sym = edges.select(col(ca).as("u"), col(cb).as("v"))
       .union(edges.select(col(cb).as("u"), col(ca).as("v")))
       .localCheckpoint()
-    var labels = sym.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id"))
+
+    // Round 1 needs no join: label(u) = min(u ∪ N(u)) directly.
+    var labels = sym.select(col("u").as("id"), col("v").as("label"))
+      .union(sym.select(col("u").as("id"), col("u").as("label")))
+      .groupBy("id").agg(min("label").as("label"))
       .localCheckpoint()
+
+    var converged = false
+    var iter = 1
+    while (!converged && iter < maxIter) {
+      // node v hears the label of every neighbor u; keeps the min of
+      // (own, heard). The previous label rides along inside the same
+      // aggregate (each id has exactly one own=true row), so the
+      // changed-row count is observable in the materializing job
+      // itself — no second action, no probe join.
+      val heard = sym.join(labels.withColumnRenamed("id", "u"), "u")
+        .select(col("v").as("id"), col("label"), lit(false).as("own"))
+      val obs = Observation()
+      val next = labels.withColumn("own", lit(true)).union(heard)
+        .groupBy("id").agg(
+          min("label").as("label"),
+          min(when(col("own"), col("label"))).as("_prev"))
+        .observe(obs, coalesce(
+          sum(when(col("label") =!= col("_prev"), 1L)), lit(0L)).as("changed"))
+        .drop("_prev")
+        .localCheckpoint() // eager: materializes and fires the metric
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
+      labels = next
+      iter += 1
+    }
+    if (converged) labels.select(col("id"), col("label").as("cluster_id"))
+    else connectedComponentsStar(edges) // diameter > maxIter: switch kernel
+  }
+
+  /** Alternating large-star/small-star CC — O(log² n) rounds on any
+    * topology. Edge set is kept in canonical (u > v) orientation;
+    * each op recomputes, per node, the minimum of its neighborhood and
+    * rewires neighbors to it:
+    *
+    *   large-star: ∀v ∈ N(u), v > u:  emit (v, min(N(u) ∪ u))
+    *   small-star: ∀v ∈ N⁻(u) ∪ u:    emit (v, min(N⁻(u) ∪ u))
+    *
+    * At the fixed point every edge is (member, component-min) — a star
+    * — and labels read straight off the edge set. Convergence test is
+    * a symmetric set difference (`except` both ways) on the canonical
+    * edge set, which only runs once per full round on the shrinking
+    * frontier.
+    */
+  def connectedComponentsStar(edges0: DataFrame, maxIter: Int = 64): DataFrame = {
+    val Array(ca, cb, _*) = edges0.columns
+    // Node universe of the INPUT (incl. self-loop-only nodes): the
+    // output contract emits every edge-incident node.
+    val nodes = edges0.select(col(ca).as("id"))
+      .union(edges0.select(col(cb).as("id"))).distinct().localCheckpoint()
+
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+                least(col("u"), col("v")).as("v"))
+        .distinct()
+
+    var cur = canon(edges0.select(col(ca).as("u"), col(cb).as("v")))
+      .localCheckpoint()
+
+    // large-star over the full (bidirected) neighborhood
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      canon(nbrs.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+
+    // small-star over the smaller-id neighborhood (canonical u > v ⇒
+    // grouping by u sees exactly N⁻(u); m < u always)
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      val rewired = e.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+      val selfEdge = mins.select(col("u"), col("m").as("v"))
+      canon(rewired.union(selfEdge))
+    }
+
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // node v hears the label of every neighbor u; keeps the min of
-      // (own, heard) — one shuffle on the node id, partials combined
-      // map-side
-      val heard = sym.join(labels.withColumnRenamed("id", "u"), "u")
-        .select(col("v").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label")).union(heard)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      converged = next.except(cur).union(cur.except(next)).isEmpty
+      cur = next
       iter += 1
     }
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — " +
-          "labels are still changing (graph diameter exceeds maxIter). " +
-          "Raise maxIter or use a large-star/small-star formulation.")
-    labels.select(col("id"), col("label").as("cluster_id"))
+        s"connectedComponentsStar did not converge in $maxIter rounds — " +
+          "this exceeds the O(log² n) bound and indicates a bug, not a " +
+          "large graph.")
+    // Fixed point is a star forest: children point at their root; roots
+    // and isolated nodes label themselves.
+    nodes.join(cur.select(col("u").as("id"), col("v").as("cluster_id")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 }

@@ -41,13 +41,26 @@ class CurationSpec extends SparkSpec {
       9L -> 7L, 11L -> 11L))
   }
 
-  test("connectedComponents: throws loudly when maxIter is hit before convergence") {
-    // diameter 5 cannot converge in 2 one-hop rounds — silent wrong
-    // labels are never acceptable
+  test("connectedComponents: star-kernel fallback when diameter exceeds maxIter") {
+    // diameter 5 cannot converge in 2 one-hop rounds — propagation must
+    // hand off to large-star/small-star and still return EXACT labels
     val edges = (0L until 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val e = intercept[IllegalStateException](
-      Graph.connectedComponents(edges, maxIter = 2))
-    assert(e.getMessage.contains("did not converge"))
+    val got = Graph.connectedComponents(edges, maxIter = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L to 5L).map(_ -> 0L).toMap)
+  }
+
+  test("connectedComponentsStar: long chain + separate component + self-loop node") {
+    // a 60-node path (diameter 59) — far beyond any propagation default;
+    // star converges in O(log²) rounds. 100~101 is a separate pair;
+    // 200 has only a self-loop and must still be emitted as a singleton.
+    val edges = ((0L until 60L).map(i => (i, i + 1)) ++
+      Seq((101L, 100L), (200L, 200L))).toDF("id_a", "id_b")
+    val got = Graph.connectedComponentsStar(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 64)
+    assert((0L to 60L).forall(got(_) == 0L))
+    assert(got(100L) === 100L && got(101L) === 100L && got(200L) === 200L)
   }
 
   // ---- PII redaction --------------------------------------------------

@@ -92,6 +92,10 @@ class PropertiesSpec extends SparkSpec {
       val edges = sample(edgeGen, seed)
       val got = graft.ext.Graph.connectedComponents(edges.toDF("id_a", "id_b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the star kernel must agree exactly with propagation
+      val gotStar = graft.ext.Graph.connectedComponentsStar(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotStar === got, s"star/propagation divergence seed=$seed")
       // driver-side union-find replay
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
