@@ -24,6 +24,11 @@ object CurationQueries {
   private val PackShards = 8
   private val PackBudget = 2000L
   private val MinSharedShingles = 3L
+  private val RepMaxDupRatio = 0.35
+  private val RepMaxTopRatio = 0.1
+  private val TfIdfK = 5
+  private val SplitSalt = "q62"
+  private val SplitCuts = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
 
   /** Deterministic PII-bearing corpus: the testdata documents are plain
     * word soup, so the redaction fixture appends synthetic contact lines
@@ -123,7 +128,28 @@ object CurationQueries {
         docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
         docs.filter(col("doc_id") % 20 === 0), "doc_id", "text",
         ExtQueries.ShingleN, MinSharedShingles)
-    }))
+    }),
+
+    // Gopher/C4-style repetition filter: per-doc duplicate-trigram and
+    // top-trigram ratios over the NON-distinct n-gram multiset, with
+    // the keep verdict at fixed thresholds.
+    "q60_repetition_filter" -> ((s, d) =>
+      TextStats.repetitionProfile(Tables.documents(s, d), "doc_id", "text",
+        ExtQueries.ShingleN, RepMaxDupRatio, RepMaxTopRatio)),
+
+    // Corpus TF-IDF: top-k terms per document under the fixed-point
+    // (ppm) idf contract; N is the live corpus count on both engines.
+    "q61_tfidf_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Terms.tfIdfTopK(docs, "doc_id", "text", TfIdfK, docs.count())
+    }),
+
+    // Deterministic train/val/test assignment: per-document split label
+    // from the hash-bucket law; emitted per row so the oracle checks
+    // every single assignment, not just the counts.
+    "q62_hash_split" -> ((s, d) =>
+      Sampling.hashSplit(Tables.documents(s, d), "doc_id", SplitSalt,
+        SplitCuts).select(col("doc_id"), col("lang"), col("split"))))
 
   // ------------------------------------------------------------------
   // DuckDB oracles.
@@ -282,6 +308,89 @@ object CurationQueries {
        |SELECT id, CAST(shared_shingles AS BIGINT) AS shared_shingles
        |FROM hits WHERE shared_shingles >= $MinSharedShingles""".stripMargin
 
+  /** TextStats.repetitionProfile twin: the NON-distinct trigram
+    * multiset (contrast shingleCtes' list_distinct), one grouped count,
+    * the three-way aggregate, and the left join restoring gram-less
+    * docs. Ratios are the same single IEEE divisions of exact longs.
+    */
+  private val repetitionFilterSql = {
+    val n = ExtQueries.ShingleN
+    val gram = (0 until n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT id, unnest(list_transform(range(1, len(t) - ${n - 2}),
+       |    i -> $gram)) AS gram
+       |  FROM toks WHERE len(t) >= $n),
+       |c AS (SELECT id, gram, count(*) AS c FROM g GROUP BY id, gram),
+       |a AS (
+       |  SELECT id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+       |    CAST(count(*) AS BIGINT) AS n_distinct,
+       |    CAST(max(c) AS BIGINT) AS top_freq
+       |  FROM c GROUP BY id),
+       |r AS (
+       |  SELECT d.id,
+       |    coalesce(n_ngrams, 0) AS n_ngrams,
+       |    coalesce(n_distinct, 0) AS n_distinct,
+       |    coalesce(top_freq, 0) AS top_freq,
+       |    CASE WHEN n_ngrams IS NULL THEN 0.0
+       |      ELSE 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+       |    END AS dup_ngram_ratio,
+       |    CASE WHEN n_ngrams IS NULL THEN 0.0
+       |      ELSE CAST(top_freq AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+       |    END AS top_ngram_ratio
+       |  FROM (SELECT doc_id AS id FROM documents) d LEFT JOIN a USING (id))
+       |SELECT *, (dup_ngram_ratio <= $RepMaxDupRatio AND
+       |           (top_freq <= 1 OR top_ngram_ratio <= $RepMaxTopRatio)) AS keep
+       |FROM r""".stripMargin
+  }
+
+  /** Terms.tfIdfTopK twin under the same fixed-point idf contract:
+    * idf_ppm = round(ln(N/df)·10⁶) as BIGINT on both engines, so the
+    * per-document top-k cut replays exactly.
+    */
+  private val tfIdfTopKSql =
+    s"""WITH terms AS (
+       |  SELECT doc_id AS id,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM terms WHERE length(term) > 0 GROUP BY id, term),
+       |dfreq AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+       |    CAST(round(ln((SELECT CAST(count(*) AS DOUBLE) FROM documents)
+       |        / CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT) AS idf_ppm
+       |  FROM tf GROUP BY term),
+       |r AS (
+       |  SELECT tf.id, tf.term, tf.tf, dfreq.df,
+       |    tf.tf * dfreq.idf_ppm AS score_ppm,
+       |    row_number() OVER (PARTITION BY tf.id
+       |      ORDER BY tf.tf * dfreq.idf_ppm DESC, tf.term) AS rk
+       |  FROM tf JOIN dfreq USING (term))
+       |SELECT id, term, tf, df, score_ppm, CAST(rk AS INTEGER) AS rk
+       |FROM r WHERE rk <= $TfIdfK""".stripMargin
+
+  /** Sampling.hashSplit twin: same md5-bucket law as the q48 sampler,
+    * cumulative thresholds generated from the same cuts.
+    */
+  private val hashSplitSql = {
+    val thresholds = SplitCuts.init.scanLeft(0L) {
+      case (acc, (_, w)) => acc + math.round(w * Sampling.Denom)
+    }.tail
+    val cases = SplitCuts.init.zip(thresholds)
+      .map { case ((label, _), hi) => s"WHEN b < $hi THEN '$label'" }
+      .mkString(" ")
+    s"""SELECT doc_id, lang,
+       |  CASE $cases ELSE '${SplitCuts.last._1}' END AS split
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    CAST('0x' || substr(md5('$SplitSalt' || CAST(doc_id AS VARCHAR)), 1, 15)
+       |      AS BIGINT) % ${Sampling.Denom} AS b
+       |  FROM documents) t""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q46_dedup_clusters" -> dedupClustersSql,
     "q58_dedup_clusters_all" -> dedupClustersAllSql,
@@ -290,5 +399,8 @@ object CurationQueries {
     "q49_asof_join" -> asofJoinSql,
     "q51_curation_pipeline" -> curationPipelineSql,
     "q52_pack_shards" -> packShardsSql,
-    "q55_decontaminate" -> decontaminateSql)
+    "q55_decontaminate" -> decontaminateSql,
+    "q60_repetition_filter" -> repetitionFilterSql,
+    "q61_tfidf_topk" -> tfIdfTopKSql,
+    "q62_hash_split" -> hashSplitSql)
 }

@@ -37,4 +37,32 @@ object Sampling {
     df.filter(
       hash60(concat(lit(salt), col(idCol).cast("string"))) % Denom < threshold)
   }
+
+  /** Deterministic train/val/test assignment — the split twin of the
+    * Bernoulli sampler: every row gets a split LABEL from the same
+    * hash-bucket law instead of a keep/drop decision, so the three sets
+    * are disjoint, exhaustive, reproducible on any cluster, and STABLE
+    * UNDER CORPUS GROWTH (a document's split never changes when other
+    * documents arrive — the property random shuffling cannot give, and
+    * the reason eval contamination stays fixed across dataset
+    * versions). Pure projection, no shuffle.
+    *
+    * @param cuts (label, weight) in order; weights are rounded to basis
+    *             points once on the driver and turned into cumulative
+    *             thresholds — the LAST label takes the remainder of the
+    *             hash space, so weights need not sum to exactly 1.
+    */
+  def hashSplit(df: DataFrame, idCol: String, salt: String,
+                cuts: Seq[(String, Double)]): DataFrame = {
+    require(cuts.nonEmpty, "at least one split label required")
+    val b = hash60(concat(lit(salt), col(idCol).cast("string"))) % Denom
+    val thresholds = cuts.init.scanLeft(0L) {
+      case (acc, (_, w)) => acc + math.round(w * Denom)
+    }.tail
+    val split = cuts.init.zip(thresholds)
+      .foldRight(lit(cuts.last._1): org.apache.spark.sql.Column) {
+        case (((label, _), hi), rest) => when(b < hi, label).otherwise(rest)
+      }
+    df.withColumn("split", split)
+  }
 }

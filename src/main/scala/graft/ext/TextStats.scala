@@ -94,4 +94,66 @@ object TextStats {
       guess.as("lang_guess"),
       rollingFingerprint(col("_text")).as("fingerprint"))
   }
+
+  /** Intra-document repetition profile — the Gopher/C4-style quality
+    * rule that a text profile alone cannot express: a document whose
+    * n-grams keep repeating (boilerplate, keyword stuffing, template
+    * spam) is low-value training data even when its length and word
+    * shape look fine.
+    *
+    * Per document, over the NON-distinct word n-gram multiset:
+    *   dup_ngram_ratio = 1 − distinct/total   (0 for docs with < n tokens)
+    *   top_ngram_ratio = max-frequency/total  (0 likewise)
+    *   keep            = dup ratio under its threshold AND the top
+    *                     ratio under its threshold OR the top gram
+    *                     occurring only once — a singleton gram is not
+    *                     repetition, however short the document (a
+    *                     2-trigram doc has top ratio 0.5 with zero
+    *                     actual repetition; a raw ratio test would
+    *                     reject every short doc)
+    *
+    * ONE exploded aggregation produces all three counts (sum, count,
+    * max over per-gram frequencies — each map-side combinable), then a
+    * left join back to the id universe restores gram-less docs. Shape:
+    * shuffle on (id, gram) then on id — the standard per-document
+    * aggregation pair, linear at any corpus size.
+    *
+    * Ratios are single IEEE divisions of exact longs, so the DuckDB
+    * twin reproduces them bit-for-bit.
+    */
+  def repetitionProfile(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, maxDupRatio: Double,
+                        maxTopRatio: Double): DataFrame = {
+    val toks = tokens(col(textCol))
+    // all positional n-grams, duplicates preserved (TextHash.shingles
+    // is the DISTINCT set — wrong multiset here); sequence() descends
+    // when stop < start, so short docs need the explicit empty guard
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val counts = docs
+      .select(col(idCol).as("id"), explode(grams).as("gram"))
+      .groupBy("id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(
+        sum("c").as("n_ngrams"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_freq"))
+    val total = col("n_ngrams").cast("double")
+    docs.select(col(idCol).as("id")).join(counts, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("top_freq"), lit(0L)).as("top_freq"),
+        when(col("n_ngrams").isNull, 0.0)
+          .otherwise(lit(1.0) - col("n_distinct").cast("double") / total)
+          .as("dup_ngram_ratio"),
+        when(col("n_ngrams").isNull, 0.0)
+          .otherwise(col("top_freq").cast("double") / total)
+          .as("top_ngram_ratio"))
+      .withColumn("keep",
+        col("dup_ngram_ratio") <= maxDupRatio &&
+          (col("top_freq") <= 1L || col("top_ngram_ratio") <= maxTopRatio))
+  }
 }

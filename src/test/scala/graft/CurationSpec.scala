@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
-import graft.ext.{AsOf, Graph, Packing, Redact, Sampling}
+import graft.ext.{AsOf, Graph, Packing, Redact, Sampling, TextStats}
 
 /** Curation pack round 2: connected components, PII redaction,
   * stratified sampling, backward as-of join.
@@ -240,5 +240,80 @@ class CurationSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](AsOf.joinBackward(
       left, clicks, Seq("user_id"), "ts", "ts", Seq("event_id"), "click_"))
     assert(e2.getMessage.contains("click_event_id"))
+  }
+
+  // ---- repetition filter ----------------------------------------------
+
+  test("repetitionProfile: hand-computed ratios, short docs, keep verdict") {
+    // "a b c a b c a b": 8 tokens → 6 trigrams, 3 distinct, each ×2
+    //   dup = 1 − 3/6 = 0.5, top = 2/6 — repetitive, drop
+    // "w x y z": 2 trigrams, both unique → ratios 0, keep
+    // "x y": < 3 tokens → all-zero profile, keep
+    val docs = Seq(
+      (1L, "a b c a b c a b"), (2L, "w x y z"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = TextStats.repetitionProfile(docs, "doc_id", "text", 3, 0.35, 0.1)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(got(1L).getAs[Long]("n_ngrams") === 6L)
+    assert(got(1L).getAs[Long]("n_distinct") === 3L)
+    assert(got(1L).getAs[Long]("top_freq") === 2L)
+    assert(got(1L).getAs[Double]("dup_ngram_ratio") === 0.5)
+    assert(got(1L).getAs[Double]("top_ngram_ratio") === 2.0 / 6.0)
+    assert(!got(1L).getAs[Boolean]("keep"))
+    assert(got(2L).getAs[Long]("n_ngrams") === 2L)
+    assert(got(2L).getAs[Boolean]("keep"))
+    assert(got(3L).getAs[Long]("n_ngrams") === 0L)
+    assert(got(3L).getAs[Double]("dup_ngram_ratio") === 0.0)
+    assert(got(3L).getAs[Boolean]("keep"))
+  }
+
+  // ---- tf-idf ---------------------------------------------------------
+
+  test("tfIdfTopK: scores match the fixed-point law; top-k cut and tie-break") {
+    // corpus N=3; "cat" in all 3 docs (idf 0), "dog" in 1, "fish" in 2
+    val docs = Seq(
+      (1L, "cat cat dog"), (2L, "cat fish"), (3L, "cat fish cat"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.Terms.tfIdfTopK(docs, "doc_id", "text", 2, 3L)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("term")) -> r).toMap
+    def ppm(n: Double, df: Double) = math.round(math.log(n / df) * 1e6)
+    // doc 1: dog tf=1 score=ln(3)ppm; cat tf=2 score=0 → dog rk1, cat rk2
+    assert(got((1L, "dog")).getAs[Long]("score_ppm") === ppm(3, 1))
+    assert(got((1L, "dog")).getAs[Int]("rk") === 1)
+    assert(got((1L, "cat")).getAs[Long]("score_ppm") === 0L)
+    assert(got((1L, "cat")).getAs[Int]("rk") === 2)
+    // doc 3: fish tf=1 ln(3/2); cat tf=2 score 0 → fish first
+    assert(got((3L, "fish")).getAs[Long]("score_ppm") === ppm(3, 2))
+    assert(got((3L, "fish")).getAs[Int]("rk") === 1)
+    assert(got((3L, "fish")).getAs[Long]("df") === 2L)
+    // k=2 cut: every doc emits at most 2 rows
+    assert(got.keys.groupBy(_._1).values.forall(_.size <= 2))
+  }
+
+  // ---- hash split -----------------------------------------------------
+
+  test("hashSplit: disjoint-exhaustive labels, deterministic, growth-stable") {
+    val docs = (0L until 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val cuts = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.hashSplit(docs, "doc_id", "s1", cuts)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+      .toMap
+    assert(got.size === 400)
+    assert(got.values.toSet === Set("train", "val", "test"))
+    // deterministic replay
+    val again = Sampling.hashSplit(docs, "doc_id", "s1", cuts)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+      .toMap
+    assert(again === got)
+    // growth stability: a prefix subset keeps identical assignments
+    val subset = Sampling.hashSplit(
+      docs.filter(col("doc_id") < 100), "doc_id", "s1", cuts)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+      .toMap
+    assert(subset === got.filter(_._1 < 100))
+    // rough proportions (md5 is uniform; 400 rows, generous bounds)
+    val frac = got.values.groupBy(identity).view.mapValues(_.size / 400.0)
+    assert(frac("train") > 0.7 && frac("train") < 0.9)
   }
 }
