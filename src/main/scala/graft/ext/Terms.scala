@@ -38,7 +38,14 @@ object Terms {
     val terms = docs
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
+    // tf feeds BOTH the scoring side and the document-frequency side.
+    // Without materialization the optimizer rewrites the df branch's
+    // aggregate into a distinct, the two (id, term) exchanges stop
+    // canonicalizing equal, ReuseExchange cannot fire, and the corpus
+    // is scanned + shuffled twice (verified in TermsSpec). One
+    // localCheckpoint makes the dominant shuffle run once.
     val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("idf_ppm",
         round(log(lit(corpusN.toDouble) / col("df").cast("double")) * 1e6)
