@@ -29,6 +29,8 @@ object CurationQueries {
   private val TfIdfK = 5
   private val SplitSalt = "q62"
   private val SplitCuts = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+  private val SaltBuckets = 8
+  private val HotThreshold = 40L
 
   /** Deterministic PII-bearing corpus: the testdata documents are plain
     * word soup, so the redaction fixture appends synthetic contact lines
@@ -149,7 +151,35 @@ object CurationQueries {
     // every single assignment, not just the counts.
     "q62_hash_split" -> ((s, d) =>
       Sampling.hashSplit(Tables.documents(s, d), "doc_id", SplitSalt,
-        SplitCuts).select(col("doc_id"), col("lang"), col("split"))))
+        SplitCuts).select(col("doc_id"), col("lang"), col("split"))),
+
+    // Hot-key-salted join: lineitem ⋈ part with the high-multiplicity
+    // partkeys spread over salt buckets. The oracle is the PLAIN inner
+    // join — salting is an exact plan transformation, so the outputs
+    // must be row-identical.
+    "q63_salted_join" -> ((s, d) =>
+      Skew.saltedJoin(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+          col("l_quantity"), col("l_extendedprice")),
+        Tables.part(s, d).select(col("p_partkey").as("l_partkey"),
+          col("p_name")),
+        "l_partkey", "l_orderkey", SaltBuckets, HotThreshold)),
+
+    // Dedup release step: one survivor per duplicate cluster — best
+    // quality, ties to the smallest id — over the full-corpus cluster
+    // assignment (q58) joined with the text profile (q27).
+    "q64_dedup_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = Graph.connectedComponents(
+        Dedup.jaccardPairs(docs, "doc_id", "text",
+          ExtQueries.ShingleN, ExtQueries.JaccardThreshold)
+          .select(col("id_a"), col("id_b")),
+        docs.select(col("doc_id")))
+      Dedup.survivors(clusters,
+        TextStats.profile(docs, "doc_id", "text")
+          .select(col("id"), col("quality")),
+        "id", "quality")
+    }))
 
   // ------------------------------------------------------------------
   // DuckDB oracles.
@@ -391,6 +421,30 @@ object CurationQueries {
        |  FROM documents) t""".stripMargin
   }
 
+  /** The whole point of q63: salting must be output-invisible, so the
+    * oracle is the UNSALTED join.
+    */
+  private val saltedJoinSql =
+    """SELECT l.l_partkey, l.l_orderkey, l.l_quantity, l.l_extendedprice,
+      |  p.p_name
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin
+
+  /** Survivor-per-cluster twin: full-corpus clusters (q58 oracle) ⋈
+    * text-profile quality (q27 oracle), argmax per cluster with the
+    * same (quality desc, id asc) total order.
+    */
+  private val dedupSurvivorsSql =
+    s"""WITH cl AS ($dedupClustersAllSql),
+       |q AS (${ExtQueries.textStatsSql("documents")})
+       |SELECT cluster_id, survivor_id, quality, n_members FROM (
+       |  SELECT cl.cluster_id, cl.id AS survivor_id, q.quality,
+       |    CAST(count(*) OVER (PARTITION BY cl.cluster_id) AS BIGINT)
+       |      AS n_members,
+       |    row_number() OVER (PARTITION BY cl.cluster_id
+       |      ORDER BY q.quality DESC, cl.id) AS rk
+       |  FROM cl JOIN q ON cl.id = q.id)
+       |WHERE rk = 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q46_dedup_clusters" -> dedupClustersSql,
     "q58_dedup_clusters_all" -> dedupClustersAllSql,
@@ -402,5 +456,7 @@ object CurationQueries {
     "q55_decontaminate" -> decontaminateSql,
     "q60_repetition_filter" -> repetitionFilterSql,
     "q61_tfidf_topk" -> tfIdfTopKSql,
-    "q62_hash_split" -> hashSplitSql)
+    "q62_hash_split" -> hashSplitSql,
+    "q63_salted_join" -> saltedJoinSql,
+    "q64_dedup_survivors" -> dedupSurvivorsSql)
 }

@@ -305,4 +305,31 @@ object Dedup {
       .agg(votes.head, votes.tail: _*)
       .select(col("id"), assemble.as("simhash"))
   }
+
+  /** The release step of the dedup story: given cluster assignments
+    * (Graph.connectedComponents output: id, cluster_id) and a
+    * per-document score, keep the BEST document of each duplicate
+    * cluster — argmax score, ties to the smallest id, so the choice is
+    * total-ordered and replays identically anywhere. Returns one row
+    * per cluster: survivor id, its score, and the cluster size.
+    *
+    * Shape: one equi-join on id (cluster assignments ⋈ scores) and one
+    * per-cluster window. Duplicate clusters are small by construction
+    * (they are near-dup groups), so the window partitions are bounded —
+    * no giant-partition risk even at full-corpus scale.
+    */
+  def survivors(clusters: DataFrame, scores: DataFrame, idCol: String,
+                scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col("id"))
+    clusters
+      .join(scores.withColumnRenamed(idCol, "id"), "id")
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+      .filter(col("_rk") === 1)
+      .select(col("cluster_id"), col("id").as("survivor_id"),
+        col(scoreCol), col("n_members"))
+  }
 }

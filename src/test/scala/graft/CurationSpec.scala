@@ -316,4 +316,40 @@ class CurationSpec extends SparkSpec {
     val frac = got.values.groupBy(identity).view.mapValues(_.size / 400.0)
     assert(frac("train") > 0.7 && frac("train") < 0.9)
   }
+
+  // ---- salted join ----------------------------------------------------
+
+  test("saltedJoin: row-identical to the plain join; hot keys spread over salts") {
+    import graft.ext.Skew
+    // key 100 is hot (60 left rows), keys 0-9 cold (3 each)
+    val left = ((0L until 60L).map(i => (100L, i)) ++
+      (0L until 10L).flatMap(k => (0L until 3L).map(i => (k, 1000 + k * 10 + i))))
+      .toDF("k", "pk")
+    val right = (Seq(100L) ++ (0L until 10L)).map(k => (k, s"dim$k"))
+      .toDF("k", "payload")
+    val plain = left.join(right, "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val salted = Skew.saltedJoin(left, right, "k", "pk", 4, 50L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(salted === plain)
+    // the hot key's left rows actually use more than one salt bucket
+    val saltsUsed = left.filter(col("k") === 100L)
+      .select(Skew.saltCol(col("pk"), 4)).distinct().count()
+    assert(saltsUsed > 1)
+  }
+
+  // ---- survivors ------------------------------------------------------
+
+  test("survivors: argmax score per cluster, ties to smallest id, member count") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L))
+      .toDF("id", "cluster_id")
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (7L, 0.1))
+      .toDF("doc_id", "q")
+    val got = graft.ext.Dedup.survivors(clusters, scores, "doc_id", "q")
+      .collect().map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("survivor_id"), r.getAs[Double]("q"),
+          r.getAs[Long]("n_members")))).toMap
+    // 2 and 3 tie at 0.9 → smallest id (2) wins
+    assert(got === Map(1L -> ((2L, 0.9, 3L)), 7L -> ((7L, 0.1, 1L))))
+  }
 }
