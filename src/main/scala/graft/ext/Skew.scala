@@ -48,10 +48,7 @@ object Skew {
       .select(col(key), lit(true).as("_hot"))
     val l = left.join(broadcast(hot), Seq(key), "left")
       .withColumn("_salt",
-        when(col("_hot"),
-          pmod(hash60(col(saltFrom).cast("string")), lit(salts.toLong))
-            .cast("int"))
-          .otherwise(lit(0)))
+        when(col("_hot"), saltCol(col(saltFrom), salts)).otherwise(lit(0)))
       .drop("_hot")
     val r = right.join(broadcast(hot), Seq(key), "left")
       .withColumn("_salt",
@@ -64,8 +61,11 @@ object Skew {
   /** The salt expression alone, for aggregation salting: two-phase
     * `groupBy(key, salt).agg(partials) → groupBy(key).agg(merge)` —
     * callers that aggregate (rather than join) on a skewed key only
-    * need the column.
+    * need the column. A NULL disambiguator salts to bucket 0 — it must
+    * never null the join key and silently drop the row.
     */
   def saltCol(saltFrom: Column, salts: Int): Column =
-    pmod(hash60(saltFrom.cast("string")), lit(salts.toLong)).cast("int")
+    coalesce(
+      pmod(hash60(saltFrom.cast("string")), lit(salts.toLong)).cast("int"),
+      lit(0))
 }

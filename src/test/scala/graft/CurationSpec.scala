@@ -336,6 +336,12 @@ class CurationSpec extends SparkSpec {
     val saltsUsed = left.filter(col("k") === 100L)
       .select(Skew.saltCol(col("pk"), 4)).distinct().count()
     assert(saltsUsed > 1)
+    // a NULL disambiguator must salt to bucket 0, not drop the row
+    val leftNull = Seq((100L, Some(1L)), (100L, None), (0L, None))
+      .toDF("k", "pk")
+    val saltedNull = Skew.saltedJoin(leftNull, right, "k", "pk", 4, 2L)
+      .collect().map(r => (r.getLong(0), r.getString(2))).sorted
+    assert(saltedNull === Array((0L, "dim0"), (100L, "dim100"), (100L, "dim100")))
   }
 
   // ---- survivors ------------------------------------------------------
