@@ -124,14 +124,13 @@ object TextStats {
   def repetitionProfile(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, maxDupRatio: Double,
                         maxTopRatio: Double): DataFrame = {
-    val toks = tokens(col(textCol))
-    // all positional n-grams, duplicates preserved (TextHash.shingles
-    // is the DISTINCT set — wrong multiset here); sequence() descends
-    // when stop < start, so short docs need the explicit empty guard
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    // all positional n-grams, duplicates preserved, via the native
+    // expression (distinct=false). The Column composition
+    // (transform(sequence) + slice + array_join) re-evaluated the
+    // whitespace split 4× per row and ran three nested interpreted
+    // HOFs per gram — 3.6 s at sf0.1 vs 0.7 s native.
+    val grams =
+      graft.plans.ShinglesExpr.shinglesAll(tokens(col(textCol)), n)
     val counts = docs
       .select(col(idCol).as("id"), explode(grams).as("gram"))
       .groupBy("id", "gram").agg(count(lit(1)).as("c"))

@@ -33,12 +33,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * inside the consume loop (the same shape as Spark's own
   * StaticInvoke-backed expressions), zero interpreted lambdas.
   */
-case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+case class ShinglesExpr(child: Expression, n: Int,
+                        distinct: Boolean = true) extends UnaryExpression {
   require(n >= 1, s"shingle size must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = false
-  override def prettyName: String = "shingles"
+  override def prettyName: String = if (distinct) "shingles" else "shingles_all"
 
   private val Space = UTF8String.fromString(" ")
   private val Empty = new GenericArrayData(Array.empty[Any])
@@ -50,7 +51,11 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
     if (toks == null) return Empty
     val len = toks.numElements()
     if (len < n) return Empty
-    val seen = new java.util.LinkedHashSet[UTF8String]
+    // distinct=false keeps the full positional multiset — the input the
+    // repetition profile needs (duplicate grams ARE the signal there)
+    val out: java.util.Collection[UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[UTF8String]
+      else new java.util.ArrayList[UTF8String](len - n + 1)
     var i = 0
     while (i <= len - n) {
       var gram = toks.getUTF8String(i)
@@ -59,10 +64,10 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
         gram = UTF8String.concat(gram, Space, toks.getUTF8String(i + j))
         j += 1
       }
-      seen.add(gram): Unit
+      out.add(gram): Unit
       i += 1
     }
-    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -83,7 +88,12 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object ShinglesExpr {
-  /** Column-API entry point. */
+  /** Column-API entry point (distinct set — dedup/LSH operators). */
   def shingles(toks: Column, n: Int): Column =
     ColumnBridge.column(ShinglesExpr(ColumnBridge.expression(toks), n))
+
+  /** All positional n-grams, duplicates preserved (repetition profile). */
+  def shinglesAll(toks: Column, n: Int): Column =
+    ColumnBridge.column(
+      ShinglesExpr(ColumnBridge.expression(toks), n, distinct = false))
 }

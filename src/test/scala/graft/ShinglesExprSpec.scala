@@ -34,6 +34,26 @@ class ShinglesExprSpec extends SparkSpec {
     }
   }
 
+  test("shinglesAll: full positional multiset — duplicates, order, edges") {
+    // the non-distinct mode must emit every positional gram in order
+    val got = Seq(
+      (1L, "a b c a b c a b"), // 6 trigrams, repeats preserved
+      (2L, "x y"),             // short → empty
+      (3L, "p q r"))           // exactly one
+      .toDF("id", "text")
+      .select(col("id"),
+        ShinglesExpr.shinglesAll(TextHash.tokens(col("text")), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) === Seq("a b c", "b c a", "c a b", "a b c", "b c a", "c a b"))
+    assert(got(2L) === Seq.empty)
+    assert(got(3L) === Seq("p q r"))
+    // null token array → empty, never null (matches the distinct mode)
+    val n = Seq(Tuple1(Option.empty[Seq[String]])).toDF("toks")
+      .select(ShinglesExpr.shinglesAll(col("toks"), 3).as("g"))
+      .collect().head
+    assert(n.getSeq[String](0) === Seq.empty)
+  }
+
   test("hash60Array: identical to the transform+conv(md5) lambda form") {
     val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.01")
     val sh = TextHash.shingles(TextHash.tokens(col("text")), 3)
