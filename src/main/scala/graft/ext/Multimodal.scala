@@ -1,35 +1,136 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** One media document: opaque bytes + typed metadata. The engine never
-  * interprets `media` — image/audio/video stay a binary column until a
-  * decoder runs, exactly like a 100 TB lakehouse media table.
+/** One media document: opaque bytes + typed sidecar metadata. The engine
+  * never interprets `media` until a decoder runs — image/audio/video stay
+  * a binary column, exactly like a 100 TB lakehouse media table with a
+  * metadata sidecar (the `format`/`width`/`height` columns a crawler or
+  * upstream extractor recorded).
   */
 case class MediaRow(media_id: Long, media: Array[Byte], format: String,
                     width: Int, height: Int)
 
-/** Decoder output: per-item feature record. */
+/** Decoder output: per-item feature record. `format`/`width`/`height`
+  * are DECODED from the bytes (container header) when the container is
+  * recognized; the sidecar metadata is only the fallback for opaque
+  * payloads. `header_len` is the container-header length in bytes;
+  * `content_*` statistics fold over the post-header payload bytes.
+  */
 case class MediaFeatures(media_id: Long, format: String, width: Int,
-                         height: Int, n_bytes: Long, byte_sum: Long,
-                         byte_mean: Double, first_byte: Int, last_byte: Int,
+                         height: Int, header_len: Int, n_bytes: Long,
+                         content_sum: Long, content_mean: Double,
+                         content_first: Int, content_last: Int,
                          aspect: Double)
 
+/** Pure-JVM image-container header parsing — the real decode step of the
+  * multimodal column, zero native-codec dependency. Formats:
+  *
+  *  - PNG: 8-byte signature, then chunks of (u32 BE length, 4-byte type,
+  *    data, u32 CRC); dimensions are the first two u32 BE fields of the
+  *    IHDR chunk data (PNG spec §11.2.2 — IHDR is required first).
+  *  - JPEG: SOI marker (FFD8), then marker segments of (FF, marker id,
+  *    u16 BE length incl. itself); dimensions live in the frame header
+  *    SOFn segment (precision u8, height u16 BE, width u16 BE). All SOF
+  *    variants C0–CF are recognized except C4/C8/CC, which are DHT/JPG/
+  *    DAC table segments, not frames (JPEG spec / ITU T.81 table B.1).
+  *
+  * Anything else parses to None — the caller falls back to sidecar
+  * metadata and treats the payload as opaque.
+  */
+object ImageHeaders {
+
+  /** @param headerLen bytes from offset 0 to the END of the dimension-
+    *                  bearing header structure (IHDR chunk / SOF
+    *                  segment) — the "container header" boundary the
+    *                  feature extractor uses to split header vs content.
+    */
+  final case class Parsed(format: String, width: Int, height: Int,
+                          headerLen: Int)
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+  def parse(bytes: Array[Byte]): Option[Parsed] =
+    parsePng(bytes).orElse(parseJpeg(bytes))
+
+  def parsePng(b: Array[Byte]): Option[Parsed] = {
+    if (b.length < 33 || !b.take(8).sameElements(PngSig)) return None
+    // Walk chunks defensively (IHDR must be first per spec, but a parser
+    // that trusts that is one malformed file from reading garbage).
+    var pos = 8
+    while (pos + 12 <= b.length) {
+      val len = be32(b, pos)
+      val tpe = new String(b, pos + 4, 4, "US-ASCII")
+      if (tpe == "IHDR") {
+        if (len != 13 || pos + 12 + 13 > b.length) return None
+        val w = be32(b, pos + 8)
+        val h = be32(b, pos + 12)
+        if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return None
+        return Some(Parsed("png", w.toInt, h.toInt, pos + 12 + 13))
+      }
+      if (len > Int.MaxValue - 12L - pos) return None
+      pos += 12 + len.toInt
+    }
+    None
+  }
+
+  def parseJpeg(b: Array[Byte]): Option[Parsed] = {
+    if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+    var pos = 2
+    while (pos + 4 <= b.length) {
+      // fill bytes: any number of FFs may pad before a marker id
+      if (u8(b, pos) != 0xff) return None
+      var mp = pos
+      while (mp < b.length && u8(b, mp) == 0xff) mp += 1
+      if (mp >= b.length) return None
+      val marker = u8(b, mp)
+      marker match {
+        case m if m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+          // SOFn frame header: len(2) precision(1) height(2) width(2) …
+          if (mp + 8 > b.length) return None
+          val len = be16(b, mp + 1)
+          if (len < 8 || mp + 1 + len > b.length) return None
+          val h = be16(b, mp + 4)
+          val w = be16(b, mp + 6)
+          if (w <= 0 || h <= 0) return None
+          return Some(Parsed("jpeg", w, h, mp + 1 + len))
+        case 0xd8 | 0x01 => pos = mp + 1 // standalone: no length field
+        case m if m >= 0xd0 && m <= 0xd7 => pos = mp + 1 // RSTn
+        case 0xd9 => return None // EOI before any frame header
+        case _ =>
+          if (mp + 3 > b.length) return None
+          val len = be16(b, mp + 1)
+          if (len < 2) return None
+          pos = mp + 1 + len
+      }
+    }
+    None
+  }
+}
+
 /** Multimodal columns for a training-data pipeline: media as opaque
-  * `binary` + typed metadata struct, with decode / feature-extract as a
+  * `binary` + typed sidecar metadata, with decode / feature-extract as a
   * BATCHED per-partition transform — the Scala analogue of a Pandas-UDF
   * `mapInPandas` stage (iterator of batches in, iterator of batches
   * out, partitioning preserved, no shuffle).
   *
-  * The decoder is pluggable. THIS CONTAINER HAS NO IMAGE/AUDIO CODECS,
-  * so `StubDecoder` is a clearly-marked deterministic fake (byte-level
-  * statistics standing in for pixel/sample features); a real deployment
-  * swaps in a codec-backed MediaDecoder and every Spark-side piece —
+  * The default decoder ([[Multimodal.HeaderDecoder]]) performs a REAL
+  * pure-JVM decode: it parses the PNG IHDR / JPEG SOF container headers
+  * out of the bytes ([[ImageHeaders]]) for format + dimensions, and
+  * folds byte statistics over the post-header payload. Full pixel/sample
+  * decode stays pluggable behind the same [[Multimodal.MediaDecoder]]
+  * contract (this container ships no codecs); every Spark-side piece —
   * schema, typed Dataset boundary, batch shape, narrow (shuffle-free)
-  * execution — is unchanged. Batching matters for real decoders: codec
-  * init and buffer reuse amortize across a batch, exactly the reason
-  * mapInPandas feeds Arrow batches rather than single rows.
+  * execution — is decoder-independent. Batching matters for real
+  * codecs: init and buffer reuse amortize across a batch, exactly the
+  * reason mapInPandas feeds Arrow batches rather than single rows.
   */
 object Multimodal {
 
@@ -40,49 +141,80 @@ object Multimodal {
     def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures]
   }
 
-  /** STUB — deterministic fake decode (no codecs in this environment):
-    * byte-level statistics stand in for decoded pixel/sample features.
-    * Unsigned byte arithmetic in plain Scala — this is the genuinely
-    * imperative per-partition path where mapPartitions is the right
-    * tool (SURVEY.md §2.11: everything else stays Column expressions).
+  /** Container-header decode (PNG/JPEG via [[ImageHeaders]]); payloads
+    * with an unrecognized container are opaque — sidecar metadata
+    * supplies format/dimensions and the whole payload counts as content
+    * (header_len 0). Unsigned byte arithmetic in plain Scala — this is
+    * the genuinely imperative per-partition path where mapPartitions is
+    * the right tool (SURVEY.md §2.11: everything else stays Column
+    * expressions).
     */
-  object StubDecoder extends MediaDecoder {
+  object HeaderDecoder extends MediaDecoder {
     def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
       batch.map { r =>
         val bytes = r.media
+        val (fmt, w, h, hl) = ImageHeaders.parse(bytes) match {
+          case Some(p) => (p.format, p.width, p.height, p.headerLen)
+          case None    => (r.format, r.width, r.height, 0)
+        }
         var sum = 0L
-        var i = 0
+        var i = hl
         while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
-        MediaFeatures(r.media_id, r.format, r.width, r.height,
+        val n = bytes.length - hl
+        MediaFeatures(r.media_id, fmt, w, h,
+          header_len = hl,
           n_bytes = bytes.length.toLong,
-          byte_sum = sum,
-          byte_mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length,
-          first_byte = if (bytes.isEmpty) -1 else bytes(0) & 0xff,
-          last_byte = if (bytes.isEmpty) -1 else bytes(bytes.length - 1) & 0xff,
-          aspect = r.width.toDouble / r.height)
+          content_sum = sum,
+          content_mean = if (n == 0) 0.0 else sum.toDouble / n,
+          content_first = if (n == 0) -1 else bytes(hl) & 0xff,
+          content_last = if (n == 0) -1 else bytes(bytes.length - 1) & 0xff,
+          aspect = w.toDouble / h)
       }
   }
 
+  private def be4(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+  private def be2(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
+
   /** Deterministic media table synthesized from the documents corpus
-    * (the container ships no real media): text bytes become the opaque
-    * payload, metadata derived arithmetically from the id. Schema is
-    * the real thing — downstream code sees (binary, string, int, int).
+    * (the container ships no real media files): the payload is a REAL
+    * container header — a spec-valid PNG signature + IHDR chunk
+    * (including its CRC-32) or JPEG SOI + SOF0 frame header — encoding
+    * the row's dimensions, followed by the document's UTF-8 bytes as
+    * the content section; every third row stays a raw opaque blob to
+    * exercise the sidecar-fallback path. Header assembly is pure Column
+    * arithmetic (hex/unhex/crc32/concat — all codegen'd), zero UDFs.
+    * Downstream code sees the real thing: (binary, string, int, int).
     */
-  def mediaTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def mediaTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val w = ((id % 8 + 1) * 64).cast("int")
+    val h = ((id % 5 + 1) * 48).cast("int")
+    // PNG: sig(8) | len=13(4) | "IHDR" w h bit=8 color=2 comp=filt=inter=0 | crc(4)
+    val ihdr = concat(lit("IHDR").cast("binary"), be4(w), be4(h),
+      unhex(lit("0802000000")))
+    val png = concat(unhex(lit("89504E470D0A1A0A")), unhex(lit("0000000D")),
+      ihdr, be4(crc32(ihdr)))
+    // JPEG: SOI | SOF0 len=11 precision=8 | h(2) w(2) | 1 component (1,0x11,0)
+    val jpeg = concat(unhex(lit("FFD8FFC0000B08")), be2(h), be2(w),
+      unhex(lit("01011100")))
+    val header = when(id % 3 === 0, png)
+      .when(id % 3 === 1, jpeg)
+      .otherwise(lit(Array.emptyByteArray))
     docs.select(
-      col(idCol).cast("long").as("media_id"),
-      col(textCol).cast("binary").as("media"), // UTF-8 bytes
-      element_at(array(lit("png"), lit("wav"), lit("mp4")),
-        (col(idCol) % 3).cast("int") + 1).as("format"),
-      ((col(idCol) % 8 + 1) * 64).cast("int").as("width"),
-      ((col(idCol) % 5 + 1) * 48).cast("int").as("height"))
+      id.cast("long").as("media_id"),
+      concat(header, col(textCol).cast("binary")).as("media"),
+      element_at(array(lit("png"), lit("jpeg"), lit("bin")),
+        (id % 3).cast("int") + 1).as("format"),
+      w.as("width"),
+      h.as("height"))
+  }
 
   /** Batched per-partition decode: iterator-of-batches in/out, narrow
     * (no shuffle, upstream partitioning preserved), constant memory —
     * only `batchSize` items are materialized at once, so a 100 TB media
     * scan streams through executors regardless of file sizes.
     */
-  def featurize(media: DataFrame, decoder: MediaDecoder = StubDecoder,
+  def featurize(media: DataFrame, decoder: MediaDecoder = HeaderDecoder,
                 batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._

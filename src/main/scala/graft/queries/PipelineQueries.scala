@@ -155,9 +155,12 @@ object PipelineQueries {
     "q41_sessionize" -> ((s, d) =>
       graft.ext.Sessions.sessionize(Tables.events(s, d), "user_id", "ts", 30)),
 
-    // Multimodal: opaque binary media + typed metadata, batched
-    // per-partition decode (stub codec) — schema, typed boundary, batch
-    // shape and narrow execution are the real 100 TB plumbing.
+    // Multimodal: binary media (real PNG/JPEG container headers +
+    // content bytes) + typed sidecar metadata, batched per-partition
+    // decode — format and dimensions are PARSED OUT OF THE BYTES
+    // (ImageHeaders: PNG IHDR / JPEG SOF0), sidecar only for the opaque
+    // every-third row; schema, typed boundary, batch shape and narrow
+    // execution are the real 100 TB plumbing.
     "q42_media_features" -> ((s, d) =>
       graft.ext.Multimodal.featurize(
         graft.ext.Multimodal.mediaTable(Tables.documents(s, d), "doc_id", "text"))
@@ -319,28 +322,35 @@ object PipelineQueries {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin,
 
-    // byte-level recompute over the (pure-ASCII) corpus: ord(char) =
-    // byte value, so the blob features fold over character codes
+    // Recompute from the fixture LAW what the engine must PARSE FROM THE
+    // BYTES: the dimensions/format the Column-built container headers
+    // encode (so any header-parse bug breaks the hash match), the fixed
+    // header lengths (PNG sig+IHDR = 33, JPEG SOI+SOF0 = 15, opaque = 0),
+    // and the content statistics folding over the (pure-ASCII) document
+    // bytes — ord(char) = byte value.
     "q42_media_features" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
-        |  (LIST_VALUE('png','wav','mp4'))[CAST(doc_id % 3 AS INT) + 1] AS format,
+        |  (LIST_VALUE('png','jpeg','bin'))[CAST(doc_id % 3 AS INT) + 1] AS format,
         |  CAST((doc_id % 8 + 1) * 64 AS INT) AS width,
         |  CAST((doc_id % 5 + 1) * 48 AS INT) AS height,
-        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST((LIST_VALUE(33, 15, 0))[CAST(doc_id % 3 AS INT) + 1] AS INT)
+        |    AS header_len,
+        |  CAST(strlen(text) + (LIST_VALUE(33, 15, 0))[CAST(doc_id % 3 AS INT) + 1]
+        |    AS BIGINT) AS n_bytes,
         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_transform(range(1, length(text) + 1),
         |        i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
-        |    (a, x) -> a + x) AS BIGINT) AS byte_sum,
+        |    (a, x) -> a + x) AS BIGINT) AS content_sum,
         |  CASE WHEN strlen(text) = 0 THEN 0.0
         |       ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
         |              list_transform(range(1, length(text) + 1),
         |                i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
         |            (a, x) -> a + x) AS DOUBLE) / CAST(strlen(text) AS DOUBLE)
-        |  END AS byte_mean,
+        |  END AS content_mean,
         |  CASE WHEN strlen(text) = 0 THEN -1
-        |       ELSE CAST(ord(substr(text, 1, 1)) AS INT) END AS first_byte,
+        |       ELSE CAST(ord(substr(text, 1, 1)) AS INT) END AS content_first,
         |  CASE WHEN strlen(text) = 0 THEN -1
-        |       ELSE CAST(ord(substr(text, length(text), 1)) AS INT) END AS last_byte,
+        |       ELSE CAST(ord(substr(text, length(text), 1)) AS INT) END AS content_last,
         |  CAST((doc_id % 8 + 1) * 64 AS DOUBLE) /
         |    CAST((doc_id % 5 + 1) * 48 AS DOUBLE) AS aspect
         |FROM documents""".stripMargin)

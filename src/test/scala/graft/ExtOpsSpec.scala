@@ -37,19 +37,58 @@ class ExtOpsSpec extends SparkSpec {
     assert(Sessions.sessionize(events, "user_id", "ts", 30).count() === 1L)
   }
 
-  test("multimodal: stub features match a driver-side byte recompute") {
+  test("multimodal: dimensions are decoded FROM THE BYTES, content stats from the payload") {
+    // id%3: 0 → png container, 1 → jpeg container, 2 → opaque blob
     val docs = Seq((7L, "abc"), (8L, ""), (9L, "Hello, multimodal!"))
       .toDF("doc_id", "text")
     val got = Multimodal.featurize(Multimodal.mediaTable(docs, "doc_id", "text"))
       .collect().map(f => f.media_id -> f).toMap
-    val abc = got(7L)
-    assert(abc.n_bytes === 3L)
-    assert(abc.byte_sum === ('a' + 'b' + 'c').toLong)
-    assert(abc.first_byte === 'a'.toInt && abc.last_byte === 'c'.toInt)
-    assert(abc.format === "wav" && abc.width === 512 && abc.height === 144)
-    val empty = got(8L)
-    assert(empty.n_bytes === 0L && empty.byte_mean === 0.0 &&
-      empty.first_byte === -1 && empty.last_byte === -1)
+    val jpeg = got(7L) // 7%3=1 → JPEG SOI+SOF0 (15 bytes) + "abc"
+    assert(jpeg.format === "jpeg" && jpeg.width === 512 && jpeg.height === 144)
+    assert(jpeg.header_len === 15 && jpeg.n_bytes === 18L)
+    assert(jpeg.content_sum === ('a' + 'b' + 'c').toLong)
+    assert(jpeg.content_first === 'a'.toInt && jpeg.content_last === 'c'.toInt)
+    val opaque = got(8L) // 8%3=2 → raw blob, sidecar metadata fallback
+    assert(opaque.format === "bin" && opaque.header_len === 0)
+    assert(opaque.n_bytes === 0L && opaque.content_mean === 0.0 &&
+      opaque.content_first === -1 && opaque.content_last === -1)
+    assert(opaque.width === 64 && opaque.height === 192)
+    val png = got(9L) // 9%3=0 → PNG sig+IHDR (33 bytes) + text
+    assert(png.format === "png" && png.width === 128 && png.height === 240)
+    assert(png.header_len === 33 && png.n_bytes === 33L + 18L)
+  }
+
+  test("multimodal: fixture PNG header is spec-valid (signature, IHDR, real CRC-32)") {
+    val docs = Seq((3L, "x")).toDF("doc_id", "text") // 3%3=0 → png
+    val bytes = Multimodal.mediaTable(docs, "doc_id", "text")
+      .select(col("media")).collect().head.getAs[Array[Byte]](0)
+    assert((bytes(0) & 0xff) === 0x89 &&
+      new String(bytes.slice(1, 4), "US-ASCII") === "PNG")
+    // CRC stored at bytes 29..32 must be the zlib CRC-32 over type+data
+    val crc = new java.util.zip.CRC32()
+    crc.update(bytes, 12, 17) // "IHDR" + 13 data bytes
+    val stored = ((bytes(29) & 0xffL) << 24) | ((bytes(30) & 0xffL) << 16) |
+      ((bytes(31) & 0xffL) << 8) | (bytes(32) & 0xffL)
+    assert(stored === crc.getValue)
+  }
+
+  test("ImageHeaders parses real JDK-encoded PNG and JPEG bytes") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, out), s"JDK has no $fmt writer")
+      out.toByteArray
+    }
+    val png = graft.ext.ImageHeaders.parse(encode("png", 37, 21))
+    assert(png.exists(p => p.format == "png" && p.width == 37 && p.height == 21))
+    // real JPEGs carry APP0/DQT/DHT segments before SOF0 — exercises the
+    // marker-segment walk, not just the fixture's minimal header
+    val jpg = graft.ext.ImageHeaders.parse(encode("jpg", 64, 48))
+    assert(jpg.exists(p => p.format == "jpeg" && p.width == 64 && p.height == 48))
+    assert(graft.ext.ImageHeaders.parse("just some text".getBytes("UTF-8")).isEmpty)
+    assert(graft.ext.ImageHeaders.parse(Array[Byte]()).isEmpty)
   }
 
   test("multimodal: decode is batched and narrow (no shuffle, partitioning preserved)") {
@@ -61,7 +100,7 @@ class ExtOpsSpec extends SparkSpec {
     val counting = new Multimodal.MediaDecoder {
       def decodeBatch(b: Seq[graft.ext.MediaRow]): Seq[graft.ext.MediaFeatures] = {
         sizes.add(b.size)
-        Multimodal.StubDecoder.decodeBatch(b)
+        Multimodal.HeaderDecoder.decodeBatch(b)
       }
     }
     val out = Multimodal.featurize(media, counting, batchSize = 16)
