@@ -57,7 +57,8 @@ object Scale {
     // the reference's own verify query on the produced table — against
     // the bucket-partitioned layout this partition-prunes to one dir
     timed("latestFacts point query") {
-      Financials.latestFacts(fact, f"S${n / 2}%05d", buckets = buckets)
+      // bucket count read from the layout's sidecar, not hand-passed
+      Financials.latestFactsAt(spark, factPath, f"S${n / 2}%05d")
         .collect(): Unit
     }
     // O(delta) incremental maintenance at scale: a 100-symbol daily

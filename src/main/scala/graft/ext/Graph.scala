@@ -36,12 +36,21 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Components over the edge-incident nodes PLUS every node of
-    * `universe` — isolated nodes come out as singletons with
-    * `cluster_id = id`, which is the release semantics of
-    * keep-one-per-duplicate-group over a full corpus (a document with
-    * no near-dup pair is its own survivor). One extra left join on the
-    * node id; the universe side is never iterated.
+  /** Components RESTRICTED TO the nodes of `universe`: every universe
+    * node is emitted exactly once — edge-incident ones with their
+    * component label, isolated ones as singletons (`cluster_id = id`),
+    * which is the release semantics of keep-one-per-duplicate-group
+    * over a full corpus (a document with no near-dup pair is its own
+    * survivor). One extra left join on the node id; the universe side
+    * is never iterated.
+    *
+    * CONTRACT: edges must reference only universe members. An
+    * edge-incident node ABSENT from the universe is not emitted (the
+    * join is a restriction, not a union), and — since labels are
+    * component-minimum ids — a surviving member's `cluster_id` could
+    * then name a node outside the output. The dedup pipelines satisfy
+    * this by construction (pairs are generated FROM the corpus that is
+    * passed as the universe).
     *
     * @param universe one id column (first column is used)
     */

@@ -43,6 +43,13 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltFrom: String, salts: Int, hotThreshold: Long): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
+    // loud contract, not silent clobbering (same guard as AsOf): the
+    // three internal working columns are reserved
+    val internal = Seq("_hot_n", "_hot", "_salt")
+    val reserved = (left.columns ++ right.columns).filter(internal.contains)
+    require(reserved.isEmpty,
+      s"saltedJoin reserves column name(s) ${reserved.distinct.mkString(", ")}; " +
+        "rename them on the input")
     val hot = left.groupBy(col(key)).agg(count(lit(1)).as("_hot_n"))
       .filter(col("_hot_n") >= hotThreshold)
       .select(col(key), lit(true).as("_hot"))

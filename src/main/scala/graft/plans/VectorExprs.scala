@@ -144,6 +144,12 @@ case class L2NormExpr(child: Expression) extends UnaryExpression {
 case class SignSignatureExpr(child: Expression, planes: Seq[Seq[Double]])
     extends UnaryExpression {
 
+  // one bit per hyperplane packed into a Long: a 65th plane would wrap
+  // the Java shift (1L << j uses j mod 64) and silently overwrite bit 0
+  require(planes.length <= 64,
+    s"sign_signature packs one bit per plane into a Long; got " +
+      s"${planes.length} planes (max 64)")
+
   override def dataType: DataType = LongType
   override def prettyName: String = "sign_signature"
 

@@ -173,8 +173,7 @@ object ScaleQueries {
     // LayoutSpec). The fixture table is staged per JVM; the timed work
     // is the pruned read itself.
     "q57_clustered_point" -> ((s, d) =>
-      Financials.latestFacts(
-        s.read.parquet(stagedFactPath(s, n(d))), PointSymbol)))
+      Financials.latestFactsAt(s, stagedFactPath(s, n(d)), PointSymbol)))
 
   /** q57's lookup key — exists at every scale (symbolCount ≥ 10). */
   private val PointSymbol = "S00007"

@@ -83,6 +83,29 @@ object Sinks {
       .sortWithinPartitions("stock", "statement_type", "metric", "date")
       .write.mode("overwrite").parquet(path)
 
+  /** Layout-metadata sidecar for the maintained fact layout: the bucket
+    * count is part of the PHYSICAL layout (the factBucket law baked into
+    * the directory structure), so it is recorded next to the data —
+    * readers derive it instead of trusting a caller-supplied count, and
+    * the incremental writer refuses a mismatched count instead of
+    * silently merging under the wrong bucket law. Underscore-prefixed,
+    * so Spark's parquet reader ignores it.
+    */
+  private val BucketsFileName = "_graft_buckets"
+
+  def writeLayoutBuckets(path: String, buckets: Int): Unit = {
+    new File(path).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, BucketsFileName), buckets.toString): Unit
+  }
+
+  def readLayoutBuckets(path: String): Option[Int] = {
+    val f = new File(path, BucketsFileName)
+    if (f.isFile)
+      Some(java.nio.file.Files.readString(f.toPath).trim.toInt)
+    else None
+  }
+
   /** The stock-hash bucket of the MAINTAINED fact layout. `hash` is the
     * same Murmur3(seed 42) as `repartition(n, col)`'s HashPartitioning,
     * so `pmod(hash(stock), n)` equals the shuffle partition id — after a
@@ -113,6 +136,7 @@ object Sinks {
       .repartition(buckets, col("stock"))
       .sortWithinPartitions(("bucket" +: pk).map(col): _*)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    writeLayoutBuckets(path, buckets)
   }
 
   /** O(delta) incremental fact upsert — the engine-scale analogue of the
@@ -159,6 +183,13 @@ object Sinks {
                       path: String, incoming: DataFrame,
                       buckets: Int = 32,
                       deltaStocks: Option[DataFrame] = None): Unit = {
+    // The bucket law is physical layout: a mismatched count would merge
+    // and overwrite under the WRONG directories. Refuse loudly.
+    readLayoutBuckets(path).foreach { recorded =>
+      require(recorded == buckets,
+        s"upsertFactDelta called with buckets=$buckets but the layout at " +
+          s"$path was written with buckets=$recorded (see _graft_buckets)")
+    }
     val pk = graft.transform.Financials.Pk
     val (delta, probe) = deltaStocks match {
       case Some(ks) =>
@@ -174,8 +205,24 @@ object Sinks {
     }
     val touched = probe.distinct()
       .collect().map(_.getInt(0)).sorted
+    val touchedSeq = touched.toIndexedSeq
+    // Guard the deltaStocks contract INSIDE the write job: a delta row
+    // whose bucket is not in the touched set would otherwise land in the
+    // merged output alone — dynamic overwrite would then replace that
+    // bucket directory with delta-only rows, silently deleting its
+    // history. Filter such rows out of the write (untouched directories
+    // stay intact) and count them via observe in the same action; a
+    // non-zero count throws AFTER the job, so the violation is loud and
+    // the layout is never corrupted. (When deltaStocks is None the probe
+    // is the delta itself and the count is structurally zero.)
+    val strayObs = org.apache.spark.sql.Observation()
+    val guarded = delta
+      .observe(strayObs, coalesce(
+        sum(when(!col("bucket").isin(touchedSeq: _*), 1L)), lit(0L))
+        .as("stray_rows"))
+      .filter(col("bucket").isin(touchedSeq: _*))
     val existing = spark.read.parquet(path)
-      .filter(col("bucket").isin(touched.toIndexedSeq: _*))
+      .filter(col("bucket").isin(touchedSeq: _*))
     // ONE exchange for the whole merge+write (the q38 fusion, applied
     // to the touched subset): the tagged union repartitions on `stock`,
     // which satisfies the PK dedup's required distribution (stock ⊆ PK)
@@ -183,7 +230,7 @@ object Sinks {
     // runs co-located and the partitioned write adds no further shuffle
     // or sort (the `bucket` sort prefix satisfies the writer).
     val tagged = existing.withColumn("_gen", lit(0))
-      .unionByName(delta.withColumn("_gen", lit(1)))
+      .unionByName(guarded.withColumn("_gen", lit(1)))
       .repartition(buckets, col("stock"))
     val merged = graft.transform.Upsert.latestByKey(tagged, pk, col("_gen"))
       .drop("_gen")
@@ -191,5 +238,14 @@ object Sinks {
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(path)
+    writeLayoutBuckets(path, buckets) // legacy layouts gain the sidecar
+    val stray = strayObs.get("stray_rows").asInstanceOf[Long]
+    if (stray > 0)
+      throw new IllegalStateException(
+        s"upsertFactDelta: $stray delta row(s) fall outside the " +
+          "deltaStocks key universe — those rows were NOT applied " +
+          "(their buckets were excluded from the rewrite, so no history " +
+          "was lost). Pass a deltaStocks that covers every delta stock, " +
+          "or None to derive the universe from the delta itself.")
   }
 }

@@ -163,13 +163,15 @@ object Financials {
     * Readers drop/prune the `bucket` virtual column; increments go
     * through Sinks.upsertFactDelta and rewrite only touched buckets.
     */
-  def normalizeInto(raw: DataFrame, path: String, buckets: Int = 32): Unit =
+  def normalizeInto(raw: DataFrame, path: String, buckets: Int = 32): Unit = {
     pkDedup(derivedFacts(raw).repartition(buckets, col("stock")))
       // bucket is a pure function of stock: recomputing it after the
       // dedup is a projection — partitioning survives, no exchange
       .withColumn("bucket", graft.sources.Sinks.factBucket(buckets))
       .sortWithinPartitions(("bucket" +: Pk).map(col): _*)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    graft.sources.Sinks.writeLayoutBuckets(path, buckets)
+  }
 
   /** Typed API boundary (SURVEY.md §1.3): the fact table as
     * Dataset[FinancialFact] — compile-time column safety for library
@@ -191,6 +193,13 @@ object Financials {
     * to one bucket directory — the engine analogue of the reference's
     * `idx_symbol` lookup (details.py:199) — and parquet min/max stats
     * on the PK-sorted files prune row groups within it.
+    *
+    * CONTRACT: `buckets` must equal the count the layout was WRITTEN
+    * with — the bucket predicate is a pure function of (symbol,
+    * buckets), so a mismatched count prunes to the wrong directory and
+    * returns silently empty/short results, not an error. Prefer
+    * [[latestFactsAt]], which derives the recorded count from the
+    * layout's `_graft_buckets` sidecar instead of trusting the caller.
     */
   def latestFacts(fact: DataFrame, symbol: String, k: Int = 10,
                   buckets: Int = 32): DataFrame = {
@@ -204,4 +213,19 @@ object Financials {
       .limit(k)
       .drop("bucket")
   }
+
+  /** [[latestFacts]] against a maintained-layout PATH: the bucket count
+    * comes from the layout's own `_graft_buckets` sidecar (written by
+    * Sinks.writeFactPartitioned / normalizeInto / upsertFactDelta), so
+    * the pruning predicate can never disagree with the directory law. A
+    * layout without the sidecar (e.g. the flat writeFact form) falls
+    * back to an unpruned — correct, just wider — scan.
+    */
+  def latestFactsAt(spark: org.apache.spark.sql.SparkSession, path: String,
+                    symbol: String, k: Int = 10): DataFrame =
+    graft.sources.Sinks.readLayoutBuckets(path) match {
+      case Some(n) => latestFacts(spark.read.parquet(path), symbol, k, n)
+      case None    =>
+        latestFacts(spark.read.parquet(path).drop("bucket"), symbol, k)
+    }
 }

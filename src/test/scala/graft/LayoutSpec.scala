@@ -97,6 +97,62 @@ class LayoutSpec extends SparkSpec {
     assert(s1.filter(col("value") < 500000.0).count() === 0L)
   }
 
+  test("upsertFactDelta: non-superset deltaStocks throws AND loses no history") {
+    val buckets = 4
+    val path = Sinks.tmpPath("test_fact_stray")
+    Sinks.deleteRecursively(path)
+    val base = Financials.normalize(RawZoneGen.payloads(spark, 6))
+    Sinks.writeFactPartitioned(base, path, buckets)
+    val before = bucketFiles(path)
+    // delta covers S00003 AND S00006, but the caller claims only S00003
+    val delta = Financials.normalize(RawZoneGen.payloads(spark, 8))
+      .filter(col("stock").isin("S00003", "S00006"))
+      .withColumn("value", col("value") + lit(100000.0))
+    val e = intercept[IllegalStateException] {
+      Sinks.upsertFactDelta(spark, path, delta, buckets,
+        deltaStocks = Some(Seq("S00003").toDF("stock")))
+    }
+    assert(e.getMessage.contains("deltaStocks"))
+    // the violation must be loud but NON-destructive: S00006's bucket
+    // was excluded from the rewrite, so every symbol's history survives
+    val back = spark.read.parquet(path).drop("bucket")
+    assert(back.select("stock").distinct().count() === 6L)
+    val b3 = spark.range(1)
+      .select(pmod(hash(lit("S00003")), lit(buckets))).as[Int].head()
+    val b6 = spark.range(1)
+      .select(pmod(hash(lit("S00006")), lit(buckets))).as[Int].head()
+    if (b6 != b3) // stray bucket untouched byte-for-byte (unless shared)
+      assert(bucketFiles(path)(s"bucket=$b6") === before(s"bucket=$b6"))
+  }
+
+  test("upsertFactDelta: bucket-count mismatch with the recorded layout is refused") {
+    val path = Sinks.tmpPath("test_fact_mismatch")
+    Sinks.deleteRecursively(path)
+    val base = Financials.normalize(RawZoneGen.payloads(spark, 4))
+    Sinks.writeFactPartitioned(base, path, buckets = 4)
+    assert(Sinks.readLayoutBuckets(path) === Some(4))
+    val e = intercept[IllegalArgumentException] {
+      Sinks.upsertFactDelta(spark, path, base.limit(1), buckets = 8)
+    }
+    assert(e.getMessage.contains("buckets=8") &&
+      e.getMessage.contains("buckets=4"))
+  }
+
+  test("latestFactsAt derives the bucket count from the layout sidecar") {
+    val path = Sinks.tmpPath("test_fact_sidecar")
+    Sinks.deleteRecursively(path)
+    Sinks.writeFactPartitioned(
+      Financials.normalize(RawZoneGen.payloads(spark, 6)), path, buckets = 8)
+    // non-default count: a hand-passed latestFacts(default 32) would
+    // prune to the wrong directory here — the sidecar makes it exact
+    val rows = Financials.latestFactsAt(spark, path, "S00003", k = 5)
+    val scan = rows.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    assert(scan.selectedPartitions.partitionCount === 1)
+    assert(rows.count() === 5L)
+  }
+
   test("latestFacts on the maintained layout: scan partition-prunes to one bucket") {
     val path = Sinks.tmpPath("test_fact_prune")
     Sinks.deleteRecursively(path)

@@ -87,6 +87,14 @@ class VectorExprsSpec extends SparkSpec {
     assert(g.getLong(0) === 0L && g.getLong(1) === 0L)
   }
 
+  test("signSignature refuses more than 64 planes (Long bit capacity)") {
+    val planes = (0 until 65).map(_ => Seq(1.0, -1.0))
+    val e = intercept[IllegalArgumentException] {
+      VectorExprs.signSignature(col("emb"), planes)
+    }
+    assert(e.getMessage.contains("64"))
+  }
+
   test("codegen compiles with NON-nullable array inputs") {
     // vecDot/vecL2Norm produce NULL even from non-null inputs (null
     // element, length mismatch), so they must declare nullable=true
