@@ -4,30 +4,41 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join — the time-series lookup Spark's built-in join
-  * set lacks (DuckDB/kdb/Pandas `ASOF JOIN`): for every left row, attach
-  * the single right row with the greatest right timestamp ≤ the left
-  * timestamp within the same key (event→latest-prior-state attribution:
-  * purchase→last click, trade→last quote, reading→last calibration).
+/** As-of joins — the time-series lookups Spark's built-in join set lacks
+  * (DuckDB/kdb/Pandas `ASOF JOIN`, pandas `merge_asof(direction=…)`):
+  * for every left row, attach the single right row with
+  *
+  *  - BACKWARD: the greatest right timestamp ≤ the left timestamp
+  *    (event→latest-prior-state attribution: purchase→last click,
+  *    trade→last quote, reading→last calibration);
+  *  - FORWARD: the smallest right timestamp ≥ the left timestamp
+  *    (event→next-response attribution: impression→next conversion,
+  *    alert→next acknowledgement, order→next fill);
+  *
+  * within the same key.
   *
   * Implementation is the union-sort shape, NOT a range join: tag both
   * sides, union, and run ONE analytic window per key ordered by
-  * (timestamp, side) carrying the last right-side payload forward. Cost
-  * is a single shuffle on the key plus a per-key sort — the same
+  * (timestamp, side) carrying the nearest right-side payload across.
+  * Cost is a single shuffle on the key plus a per-key sort — the same
   * exchange a groupBy would pay — versus a ts-inequality join, which
   * Catalyst can only execute as a per-key cartesian filter (O(L·R) per
   * key). Skewed keys are one sort partition's problem (AQE-sized);
   * state per row is one payload struct, so the plan survives any scale
   * the sort does.
   *
-  * Determinism: ties on the timestamp sort (side, then the payload
-  * struct itself) — equal-ts right rows resolve to the struct-greatest
-  * payload, and a right row AT the left timestamp is visible to it
-  * (inclusive, matching DuckDB `ON l.ts >= r.ts`).
+  * Determinism: ties on the timestamp sort resolve via (side, then the
+  * payload struct itself) — in BOTH directions equal-ts right rows
+  * resolve to the struct-GREATEST payload, and a right row AT the left
+  * timestamp is visible to it (inclusive, matching DuckDB
+  * `ON l.ts >= r.ts` / `ON l.ts <= r.ts`).
   */
 object AsOf {
 
-  /** @param payload right-side columns to carry (rightTs rides along
+  /** Backward as-of join (latest right row at-or-before the left
+    * timestamp).
+    *
+    * @param payload right-side columns to carry (rightTs rides along
     *                automatically); emitted as `prefix + name`. Nullable
     *                payload columns are safe: the carried value is the
     *                whole row STRUCT, so a null field never falls back to
@@ -42,7 +53,26 @@ object AsOf {
   def joinBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, rightTs: String, payload: Seq[String],
                    prefix: String = "asof_",
-                   toleranceUs: Option[Long] = None): DataFrame = {
+                   toleranceUs: Option[Long] = None): DataFrame =
+    joinImpl(left, right, keys, leftTs, rightTs, payload, prefix,
+      toleranceUs, forward = false)
+
+  /** Forward as-of join (earliest right row at-or-after the left
+    * timestamp) — the other half of attribution pipelines: "what
+    * happened NEXT". Same parameters, same union+window plan; only the
+    * frame direction and the tolerance sign flip.
+    */
+  def joinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTs: String, rightTs: String, payload: Seq[String],
+                  prefix: String = "asof_",
+                  toleranceUs: Option[Long] = None): DataFrame =
+    joinImpl(left, right, keys, leftTs, rightTs, payload, prefix,
+      toleranceUs, forward = true)
+
+  private def joinImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTs: String, rightTs: String, payload: Seq[String],
+                       prefix: String, toleranceUs: Option[Long],
+                       forward: Boolean): DataFrame = {
     val carried = (rightTs +: payload.filterNot(_ == rightTs)).distinct
     // loud contract, not silent clobbering: the four internal working
     // columns are reserved, and a prefixed output name may not shadow a
@@ -50,29 +80,48 @@ object AsOf {
     val internal = Seq("_ts", "_side", "_p", "_asof")
     val reserved = (left.columns ++ right.columns).filter(internal.contains)
     require(reserved.isEmpty,
-      s"joinBackward reserves column name(s) ${reserved.mkString(", ")}; " +
+      s"as-of join reserves column name(s) ${reserved.mkString(", ")}; " +
         "rename them on the input")
     val shadowed = carried.map(prefix + _).filter(left.columns.contains)
     require(shadowed.isEmpty,
       s"asof output column(s) ${shadowed.mkString(", ")} would shadow " +
         "left columns — pass a different prefix")
+    // Side ordering makes the inclusive bound work in each direction:
+    // backward looks over (…, currentRow] so right rows (side 0) sort
+    // BEFORE left (side 1) at equal ts; forward looks over
+    // [currentRow, …) so left (side 0) sorts before right (side 1).
+    val (lSide, rSide) = if (forward) (0, 1) else (1, 0)
     val l = left
       .withColumn("_ts", col(leftTs))
-      .withColumn("_side", lit(1))
+      .withColumn("_side", lit(lSide))
     val r = right.select(
       keys.map(col) ++ Seq(
-        col(rightTs).as("_ts"), lit(0).as("_side"),
+        col(rightTs).as("_ts"), lit(rSide).as("_side"),
         struct(carried.map(col): _*).as("_p")): _*)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts"), col("_side"), col("_p"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Equal-ts ties resolve to the struct-greatest payload in BOTH
+    // directions: backward takes the LAST over ascending _p, forward
+    // the FIRST over descending _p.
+    val base = Window.partitionBy(keys.map(col): _*)
+    val w =
+      if (forward)
+        base.orderBy(col("_ts"), col("_side"), col("_p").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else
+        base.orderBy(col("_ts"), col("_side"), col("_p"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pick =
+      if (forward) first(col("_p"), ignoreNulls = true).over(w)
+      else last(col("_p"), ignoreNulls = true).over(w)
     val matched = l.unionByName(r, allowMissingColumns = true)
-      .withColumn("_asof", last(col("_p"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
+      .withColumn("_asof", pick)
+      .filter(col("_side") === lSide)
     val bounded = toleranceUs.fold(matched) { tol =>
-      matched.withColumn("_asof",
-        when(unix_micros(col("_ts")) -
-          unix_micros(col(s"_asof.$rightTs")) <= tol, col("_asof")))
+      val gap =
+        if (forward)
+          unix_micros(col(s"_asof.$rightTs")) - unix_micros(col("_ts"))
+        else
+          unix_micros(col("_ts")) - unix_micros(col(s"_asof.$rightTs"))
+      matched.withColumn("_asof", when(gap <= tol, col("_asof")))
     }
     bounded.select(left.columns.toSeq.map(col) ++
       carried.map(c => col(s"_asof.$c").as(s"$prefix$c")): _*)

@@ -31,6 +31,15 @@ object CurationQueries {
   private val SplitCuts = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
   private val SaltBuckets = 8
   private val HotThreshold = 40L
+  // q65: the quantile grid a release pipeline derives its quality
+  // cutoffs from, and the sketch accuracy. 1e6 makes the GK sketch
+  // EXACT at verify scale (rank error < 1 row up to 1M rows), so both
+  // engines select the identical ceil(p·n)-rank element — empirically
+  // pinned: Spark approx_percentile ≡ DuckDB quantile_disc on ties,
+  // duplicates, and 500-row grids. At 100 TB the same one-aggregate
+  // plan degrades gracefully to ±1e-6 rank error with bounded memory.
+  private val QuantilePs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+  private val QuantileAcc = 1000000
 
   /** The full-corpus duplicate-cluster assignment (exact-Jaccard pairs
     * closed under transitivity over the documents universe), MATERIALIZED
@@ -197,6 +206,33 @@ object CurationQueries {
         Tables.part(s, d).select(col("p_partkey").as("l_partkey"),
           col("p_name")),
         "l_partkey", "l_orderkey", SaltBuckets, HotThreshold)),
+
+    // Corpus quality-cutoff selection: the percentile grid over the
+    // text-profile quality score — ONE combinable sketch aggregate
+    // (approx_percentile), no sort, no shuffle beyond the final
+    // single-row reduce; the exact shape a 100 TB release pipeline uses
+    // to pick "drop the bottom decile".
+    "q65_quality_percentiles" -> ((s, d) => {
+      val prof = TextStats.profile(Tables.documents(s, d), "doc_id", "text")
+      val pArr = array(QuantilePs.map(lit): _*)
+      prof.agg(percentile_approx(col("quality"), pArr, lit(QuantileAcc))
+          .as("qs"))
+        .select(posexplode(col("qs")).as(Seq("pos", "quality_cutoff")))
+        .select(element_at(pArr, col("pos") + 1).as("p"),
+          col("quality_cutoff"))
+    }),
+
+    // Forward as-of join: purchase → EARLIEST subsequent click (the
+    // "what happened next" half of attribution), inclusive at equal ts.
+    "q66_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      AsOf.joinForward(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        Seq("user_id"), "ts", "ts", Seq("event_id", "value"), "next_click_")
+    }),
 
     // Dedup release step: one survivor per duplicate cluster — best
     // quality, ties to the smallest id — over the full-corpus cluster
@@ -459,6 +495,45 @@ object CurationQueries {
       |  p.p_name
       |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin
 
+  /** Quality-percentile twin: `quantile_disc` selects the identical
+    * ceil(p·n)-rank element as Spark's exact-accuracy approx_percentile
+    * (empirically pinned across ties/duplicates/500-row grids); the
+    * quality inputs are already bit-identical via the shared q27 law.
+    */
+  private val qualityPercentilesSql = {
+    val listLit = QuantilePs.mkString("[", ", ", "]")
+    val psValues = QuantilePs.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, CAST($p AS DOUBLE))" }
+      .mkString(", ")
+    s"""WITH stats AS (${ExtQueries.textStatsSql("documents")}),
+       |qs AS (SELECT quantile_disc(quality, $listLit) AS arr FROM stats),
+       |ps(i, p) AS (VALUES $psValues)
+       |SELECT ps.p AS p, qs.arr[ps.i] AS quality_cutoff
+       |FROM ps, qs""".stripMargin
+  }
+
+  /** Forward as-of twin: mirror of [[asofJoinSql]] with the inequality
+    * and tie-break reversed — earliest at-or-after click, equal-ts ties
+    * to the struct-greatest payload (greatest event_id).
+    */
+  private val asofForwardSql =
+    """WITH c AS (
+      |  SELECT user_id, ts, event_id, value FROM events
+      |  WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT event_id, user_id, ts, value FROM events
+      |  WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT p.event_id, p.user_id, p.ts, p.value,
+      |    c.ts AS next_click_ts, c.event_id AS next_click_event_id,
+      |    c.value AS next_click_value,
+      |    row_number() OVER (PARTITION BY p.event_id
+      |      ORDER BY c.ts ASC, c.event_id DESC) AS rk
+      |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts)
+      |SELECT event_id, user_id, ts, value,
+      |  next_click_ts, next_click_event_id, next_click_value
+      |FROM j WHERE rk = 1""".stripMargin
+
   /** Survivor-per-cluster twin: full-corpus clusters (q58 oracle) ⋈
     * text-profile quality (q27 oracle), argmax per cluster with the
     * same (quality desc, id asc) total order.
@@ -488,5 +563,7 @@ object CurationQueries {
     "q61_tfidf_topk" -> tfIdfTopKSql,
     "q62_hash_split" -> hashSplitSql,
     "q63_salted_join" -> saltedJoinSql,
-    "q64_dedup_survivors" -> dedupSurvivorsSql)
+    "q64_dedup_survivors" -> dedupSurvivorsSql,
+    "q65_quality_percentiles" -> qualityPercentilesSql,
+    "q66_asof_forward" -> asofForwardSql)
 }

@@ -242,6 +242,53 @@ class CurationSpec extends SparkSpec {
     assert(e2.getMessage.contains("click_event_id"))
   }
 
+  test("joinForward: earliest at-or-after wins, inclusive ts, no-match → null") {
+    val clicks = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00"), 1.0),
+      (11L, 1L, ts("2024-01-01 11:00:00"), 2.0),
+      (12L, 2L, ts("2024-01-01 12:00:00"), 3.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val purchases = Seq(
+      (20L, 1L, ts("2024-01-01 10:30:00"), 9.0), // next is click 11
+      (21L, 1L, ts("2024-01-01 10:00:00"), 9.0), // AT click 10 → inclusive
+      (22L, 2L, ts("2024-01-01 12:00:01"), 9.0), // after user-2's last click
+      (23L, 3L, ts("2024-01-01 12:00:00"), 9.0)) // user with no clicks
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = AsOf.joinForward(purchases, clicks, Seq("user_id"),
+      "ts", "ts", Seq("event_id", "value"), "next_")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("next_event_id"))).toMap
+    assert(got === Map(20L -> Some(11L), 21L -> Some(10L),
+      22L -> None, 23L -> None))
+  }
+
+  test("joinForward: tolerance turns a too-late match into no-match") {
+    val clicks = Seq((10L, 1L, ts("2024-01-01 12:00:00"), 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val purchases = Seq(
+      (20L, 1L, ts("2024-01-01 11:30:00"), 9.0), // 30 min ahead — within
+      (21L, 1L, ts("2024-01-01 10:00:00"), 9.0)) // 2 h ahead — beyond
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = AsOf.joinForward(purchases, clicks, Seq("user_id"),
+      "ts", "ts", Seq("event_id"), "next_",
+      toleranceUs = Some(3600L * 1000000L)) // 1 hour
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("next_event_id"))).toMap
+    assert(got === Map(20L -> Some(10L), 21L -> None))
+  }
+
+  test("joinForward: equal-ts right rows resolve to greatest payload") {
+    val clicks = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00"), 1.0),
+      (11L, 1L, ts("2024-01-01 10:00:00"), 2.0)) // same ts, higher id
+      .toDF("event_id", "user_id", "ts", "value")
+    val purchases = Seq((20L, 1L, ts("2024-01-01 09:00:00"), 9.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val row = AsOf.joinForward(purchases, clicks, Seq("user_id"),
+      "ts", "ts", Seq("event_id", "value"), "next_").collect().head
+    assert(row.getAs[Long]("next_event_id") === 11L)
+  }
+
   // ---- repetition filter ----------------------------------------------
 
   test("repetitionProfile: hand-computed ratios, short docs, keep verdict") {
@@ -342,6 +389,16 @@ class CurationSpec extends SparkSpec {
     val saltedNull = Skew.saltedJoin(leftNull, right, "k", "pk", 4, 2L)
       .collect().map(r => (r.getLong(0), r.getString(2))).sorted
     assert(saltedNull === Array((0L, "dim0"), (100L, "dim100"), (100L, "dim100")))
+  }
+
+  test("saltedJoin: reserved internal column names are refused loudly") {
+    import graft.ext.Skew
+    val bad = Seq((1L, 2L, 3)).toDF("k", "pk", "_salt")
+    val right = Seq((1L, "d")).toDF("k", "payload")
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(bad, right, "k", "pk", 4, 2L)
+    }
+    assert(e.getMessage.contains("_salt"))
   }
 
   // ---- survivors ------------------------------------------------------
