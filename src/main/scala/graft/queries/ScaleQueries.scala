@@ -173,7 +173,32 @@ object ScaleQueries {
     // LayoutSpec). The fixture table is staged per JVM; the timed work
     // is the pruned read itself.
     "q57_clustered_point" -> ((s, d) =>
-      Financials.latestFactsAt(s, stagedFactPath(s, n(d)), PointSymbol)))
+      Financials.latestFactsAt(s, stagedFactPath(s, n(d)), PointSymbol)),
+
+    // S4 — the live-connector shape as a real DataSource V2 source:
+    // partition-planned, rate-limit-capable (unthrottled here), with
+    // column pruning down to the key columns. The scan reads the
+    // sf-proportional symbol universe through the connector and parses
+    // the profile fields a real ingest would keep; the oracle
+    // regenerates them from the law, so the whole connector → JSON →
+    // parse path is differentially tested.
+    "q67_connector_scan" -> ((s, d) => {
+      import org.apache.spark.sql.types.StructType
+      val infoSchema = new StructType().add("info", new StructType()
+        .add("currency", "string")
+        .add("fullTimeEmployees", "string")
+        .add("sector", "string"))
+      s.read.format(classOf[graft.sources.ProfileConnector].getName)
+        .option("symbols", n(d)).option("numPartitions", 8).load()
+        .select(col("symbol"),
+          from_json(col("payload"), infoSchema).getField("info").as("_i"),
+          col("loaded_at"))
+        .select(col("symbol"),
+          col("_i.currency").as("currency"),
+          col("_i.fullTimeEmployees").cast("int").as("employees"),
+          col("_i.sector").as("sector"),
+          col("loaded_at"))
+    }))
 
   /** q57's lookup key — exists at every scale (symbolCount ≥ 10). */
   private val PointSymbol = "S00007"
@@ -288,6 +313,19 @@ object ScaleQueries {
          |  (LIST_VALUE('USD','EUR','JPY','GBP'))[CAST(i % 4 AS INT) + 1] AS currency,
          |  CAST(1900 + i % 120 AS INT) AS founded_year,
          |  CASE WHEN i % 3 = 0 THEN 'Old Synth ' || CAST(i AS VARCHAR) END AS former_name
+         |FROM syms""".stripMargin,
+
+    // connector-scan twin: profile fields straight from the generator
+    // law (same fragments as the q39 oracle), loaded-at by parity
+    "q67_connector_scan" ->
+      s"""WITH syms AS (SELECT range AS i FROM range(0, $VerifyN))
+         |SELECT
+         |  'S' || lpad(CAST(i AS VARCHAR), 5, '0') AS symbol,
+         |  (LIST_VALUE('USD','EUR','JPY','GBP'))[CAST(i % 4 AS INT) + 1] AS currency,
+         |  CAST((i*37) % 90000 + 10 AS INT) AS employees,
+         |  (LIST_VALUE('Technology','Energy','Healthcare','Financials','Utilities'))[CAST(i % 5 AS INT) + 1] AS sector,
+         |  CASE WHEN i % 2 = 0 THEN TIMESTAMP '2025-08-15 00:00:00'
+         |       ELSE TIMESTAMP '2025-08-16 00:00:00' END AS loaded_at
          |FROM syms""".stripMargin,
 
     "q40_upsert_roundtrip" ->

@@ -1,0 +1,256 @@
+package graft.sources
+
+import java.time.LocalDateTime
+import java.time.ZoneOffset
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types.{StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S4 — the live-connector SHAPE as a real DataSource V2 `TableProvider`
+  * (the reference's rate-limited per-symbol Yahoo fetch,
+  * details.py:129–154 + 277–305, re-expressed as a first-class Spark
+  * source). The sandbox has no network, so the "remote service" is the
+  * deterministic RawZoneGen payload law — but every CONNECTOR concern
+  * is the real thing:
+  *
+  *  - **partition planning**: the symbol universe splits into
+  *    `numPartitions` contiguous ranges, one `InputPartition` each —
+  *    the fetch parallelizes across executors instead of the
+  *    reference's single sequential loop;
+  *  - **per-partition rate limiting**: each reader paces itself with a
+  *    token-interval clock (`maxPerSecond` option, the connector twin
+  *    of details.py:27 `SLEEP_SECONDS_BETWEEN_CALLS`) — aggregate
+  *    throughput = partitions × rate, the polite-crawl contract a real
+  *    API connector must keep PER CONNECTION, not per cluster;
+  *  - **column pruning** (`SupportsPushDownRequiredColumns`): a scan
+  *    that only needs `symbol`/`loaded_at` never builds the payload —
+  *    exactly the q54 touched-bucket probe pattern, where the key
+  *    universe is read without paying for the document body.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format(classOf[ProfileConnector].getName)
+  *     .option("symbols", "550")        // universe size
+  *     .option("numPartitions", "8")    // fetch parallelism
+  *     .option("maxPerSecond", "0")     // 0 = unthrottled (tests)
+  *     .load()                          // → symbol, payload, loaded_at
+  * }}}
+  *
+  * The emitted rows follow RawZoneGen's fresh-generation law value-for-
+  * value (JSON key order and number formatting are irrelevant once
+  * `from_json` parses by schema), so `Financials.normalize` over this
+  * source converges to the same fact table as the staged raw zone and
+  * the DuckDB regenerate-from-law oracle.
+  */
+class ProfileConnector extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ProfileConnector.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ProfileConnector.ProfileTable
+}
+
+object ProfileConnector {
+
+  val Schema: StructType = new StructType()
+    .add("symbol", "string", nullable = false)
+    .add("payload", "string", nullable = false)
+    .add("loaded_at", TimestampType, nullable = false)
+
+  /** Payload builds actually performed (per JVM) — lets tests assert
+    * that a pruned scan never pays for the document body. Executor-side
+    * in general; in local mode the same JVM, which is all the test
+    * needs.
+    */
+  val payloadBuilds = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[sources] class ProfileTable extends Table with SupportsRead {
+    override def name(): String = "graft_profiles"
+    override def schema(): StructType = Schema
+    override def capabilities(): util.Set[TableCapability] =
+      Set(TableCapability.BATCH_READ).asJava
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      new ProfileScanBuilder(
+        options.getInt("symbols", 10),
+        options.getInt("numPartitions", 4),
+        options.getDouble("maxPerSecond", 0.0))
+  }
+
+  private class ProfileScanBuilder(symbols: Int, parts: Int,
+                                   maxPerSecond: Double)
+      extends ScanBuilder with SupportsPushDownRequiredColumns {
+    private var required: StructType = Schema
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      required = requiredSchema
+    override def build(): Scan =
+      new ProfileScan(symbols, parts, maxPerSecond, required)
+  }
+
+  private class ProfileScan(symbols: Int, parts: Int, maxPerSecond: Double,
+                            required: StructType) extends Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def planInputPartitions(): Array[InputPartition] = {
+      val n = math.max(1, math.min(parts, symbols))
+      // contiguous ranges, remainder spread over the first partitions
+      val base = symbols / n
+      val extra = symbols % n
+      val bounds = (0 to n).map(p => p * base + math.min(p, extra))
+      (0 until n).map(p => SymbolRange(bounds(p), bounds(p + 1)): InputPartition)
+        .toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new ProfileReaderFactory(maxPerSecond, required)
+  }
+
+  private case class SymbolRange(start: Int, end: Int) extends InputPartition
+
+  private class ProfileReaderFactory(maxPerSecond: Double,
+                                     required: StructType)
+      extends PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+      new ProfileReader(partition.asInstanceOf[SymbolRange], maxPerSecond,
+        required)
+  }
+
+  private class ProfileReader(range: SymbolRange, maxPerSecond: Double,
+                              required: StructType)
+      extends PartitionReader[InternalRow] {
+    private var i = range.start - 1
+    private val wantPayload = required.fieldNames.contains("payload")
+    // token-interval pacing: one permit every 1/rate seconds, measured
+    // against a monotonic clock — the same "sleep the remainder" shape
+    // as the reference's per-call sleep, but per PARTITION, so total
+    // throughput scales with the fetch parallelism
+    private val intervalNanos =
+      if (maxPerSecond > 0) (1e9 / maxPerSecond).toLong else 0L
+    private var nextPermit = System.nanoTime()
+
+    override def next(): Boolean = {
+      i += 1
+      if (i >= range.end) return false
+      if (intervalNanos > 0) {
+        val wait = nextPermit - System.nanoTime()
+        if (wait > 0) Thread.sleep(wait / 1000000L, (wait % 1000000L).toInt)
+        nextPermit = math.max(nextPermit + intervalNanos, System.nanoTime())
+      }
+      true
+    }
+
+    override def get(): InternalRow = {
+      val values = required.fieldNames.map {
+        case "symbol"    => UTF8String.fromString(Profiles.symbol(i))
+        case "payload"   =>
+          payloadBuilds.incrementAndGet()
+          UTF8String.fromString(Profiles.payloadJson(i))
+        case "loaded_at" => Profiles.loadedAtMicros(i)
+      }
+      InternalRow.fromSeq(values.toIndexedSeq)
+    }
+
+    override def close(): Unit = ()
+  }
+}
+
+/** The RawZoneGen fresh-generation law in plain Scala — the "remote
+  * service" this sandboxed connector fetches from. Value-for-value
+  * identical to RawZoneGen.payloads(stale = false) (leaf law, info
+  * fields, loaded-at parity), so the regenerate-from-law oracles apply
+  * unchanged to connector reads.
+  */
+private[sources] object Profiles {
+  import graft.ingest.RawZoneGen.{MetricsPerStatement, QuarterlyDates, Statements, YearlyDates}
+
+  def symbol(i: Int): String = f"S$i%05d"
+
+  def loadedAtMicros(i: Int): Long =
+    LocalDateTime.parse(s"2025-08-${15 + i % 2}T00:00:00")
+      .toEpochSecond(ZoneOffset.UTC) * 1000000L
+
+  private val Currencies = Array("USD", "EUR", "JPY", "GBP")
+  private val Sectors =
+    Array("Technology", "Energy", "Healthcare", "Financials", "Utilities")
+
+  private def leaf(i: Int, s: Int, f: Int, d: Int, m: Int): Option[Double] = {
+    val k = i.toLong * 31 + s * 17 + f * 13 + d * 7 + m * 3
+    if (k % 97 == 0) None
+    else Some((k % 1000).toDouble + (k % 7) * 0.25)
+  }
+
+  /** Minimal JSON writer for the fixed payload shape: every string in
+    * the law is quote/backslash/control-free, so escaping is a no-op by
+    * construction (asserted cheaply below in case the law ever grows).
+    */
+  private def jstr(sb: StringBuilder, s: String): Unit = {
+    require(s.forall(c => c >= ' ' && c != '"' && c != '\\'),
+      s"payload string needs escaping: $s")
+    sb.append('"').append(s).append('"'): Unit
+  }
+
+  private def pane(sb: StringBuilder, i: Int, s: Int, f: Int,
+                   dates: Seq[String]): Unit = {
+    sb.append('{')
+    dates.zipWithIndex.foreach { case (dt, d) =>
+      if (d > 0) sb.append(',')
+      jstr(sb, dt); sb.append(":{")
+      (0 until MetricsPerStatement).foreach { m =>
+        if (m > 0) sb.append(',')
+        jstr(sb, f"${Statements(s)._1}_M$m%02d"); sb.append(':')
+        leaf(i, s, f, d, m) match {
+          case Some(v) => sb.append(v): Unit
+          case None    => sb.append("null"): Unit
+        }
+      }
+      sb.append('}'): Unit
+    }
+    sb.append('}'): Unit
+  }
+
+  def payloadJson(i: Int): String = {
+    val sb = new StringBuilder(64 * 1024)
+    val former =
+      if (i % 3 == 0) s", formerly known as Old Synth $i," else ""
+    val hq = (i % 4) match {
+      case 0 => " It is headquartered in Austin, Texas, United States."
+      case 1 => " It is headquartered in Paris, France."
+      case 2 => " It is headquartered in Singapore."
+      case _ => ""
+    }
+    val summary =
+      s"Synth Corp $i$former was founded in ${1900 + i % 120}.$hq"
+    sb.append("{\"info\":{")
+    val info = Seq(
+      "symbol" -> symbol(i),
+      "longName" -> s"Synth Corp $i",
+      "currency" -> Currencies(i % 4),
+      "financialCurrency" -> "USD",
+      "fullTimeEmployees" -> ((i.toLong * 37) % 90000 + 10).toString,
+      "sector" -> Sectors(i % 5),
+      "industry" -> s"Industry ${i % 7}",
+      "website" -> s"https://synth$i.example",
+      "longBusinessSummary" -> summary)
+    info.zipWithIndex.foreach { case ((k, v), j) =>
+      if (j > 0) sb.append(',')
+      jstr(sb, k); sb.append(':'); jstr(sb, v)
+    }
+    sb.append('}')
+    Statements.zipWithIndex.foreach { case ((_, field), s) =>
+      sb.append(','); jstr(sb, field); sb.append(":{\"yearly\":")
+      pane(sb, i, s, 0, YearlyDates)
+      sb.append(",\"quarterly\":")
+      pane(sb, i, s, 1, QuarterlyDates)
+      sb.append('}'): Unit
+    }
+    sb.append('}')
+    sb.toString
+  }
+}
