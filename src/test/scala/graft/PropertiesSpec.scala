@@ -122,6 +122,26 @@ class PropertiesSpec extends SparkSpec {
     assert(lo.size < hi.size)
   }
 
+  test("image-header parse law: parse(JDK-encode(w, h)) == (w, h) for random dims") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    val dimGen = for {
+      w <- Gen.choose(1, 400)
+      h <- Gen.choose(1, 400)
+    } yield (w, h)
+    for (seed <- 1 to 3; fmt <- Seq("png", "jpg")) {
+      val dims = sample(Gen.listOfN(10, dimGen), seed + fmt.hashCode)
+      dims.foreach { case (w, h) =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val out = new java.io.ByteArrayOutputStream()
+        assert(ImageIO.write(img, fmt, out))
+        val parsed = graft.ext.ImageHeaders.parse(out.toByteArray)
+        assert(parsed.exists(p => p.width == w && p.height == h),
+          s"$fmt ${w}x$h parsed as $parsed")
+      }
+    }
+  }
+
   test("market-cap parse law: parse(format(v, suffix)) == v * multiplier") {
     val cases = for {
       n <- Seq("0.5", "1", "42", "297.82", "760.88", "3371.44")
