@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join without an equi key — the one join family in
+  * SURVEY.md §2.3 not yet exercised by the query pack (semi/anti/as-of
+  * are covered; the reference itself, a point-lookup ETL, has none).
+  *
+  * Problem shape: points p ⋈ intervals [lo, hi) on `lo <= p < hi` with
+  * NO shared key. Catalyst can only plan a raw inequality join as
+  * BroadcastNestedLoopJoin (fine when one side is tiny, fatal when both
+  * sides are large: all-pairs work). The scale path is BINNING: quantize
+  * the domain into fixed-width bins, explode each interval into the bins
+  * it covers, tag each point with its single bin, equi-join on the bin,
+  * and re-check the exact bounds. Every candidate comes from a
+  * bounded-occupancy equi-join — the same discipline as the LSH/band
+  * joins in Dedup/Similarity, and the same plan Flink/Databricks use for
+  * their range-join hints.
+  *
+  * Sizing at scale: an interval of length L produces ⌈L/binWidth⌉+1
+  * join rows, a point exactly one — choose binWidth ≈ the typical
+  * interval length so the fan-out is O(1) per interval. Candidate volume
+  * per bin = points-in-bin × intervals-covering-bin; a bursty bin is a
+  * skewed join key and AQE's skew-join split applies (or salt the bin
+  * key with ext/Skew for a known-degenerate domain). Each (point,
+  * interval) candidate arises at most ONCE (the point has exactly one
+  * bin), so no post-join dedup is needed.
+  */
+object RangeJoin {
+
+  private val BinCol = "_graft_bin"
+
+  /** Join `points` to every interval of `intervals` containing the point:
+    * emits one row per (point, interval) with `lo <= point < hi`,
+    * carrying all columns of both inputs.
+    *
+    * Contract: `pointCol`/`loCol`/`hiCol` are integral (LongType-coercible)
+    * columns on a NON-NEGATIVE domain (epoch micros, char offsets, …) —
+    * SQL `div` truncates toward zero, which equals the floor division the
+    * binning law needs only for non-negative operands. Empty or inverted
+    * intervals (lo >= hi) match nothing. Column names of the two inputs
+    * must be disjoint (the join carries both sides verbatim).
+    */
+  def binnedIntervalJoin(points: DataFrame, pointCol: String,
+                         intervals: DataFrame, loCol: String, hiCol: String,
+                         binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"points/intervals column names must be disjoint; shared: $shared")
+    require(!(points.columns ++ intervals.columns).contains(BinCol),
+      s"$BinCol is reserved by binnedIntervalJoin")
+
+    val p = points.withColumn(BinCol, expr(s"`$pointCol` div ${binWidth}L"))
+    // hi is exclusive → the last covered bin is the one holding hi-1.
+    val i = intervals
+      .filter(col(loCol) < col(hiCol))
+      .withColumn(BinCol, explode(sequence(
+        expr(s"`$loCol` div ${binWidth}L"),
+        expr(s"(`$hiCol` - 1L) div ${binWidth}L"))))
+    p.join(i, BinCol)
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop(BinCol)
+  }
+}

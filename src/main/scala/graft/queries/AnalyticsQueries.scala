@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.ext.{BloomBits, Bloom, Chunking, RangeJoin, TextHash}
+import graft.functions.Functions.collapseWs
+
+/** Analytics query pack, round 8 widening: the operator families still
+  * unexercised after q01–q67 — PIVOT (the inverse of the G1 unpivot,
+  * SURVEY.md §2.9), CUBE grouping sets (§2.4), the no-equi-key range
+  * join (§2.3, via ext/RangeJoin binning), training-window document
+  * chunking (ext/Chunking), and Bloom-filter blocklist membership
+  * (ext/Bloom). Every query has a full DuckDB oracle.
+  */
+object AnalyticsQueries {
+
+  // Fixed operator parameters, shared by the Spark defs and the oracle
+  // SQL (same discipline as ExtQueries: the CONFIG is what changes with
+  // scale, never the join/aggregation shape).
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val ChunkSize = 200
+  private val ChunkStride = 150
+  private val IncidentValueMin = 300.0
+  private val IncidentWindowMicros: Long = 600L * 1000000L // 10 min
+  private val BlockSource = "src0"
+  private val BloomNumBits = 8192 // ≥16 bits/key up to ~500 blocklist keys
+  private val BloomNumHashes = 5
+
+  /** Order-independent exact double sum (see RelationalQueries). */
+  private def sumd(c: Column): Column =
+    sum(c.cast(DecimalType(28, 6))).cast("double")
+  private val sqlSumd = (x: String) =>
+    s"CAST(sum(CAST($x AS DECIMAL(28,6))) AS DOUBLE)"
+
+  /** q22's exact-dedup content key (normalize → md5) — the blocklist is
+    * keyed by content, the realistic decontamination shape.
+    */
+  private def contentKey(text: Column): Column =
+    TextHash.md5Hex(collapseWs(lower(text)))
+
+  /** Bloom bitmap for the blocklist, built once per (dir) per JVM —
+    * query construction runs repeatedly (bench warmup + trials, Explain,
+    * Verify) and the build is a Spark job (same caching discipline as
+    * ExtQueries.embCount). In a release pipeline this is the persisted
+    * index artifact built once per blocklist version.
+    */
+  private val blooms = scala.collection.concurrent.TrieMap[String, BloomBits]()
+  private def blocklistBloom(s: SparkSession, d: String): BloomBits =
+    blooms.getOrElseUpdate(d, {
+      val keys = Tables.documents(s, d)
+        .filter(col("source") === BlockSource)
+        .select(contentKey(col("text")).as("content_key"))
+      Bloom.build(keys, col("content_key"), BloomNumBits, BloomNumHashes)
+    })
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PIVOT — the wide form the reference's consumers would query the
+    // melted fact table back into (§2.9's inverse). Explicit pivot
+    // values: no distinct-collect planning job, and the column set is
+    // stable as data grows — the 100 TB form of pivot.
+    "q68_pivot_events" -> ((s, d) => {
+      val piv = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", EventTypes)
+        .agg(sumd(col("value")))
+      piv.select(col("user_id") +:
+        EventTypes.map(t => col(t).as(s"v_$t")): _*)
+    }),
+
+    // Range join without an equi key: all events inside any global
+    // incident window [error_ts, error_ts + 10 min) — binned equi-join
+    // plan (ext/RangeJoin), never a nested-loop cartesian.
+    "q69_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val incidents = ev
+        .filter(col("event_type") === "error" && col("value") > IncidentValueMin)
+        .select(col("event_id").as("incident_id"),
+          unix_micros(col("ts")).as("lo"),
+          (unix_micros(col("ts")) + IncidentWindowMicros).as("hi"))
+      val points = ev.select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      RangeJoin.binnedIntervalJoin(points, "ts_us",
+          incidents, "lo", "hi", IncidentWindowMicros)
+        .select(col("incident_id"), col("event_id"), col("event_type"))
+    }),
+
+    // CUBE — all 2^2 grouping sets + grouping() provenance flags (the
+    // §2.4 grouping-sets surface beyond q12's rollup). One pass, Spark
+    // expands grouping sets before the single exchange.
+    "q70_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sumd(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))),
+
+    // Overlapping training-window chunking (ext/Chunking law).
+    "q71_doc_chunks" -> ((s, d) =>
+      Chunking.chunk(Tables.documents(s, d), "doc_id", "text",
+        ChunkSize, ChunkStride)),
+
+    // Bloom-prefiltered blocklist membership: map-side bitmap test
+    // (zero-exchange on the corpus side), then the exact verify
+    // semi-join — result identical to the plain semi-join, which IS the
+    // oracle (the Bloom layer must be invisible to correctness).
+    "q72_bloom_blocklist" -> ((s, d) => {
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          contentKey(col("text")).as("content_key"))
+      val block = keyed.filter(col("source") === BlockSource)
+        .select(col("content_key"))
+      keyed
+        .filter(blocklistBloom(s, d).mightContain(col("content_key")))
+        .join(block.distinct(), Seq("content_key"), "left_semi")
+        .select(col("doc_id"), col("source"), col("content_key"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q68_pivot_events" -> {
+      val cols = EventTypes.map(t =>
+        s"  ${sqlSumd(s"CASE WHEN event_type = '$t' THEN value END")} AS v_$t")
+        .mkString(",\n")
+      s"SELECT user_id,\n$cols\nFROM events GROUP BY user_id"
+    },
+
+    "q69_range_join" ->
+      s"""WITH inc AS (
+         |  SELECT event_id AS incident_id, ts AS lo,
+         |    ts + INTERVAL 10 MINUTE AS hi
+         |  FROM events
+         |  WHERE event_type = 'error' AND value > $IncidentValueMin)
+         |SELECT i.incident_id, e.event_id, e.event_type
+         |FROM events e JOIN inc i ON e.ts >= i.lo AND e.ts < i.hi""".stripMargin,
+
+    "q70_cube" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlSumd("l_quantity")} AS sum_qty, count(*) AS n,
+         |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+         |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q71_doc_chunks" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, text,
+         |    CAST((greatest(length(text) - $ChunkSize, 0) + ${ChunkStride - 1})
+         |      // $ChunkStride AS INT) + 1 AS n_chunks
+         |  FROM documents),
+         |x AS (
+         |  SELECT doc_id, text, n_chunks,
+         |    CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id
+         |  FROM m)
+         |SELECT doc_id, chunk_id, n_chunks,
+         |  substr(text, chunk_id * $ChunkStride + 1, $ChunkSize) AS chunk_text,
+         |  CAST(length(substr(text, chunk_id * $ChunkStride + 1, $ChunkSize))
+         |    AS INT) AS chunk_len
+         |FROM x""".stripMargin,
+
+    "q72_bloom_blocklist" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, source,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_key
+         |  FROM documents)
+         |SELECT doc_id, source, content_key FROM keyed
+         |WHERE content_key IN
+         |  (SELECT content_key FROM keyed WHERE source = '$BlockSource')""".stripMargin)
+}
