@@ -67,6 +67,9 @@ object Bench {
     // Dedup-cluster artifact (q58 read-back / q64 survivor selection).
     try graft.ext.CurationQueries.stageFixtures(spark, sfDir)
     catch { case _: Throwable => () }
+    // Z-ordered lineitem layout (q73 box-slice subject).
+    try graft.queries.AnalyticsQueries.stageFixtures(spark, sfDir)
+    catch { case _: Throwable => () }
 
     val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt max 1
     val results = SparkEntry.queries.map { case (name, fn) =>

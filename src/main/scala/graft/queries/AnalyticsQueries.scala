@@ -26,6 +26,12 @@ object AnalyticsQueries {
   private val BlockSource = "src0"
   private val BloomNumBits = 8192 // ≥16 bits/key up to ~500 blocklist keys
   private val BloomNumHashes = 5
+  // z-order: 21 bits/dim holds keys to 2M (sf ~100); box selective on
+  // BOTH dims — the case neither single-column sort serves
+  private val ZBits = 21
+  private val ZFiles = 32
+  private val ZBoxPartLo = 100; private val ZBoxPartHi = 299
+  private val ZBoxSuppLo = 5; private val ZBoxSuppHi = 49
 
   /** Order-independent exact double sum (see RelationalQueries). */
   private def sumd(c: Column): Column =
@@ -53,6 +59,25 @@ object AnalyticsQueries {
         .select(contentKey(col("text")).as("content_key"))
       Bloom.build(keys, col("content_key"), BloomNumBits, BloomNumHashes)
     })
+
+  /** Z-ordered lineitem layout, staged once per JVM per sf dir (the
+    * layout is written once per release and consumed by every slice
+    * query — same staging discipline as the bucketed/clustered fixtures
+    * in ScaleQueries). q73 times the pruned box scan, not the write.
+    */
+  private val zStaged = scala.collection.concurrent.TrieMap[String, String]()
+  private def stagedZOrderPath(s: SparkSession, d: String): String =
+    zStaged.getOrElseUpdate(new java.io.File(d).getCanonicalPath, {
+      val p = graft.sources.Sinks.tmpPath(
+        s"zorder_lineitem_${new java.io.File(d).getName}")
+      graft.sources.ZOrderLayout.write(Tables.lineitem(s, d),
+        "l_partkey", "l_suppkey", ZBits, ZFiles, p)
+      p
+    })
+
+  /** Bench staging hook (outside the timed window). */
+  def stageFixtures(s: SparkSession, d: String): Unit =
+    stagedZOrderPath(s, d): Unit
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -115,7 +140,17 @@ object AnalyticsQueries {
         .filter(blocklistBloom(s, d).mightContain(col("content_key")))
         .join(block.distinct(), Seq("content_key"), "left_semi")
         .select(col("doc_id"), col("source"), col("content_key"))
-    }))
+    }),
+
+    // 2-D box slice over the staged Z-ordered layout: both predicates
+    // reach the scan (PushedFilters) and the Morton clustering makes
+    // file/row-group min-max stats selective on BOTH columns — the
+    // multi-dimensional data-skipping path (ZOrderSpec quantifies the
+    // file pruning vs a single-column sort).
+    "q73_zorder_box" -> ((s, d) =>
+      s.read.parquet(stagedZOrderPath(s, d))
+        .filter(col("l_partkey").between(ZBoxPartLo, ZBoxPartHi) &&
+          col("l_suppkey").between(ZBoxSuppLo, ZBoxSuppHi))))
 
   val oracles: Map[String, String] = Map(
     "q68_pivot_events" -> {
@@ -164,5 +199,12 @@ object AnalyticsQueries {
          |  FROM documents)
          |SELECT doc_id, source, content_key FROM keyed
          |WHERE content_key IN
-         |  (SELECT content_key FROM keyed WHERE source = '$BlockSource')""".stripMargin)
+         |  (SELECT content_key FROM keyed WHERE source = '$BlockSource')""".stripMargin,
+
+    // the layout is physical, the content is the plain table: the box
+    // slice must return byte-identical rows from either
+    "q73_zorder_box" ->
+      s"""SELECT * FROM lineitem
+         |WHERE l_partkey BETWEEN $ZBoxPartLo AND $ZBoxPartHi
+         |  AND l_suppkey BETWEEN $ZBoxSuppLo AND $ZBoxSuppHi""".stripMargin)
 }
