@@ -25,7 +25,7 @@ object Verify {
     // it as an opaque hash mismatch. Skipped when the caller's `only`
     // filter selects none of the affected queries.
     val sigQueries = Set("q29_knn_lsh", "q30_embed_neardup",
-      "q43_bucket_centroids", "q45_knn_ivf")
+      "q43_bucket_centroids", "q45_knn_ivf", "q74_lloyd_refine")
     if (new java.io.File(s"$sfDir/embeddings.parquet").exists() &&
         (only.isEmpty || only.exists(sigQueries)))
       graft.ext.ExtQueries.assertVerifyScale(spark, sfDir)

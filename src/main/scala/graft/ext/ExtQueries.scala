@@ -30,6 +30,7 @@ object ExtQueries {
   private val EmbDims = 64
   private val CosineThreshold = 0.3
   private val IvfProbes = 4
+  private val LloydIters = 2
 
   /** LSH signature width is SCALE-ADAPTIVE: Similarity.bitsFor(N) keeps
     * expected bucket occupancy ~32 as the corpus grows (sf0.01: N=500 →
@@ -38,7 +39,7 @@ object ExtQueries {
     * (sf0.01, N=VerifyEmbCount → 4 bits) — the Spark defs compute the
     * same width from the live corpus count at runtime.
     * Verify.main calls [[assertVerifyScale]] so a drifted fixture fails
-    * loudly instead of as an opaque hash mismatch on q29/q30/q43/q45.
+    * loudly instead of as an opaque hash mismatch on q29/q30/q43/q45/q74.
     */
   private val VerifyEmbCount = 500L // TESTDATA.md: sf0.01 embeddings rows
   private val VerifyLshBits = Similarity.bitsFor(VerifyEmbCount)
@@ -47,7 +48,7 @@ object ExtQueries {
     * corpus's embedding count maps to a different signature width than
     * the inlined one, FAIL FAST naming exactly which queries would
     * mismatch and why — a drifted fixture must not proceed to an opaque
-    * q29/q30/q43/q45 hash mismatch. Callers probe for the embeddings
+    * q29/q30/q43/q45/q74 hash mismatch. Callers probe for the embeddings
     * table first (Verify.main); this throws only on real drift.
     */
   def assertVerifyScale(s: SparkSession, d: String): Unit = {
@@ -56,7 +57,7 @@ object ExtQueries {
       throw new IllegalStateException(
         s"embeddings count $n in $d → bitsFor=${Similarity.bitsFor(n)} " +
           s"but the static oracle SQL inlines $VerifyLshBits-bit " +
-          s"hyperplanes (count $VerifyEmbCount); q29/q30/q43/q45 would " +
+          s"hyperplanes (count $VerifyEmbCount); q29/q30/q43/q45/q74 would " +
           "hash-mismatch for this corpus.")
   }
 
@@ -153,6 +154,14 @@ object ExtQueries {
       Similarity.ivfTopK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < KnnQueryIds), KnnK,
         Similarity.bitsFor(embCount(s, d)), EmbDims, IvfProbes)
+    }),
+
+    // Lloyd-trained quantizer: k-means refinement rounds over the
+    // LSH-bucket seeding — zero-RNG, cross-engine-exact training.
+    "q74_lloyd_refine" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lloydRefineFlat(emb, "vec_id", "embedding",
+        Similarity.bitsFor(embCount(s, d)), EmbDims, LloydIters)
     }))
 
   // ------------------------------------------------------------------
@@ -504,6 +513,54 @@ object ExtQueries {
        |  FROM scored)
        |SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= $KnnK""".stripMargin
 
+  /** Lloyd twin: c0 = the LSH-bucket quantizer, then per round an
+    * assignment CTE (argmax cosine, tie on cluster id) and the quantized
+    * mean recompute — generated per iteration so the SQL is mechanically
+    * the same law as the Scala loop.
+    */
+  private val lloydSql = {
+    val init =
+      s"""e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |s AS (SELECT vec_id, v, ${signSigSql("v")} AS sig FROM e),
+         |px0 AS (
+         |  SELECT sig AS cluster, i.range - 1 AS pos, v[CAST(i.range AS INT)] AS x
+         |  FROM s, range(1, ${EmbDims + 1}) i),
+         |m0 AS (
+         |  SELECT cluster, pos,
+         |    CAST(sum(CAST(round(x * $Quantum) AS BIGINT)) AS DOUBLE)
+         |      / $Quantum / count(*) AS mean,
+         |    count(*) AS n
+         |  FROM px0 GROUP BY cluster, pos),
+         |c0 AS (SELECT cluster, list(mean ORDER BY pos) AS centroid FROM m0 GROUP BY cluster)""".stripMargin
+    val rounds = (1 to LloydIters).map { i =>
+      s"""sc$i AS (
+         |  SELECT s.vec_id, s.v, c.cluster,
+         |    ${cosineSql("s.v", "c.centroid")} AS cs
+         |  FROM s, c${i - 1} c),
+         |asg$i AS (
+         |  SELECT cluster, v FROM (
+         |    SELECT cluster, v, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cs DESC, cluster) AS rk
+         |    FROM sc$i) WHERE rk = 1),
+         |px$i AS (
+         |  SELECT cluster, i.range - 1 AS pos, v[CAST(i.range AS INT)] AS x
+         |  FROM asg$i, range(1, ${EmbDims + 1}) i),
+         |m$i AS (
+         |  SELECT cluster, pos,
+         |    CAST(sum(CAST(round(x * $Quantum) AS BIGINT)) AS DOUBLE)
+         |      / $Quantum / count(*) AS mean,
+         |    count(*) AS n
+         |  FROM px$i GROUP BY cluster, pos),
+         |c$i AS (SELECT cluster, list(mean ORDER BY pos) AS centroid FROM m$i GROUP BY cluster)""".stripMargin
+    }
+    s"""WITH ${(init +: rounds).mkString(",\n")}
+       |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(pos AS INT) AS pos,
+       |  mean, CAST(n AS BIGINT) AS n
+       |FROM m$LloydIters""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q22_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_key,
@@ -522,5 +579,6 @@ object ExtQueries {
     "q30_embed_neardup" -> embedNearDupSql,
     "q43_bucket_centroids" -> bucketCentroidsSql,
     "q44_simhash_pairs" -> simhashPairsSql,
-    "q45_knn_ivf" -> knnIvfSql)
+    "q45_knn_ivf" -> knnIvfSql,
+    "q74_lloyd_refine" -> lloydSql)
 }

@@ -165,12 +165,19 @@ object Similarity {
     * quantizer it is far below any semantic signal.
     */
   private def centroidsOf(signed: DataFrame): DataFrame =
-    signed
-      .select(col("sig"), posexplode(col("nbr_emb")).as(Seq("pos", "x")))
-      .groupBy(col("sig"), col("pos"))
+    quantizedMeans(signed.select(col("sig"), col("nbr_emb")), "sig")
+
+  /** The quantized-mean aggregation chain over (keyCol, nbr_emb) rows —
+    * shared by the LSH-bucket quantizer (key = sig) and the Lloyd
+    * refinement rounds (key = cluster). Output: (keyCol, n, centroid).
+    */
+  private def quantizedMeans(rows: DataFrame, keyCol: String): DataFrame =
+    rows
+      .select(col(keyCol), posexplode(col("nbr_emb")).as(Seq("pos", "x")))
+      .groupBy(col(keyCol), col("pos"))
       .agg(sum(round(col("x") * lit(MeanQuantum)).cast("long")).as("sq"),
         count(lit(1)).as("n"))
-      .groupBy(col("sig"))
+      .groupBy(col(keyCol))
       .agg(
         first(col("n")).as("n"), // same for every position of a bucket
         transform(sort_array(collect_list(struct(col("pos"),
@@ -247,6 +254,56 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("nbr_id"), col("cosine"), col("rank"))
+  }
+
+  /** Lloyd (k-means) refinement of the IVF coarse quantizer: `iters`
+    * rounds of assign-to-nearest-centroid (cosine; deterministic
+    * tie-break on the cluster id) + quantized mean recompute,
+    * initialized from the sign-LSH bucket centroids — the "train the
+    * quantizer" step between the hash-bucket quantizer (q43) and IVF
+    * search (q45). Initialization is deterministic (fixed hyperplanes),
+    * every round's arithmetic is the bucketCentroids determinism
+    * contract (1e-6-grid long sums, one double division sequence), and
+    * assignment ranking uses bit-identical cosines — so the trained
+    * centroids are reproducible across engines, partitionings, and
+    * cluster sizes, with NO RNG anywhere (classic k-means++ is seeded;
+    * this is the zero-RNG analogue: LSH buckets are the seeding).
+    *
+    * Scale shape per round: ONE broadcast of the centroid table
+    * (≤ 2^bits rows) against the materialized signed corpus, a
+    * per-vector bounded rank window (partitioned by vector id — never a
+    * global sort), then the map-side-combinable quantized-mean
+    * aggregation. Lineage is cut per round (localCheckpoint on
+    * centroid-sized data only). At 100 TB quantizer training runs on a
+    * bounded SAMPLE of the corpus (industry IVF practice), then the
+    * trained centroids assign the full corpus — the per-round plan here
+    * is exactly that assignment job. A cluster that loses every member
+    * drops out (plain Lloyd, no re-seeding — deterministic).
+    *
+    * Flat verification form: one scalar row per (cluster, pos).
+    */
+  def lloydRefineFlat(vectors: DataFrame, idCol: String, embCol: String,
+                      bits: Int, dims: Int, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val corpus = signedCorpus(vectors, idCol, embCol, bits, dims)
+      .localCheckpoint() // the index build — read by every round
+    var cents = quantizedMeans(
+      corpus.select(col("sig").as("cluster"), col("nbr_emb")), "cluster")
+    for (_ <- 1 to iters) {
+      val c = cents.select(col("cluster"), col("centroid"))
+        .withColumn("c_nrm", l2Norm(col("centroid")))
+      val w = Window.partitionBy(col("nbr_id"))
+        .orderBy(col("cos").desc, col("cluster"))
+      val assigned = corpus.join(broadcast(c), lit(true))
+        .withColumn("cos", cosineFromNorms(col("nbr_emb"), col("nbr_nrm"),
+          col("centroid"), col("c_nrm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("cluster"), col("nbr_emb"))
+      cents = quantizedMeans(assigned, "cluster").localCheckpoint()
+    }
+    cents.select(col("cluster"),
+      posexplode(col("centroid")).as(Seq("pos", "mean")), col("n"))
   }
 
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed with

@@ -124,4 +124,72 @@ class SimilaritySpec extends SparkSpec {
     lsh.foreach { case (id, c) => assert(c === brute(id)) }
     assert(lsh.contains(2L)) // the parallel vector shares every sign bit
   }
+
+  test("lloydRefineFlat: bit-identical to a driver-side reference of the same law") {
+    import org.apache.spark.sql.functions._
+    val bits = 4; val dims = 4; val iters = 2
+    val n = 24
+    val raw = (0 until n).map { i =>
+      (i.toLong, (0 until dims).map(d =>
+        (((i * 131 + d * 37) % 19) - 7).toFloat))
+    }
+    val df = raw.toDF("vec_id", "embedding")
+
+    // reference: same ops, same order, on the driver
+    val planes = graft.ext.TextHash.hyperplanes(bits, dims).map(_.toArray)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def nrm(a: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * a(i); i += 1 }; math.sqrt(acc)
+    }
+    def quant(x: Double): Long = // Spark round() = HALF_UP (away from zero)
+      BigDecimal(x * Similarity.MeanQuantum)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def meansOf(groups: Map[Long, Seq[Array[Double]]]): Map[Long, (Array[Double], Long)] =
+      groups.map { case (k, vs) =>
+        val m = (0 until dims).map { p =>
+          vs.map(v => quant(v(p))).sum.toDouble / Similarity.MeanQuantum / vs.size
+        }.toArray
+        k -> (m, vs.size.toLong)
+      }
+    val vecs0 = raw.map { case (_, e) => e.map(_.toDouble).toArray }
+    def sig(v: Array[Double]): Long =
+      planes.zipWithIndex.foldLeft(0L) { case (s, (w, j)) =>
+        if (dot(v, w) > 0.0) s | (1L << j) else s
+      }
+    var cents = meansOf(vecs0.groupBy(sig).map { case (k, v) => k -> v.toSeq })
+    for (_ <- 1 to iters) {
+      val assigned = vecs0.groupBy { v =>
+        // argmax cosine, tie-break on cluster id asc — mirror of the
+        // row_number() ORDER BY cos DESC, cluster
+        cents.toSeq.map { case (k, (c, _)) =>
+          (dot(v, c) / (nrm(v) * nrm(c)), k)
+        }.minBy { case (cos, k) => (-cos, k) }._2
+      }
+      cents = meansOf(assigned.map { case (k, v) => k -> v.toSeq })
+    }
+    val want = cents.toSeq.flatMap { case (k, (m, cn)) =>
+      m.zipWithIndex.map { case (x, p) => (k, p, x, cn) }
+    }.sortBy(t => (t._1, t._2))
+
+    val got = Similarity.lloydRefineFlat(df, "vec_id", "embedding", bits, dims, iters)
+      .orderBy(col("cluster"), col("pos"))
+      .collect().map(r => (r.getAs[Long]("cluster"), r.getAs[Int]("pos"),
+        r.getAs[Double]("mean"), r.getAs[Long]("n"))).toSeq
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((gc, gp, gm, gn), (wc, wp, wm, wn)) =>
+      assert(gc == wc && gp == wp && gn == wn)
+      assert(java.lang.Double.doubleToLongBits(gm) ==
+        java.lang.Double.doubleToLongBits(wm), s"cluster $gc pos $gp")
+    }
+    // refinement must actually move something vs the seed quantizer
+    val seed = Similarity.bucketCentroidsFlat(df, "vec_id", "embedding", bits, dims)
+      .orderBy(col("sig"), col("pos"))
+      .collect().map(r => (r.getAs[Long]("sig"), r.getAs[Int]("pos"),
+        r.getAs[Double]("mean"), r.getAs[Long]("n"))).toSeq
+    assert(seed != got)
+  }
 }
