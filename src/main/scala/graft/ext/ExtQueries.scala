@@ -31,6 +31,9 @@ object ExtQueries {
   private val CosineThreshold = 0.3
   private val IvfProbes = 4
   private val LloydIters = 2
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+  private val HeavyK = 50
 
   /** LSH signature width is SCALE-ADAPTIVE: Similarity.bitsFor(N) keeps
     * expected bucket occupancy ~32 as the corpus grows (sf0.01: N=500 →
@@ -162,6 +165,24 @@ object ExtQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.lloydRefineFlat(emb, "vec_id", "embedding",
         Similarity.bitsFor(embCount(s, d)), EmbDims, LloydIters)
+    }),
+
+    // Count-min heavy hitters: exact top-k terms cross-checked against
+    // the sketch estimate (est >= exact by construction). The sketch is
+    // built from the pre-aggregated vocabulary (weighted insert), so
+    // the corpus shuffles ONCE — everything downstream is
+    // vocabulary-sized, and the sketch itself is fixed-size.
+    "q75_cms_heavy_hitters" -> ((s, d) => {
+      val exact = Tables.documents(s, d)
+        .select(explode(TextHash.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("term").agg(count(lit(1)).as("n_exact"))
+        .localCheckpoint() // feeds the sketch build AND the probe side
+      val cms = Sketches.countMin(exact, "term", CmsDepth, CmsWidth,
+        col("n_exact"))
+      val top = exact.orderBy(col("n_exact").desc, col("term")).limit(HeavyK)
+      Sketches.estimateMin(cms, top, "term", CmsDepth, CmsWidth)
+        .select(col("term"), col("n_exact"), col("n_est"))
     }))
 
   // ------------------------------------------------------------------
@@ -561,6 +582,37 @@ object ExtQueries {
        |FROM m$LloydIters""".stripMargin
   }
 
+  /** CMS twin: vocabulary → weighted cell inserts per hash row →
+    * cell sums; probe = left join + coalesce 0 + min (absent cell means
+    * never inserted). DuckDB sums BIGINT into HUGEINT — cast back.
+    */
+  private val cmsHeavyHittersSql = {
+    val cellSelects = (0 until CmsDepth).map(j =>
+      s"""SELECT $j AS row,
+         |    CAST(${hash60Sql(s"'cms_${j}_' || term")} % $CmsWidth AS INT) AS pos,
+         |    n_exact FROM exact""".stripMargin).mkString("\n  UNION ALL\n  ")
+    val probeSelects = (0 until CmsDepth).map(j =>
+      s"""SELECT term, n_exact, $j AS row,
+         |    CAST(${hash60Sql(s"'cms_${j}_' || term")} % $CmsWidth AS INT) AS pos
+         |  FROM top""".stripMargin).mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |exact AS (
+       |  SELECT term, count(*) AS n_exact FROM toks
+       |  WHERE length(term) > 0 GROUP BY term),
+       |cells AS (
+       |  $cellSelects),
+       |cms AS (SELECT row, pos, sum(n_exact) AS cnt FROM cells GROUP BY row, pos),
+       |top AS (SELECT term, n_exact FROM exact ORDER BY n_exact DESC, term LIMIT $HeavyK),
+       |probe AS (
+       |  $probeSelects)
+       |SELECT p.term, p.n_exact,
+       |  CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS n_est
+       |FROM probe p LEFT JOIN cms c ON c.row = p.row AND c.pos = p.pos
+       |GROUP BY p.term, p.n_exact""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q22_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_key,
@@ -580,5 +632,6 @@ object ExtQueries {
     "q43_bucket_centroids" -> bucketCentroidsSql,
     "q44_simhash_pairs" -> simhashPairsSql,
     "q45_knn_ivf" -> knnIvfSql,
-    "q74_lloyd_refine" -> lloydSql)
+    "q74_lloyd_refine" -> lloydSql,
+    "q75_cms_heavy_hitters" -> cmsHeavyHittersSql)
 }

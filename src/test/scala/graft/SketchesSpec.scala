@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Sketches
+
+/** Count-min sketch laws: overestimate-only, per-row mass conservation,
+  * weighted-insert equivalence, and zero for terms probed against cells
+  * never written.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // zipfy deterministic stream: term t_k appears ~60/k times
+  private val stream = (1 to 40).flatMap(k =>
+    Seq.fill(60 / k)(s"t_$k")).toDF("term")
+
+  test("cms never underestimates, and is exact when no row collides") {
+    val depth = 4; val width = 64
+    val cms = Sketches.countMin(stream, "term", depth, width)
+    val exact = stream.groupBy("term").agg(count(lit(1)).as("n_exact"))
+    val est = Sketches.estimateMin(cms, exact, "term", depth, width)
+      .as[(String, Long, Long)].collect()
+    est.foreach { case (t, ex, e) => assert(e >= ex, s"$t: est $e < exact $ex") }
+    // tiny vocabulary (40 terms) vs 4x64 cells: some row almost surely
+    // separates every pair; if the law holds the min picks it up
+    assert(est.count { case (_, ex, e) => e == ex } >= 30)
+  }
+
+  test("each hash row conserves the total stream mass") {
+    val depth = 3; val width = 16
+    val cms = Sketches.countMin(stream, "term", depth, width)
+    val n = stream.count()
+    val perRow = cms.groupBy("row").agg(sum("cnt").as("mass"))
+      .as[(Int, Long)].collect().toMap
+    assert(perRow.keySet == (0 until depth).toSet)
+    perRow.values.foreach(m => assert(m == n))
+  }
+
+  test("weighted vocabulary insert equals per-occurrence insert") {
+    val depth = 4; val width = 32
+    val occ = Sketches.countMin(stream, "term", depth, width)
+      .as[(Int, Int, Long)].collect().toSet
+    val vocab = stream.groupBy("term").agg(count(lit(1)).as("n"))
+    val wtd = Sketches.countMin(vocab, "term", depth, width, col("n"))
+      .as[(Int, Int, Long)].collect().toSet
+    assert(occ == wtd)
+  }
+
+  test("probing an empty sketch estimates zero (left-join law)") {
+    val depth = 4; val width = 32
+    val empty = Sketches.countMin(stream.limit(0), "term", depth, width)
+    val est = Sketches.estimateMin(empty, Seq("ghost").toDF("term"),
+      "term", depth, width).as[(String, Long)].collect()
+    assert(est.toSeq == Seq(("ghost", 0L)))
+  }
+
+  test("countMin rejects non-positive sizing") {
+    intercept[IllegalArgumentException](
+      Sketches.countMin(stream, "term", 0, 8))
+    intercept[IllegalArgumentException](
+      Sketches.countMin(stream, "term", 4, 0))
+  }
+}
