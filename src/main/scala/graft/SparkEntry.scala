@@ -24,10 +24,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ ReferenceQueries.defs ++ ExtQueries.defs ++
       PipelineQueries.defs ++ ScaleQueries.defs ++ CurationQueries.defs ++
-      AnalyticsQueries.defs
+      AnalyticsQueries.defs ++ MiningQueries.defs
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ ReferenceQueries.oracles ++
       ExtQueries.oracles ++ PipelineQueries.oracles ++ ScaleQueries.oracles ++
-      CurationQueries.oracles ++ AnalyticsQueries.oracles
+      CurationQueries.oracles ++ AnalyticsQueries.oracles ++
+      MiningQueries.oracles
 }

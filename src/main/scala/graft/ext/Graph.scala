@@ -182,4 +182,66 @@ object Graph {
         Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
+
+  /** PageRank in EXACT integer fixed-point arithmetic — the
+    * domain/document authority signal a web-scale curation pipeline
+    * ranks sources by (the CommonCrawl-style "rank the link graph,
+    * keep the head" step), expressed so two engines can agree bit-
+    * for-bit: ranks are micro-units (`rank_ppm`, node init 1 000 000),
+    * each node contributes `rank_ppm div outdeg` along every out-edge
+    * (integer division), and the update is
+    *
+    *   rank' = (100 − dampingPct)·10⁴ + (dampingPct · Σ contribs) div 100
+    *
+    * — all long arithmetic, so the result is independent of summation
+    * order and identical on any engine (no cross-engine float-sum drift
+    * to adjudicate). Mass lost to integer truncation and to dangling
+    * nodes (no out-edges) simply evaporates — deterministic, and
+    * irrelevant to the RANKING use of the scores.
+    *
+    * Shapes at 100 TB: the classic iterative kernel — per round ONE
+    * equi-join (edges ⋈ ranks on src; ranks is the small side, AQE
+    * broadcasts while it fits) and ONE map-side-combinable sum on dst.
+    * Edges are localCheckpoint'ed once and reused every round; ranks are
+    * localCheckpoint'ed per round so lineage stays O(1) — same
+    * discipline as the CC kernels above. Iteration count is FIXED
+    * (convergence-free determinism), the standard 5–20 rounds of the
+    * published algorithm.
+    *
+    * @param edges directed (src, dst) — first two columns; parallel
+    *              edges are collapsed (each neighbor heard once)
+    * @param iters fixed iteration count (≥ 0: 0 returns the init ranks)
+    * @param dampingPct damping factor in percent (the canonical 85)
+    */
+  def pageRankPpm(edges: DataFrame, iters: Int,
+                  dampingPct: Int = 85): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+    val Array(ca, cb, _*) = edges.columns
+    val e = edges.select(col(ca).as("src"), col(cb).as("dst"))
+      .distinct().localCheckpoint()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+
+    val teleportPpm = (100L - dampingPct) * 10000L
+    var ranks = nodes.select(col("id"), lit(1000000L).as("rank_ppm"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = ranks
+        .join(outdeg, ranks("id") === outdeg("src"))
+        .select(col("src"), expr("rank_ppm div outdeg").as("contrib"))
+        .join(e, "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("contrib")).as("m"))
+      ranks = nodes
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleportPpm) +
+            expr(s"$dampingPct * coalesce(m, 0L) div 100")).as("rank_ppm"))
+        .localCheckpoint()
+    }
+    ranks
+  }
 }

@@ -65,4 +65,30 @@ object Sampling {
       }
     df.withColumn("split", split)
   }
+
+  /** Deterministic FIXED-QUOTA per-group sample — exactly
+    * `min(k, |group|)` rows per group, chosen by ranking the group on a
+    * salted content hash (the distributed, reproducible analogue of a
+    * per-group reservoir): the keep/drop decision depends only on
+    * (salt, id) and the group's membership, never on row order or
+    * partitioning, so reruns and engine changes agree row-for-row. The
+    * Bernoulli sampler above gives an EXPECTED rate; this gives an exact
+    * count — what balanced corpus mixing ("at most k docs per source")
+    * actually requires.
+    *
+    * Shape at 100 TB: one hash projection (no shuffle) + one window
+    * rank (one exchange on the group key). The md5 rank key is
+    * uniformly distributed, so the sort under the window is over hash
+    * values — no value-skew pathologies; group-size skew itself is
+    * AQE's standard skewed-partition case.
+    */
+  def groupSample(df: DataFrame, groupCol: String, idCol: String,
+                  k: Int, salt: String): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+      .orderBy(md5(concat(lit(salt), col(idCol).cast("string")).cast("binary")),
+        col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
 }

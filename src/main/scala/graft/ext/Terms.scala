@@ -58,4 +58,34 @@ object Terms {
       .filter(col("rk") <= k)
       .select("id", "term", "tf", "df", "score_ppm", "rk")
   }
+
+  /** Inverted index: term → document frequency + a BOUNDED posting list
+    * (the lowest `cap` doc ids, ascending) + a truncation flag — the
+    * search-index build step of a corpus pipeline, and the batch twin of
+    * the q25 prefix-filter's posting-list expansion.
+    *
+    * Shapes at 100 TB: distinct (doc, term) pairs shuffle once with
+    * map-side combine; the rank cut and the final aggregate share the
+    * SAME partitioning key (term), so Spark plans ONE exchange for the
+    * window + groupBy chain (asserted in TermsSpec). Aggregation state
+    * is bounded by construction: `collect_list` only ever sees rows the
+    * rank filter kept, so no stopword's posting list can exceed `cap`
+    * entries in memory — the unbounded-collect trap at corpus scale is
+    * structurally impossible, and full-fidelity consumers read `df` (the
+    * exact count) rather than the sample of members.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    cap: Int): DataFrame = {
+    val pairs = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    pairs.withColumn("rn", row_number().over(w))
+      .groupBy("term").agg(
+        count(lit(1)).as("df"),
+        sort_array(collect_list(when(col("rn") <= cap, col("doc_id"))))
+          .as("postings"))
+      .withColumn("truncated", col("df") > cap)
+  }
 }

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Funnel, Graph, Sampling, Scd, Terms}
+
+/** Mining query pack (round 8, second widening): the index/graph/
+  * sequence operator families — inverted-index build (the search-index
+  * twin of the q25 posting-list machinery), exact fixed-point PageRank
+  * (the source-authority signal web-corpus curation ranks domains by,
+  * and the second ITERATIVE graph kernel after connected components),
+  * SCD2 history compression (the versioned-dimension build the
+  * reference's last-write-wins upsert discards), ordered funnel
+  * analysis (multi-step sequence mining), and deterministic fixed-quota
+  * group sampling (balanced corpus mixing). Every query has a full
+  * DuckDB oracle.
+  */
+object MiningQueries {
+
+  // Fixed operator parameters shared by the Spark defs and the oracles.
+  private val PostingsCap = 20
+  private val PrIters = 3
+  private val PrDamping = 85
+  private val FunnelStages = Seq("signup", "view", "purchase")
+  private val GroupK = 5
+  private val GroupSalt = "grp_v1"
+
+  /** Bipartite supply graph: supplier ↔ part, both directions, over
+    * disjoint long node ids (supplier 2k, part 2k+1). The realistic
+    * "rank entities by link authority" input derivable from the
+    * relational side of the testdata.
+    */
+  private def supplyEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_suppkey"), col("l_partkey"))
+    li.select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      .union(li.select((col("l_partkey") * 2 + 1).as("src"),
+        (col("l_suppkey") * 2).as("dst")))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Inverted index: term -> exact df + bounded posting list. The rank
+    // cut and the aggregate share one exchange on `term`; collect state
+    // is bounded by the cap BEFORE aggregation (see Terms.invertedIndex).
+    "q76_inverted_index" -> ((s, d) =>
+      Terms.invertedIndex(Tables.documents(s, d), "doc_id", "text",
+        PostingsCap)),
+
+    // PageRank, exact integer ppm arithmetic, fixed 3 iterations.
+    "q77_pagerank" -> ((s, d) =>
+      Graph.pageRankPpm(supplyEdges(s, d), PrIters, PrDamping)),
+
+    // SCD2 run compression of the per-user event-type history.
+    "q78_scd2_versions" -> ((s, d) =>
+      Scd.compressHistory(Tables.events(s, d), "user_id", "ts",
+        "event_id", "event_type")),
+
+    // Ordered conversion funnel: earliest strictly-increasing
+    // signup -> view -> purchase timestamps per user.
+    "q80_funnel" -> ((s, d) =>
+      Funnel.funnel(Tables.events(s, d), "user_id", "ts", "event_type",
+        FunnelStages)),
+
+    // Deterministic fixed-quota per-source sample.
+    "q81_group_sample" -> ((s, d) =>
+      Sampling.groupSample(Tables.documents(s, d), "source", "doc_id",
+        GroupK, GroupSalt)
+        .select(col("doc_id"), col("source"), col("sample_rank"))))
+
+  val oracles: Map[String, String] = Map(
+
+    "q76_inverted_index" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT DISTINCT doc_id, term FROM t WHERE length(term) > 0),
+         |r AS (
+         |  SELECT term, doc_id,
+         |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+         |  FROM pairs)
+         |SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |  list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= $PostingsCap)
+         |    AS postings,
+         |  count(*) > $PostingsCap AS truncated
+         |FROM r GROUP BY term""".stripMargin,
+
+    // Unrolled fixed-point iteration: every quantity is BIGINT and
+    // every step is integer arithmetic, so the engines must agree
+    // bit-for-bit (// and `div` both floor on non-negative values).
+    "q77_pagerank" -> {
+      val iterCte = (k: Int) =>
+        s"""r$k AS (
+           |  SELECT n.id,
+           |    CAST(150000 + ($PrDamping * COALESCE(s.m, 0)) // 100 AS BIGINT)
+           |      AS rank_ppm
+           |  FROM n LEFT JOIN (
+           |    SELECT e.dst AS id, sum(r.rank_ppm // deg.outdeg) AS m
+           |    FROM r${k - 1} r
+           |    JOIN deg ON r.id = deg.src
+           |    JOIN e ON e.src = deg.src
+           |    GROUP BY e.dst) s ON n.id = s.id)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+         |  FROM lineitem
+         |  UNION
+         |  SELECT DISTINCT l_partkey * 2 + 1, l_suppkey * 2 FROM lineitem),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+         |        FROM e GROUP BY src),
+         |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank_ppm FROM n),
+         |${(1 to PrIters).map(iterCte).mkString(",\n")}
+         |SELECT id, rank_ppm FROM r$PrIters""".stripMargin
+    },
+
+    "q78_scd2_versions" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN row_number() OVER w = 1 THEN 1
+        |         WHEN event_type IS NOT DISTINCT FROM lag(event_type) OVER w
+        |           THEN 0
+        |         ELSE 1 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |v AS (
+        |  SELECT user_id, ts, event_type,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS INT) AS version
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, version, min(event_type) AS value,
+        |    min(ts) AS effective_from, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM v GROUP BY user_id, version)
+        |SELECT user_id, version, value, effective_from, n_rows,
+        |  lead(effective_from) OVER w2 AS effective_to,
+        |  lead(effective_from) OVER w2 IS NULL AS is_current
+        |FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY version)""".stripMargin,
+
+    "q80_funnel" -> {
+      val Seq(s0, s1, s2) = FunnelStages
+      s"""WITH e AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+         |  FROM events),
+         |a AS (
+         |  SELECT *, min(CASE WHEN event_type = '$s0' THEN ts END)
+         |    OVER (PARTITION BY user_id) AS t0 FROM e),
+         |b AS (
+         |  SELECT *, min(CASE WHEN event_type = '$s1' AND ts > t0 THEN ts END)
+         |    OVER (PARTITION BY user_id) AS t1 FROM a),
+         |c AS (
+         |  SELECT *, min(CASE WHEN event_type = '$s2' AND ts > t1 THEN ts END)
+         |    OVER (PARTITION BY user_id) AS t2 FROM b)
+         |SELECT user_id, max(t0) AS ts_$s0, max(t1) AS ts_$s1,
+         |  max(t2) AS ts_$s2,
+         |  CAST(CASE WHEN max(t0) IS NOT NULL THEN 1 ELSE 0 END
+         |     + CASE WHEN max(t1) IS NOT NULL THEN 1 ELSE 0 END
+         |     + CASE WHEN max(t2) IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         |    AS stages_reached
+         |FROM c GROUP BY user_id""".stripMargin
+    },
+
+    "q81_group_sample" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5('$GroupSalt' || CAST(doc_id AS VARCHAR)), doc_id)
+         |      AS rn
+         |  FROM documents)
+         |SELECT doc_id, source, CAST(rn AS INT) AS sample_rank
+         |FROM r WHERE rn <= $GroupK""".stripMargin)
+}

@@ -172,7 +172,13 @@ object PipelineQueries {
 
     // STR — stream-stream interval join (attribution window), state
     // bounded by the two-sided watermark.
-    "q53_stream_join" -> ((s, d) => EventStream.attributionJoin(s, d)))
+    "q53_stream_join" -> ((s, d) => EventStream.attributionJoin(s, d)),
+
+    // STR — streaming exactly-once ingestion dedup: every event arrives
+    // three times (twice in one batch, once in a later batch);
+    // dropDuplicatesWithinWatermark emits each exactly once from
+    // watermark-bounded key state.
+    "q79_stream_dedup" -> ((s, d) => EventStream.dedupedEvents(s, d)))
 
   /** Market-cap parse fragment shared with the q18 oracle. */
   private def mcapSql(col: String): String =
@@ -321,6 +327,13 @@ object PipelineQueries {
         |  ON c.user_id = p.user_id
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin,
+
+    // exactly-once dedup of an at-least-once delivery IS the original
+    // table: the triple-delivery fixture contains only exact duplicates
+    "q79_stream_dedup" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |  event_type, value, props
+        |FROM events""".stripMargin,
 
     // Recompute from the fixture LAW what the engine must PARSE FROM THE
     // BYTES: the dimensions/format the Column-built container headers

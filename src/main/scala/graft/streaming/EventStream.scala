@@ -194,6 +194,66 @@ object EventStream {
     s.read.parquet(sinkDir).filter(col("user_id") >= 0)
   }
 
+  /** Duplicated landing dir for the streaming-dedup query: the history
+    * twice in one file (in-batch duplicates) plus the history again as a
+    * second file (cross-batch duplicates against carried state). Staged
+    * once per JVM per input dir.
+    */
+  private val dupDirs = scala.collection.concurrent.TrieMap[String, String]()
+  private def stageDuplicated(s: SparkSession, dir: String): String =
+    dupDirs.getOrElseUpdate(dir, {
+      val staged = Sinks.tmpPath(stagedNameFor("stream_in_dup", dir))
+      val base = s.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
+      base.union(base).repartition(1).write.mode("overwrite").parquet(staged)
+      base.repartition(1).write.mode("append").parquet(staged)
+      staged
+    })
+
+  /** Streaming exactly-once dedup — `dropDuplicatesWithinWatermark` over
+    * a landing dir that delivers every event THREE times (twice inside
+    * one batch, once more in a later batch), emitting each event exactly
+    * once. This is the ingestion-dedup guarantee an at-least-once
+    * delivery bus needs and the stream twin of the batch exact-dedup
+    * (q22) / skip-existing anti-join (J1): the batch forms dedup against
+    * a table, the stream dedups against WATERMARK-BOUNDED KEY STATE —
+    * state for an event id is dropped once the watermark passes its
+    * event time + delay, so state stays O(1 watermark-window of keys)
+    * forever on an unbounded source (a plain `dropDuplicates` would
+    * grow state without bound — the 100 TB mistake this operator
+    * exists to avoid).
+    *
+    * maxFilesPerTrigger=1 forces the second delivery into its own
+    * micro-batch so the CROSS-batch path (state lookup, not in-batch
+    * shuffle dedup) is genuinely exercised. Append mode emits first
+    * occurrences immediately (dedup gates duplicates, not time), so no
+    * flush sentinel is needed.
+    */
+  def dedupedEvents(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageDuplicated(s, dir)
+    val tag = new java.io.File(dir).getName
+    val sinkDir = Sinks.tmpPath(s"stream_dedup_$tag")
+    val ckptDir = Sinks.tmpPath(s"stream_dedup_ckpt_$tag")
+    Sinks.deleteRecursively(sinkDir)
+    Sinks.deleteRecursively(ckptDir)
+    val stream = s.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        Sinks.appendRawZone(batch, sinkDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(sinkDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
   /** Stream-stream interval join — purchases ⋈ clicks of the same user
     * within the preceding hour (the attribution join as a STREAM). Both
     * sides are watermarked so the join's buffered state is evicted once
