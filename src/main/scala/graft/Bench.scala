@@ -70,6 +70,9 @@ object Bench {
     // Z-ordered lineitem layout (q73 box-slice subject).
     try graft.queries.AnalyticsQueries.stageFixtures(spark, sfDir)
     catch { case _: Throwable => () }
+    // Fragmented orders copy (q84 compaction subject).
+    try graft.queries.MiningQueries.stageFixtures(spark, sfDir)
+    catch { case _: Throwable => () }
 
     val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt max 1
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -219,22 +219,25 @@ object Graph {
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
     val Array(ca, cb, _*) = edges.columns
-    val e = edges.select(col(ca).as("src"), col(cb).as("dst"))
-      .distinct().localCheckpoint()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = edges.select(col(ca).as("src"), col(cb).as("dst")).distinct()
+    // outdeg rides ON the edge rows (window over the same src
+    // partitioning — no extra exchange), so each iteration is ONE join
+    // (edges ⋈ ranks) instead of two; the static edge+deg frame is
+    // checkpointed once and reused every round.
+    val eDeg = e.withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
       .localCheckpoint()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val nodes = eDeg.select(col("src").as("id"))
+      .union(eDeg.select(col("dst").as("id"))).distinct().localCheckpoint()
 
     val teleportPpm = (100L - dampingPct) * 10000L
     var ranks = nodes.select(col("id"), lit(1000000L).as("rank_ppm"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val contribs = ranks
-        .join(outdeg, ranks("id") === outdeg("src"))
-        .select(col("src"), expr("rank_ppm div outdeg").as("contrib"))
-        .join(e, "src")
-        .groupBy(col("dst").as("id")).agg(sum(col("contrib")).as("m"))
+      val contribs = eDeg
+        .join(ranks, eDeg("src") === ranks("id"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(expr("rank_ppm div outdeg")).as("m"))
       ranks = nodes
         .join(contribs, Seq("id"), "left")
         .select(col("id"),

@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Funnel, Graph, Sampling, Scd, Terms}
+import graft.ext.{Cohorts, Funnel, Graph, LangModel, Sampling, Scd, Terms}
+import graft.sources.{Compaction, Sinks}
 
 /** Mining query pack (round 8, second widening): the index/graph/
   * sequence operator families — inverted-index build (the search-index
@@ -24,6 +25,25 @@ object MiningQueries {
   private val FunnelStages = Seq("signup", "view", "purchase")
   private val GroupK = 5
   private val GroupSalt = "grp_v1"
+  private val FragmentFiles = 64
+  private val CompactTargetBytes = 4L * 1024 * 1024 // ~4 MiB/file
+
+  /** Fragmented orders copy (the small-file problem as a fixture),
+    * staged once per JVM per sf dir — q84 times the COMPACTION, never
+    * the fixture build. Content is exactly Tables.orders.
+    */
+  private val fragmented = scala.collection.concurrent.TrieMap[String, String]()
+  private def fragmentedOrdersPath(s: SparkSession, d: String): String =
+    fragmented.getOrElseUpdate(new java.io.File(d).getCanonicalPath, {
+      val p = Sinks.tmpPath(s"frag_orders_${new java.io.File(d).getName}")
+      Tables.orders(s, d).repartition(FragmentFiles)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+
+  /** Bench staging hook (outside the timed window). */
+  def stageFixtures(s: SparkSession, d: String): Unit =
+    fragmentedOrdersPath(s, d): Unit
 
   /** Bipartite supply graph: supplier ↔ part, both directions, over
     * disjoint long node ids (supplier 2k, part 2k+1). The realistic
@@ -65,7 +85,27 @@ object MiningQueries {
     "q81_group_sample" -> ((s, d) =>
       Sampling.groupSample(Tables.documents(s, d), "source", "doc_id",
         GroupK, GroupSalt)
-        .select(col("doc_id"), col("source"), col("sample_rank"))))
+        .select(col("doc_id"), col("source"), col("sample_rank"))),
+
+    // Model-based quality scoring: corpus char-trigram LM, fixed-point
+    // per-gram log-probs, one float division per document.
+    "q82_trigram_lm_score" -> ((s, d) =>
+      LangModel.scoreByTrigramLm(Tables.documents(s, d), "doc_id", "text")),
+
+    // Cohort retention matrix over the event log.
+    "q83_cohort_retention" -> ((s, d) =>
+      Cohorts.retention(Tables.events(s, d), "user_id", "ts")),
+
+    // Small-file compaction: rewrite the staged 64-fragment orders copy
+    // at ~target bytes/file (the timed operator IS the compaction; the
+    // layout is physical, so the oracle is the plain table).
+    "q84_compaction" -> ((s, d) => {
+      val in = fragmentedOrdersPath(s, d)
+      val out = Sinks.tmpPath(
+        s"compact_orders_${new java.io.File(d).getName}")
+      Compaction.compact(s, in, out, CompactTargetBytes)
+      Compaction.read(s, out)
+    }))
 
   val oracles: Map[String, String] = Map(
 
@@ -170,5 +210,50 @@ object MiningQueries {
          |      AS rn
          |  FROM documents)
          |SELECT doc_id, source, CAST(rn AS INT) AS sample_rank
-         |FROM r WHERE rn <= $GroupK""".stripMargin)
+         |FROM r WHERE rn <= $GroupK""".stripMargin,
+
+    // fixed-point lp_ppm = round(ln(cnt/total)·10⁶) — the q61 idf
+    // contract; the only float op per document is ONE division of two
+    // exact longs, identical IEEE on both engines
+    "q82_trigram_lm_score" ->
+      """WITH tg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(text) - 1),
+        |    i -> substr(text, i, 3))) AS g
+        |  FROM documents WHERE length(text) >= 3),
+        |model AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS cnt FROM tg GROUP BY g),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tg),
+        |lp AS (
+        |  SELECT g, CAST(round(ln(CAST(cnt AS DOUBLE) / (SELECT n FROM tot))
+        |    * 1000000) AS BIGINT) AS lp_ppm
+        |  FROM model)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |  CAST(sum(l.lp_ppm) AS BIGINT) AS sum_lp_ppm,
+        |  CAST(sum(l.lp_ppm) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS avg_logprob
+        |FROM tg t JOIN lp l ON t.g = l.g
+        |GROUP BY t.doc_id""".stripMargin,
+
+    // Monday-based date_trunc('week') on both engines; day diffs are
+    // exact multiples of 7
+    "q83_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |f AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM e GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+        |  FROM e),
+        |j AS (
+        |  SELECT a.user_id, f.cohort_week,
+        |    CAST(date_diff('day', CAST(f.cohort_week AS DATE),
+        |      CAST(a.activity_week AS DATE)) // 7 AS INT) AS week_offset
+        |  FROM a JOIN f USING (user_id))
+        |SELECT cohort_week, week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM j GROUP BY cohort_week, week_offset""".stripMargin,
+
+    // compaction is physical layout only — content must equal the table
+    "q84_compaction" -> "SELECT * FROM orders")
 }

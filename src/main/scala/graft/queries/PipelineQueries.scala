@@ -178,7 +178,12 @@ object PipelineQueries {
     // three times (twice in one batch, once in a later batch);
     // dropDuplicatesWithinWatermark emits each exactly once from
     // watermark-bounded key state.
-    "q79_stream_dedup" -> ((s, d) => EventStream.dedupedEvents(s, d)))
+    "q79_stream_dedup" -> ((s, d) => EventStream.dedupedEvents(s, d)),
+
+    // STR — custom keyed state (flatMapGroupsWithState): per-user
+    // running spend with threshold-crossing alert emission — the
+    // semantics no built-in streaming operator expresses.
+    "q85_stream_alerts" -> ((s, d) => EventStream.spendAlerts(s, d)))
 
   /** Market-cap parse fragment shared with the q18 oracle. */
   private def mcapSql(col: String): String =
@@ -334,6 +339,24 @@ object PipelineQueries {
       """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
         |  event_type, value, props
         |FROM events""".stripMargin,
+
+    // the ordered cumulative-sum recompute of the state fold: spend in
+    // exact micro-units, alert row iff the running total crosses a
+    // $500 multiple (500e6 micros); all-positive values, so // and the
+    // engine's integral division agree
+    "q85_stream_alerts" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(round(value * 1000000) AS BIGINT) AS lv
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id, ts, lv,
+        |    CAST(sum(lv) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM p)
+        |SELECT user_id, event_id, ts, cum AS cum_micros,
+        |  CAST(cum // 500000000 AS BIGINT) AS alert_level
+        |FROM c WHERE cum // 500000000 > (cum - lv) // 500000000""".stripMargin,
 
     // Recompute from the fixture LAW what the engine must PARSE FROM THE
     // BYTES: the dimensions/format the Column-built container headers

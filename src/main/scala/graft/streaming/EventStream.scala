@@ -21,6 +21,16 @@ import graft.transform.Upsert
   * materializes on the driver, so the same job runs forever on an
   * unbounded source.
   */
+/** Typed rows for the custom-state spend-alert stream (top-level,
+  * public: Spark's generated encoder projections instantiate these
+  * reflectively and cannot access nested `private` classes). Timestamps
+  * ride as epoch MICROS longs through the state function (primitive
+  * encoders, exact) and become timestamps only in the final projection.
+  */
+case class SpendEvent(event_id: Long, ts_us: Long, user_id: Long, lv: Long)
+case class SpendAlert(user_id: Long, event_id: Long, ts_us: Long,
+                      cum_micros: Long, alert_level: Long)
+
 object EventStream {
 
   /** Same physical schema as Tables.events (TIMESTAMP(NANOS) parquet
@@ -252,6 +262,84 @@ object EventStream {
     q.awaitTermination()
     s.read.parquet(sinkDir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  /** Custom keyed state via `flatMapGroupsWithState` — the one
+    * Structured Streaming surface the BUILT-IN operators genuinely
+    * cannot express: per-user cumulative purchase spend with an alert
+    * row emitted each time the running total crosses a threshold
+    * multiple. A windowed aggregate can't do it (the emission condition
+    * depends on the exact fold path of the total, not on a window's
+    * value), and `session_window`/dedup state machines don't carry
+    * user-defined state. This is the library's demonstration that when
+    * the built-ins run out, the typed state API is the next step —
+    * NOT a driver-side loop.
+    *
+    * Determinism: spend is quantized to micro-units on ingest
+    * (`round(value·10⁶)` as long), the per-group batch iterator is
+    * sorted by (event time, event id) before folding — the iterator's
+    * own order is shuffle-read order, NOT event order — and the
+    * threshold crossing test is pure long arithmetic, so the emitted
+    * rows match a batch engine's ordered cumulative sum exactly.
+    *
+    * State per user is ONE long (the running total) — bounded by key
+    * cardinality, not stream length. NoTimeout keeps lifetime-total
+    * semantics (the oracle's); a deployment that wants
+    * inactivity-scoped totals flips to EventTimeTimeout and resets on
+    * expiry — the state plumbing is identical.
+    */
+  def spendAlerts(s: SparkSession, dir: String,
+                  thresholdMicros: Long = 500L * 1000000L): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(thresholdMicros > 0,
+      s"thresholdMicros must be > 0, got $thresholdMicros")
+    val staged = stageWithSentinel(s, dir) // single-file history: one batch
+    val tag = new java.io.File(dir).getName
+    val sinkDir = Sinks.tmpPath(s"stream_alerts_$tag")
+    val ckptDir = Sinks.tmpPath(s"stream_alerts_ckpt_$tag")
+    Sinks.deleteRecursively(sinkDir)
+    Sinks.deleteRecursively(ckptDir)
+
+    val typed = s.readStream.schema(eventsSchema)
+      .parquet(staged)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("user_id"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("lv"))
+      .as[SpendEvent]
+
+    val alerts = typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, SpendAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[SpendEvent], state: GroupState[Long]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var cum = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[SpendAlert]
+          sorted.foreach { e =>
+            val pre = cum
+            cum += e.lv
+            if (cum / thresholdMicros > pre / thresholdMicros)
+              out += SpendAlert(user, e.event_id, e.ts_us, cum,
+                cum / thresholdMicros)
+          }
+          state.update(cum)
+          out.result().iterator
+      }
+
+    val q = alerts.toDF().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        Sinks.appendRawZone(batch, sinkDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(sinkDir)
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("ts_us")).as("ts"),
+        col("cum_micros"), col("alert_level"))
   }
 
   /** Stream-stream interval join — purchases ⋈ clicks of the same user

@@ -60,4 +60,30 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((4L, 2L), (4L, 3L)))
   }
+
+  test("spendAlerts: threshold crossings from folded custom state") {
+    val m = 60L * 1000000000L // 1 min in ns
+    val dir = landingDir(Seq(
+      // user 1: 200 + 200 + 200 → crosses 500 at event 3 (cum 600);
+      // then 450 → crosses 1000 at event 4 (cum 1050)
+      (1L, t0, 1L, "purchase", 200.0),
+      (2L, t0 + m, 1L, "purchase", 200.0),
+      (3L, t0 + 2 * m, 1L, "purchase", 200.0),
+      (4L, t0 + 3 * m, 1L, "purchase", 450.0),
+      // interleaved non-purchase noise must not count
+      (5L, t0 + 90L * 1000000000L, 1L, "view", 9999.0),
+      // user 2: stays under the threshold — no alert
+      (6L, t0, 2L, "purchase", 499.99),
+      // user 3: one event crossing TWO levels → single alert, level 2
+      (7L, t0, 3L, "purchase", 1200.0)))
+    val got = EventStream.spendAlerts(spark, dir)
+      .select(col("user_id"), col("event_id"), col("cum_micros"),
+        col("alert_level"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, 3L, 600000000L, 1L),
+      (1L, 4L, 1050000000L, 2L),
+      (3L, 7L, 1200000000L, 2L)))
+  }
 }
