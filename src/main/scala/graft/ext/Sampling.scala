@@ -66,6 +66,36 @@ object Sampling {
     df.withColumn("split", split)
   }
 
+  /** Deterministic WEIGHTED Bernoulli sample — keep probability
+    * proportional to a per-row non-negative integer weight (quality
+    * score, length, citation count): the importance-sampling step of
+    * corpus mixing ("prefer higher-quality documents"), still with NO
+    * RNG. A row is kept iff
+    *
+    *   (hash(salt|id) mod 10⁴) · max(weight)  <  weight · 10⁴
+    *
+    * i.e. P(keep) ≈ weight / max(weight) — and the decision is pure
+    * INTEGER arithmetic end-to-end (cross-multiplied, no division, no
+    * rounding), so the DuckDB oracle recomputes the identical sample
+    * and no float-rounding boundary can ever flip a row.
+    *
+    * Shape: one tiny max-aggregate (combinable, broadcast back as a
+    * 1-row literal frame) + a scan-level filter. The max is the only
+    * coordination; at 100 TB it is a metadata-sized job.
+    */
+  def weightedBernoulli(df: DataFrame, idCol: String, weightCol: String,
+                        salt: String): DataFrame = {
+    require(!df.columns.contains("_max_w"),
+      "input must not contain reserved column _max_w")
+    val mx = df.agg(max(col(weightCol)).cast("long").as("_max_w"))
+    df.crossJoin(broadcast(mx))
+      .filter(
+        hash60(concat(lit(salt), col(idCol).cast("string"))) % Denom
+          * col("_max_w")
+          < col(weightCol).cast("long") * Denom)
+      .drop("_max_w")
+  }
+
   /** Deterministic FIXED-QUOTA per-group sample — exactly
     * `min(k, |group|)` rows per group, chosen by ranking the group on a
     * salted content hash (the distributed, reproducible analogue of a

@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ext.{Diff, Rolling, Sampling, Transitions}
+import graft.streaming.EventStream
+
+/** Audit / temporal-analytics pack (round 8, fifth widening) — the
+  * operator families a production pipeline runs AROUND its data: change
+  * auditing (snapshot diff), rolling time-RANGE reporting frames,
+  * sliding streaming windows, exact quantile binning, weighted corpus
+  * sampling, and sequence transition mining. Every query has a full
+  * DuckDB oracle; all fixed-point/decimal determinism contracts are the
+  * ones established by q61/q77 (integer ppm) and q01 (decimal sums).
+  */
+object AuditQueries {
+
+  // Fixed parameters shared by the Spark defs and the oracles.
+  private val TrailDays = 7
+  private val DiffMod = 97
+  private val AddedKeyShift = 2000000000L
+  private val DiffCompareCols = Seq("o_orderstatus", "o_totalprice", "o_custkey")
+  private val Deciles = 10
+  private val WeightSalt = "wsample_v1"
+
+  /** The "new snapshot" for the diff: a deterministic mutation of
+    * orders — every 97th key deleted, the next residue's price bumped
+    * by 1.00, the one after copied to a fresh key (an insert). The
+    * mutation covers all three diff classes with exact arithmetic.
+    */
+  private def mutatedOrders(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val kept = o.filter(col("o_orderkey") % DiffMod =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % DiffMod === 1, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+    val added = o.filter(col("o_orderkey") % DiffMod === 2)
+      .withColumn("o_orderkey", col("o_orderkey") + AddedKeyShift)
+    kept.unionByName(added)
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // STR — sliding (hopping) windows: each event in 2 overlapping
+    // 2-hour windows on a 1-hour slide; update-mode changelog +
+    // last-write-wins compaction (the tumblingCounts commit contract).
+    "q86_stream_sliding" -> ((s, d) => EventStream.slidingCounts(s, d)),
+
+    // W-extension — trailing 7-day RANGE frame over per-(priority, day)
+    // revenue: the frame is a value distance (gap days widen it), not a
+    // row count; window input is pre-aggregated to calendar cardinality.
+    "q87_rolling_revenue" -> ((s, d) =>
+      Rolling.trailingDaily(Tables.orders(s, d), "o_orderpriority",
+        "o_orderdate", "o_totalprice", TrailDays)),
+
+    // Reconciliation — full-outer keyed diff of two snapshots; output
+    // is proportional to the change, never the table.
+    "q88_snapshot_diff" -> ((s, d) =>
+      Diff.snapshotDiff(Tables.orders(s, d), mutatedOrders(s, d),
+        Seq("o_orderkey"), DiffCompareCols)),
+
+    // Exact per-stratum decile binning (ntile) + per-bin stats. The
+    // exact form needs a total sort per stratum — the at-scale path for
+    // *cutoffs* is the q65 sketch; this is the exact small-stratum twin.
+    "q89_decile_stats" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("decile", ntile(Deciles).over(w))
+        .groupBy(col("lang"), col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+    }),
+
+    // Weighted Bernoulli corpus sample: P(keep) ∝ n_chars, pure
+    // integer cross-multiplied decision, no RNG, no division.
+    "q90_weighted_sample" -> ((s, d) =>
+      Sampling.weightedBernoulli(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        "doc_id", "n_chars", WeightSalt)),
+
+    // First-order transition matrix over per-user event sequences with
+    // exact ppm probabilities.
+    "q91_transition_matrix" -> ((s, d) =>
+      Transitions.transitionMatrix(Tables.events(s, d), "user_id", "ts",
+        "event_id", "event_type")))
+
+  val oracles: Map[String, String] = Map(
+
+    // Every event lands in exactly the two 2-hour windows starting at
+    // trunc_hour(ts)−1h and trunc_hour(ts) (Spark's epoch-aligned
+    // window law for duration 2h, slide 1h).
+    "q86_stream_sliding" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+        |            date_trunc('hour', ts)]) AS win_start
+        |  FROM events)
+        |SELECT win_start, win_start + INTERVAL 2 HOUR AS win_end,
+        |  event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2, 3""".stripMargin,
+
+    "q87_rolling_revenue" ->
+      s"""WITH daily AS (
+         |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+         |    sum(CAST(o_totalprice AS DECIMAL(28,6))) AS day_total_dec
+         |  FROM orders GROUP BY 1, 2),
+         |d2 AS (
+         |  SELECT *, date_diff('day', DATE '1970-01-01', day) AS day_id
+         |  FROM daily)
+         |SELECT o_orderpriority, day,
+         |  CAST(day_total_dec AS DOUBLE) AS day_total,
+         |  CAST(sum(day_total_dec) OVER w AS DOUBLE) AS trail_total,
+         |  CAST(count(*) OVER w AS INT) AS trail_days,
+         |  CAST(sum(day_total_dec) OVER w AS DOUBLE)
+         |    / CAST(count(*) OVER w AS DOUBLE) AS trail_avg
+         |FROM d2
+         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day_id
+         |  RANGE BETWEEN ${TrailDays - 1} PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q88_snapshot_diff" ->
+      s"""WITH oldt AS (
+         |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_custkey
+         |  FROM orders),
+         |newt AS (
+         |  SELECT o_orderkey, o_orderstatus,
+         |    CASE WHEN o_orderkey % $DiffMod = 1 THEN o_totalprice + 1.0
+         |         ELSE o_totalprice END AS o_totalprice,
+         |    o_custkey
+         |  FROM orders WHERE o_orderkey % $DiffMod <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + $AddedKeyShift, o_orderstatus, o_totalprice,
+         |    o_custkey
+         |  FROM orders WHERE o_orderkey % $DiffMod = 2),
+         |j AS (
+         |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         |    o.o_orderkey IS NOT NULL AS in_old,
+         |    n.o_orderkey IS NOT NULL AS in_new,
+         |    o.o_orderstatus AS old_o_orderstatus,
+         |    n.o_orderstatus AS new_o_orderstatus,
+         |    o.o_totalprice AS old_o_totalprice,
+         |    n.o_totalprice AS new_o_totalprice,
+         |    o.o_custkey AS old_o_custkey, n.o_custkey AS new_o_custkey
+         |  FROM oldt o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey)
+         |SELECT * FROM (
+         |  SELECT o_orderkey,
+         |    CASE WHEN NOT in_old THEN 'added'
+         |         WHEN NOT in_new THEN 'removed'
+         |         WHEN old_o_orderstatus IS DISTINCT FROM new_o_orderstatus
+         |           OR old_o_totalprice IS DISTINCT FROM new_o_totalprice
+         |           OR old_o_custkey IS DISTINCT FROM new_o_custkey
+         |           THEN 'changed' END AS change,
+         |    old_o_orderstatus, new_o_orderstatus, old_o_totalprice,
+         |    new_o_totalprice, old_o_custkey, new_o_custkey
+         |  FROM j)
+         |WHERE change IS NOT NULL""".stripMargin,
+
+    "q89_decile_stats" ->
+      s"""WITH r AS (
+         |  SELECT lang, doc_id, n_chars,
+         |    ntile($Deciles) OVER (PARTITION BY lang
+         |      ORDER BY n_chars, doc_id) AS decile
+         |  FROM documents)
+         |SELECT lang, CAST(decile AS INT) AS decile,
+         |  count(*) AS n_docs, min(n_chars) AS min_chars,
+         |  max(n_chars) AS max_chars
+         |FROM r GROUP BY lang, decile""".stripMargin,
+
+    "q90_weighted_sample" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE (CAST('0x' || substr(md5('$WeightSalt' || CAST(doc_id AS VARCHAR)), 1, 15)
+         |         AS BIGINT) % ${Sampling.Denom})
+         |      * (SELECT max(n_chars) FROM documents)
+         |  < n_chars * ${Sampling.Denom}""".stripMargin,
+
+    "q91_transition_matrix" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_state
+        |  FROM e),
+        |m AS (
+        |  SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_state, to_state, n,
+        |  CAST(sum(n) OVER (PARTITION BY from_state) AS BIGINT) AS out_total,
+        |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_state)
+        |    AS BIGINT) AS p_ppm
+        |FROM m""".stripMargin)
+}

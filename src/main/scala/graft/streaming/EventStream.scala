@@ -150,6 +150,46 @@ object EventStream {
       .select("win_start", "win_end", "event_type", "n")
   }
 
+  /** Sliding (hopping) 2-hour windows on a 1-hour slide — the one
+    * built-in streaming window kind tumbling/session don't cover: each
+    * event lands in duration/slide = 2 overlapping windows, the shape
+    * behind "rolling 2-hour rate" alerting. Same changelog-commit
+    * contract as tumblingCounts (update-mode foreachBatch appends,
+    * last-write-wins compaction on read, nothing on the driver); state
+    * is 2× the tumbling case per key — still watermark-bounded, evicted
+    * as windows close.
+    */
+  def slidingCounts(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageOnce(s, dir)
+    val tag = new java.io.File(dir).getName
+    val sinkDir = Sinks.tmpPath(s"stream_slide_$tag")
+    val ckptDir = Sinks.tmpPath(s"stream_slide_ckpt_$tag")
+    Sinks.deleteRecursively(sinkDir)
+    Sinks.deleteRecursively(ckptDir)
+    val stream = s.readStream.schema(eventsSchema)
+      .parquet(staged)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col("event_type"), col("n"))
+    val q = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        Sinks.appendRawZone(batch.withColumn("_batch", lit(batchId)), sinkDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Upsert.latestByKey(s.read.parquet(sinkDir),
+        Seq("win_start", "event_type"), col("_batch"))
+      .select("win_start", "win_end", "event_type", "n")
+  }
+
   /** Streaming sessionization: `session_window` (gap-merged session
     * state, the built-in replacement for hand-rolled
     * flatMapGroupsWithState sessionizers) over the watermarked event

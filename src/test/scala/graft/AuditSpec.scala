@@ -1,0 +1,137 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Diff, Rolling, Sampling, Transitions}
+
+/** Unit tests for the audit/temporal pack (q86–q91 families): snapshot
+  * diff (all three change classes, null-safe compare, unchanged rows
+  * dropped), trailing RANGE frame (gap days widen the frame — the
+  * ROWS-frame bug this op exists to avoid), weighted Bernoulli sampling
+  * (determinism, monotone-in-weight, max-weight rows always kept), and
+  * the transition matrix (exact counts + ppm normalization).
+  */
+class AuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Diff.snapshotDiff --------------------------------------------
+
+  test("snapshotDiff: added/removed/changed classes, unchanged dropped") {
+    val old = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0),
+      (4L, null.asInstanceOf[String], 40.0)).toDF("k", "s", "v")
+    val neu = Seq((1L, "A", 10.0),                       // unchanged
+      (2L, "B", 21.0),                                   // changed value
+      (4L, "D", 40.0),                                   // null -> D
+      (5L, "E", 50.0)                                    // added
+    ).toDF("k", "s", "v")                                // 3 removed
+    val out = Diff.snapshotDiff(old, neu, Seq("k"), Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(2L -> "changed", 3L -> "removed", 4L -> "changed",
+      5L -> "added"))
+  }
+
+  test("snapshotDiff: null == null is NOT a change (null-safe compare)") {
+    val old = Seq((1L, null.asInstanceOf[String])).toDF("k", "s")
+    val neu = Seq((1L, null.asInstanceOf[String])).toDF("k", "s")
+    assert(Diff.snapshotDiff(old, neu, Seq("k"), Seq("s")).isEmpty)
+  }
+
+  test("snapshotDiff: reserved/missing columns rejected loudly") {
+    val df = Seq((1L, "x")).toDF("k", "change")
+    intercept[IllegalArgumentException] {
+      Diff.snapshotDiff(df, df, Seq("k"), Seq("change"))
+    }
+    val ok = Seq((1L, "x")).toDF("k", "s")
+    intercept[IllegalArgumentException] {
+      Diff.snapshotDiff(ok, ok, Seq("k"), Seq("missing"))
+    }
+  }
+
+  // ---- Rolling.trailingDaily ----------------------------------------
+
+  test("trailingDaily: RANGE frame spans value distance, not row count") {
+    // days 1, 2, 10 — the day-10 frame must contain ONLY day 10 (days
+    // 1/2 are 8+ days back); a ROWS-based frame would wrongly include
+    // them.
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val df = Seq(("g", ts(1), 100.0), ("g", ts(2), 50.0), ("g", ts(10), 7.0))
+      .toDF("grp", "ts", "v")
+    val out = Rolling.trailingDaily(df, "grp", "ts", "v", 7)
+      .orderBy("day").collect()
+    assert(out.map(_.getAs[Double]("trail_total")).toSeq ==
+      Seq(100.0, 150.0, 7.0))
+    assert(out.map(_.getAs[Int]("trail_days")).toSeq == Seq(1, 2, 1))
+    assert(out.map(_.getAs[Date]("day")).toSeq.map(_.toString) ==
+      Seq("2024-01-01", "2024-01-02", "2024-01-10"))
+  }
+
+  test("trailingDaily: same-day rows collapse before the window") {
+    def ts(h: Int) = Timestamp.valueOf(f"2024-03-05 $h%02d:00:00")
+    val df = Seq(("g", ts(1), 1.5), ("g", ts(9), 2.5)).toDF("grp", "ts", "v")
+    val out = Rolling.trailingDaily(df, "grp", "ts", "v", 7).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("day_total") == 4.0)
+    assert(out.head.getAs[Double]("trail_avg") == 4.0)
+  }
+
+  // ---- Sampling.weightedBernoulli -----------------------------------
+
+  test("weightedBernoulli: deterministic, and max-weight rows always kept") {
+    val df = (1L to 200L).map(i => (i, i % 20 + 1)).toDF("id", "w")
+    val a = Sampling.weightedBernoulli(df, "id", "w", "s1")
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.weightedBernoulli(df.repartition(7), "id", "w", "s1")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b, "sample must not depend on partitioning")
+    // weight == max → threshold = full hash space → always kept
+    val maxIds = (1L to 200L).filter(i => i % 20 + 1 == 20)
+    assert(maxIds.forall(a.contains), "max-weight rows must always be kept")
+    // heavier strata keep at least as FREQUENTLY in aggregate: the kept
+    // rate of the top half of weights must exceed the bottom half's
+    val (hi, lo) = a.partition(i => i % 20 + 1 > 10)
+    assert(hi.size > lo.size, s"expected weight-monotone sample, " +
+      s"got hi=${hi.size} lo=${lo.size}")
+  }
+
+  test("weightedBernoulli: different salt gives a different sample") {
+    val df = (1L to 500L).map(i => (i, i % 10 + 1)).toDF("id", "w")
+    val a = Sampling.weightedBernoulli(df, "id", "w", "sA")
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.weightedBernoulli(df, "id", "w", "sB")
+      .select("id").as[Long].collect().toSet
+    assert(a != b)
+  }
+
+  // ---- Transitions.transitionMatrix ---------------------------------
+
+  test("transitionMatrix: exact counts and ppm rows") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // user 1: a -> b -> a -> c ; user 2: a -> b
+    val df = Seq(
+      (1L, ts(0), 1L, "a"), (1L, ts(1), 2L, "b"), (1L, ts(2), 3L, "a"),
+      (1L, ts(3), 4L, "c"), (2L, ts(0), 5L, "a"), (2L, ts(1), 6L, "b")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Transitions
+      .transitionMatrix(df, "user_id", "ts", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // from a: a->b twice, a->c once (out_total 3)
+    assert(out(("a", "b")) == ((2L, 3L, 666666L)))
+    assert(out(("a", "c")) == ((1L, 3L, 333333L)))
+    // from b: b->a once (user 2's trailing b has no successor)
+    assert(out(("b", "a")) == ((1L, 1L, 1000000L)))
+    assert(out.size == 3)
+  }
+
+  test("transitionMatrix: ties broken by tie column, not input order") {
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    val df = Seq((1L, t, 2L, "b"), (1L, t, 1L, "a"), (1L, t, 3L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Transitions
+      .transitionMatrix(df, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("a", "b"), ("b", "c"))) // event_id order a,b,c
+  }
+}
