@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality audit — the expectations/constraint layer
+  * (dbt tests, Deequ-style checks) a pipeline runs before promoting a
+  * table: null keys, domain violations, duplicate keys, orphaned
+  * foreign keys. The reference runs exactly these checks imperatively
+  * (skip-if-missing-stock `Summary.py:289–291`, dedup-before-upsert);
+  * here they are one declarative report.
+  *
+  * Scale shapes: N predicate rules cost ONE scan total — each rule is a
+  * conditional-sum aggregate, all N fold into a single combinable
+  * aggregation (map-side partials, one 1-row exchange). The duplicate-
+  * key check is one combinable groupBy on the key. The orphan-FK check
+  * is a left-anti join on the key — the same shuffle any FK validation
+  * needs, broadcast when the parent's key set fits. Nothing touches the
+  * driver except the final ≤(N+2)-row report.
+  */
+object Quality {
+
+  /** One-scan rule audit: each rule is (name, violation predicate);
+    * output is one row per rule — (check, n_bad). All rules evaluate in
+    * a single aggregation pass over the table.
+    */
+  def ruleAudit(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule required")
+    val aggs = rules.map { case (name, pred) =>
+      sum(when(pred, 1L).otherwise(0L)).as(name)
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules
+      .map { case (name, _) => s"'$name', `$name`" }.mkString(", ")
+    one.select(expr(s"stack(${rules.size}, $stackArgs) AS (check, n_bad)"))
+  }
+
+  /** Duplicate-key audit: number of SURPLUS rows (rows beyond the first
+    * per key — the count an upsert would collapse away).
+    */
+  def duplicateKeys(df: DataFrame, keys: Seq[String],
+                    label: String): DataFrame = {
+    require(keys.nonEmpty, "at least one key column required")
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+      .agg(coalesce(sum(col("_n") - 1L), lit(0L)).as("n_bad"))
+      .select(lit(label).as("check"), col("n_bad"))
+  }
+
+  /** Orphan-FK audit: child rows whose key has no parent. */
+  def orphans(child: DataFrame, childKey: String, parent: DataFrame,
+              parentKey: String, label: String): DataFrame =
+    child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+      .select(lit(label).as("check"), col("n_bad"))
+}

@@ -59,6 +59,42 @@ object Terms {
       .select("id", "term", "tf", "df", "score_ppm", "rk")
   }
 
+  /** Bounded vocabulary build + per-document OOV coverage — the
+    * tokenizer-prep step of a training pipeline: fix a top-V vocabulary
+    * by corpus frequency, then score every document by how much of it
+    * the vocabulary covers (the out-of-vocabulary rate that drives
+    * "train a bigger tokenizer" / "drop this shard" decisions).
+    *
+    * Shapes at 100 TB: token counts shuffle once with map-side combine;
+    * the top-V cut is `orderBy(cnt desc, term).limit(V)` — Spark plans
+    * TakeOrderedAndProject, a DISTRIBUTED top-k (per-partition heaps,
+    * driver merge of V-row partials), never a global sort and never a
+    * single-partition window, so a billion-term junk vocabulary cannot
+    * serialize the build. The vocabulary (≤ V rows by construction) then
+    * broadcast-joins back to the token stream; per-document coverage is
+    * one combinable aggregation. OOV rate is exact fixed-point ppm.
+    */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be > 0, got $vocabSize")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      // both the count side and the coverage side consume this — one
+      // materialization, one tokenize pass (the q61 tf discipline)
+      .localCheckpoint()
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(vocabSize)
+      .select(col("term"), lit(true).as("_in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left_outer")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("_in_vocab"), 1L).otherwise(0L)).as("in_vocab"))
+      .withColumn("oov_ppm",
+        expr("(n_tokens - in_vocab) * 1000000L div n_tokens"))
+  }
+
   /** Inverted index: term → document frequency + a BOUNDED posting list
     * (the lowest `cap` doc ids, ascending) + a truncation flag — the
     * search-index build step of a corpus pipeline, and the batch twin of

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.ext.{Diff, Rolling, Sampling, Transitions}
+import graft.ext.{Diff, Quality, Rolling, Sampling, Terms, Transitions}
 import graft.streaming.EventStream
 
 /** Audit / temporal-analytics pack (round 8, fifth widening) — the
@@ -23,6 +23,9 @@ object AuditQueries {
   private val DiffCompareCols = Seq("o_orderstatus", "o_totalprice", "o_custkey")
   private val Deciles = 10
   private val WeightSalt = "wsample_v1"
+  // the synthetic corpus draws from a ~31-word list — V=20 leaves a
+  // real OOV tail at every sf (V=500 would trivially cover everything)
+  private val VocabSize = 20
 
   /** The "new snapshot" for the diff: a deterministic mutation of
     * orders — every 97th key deleted, the next residue's price bumped
@@ -86,7 +89,32 @@ object AuditQueries {
     // exact ppm probabilities.
     "q91_transition_matrix" -> ((s, d) =>
       Transitions.transitionMatrix(Tables.events(s, d), "user_id", "ts",
-        "event_id", "event_type")))
+        "event_id", "event_type")),
+
+    // Tokenizer prep: top-V vocabulary by corpus frequency (distributed
+    // top-k, never a global sort) + per-document OOV rate.
+    "q92_vocab_coverage" -> ((s, d) =>
+      Terms.vocabCoverage(Tables.documents(s, d), "doc_id", "text",
+        VocabSize)),
+
+    // Declarative data-quality audit: N predicate rules in ONE scan per
+    // table, duplicate-key surplus, and the orphaned-FK count after the
+    // q88 deletion mutation — the promote-gate report.
+    "q93_integrity_audit" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      Quality.ruleAudit(li, Seq(
+          "li_nonpositive_qty" -> (col("l_quantity") <= 0.0),
+          "li_discount_range" -> !col("l_discount").between(0.0, 1.0),
+          "li_null_orderkey" -> col("l_orderkey").isNull))
+        .unionByName(Quality.ruleAudit(o, Seq(
+          "o_null_custkey" -> col("o_custkey").isNull,
+          "o_bad_status" -> !col("o_orderstatus").isin("O", "F", "P"))))
+        .unionByName(Quality.duplicateKeys(Tables.events(s, d),
+          Seq("user_id", "ts"), "ev_dup_user_ts"))
+        .unionByName(Quality.orphans(li, "l_orderkey",
+          mutatedOrders(s, d), "o_orderkey", "li_orphan_after_delete"))
+    }))
 
   val oracles: Map[String, String] = Map(
 
@@ -175,6 +203,57 @@ object AuditQueries {
          |         AS BIGINT) % ${Sampling.Denom})
          |      * (SELECT max(n_chars) FROM documents)
          |  < n_chars * ${Sampling.Denom}""".stripMargin,
+
+    "q92_vocab_coverage" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |tt AS (SELECT doc_id, term FROM t WHERE length(term) > 0),
+         |c AS (SELECT term, count(*) AS cnt FROM tt GROUP BY term),
+         |v AS (SELECT term FROM c ORDER BY cnt DESC, term LIMIT $VocabSize)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(count(*) FILTER (WHERE v.term IS NOT NULL) AS BIGINT)
+         |    AS in_vocab,
+         |  CAST((count(*) - count(*) FILTER (WHERE v.term IS NOT NULL))
+         |    * 1000000 // count(*) AS BIGINT) AS oov_ppm
+         |FROM tt LEFT JOIN v ON tt.term = v.term
+         |GROUP BY doc_id""".stripMargin,
+
+    "q93_integrity_audit" ->
+      s"""SELECT 'li_nonpositive_qty' AS "check",
+         |  CAST(count(*) FILTER (WHERE l_quantity <= 0) AS BIGINT) AS n_bad
+         |FROM lineitem
+         |UNION ALL
+         |SELECT 'li_discount_range',
+         |  CAST(count(*) FILTER (WHERE NOT (l_discount BETWEEN 0 AND 1))
+         |    AS BIGINT)
+         |FROM lineitem
+         |UNION ALL
+         |SELECT 'li_null_orderkey',
+         |  CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT)
+         |FROM lineitem
+         |UNION ALL
+         |SELECT 'o_null_custkey',
+         |  CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+         |FROM orders
+         |UNION ALL
+         |SELECT 'o_bad_status',
+         |  CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))
+         |    AS BIGINT)
+         |FROM orders
+         |UNION ALL
+         |SELECT 'ev_dup_user_ts',
+         |  CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+         |FROM (SELECT count(*) AS n FROM events GROUP BY user_id, ts)
+         |UNION ALL
+         |SELECT 'li_orphan_after_delete', CAST(count(*) AS BIGINT)
+         |FROM lineitem
+         |WHERE l_orderkey NOT IN (
+         |  SELECT o_orderkey FROM orders WHERE o_orderkey % $DiffMod <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + $AddedKeyShift FROM orders
+         |  WHERE o_orderkey % $DiffMod = 2)""".stripMargin,
 
     "q91_transition_matrix" ->
       """WITH e AS (

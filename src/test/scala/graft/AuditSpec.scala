@@ -3,7 +3,7 @@ package graft
 import java.sql.{Date, Timestamp}
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Diff, Rolling, Sampling, Transitions}
+import graft.ext.{Diff, Quality, Rolling, Sampling, Terms, Transitions}
 
 /** Unit tests for the audit/temporal pack (q86–q91 families): snapshot
   * diff (all three change classes, null-safe compare, unchanged rows
@@ -123,6 +123,60 @@ class AuditSpec extends SparkSpec {
     // from b: b->a once (user 2's trailing b has no successor)
     assert(out(("b", "a")) == ((1L, 1L, 1000000L)))
     assert(out.size == 3)
+  }
+
+  // ---- Terms.vocabCoverage ------------------------------------------
+
+  test("vocabCoverage: top-V cut with tie-break, exact OOV ppm") {
+    val docs = Seq(
+      (1L, "a a a b b c"),   // a:3 b:2 c:1
+      (2L, "a b z"),         // z is rare -> OOV at V=3? counts: a:4 b:3 c:1 z:1
+      (3L, "z z")            // pushes z to 2 -> vocab top3 = a(4) b(3) z(3)? no: z=3? z:1+2=3
+    ).toDF("doc_id", "text")
+    // counts: a=4, b=3, z=3, c=1 → V=3 vocab = {a, b, z} (cnt desc, term asc)
+    val out = Terms.vocabCoverage(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((6L, 5L, 166666L))) // c OOV: 1/6
+    assert(out(2L) == ((3L, 3L, 0L)))
+    assert(out(3L) == ((2L, 2L, 0L)))
+  }
+
+  test("vocabCoverage: boundary tie broken by term ascending") {
+    // b and c tie at the V=2 boundary with cnt=2 → b (asc) wins
+    val docs = Seq((1L, "a a a b b c c")).toDF("doc_id", "text")
+    val out = Terms.vocabCoverage(docs, "doc_id", "text", 2).collect().head
+    assert(out.getLong(1) == 7L)     // n_tokens
+    assert(out.getLong(2) == 5L)     // a(3) + b(2); c OOV
+  }
+
+  // ---- Quality ------------------------------------------------------
+
+  test("ruleAudit: one row per rule, null predicates don't count") {
+    val df = Seq((1L, 5.0), (2L, -1.0), (3L, Double.NaN))
+      .toDF("k", "v").withColumn("v",
+        when(col("k") === 3L, lit(null).cast("double")).otherwise(col("v")))
+    val out = Quality.ruleAudit(df, Seq(
+      "neg_v" -> (col("v") < 0.0), "null_v" -> col("v").isNull))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("neg_v" -> 1L, "null_v" -> 1L))
+  }
+
+  test("duplicateKeys: surplus rows, zero on unique and empty inputs") {
+    val df = Seq((1L, "x"), (1L, "y"), (1L, "z"), (2L, "w")).toDF("k", "v")
+    val out = Quality.duplicateKeys(df, Seq("k"), "dup").collect().head
+    assert((out.getString(0), out.getLong(1)) == (("dup", 2L)))
+    val empty = Quality.duplicateKeys(df.filter(col("k") > 99), Seq("k"), "dup")
+      .collect().head
+    assert(empty.getLong(1) == 0L)
+  }
+
+  test("orphans: child keys missing from parent") {
+    val child = Seq((1L, "a"), (2L, "b"), (9L, "c"), (9L, "d")).toDF("ck", "p")
+    val parent = Seq((1L, "x"), (2L, "y")).toDF("pk", "q")
+    val out = Quality.orphans(child, "ck", parent, "pk", "orphan")
+      .collect().head
+    assert((out.getString(0), out.getLong(1)) == (("orphan", 2L)))
   }
 
   test("transitionMatrix: ties broken by tie column, not input order") {
