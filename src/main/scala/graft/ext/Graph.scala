@@ -247,4 +247,65 @@ object Graph {
     }
     ranks
   }
+
+  /** Exact triangle count per node — the clustering-coefficient /
+    * community-density signal (the third graph kernel after CC and
+    * PageRank; "how clique-ish is this node's neighborhood" is the
+    * spam-farm vs organic-community discriminator web-corpus curation
+    * uses alongside rank).
+    *
+    * Algorithm: DEGREE-ORDERED ORIENTATION (the MapReduce-classic
+    * Suri & Vassilvitskii "Counting Triangles and the Curse of the Last
+    * Reducer", WWW'11): orient every undirected edge from the
+    * lower-(degree, id) endpoint to the higher one, so each triangle is
+    * counted exactly once at its lowest corner, and — the scale point —
+    * the join fan-out per node is bounded by its OUT-degree in the
+    * oriented graph, which is O(√m) for ANY degree distribution. A
+    * straight edge-edge self-join on the raw graph explodes on hub
+    * nodes (a degree-d hub contributes d² wedge candidates); after
+    * orientation a hub's edges point INTO it, and its wedge count
+    * collapses. Two equi-joins + one aggregate, all on node keys; no
+    * driver data.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val Array(ca, cb, _*) = edges.columns
+    // canonical undirected edge set (dedup both directions, no loops)
+    val und = edges.select(
+        least(col(ca), col(cb)).as("u"), greatest(col(ca), col(cb)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint() // feeds degrees AND both join sides once
+    val deg = und.select(col("u").as("id"))
+      .union(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id) — total order, so orientation is acyclic
+    val o = und
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+      .localCheckpoint()
+    // wedges at the lowest corner: s->t1, s->t2 (t1 < t2 by canonical
+    // struct order); triangle iff oriented edge t1->t2 or t2->t1 exists
+    // — after orientation both wedge arms leave the SAME node, so the
+    // closing edge between t1,t2 is oriented (t1,t2)-canonically
+    // unknown; check the undirected closure via the canonical edge set.
+    val w = o.as("e1").join(o.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+    val closed = w.join(
+      und.select(least(col("u"), col("v")).as("b"),
+        greatest(col("u"), col("v")).as("c")),
+      Seq("b", "c"), "left_semi")
+    // per-corner attribution: every triangle counted ONCE (at its
+    // orientation-lowest corner); explode to all three members for the
+    // per-node tally
+    closed
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+  }
 }

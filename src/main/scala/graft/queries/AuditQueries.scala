@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.ext.{Diff, Quality, Rolling, Sampling, Terms, Transitions}
+import graft.ext.{Cooccur, Diff, Graph, Quality, Rolling, Sampling, Terms,
+  Transitions, VectorStats}
 import graft.streaming.EventStream
 
 /** Audit / temporal-analytics pack (round 8, fifth widening) — the
@@ -26,6 +27,11 @@ object AuditQueries {
   // the synthetic corpus draws from a ~31-word list — V=20 leaves a
   // real OOV tail at every sf (V=500 would trivially cover everything)
   private val VocabSize = 20
+  // pair support = 63% of the corpus: the synthetic term universe is
+  // ~31 words with per-language affinity — 63% sits mid-slope of the
+  // pair-support distribution, so the frequent-pair graph keeps real
+  // structure (neither complete nor empty) at every sf
+  private val PairSupportPct = 63
 
   /** The "new snapshot" for the diff: a deterministic mutation of
     * orders — every 97th key deleted, the next residue's price bumped
@@ -96,6 +102,33 @@ object AuditQueries {
     "q92_vocab_coverage" -> ((s, d) =>
       Terms.vocabCoverage(Tables.documents(s, d), "doc_id", "text",
         VocabSize)),
+
+    // A-priori-pruned frequent term pairs with fixed-point PMI: the
+    // collocation/association-mining step after the q92 vocabulary.
+    "q94_frequent_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count() // caller-computed scalar, q61 convention
+      Cooccur.frequentPairs(docs, "doc_id", "text",
+        (n * PairSupportPct / 100).toInt, n)
+    }),
+
+    // Per-node triangle counts of the frequent-pair co-occurrence
+    // graph — degree-ordered orientation (Suri–Vassilvitskii), the
+    // third graph kernel after CC and PageRank.
+    "q95_triangle_count" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      Graph.triangleCount(
+        Cooccur.frequentPairs(docs, "doc_id", "text",
+            (n * PairSupportPct / 100).toInt, n)
+          .select(col("term_a"), col("term_b")))
+    }),
+
+    // Per-dimension z-score standardization of the embedding corpus
+    // (exact integer moments, one IEEE divide+sqrt per cell).
+    "q96_embed_zscore" -> ((s, d) =>
+      VectorStats.standardizePpm(Tables.embeddings(s, d), "vec_id",
+        "embedding")),
 
     // Declarative data-quality audit: N predicate rules in ONE scan per
     // table, duplicate-key surplus, and the orphaned-FK count after the
@@ -219,6 +252,71 @@ object AuditQueries {
          |    * 1000000 // count(*) AS BIGINT) AS oov_ppm
          |FROM tt LEFT JOIN v ON tt.term = v.term
          |GROUP BY doc_id""".stripMargin,
+
+    "q94_frequent_pairs" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |tt AS (SELECT DISTINCT doc_id, term FROM t WHERE length(term) > 0),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |ms AS (SELECT n * $PairSupportPct // 100 AS m FROM nn),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |        FROM tt GROUP BY term),
+         |f AS (SELECT * FROM dfq WHERE df >= (SELECT m FROM ms)),
+         |ft AS (SELECT tt.doc_id, tt.term, f.df
+         |       FROM tt JOIN f ON tt.term = f.term)
+         |SELECT a.term AS term_a, b.term AS term_b,
+         |  a.df AS n_a, b.df AS n_b, CAST(count(*) AS BIGINT) AS n_ab,
+         |  CAST(round(ln(CAST(count(*) * (SELECT n FROM nn) AS DOUBLE)
+         |      / CAST(a.df * b.df AS DOUBLE)) * 1000000) AS BIGINT)
+         |    AS pmi_ppm
+         |FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.term < b.term
+         |GROUP BY 1, 2, 3, 4
+         |HAVING count(*) >= (SELECT m FROM ms)""".stripMargin,
+
+    "q95_triangle_count" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |tt AS (SELECT DISTINCT doc_id, term FROM t WHERE length(term) > 0),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |ms AS (SELECT n * $PairSupportPct // 100 AS m FROM nn),
+         |dfq AS (SELECT term, count(*) AS df FROM tt GROUP BY term),
+         |f AS (SELECT term FROM dfq WHERE df >= (SELECT m FROM ms)),
+         |ft AS (SELECT tt.doc_id, tt.term FROM tt
+         |       JOIN f ON tt.term = f.term),
+         |e AS (SELECT a.term AS u, b.term AS v
+         |      FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.term < b.term
+         |      GROUP BY 1, 2 HAVING count(*) >= (SELECT m FROM ms)),
+         |tri AS (
+         |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM e e1
+         |  JOIN e e2 ON e2.u = e1.v
+         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+         |SELECT id, CAST(count(*) AS BIGINT) AS triangles
+         |FROM (SELECT unnest([a, b, c]) AS id FROM tri)
+         |GROUP BY id""".stripMargin,
+
+    "q96_embed_zscore" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(u.i AS INT) AS dim,
+        |    CAST(round(CAST(embedding[CAST(u.i AS INT) + 1] AS DOUBLE)
+        |      * 1000000) AS BIGINT) AS q
+        |  FROM embeddings, unnest(range(len(embedding))) AS u(i)),
+        |s AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(q) AS HUGEINT) AS s1,
+        |    sum(CAST(q AS HUGEINT) * q) AS s2
+        |  FROM q GROUP BY dim)
+        |SELECT q.vec_id, q.dim, q.q,
+        |  CASE WHEN s.n * s.s2 - s.s1 * s.s1 > 0 THEN
+        |    CAST(round(CAST(q.q * s.n - s.s1 AS DOUBLE)
+        |      / sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE))
+        |      * 1000000) AS BIGINT)
+        |  END AS z_ppm
+        |FROM q JOIN s ON q.dim = s.dim""".stripMargin,
 
     "q93_integrity_audit" ->
       s"""SELECT 'li_nonpositive_qty' AS "check",

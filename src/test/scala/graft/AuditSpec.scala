@@ -3,7 +3,8 @@ package graft
 import java.sql.{Date, Timestamp}
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Diff, Quality, Rolling, Sampling, Terms, Transitions}
+import graft.ext.{Cooccur, Diff, Graph, Quality, Rolling, Sampling, Terms,
+  Transitions, VectorStats}
 
 /** Unit tests for the audit/temporal pack (q86–q91 families): snapshot
   * diff (all three change classes, null-safe compare, unchanged rows
@@ -148,6 +149,67 @@ class AuditSpec extends SparkSpec {
     val out = Terms.vocabCoverage(docs, "doc_id", "text", 2).collect().head
     assert(out.getLong(1) == 7L)     // n_tokens
     assert(out.getLong(2) == 5L)     // a(3) + b(2); c OOV
+  }
+
+  // ---- Cooccur.frequentPairs ----------------------------------------
+
+  test("frequentPairs: a-priori support filter, exact counts, PMI sign") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b"), (3L, "a b d"), (4L, "c d")
+    ).toDF("doc_id", "text")
+    // term df: a=3 b=3 c=2 d=2; minSupport=2 keeps all; pair support:
+    // ab=3, ac=1, ad=1, bc=1, bd=1, cd=1 → only (a,b) survives
+    val out = Cooccur.frequentPairs(docs, "doc_id", "text", 2, 4L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1)) == (("a", "b")))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((3L, 3L, 3L)))
+    // pmi = ln(3*4/(3*3)) = ln(4/3) > 0
+    assert(r.getLong(5) == math.round(math.log(4.0 / 3.0) * 1e6))
+  }
+
+  test("frequentPairs: infrequent terms pruned before pair expansion") {
+    val docs = Seq((1L, "a b x"), (2L, "a b y"), (3L, "a b z"))
+      .toDF("doc_id", "text")
+    val out = Cooccur.frequentPairs(docs, "doc_id", "text", 3, 3L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("a", "b"))) // x/y/z df=1 < 3 → never expand
+  }
+
+  // ---- Graph.triangleCount ------------------------------------------
+
+  test("triangleCount: known graph, per-node attribution") {
+    // triangle {1,2,3} + pendant 3-4; duplicate/reversed edges collapse
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (2L, 1L))
+      .toDF("src", "dst")
+    val out = Graph.triangleCount(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // node 4: none
+  }
+
+  test("triangleCount: K4 has 4 triangles, 3 per node") {
+    val nodes = Seq(1L, 2L, 3L, 4L)
+    val edges = (for (a <- nodes; b <- nodes if a < b) yield (a, b))
+      .toDF("src", "dst")
+    val out = Graph.triangleCount(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  // ---- VectorStats.standardizePpm -----------------------------------
+
+  test("standardizePpm: two-sample z is exactly ±1e6; zero-variance null") {
+    val emb = Seq(
+      (1L, Array(0.1f, 0.5f)),
+      (2L, Array(0.3f, 0.5f))  // dim 1 has zero variance
+    ).toDF("vec_id", "embedding")
+    val out = VectorStats.standardizePpm(emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out((1L, 0)) == Some(-1000000L))
+    assert(out((2L, 0)) == Some(1000000L))
+    assert(out((1L, 1)) == None)
+    assert(out((2L, 1)) == None)
   }
 
   // ---- Quality ------------------------------------------------------
