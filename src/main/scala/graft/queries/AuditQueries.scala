@@ -130,6 +130,10 @@ object AuditQueries {
       VectorStats.standardizePpm(Tables.embeddings(s, d), "vec_id",
         "embedding")),
 
+    // STR — stream-static dimension enrichment: micro-batches
+    // broadcast-join a batch-computed cohort dim, then aggregate.
+    "q97_stream_enrich" -> ((s, d) => EventStream.enrichedCounts(s, d)),
+
     // Declarative data-quality audit: N predicate rules in ONE scan per
     // table, duplicate-key surplus, and the orphaned-FK count after the
     // q88 deletion mutation — the promote-gate report.
@@ -252,6 +256,14 @@ object AuditQueries {
          |    * 1000000 // count(*) AS BIGINT) AS oov_ppm
          |FROM tt LEFT JOIN v ON tt.term = v.term
          |GROUP BY doc_id""".stripMargin,
+
+    "q97_stream_enrich" ->
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id)
+        |SELECT f.cohort_week, e.event_type, count(*) AS n
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "q94_frequent_pairs" ->
       s"""WITH t AS (

@@ -190,6 +190,54 @@ object EventStream {
       .select("win_start", "win_end", "event_type", "n")
   }
 
+  /** Stream–STATIC dimension enrichment — the remaining join shape of
+    * the streaming surface (stream-stream interval join is q53): each
+    * micro-batch equi-joins against a STATIC batch-computed dimension
+    * (here: each user's cohort week, the q83 law), Spark broadcasts
+    * the dimension into every batch, and the enriched stream
+    * aggregates per (cohort_week, event_type). No watermark is needed
+    * on the static side (it is immutable by contract); keyed dedup
+    * keeps ingestion exactly-once; the keyed aggregate state is
+    * bounded by |cohorts|×|types|, not by the stream. Same update-mode
+    * changelog + last-write-wins compaction commit contract as
+    * tumblingCounts.
+    */
+  def enrichedCounts(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageOnce(s, dir)
+    val tag = new java.io.File(dir).getName
+    val sinkDir = Sinks.tmpPath(s"stream_enrich_$tag")
+    val ckptDir = Sinks.tmpPath(s"stream_enrich_ckpt_$tag")
+    Sinks.deleteRecursively(sinkDir)
+    Sinks.deleteRecursively(ckptDir)
+    // static dimension: batch read of the same landing dir (the
+    // deployment shape: a periodically-rebuilt dim table the stream
+    // enriches against)
+    val cohorts = s.read.schema(eventsSchema).parquet(staged)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val stream = s.readStream.schema(eventsSchema)
+      .parquet(staged)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .join(broadcast(cohorts), "user_id") // stream-static equi-join
+      .groupBy(col("cohort_week"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        Sinks.appendRawZone(batch.withColumn("_batch", lit(batchId)), sinkDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Upsert.latestByKey(s.read.parquet(sinkDir),
+        Seq("cohort_week", "event_type"), col("_batch"))
+      .select("cohort_week", "event_type", "n")
+  }
+
   /** Streaming sessionization: `session_window` (gap-merged session
     * state, the built-in replacement for hand-rolled
     * flatMapGroupsWithState sessionizers) over the watermarked event
