@@ -1,0 +1,82 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.graftbridge.FunctionBridge
+import org.apache.spark.sql.types.DoubleType
+
+/** SQL-facing registration of the engine's scalar functions, so
+  * `spark.sql("SELECT parse_market_cap(mc) …")` works the same as the
+  * Column API (`Functions.parseMarketCap`) — the reference stores the
+  * scraped market-cap string unparsed (`main.py:179,208`); this makes
+  * the engine's completion of that latent column callable from plain
+  * SQL.
+  *
+  * The builder constructs the Catalyst tree NATIVELY (RegExpExtract /
+  * CaseWhen / Cast) rather than bridging the Column composition: a
+  * Column→Expression bridge inside a FunctionBuilder yields an
+  * Unevaluable ColumnNode wrapper that survives analysis and fails at
+  * codegen (the ColumnNode→Expression conversion only runs on Dataset
+  * API entry, not inside an already-converted tree — measured, not
+  * guessed). The two constructions encode the same F18 law and
+  * SqlFunctionsSpec pins SQL ⇔ Column-API parity value-for-value, so
+  * the surfaces cannot drift silently.
+  *
+  * Two installation paths (both idempotent):
+  *  - `GraftSqlFunctions.register(spark)` on an existing session —
+  *    what the query packs use (the driver owns session construction).
+  *  - `spark.sql.extensions=graft.plans.GraftExtensions` at session
+  *    build — the standard opt-in extension-library pattern for hosts
+  *    that own their builder (how Delta/Iceberg install).
+  */
+object GraftSqlFunctions {
+
+  /** Native Catalyst construction of the F18 market-cap parse
+    * (Functions.parseMarketCap's law): strip commas → trim → upper →
+    * regex split into number and suffix → suffix multiplier → double.
+    */
+  private[plans] def parseMarketCapExpr(child: Expression): Expression = {
+    val re = Literal("^([0-9]*\\.?[0-9]+)([KMBT]?)$")
+    val cleaned = Upper(StringTrim(
+      RegExpReplace(child, Literal(","), Literal(""))))
+    val num = RegExpExtract(cleaned, re, Literal(1))
+    val sfx = RegExpExtract(cleaned, re, Literal(2))
+    val mult = CaseWhen(Seq(
+      (EqualTo(sfx, Literal("K")), Literal(1e3)),
+      (EqualTo(sfx, Literal("M")), Literal(1e6)),
+      (EqualTo(sfx, Literal("B")), Literal(1e9)),
+      (EqualTo(sfx, Literal("T")), Literal(1e12))), Some(Literal(1.0)))
+    CaseWhen(
+      Seq((EqualTo(num, Literal("")), Literal.create(null, DoubleType))),
+      Some(Multiply(Cast(num, DoubleType), mult)))
+  }
+
+  /** (identifier, info, builder) triples — the exact shape both
+    * `SparkSessionExtensions.injectFunction` and the session
+    * `FunctionRegistry` consume.
+    */
+  val entries: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("parse_market_cap"),
+      new ExpressionInfo("graft.functions.Functions", "parse_market_cap"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"parse_market_cap takes exactly 1 argument, got ${children.length}")
+        parseMarketCapExpr(children.head)
+      }))
+
+  /** Register on an existing session (idempotent: re-registration
+    * replaces the same entry).
+    */
+  def register(spark: SparkSession): Unit =
+    entries.foreach { case (id, info, builder) =>
+      FunctionBridge.register(spark, id, info, builder)
+    }
+}
+
+/** Opt-in `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftSqlFunctions.entries.foreach(e => ext.injectFunction(e))
+}

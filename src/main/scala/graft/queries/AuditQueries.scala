@@ -134,6 +134,19 @@ object AuditQueries {
     // broadcast-join a batch-computed cohort dim, then aggregate.
     "q97_stream_enrich" -> ((s, d) => EventStream.enrichedCounts(s, d)),
 
+    // SQL-registered engine function through spark.sql: the SAME
+    // Column composition as q18, reached via the FunctionRegistry
+    // (GraftSqlFunctions.register / spark.sql.extensions) — proves the
+    // SQL surface cannot drift from the DataFrame surface.
+    "q98_sql_function" -> ((s, _) => {
+      graft.plans.GraftSqlFunctions.register(s)
+      s.sql("""SELECT market_cap, parse_market_cap(market_cap)
+              |  AS market_cap_usd
+              |FROM VALUES ('32.42B'),('760.88M'),('297.82K'),
+              |  ('3,371.44B'),('1.5T'),(''),('n/a'),('42')
+              |  AS t(market_cap)""".stripMargin)
+    }),
+
     // Declarative data-quality audit: N predicate rules in ONE scan per
     // table, duplicate-key surplus, and the orphaned-FK count after the
     // q88 deletion mutation — the promote-gate report.
@@ -256,6 +269,26 @@ object AuditQueries {
          |    * 1000000 // count(*) AS BIGINT) AS oov_ppm
          |FROM tt LEFT JOIN v ON tt.term = v.term
          |GROUP BY doc_id""".stripMargin,
+
+    // same oracle law as q18 — the point of q98 is that the SQL-
+    // registered function reaches the identical Column composition
+    "q98_sql_function" ->
+      """WITH src(market_cap) AS (VALUES
+        |  ('32.42B'),('760.88M'),('297.82K'),('3,371.44B'),('1.5T'),(''),('n/a'),('42')),
+        |parsed AS (
+        |  SELECT market_cap,
+        |    regexp_extract(upper(trim(replace(market_cap, ',', ''))),
+        |      '^([0-9]*\.?[0-9]+)([KMBT]?)$', 1) AS num,
+        |    regexp_extract(upper(trim(replace(market_cap, ',', ''))),
+        |      '^([0-9]*\.?[0-9]+)([KMBT]?)$', 2) AS sfx
+        |  FROM src)
+        |SELECT market_cap,
+        |  CASE WHEN num = '' THEN NULL
+        |       ELSE CAST(num AS DOUBLE) *
+        |         CASE sfx WHEN 'K' THEN 1e3 WHEN 'M' THEN 1e6
+        |                  WHEN 'B' THEN 1e9 WHEN 'T' THEN 1e12 ELSE 1.0 END
+        |  END AS market_cap_usd
+        |FROM parsed""".stripMargin,
 
     "q97_stream_enrich" ->
       """WITH f AS (

@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Expression ⇄ Column bridge. Spark 4 moved these conversions behind
@@ -15,4 +16,19 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
+
+/** Session function-registry bridge: `SparkSession.sessionState` is
+  * `private[sql]` in Spark 4, so runtime function registration (the
+  * path for hosts that already own a running session — the library's
+  * deliberate no-session-coupling stance) lives in this shim too.
+  * Hosts that own their builder use `graft.plans.GraftExtensions` via
+  * `spark.sql.extensions` instead.
+  */
+object FunctionBridge {
+  def register(spark: SparkSession, id: FunctionIdentifier,
+               info: ExpressionInfo,
+               builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(id, info, builder)
 }
