@@ -134,6 +134,17 @@ object AuditQueries {
     // broadcast-join a batch-computed cohort dim, then aggregate.
     "q97_stream_enrich" -> ((s, d) => EventStream.enrichedCounts(s, d)),
 
+    // S-extension — ORC sink round-trip: the second columnar format
+    // (predicate-pushdown-capable like parquet; the format a consumer
+    // on a Hive-era stack would request). Content must equal the
+    // source table after the hop, types included.
+    "q99_orc_roundtrip" -> ((s, d) => {
+      val path = graft.sources.Sinks.tmpPath(
+        s"sink_orc_orders_${new java.io.File(d).getName}")
+      Tables.orders(s, d).write.mode("overwrite").orc(path)
+      s.read.orc(path)
+    }),
+
     // SQL-registered engine function through spark.sql: the SAME
     // Column composition as q18, reached via the FunctionRegistry
     // (GraftSqlFunctions.register / spark.sql.extensions) — proves the
@@ -269,6 +280,9 @@ object AuditQueries {
          |    * 1000000 // count(*) AS BIGINT) AS oov_ppm
          |FROM tt LEFT JOIN v ON tt.term = v.term
          |GROUP BY doc_id""".stripMargin,
+
+    // layout-only hop: content must equal the plain table (q84 law)
+    "q99_orc_roundtrip" -> "SELECT * FROM orders",
 
     // same oracle law as q18 — the point of q98 is that the SQL-
     // registered function reaches the identical Column composition

@@ -49,6 +49,40 @@ class AuditSpec extends SparkSpec {
     }
   }
 
+  /** Round-trip law: applying a diff to the old snapshot reconstructs
+    * the new one exactly — (old minus removed/changed keys) plus the
+    * diff's new-side rows equals new. Deterministic seeds, random
+    * overlapping keyed tables with nulls.
+    */
+  test("snapshotDiff: old + diff reconstructs new (property, 5 seeds)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    val tableGen: Gen[List[(Long, Option[String], Double)]] =
+      Gen.listOfN(30, for {
+        k <- Gen.choose(1L, 15L)
+        s <- Gen.option(Gen.oneOf("x", "y", "z"))
+        v <- Gen.choose(0, 9)
+      } yield (k, s, v / 2.0)).map(_.groupBy(_._1).map(_._2.head).toList)
+    for (seed <- 1 to 5) {
+      val oldRows = sample(tableGen, seed)
+      val newRows = sample(tableGen, seed + 50)
+      val old = oldRows.map(t => (t._1, t._2.orNull, t._3)).toDF("k", "s", "v")
+      val neu = newRows.map(t => (t._1, t._2.orNull, t._3)).toDF("k", "s", "v")
+      val diff = Diff.snapshotDiff(old, neu, Seq("k"), Seq("s", "v")).collect()
+      val removedOrChanged = diff
+        .filter(r => r.getString(1) != "unchanged" && r.getString(1) != "added")
+        .map(_.getLong(0)).toSet
+      val applied = oldRows.filterNot(t => removedOrChanged.contains(t._1)) ++
+        diff.filter(r => r.getString(1) == "added" || r.getString(1) == "changed")
+          .map(r => (r.getLong(0), Option(r.getString(3)), r.getDouble(5)))
+          .map(t => (t._1, t._2, t._3))
+      assert(applied.map(t => (t._1, t._2.orNull, t._3)).toSet ==
+        newRows.map(t => (t._1, t._2.orNull, t._3)).toSet, s"seed=$seed")
+    }
+  }
+
   // ---- Rolling.trailingDaily ----------------------------------------
 
   test("trailingDaily: RANGE frame spans value distance, not row count") {
