@@ -32,6 +32,12 @@ object AuditQueries {
   // pair-support distribution, so the frequent-pair graph keeps real
   // structure (neither complete nor empty) at every sf
   private val PairSupportPct = 63
+  // release gate (q100): OOV cap sits just above the corpus median
+  // (~32% at V=20) so the gate passes most-but-not-all documents
+  private val ReleaseOovCapPpm = 350000L
+  private val ReleaseSampleSalt = "rel_v1"
+  private val ReleaseSplitSalt = "rel_split_v1"
+  private val ReleaseCuts = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
   /** The "new snapshot" for the diff: a deterministic mutation of
     * orders — every 97th key deleted, the next residue's price bumped
@@ -133,6 +139,25 @@ object AuditQueries {
     // STR — stream-static dimension enrichment: micro-batches
     // broadcast-join a batch-computed cohort dim, then aggregate.
     "q97_stream_enrich" -> ((s, d) => EventStream.enrichedCounts(s, d)),
+
+    // Release gate v2 — this round's operators composed the way a
+    // corpus release runs them: vocabulary-coverage gate (drop
+    // high-OOV docs) → importance sample ∝ length (weighted
+    // Bernoulli, no RNG) → deterministic train/val/test assignment.
+    // Complements q51 (dedup → quality → stratified downsample): same
+    // pipeline stage, different-generation operator set.
+    "q100_release_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pass = Terms.vocabCoverage(docs, "doc_id", "text", VocabSize)
+        .filter(col("oov_ppm") <= ReleaseOovCapPpm)
+        .select("doc_id")
+      val gated = docs.join(pass, "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val sampled = Sampling.weightedBernoulli(gated, "doc_id", "n_chars",
+        ReleaseSampleSalt)
+      Sampling.hashSplit(sampled, "doc_id", ReleaseSplitSalt, ReleaseCuts)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("split"))
+    }),
 
     // S-extension — ORC sink round-trip: the second columnar format
     // (predicate-pushdown-capable like parquet; the format a consumer
@@ -283,6 +308,46 @@ object AuditQueries {
 
     // layout-only hop: content must equal the plain table (q84 law)
     "q99_orc_roundtrip" -> "SELECT * FROM orders",
+
+    // q92's coverage law → gate → q90's cross-multiplied integer
+    // sample (max over the GATED set — the operator computes its max
+    // over its own input) → q62's cumulative-threshold split law
+    "q100_release_gate" -> {
+      val thresholds = ReleaseCuts.init.scanLeft(0L) {
+        case (acc, (_, w)) => acc + math.round(w * Sampling.Denom)
+      }.tail
+      val cases = ReleaseCuts.init.zip(thresholds)
+        .map { case ((label, _), hi) => s"WHEN b < $hi THEN '$label'" }
+        .mkString(" ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |tt AS (SELECT doc_id, term FROM t WHERE length(term) > 0),
+         |c AS (SELECT term, count(*) AS cnt FROM tt GROUP BY term),
+         |v AS (SELECT term FROM c ORDER BY cnt DESC, term LIMIT $VocabSize),
+         |cov AS (
+         |  SELECT doc_id,
+         |    (count(*) - count(*) FILTER (WHERE v.term IS NOT NULL))
+         |      * 1000000 // count(*) AS oov_ppm
+         |  FROM tt LEFT JOIN v ON tt.term = v.term GROUP BY doc_id),
+         |gated AS (
+         |  SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         |  JOIN cov ON d.doc_id = cov.doc_id
+         |  WHERE cov.oov_ppm <= $ReleaseOovCapPpm),
+         |samp AS (
+         |  SELECT * FROM gated
+         |  WHERE (CAST('0x' || substr(md5('$ReleaseSampleSalt' || CAST(doc_id AS VARCHAR)), 1, 15)
+         |           AS BIGINT) % ${Sampling.Denom})
+         |        * (SELECT max(n_chars) FROM gated)
+         |    < n_chars * ${Sampling.Denom})
+         |SELECT doc_id, lang, n_chars,
+         |  CASE $cases ELSE '${ReleaseCuts.last._1}' END AS split
+         |FROM (
+         |  SELECT *, CAST('0x' || substr(md5('$ReleaseSplitSalt' || CAST(doc_id AS VARCHAR)), 1, 15)
+         |    AS BIGINT) % ${Sampling.Denom} AS b
+         |  FROM samp) s""".stripMargin
+    },
 
     // same oracle law as q18 — the point of q98 is that the SQL-
     // registered function reaches the identical Column composition
