@@ -125,6 +125,33 @@ object Scale {
       println(s"[scale] skew join rows plain=$plainN salted=$saltedN " +
         (if (plainN == saltedN) "OK" else "MISMATCH"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+
+    // Snapshot-diff evidence at table scale: reconcile the full fact
+    // table against a mutated twin (one symbol deleted, one symbol's
+    // values bumped — the post-backfill audit shape). The "new
+    // snapshot" is a derived frame over the same files, so the timing
+    // measures the diff's ONE full-outer sort-merge join over
+    // 2×79.2M rows, not a second table build. Output must be exactly
+    // the 2×1,440 touched PK rows — proportional to the change, never
+    // the table.
+    val delStock = f"S${1}%05d"
+    val chgStock = f"S${2}%05d"
+    val newSnap = factNow.filter(col("stock") =!= delStock)
+      .withColumn("value",
+        when(col("stock") === chgStock, col("value") + lit(1.0))
+          .otherwise(col("value")))
+    // expected = the deleted symbol's rows + the bumped symbol's
+    // NON-NULL rows: null+1.0 is null, and the diff's null-safe
+    // compare correctly reports a null→null cell as unchanged (the
+    // generator nulls ~0.5% of values — the P8 NaN→null law)
+    val expectDiff = 1440L + factNow
+      .filter(col("stock") === chgStock && col("value").isNotNull).count()
+    val diffRows = timed("snapshot diff full fact") {
+      graft.ext.Diff.snapshotDiff(factNow, newSnap,
+        Financials.Pk, Seq("value")).count()
+    }
+    println(s"[scale] diff rows $diffRows expect $expectDiff " +
+      (if (diffRows == expectDiff) "OK" else "MISMATCH"))
     spark.stop()
   }
 }
