@@ -26,6 +26,15 @@ object Quality {
     */
   def ruleAudit(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "at least one rule required")
+    // rule names become column identifiers inside a stack() expr
+    // string — restrict to a safe charset so a quote/backtick can't
+    // silently change the expression
+    rules.foreach { case (name, _) =>
+      require(name.matches("[A-Za-z0-9_]+"),
+        s"rule name must match [A-Za-z0-9_]+: '$name'")
+    }
+    require(rules.map(_._1).distinct.size == rules.size,
+      "rule names must be unique")
     val aggs = rules.map { case (name, pred) =>
       sum(when(pred, 1L).otherwise(0L)).as(name)
     }

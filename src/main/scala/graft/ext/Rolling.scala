@@ -30,9 +30,21 @@ object Rolling {
     * trail_avg — where trail_* aggregate the RANGE frame
     * [day − (days−1), day] within the group.
     */
+  /** Output/working column names the input must not already use (the
+    * saltedJoin/AsOf reserved-name discipline: collide loudly, never
+    * silently clobber).
+    */
+  private val Reserved = Seq("day", "day_id", "day_total", "day_total_dec",
+    "trail_total", "trail_total_dec", "trail_days", "trail_avg")
+
   def trailingDaily(df: DataFrame, groupCol: String, tsCol: String,
                     valueCol: String, days: Int): DataFrame = {
     require(days > 0, s"days must be > 0, got $days")
+    for (r <- Reserved)
+      require(!df.columns.contains(r),
+        s"input must not contain reserved column $r")
+    require(!Reserved.contains(groupCol),
+      s"groupCol must not be one of ${Reserved.mkString(",")}")
     val daily = df
       .groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
       .agg(sum(col(valueCol).cast(DecimalType(28, 6))).as("day_total_dec"))

@@ -77,6 +77,9 @@ object Terms {
   def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
                     vocabSize: Int): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be > 0, got $vocabSize")
+    for (r <- Seq("_in_vocab", "n_tokens", "in_vocab", "oov_ppm"))
+      require(!docs.columns.contains(r),
+        s"input must not contain reserved column $r")
     val toks = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)

@@ -29,6 +29,10 @@ object Transitions {
     */
   def transitionMatrix(df: DataFrame, keyCol: String, tsCol: String,
                        tieCol: String, stateCol: String): DataFrame = {
+    for (r <- Seq("_next", "from_state", "to_state", "n", "out_total",
+        "p_ppm"))
+      require(!df.columns.contains(r),
+        s"input must not contain reserved column $r")
     val seq = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(tieCol))
     val pairs = df
