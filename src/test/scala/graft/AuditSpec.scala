@@ -246,6 +246,29 @@ class AuditSpec extends SparkSpec {
     assert(out((2L, 1)) == None)
   }
 
+  test("reserved-column guards fail loudly across the pack") {
+    val d = Seq((1L, "x")).toDF("k", "day") // 'day' reserved in Rolling
+    intercept[IllegalArgumentException] {
+      Rolling.trailingDaily(d, "k", "day", "day", 7)
+    }
+    val t = Seq((1L, "a")).toDF("user_id", "_next")
+    intercept[IllegalArgumentException] {
+      Transitions.transitionMatrix(t, "user_id", "_next", "_next", "_next")
+    }
+    val v = Seq((1L, "a", 2L)).toDF("doc_id", "text", "oov_ppm")
+    intercept[IllegalArgumentException] {
+      Terms.vocabCoverage(v, "doc_id", "text", 5)
+    }
+    val q = Seq((1L, "x")).toDF("k", "s")
+    intercept[IllegalArgumentException] { // unsafe rule name charset
+      Quality.ruleAudit(q, Seq("bad`name" -> col("k").isNull))
+    }
+    intercept[IllegalArgumentException] { // duplicate rule names
+      Quality.ruleAudit(q, Seq("r" -> col("k").isNull,
+        "r" -> col("s").isNull))
+    }
+  }
+
   // ---- Quality ------------------------------------------------------
 
   test("ruleAudit: one row per rule, null predicates don't count") {
