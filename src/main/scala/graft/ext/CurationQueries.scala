@@ -57,8 +57,7 @@ object CurationQueries {
   private val clustersStaged = scala.collection.concurrent.TrieMap[String, String]()
   def stagedClustersPath(s: SparkSession, d: String): String =
     clustersStaged.getOrElseUpdate(new java.io.File(d).getCanonicalPath, {
-      val p = graft.sources.Sinks.tmpPath(
-        s"dedup_clusters_${new java.io.File(d).getName}")
+      val p = graft.sources.Sinks.tmpPathFor("dedup_clusters", d)
       val docs = Tables.documents(s, d)
       Graph.connectedComponents(
         Dedup.jaccardPairs(docs, "doc_id", "text",

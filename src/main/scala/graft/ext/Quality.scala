@@ -35,8 +35,11 @@ object Quality {
     }
     require(rules.map(_._1).distinct.size == rules.size,
       "rule names must be unique")
+    // coalesce: sum over an EMPTY table is NULL, but "no rows" means
+    // zero violations (the duplicateKeys convention, and what the
+    // count(*) FILTER oracle form returns)
     val aggs = rules.map { case (name, pred) =>
-      sum(when(pred, 1L).otherwise(0L)).as(name)
+      coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as(name)
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = rules
@@ -55,10 +58,16 @@ object Quality {
       .select(lit(label).as("check"), col("n_bad"))
   }
 
-  /** Orphan-FK audit: child rows whose key has no parent. */
+  /** Orphan-FK audit: NON-NULL child keys with no parent. A NULL child
+    * key is "key missing", not "key orphaned" — it is the ruleAudit
+    * null-key check's job (and SQL's NOT IN / NOT EXISTS drop NULL
+    * child keys the same way), so a plain left_anti (which would count
+    * every NULL-keyed row as an orphan) is explicitly narrowed here.
+    */
   def orphans(child: DataFrame, childKey: String, parent: DataFrame,
               parentKey: String, label: String): DataFrame =
     child.select(col(childKey))
+      .filter(col(childKey).isNotNull)
       .join(parent.select(col(parentKey).as(childKey)).distinct(),
         Seq(childKey), "left_anti")
       .agg(count(lit(1)).as("n_bad"))

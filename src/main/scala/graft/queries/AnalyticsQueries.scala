@@ -68,8 +68,7 @@ object AnalyticsQueries {
   private val zStaged = scala.collection.concurrent.TrieMap[String, String]()
   private def stagedZOrderPath(s: SparkSession, d: String): String =
     zStaged.getOrElseUpdate(new java.io.File(d).getCanonicalPath, {
-      val p = graft.sources.Sinks.tmpPath(
-        s"zorder_lineitem_${new java.io.File(d).getName}")
+      val p = graft.sources.Sinks.tmpPathFor("zorder_lineitem", d)
       graft.sources.ZOrderLayout.write(Tables.lineitem(s, d),
         "l_partkey", "l_suppkey", ZBits, ZFiles, p)
       p

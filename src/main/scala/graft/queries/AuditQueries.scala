@@ -164,8 +164,7 @@ object AuditQueries {
     // on a Hive-era stack would request). Content must equal the
     // source table after the hop, types included.
     "q99_orc_roundtrip" -> ((s, d) => {
-      val path = graft.sources.Sinks.tmpPath(
-        s"sink_orc_orders_${new java.io.File(d).getName}")
+      val path = graft.sources.Sinks.tmpPathFor("sink_orc_orders", d)
       Tables.orders(s, d).write.mode("overwrite").orc(path)
       s.read.orc(path)
     }),

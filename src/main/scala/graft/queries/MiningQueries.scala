@@ -35,7 +35,7 @@ object MiningQueries {
   private val fragmented = scala.collection.concurrent.TrieMap[String, String]()
   private def fragmentedOrdersPath(s: SparkSession, d: String): String =
     fragmented.getOrElseUpdate(new java.io.File(d).getCanonicalPath, {
-      val p = Sinks.tmpPath(s"frag_orders_${new java.io.File(d).getName}")
+      val p = Sinks.tmpPathFor("frag_orders", d)
       Tables.orders(s, d).repartition(FragmentFiles)
         .write.mode("overwrite").parquet(p)
       p
@@ -62,9 +62,16 @@ object MiningQueries {
     // Inverted index: term -> exact df + bounded posting list. The rank
     // cut and the aggregate share one exchange on `term`; collect state
     // is bounded by the cap BEFORE aggregation (see Terms.invertedIndex).
+    // The REGISTERED verify form flattens the posting-list array to a
+    // space-joined string (the q43 array-primary/flat-verify pattern):
+    // the driver's pandas comparator cannot hash array-typed cells, so
+    // registered outputs must be scalar-typed. The array API stays on
+    // Terms.invertedIndex for programmatic consumers.
     "q76_inverted_index" -> ((s, d) =>
       Terms.invertedIndex(Tables.documents(s, d), "doc_id", "text",
-        PostingsCap)),
+        PostingsCap)
+        .withColumn("postings",
+          array_join(col("postings").cast("array<string>"), " "))),
 
     // PageRank, exact integer ppm arithmetic, fixed 3 iterations.
     "q77_pagerank" -> ((s, d) =>
@@ -101,8 +108,7 @@ object MiningQueries {
     // layout is physical, so the oracle is the plain table).
     "q84_compaction" -> ((s, d) => {
       val in = fragmentedOrdersPath(s, d)
-      val out = Sinks.tmpPath(
-        s"compact_orders_${new java.io.File(d).getName}")
+      val out = Sinks.tmpPathFor("compact_orders", d)
       Compaction.compact(s, in, out, CompactTargetBytes)
       Compaction.read(s, out)
     }))
@@ -121,8 +127,8 @@ object MiningQueries {
          |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
          |  FROM pairs)
          |SELECT term, CAST(count(*) AS BIGINT) AS df,
-         |  list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= $PostingsCap)
-         |    AS postings,
+         |  string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id)
+         |    FILTER (WHERE rn <= $PostingsCap) AS postings,
          |  count(*) > $PostingsCap AS truncated
          |FROM r GROUP BY term""".stripMargin,
 

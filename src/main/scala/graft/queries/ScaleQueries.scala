@@ -97,7 +97,7 @@ object ScaleQueries {
     // existing (key o_orderkey, incoming generation wins; overlapping
     // keys are orderkeys divisible by 6).
     "q40_upsert_roundtrip" -> ((s, d) => {
-      val path = Sinks.tmpPath(s"upsert_orders_${new java.io.File(d).getName}")
+      val path = Sinks.tmpPathFor("upsert_orders", d)
       Sinks.deleteRecursively(path)
       val orders = Tables.orders(s, d)
       val gen0 = orders.filter(col("o_orderkey") % 2 === 0)

@@ -35,6 +35,16 @@ object Sinks {
 
   def tmpPath(name: String): String = s"$scratchRoot/$name"
 
+  /** Scratch path derived from a DATASET directory: basename for
+    * readability plus a hash of the full path — two input dirs sharing
+    * a basename (…/a/sf0.01 and …/b/sf0.01) must never clobber each
+    * other's staged fixtures or sinks inside one JVM.
+    */
+  def tmpPathFor(prefix: String, dir: String): String = {
+    val full = new File(dir).getAbsolutePath
+    tmpPath(f"${prefix}_${new File(dir).getName}_${full.hashCode}%08x")
+  }
+
   /** Local-filesystem recursive delete, for re-runnable scratch sinks. */
   def deleteRecursively(path: String): Unit = {
     def rm(f: File): Unit = {

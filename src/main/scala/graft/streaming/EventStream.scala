@@ -51,10 +51,12 @@ object EventStream {
     * …/b/sf0.01) must never stage over each other while the first
     * caller's memo still points at the clobbered files.
     */
-  private def stagedNameFor(prefix: String, dir: String): String = {
+  private def dirTag(dir: String): String = {
     val full = new java.io.File(dir).getAbsolutePath
-    f"${prefix}_${new java.io.File(dir).getName}_${full.hashCode}%08x"
+    f"${new java.io.File(dir).getName}_${full.hashCode}%08x"
   }
+  private def stagedNameFor(prefix: String, dir: String): String =
+    s"${prefix}_${dirTag(dir)}"
 
   private val stagedDirs = scala.collection.concurrent.TrieMap[String, String]()
   private def stageOnce(s: SparkSession, dir: String): String =
@@ -117,7 +119,7 @@ object EventStream {
     */
   def tumblingCounts(s: SparkSession, dir: String): DataFrame = {
     val staged = stageOnce(s, dir)
-    val tag = new java.io.File(dir).getName
+    val tag = dirTag(dir) // basename + path hash (sink-collision guard)
     val sinkDir = Sinks.tmpPath(s"stream_counts_$tag")
     val ckptDir = Sinks.tmpPath(s"stream_ckpt_$tag")
     // fresh run: a stale checkpoint would resume past the staged input
@@ -130,8 +132,11 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       // streaming keyed dedup (exactly-once per event_id within the
       // watermark horizon) — the stream analogue of the raw-zone
-      // skip-existing anti-join
-      .dropDuplicates("event_id")
+      // skip-existing anti-join. MUST be the WithinWatermark variant:
+      // plain dropDuplicates on a key set that excludes the event-time
+      // column never evicts its state by watermark, so dedup state
+      // grows without bound on an unbounded source.
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
@@ -161,7 +166,7 @@ object EventStream {
     */
   def slidingCounts(s: SparkSession, dir: String): DataFrame = {
     val staged = stageOnce(s, dir)
-    val tag = new java.io.File(dir).getName
+    val tag = dirTag(dir) // basename + path hash (sink-collision guard)
     val sinkDir = Sinks.tmpPath(s"stream_slide_$tag")
     val ckptDir = Sinks.tmpPath(s"stream_slide_ckpt_$tag")
     Sinks.deleteRecursively(sinkDir)
@@ -170,7 +175,9 @@ object EventStream {
       .parquet(staged)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      // watermark-scoped dedup state (see tumblingCounts) — plain
+      // dropDuplicates("event_id") would never evict state
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy(window(col("ts"), "2 hours", "1 hour").as("win"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -204,7 +211,7 @@ object EventStream {
     */
   def enrichedCounts(s: SparkSession, dir: String): DataFrame = {
     val staged = stageOnce(s, dir)
-    val tag = new java.io.File(dir).getName
+    val tag = dirTag(dir) // basename + path hash (sink-collision guard)
     val sinkDir = Sinks.tmpPath(s"stream_enrich_$tag")
     val ckptDir = Sinks.tmpPath(s"stream_enrich_ckpt_$tag")
     Sinks.deleteRecursively(sinkDir)
@@ -220,7 +227,9 @@ object EventStream {
       .parquet(staged)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      // watermark-scoped dedup state (see tumblingCounts) — plain
+      // dropDuplicates("event_id") would never evict state
+      .dropDuplicatesWithinWatermark("event_id")
       .join(broadcast(cohorts), "user_id") // stream-static equi-join
       .groupBy(col("cohort_week"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -259,7 +268,7 @@ object EventStream {
   def sessionCounts(s: SparkSession, dir: String,
                     gapMinutes: Int = 30): DataFrame = {
     val staged = stageWithSentinel(s, dir)
-    val tag = new java.io.File(dir).getName
+    val tag = dirTag(dir) // basename + path hash (sink-collision guard)
     val sinkDir = Sinks.tmpPath(s"stream_sessions_$tag")
     val ckptDir = Sinks.tmpPath(s"stream_sess_ckpt_$tag")
     Sinks.deleteRecursively(sinkDir)
@@ -328,7 +337,7 @@ object EventStream {
     */
   def dedupedEvents(s: SparkSession, dir: String): DataFrame = {
     val staged = stageDuplicated(s, dir)
-    val tag = new java.io.File(dir).getName
+    val tag = dirTag(dir) // basename + path hash (sink-collision guard)
     val sinkDir = Sinks.tmpPath(s"stream_dedup_$tag")
     val ckptDir = Sinks.tmpPath(s"stream_dedup_ckpt_$tag")
     Sinks.deleteRecursively(sinkDir)
@@ -383,7 +392,7 @@ object EventStream {
     require(thresholdMicros > 0,
       s"thresholdMicros must be > 0, got $thresholdMicros")
     val staged = stageWithSentinel(s, dir) // single-file history: one batch
-    val tag = new java.io.File(dir).getName
+    val tag = dirTag(dir) // basename + path hash (sink-collision guard)
     val sinkDir = Sinks.tmpPath(s"stream_alerts_$tag")
     val ckptDir = Sinks.tmpPath(s"stream_alerts_ckpt_$tag")
     Sinks.deleteRecursively(sinkDir)
@@ -443,7 +452,7 @@ object EventStream {
     */
   def attributionJoin(s: SparkSession, dir: String): DataFrame = {
     val staged = stageWithSentinel(s, dir)
-    val tag = new java.io.File(dir).getName
+    val tag = dirTag(dir) // basename + path hash (sink-collision guard)
     val sinkDir = Sinks.tmpPath(s"stream_attr_$tag")
     val ckptDir = Sinks.tmpPath(s"stream_attr_ckpt_$tag")
     Sinks.deleteRecursively(sinkDir)

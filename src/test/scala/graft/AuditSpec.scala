@@ -210,6 +210,31 @@ class AuditSpec extends SparkSpec {
     assert(out == Set(("a", "b"))) // x/y/z df=1 < 3 → never expand
   }
 
+  test("frequentPairs: maxDocTokens caps per-doc expansion, keeps most-frequent") {
+    // term df: a=3 b=2 c=2 d=1; doc 1 holds the three frequent terms.
+    // Cap=2 keeps a (df=3) and b (df=2, term-asc beats c) in doc 1, so
+    // pair (b,c) loses doc 1's support and drops below minSupport=2,
+    // while (a,b) keeps doc 2's support plus doc 1's.
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b"), (3L, "a c d")
+    ).toDF("doc_id", "text")
+    val uncapped = Cooccur.frequentPairs(docs, "doc_id", "text", 2, 3L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(uncapped == Set(("a", "b"), ("a", "c"))) // default cap: exact
+    val capped = Cooccur.frequentPairs(docs, "doc_id", "text", 2, 3L,
+        maxDocTokens = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // doc 1 keeps {a,b}, doc 3 keeps {a,c} → ab support 2, ac support 1
+    assert(capped == Set(("a", "b")))
+  }
+
+  test("frequentPairs: maxDocTokens must exceed 1") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Cooccur.frequentPairs(docs, "doc_id", "text", 1, 1L, maxDocTokens = 1)
+    }
+  }
+
   // ---- Graph.triangleCount ------------------------------------------
 
   test("triangleCount: known graph, per-node attribution") {
@@ -290,12 +315,29 @@ class AuditSpec extends SparkSpec {
     assert(empty.getLong(1) == 0L)
   }
 
+  test("ruleAudit: empty table reports zero violations, not null") {
+    val df = Seq((1L, 5.0)).toDF("k", "v").filter(col("k") > 99)
+    val out = Quality.ruleAudit(df, Seq(
+      "neg_v" -> (col("v") < 0.0), "null_v" -> col("v").isNull))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("neg_v" -> 0L, "null_v" -> 0L))
+  }
+
   test("orphans: child keys missing from parent") {
     val child = Seq((1L, "a"), (2L, "b"), (9L, "c"), (9L, "d")).toDF("ck", "p")
     val parent = Seq((1L, "x"), (2L, "y")).toDF("pk", "q")
     val out = Quality.orphans(child, "ck", parent, "pk", "orphan")
       .collect().head
     assert((out.getString(0), out.getLong(1)) == (("orphan", 2L)))
+  }
+
+  test("orphans: NULL child keys are not orphans (NOT IN / NOT EXISTS law)") {
+    val child = Seq((Some(1L), "a"), (None, "b"), (Some(9L), "c"))
+      .toDF("ck", "p")
+    val parent = Seq((1L, "x")).toDF("pk", "q")
+    val out = Quality.orphans(child, "ck", parent, "pk", "orphan")
+      .collect().head
+    assert(out.getLong(1) == 1L) // 9 orphaned; the NULL key is excluded
   }
 
   test("transitionMatrix: ties broken by tie column, not input order") {

@@ -21,6 +21,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def canon(con, rel_sql, label):
     df = con.execute(rel_sql).fetchdf()
     df = df[sorted(df.columns)]
+    # The driver's comparator cannot hash array-typed cells (pandas
+    # sort_values -> Categorical -> factorize raises "unhashable type:
+    # numpy.ndarray" before values are even compared), so registered
+    # verify outputs must be SCALAR-typed. Fail loudly here so local
+    # green predicts driver green — flatten arrays with array_join
+    # (Spark) / string_agg (DuckDB), the q43/q76 pattern.
+    for c in df.columns:
+        for v in df[c]:
+            if isinstance(v, (list, tuple, dict, set)) \
+                    or type(v).__name__ == "ndarray":
+                raise ValueError(
+                    f"{label} column '{c}' is array-typed; registered "
+                    "verify outputs must be scalar — flatten with "
+                    "array_join/string_agg")
+            if v is not None:
+                break
     rows = []
     for tup in df.itertuples(index=False):
         row = []
