@@ -40,6 +40,13 @@ object CurationQueries {
   // plan degrades gracefully to ±1e-6 rank error with bounded memory.
   private val QuantilePs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
   private val QuantileAcc = 1000000
+  // q102: the "trained" linear quality model (weights live offline in a
+  // registry; these literals are the deployed artifact). Feature order
+  // is part of the model. Threshold 0 ⇒ keep ⟺ score ≥ 0.
+  private val ClsFeatures = Seq("n_tokens", "avg_token_len", "stopword_ratio")
+  private val ClsWeights = Seq(0.004, 0.05, -0.8)
+  private val ClsBias = -0.5
+  private val ClsThreshold = 0.0
 
   /** The full-corpus duplicate-cluster assignment (exact-Jaccard pairs
     * closed under transitivity over the documents universe), MATERIALIZED
@@ -110,6 +117,17 @@ object CurationQueries {
     // PII scrub over the deterministic PII-bearing corpus.
     "q47_pii_redact" -> ((s, d) =>
       Redact.scrub(piiEnriched(Tables.documents(s, d)), "doc_id", "text")),
+
+    // Model-based quality filter (CCNet-style): a trained linear model
+    // over q27 profile features, applied as ONE shuffle-free projection
+    // — weights fold into codegen, the dot product is the native
+    // vec_dot expression. Completes the curation story: heuristic
+    // profile (q27) → classifier inference (here) → gate/sample (q100).
+    "q102_quality_classifier" -> ((s, d) =>
+      Classifier.scoreLinear(
+        TextStats.profile(Tables.documents(s, d), "doc_id", "text")
+          .select(col("id") +: ClsFeatures.map(col): _*),
+        "id", ClsFeatures, ClsWeights, ClsBias, ClsThreshold)),
 
     // Per-language deterministic downsample (en 0.5, zh 0.25, de 1.0,
     // default 0.75).
@@ -549,7 +567,27 @@ object CurationQueries {
        |  FROM cl JOIN q ON cl.id = q.id)
        |WHERE rk = 1""".stripMargin
 
+  /** Classifier twin: the IDENTICAL left-to-right IEEE fold vec_dot
+    * executes — ((0 + f₀·w₀) + f₁·w₁) + f₂·w₂ + bias — over the same
+    * profile columns; weights are CAST to DOUBLE so DuckDB's decimal
+    * literals can't change the arithmetic.
+    */
+  private val qualityClassifierSql = {
+    val prods = ClsFeatures.zip(ClsWeights).map { case (f, w) =>
+      val fd = if (f == "n_tokens") "CAST(n_tokens AS DOUBLE)" else f
+      s"$fd * CAST($w AS DOUBLE)"
+    }
+    val score = (Seq("0.0") ++ prods).mkString(" + ") +
+      s" + CAST($ClsBias AS DOUBLE)"
+    s"""WITH prof AS (${ExtQueries.textStatsSql("documents")})
+       |SELECT id, ${ClsFeatures.mkString(", ")},
+       |  $score AS score,
+       |  $score >= CAST($ClsThreshold AS DOUBLE) AS keep
+       |FROM prof""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q102_quality_classifier" -> qualityClassifierSql,
     "q46_dedup_clusters" -> dedupClustersSql,
     "q58_dedup_clusters_all" -> dedupClustersAllSql,
     "q47_pii_redact" -> piiRedactSql,

@@ -62,10 +62,48 @@ object ReferenceQueries {
       .toDF("id", "summary")
   }
 
+  /** Schema-drift fixture (q101): payloads carrying info keys OUTSIDE
+    * the ~20 fields Schemas.info types — the reference's payload is
+    * open-ended (yfinance `.info` carries ~150 keys and grows without
+    * notice, details.py:88–103), and SURVEY §1.2's contract is that the
+    * unconsumed rest stays reachable from the raw string WITHOUT a
+    * schema change. Shared verbatim with the DuckDB oracle (the strings
+    * are interpolated into both engines' queries). Covers: untyped
+    * string/number leaves, a nested untyped object, a payload missing
+    * the keys, a malformed payload, and a payload with no info object.
+    */
+  private val untypedPayloads: Seq[(String, String)] = Seq(
+    "UNT1" -> ("""{"info":{"symbol":"UNT1","longName":"Untyped One",""" +
+      """"auditRisk":"7","overallRisk":3,"phone":"+1-512-555-0100",""" +
+      """"governance":{"epoch":1717200000}}}"""),
+    "UNT2" -> """{"info":{"symbol":"UNT2","longName":"Untyped Two"}}""",
+    "UNT3" -> """{not json""",
+    "UNT4" -> """{"summary":"payload without an info object"}""")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // G1 — flagship nested-JSON unpivot → financials fact table.
     "q21_fin_unpivot" -> ((s, _) => Financials.normalize(fixtureRaw(s))),
+
+    // Schema-drift access path (SURVEY §1.2): fields the typed schema
+    // does NOT carry, read straight off the raw payload string with
+    // get_json_object — a per-row codegen'd expression, so at 100 TB
+    // this is one projection over the raw-zone scan with no shuffle, no
+    // re-ingest, and no schema migration when yfinance adds a key.
+    // Malformed documents and absent keys degrade to null (the
+    // reference's tolerant-read posture, details.py:88–103).
+    "q101_untyped_payload" -> ((s, _) => {
+      import s.implicits._
+      untypedPayloads.toDF("symbol", "payload").select(
+        col("symbol"),
+        get_json_object(col("payload"), "$.info.auditRisk")
+          .cast("int").as("audit_risk"),
+        get_json_object(col("payload"), "$.info.overallRisk")
+          .cast("int").as("overall_risk"),
+        get_json_object(col("payload"), "$.info.phone").as("phone"),
+        get_json_object(col("payload"), "$.info.governance.epoch")
+          .cast("bigint").as("governance_epoch"))
+    }),
 
     // F18 — market-cap string → double USD.
     "q18_market_cap" -> ((s, _) => {
@@ -101,6 +139,25 @@ object ReferenceQueries {
     * (Financilas.py:71–107 applied to the fixture by hand).
     */
   val oracles: Map[String, String] = Map(
+
+    // True differential twin: DuckDB's json_extract_string over the
+    // SAME payload strings; json_valid guards the malformed document
+    // (DuckDB throws where Spark's get_json_object yields null).
+    "q101_untyped_payload" -> {
+      val values = untypedPayloads
+        .map { case (sym, p) => s"('$sym', '$p')" }.mkString(",\n        |  ")
+      def ext(path: String) =
+        s"CASE WHEN json_valid(payload) THEN json_extract_string(payload, '$path') END"
+      s"""WITH src(symbol, payload) AS (VALUES
+         |  $values)
+         |SELECT symbol,
+         |  CAST(${ext("$.info.auditRisk")} AS INT) AS audit_risk,
+         |  CAST(${ext("$.info.overallRisk")} AS INT) AS overall_risk,
+         |  ${ext("$.info.phone")} AS phone,
+         |  CAST(${ext("$.info.governance.epoch")} AS BIGINT)
+         |    AS governance_epoch
+         |FROM src""".stripMargin
+    },
 
     "q21_fin_unpivot" ->
       """SELECT stock, yf_name, statement_type, metric, stockcurrency,

@@ -415,4 +415,41 @@ class CurationSpec extends SparkSpec {
     // 2 and 3 tie at 0.9 → smallest id (2) wins
     assert(got === Map(1L -> ((2L, 0.9, 3L)), 7L -> ((7L, 0.1, 1L))))
   }
+
+  // ---- Classifier.scoreLinear ----------------------------------------
+
+  test("scoreLinear: exact weighted score, threshold decides keep") {
+    val feats = Seq((1L, 10L, 0.5), (2L, 100L, 0.0), (3L, 0L, 1.0))
+      .toDF("id", "f_a", "f_b")
+    // score = 0.25·f_a − 2.0·f_b + 0.5 (all values exact in binary)
+    val got = graft.ext.Classifier.scoreLinear(feats, "id",
+        Seq("f_a", "f_b"), Seq(0.25, -2.0), bias = 0.5, threshold = 2.0)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("score"), r.getAs[Boolean]("keep")))).toMap
+    assert(got === Map(
+      1L -> ((2.0, true)),   // boundary: score == threshold keeps
+      2L -> ((25.5, true)),
+      3L -> ((-1.5, false))))
+  }
+
+  test("scoreLinear: null feature poisons the score and the decision") {
+    val feats = Seq((1L, Some(2.0)), (2L, None)).toDF("id", "f")
+    val rows = graft.ext.Classifier.scoreLinear(feats, "id",
+        Seq("f"), Seq(1.0), bias = 0.0, threshold = 0.0)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.isNullAt(2), r.isNullAt(3)))).toMap
+    assert(rows === Map(1L -> ((false, false)), 2L -> ((true, true))))
+  }
+
+  test("scoreLinear: weight arity and reserved columns are guarded") {
+    val feats = Seq((1L, 2.0)).toDF("id", "f")
+    intercept[IllegalArgumentException] {
+      graft.ext.Classifier.scoreLinear(feats, "id", Seq("f"),
+        Seq(1.0, 2.0), 0.0, 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.Classifier.scoreLinear(
+        feats.withColumn("score", lit(1.0)), "id", Seq("f"), Seq(1.0), 0.0, 0.0)
+    }
+  }
 }
