@@ -103,6 +103,32 @@ object MiningQueries {
     "q83_cohort_retention" -> ((s, d) =>
       Cohorts.retention(Tables.events(s, d), "user_id", "ts")),
 
+    // Recursive-CTE hierarchy walk — the SQL surface a warehouse user
+    // reaches for on tree/DAG data (org charts, category trees, thread
+    // ancestry): per-node depth over the deterministic binary-tree law
+    // parent(i) = (i−1) div 2 on the contiguous doc_id universe, via
+    // Spark 4's native WITH RECURSIVE (UnionLoop operator). UNION ALL
+    // recursion is path-counting, so the engine contract is documented
+    // here: it is the right tool when paths are UNIQUE (hierarchies —
+    // rows = nodes, iterations = depth = O(log n), each step one
+    // frontier join); for cyclic/dense graphs where path counts
+    // explode, use the dedicated kernels (Graph.connectedComponents,
+    // pageRankPpm) — Spark rejects deduplicating UNION recursion
+    // (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE, probed).
+    "q103_recursive_hierarchy" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"))
+        .createOrReplaceTempView("graft_tree_nodes")
+      s.sql(
+        """WITH RECURSIVE lvl(id, depth) AS (
+          |  SELECT CAST(0 AS BIGINT) AS id, 0 AS depth
+          |  UNION ALL
+          |  SELECT n.doc_id AS id, l.depth + 1 AS depth
+          |  FROM lvl l JOIN graft_tree_nodes n
+          |    ON (n.doc_id - 1) DIV 2 = l.id AND n.doc_id > 0
+          |  WHERE l.depth < 64)
+          |SELECT id, CAST(depth AS INT) AS depth FROM lvl""".stripMargin)
+    }),
+
     // Small-file compaction: rewrite the staged 64-fragment orders copy
     // at ~target bytes/file (the timed operator IS the compaction; the
     // layout is physical, so the oracle is the plain table).
@@ -114,6 +140,18 @@ object MiningQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+
+    // identical recursion in DuckDB (// is the BIGINT floor division
+    // twin of Spark's DIV on non-negative ids)
+    "q103_recursive_hierarchy" ->
+      """WITH RECURSIVE lvl(id, depth) AS (
+        |  SELECT CAST(0 AS BIGINT), 0
+        |  UNION ALL
+        |  SELECT n.doc_id, l.depth + 1
+        |  FROM lvl l JOIN documents n
+        |    ON (n.doc_id - 1) // 2 = l.id AND n.doc_id > 0
+        |  WHERE l.depth < 64)
+        |SELECT id, CAST(depth AS INT) AS depth FROM lvl""".stripMargin,
 
     "q76_inverted_index" ->
       s"""WITH t AS (

@@ -159,4 +159,38 @@ class MiningSpec extends SparkSpec {
       .select("grp", "id").as[(String, Long)].collect().toSet
     assert(c != a, "salt must steer the selection")
   }
+
+  // ---- recursive CTE (q103 engine contract) --------------------------
+
+  test("recursive CTE: hierarchy depths exact on a 7-node binary tree") {
+    (0L until 7L).toDF("doc_id").createOrReplaceTempView("rec_spec_nodes")
+    val got = spark.sql(
+      """WITH RECURSIVE lvl(id, depth) AS (
+        |  SELECT CAST(0 AS BIGINT) AS id, 0 AS depth
+        |  UNION ALL
+        |  SELECT n.doc_id AS id, l.depth + 1 AS depth
+        |  FROM lvl l JOIN rec_spec_nodes n
+        |    ON (n.doc_id - 1) DIV 2 = l.id AND n.doc_id > 0
+        |  WHERE l.depth < 64)
+        |SELECT id, depth FROM lvl""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(0L -> 0, 1L -> 1, 2L -> 1,
+      3L -> 2, 4L -> 2, 5L -> 2, 6L -> 2))
+    assert(got.size == 7, "unique paths => exactly one row per node")
+  }
+
+  test("recursive CTE: deduplicating UNION is rejected by the engine") {
+    // the documented q103 contract: UNION ALL recursion only — path
+    // counts explode on cyclic graphs, so those use the Graph kernels
+    (0L until 2L).toDF("doc_id").createOrReplaceTempView("rec_spec_nodes2")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """WITH RECURSIVE r(id) AS (
+          |  SELECT CAST(0 AS BIGINT)
+          |  UNION
+          |  SELECT doc_id FROM rec_spec_nodes2 JOIN r ON doc_id = id + 1)
+          |SELECT * FROM r""".stripMargin).collect()
+    }
+    assert(e.getCondition == "UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE")
+  }
 }
