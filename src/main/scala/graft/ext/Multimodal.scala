@@ -115,6 +115,79 @@ object ImageHeaders {
   }
 }
 
+/** Audio-container row/feature records — the audio twin of
+  * [[MediaRow]]/[[MediaFeatures]]: opaque bytes + sidecar (channels,
+  * sample rate), features DECODED from the RIFF/WAVE header when the
+  * container is recognized. Frame/duration arithmetic is exact integer
+  * (`n_frames = data_len / block_align`, `duration_ms = n_frames·1000
+  * / sample_rate`, both floor) so the oracle reproduces it bit-for-bit.
+  */
+case class AudioRow(media_id: Long, media: Array[Byte], format: String,
+                    channels: Int, sample_rate: Int)
+case class AudioFeatures(media_id: Long, format: String, channels: Int,
+                         sample_rate: Int, bits_per_sample: Int,
+                         data_len: Long, n_frames: Long, duration_ms: Long,
+                         header_len: Int, n_bytes: Long, content_sum: Long)
+
+/** Pure-JVM WAV (RIFF/WAVE) header parsing — the audio analogue of
+  * [[ImageHeaders]], zero native-codec dependency. Layout (RIFF spec /
+  * WAVE PCM): "RIFF" + u32 LE riff-size + "WAVE", then chunks of
+  * (4-byte id, u32 LE size, data, odd sizes padded to even). The "fmt "
+  * chunk carries (audio format u16, channels u16, sample rate u32, byte
+  * rate u32, block align u16, bits/sample u16), all little-endian; the
+  * "data" chunk carries the samples. Dimensions of the decode:
+  * channels, sample rate, bits/sample, and the data-chunk length as the
+  * HEADER declares it (what real decoders report — a truncated file is
+  * the reader's problem, not the header parser's).
+  */
+object AudioHeaders {
+
+  /** @param headerLen bytes from offset 0 to the START of the data
+    *                  chunk's samples — the header/content boundary.
+    */
+  final case class ParsedWav(channels: Int, sampleRate: Int,
+                             bitsPerSample: Int, dataLen: Long,
+                             headerLen: Int)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  def parseWav(b: Array[Byte]): Option[ParsedWav] = {
+    if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+      return None
+    // Walk chunks defensively (fmt before data per spec, but verify).
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    while (pos + 8 <= b.length) {
+      val id = tag(b, pos)
+      val size = le32(b, pos + 4)
+      if (size > Int.MaxValue - 8L - pos) return None
+      id match {
+        case "fmt " =>
+          if (size < 16 || pos + 8 + 16 > b.length) return None
+          val channels = le16(b, pos + 10)
+          val rate = le32(b, pos + 12)
+          val bits = le16(b, pos + 22)
+          if (channels <= 0 || rate <= 0 || rate > Int.MaxValue ||
+            bits <= 0 || bits % 8 != 0) return None
+          fmt = Some((channels, rate.toInt, bits))
+        case "data" =>
+          return fmt.map { case (ch, rate, bits) =>
+            ParsedWav(ch, rate, bits, size, pos + 8)
+          } // data before fmt → malformed → None
+        case _ => ()
+      }
+      pos += 8 + size.toInt + (size.toInt & 1) // odd chunks pad to even
+    }
+    None
+  }
+}
+
 /** Multimodal columns for a training-data pipeline: media as opaque
   * `binary` + typed sidecar metadata, with decode / feature-extract as a
   * BATCHED per-partition transform — the Scala analogue of a Pandas-UDF
@@ -174,6 +247,16 @@ object Multimodal {
 
   private def be4(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
   private def be2(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
+  // little-endian fields (RIFF/WAVE): byte-reverse the hex pairs
+  private def le4(c: Column): Column = {
+    val hx = lpad(hex(c), 8, "0")
+    concat(unhex(substring(hx, 7, 2)), unhex(substring(hx, 5, 2)),
+      unhex(substring(hx, 3, 2)), unhex(substring(hx, 1, 2)))
+  }
+  private def le2(c: Column): Column = {
+    val hx = lpad(hex(c), 4, "0")
+    concat(unhex(substring(hx, 3, 2)), unhex(substring(hx, 1, 2)))
+  }
 
   /** Deterministic media table synthesized from the documents corpus
     * (the container ships no real media files): the payload is a REAL
@@ -219,6 +302,88 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(b => decoder.decodeBatch(b))
+    }
+  }
+
+  /** Deterministic audio table synthesized from the documents corpus:
+    * the payload is a spec-valid canonical 44-byte WAV header — RIFF
+    * size, PCM "fmt " chunk (format 1, per-row channels/rate, 8-bit
+    * samples so block align = channels), "data" chunk sized to the
+    * document — followed by the document's UTF-8 bytes as the sample
+    * section; every third row stays a raw opaque blob (sidecar-fallback
+    * path). Header assembly is pure Column arithmetic, zero UDFs.
+    */
+  def audioTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val channels = (id % 2 + 1).cast("int")
+    val rate = ((id % 4 + 1) * 8000).cast("int")
+    val dataLen = length(col(textCol)).cast("int") // pure-ASCII corpus
+    // fmt: PCM(1) channels rate byteRate(rate·channels·1) align(channels) bits(8)
+    val fmtChunk = concat(lit("fmt ").cast("binary"), le4(lit(16)),
+      le2(lit(1)), le2(channels), le4(rate), le4(rate * channels),
+      le2(channels), le2(lit(8)))
+    val wav = concat(lit("RIFF").cast("binary"), le4(dataLen + 36),
+      lit("WAVE").cast("binary"), fmtChunk,
+      lit("data").cast("binary"), le4(dataLen))
+    val header = when(id % 3 === 2, lit(Array.emptyByteArray)).otherwise(wav)
+    docs.select(
+      id.cast("long").as("media_id"),
+      concat(header, col(textCol).cast("binary")).as("media"),
+      when(id % 3 === 2, "bin").otherwise("wav").as("format"),
+      channels.as("channels"),
+      rate.as("sample_rate"))
+  }
+
+  /** Audio decode contract + header implementation (the [[MediaDecoder]]
+    * shape for the audio column family).
+    */
+  trait AudioDecoder extends Serializable {
+    def decodeBatch(batch: Seq[AudioRow]): Seq[AudioFeatures]
+  }
+
+  /** RIFF/WAVE header decode ([[AudioHeaders]]); unrecognized containers
+    * fall back to sidecar channels/rate with the 8-bit sidecar
+    * convention and the whole payload as data. Frame count and duration
+    * are exact integer arithmetic (floor division).
+    */
+  object WavHeaderDecoder extends AudioDecoder {
+    def decodeBatch(batch: Seq[AudioRow]): Seq[AudioFeatures] =
+      batch.map { r =>
+        val bytes = r.media
+        val (fmt, ch, rate, bits, dataLen, hl) =
+          AudioHeaders.parseWav(bytes) match {
+            case Some(p) =>
+              ("wav", p.channels, p.sampleRate, p.bitsPerSample,
+                p.dataLen, p.headerLen)
+            case None =>
+              (r.format, r.channels, r.sample_rate, 8,
+                bytes.length.toLong, 0)
+          }
+        var sum = 0L
+        var i = hl
+        while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+        val blockAlign = ch.toLong * (bits / 8)
+        val frames = if (blockAlign == 0) 0L else dataLen / blockAlign
+        AudioFeatures(r.media_id, fmt, ch, rate, bits,
+          data_len = dataLen,
+          n_frames = frames,
+          duration_ms = if (rate <= 0) 0L else frames * 1000L / rate,
+          header_len = hl,
+          n_bytes = bytes.length.toLong,
+          content_sum = sum)
+      }
+  }
+
+  /** Batched audio decode — same narrow mapPartitions shape as
+    * [[featurize]].
+    */
+  def featurizeAudio(media: DataFrame,
+                     decoder: AudioDecoder = WavHeaderDecoder,
+                     batchSize: Int = 64): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[AudioRow].mapPartitions { it =>
       it.grouped(batchSize).flatMap(b => decoder.decodeBatch(b))
     }
   }

@@ -166,6 +166,16 @@ object PipelineQueries {
         graft.ext.Multimodal.mediaTable(Tables.documents(s, d), "doc_id", "text"))
         .toDF()),
 
+    // Multimodal (audio): binary media (real RIFF/WAVE headers + sample
+    // bytes) + sidecar metadata — channels / sample rate / bit depth /
+    // data length PARSED OUT OF THE BYTES (AudioHeaders), exact integer
+    // frame-count and duration arithmetic; sidecar only for the opaque
+    // every-third row. Same narrow batched-decode plumbing as q42.
+    "q104_audio_features" -> ((s, d) =>
+      graft.ext.Multimodal.featurizeAudio(
+        graft.ext.Multimodal.audioTable(Tables.documents(s, d), "doc_id", "text"))
+        .toDF()),
+
     // STR — streaming sessionization: session_window + watermark in
     // append mode, sentinel-flushed, exactly-once session emission.
     "q50_stream_sessions" -> ((s, d) => EventStream.sessionCounts(s, d)),
@@ -357,6 +367,31 @@ object PipelineQueries {
         |SELECT user_id, event_id, ts, cum AS cum_micros,
         |  CAST(cum // 500000000 AS BIGINT) AS alert_level
         |FROM c WHERE cum // 500000000 > (cum - lv) // 500000000""".stripMargin,
+
+    // q42's law-recompute pattern for the audio container: channels /
+    // rate / bit depth / data length the Column-built RIFF headers
+    // encode (any header-parse bug breaks the hash), canonical 44-byte
+    // header for WAV rows, sidecar law for opaque rows, exact integer
+    // frame/duration floor division on both engines.
+    "q104_audio_features" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CASE WHEN doc_id % 3 = 2 THEN 'bin' ELSE 'wav' END AS format,
+        |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+        |  CAST((doc_id % 4 + 1) * 8000 AS INT) AS sample_rate,
+        |  CAST(8 AS INT) AS bits_per_sample,
+        |  CAST(strlen(text) AS BIGINT) AS data_len,
+        |  CAST(strlen(text) // (doc_id % 2 + 1) AS BIGINT) AS n_frames,
+        |  CAST(strlen(text) // (doc_id % 2 + 1) * 1000
+        |    // ((doc_id % 4 + 1) * 8000) AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 44 END AS INT)
+        |    AS header_len,
+        |  CAST(strlen(text) + CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 44 END
+        |    AS BIGINT) AS n_bytes,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+        |    (a, x) -> a + x) AS BIGINT) AS content_sum
+        |FROM documents""".stripMargin,
 
     // Recompute from the fixture LAW what the engine must PARSE FROM THE
     // BYTES: the dimensions/format the Column-built container headers

@@ -80,10 +80,39 @@ object ReferenceQueries {
     "UNT3" -> """{not json""",
     "UNT4" -> """{"summary":"payload without an info object"}""")
 
+  /** Unicode-canonicalization fixture (q105), shared verbatim with the
+    * DuckDB oracle (raw code points embedded in both queries). Covers:
+    * combining accent → precomposed (NFC composition), compatibility
+    * singleton (Angstrom sign U+212B → Å U+00C5), an NFC-invariant
+    * ligature (negative control — NFC must NOT decompose ﬁ), NBSP +
+    * typographic spaces, C0 controls (bell, VT) amid kept \t\n\r\n,
+    * and an already-clean string (the fast-path identity).
+    */
+  private val unicodeFixture: Seq[(Int, String)] = Seq(
+    1 -> "Café  du Parc",       // combining acute, dbl space, NBSP
+    2 -> "AÅngström",            // Angstrom SIGN → Å (precomposed)
+    3 -> "bellandvt",          // C0 controls stripped
+    4 -> "line1\r\nline2\tend",            // kept whitespace collapses
+    5 -> " em thin　ideo",   // typographic spaces → ASCII
+    6 -> "ﬁligature stays",           // NFC-invariant (no K-decomp)
+    7 -> "  already clean  ")
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // G1 — flagship nested-JSON unpivot → financials fact table.
     "q21_fin_unpivot" -> ((s, _) => Financials.normalize(fixtureRaw(s))),
+
+    // Unicode canonicalization (NFC native expression + whitespace/
+    // control cleanup) — the pre-dedup text cleaning pass; `changed`
+    // pins that normalization altered exactly the rows it should.
+    "q105_text_normalize" -> ((s, _) => {
+      import s.implicits._
+      unicodeFixture.toDF("id", "text").select(
+        col("id"),
+        graft.ext.TextNorm.canonicalText(col("text")).as("text_norm"),
+        (graft.ext.TextNorm.canonicalText(col("text")) =!= col("text"))
+          .as("changed"))
+    }),
 
     // Schema-drift access path (SURVEY §1.2): fields the typed schema
     // does NOT carry, read straight off the raw payload string with
@@ -139,6 +168,28 @@ object ReferenceQueries {
     * (Financilas.py:71–107 applied to the fixture by hand).
     */
   val oracles: Map[String, String] = Map(
+
+    // The identical four-step pipeline in DuckDB: nfc_normalize (same
+    // UAX #15 composition as java.text.Normalizer) → strip controls →
+    // typographic spaces → ASCII space → collapse+trim. The regex
+    // classes are interpolated from TextNorm (one definition, two
+    // engines); DuckDB regexp_replace needs the explicit 'g' flag
+    // (Spark's is global by default).
+    "q105_text_normalize" -> {
+      val values = unicodeFixture
+        .map { case (i, t) => s"($i, '$t')" }.mkString(",\n        |  ")
+      s"""WITH src(id, text) AS (VALUES
+         |  $values),
+         |n AS (
+         |  SELECT id, text,
+         |    trim(regexp_replace(regexp_replace(regexp_replace(
+         |      nfc_normalize(text),
+         |      '${graft.ext.TextNorm.ControlClass}', '', 'g'),
+         |      '${graft.ext.TextNorm.SpaceClass}', ' ', 'g'),
+         |      '\\s+', ' ', 'g')) AS text_norm
+         |  FROM src)
+         |SELECT id, text_norm, text_norm <> text AS changed FROM n""".stripMargin
+    },
 
     // True differential twin: DuckDB's json_extract_string over the
     // SAME payload strings; json_valid guards the malformed document

@@ -91,6 +91,31 @@ class ExtOpsSpec extends SparkSpec {
     assert(graft.ext.ImageHeaders.parse(Array[Byte]()).isEmpty)
   }
 
+  test("AudioHeaders parses real JDK-encoded WAV bytes") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 16 kHz, 16-bit, stereo, 250 frames of silence through the JDK's
+    // own RIFF writer — exercises the chunk walk on a real container,
+    // not just the fixture's minimal 44-byte header
+    val frames = 250
+    val fmt = new AudioFormat(16000f, 16, 2, true, false)
+    val data = new Array[Byte](frames * 4)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    val parsed = graft.ext.AudioHeaders.parseWav(out.toByteArray)
+    assert(parsed.exists(p => p.channels == 2 && p.sampleRate == 16000 &&
+      p.bitsPerSample == 16 && p.dataLen == frames * 4L))
+    // header_len points at the sample section: remaining bytes = data
+    assert(parsed.exists(p => out.toByteArray.length - p.headerLen == frames * 4))
+    assert(graft.ext.AudioHeaders.parseWav("RIFFnope".getBytes("UTF-8")).isEmpty)
+    assert(graft.ext.AudioHeaders.parseWav(Array[Byte]()).isEmpty)
+    // data chunk before any fmt chunk → malformed → None
+    val noFmt = "RIFF0000WAVEdata0000".getBytes("US-ASCII")
+    assert(graft.ext.AudioHeaders.parseWav(noFmt).isEmpty)
+  }
+
   test("multimodal: decode is batched and narrow (no shuffle, partitioning preserved)") {
     val docs = (0 until 200).map(i => (i.toLong, s"doc number $i"))
       .toDF("doc_id", "text").repartition(4)
