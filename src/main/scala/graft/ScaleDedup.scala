@@ -84,13 +84,22 @@ object ScaleDedup {
   def main(args: Array[String]): Unit = {
     val sizes = if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(1000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle partitions sized to the LARGEST corpus, not the core
+    // count: the signature build keeps per-doc aggregation state
+    // (16 mins + a fingerprint set), and ~150k docs/partition keeps a
+    // partition's hash-agg state in memory. At 32 partitions the 10M
+    // run spills (LSH stage 83 s); sized, it stays ~linear — exactly
+    // the partition-sizing rule the 100-TB notes prescribe.
+    val shufflePartitions =
+      math.max(cpus.toInt, (sizes.max / 150000L).toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    println(s"[scale-dedup] shuffle.partitions = $shufflePartitions")
     import graft.ext.{Dedup, Graph, Similarity}
     import graft.sources.Sinks
 

@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.ext.{Cooccur, Diff, Graph, Quality, Rolling, Sampling, Terms,
-  Transitions, VectorStats}
+import graft.ext.{Bpe, Cooccur, Diff, Graph, Quality, Rolling, Sampling,
+  Terms, Transitions, VectorStats}
 import graft.streaming.EventStream
 
 /** Audit / temporal-analytics pack (round 8, fifth widening) — the
@@ -38,6 +38,9 @@ object AuditQueries {
   private val ReleaseSampleSalt = "rel_v1"
   private val ReleaseSplitSalt = "rel_split_v1"
   private val ReleaseCuts = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  // q106: merge rounds — enough to produce multi-character subwords
+  // over the ~31-word corpus without exhausting pair diversity
+  private val BpeRounds = 8
 
   /** The "new snapshot" for the diff: a deterministic mutation of
     * orders — every 97th key deleted, the next residue's price bumped
@@ -108,6 +111,13 @@ object AuditQueries {
     "q92_vocab_coverage" -> ((s, d) =>
       Terms.vocabCoverage(Tables.documents(s, d), "doc_id", "text",
         VocabSize)),
+
+    // Tokenizer TRAINING: BPE merge induction — one corpus pass for
+    // word frequencies, then vocabulary-bounded per-round pair-count /
+    // argmax / merge-application (greedy left-to-right, the BPE
+    // contract). The learned merge table is the model artifact.
+    "q106_bpe_merges" -> ((s, d) =>
+      Bpe.learnMerges(Tables.documents(s, d), "text", BpeRounds)),
 
     // A-priori-pruned frequent term pairs with fixed-point PMI: the
     // collocation/association-mining step after the q92 vocabulary.
@@ -201,7 +211,65 @@ object AuditQueries {
           mutatedOrders(s, d), "o_orderkey", "li_orphan_after_delete"))
     }))
 
+  /** q106 twin: the identical BPE loop UNROLLED into per-round CTEs
+    * (the q77 PageRank discipline). Per round k: pair counts over the
+    * symbol state (p_k), deterministic argmax (b_k: cnt desc, pair
+    * asc), hit positions (h_k), greedy non-overlap selection via
+    * run-parity — consecutive hit positions can only arise for
+    * left==right symbol runs, and greedy takes alternate members
+    * (g_k) — then the rebuilt symbol state (s_k). Pure integer counts
+    * and binary string order: bit-identical across engines.
+    */
+  private val bpeMergesSql = {
+    val roundCtes = (1 to BpeRounds).map { k =>
+      val prev = s"s${k - 1}"
+      s"""p$k AS MATERIALIZED (
+         |  SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM $prev, unnest(range(1, len(l))) AS u(i)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |h$k AS MATERIALIZED (
+         |  SELECT t.w, u.i
+         |  FROM $prev t, b$k, unnest(range(1, len(t.l))) AS u(i)
+         |  WHERE t.l[i] = b$k.a AND t.l[i + 1] = b$k.b),
+         |g$k AS MATERIALIZED (
+         |  SELECT w, i FROM (
+         |    SELECT w, i, row_number() OVER (PARTITION BY w, isl ORDER BY i) AS win
+         |    FROM (SELECT w, i,
+         |            i - row_number() OVER (PARTITION BY w ORDER BY i) AS isl
+         |          FROM h$k) q1) q2
+         |  WHERE win % 2 = 1),
+         |s$k AS MATERIALIZED (
+         |  SELECT w, freq, list(sym ORDER BY j) AS l FROM (
+         |    SELECT base.w, base.freq, base.j,
+         |      CASE WHEN gs.i IS NOT NULL THEN base.l[base.j] || base.l[base.j + 1]
+         |           WHEN gp.i IS NOT NULL THEN NULL
+         |           ELSE base.l[base.j] END AS sym
+         |    FROM (SELECT t.w, t.freq, t.l, u.j
+         |          FROM $prev t, unnest(range(1, len(t.l) + 1)) AS u(j)) base
+         |    LEFT JOIN g$k gs ON gs.w = base.w AND gs.i = base.j
+         |    LEFT JOIN g$k gp ON gp.w = base.w AND gp.i = base.j - 1) q
+         |  WHERE sym IS NOT NULL GROUP BY w, freq)""".stripMargin
+    }
+    val sel = (1 to BpeRounds).map(k =>
+      s"SELECT CAST($k AS INT) AS round, a AS merge_left, b AS merge_right, " +
+        s"cnt AS pair_count FROM b$k").mkString("\nUNION ALL\n")
+    s"""WITH t0 AS (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |  FROM documents),
+       |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM t0
+       |       WHERE length(w) > 0 GROUP BY w),
+       |s0 AS MATERIALIZED (SELECT w, freq,
+       |  list_transform(range(1, length(w) + 1),
+       |    i -> substr(w, CAST(i AS INT), 1)) AS l
+       |  FROM wf),
+       |${roundCtes.mkString(",\n")}
+       |$sel""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "q106_bpe_merges" -> bpeMergesSql,
 
     // Every event lands in exactly the two 2-hour windows starting at
     // trunc_hour(ts)−1h and trunc_hour(ts) (Spark's epoch-aligned
