@@ -193,7 +193,12 @@ object PipelineQueries {
     // STR — custom keyed state (flatMapGroupsWithState): per-user
     // running spend with threshold-crossing alert emission — the
     // semantics no built-in streaming operator expresses.
-    "q85_stream_alerts" -> ((s, d) => EventStream.spendAlerts(s, d)))
+    "q85_stream_alerts" -> ((s, d) => EventStream.spendAlerts(s, d)),
+
+    // STR — the SAME state machine through Spark 4's transformWithState
+    // (StatefulProcessor + named ValueState + RocksDB provider): both
+    // arbitrary-state APIs verify against the identical batch oracle.
+    "q107_stream_alerts_tws" -> ((s, d) => EventStream.spendAlertsTws(s, d)))
 
   /** Market-cap parse fragment shared with the q18 oracle. */
   private def mcapSql(col: String): String =
@@ -354,6 +359,21 @@ object PipelineQueries {
     // exact micro-units, alert row iff the running total crosses a
     // $500 multiple (500e6 micros); all-positive values, so // and the
     // engine's integral division agree
+    // same law as q85 — the POINT is that both state APIs converge on it
+    "q107_stream_alerts_tws" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CAST(round(value * 1000000) AS BIGINT) AS lv
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_id, ts, lv,
+        |    CAST(sum(lv) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM p)
+        |SELECT user_id, event_id, ts, cum AS cum_micros,
+        |  CAST(cum // 500000000 AS BIGINT) AS alert_level
+        |FROM c WHERE cum // 500000000 > (cum - lv) // 500000000""".stripMargin,
+
     "q85_stream_alerts" ->
       """WITH p AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -31,6 +31,45 @@ case class SpendEvent(event_id: Long, ts_us: Long, user_id: Long, lv: Long)
 case class SpendAlert(user_id: Long, event_id: Long, ts_us: Long,
                       cum_micros: Long, alert_level: Long)
 
+/** The spend-alert state machine on Spark 4's `transformWithState`
+  * API (StatefulProcessor + named state variables + RocksDB provider)
+  * — the modern replacement for `flatMapGroupsWithState`: state is
+  * DECLARED (named, encoder-typed, TTL-capable, schema-evolvable)
+  * instead of being one opaque blob per key, and timers are
+  * first-class. Semantics here are IDENTICAL to
+  * [[EventStream.spendAlerts]] — same quantized-micros fold, same
+  * in-batch (ts, event_id) ordering, same threshold-crossing law — so
+  * both state APIs verify against the SAME batch oracle.
+  */
+class SpendProcessor(thresholdMicros: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, SpendEvent, SpendAlert] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var total: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    total = getHandle.getValueState[Long]("total",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[SpendEvent],
+                               tv: TimerValues): Iterator[SpendAlert] = {
+    // iterator order is shuffle-read order, NOT event order — sort
+    val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    var cum = if (total.exists()) total.get() else 0L
+    val out = Seq.newBuilder[SpendAlert]
+    sorted.foreach { e =>
+      val pre = cum
+      cum += e.lv
+      if (cum / thresholdMicros > pre / thresholdMicros)
+        out += SpendAlert(user, e.event_id, e.ts_us, cum,
+          cum / thresholdMicros)
+    }
+    total.update(cum)
+    out.result().iterator
+  }
+}
+
 object EventStream {
 
   /** Same physical schema as Tables.events (TIMESTAMP(NANOS) parquet
@@ -433,6 +472,61 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    s.read.parquet(sinkDir)
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("ts_us")).as("ts"),
+        col("cum_micros"), col("alert_level"))
+  }
+
+  /** [[SpendProcessor]] driven end-to-end: same staged input, sink and
+    * read-back contract as [[spendAlerts]], but through
+    * `transformWithState` + the RocksDB state store (the API requires
+    * it; the provider conf is restored afterwards). At 100 TB the
+    * RocksDB store is also the OPERATIONAL answer — state spills to
+    * local disk with changelog checkpointing instead of living on the
+    * executor heap.
+    */
+  def spendAlertsTws(s: SparkSession, dir: String,
+                     thresholdMicros: Long = 500L * 1000000L): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    require(thresholdMicros > 0,
+      s"thresholdMicros must be > 0, got $thresholdMicros")
+    val staged = stageWithSentinel(s, dir)
+    val tag = dirTag(dir) // basename + path hash (sink-collision guard)
+    val sinkDir = Sinks.tmpPath(s"stream_tws_$tag")
+    val ckptDir = Sinks.tmpPath(s"stream_tws_ckpt_$tag")
+    Sinks.deleteRecursively(sinkDir)
+    Sinks.deleteRecursively(ckptDir)
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val typed = s.readStream.schema(eventsSchema)
+        .parquet(staged)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("user_id"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("lv"))
+        .as[SpendEvent]
+      val alerts = typed.groupByKey(_.user_id)
+        .transformWithState(new SpendProcessor(thresholdMicros),
+          TimeMode.None(), OutputMode.Append())
+      val q = alerts.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          Sinks.appendRawZone(batch, sinkDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None    => s.conf.unset(providerKey)
+    }
     s.read.parquet(sinkDir)
       .select(col("user_id"), col("event_id"),
         timestamp_micros(col("ts_us")).as("ts"),

@@ -86,4 +86,30 @@ class StreamingSpec extends SparkSpec {
       (1L, 4L, 1050000000L, 2L),
       (3L, 7L, 1200000000L, 2L)))
   }
+
+  test("spendAlertsTws: transformWithState emits the identical alert set") {
+    // the differential contract behind q85/q107 sharing one oracle:
+    // both arbitrary-state APIs fold the same law to the same rows
+    val t0 = 1700000000L * 1000000000L
+    val m = 60L * 1000000000L
+    val dir = landingDir(Seq(
+      (1L, t0, 1L, "purchase", 200.0),
+      (2L, t0 + m, 1L, "purchase", 200.0),
+      (3L, t0 + 2 * m, 1L, "purchase", 200.0),
+      (4L, t0 + 3 * m, 1L, "purchase", 450.0),
+      (5L, t0 + 90L * 1000000000L, 1L, "view", 9999.0),
+      (6L, t0, 2L, "purchase", 499.99),
+      (7L, t0, 3L, "purchase", 1200.0)))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("event_id"), col("cum_micros"),
+        col("alert_level"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val tws = rows(EventStream.spendAlertsTws(spark, dir))
+    assert(tws === Set(
+      (1L, 3L, 600000000L, 1L),
+      (1L, 4L, 1050000000L, 2L),
+      (3L, 7L, 1200000000L, 2L)))
+    assert(tws === rows(EventStream.spendAlerts(spark, dir)))
+  }
 }
