@@ -49,8 +49,50 @@ object Bpe {
     * pair_count) — `rounds` rows, the ordered merge table.
     */
   def learnMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = docs.sparkSession
+    val (_, merges) = learnState(docs, textCol, rounds)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.map {
+        case (k, a, b, c) => Row(k, a, b, c)
+      }),
+      StructType(Seq(
+        StructField("round", IntegerType, nullable = false),
+        StructField("merge_left", StringType, nullable = false),
+        StructField("merge_right", StringType, nullable = false),
+        StructField("pair_count", LongType, nullable = false))))
+  }
+
+  /** ENCODE under the trained tokenizer: per-document word and subword
+    * counts after `rounds` merges — the "how many tokens is my corpus"
+    * question asked of the real trained tokenizer rather than the
+    * q27 regex approximation. The per-word subword table is
+    * vocabulary-bounded and BROADCASTS back to the token stream
+    * (exactly the q92 vocabulary-join shape), so encoding costs one
+    * corpus-wide aggregation beyond training.
+    * `subwords_per_word_ppm` is exact integer fixed-point.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             rounds: Int): DataFrame = {
+    val (state, _) = learnState(docs, textCol, rounds)
+    val perWord = state.select(col("w"), size(col("l")).as("nsw"))
+    docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(perWord), "w")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum(col("nsw")).as("n_subwords"))
+      .withColumn("subwords_per_word_ppm",
+        expr("n_subwords * 1000000L div n_words"))
+  }
+
+  /** The training loop: final symbol state (w, freq, l) + the ordered
+    * merge list. Shared by [[learnMerges]] (the model artifact) and
+    * [[encode]] (applying it).
+    */
+  private def learnState(docs: DataFrame, textCol: String, rounds: Int)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     // the ONE corpus-wide pass: word frequencies
     val words = docs
       .select(explode(tokens(col(textCol))).as("w"))
@@ -108,14 +150,6 @@ object Bpe {
            |END""".stripMargin))
         .localCheckpoint()
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(merges.result().map {
-        case (k, a, b, c) => Row(k, a, b, c)
-      }),
-      StructType(Seq(
-        StructField("round", IntegerType, nullable = false),
-        StructField("merge_left", StringType, nullable = false),
-        StructField("merge_right", StringType, nullable = false),
-        StructField("pair_count", LongType, nullable = false))))
+    (state, merges.result())
   }
 }

@@ -119,6 +119,13 @@ object AuditQueries {
     "q106_bpe_merges" -> ((s, d) =>
       Bpe.learnMerges(Tables.documents(s, d), "text", BpeRounds)),
 
+    // Tokenizer ENCODING: per-document subword counts under the q106
+    // model — the trained-tokenizer answer to "how many tokens is my
+    // corpus" (vs q27's regex approximation). The per-word subword
+    // table broadcasts back to the token stream (the q92 join shape).
+    "q108_bpe_encode" -> ((s, d) =>
+      Bpe.encode(Tables.documents(s, d), "doc_id", "text", BpeRounds)),
+
     // A-priori-pruned frequent term pairs with fixed-point PMI: the
     // collocation/association-mining step after the q92 vocabulary.
     "q94_frequent_pairs" -> ((s, d) => {
@@ -220,7 +227,7 @@ object AuditQueries {
     * (g_k) — then the rebuilt symbol state (s_k). Pure integer counts
     * and binary string order: bit-identical across engines.
     */
-  private val bpeMergesSql = {
+  private val bpeCtes = {
     val roundCtes = (1 to BpeRounds).map { k =>
       val prev = s"s${k - 1}"
       s"""p$k AS MATERIALIZED (
@@ -251,9 +258,6 @@ object AuditQueries {
          |    LEFT JOIN g$k gp ON gp.w = base.w AND gp.i = base.j - 1) q
          |  WHERE sym IS NOT NULL GROUP BY w, freq)""".stripMargin
     }
-    val sel = (1 to BpeRounds).map(k =>
-      s"SELECT CAST($k AS INT) AS round, a AS merge_left, b AS merge_right, " +
-        s"cnt AS pair_count FROM b$k").mkString("\nUNION ALL\n")
     s"""WITH t0 AS (
        |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
        |  FROM documents),
@@ -263,13 +267,38 @@ object AuditQueries {
        |  list_transform(range(1, length(w) + 1),
        |    i -> substr(w, CAST(i AS INT), 1)) AS l
        |  FROM wf),
-       |${roundCtes.mkString(",\n")}
-       |$sel""".stripMargin
+       |${roundCtes.mkString(",\n")}""".stripMargin
   }
+
+  private val bpeMergesSql = {
+    val sel = (1 to BpeRounds).map(k =>
+      s"SELECT CAST($k AS INT) AS round, a AS merge_left, b AS merge_right, " +
+        s"cnt AS pair_count FROM b$k").mkString("\nUNION ALL\n")
+    s"$bpeCtes\n$sel"
+  }
+
+  /** q108 twin: the final symbol state s_R gives subwords per WORD;
+    * the per-document counts re-join it to the token stream.
+    */
+  private val bpeEncodeSql =
+    s"""$bpeCtes,
+       |enc AS (SELECT w, CAST(len(l) AS BIGINT) AS nsw FROM s$BpeRounds),
+       |tt AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |  FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(nsw) AS BIGINT) AS n_subwords,
+       |  CAST(sum(nsw) * 1000000 // count(*) AS BIGINT)
+       |    AS subwords_per_word_ppm
+       |FROM tt JOIN enc USING (w)
+       |WHERE length(w) > 0
+       |GROUP BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
     "q106_bpe_merges" -> bpeMergesSql,
+    "q108_bpe_encode" -> bpeEncodeSql,
 
     // Every event lands in exactly the two 2-hour windows starting at
     // trunc_hour(ts)−1h and trunc_hour(ts) (Spark's epoch-aligned

@@ -39,6 +39,23 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq((1, "'", "t", 3L), (2, "d", "o", 3L)))
   }
 
+  test("encode: per-doc subword counts under the trained merges") {
+    // corpus: the*3, cat, hat, bat, small, tall — after the 6 traced
+    // merges: the=[the](1), cat=[c,at](2), hat=[h,at](2), bat=[bat]…
+    // bat: b,a,t -> r1 (a,t): [b,at] -> r6 (b,at): [bat](1)
+    // small: s,m,a,l,l -> r4 (a,l): [s,m,al,l] -> r5 (al,l): [s,m,all](3)
+    // tall: t,a,l,l -> [t,al,l] -> [t,all](2)
+    val docs = Seq((1L, "the cat the hat"), (2L, "the bat"), (3L, "small tall"))
+      .toDF("doc_id", "text")
+    val got = Bpe.encode(docs, "doc_id", "text", 6)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_subwords")))).toMap
+    assert(got === Map(
+      1L -> ((4L, 1L + 2L + 1L + 2L)), // the cat the hat
+      2L -> ((2L, 1L + 1L)),           // the bat
+      3L -> ((2L, 3L + 2L))))          // small tall
+  }
+
   test("learnMerges: rounds must be positive; empty corpus fails loudly") {
     intercept[IllegalArgumentException] {
       Bpe.learnMerges(Seq((1L, "ab")).toDF("doc_id", "text"), "text", 0)
