@@ -198,7 +198,13 @@ object PipelineQueries {
     // STR — the SAME state machine through Spark 4's transformWithState
     // (StatefulProcessor + named ValueState + RocksDB provider): both
     // arbitrary-state APIs verify against the identical batch oracle.
-    "q107_stream_alerts_tws" -> ((s, d) => EventStream.spendAlertsTws(s, d)))
+    "q107_stream_alerts_tws" -> ((s, d) => EventStream.spendAlertsTws(s, d)),
+
+    // STR — sessionization via transformWithState EVENT-TIME TIMERS
+    // (handleExpiredTimer flushes the trailing session when the
+    // watermark passes last+gap): third implementation of the session
+    // law (q41 batch, q50 session_window, this), same q50 oracle.
+    "q109_stream_sessions_tws" -> ((s, d) => EventStream.sessionCountsTws(s, d)))
 
   /** Market-cap parse fragment shared with the q18 oracle. */
   private def mcapSql(col: String): String =
@@ -211,6 +217,30 @@ object PipelineQueries {
        |      WHEN 'K' THEN 1e3 WHEN 'M' THEN 1e6
        |      WHEN 'B' THEN 1e9 WHEN 'T' THEN 1e12 ELSE 1.0 END
        |END""".stripMargin
+
+  /** Session law (q50 = q109): strict `>`-gap break (touching windows
+    * MERGE — measured at the boundary, StreamingSpec), win_end =
+    * last + gap.
+    */
+  private val streamSessionsSql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, ts, us,
+      |    CASE WHEN lag(us) OVER w IS NULL
+      |              OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, us)),
+      |s AS (
+      |  SELECT user_id, ts, us,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, us
+      |                   ROWS UNBOUNDED PRECEDING) AS sess_seq
+      |  FROM m)
+      |SELECT min(ts) AS win_start,
+      |  make_timestamp(max(us) + 1800000000) AS win_end,
+      |  user_id, count(*) AS n_events
+      |FROM s GROUP BY user_id, sess_seq""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -318,25 +348,11 @@ object PipelineQueries {
     // same gaps-and-islands recompute with session_window's boundary
     // contract: a gap of EXACTLY the 30-minute width starts a new
     // session (>= break), where the batch sessionizer (q41) uses >
-    "q50_stream_sessions" ->
-      """WITH e AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
-        |  FROM events),
-        |m AS (
-        |  SELECT user_id, ts, us,
-        |    CASE WHEN lag(us) OVER w IS NULL
-        |              OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, us)),
-        |s AS (
-        |  SELECT user_id, ts, us,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, us
-        |                   ROWS UNBOUNDED PRECEDING) AS sess_seq
-        |  FROM m)
-        |SELECT min(ts) AS win_start,
-        |  make_timestamp(max(us) + 1800000000) AS win_end,
-        |  user_id, count(*) AS n_events
-        |FROM s GROUP BY user_id, sess_seq""".stripMargin,
+    "q50_stream_sessions" -> streamSessionsSql,
+
+    // the law is shared BY DESIGN: session_window (q50) and the
+    // timer-driven StatefulProcessor (q109) must agree row-for-row
+    "q109_stream_sessions_tws" -> streamSessionsSql,
 
     // plain range join over the same interval law
     "q53_stream_join" ->

@@ -70,6 +70,80 @@ class SpendProcessor(thresholdMicros: Long)
   }
 }
 
+/** Typed rows for the timer-driven sessionizer (top-level for encoder
+  * access, like SpendEvent/SpendAlert). `ts` carries the WATERMARKED
+  * timestamp column through to the processor (event-time timers track
+  * it); the fold itself runs on exact epoch-micros longs.
+  */
+case class SessEvent(ts: java.sql.Timestamp, ts_us: Long, user_id: Long)
+case class OpenSession(start_us: Long, last_us: Long, n: Long)
+case class SessRow(win_start_us: Long, win_end_us: Long, user_id: Long,
+                   n_events: Long)
+
+/** Gap sessionization as a `transformWithState` EVENT-TIME-TIMER state
+  * machine — the third implementation of the library's session law
+  * (batch gaps-and-islands `Sessions.sessionize` = q41, built-in
+  * `session_window` = q50, and this): in-batch gaps close sessions in
+  * the fold; the TRAILING open session closes when the registered
+  * event-time timer fires (watermark passes last_ts + gap) via
+  * `handleExpiredTimer` — the first-class timer surface
+  * flatMapGroupsWithState never had. Boundary law matches q50's
+  * `session_window` as MEASURED at the exact-gap boundary (spec-pinned
+  * in StreamingSpec): an event landing exactly `gap` after the last
+  * one MERGES into the session — the break is strictly `> gap`, the
+  * same law as the batch gaps-and-islands twin — and win_end = last
+  * event + gap. q50's oracle verifies this operator verbatim.
+  *
+  * Timer discipline: exactly ONE pending timer per key (stale timers
+  * are deleted before re-registering), so an expiry always refers to
+  * the current open session — no stale-fire guard needed.
+  */
+class SessionProcessor(gapUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, SessEvent, SessRow] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, ExpiredTimerInfo, TTLConfig, ValueState}
+
+  @transient private var open: ValueState[OpenSession] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    open = getHandle.getValueState[OpenSession]("open",
+      org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[SessEvent],
+                               tv: TimerValues): Iterator[SessRow] = {
+    val sorted = rows.toSeq.sortBy(_.ts_us)
+    var cur = if (open.exists()) Option(open.get()) else None
+    val out = Seq.newBuilder[SessRow]
+    sorted.foreach { e =>
+      cur match {
+        case Some(s0) if e.ts_us - s0.last_us <= gapUs =>
+          cur = Some(OpenSession(s0.start_us,
+            math.max(s0.last_us, e.ts_us), s0.n + 1))
+        case Some(s0) => // gap > gapUs: session_window's break law
+          out += SessRow(s0.start_us, s0.last_us + gapUs, user, s0.n)
+          cur = Some(OpenSession(e.ts_us, e.ts_us, 1L))
+        case None =>
+          cur = Some(OpenSession(e.ts_us, e.ts_us, 1L))
+      }
+    }
+    cur.foreach { s0 =>
+      open.update(s0)
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer((s0.last_us + gapUs) / 1000L) // us -> ms
+    }
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(user: Long, tv: TimerValues,
+                                  expired: ExpiredTimerInfo): Iterator[SessRow] =
+    if (open.exists()) {
+      val s0 = open.get()
+      open.clear()
+      Iterator.single(SessRow(s0.start_us, s0.last_us + gapUs, user, s0.n))
+    } else Iterator.empty
+}
+
 object EventStream {
 
   /** Same physical schema as Tables.events (TIMESTAMP(NANOS) parquet
@@ -297,12 +371,13 @@ object EventStream {
     * (see stageWithSentinel); the sentinel's own session is the one
     * row never finalized, and its user_id −1 is filtered out anyway.
     *
-    * Semantics note (boundary differs from the batch twin
-    * Sessions.sessionize BY CONTRACT of the built-in): session_window
-    * merges an event iff it lands STRICTLY inside the previous
-    * window's [start, last+gap) — a gap of exactly `gap` starts a new
-    * session, where the batch gaps-and-islands uses `> gap`. The
-    * oracle encodes the `>=` break accordingly.
+    * Semantics note: session_window MERGES an event landing exactly
+    * `gap` after the previous one — windows that touch are unioned, so
+    * the break is strictly `> gap`, the SAME law as the batch
+    * gaps-and-islands twin (measured at the boundary and pinned in
+    * StreamingSpec via the q109 differential; an earlier version of
+    * this comment claimed a `>=` break, which no testdata gap ever
+    * exercised). The oracle encodes the strict break.
     */
   def sessionCounts(s: SparkSession, dir: String,
                     gapMinutes: Int = 30): DataFrame = {
@@ -531,6 +606,61 @@ object EventStream {
       .select(col("user_id"), col("event_id"),
         timestamp_micros(col("ts_us")).as("ts"),
         col("cum_micros"), col("alert_level"))
+  }
+
+  /** [[SessionProcessor]] driven end-to-end: watermarked stream →
+    * groupByKey(user) → transformWithState in EventTime mode (timers
+    * need the watermark) → append-mode parquet sink. The sentinel
+    * advances the final watermark past every real session's close, so
+    * the trailing sessions flush through their timers; the sentinel's
+    * own session never fires (its timer sits past the last watermark)
+    * and the read-back filter drops user −1 defensively — the exact
+    * q50 contract, shared oracle included.
+    */
+  def sessionCountsTws(s: SparkSession, dir: String,
+                       gapMinutes: Int = 30): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val staged = stageWithSentinel(s, dir)
+    val tag = dirTag(dir) // basename + path hash (sink-collision guard)
+    val sinkDir = Sinks.tmpPath(s"stream_sess_tws_$tag")
+    val ckptDir = Sinks.tmpPath(s"stream_sess_tws_ckpt_$tag")
+    Sinks.deleteRecursively(sinkDir)
+    Sinks.deleteRecursively(ckptDir)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val typed = s.readStream.schema(eventsSchema)
+        .parquet(staged)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .select(col("ts"), expr("unix_micros(ts)").as("ts_us"),
+          col("user_id"))
+        .as[SessEvent]
+      val sessions = typed.groupByKey(_.user_id)
+        .transformWithState(
+          new SessionProcessor(gapMinutes.toLong * 60L * 1000000L),
+          TimeMode.EventTime(), OutputMode.Append())
+      val q = sessions.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          Sinks.appendRawZone(batch, sinkDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prev match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None    => s.conf.unset(providerKey)
+    }
+    s.read.parquet(sinkDir)
+      .filter(col("user_id") >= 0)
+      .select(timestamp_micros(col("win_start_us")).as("win_start"),
+        timestamp_micros(col("win_end_us")).as("win_end"),
+        col("user_id"), col("n_events"))
   }
 
   /** Stream-stream interval join — purchases ⋈ clicks of the same user

@@ -87,6 +87,33 @@ class StreamingSpec extends SparkSpec {
       (3L, 7L, 1200000000L, 2L)))
   }
 
+  test("sessionCountsTws: timer-flushed sessions equal session_window's") {
+    // user 1: +0, +10 min (one session) then +50 min (trailing session
+    // — flushed only by its TIMER once the sentinel moves the
+    // watermark); user 2: one event; boundary: user 3 at +0 and
+    // +30 min EXACTLY — touching windows MERGE (strict > break), so
+    // ONE session of 2 events ending at +60 min
+    val t0 = 1700000000L * 1000000000L
+    val m = 60L * 1000000000L
+    val dir = landingDir(Seq(
+      (1L, t0, 1L, "view", 1.0),
+      (2L, t0 + 10 * m, 1L, "view", 1.0),
+      (3L, t0 + 50 * m, 1L, "view", 1.0),
+      (4L, t0, 2L, "view", 1.0),
+      (5L, t0, 3L, "view", 1.0),
+      (6L, t0 + 30 * m, 3L, "view", 1.0)))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("n_events"), col("win_start"),
+        col("win_end"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime, r.getTimestamp(3).getTime)).toSet
+    val tws = rows(EventStream.sessionCountsTws(spark, dir))
+    assert(tws.size == 4) // u1: 2 sessions, u2: 1, u3: 1 (merged)
+    assert(tws.contains((3L, 2L, 1700000000000L,
+      1700000000000L + 60L * 60000L))) // the boundary merge, explicit
+    assert(tws === rows(EventStream.sessionCounts(spark, dir)))
+  }
+
   test("spendAlertsTws: transformWithState emits the identical alert set") {
     // the differential contract behind q85/q107 sharing one oracle:
     // both arbitrary-state APIs fold the same law to the same rows
