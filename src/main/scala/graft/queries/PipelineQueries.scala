@@ -201,10 +201,18 @@ object PipelineQueries {
     "q107_stream_alerts_tws" -> ((s, d) => EventStream.spendAlertsTws(s, d)),
 
     // STR — sessionization via transformWithState EVENT-TIME TIMERS
-    // (handleExpiredTimer flushes the trailing session when the
-    // watermark passes last+gap): third implementation of the session
-    // law (q41 batch, q50 session_window, this), same q50 oracle.
-    "q109_stream_sessions_tws" -> ((s, d) => EventStream.sessionCountsTws(s, d)))
+    // (handleExpiredTimer flushes each session when the watermark
+    // passes last+gap): third implementation of the session law (q41
+    // batch, q50 session_window, this), same q50 oracle.
+    "q109_stream_sessions_tws" -> ((s, d) => EventStream.sessionCountsTws(s, d)),
+
+    // STR — the cross-batch-disorder proof: the same SessionProcessor
+    // over an out-of-order multi-file landing dir (one file per
+    // micro-batch; ~1/6 of events arrive up to 30 min later than
+    // already-processed neighbors, inside the 1-h watermark). The
+    // session law is arrival-invariant up to the watermark, so the
+    // same arrival-order-blind q50 oracle verifies it.
+    "q110_stream_sessions_ooo" -> ((s, d) => EventStream.sessionCountsOoo(s, d)))
 
   /** Market-cap parse fragment shared with the q18 oracle. */
   private def mcapSql(col: String): String =
@@ -345,14 +353,19 @@ object PipelineQueries {
         |  max(us) - min(us) AS duration_us
         |FROM s GROUP BY user_id, sess_seq""".stripMargin,
 
-    // same gaps-and-islands recompute with session_window's boundary
-    // contract: a gap of EXACTLY the 30-minute width starts a new
-    // session (>= break), where the batch sessionizer (q41) uses >
+    // same gaps-and-islands recompute; session_window's boundary
+    // contract is the strict > break (an event landing EXACTLY the
+    // 30-minute width after the last one MERGES — touching windows
+    // union), the same law as the batch sessionizer (q41)
     "q50_stream_sessions" -> streamSessionsSql,
 
-    // the law is shared BY DESIGN: session_window (q50) and the
-    // timer-driven StatefulProcessor (q109) must agree row-for-row
+    // the law is shared BY DESIGN: session_window (q50), the
+    // timer-driven StatefulProcessor (q109), and the same processor
+    // under cross-batch out-of-order arrival (q110) must all agree
+    // row-for-row — the session law is arrival-invariant up to the
+    // watermark
     "q109_stream_sessions_tws" -> streamSessionsSql,
+    "q110_stream_sessions_ooo" -> streamSessionsSql,
 
     // plain range join over the same interval law
     "q53_stream_join" ->

@@ -27,7 +27,8 @@ import graft.transform.Upsert
   * ride as epoch MICROS longs through the state function (primitive
   * encoders, exact) and become timestamps only in the final projection.
   */
-case class SpendEvent(event_id: Long, ts_us: Long, user_id: Long, lv: Long)
+case class SpendEvent(event_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+                      user_id: Long, lv: Long)
 case class SpendAlert(user_id: Long, event_id: Long, ts_us: Long,
                       cum_micros: Long, alert_level: Long)
 
@@ -36,26 +37,69 @@ case class SpendAlert(user_id: Long, event_id: Long, ts_us: Long,
   * — the modern replacement for `flatMapGroupsWithState`: state is
   * DECLARED (named, encoder-typed, TTL-capable, schema-evolvable)
   * instead of being one opaque blob per key, and timers are
-  * first-class. Semantics here are IDENTICAL to
-  * [[EventStream.spendAlerts]] — same quantized-micros fold, same
-  * in-batch (ts, event_id) ordering, same threshold-crossing law — so
-  * both state APIs verify against the SAME batch oracle.
+  * first-class. Folds the same law as [[EventStream.spendAlerts]] —
+  * quantized-micros running sum, (ts, event_id) fold order, integer
+  * threshold-crossing test — so both state APIs verify against the
+  * SAME batch oracle.
+  *
+  * Unlike the flatMapGroupsWithState twin (which folds each batch as
+  * it arrives and therefore REQUIRES event-time-ordered batches),
+  * this processor is correct under cross-batch disorder up to the
+  * watermark: arriving events are only BUFFERED in `pending`
+  * (ListState); the fold runs in [[handleExpiredTimer]] over the
+  * prefix of pending events with `ts_us < watermark`, in (ts,
+  * event_id) order. An event with ts below the watermark can no
+  * longer arrive (the pre-processor late filter drops it), so that
+  * prefix is final — the fold consumes events in true event-time
+  * order no matter how they were batched. Pending state per user is
+  * bounded by the watermark horizon (1 h of that user's purchases),
+  * never by stream length; `total` is one long.
+  *
+  * Timer discipline: exactly one pending timer per key, armed at the
+  * earliest buffered event's ts rounded UP to ms (never fires before
+  * the instant it guards); re-armed from whatever remains buffered.
   */
 class SpendProcessor(thresholdMicros: Long)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, SpendEvent, SpendAlert] {
-  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, ExpiredTimerInfo, TTLConfig, ValueState, ListState}
 
   @transient private var total: ValueState[Long] = _
+  @transient private var pending: ListState[SpendEvent] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     total = getHandle.getValueState[Long]("total",
       org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    pending = getHandle.getListState[SpendEvent]("pending",
+      org.apache.spark.sql.Encoders.product[SpendEvent], TTLConfig.NONE)
+  }
+
+  /** One timer per key at the earliest buffered ts (ceil µs→ms). */
+  private def armTimer(): Unit = {
+    getHandle.listTimers().foreach(t =>
+      getHandle.deleteTimer(t.asInstanceOf[Long]))
+    val it = pending.get()
+    var min = Long.MaxValue
+    while (it.hasNext) { val e = it.next(); if (e.ts_us < min) min = e.ts_us }
+    if (min != Long.MaxValue)
+      getHandle.registerTimer((min + 999L) / 1000L)
+  }
 
   override def handleInputRows(user: Long, rows: Iterator[SpendEvent],
                                tv: TimerValues): Iterator[SpendAlert] = {
-    // iterator order is shuffle-read order, NOT event order — sort
-    val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+    val fresh = rows.toArray
+    if (fresh.nonEmpty) pending.appendList(fresh)
+    armTimer()
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(user: Long, tv: TimerValues,
+                                  expired: ExpiredTimerInfo): Iterator[SpendAlert] = {
+    val wmUs = tv.getCurrentWatermarkInMs() * 1000L
+    // strict <: an event AT the watermark could still arrive and must
+    // sort into the fold, so it stays buffered until wm passes it
+    val (ready, still) = pending.get().toSeq.partition(_.ts_us < wmUs)
+    val sorted = ready.sortBy(e => (e.ts_us, e.event_id))
     var cum = if (total.exists()) total.get() else 0L
     val out = Seq.newBuilder[SpendAlert]
     sorted.foreach { e =>
@@ -66,6 +110,9 @@ class SpendProcessor(thresholdMicros: Long)
           cum / thresholdMicros)
     }
     total.update(cum)
+    pending.clear()
+    if (still.nonEmpty) pending.appendList(still.toArray)
+    armTimer()
     out.result().iterator
   }
 }
@@ -83,65 +130,100 @@ case class SessRow(win_start_us: Long, win_end_us: Long, user_id: Long,
 /** Gap sessionization as a `transformWithState` EVENT-TIME-TIMER state
   * machine — the third implementation of the library's session law
   * (batch gaps-and-islands `Sessions.sessionize` = q41, built-in
-  * `session_window` = q50, and this): in-batch gaps close sessions in
-  * the fold; the TRAILING open session closes when the registered
-  * event-time timer fires (watermark passes last_ts + gap) via
-  * `handleExpiredTimer` — the first-class timer surface
-  * flatMapGroupsWithState never had. Boundary law matches q50's
+  * `session_window` = q50, and this). Boundary law matches q50's
   * `session_window` as MEASURED at the exact-gap boundary (spec-pinned
   * in StreamingSpec): an event landing exactly `gap` after the last
   * one MERGES into the session — the break is strictly `> gap`, the
   * same law as the batch gaps-and-islands twin — and win_end = last
   * event + gap. q50's oracle verifies this operator verbatim.
   *
-  * Timer discipline: exactly ONE pending timer per key (stale timers
-  * are deleted before re-registering), so an expiry always refers to
-  * the current open session — no stale-fire guard needed.
+  * State is the full set of UNFINALIZED sessions per key (a
+  * gap-merged interval set, exactly `session_window`'s merging
+  * aggregate state), not a single open session, and
+  * [[handleInputRows]] emits NOTHING: a session is only emitted from
+  * [[handleExpiredTimer]] once the watermark has passed its close
+  * (win_end = last + gap) — `session_window`'s append-mode law. This
+  * is what makes cross-batch disorder correct: an event arriving in
+  * a later micro-batch but within the watermark delay gap-merges
+  * into the buffered interval set (possibly bridging two buffered
+  * sessions, possibly extending start_us DOWNWARD — both fall out of
+  * the interval sweep), while a session whose close the watermark
+  * has passed is provably untouchable (any still-admissible event
+  * has ts ≥ wm ≥ last + gap, i.e. strictly more than `gap` after the
+  * session's last event, so it cannot merge) and is safe to emit.
+  * Buffered state per key is bounded by the watermark horizon plus
+  * one gap, never by stream length.
+  *
+  * Timer discipline: exactly ONE pending timer per key, armed at the
+  * EARLIEST buffered session's close rounded UP to ms (never fires
+  * before the instant it guards — an exact-boundary event in a later
+  * batch still finds its session buffered, not flushed); re-armed
+  * against whatever remains buffered after each flush.
   */
 class SessionProcessor(gapUs: Long)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, SessEvent, SessRow] {
-  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, ExpiredTimerInfo, TTLConfig, ValueState}
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, ExpiredTimerInfo, TTLConfig, ListState}
 
-  @transient private var open: ValueState[OpenSession] = _
+  @transient private var open: ListState[OpenSession] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    open = getHandle.getValueState[OpenSession]("open",
+    open = getHandle.getListState[OpenSession]("open",
       org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+
+  /** Gap-merge sweep: sort by start, union intervals whose gap is ≤
+    * the width (touching windows MERGE — the strict `>` break).
+    */
+  private def merged(xs: Seq[OpenSession]): Seq[OpenSession] = {
+    val sorted = xs.sortBy(s => (s.start_us, s.last_us))
+    val out = Seq.newBuilder[OpenSession]
+    var cur: OpenSession = null
+    sorted.foreach { s =>
+      if (cur == null) cur = s
+      else if (s.start_us - cur.last_us <= gapUs)
+        cur = OpenSession(cur.start_us,
+          math.max(cur.last_us, s.last_us), cur.n + s.n)
+      else { out += cur; cur = s }
+    }
+    if (cur != null) out += cur
+    out.result()
+  }
+
+  /** One timer per key at the earliest buffered close (ceil µs→ms). */
+  private def armTimer(sessions: Seq[OpenSession]): Unit = {
+    getHandle.listTimers().foreach(t =>
+      getHandle.deleteTimer(t.asInstanceOf[Long]))
+    if (sessions.nonEmpty) {
+      val endUs = sessions.map(_.last_us + gapUs).min
+      getHandle.registerTimer((endUs + 999L) / 1000L)
+    }
+  }
 
   override def handleInputRows(user: Long, rows: Iterator[SessEvent],
                                tv: TimerValues): Iterator[SessRow] = {
-    val sorted = rows.toSeq.sortBy(_.ts_us)
-    var cur = if (open.exists()) Option(open.get()) else None
-    val out = Seq.newBuilder[SessRow]
-    sorted.foreach { e =>
-      cur match {
-        case Some(s0) if e.ts_us - s0.last_us <= gapUs =>
-          cur = Some(OpenSession(s0.start_us,
-            math.max(s0.last_us, e.ts_us), s0.n + 1))
-        case Some(s0) => // gap > gapUs: session_window's break law
-          out += SessRow(s0.start_us, s0.last_us + gapUs, user, s0.n)
-          cur = Some(OpenSession(e.ts_us, e.ts_us, 1L))
-        case None =>
-          cur = Some(OpenSession(e.ts_us, e.ts_us, 1L))
-      }
-    }
-    cur.foreach { s0 =>
-      open.update(s0)
-      getHandle.listTimers().foreach(t =>
-        getHandle.deleteTimer(t.asInstanceOf[Long]))
-      getHandle.registerTimer((s0.last_us + gapUs) / 1000L) // us -> ms
-    }
-    out.result().iterator
+    val incoming = rows.map(e => OpenSession(e.ts_us, e.ts_us, 1L)).toSeq
+    val all = merged(open.get().toSeq ++ incoming)
+    open.clear()
+    if (all.nonEmpty) open.appendList(all.toArray)
+    armTimer(all)
+    Iterator.empty
   }
 
   override def handleExpiredTimer(user: Long, tv: TimerValues,
-                                  expired: ExpiredTimerInfo): Iterator[SessRow] =
-    if (open.exists()) {
-      val s0 = open.get()
-      open.clear()
-      Iterator.single(SessRow(s0.start_us, s0.last_us + gapUs, user, s0.n))
-    } else Iterator.empty
+                                  expired: ExpiredTimerInfo): Iterator[SessRow] = {
+    val wmUs = tv.getCurrentWatermarkInMs() * 1000L
+    // strict <: an event AT the watermark could still arrive and a
+    // session closing exactly there would merge it (touching law), so
+    // that session stays buffered until the watermark passes its close
+    val (closed, still) = open.get().toSeq
+      .partition(s => s.last_us + gapUs < wmUs)
+    open.clear()
+    if (still.nonEmpty) open.appendList(still.toArray)
+    armTimer(still)
+    closed.sortBy(_.start_us)
+      .map(s => SessRow(s.start_us, s.last_us + gapUs, user, s.n))
+      .iterator
+  }
 }
 
 object EventStream {
@@ -493,6 +575,13 @@ object EventStream {
     * threshold crossing test is pure long arithmetic, so the emitted
     * rows match a batch engine's ordered cumulative sum exactly.
     *
+    * HARD PRECONDITION (this API folds each batch on arrival): batches
+    * must be event-time-ordered ACROSS batches — an event older than a
+    * previously folded batch would fold out of order. The single-file
+    * staging guarantees it here; a deployment that cannot guarantee
+    * arrival order uses [[spendAlertsTws]] (q107), whose
+    * watermark-buffered fold is correct under cross-batch disorder.
+    *
     * State per user is ONE long (the running total) — bounded by key
     * cardinality, not stream length. NoTimeout keeps lifetime-total
     * semantics (the oracle's); a deployment that wants
@@ -515,7 +604,9 @@ object EventStream {
     val typed = s.readStream.schema(eventsSchema)
       .parquet(staged)
       .filter(col("event_type") === "purchase")
-      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+      .select(col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        expr("ts div 1000").as("ts_us"),
         col("user_id"),
         expr("CAST(round(value * 1000000) AS BIGINT)").as("lv"))
       .as[SpendEvent]
@@ -579,16 +670,26 @@ object EventStream {
     s.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
+      // the event-time-timer fold needs a watermark; the filter MUST
+      // let the sentinel (user −1, type "flush") through — a predicate
+      // excluding it gets pushed below the EventTimeWatermark node and
+      // the final watermark would stall 1 h short of the last real
+      // purchases, leaving their alerts buffered forever. The
+      // sentinel's lv is 0 and its ts stays above the final watermark,
+      // so it never folds and never emits.
       val typed = s.readStream.schema(eventsSchema)
         .parquet(staged)
-        .filter(col("event_type") === "purchase")
-        .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        .filter(col("event_type") === "purchase" || col("user_id") < 0)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .select(col("event_id"), col("ts"),
+          expr("unix_micros(ts)").as("ts_us"),
           col("user_id"),
           expr("CAST(round(value * 1000000) AS BIGINT)").as("lv"))
         .as[SpendEvent]
       val alerts = typed.groupByKey(_.user_id)
         .transformWithState(new SpendProcessor(thresholdMicros),
-          TimeMode.None(), OutputMode.Append())
+          TimeMode.EventTime(), OutputMode.Append())
       val q = alerts.toDF().writeStream
         .outputMode("append")
         .option("checkpointLocation", ckptDir)
@@ -618,13 +719,23 @@ object EventStream {
     * q50 contract, shared oracle included.
     */
   def sessionCountsTws(s: SparkSession, dir: String,
-                       gapMinutes: Int = 30): DataFrame = {
+                       gapMinutes: Int = 30): DataFrame =
+    runSessionStream(s, stageWithSentinel(s, dir),
+      s"stream_sess_tws_${dirTag(dir)}", gapMinutes, maxFilesPerTrigger = None)
+
+  /** The SessionProcessor pipeline over an already-staged landing dir
+    * (package-private to graft: StreamingSpec drives it with hand-built
+    * multi-file dirs). `maxFilesPerTrigger = Some(1)` makes each
+    * staged file its own micro-batch, the configuration that
+    * genuinely exercises the cross-batch merge path.
+    */
+  private[graft] def runSessionStream(s: SparkSession, staged: String,
+                                          sinkTag: String, gapMinutes: Int,
+                                          maxFilesPerTrigger: Option[Int]): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    val staged = stageWithSentinel(s, dir)
-    val tag = dirTag(dir) // basename + path hash (sink-collision guard)
-    val sinkDir = Sinks.tmpPath(s"stream_sess_tws_$tag")
-    val ckptDir = Sinks.tmpPath(s"stream_sess_tws_ckpt_$tag")
+    val sinkDir = Sinks.tmpPath(s"${sinkTag}_sink")
+    val ckptDir = Sinks.tmpPath(s"${sinkTag}_ckpt")
     Sinks.deleteRecursively(sinkDir)
     Sinks.deleteRecursively(ckptDir)
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
@@ -632,7 +743,9 @@ object EventStream {
     s.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val typed = s.readStream.schema(eventsSchema)
+      val reader = s.readStream.schema(eventsSchema)
+      maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+      val typed = reader
         .parquet(staged)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ts", "1 hour")
@@ -662,6 +775,77 @@ object EventStream {
         timestamp_micros(col("win_end_us")).as("win_end"),
         col("user_id"), col("n_events"))
   }
+
+  /** OUT-OF-ORDER landing staging: the history split into three files
+    * that arrive in event-time-overlapping order — each boundary holds
+    * back the even-event_id events of the 30 minutes before the cut
+    * into the NEXT file, so later micro-batches genuinely contain
+    * events OLDER than earlier batches' maxima (by up to 30 min, well
+    * inside the 1-hour watermark) — plus the flush sentinel as the
+    * final file. Modification times are rewritten in staging order
+    * with 2-second spacing: the file source orders its batches by
+    * mtime, and two parquet commits can otherwise land in the same
+    * timestamp granule and swap, which would turn controlled 30-min
+    * disorder into >1 h lateness (silent drops).
+    */
+  private val oooDirs = scala.collection.concurrent.TrieMap[String, String]()
+  private def stageOutOfOrder(s: SparkSession, dir: String): String =
+    oooDirs.getOrElseUpdate(dir, {
+      val staged = Sinks.tmpPath(stagedNameFor("stream_in_ooo", dir))
+      val base = s.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
+      val mm = base.agg(min(col("ts")), max(col("ts"))).head()
+      require(!mm.isNullAt(0),
+        s"events table under $dir is empty — nothing to stage")
+      val (minNs, maxNs) = (mm.getLong(0), mm.getLong(1))
+      val lateNs = 30L * 60L * 1000000000L // held-back slice width
+      val cut1 = minNs + (maxNs - minNs) / 3
+      val cut2 = minNs + 2L * (maxNs - minNs) / 3
+      def held(cut: Long) = // the events deferred past this cut
+        col("ts") > cut - lateNs && col("ts") <= cut &&
+          col("event_id") % 2 === 0
+      val chunks = Seq(
+        base.filter(col("ts") <= cut1 && !held(cut1)),
+        base.filter((col("ts") > cut1 && col("ts") <= cut2 &&
+          !held(cut2)) || held(cut1)),
+        base.filter(col("ts") > cut2 || held(cut2)),
+        s.range(1).select(
+          lit(-1L).as("event_id"),
+          lit(maxNs + 3L * 3600L * 1000000000L).as("ts"),
+          lit(-1L).as("user_id"), lit("flush").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props")))
+      val dirFile = new java.io.File(staged)
+      def dataFiles(): Set[java.io.File] =
+        Option(dirFile.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && f.getName.startsWith("part-")).toSet
+      var written = Vector.empty[Set[java.io.File]]
+      chunks.zipWithIndex.foreach { case (df, i) =>
+        val before = dataFiles()
+        df.repartition(1).write
+          .mode(if (i == 0) "overwrite" else "append").parquet(staged)
+        written :+= (dataFiles() -- before)
+      }
+      val mtime0 = dataFiles().map(_.lastModified()).max
+      written.zipWithIndex.foreach { case (fs, i) =>
+        fs.foreach(_.setLastModified(mtime0 + (i + 1) * 2000L))
+      }
+      staged
+    })
+
+  /** The cross-batch-disorder proof query (q110): [[SessionProcessor]]
+    * over the out-of-order multi-file landing dir, one file per
+    * micro-batch — so ~1/6 of all events arrive in a LATER batch than
+    * neighbors up to 30 minutes newer, and session state buffered
+    * across batches must absorb them (merging sessions, extending
+    * session starts downward) for the result to match the
+    * arrival-order-blind batch oracle. Shares q50's oracle verbatim:
+    * the session law is arrival-invariant up to the watermark, and
+    * this query is the configuration that actually proves it.
+    */
+  def sessionCountsOoo(s: SparkSession, dir: String,
+                       gapMinutes: Int = 30): DataFrame =
+    runSessionStream(s, stageOutOfOrder(s, dir),
+      s"stream_sess_ooo_${dirTag(dir)}", gapMinutes,
+      maxFilesPerTrigger = Some(1))
 
   /** Stream-stream interval join — purchases ⋈ clicks of the same user
     * within the preceding hour (the attribution join as a STREAM). Both

@@ -114,6 +114,100 @@ class StreamingSpec extends SparkSpec {
     assert(tws === rows(EventStream.sessionCounts(spark, dir)))
   }
 
+  /** Multi-file landing dir with CONTROLLED arrival order: each inner
+    * Seq becomes one parquet file, and modification times are
+    * rewritten in sequence (2 s apart) so the file source batches them
+    * in exactly this order under maxFilesPerTrigger=1.
+    */
+  private def stagedMultiFileDir(
+      files: Seq[Seq[(Long, Long, Long, String, Double)]]): String = {
+    val staged = Files.createTempDirectory("graft_stream_ooo_spec").toString
+    val d = new java.io.File(staged)
+    def parts(): Set[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && f.getName.startsWith("part-")).toSet
+    var written = Vector.empty[Set[java.io.File]]
+    files.zipWithIndex.foreach { case (rows, i) =>
+      val before = parts()
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("props", lit(null).cast("string"))
+        .coalesce(1).write
+        .mode(if (i == 0) "overwrite" else "append").parquet(staged)
+      written :+= (parts() -- before)
+    }
+    val base = parts().map(_.lastModified()).max
+    written.zipWithIndex.foreach { case (fs, i) =>
+      fs.foreach(_.setLastModified(base + (i + 1) * 2000L))
+    }
+    staged
+  }
+
+  test("SessionProcessor: cross-batch late events obey the batch session law") {
+    // The round-9 advisory scenario: events arriving in a LATER
+    // micro-batch but within the 1-h watermark. Batch 2 carries
+    //  - user 1 at +45 min: later than user 1's open [0,0] session by
+    //    45 min (> gap) and EARLIER than its open [100,100] session by
+    //    55 min — must become its OWN session (the old fold merged it
+    //    into [100,100] because 45−100 ≤ gap trivially);
+    //  - user 2 at +50 min: exactly gap after its +20 min event —
+    //    touching windows MERGE across batches;
+    //  - user 3 at +70 min: bridges the buffered [40,40] and [100,100]
+    //    sessions (30 min to each side) into ONE session.
+    // Global watermark after batch 1 is +100 min − 1 h = +40 min, so
+    // every batch-2 event is admissible (≥ 40 min).
+    val m = 60L * 1000000000L
+    val staged = stagedMultiFileDir(Seq(
+      Seq((1L, t0, 1L, "view", 1.0),
+        (2L, t0 + 100 * m, 1L, "view", 1.0),
+        (3L, t0 + 20 * m, 2L, "view", 1.0),
+        (4L, t0 + 40 * m, 3L, "view", 1.0),
+        (5L, t0 + 100 * m, 3L, "view", 1.0)),
+      Seq((6L, t0 + 45 * m, 1L, "view", 1.0),
+        (7L, t0 + 50 * m, 2L, "view", 1.0),
+        (8L, t0 + 70 * m, 3L, "view", 1.0)),
+      Seq((9L, t0 + 280 * m, -1L, "flush", 0.0)))) // sentinel
+    val got = EventStream.runSessionStream(spark, staged,
+        "spec_sess_ooo", 30, maxFilesPerTrigger = Some(1))
+      .select(col("user_id"), col("n_events"),
+        unix_micros(col("win_start")).as("s"), unix_micros(col("win_end")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    val us0 = t0 / 1000
+    val mu = 60L * 1000000L
+    assert(got === Set(
+      (1L, 1L, us0, us0 + 30 * mu),
+      (1L, 1L, us0 + 45 * mu, us0 + 75 * mu),
+      (1L, 1L, us0 + 100 * mu, us0 + 130 * mu),
+      (2L, 2L, us0 + 20 * mu, us0 + 80 * mu),
+      (3L, 3L, us0 + 40 * mu, us0 + 130 * mu)))
+  }
+
+  test("sessionCountsOoo: out-of-order arrival equals session_window's sessions") {
+    // ~200 events over ~19 h per user with gaps of 1–45 min (so real
+    // session breaks occur); stageOutOfOrder defers even-id events at
+    // two cut boundaries into later batches. The session law is
+    // arrival-invariant up to the watermark, so the timer-driven
+    // processor under disorder must equal session_window over the
+    // orderly single-file staging, row for row.
+    val rows = (1L to 4L).flatMap { u =>
+      var t = t0 + u * 60L * 1000000000L
+      (0 until 50).map { i =>
+        t += (((i * 7 + u * 13) % 45) + 1) * 60L * 1000000000L
+        (u * 1000L + i, t, u, "view", 1.0)
+      }
+    }
+    val dir = landingDir(rows)
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("n_events"),
+        unix_micros(col("win_start")), unix_micros(col("win_end")))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    val ooo = rowSet(EventStream.sessionCountsOoo(spark, dir))
+    val sw = rowSet(EventStream.sessionCounts(spark, dir))
+    assert(ooo.nonEmpty)
+    assert(ooo === sw)
+  }
+
   test("spendAlertsTws: transformWithState emits the identical alert set") {
     // the differential contract behind q85/q107 sharing one oracle:
     // both arbitrary-state APIs fold the same law to the same rows
