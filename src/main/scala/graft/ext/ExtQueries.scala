@@ -34,6 +34,7 @@ object ExtQueries {
   private val CmsDepth = 4
   private val CmsWidth = 1024
   private val HeavyK = 50
+  private val HllBuckets = 64 // m=64 → ~13% rel. error, plenty per-type
 
   /** LSH signature width is SCALE-ADAPTIVE: Similarity.bitsFor(N) keeps
     * expected bucket occupancy ~32 as the corpus grows (sf0.01: N=500 →
@@ -183,7 +184,14 @@ object ExtQueries {
       val top = exact.orderBy(col("n_exact").desc, col("term")).limit(HeavyK)
       Sketches.estimateMin(cms, top, "term", CmsDepth, CmsWidth)
         .select(col("term"), col("n_exact"), col("n_est"))
-    }))
+    }),
+
+    // HyperLogLog registers per event type — the cardinality sketch's
+    // mergeable STATE (element-wise max), exact integers end to end
+    // (md5-60 hash, leading zeros via binary-string length).
+    "q115_hll_registers" -> ((s, d) =>
+      Sketches.hllRegisters(Tables.events(s, d), "event_type", "user_id",
+        HllBuckets)))
 
   // ------------------------------------------------------------------
   // DuckDB oracle generation. Shared fragments mirror the Column
@@ -633,5 +641,23 @@ object ExtQueries {
     "q44_simhash_pairs" -> simhashPairsSql,
     "q45_knn_ivf" -> knnIvfSql,
     "q74_lloyd_refine" -> lloydSql,
-    "q75_cms_heavy_hitters" -> cmsHeavyHittersSql)
+    "q75_cms_heavy_hitters" -> cmsHeavyHittersSql,
+
+    // hash60 % m buckets; rho = leading zeros of the remaining 54-bit
+    // field + 1, via bin() string length (identical no-leading-zeros
+    // semantics in both engines); registers = per-bucket max
+    "q115_hll_registers" -> {
+      val rhoMax = 60 - 6 + 1 // 54 w-bits (m=64) all zero → 55
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    ${hash60Sql("'hll_' || CAST(user_id AS VARCHAR)")} AS hv
+         |  FROM events),
+         |r AS (SELECT event_type, hv % 64 AS bucket,
+         |  CASE WHEN hv // 64 = 0 THEN $rhoMax
+         |    ELSE $rhoMax - length(bin(hv // 64)) END AS rho
+         |  FROM h)
+         |SELECT event_type, CAST(bucket AS INT) AS bucket,
+         |  CAST(max(rho) AS INT) AS register
+         |FROM r GROUP BY 1, 2""".stripMargin
+    })
 }

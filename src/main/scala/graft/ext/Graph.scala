@@ -308,4 +308,60 @@ object Graph {
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
   }
+
+  /** Synchronous label propagation (community detection) — the fourth
+    * graph kernel: after "which component" (CC), "how central"
+    * (PageRank) and "how clique-ish" (triangles), LPA answers "which
+    * COMMUNITY" — denser-than-chance neighborhoods inside one giant
+    * component, the granularity used to diversify training corpora
+    * (sample per community, not per component: one crawl snowball =
+    * one component, many topics).
+    *
+    * Law (fully deterministic, unlike the randomized asynchronous
+    * textbook LPA): labels start as the node's own id; each round,
+    * every node SIMULTANEOUSLY adopts the most frequent label among
+    * its neighbors and itself, ties broken by smallest label; fixed
+    * `iters` rounds (convergence-free determinism, the q77 PageRank
+    * discipline). All counts are integers and labels are compared with
+    * plain ordering, so every engine agrees on every round.
+    *
+    * Shapes at 100 TB: per round ONE equi-join (symmetric edges ⋈
+    * labels on the neighbor endpoint) and ONE partial-aggregable
+    * argmin — `min_by(label, (−count, label))` collapses each
+    * partition's vote table to ≤1 row per (node) before the exchange.
+    * The symmetric edge frame is localCheckpoint'ed once; labels per
+    * round, keeping lineage O(1). Hub fan-in is a count per distinct
+    * neighbor label, not per neighbor — map-side combine absorbs it.
+    *
+    * @param edges undirected (a, b) — first two columns
+    * @param iters fixed synchronous rounds (≥ 0: 0 returns id labels)
+    * @return (id, community) — the node's label after `iters` rounds
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val Array(ca, cb, _*) = edges.columns
+    val und = edges.select(
+        least(col(ca), col(cb)).as("u"), greatest(col(ca), col(cb)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val sym = und.union(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    val nodes = sym.select(col("u").as("id")).distinct().localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("community"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val votes = sym
+        .join(labels.select(col("id").as("v"), col("community")), Seq("v"))
+        .select(col("u").as("id"), col("community"))
+        .union(labels) // self-vote: stabilizes singleton-adjacent flips
+      labels = votes
+        .groupBy(col("id"), col("community"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("id"))
+        .agg(min_by(col("community"),
+          struct((col("n") * -1L).as("neg"), col("community"))).as("community"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

@@ -188,6 +188,105 @@ object AudioHeaders {
   }
 }
 
+/** Video-container row/feature records — the video member of the
+  * [[MediaRow]]/[[AudioRow]] family: opaque bytes + sidecar (timescale,
+  * track count), features DECODED from the ISO-BMFF (MP4) box
+  * structure when the container is recognized. Duration arithmetic is
+  * exact integer (`duration_ms = duration_ticks·1000 / timescale`,
+  * floor) so the oracle reproduces it bit-for-bit.
+  */
+case class VideoRow(media_id: Long, media: Array[Byte], format: String,
+                    timescale: Int, n_tracks: Int)
+case class VideoFeatures(media_id: Long, format: String, brand: String,
+                         timescale: Int, duration_ticks: Long,
+                         n_tracks: Int, duration_ms: Long, data_len: Long,
+                         header_len: Int, n_bytes: Long, content_sum: Long)
+
+/** Pure-JVM ISO-BMFF (MP4/MOV family) box walking — the video analogue
+  * of [[ImageHeaders]]/[[AudioHeaders]], zero native-codec dependency.
+  * Layout (ISO/IEC 14496-12): a sequence of boxes, each a u32 BE size
+  * (including the 8-byte header) + 4-char type; `ftyp` carries the
+  * major brand, `moov` is a pure container whose `mvhd` child carries
+  * (version/flags, creation, modification, timescale u32, duration
+  * u32 — 64-bit in version 1 — …, next_track_ID u32 as its last
+  * field), and `mdat` carries the media payload. Track count is
+  * reported as next_track_ID − 1 (the spec's "smallest unused id" for
+  * sequentially-numbered files) — the header-level answer that needs
+  * no per-trak walk. size==1 (64-bit largesize) and size==0
+  * (to-end-of-file) boxes are rejected as out of scope, like
+  * progressive JPEG variants in [[ImageHeaders]].
+  */
+object VideoHeaders {
+
+  final case class ParsedMp4(brand: String, timescale: Int,
+                             durationTicks: Long, nextTrackId: Int,
+                             dataLen: Long, headerLen: Int)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1).toLong << 16) |
+      (u8(b, i + 2).toLong << 8) | u8(b, i + 3).toLong
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  /** mvhd payload → (timescale, duration, next_track_id). */
+  private def parseMvhd(b: Array[Byte], pos: Int,
+                        size: Int): Option[(Int, Long, Int)] = {
+    if (size < 8 + 4 + 20) return None
+    val version = u8(b, pos + 8)
+    val (tsOff, durLen) = version match {
+      case 0 => (pos + 8 + 4 + 8, 4)  // u32 creation+modification
+      case 1 => (pos + 8 + 4 + 16, 8) // u64 creation+modification
+      case _ => return None
+    }
+    if (tsOff + 4 + durLen > pos + size) return None
+    val timescale = be32(b, tsOff)
+    val duration =
+      if (durLen == 4) be32(b, tsOff + 4) else be64(b, tsOff + 4)
+    if (timescale <= 0 || timescale > Int.MaxValue) return None
+    // next_track_ID is the LAST u32 of the box
+    val next = be32(b, pos + size - 4)
+    if (next <= 0 || next > Int.MaxValue) return None
+    Some((timescale.toInt, duration, next.toInt))
+  }
+
+  def parseMp4(b: Array[Byte]): Option[ParsedMp4] = {
+    if (b.length < 12 || tag(b, 4) != "ftyp") return None
+    var pos = 0
+    var brand: Option[String] = None
+    var mvhd: Option[(Int, Long, Int)] = None
+    var mdat: Option[(Long, Int)] = None // (dataLen, headerLen)
+    while (pos + 8 <= b.length) {
+      val size = be32(b, pos)
+      if (size < 8 || pos + size > b.length) return None // 0/1 = out of scope
+      val sz = size.toInt
+      tag(b, pos + 4) match {
+        case "ftyp" =>
+          if (sz < 16) return None
+          brand = Some(tag(b, pos + 8))
+        case "moov" => // container: walk children
+          var cp = pos + 8
+          while (cp + 8 <= pos + sz) {
+            val csize = be32(b, cp)
+            if (csize < 8 || cp + csize > pos + sz) return None
+            if (tag(b, cp + 4) == "mvhd")
+              mvhd = parseMvhd(b, cp, csize.toInt)
+            cp += csize.toInt
+          }
+        case "mdat" =>
+          if (mdat.isEmpty) mdat = Some((size - 8, pos + 8))
+        case _ => ()
+      }
+      pos += sz
+    }
+    for {
+      br <- brand; (ts, dur, next) <- mvhd; (dl, hl) <- mdat
+    } yield ParsedMp4(br, ts, dur, next, dl, hl)
+  }
+}
+
 /** Multimodal columns for a training-data pipeline: media as opaque
   * `binary` + typed sidecar metadata, with decode / feature-extract as a
   * BATCHED per-partition transform — the Scala analogue of a Pandas-UDF
@@ -384,6 +483,102 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[AudioRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(b => decoder.decodeBatch(b))
+    }
+  }
+
+  /** Deterministic video table synthesized from the documents corpus:
+    * the payload is a spec-valid minimal ISO-BMFF file — `ftyp`
+    * (major brand "isom", compatible "mp41"), `moov` holding one
+    * version-0 `mvhd` (per-row timescale, duration = 100 ticks per
+    * character, unity matrix, per-row next_track_ID), and an `mdat`
+    * sized to the document — followed by the document's UTF-8 bytes as
+    * the media payload; every third row stays a raw opaque blob
+    * (sidecar-fallback path). All box assembly is pure Column
+    * arithmetic (big-endian u32 via be4), zero UDFs.
+    */
+  def videoTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val timescale = ((id % 3 + 1) * 600).cast("int")
+    val durTicks = length(col(textCol)) * 100
+    val nextTrack = (id % 2 + 2).cast("int")
+    val dataLen = length(col(textCol)).cast("int") // pure-ASCII corpus
+    val ftyp = concat(be4(lit(20)), lit("ftyp").cast("binary"),
+      lit("isom").cast("binary"), be4(lit(0)), lit("mp41").cast("binary"))
+    val mvhd = concat(be4(lit(108)), lit("mvhd").cast("binary"),
+      be4(lit(0)),               // version 0 + flags
+      be4(lit(0)), be4(lit(0)),  // creation, modification (epoch 0)
+      be4(timescale), be4(durTicks),
+      be4(lit(0x00010000)),      // rate 1.0
+      be2(lit(0x0100)), be2(lit(0)), // volume 1.0, reserved
+      be4(lit(0)), be4(lit(0)),  // 8 reserved bytes
+      // unity display matrix (fixed-point per spec)
+      be4(lit(0x00010000)), be4(lit(0)), be4(lit(0)),
+      be4(lit(0)), be4(lit(0x00010000)), be4(lit(0)),
+      be4(lit(0)), be4(lit(0)), be4(lit(0x40000000)),
+      be4(lit(0)), be4(lit(0)), be4(lit(0)), // 24 pre_defined bytes
+      be4(lit(0)), be4(lit(0)), be4(lit(0)),
+      be4(nextTrack))
+    val moov = concat(be4(lit(116)), lit("moov").cast("binary"), mvhd)
+    val mdat = concat(be4(dataLen + 8), lit("mdat").cast("binary"))
+    val header = when(id % 3 === 2, lit(Array.emptyByteArray))
+      .otherwise(concat(ftyp, moov, mdat))
+    docs.select(
+      id.cast("long").as("media_id"),
+      concat(header, col(textCol).cast("binary")).as("media"),
+      when(id % 3 === 2, "bin").otherwise("mp4").as("format"),
+      timescale.as("timescale"),
+      (nextTrack - 1).as("n_tracks"))
+  }
+
+  /** Video decode contract + box-walk implementation (the
+    * [[MediaDecoder]] shape for the video column family).
+    */
+  trait VideoDecoder extends Serializable {
+    def decodeBatch(batch: Seq[VideoRow]): Seq[VideoFeatures]
+  }
+
+  /** ISO-BMFF box-walk decode ([[VideoHeaders]]); unrecognized
+    * containers fall back to sidecar timescale/track count with brand
+    * "none", zero duration, and the whole payload as data. Duration is
+    * exact integer arithmetic (floor division).
+    */
+  object Mp4HeaderDecoder extends VideoDecoder {
+    def decodeBatch(batch: Seq[VideoRow]): Seq[VideoFeatures] =
+      batch.map { r =>
+        val bytes = r.media
+        val (fmt, brand, ts, dur, tracks, dataLen, hl) =
+          VideoHeaders.parseMp4(bytes) match {
+            case Some(p) =>
+              ("mp4", p.brand, p.timescale, p.durationTicks,
+                p.nextTrackId - 1, p.dataLen, p.headerLen)
+            case None =>
+              (r.format, "none", r.timescale, 0L, r.n_tracks,
+                bytes.length.toLong, 0)
+          }
+        var sum = 0L
+        var i = hl
+        while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+        VideoFeatures(r.media_id, fmt, brand, ts,
+          duration_ticks = dur,
+          n_tracks = tracks,
+          duration_ms = if (ts <= 0) 0L else dur * 1000L / ts,
+          data_len = dataLen,
+          header_len = hl,
+          n_bytes = bytes.length.toLong,
+          content_sum = sum)
+      }
+  }
+
+  /** Batched video decode — same narrow mapPartitions shape as
+    * [[featurize]].
+    */
+  def featurizeVideo(media: DataFrame,
+                     decoder: VideoDecoder = Mp4HeaderDecoder,
+                     batchSize: Int = 64): Dataset[VideoFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[VideoRow].mapPartitions { it =>
       it.grouped(batchSize).flatMap(b => decoder.decodeBatch(b))
     }
   }

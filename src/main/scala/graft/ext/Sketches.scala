@@ -69,4 +69,47 @@ object Sketches {
       .groupBy(probes.columns.map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
   }
+
+  /** HyperLogLog register build — the CARDINALITY member of the sketch
+    * family (count-min = frequency, approx_percentile = quantiles).
+    * This materializes the sketch STATE, not a float estimate: per
+    * group, `buckets` registers where register[b] = max over keys
+    * hashing to b of (1 + leading zero count of the key's remaining
+    * hash bits) — the Flajolet HLL observable. The estimate
+    * (α·m²/Σ2^−reg) is one harmonic fold away and engine-local;
+    * registers are the part that must be exact, portable, and
+    * MERGEABLE: union of two sketches = element-wise max, which is why
+    * register tables — not estimates — are what a 100 TB pipeline
+    * stores per partition/day and folds at query time.
+    *
+    * Why at 100 TB: like the CMS, the aggregation is
+    * partial-aggregable with output bounded by groups × buckets, not
+    * by key cardinality — each input partition collapses to ≤
+    * |groups|·`buckets` rows before the exchange, so counting a
+    * billion distinct users shuffles kilobytes.
+    *
+    * Determinism: the hash is the md5-60 contract; the leading-zero
+    * count is integer via binary-string length (`bin()` has identical
+    * no-leading-zeros semantics in Spark and DuckDB) — no log2 IEEE
+    * boundary risk. Empty buckets are OMITTED (both engines agree);
+    * readers treat absent registers as 0.
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, keyCol: String,
+                   buckets: Int): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0 && buckets <= 4096,
+      s"buckets must be a power of two in [1,4096], got $buckets")
+    val bucketBits = java.lang.Integer.numberOfTrailingZeros(buckets)
+    val wBits = 60 - bucketBits // hash60 bits left above the bucket index
+    val h = TextHash.hash60(
+      concat(lit("hll_"), col(keyCol).cast("string")))
+    df.select(col(groupCol).as("grp"), h.as("h"))
+      .select(col("grp"), (col("h") % buckets).cast("int").as("bucket"),
+        expr(s"h div $buckets").as("w"))
+      .select(col("grp"), col("bucket"),
+        when(col("w") === 0, lit(wBits + 1))
+          .otherwise(lit(wBits + 1) - length(bin(col("w"))))
+          .cast("int").as("rho"))
+      .groupBy(col("grp").as(groupCol), col("bucket"))
+      .agg(max(col("rho")).as("register"))
+  }
 }

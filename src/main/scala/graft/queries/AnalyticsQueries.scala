@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.ext.{BloomBits, Bloom, Chunking, RangeJoin, TextHash}
+import graft.ext.{BloomBits, Bloom, Chunking, RangeJoin, Resample, TextHash}
 import graft.functions.Functions.collapseWs
 
 /** Analytics query pack, round 8 widening: the operator families still
@@ -32,6 +32,7 @@ object AnalyticsQueries {
   private val ZFiles = 32
   private val ZBoxPartLo = 100; private val ZBoxPartHi = 299
   private val ZBoxSuppLo = 5; private val ZBoxSuppHi = 49
+  private val ResampleStepMicros = 6L * 3600L * 1000000L // 6-hour grid
 
   /** Order-independent exact double sum (see RelationalQueries). */
   private def sumd(c: Column): Column =
@@ -149,7 +150,19 @@ object AnalyticsQueries {
     "q73_zorder_box" -> ((s, d) =>
       s.read.parquet(stagedZOrderPath(s, d))
         .filter(col("l_partkey").between(ZBoxPartLo, ZBoxPartHi) &&
-          col("l_suppkey").between(ZBoxSuppLo, ZBoxSuppHi))))
+          col("l_suppkey").between(ZBoxSuppLo, ZBoxSuppHi))),
+
+    // Regular-grid resample + forward fill (ext/Resample): per-user
+    // purchase "balance" carried onto a fixed 6-hour grid — the
+    // time-series alignment step before feature joins. Latest
+    // observation wins within a bucket ((ts, event_id) max); grid spans
+    // each user's first..last observed bucket; empty buckets carry the
+    // last value forward (copied, never recomputed — cross-engine
+    // bit-exact doubles).
+    "q111_resample_ffill" -> ((s, d) =>
+      Resample.resampleFfill(
+        Tables.events(s, d).filter(col("event_type") === "purchase"),
+        "user_id", "ts", "value", "event_id", ResampleStepMicros)))
 
   val oracles: Map[String, String] = Map(
     "q68_pivot_events" -> {
@@ -205,5 +218,33 @@ object AnalyticsQueries {
     "q73_zorder_box" ->
       s"""SELECT * FROM lineitem
          |WHERE l_partkey BETWEEN $ZBoxPartLo AND $ZBoxPartHi
-         |  AND l_suppkey BETWEEN $ZBoxSuppLo AND $ZBoxSuppHi""".stripMargin)
+         |  AND l_suppkey BETWEEN $ZBoxSuppLo AND $ZBoxSuppHi""".stripMargin,
+
+    // grid = every bucket between each user's first and last purchase
+    // bucket; fill copies the latest (ts, event_id)-max value at or
+    // before the bucket — value is never recomputed, so doubles match
+    // bit-for-bit
+    "q111_resample_ffill" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |    value, event_id
+         |  FROM events WHERE event_type = 'purchase'),
+         |obs AS (
+         |  SELECT user_id, us // ${ResampleStepMicros} AS bucket, value,
+         |    row_number() OVER (PARTITION BY user_id, us // ${ResampleStepMicros}
+         |      ORDER BY us DESC, event_id DESC) AS rn
+         |  FROM e),
+         |o1 AS (SELECT user_id, bucket, value FROM obs WHERE rn = 1),
+         |bounds AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+         |  FROM o1 GROUP BY user_id),
+         |grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket
+         |  FROM bounds),
+         |j AS (SELECT g.user_id, g.bucket, o1.value
+         |  FROM grid g LEFT JOIN o1 USING (user_id, bucket))
+         |SELECT user_id,
+         |  make_timestamp(bucket * ${ResampleStepMicros}) AS bucket_start,
+         |  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+         |    ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+         |FROM j""".stripMargin)
 }

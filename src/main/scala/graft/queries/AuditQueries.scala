@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.ext.{Bpe, Cooccur, Diff, Graph, Quality, Rolling, Sampling,
-  Terms, Transitions, VectorStats}
+import graft.ext.{Bpe, Cooccur, Diff, Fuzzy, Graph, Quality, Rolling,
+  Sampling, Terms, Transitions, VectorStats}
 import graft.streaming.EventStream
 
 /** Audit / temporal-analytics pack (round 8, fifth widening) — the
@@ -41,6 +41,13 @@ object AuditQueries {
   // q106: merge rounds — enough to produce multi-character subwords
   // over the ~31-word corpus without exhausting pair diversity
   private val BpeRounds = 8
+  // q112: prefix-2 blocking over the adjective-noun part names keeps
+  // blocks plural while excluding cross-first-word matches by contract
+  private val FuzzyPrefixLen = 2
+  private val FuzzyMaxDist = 3
+  // q113: 3 synchronous rounds — labels stabilize on the ~31-term
+  // graph by round 3; fixed count keeps the kernel convergence-free
+  private val LpaIters = 3
 
   /** The "new snapshot" for the diff: a deterministic mutation of
     * orders — every 97th key deleted, the next residue's price bumped
@@ -216,6 +223,26 @@ object AuditQueries {
           Seq("user_id", "ts"), "ev_dup_user_ts"))
         .unionByName(Quality.orphans(li, "l_orderkey",
           mutatedOrders(s, d), "o_orderkey", "li_orphan_after_delete"))
+    }),
+
+    // Blocked approximate string self-join (record linkage): distinct
+    // part names within Levenshtein distance 3, prefix-2 blocking —
+    // one equi-join + banded-DP verify, never a cartesian.
+    "q112_fuzzy_join" -> ((s, d) =>
+      Fuzzy.selfPairs(Tables.part(s, d), "p_name",
+        FuzzyPrefixLen, FuzzyMaxDist)),
+
+    // Synchronous label-propagation communities over the q94/q95
+    // frequent-term graph — fixed rounds, mode-label with smallest-
+    // label tie-break, integer counts end to end.
+    "q113_label_propagation" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      Graph.labelPropagation(
+        Cooccur.frequentPairs(docs, "doc_id", "text",
+            (n * PairSupportPct / 100).toInt, n)
+          .select(col("term_a"), col("term_b")),
+        LpaIters)
     }))
 
   /** q106 twin: the identical BPE loop UNROLLED into per-round CTEs
@@ -294,6 +321,51 @@ object AuditQueries {
        |FROM tt JOIN enc USING (w)
        |WHERE length(w) > 0
        |GROUP BY doc_id""".stripMargin
+
+  /** q113 twin: the synchronous LPA rounds UNROLLED into MATERIALIZED
+    * per-round CTEs (plain CTEs re-expand multiplicatively per round —
+    * the q106 lesson). Round k: neighbor votes + self-vote (v_k),
+    * integer vote counts (c_k), mode label with smallest-label
+    * tie-break via row_number (lab_k). Edge set = the q94/q95
+    * frequent-pair graph, symmetrized.
+    */
+  private val lpaSql = {
+    val rounds = (1 to LpaIters).map { k =>
+      val prev = s"lab${k - 1}"
+      s"""v$k AS (
+         |  SELECT s.u AS id, l.community FROM sym s
+         |  JOIN $prev l ON s.v = l.id
+         |  UNION ALL SELECT id, community FROM $prev),
+         |c$k AS (SELECT id, community, count(*) AS n FROM v$k GROUP BY 1, 2),
+         |lab$k AS MATERIALIZED (
+         |  SELECT id, community FROM (
+         |    SELECT id, community,
+         |      row_number() OVER (PARTITION BY id
+         |        ORDER BY n DESC, community) AS rn
+         |    FROM c$k) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tt AS (SELECT DISTINCT doc_id, term FROM t WHERE length(term) > 0),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |ms AS (SELECT n * $PairSupportPct // 100 AS m FROM nn),
+       |dfq AS (SELECT term, count(*) AS df FROM tt GROUP BY term),
+       |f AS (SELECT term FROM dfq WHERE df >= (SELECT m FROM ms)),
+       |ft AS (SELECT tt.doc_id, tt.term FROM tt
+       |       JOIN f ON tt.term = f.term),
+       |e AS MATERIALIZED (
+       |  SELECT a.term AS u, b.term AS v
+       |  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.term < b.term
+       |  GROUP BY 1, 2 HAVING count(*) >= (SELECT m FROM ms)),
+       |sym AS MATERIALIZED (
+       |  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+       |lab0 AS MATERIALIZED (
+       |  SELECT DISTINCT u AS id, u AS community FROM sym),
+       |$rounds
+       |SELECT id, community FROM lab$LpaIters""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
 
@@ -589,5 +661,18 @@ object AuditQueries {
         |  CAST(sum(n) OVER (PARTITION BY from_state) AS BIGINT) AS out_total,
         |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_state)
         |    AS BIGINT) AS p_ppm
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+
+    // same blocking + length lower bound + exact integer DP as the
+    // Spark side; the blocking predicates ARE the operator contract
+    "q112_fuzzy_join" ->
+      s"""WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+         |b AS (SELECT name, substr(name, 1, $FuzzyPrefixLen) AS blk FROM n)
+         |SELECT a.name AS name_a, c.name AS name_b,
+         |  CAST(levenshtein(a.name, c.name) AS INT) AS dist
+         |FROM b a JOIN b c ON a.blk = c.blk AND a.name < c.name
+         |WHERE abs(length(a.name) - length(c.name)) <= $FuzzyMaxDist
+         |  AND levenshtein(a.name, c.name) <= $FuzzyMaxDist""".stripMargin,
+
+    "q113_label_propagation" -> lpaSql)
 }

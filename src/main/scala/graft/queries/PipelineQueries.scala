@@ -176,6 +176,18 @@ object PipelineQueries {
         graft.ext.Multimodal.audioTable(Tables.documents(s, d), "doc_id", "text"))
         .toDF()),
 
+    // T-extension — VIDEO multimodal column, completing the
+    // image (q42) / audio (q104) / video triad: opaque ISO-BMFF (MP4)
+    // bytes + sidecar metadata, brand / timescale / duration /
+    // track count PARSED OUT OF THE BYTES by a real box walk
+    // (VideoHeaders: ftyp brand, moov>mvhd fields, mdat payload
+    // bounds), exact integer duration arithmetic; sidecar only for the
+    // opaque every-third row. Same narrow batched-decode plumbing.
+    "q114_video_features" -> ((s, d) =>
+      graft.ext.Multimodal.featurizeVideo(
+        graft.ext.Multimodal.videoTable(Tables.documents(s, d), "doc_id", "text"))
+        .toDF()),
+
     // STR — streaming sessionization: session_window + watermark in
     // append mode, sentinel-flushed, exactly-once session emission.
     "q50_stream_sessions" -> ((s, d) => EventStream.sessionCounts(s, d)),
@@ -435,6 +447,32 @@ object PipelineQueries {
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 44 END AS INT)
         |    AS header_len,
         |  CAST(strlen(text) + CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 44 END
+        |    AS BIGINT) AS n_bytes,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+        |    (a, x) -> a + x) AS BIGINT) AS content_sum
+        |FROM documents""".stripMargin,
+
+    // video fixture law: ftyp(20) + moov(116) + mdat header(8) = 144
+    // header bytes, brand isom, timescale (doc_id%3+1)*600, duration
+    // 100 ticks/char, tracks = next_track_ID − 1 = doc_id%2+1; the
+    // box walk must recover every field for the hash to match
+    "q114_video_features" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CASE WHEN doc_id % 3 = 2 THEN 'bin' ELSE 'mp4' END AS format,
+        |  CASE WHEN doc_id % 3 = 2 THEN 'none' ELSE 'isom' END AS brand,
+        |  CAST((doc_id % 3 + 1) * 600 AS INT) AS timescale,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+        |    ELSE strlen(text) * 100 END AS BIGINT) AS duration_ticks,
+        |  CAST(doc_id % 2 + 1 AS INT) AS n_tracks,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+        |    ELSE strlen(text) * 100 * 1000 // ((doc_id % 3 + 1) * 600)
+        |    END AS BIGINT) AS duration_ms,
+        |  CAST(strlen(text) AS BIGINT) AS data_len,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 144 END AS INT)
+        |    AS header_len,
+        |  CAST(strlen(text) + CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 144 END
         |    AS BIGINT) AS n_bytes,
         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
         |      list_transform(range(1, length(text) + 1),

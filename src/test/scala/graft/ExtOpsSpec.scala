@@ -137,4 +137,92 @@ class ExtOpsSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.sliding("Exchange".length).count(_ == "Exchange") === 1)
   }
+
+  test("resampleFfill: grid spans first..last bucket, latest-in-bucket wins, gaps fill forward") {
+    val hour = 3600L * 1000000L
+    val t0 = 1700000000L * 1000000L // µs
+    val rows = Seq(
+      // user 1: two obs in bucket 0 (later ts wins), then a 3-bucket
+      // jump — buckets 1 and 2 must exist and carry 2.0 forward
+      (1L, t0 + 10 * 60 * 1000000L, 1.0, 101L),
+      (1L, t0 + 40 * 60 * 1000000L, 2.0, 102L),
+      (1L, t0 + 3 * hour + 30 * 60 * 1000000L, 9.0, 103L),
+      // user 2: same-ts tie inside one bucket — larger event_id wins
+      (2L, t0, 5.0, 201L),
+      (2L, t0, 6.0, 202L))
+      .toDF("user_id", "ts_us", "value", "event_id")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val got = graft.ext.Resample
+      .resampleFfill(rows, "user_id", "ts", "value", "event_id", hour)
+      .select(col("user_id"), unix_micros(col("bucket_start")), col("value_ffill"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b0 = t0 / hour * hour
+    assert(got === Set(
+      (1L, b0, 2.0), (1L, b0 + hour, 2.0), (1L, b0 + 2 * hour, 2.0),
+      (1L, b0 + 3 * hour, 9.0),
+      (2L, b0, 6.0)))
+  }
+
+  test("Fuzzy.selfPairs: in-block pairs within distance; cross-prefix pairs excluded by contract") {
+    val names = Seq("small ring", "small ding", "smell ring", "big bolt",
+      "small rings", "xsmall ring").toDF("p_name")
+    val got = graft.ext.Fuzzy.selfPairs(names, "p_name", 2, 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // "xsmall ring" is 1 edit from "small ring" but blocks under "xs" —
+    // out of scope by the blocking contract, not a bug
+    assert(!got.exists(p => p._1 == "small ring" && p._2 == "xsmall ring"))
+    assert(got.contains(("small ding", "small ring", 1)))
+    assert(got.contains(("small ring", "smell ring", 1)))
+    assert(got.contains(("small ring", "small rings", 1)))
+    // every reported distance is the true Levenshtein ≤ 3, pairs ordered
+    got.foreach { case (a, b, dd) => assert(a < b && dd >= 1 && dd <= 3) }
+  }
+
+  test("labelPropagation: barbell graph splits into its two triangles") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (11L, 12L), (12L, 13L), (11L, 13L), (3L, 11L))
+      .toDF("a", "b")
+    val got = graft.ext.Graph.labelPropagation(edges, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      11L -> 11L, 12L -> 11L, 13L -> 11L))
+    // 0 rounds = identity labels
+    val id0 = graft.ext.Graph.labelPropagation(edges, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(id0.forall { case (i, c) => i == c } && id0.length == 6)
+  }
+
+  test("VideoHeaders parses the fixture's ISO-BMFF boxes and a version-1 mvhd") {
+    val docs = Seq((0L, "hello world")).toDF("doc_id", "text")
+    val media = Multimodal.videoTable(docs, "doc_id", "text")
+      .select("media").head().getAs[Array[Byte]](0)
+    val p = graft.ext.VideoHeaders.parseMp4(media)
+    assert(p.exists(v => v.brand == "isom" && v.timescale == 600 &&
+      v.durationTicks == 1100L && v.nextTrackId == 2 &&
+      v.dataLen == 11L && v.headerLen == 144))
+    // version-1 mvhd (64-bit times/duration): hand-assembled
+    val bb = java.nio.ByteBuffer.allocate(20 + 8 + 120 + 8 + 4)
+    bb.putInt(20).put("ftypisom".getBytes("US-ASCII")).putInt(0)
+      .put("mp41".getBytes("US-ASCII"))
+    bb.putInt(128).put("moov".getBytes("US-ASCII"))
+    bb.putInt(120).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0x01000000)        // version 1
+      .putLong(0L).putLong(0L)   // creation, modification (u64)
+      .putInt(1000)              // timescale
+      .putLong(98765L)           // duration (u64)
+      .putInt(0x00010000).putInt(0x01000000) // rate, volume+reserved
+      .putLong(0L)               // 8 reserved
+    (0 until 9).foreach(i => bb.putInt(
+      if (i == 0 || i == 4) 0x00010000 else if (i == 8) 0x40000000 else 0))
+    (0 until 6).foreach(_ => bb.putInt(0))
+    bb.putInt(7) // next_track_ID
+    bb.putInt(12).put("mdat".getBytes("US-ASCII")).putInt(42)
+    val v1 = graft.ext.VideoHeaders.parseMp4(bb.array())
+    assert(v1.exists(v => v.timescale == 1000 && v.durationTicks == 98765L &&
+      v.nextTrackId == 7 && v.dataLen == 4L))
+    // malformed inputs: no ftyp, empty, truncated mid-box
+    assert(graft.ext.VideoHeaders.parseMp4("0000nope".getBytes).isEmpty)
+    assert(graft.ext.VideoHeaders.parseMp4(Array[Byte]()).isEmpty)
+    assert(graft.ext.VideoHeaders.parseMp4(media.take(100)).isEmpty)
+  }
 }

@@ -60,4 +60,38 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sketches.countMin(stream, "term", 4, 0))
   }
+
+  private val keyed = (1 to 500).map(k =>
+    (if (k % 2 == 0) "even" else "odd", s"user_$k"))
+    .toDF("grp", "key")
+
+  test("hllRegisters: duplicate keys never move a register (set semantics)") {
+    val once = Sketches.hllRegisters(keyed, "grp", "key", 64)
+    val thrice = Sketches.hllRegisters(
+      keyed.union(keyed).union(keyed), "grp", "key", 64)
+    assert(once.collect().toSet === thrice.collect().toSet)
+  }
+
+  test("hllRegisters: union of sketches = element-wise max (mergeability)") {
+    val h1 = keyed.filter(col("key").substr(6, 10).cast("int") <= 250)
+    val h2 = keyed.filter(col("key").substr(6, 10).cast("int") > 250)
+    val merged = Sketches.hllRegisters(h1, "grp", "key", 64)
+      .union(Sketches.hllRegisters(h2, "grp", "key", 64))
+      .groupBy("grp", "bucket").agg(max("register").as("register"))
+    val whole = Sketches.hllRegisters(keyed, "grp", "key", 64)
+    assert(merged.collect().toSet === whole.collect().toSet)
+  }
+
+  test("hllRegisters: registers bounded by the hash geometry") {
+    val regs = Sketches.hllRegisters(keyed, "grp", "key", 64)
+      .as[(String, Int, Int)].collect()
+    regs.foreach { case (_, b, r) =>
+      assert(b >= 0 && b < 64, s"bucket $b out of range")
+      assert(r >= 1 && r <= 55, s"register $r out of [1,55]")
+    }
+    // 250 keys into 64 buckets: expect most buckets populated per group
+    assert(regs.count(_._1 == "even") > 40)
+    intercept[IllegalArgumentException](
+      Sketches.hllRegisters(keyed, "grp", "key", 63)) // not a power of two
+  }
 }
