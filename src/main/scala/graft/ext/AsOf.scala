@@ -126,4 +126,39 @@ object AsOf {
     bounded.select(left.columns.toSeq.map(col) ++
       carried.map(c => col(s"_asof.$c").as(s"$prefix$c")): _*)
   }
+
+  /** Nearest-in-time as-of join — backward and forward composed:
+    * each left row takes whichever qualifying right row is CLOSER in
+    * time, the backward match winning exact-distance ties (the
+    * "attribute to what already happened" convention). Within each
+    * direction the tie law is the directional joins' own
+    * (struct-greatest payload at equal timestamps), so this operator
+    * inherits their determinism wholesale.
+    *
+    * Needs `idCol`, a UNIQUE left row id (caller contract — e.g. an
+    * event id): the two directional passes run over the same left
+    * frame and re-meet on it. Shape at 100 TB: two union+window
+    * passes (each one exchange on `keys`) plus one equi-join on the
+    * id — still no range explosion, still no cartesian.
+    */
+  def joinNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  idCol: String, leftTs: String, rightTs: String,
+                  payload: Seq[String], prefix: String = "asof_",
+                  toleranceUs: Option[Long] = None): DataFrame = {
+    val carried = (rightTs +: payload.filterNot(_ == rightTs)).distinct
+    val b = joinBackward(left, right, keys, leftTs, rightTs, payload,
+      "_nb_", toleranceUs)
+    val f = joinForward(left, right, keys, leftTs, rightTs, payload,
+      "_nf_", toleranceUs)
+      .select((idCol +: carried.map(c => s"_nf_$c")).map(col): _*)
+    val gapB = unix_micros(col(leftTs)) - unix_micros(col(s"_nb_$rightTs"))
+    val gapF = unix_micros(col(s"_nf_$rightTs")) - unix_micros(col(leftTs))
+    val useB = col(s"_nb_$rightTs").isNotNull &&
+      (col(s"_nf_$rightTs").isNull || gapB <= gapF)
+    b.join(f, Seq(idCol))
+      .select(left.columns.toSeq.map(col) ++
+        carried.map(c =>
+          when(useB, col(s"_nb_$c")).otherwise(col(s"_nf_$c"))
+            .as(s"$prefix$c")): _*)
+  }
 }

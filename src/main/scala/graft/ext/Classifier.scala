@@ -53,4 +53,39 @@ object Classifier {
         score.as("score") :+
         (score >= lit(threshold)).as("keep"): _*)
   }
+
+  /** Percentile-rank normalization of a score column — the step between
+    * raw classifier scores and a portable "keep the top X%" policy:
+    * raw score scales drift with every retrain, but the score's RANK
+    * within its stratum doesn't, so curation thresholds are expressed
+    * in percentile space. pr_ppm = (rank − 1)·10⁶ div (n − 1), pure
+    * integer over a deterministic total order (score, then id as the
+    * tie-break), 0 for singleton strata — no IEEE division to disagree
+    * about.
+    *
+    * Shape at 100 TB: one window per stratum (rank + count share the
+    * same partitioning — a single exchange). Ranking is the inherently
+    * global-per-stratum operation; partitioning by stratum
+    * (language/source) keeps each sort machine-local. For a truly
+    * unsplittable stratum the approx-percentile cutoff (q65) is the
+    * sketch-side alternative; THIS operator is the exact path.
+    */
+  def percentileNormalize(scored: DataFrame, idCol: String,
+                          scoreCol: String,
+                          partitionCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    for (r <- Seq("rank", "n", "pr_ppm"))
+      require(!scored.columns.contains(r),
+        s"input must not contain reserved column $r")
+    val part = partitionCols.map(col)
+    val w = Window.partitionBy(part: _*)
+      .orderBy(col(scoreCol), col(idCol))
+    val wAll = Window.partitionBy(part: _*)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("pr_ppm",
+        when(col("n") === 1, lit(0L))
+          .otherwise(expr("(rank - 1) * 1000000 div (n - 1)")))
+  }
 }

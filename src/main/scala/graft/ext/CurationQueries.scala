@@ -14,6 +14,7 @@ object CurationQueries {
 
   // Fixed parameters shared by the Spark defs and the oracle SQL.
   private val SampleSalt = "s6"
+  private val NearTolUs = 3600L * 1000000L // q119: ±1 h nearest window
   private val SampleRates = Seq("en" -> 0.5, "zh" -> 0.25, "de" -> 1.0)
   private val DefaultRate = 0.75
   private val QualityMin = 0.55
@@ -129,6 +130,23 @@ object CurationQueries {
           .select(col("id") +: ClsFeatures.map(col): _*),
         "id", ClsFeatures, ClsWeights, ClsBias, ClsThreshold)),
 
+    // Percentile-rank normalization of the q102 scores per language —
+    // raw score scales drift with retrains; "keep the top X%" is the
+    // portable policy. Integer ppm over a (score, id) total order.
+    "q118_score_percentile" -> ((s, d) => {
+      val scored = Classifier.scoreLinear(
+        TextStats.profile(Tables.documents(s, d), "doc_id", "text")
+          .select(col("id") +: ClsFeatures.map(col): _*),
+        "id", ClsFeatures, ClsWeights, ClsBias, ClsThreshold)
+        .select(col("id"), col("score"))
+      val withLang = scored.join(
+        Tables.documents(s, d).select(col("doc_id").as("id"), col("lang")),
+        Seq("id"))
+      Classifier.percentileNormalize(withLang, "id", "score", Seq("lang"))
+        .select(col("id"), col("lang"), col("score"),
+          col("rank"), col("n"), col("pr_ppm"))
+    }),
+
     // Per-language deterministic downsample (en 0.5, zh 0.25, de 1.0,
     // default 0.75).
     "q48_stratified_sample" -> ((s, d) =>
@@ -146,6 +164,20 @@ object CurationQueries {
         ev.filter(col("event_type") === "click")
           .select(col("event_id"), col("user_id"), col("ts"), col("value")),
         Seq("user_id"), "ts", "ts", Seq("event_id", "value"), "click_")
+    }),
+
+    // Nearest-in-time as-of join (±1 h): backward ∘ forward, closer
+    // side wins, backward takes exact-distance ties — attribution when
+    // the direction is unknown.
+    "q119_asof_nearest" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      AsOf.joinNearest(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        Seq("user_id"), "event_id", "ts", "ts", Seq("event_id", "value"),
+        "near_", Some(NearTolUs))
     }),
 
     // End-to-end curation pipeline — the operators composed the way a
@@ -363,6 +395,53 @@ object CurationQueries {
       |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
       |SELECT event_id, user_id, ts, value, click_ts, click_event_id, click_value
       |FROM j WHERE rk = 1""".stripMargin
+
+  /** q119 twin: backward and forward candidates each resolved by the
+    * directional tie law (latest/earliest ts, then max event_id —
+    * the struct-greatest convention of the as-of kernel), tolerance
+    * bounded, then nearest-wins with the backward match taking
+    * exact-distance ties.
+    */
+  private val asofNearestSql =
+    s"""WITH c AS (
+       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+       |  FROM events WHERE event_type = 'click'),
+       |p AS (
+       |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+       |  FROM events WHERE event_type = 'purchase'),
+       |b AS (
+       |  SELECT * FROM (
+       |    SELECT p.event_id AS pid, c.ts AS cts, c.event_id AS cid,
+       |      c.value AS cval,
+       |      row_number() OVER (PARTITION BY p.event_id
+       |        ORDER BY c.ts DESC, c.event_id DESC) AS rk
+       |    FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+       |      AND epoch_us(p.ts) - epoch_us(c.ts) <= $NearTolUs)
+       |  WHERE rk = 1),
+       |f AS (
+       |  SELECT * FROM (
+       |    SELECT p.event_id AS pid, c.ts AS cts, c.event_id AS cid,
+       |      c.value AS cval,
+       |      row_number() OVER (PARTITION BY p.event_id
+       |        ORDER BY c.ts ASC, c.event_id DESC) AS rk
+       |    FROM p JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts
+       |      AND epoch_us(c.ts) - epoch_us(p.ts) <= $NearTolUs)
+       |  WHERE rk = 1)
+       |SELECT p.event_id, p.user_id, p.ts, p.value,
+       |  CASE WHEN b.cid IS NOT NULL AND (f.cid IS NULL OR
+       |      epoch_us(p.ts) - epoch_us(b.cts)
+       |        <= epoch_us(f.cts) - epoch_us(p.ts))
+       |    THEN b.cts ELSE f.cts END AS near_ts,
+       |  CASE WHEN b.cid IS NOT NULL AND (f.cid IS NULL OR
+       |      epoch_us(p.ts) - epoch_us(b.cts)
+       |        <= epoch_us(f.cts) - epoch_us(p.ts))
+       |    THEN b.cid ELSE f.cid END AS near_event_id,
+       |  CASE WHEN b.cid IS NOT NULL AND (f.cid IS NULL OR
+       |      epoch_us(p.ts) - epoch_us(b.cts)
+       |        <= epoch_us(f.cts) - epoch_us(p.ts))
+       |    THEN b.cval ELSE f.cval END AS near_value
+       |FROM p LEFT JOIN b ON b.pid = p.event_id
+       |LEFT JOIN f ON f.pid = p.event_id""".stripMargin
 
   /** Pipeline twin: dedup keep-set CTE, TextStats oracle (shared with
     * q27, parameterized over the kept subset), quality + hash-sample
@@ -586,13 +665,32 @@ object CurationQueries {
        |FROM prof""".stripMargin
   }
 
+  /** q118 twin: the q102 score recompute wrapped in the rank/percentile
+    * windows — row_number over (score, id) per language, integer ppm.
+    */
+  private val scorePercentileSql =
+    s"""WITH s AS ($qualityClassifierSql),
+       |d AS (SELECT s.id, doc.lang, s.score
+       |      FROM s JOIN documents doc ON s.id = doc.doc_id),
+       |r AS (SELECT id, lang, score,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY score, id) AS BIGINT) AS rank,
+       |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+       |  FROM d)
+       |SELECT id, lang, score, rank, n,
+       |  CAST(CASE WHEN n = 1 THEN 0
+       |    ELSE (rank - 1) * 1000000 // (n - 1) END AS BIGINT) AS pr_ppm
+       |FROM r""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q102_quality_classifier" -> qualityClassifierSql,
+    "q118_score_percentile" -> scorePercentileSql,
     "q46_dedup_clusters" -> dedupClustersSql,
     "q58_dedup_clusters_all" -> dedupClustersAllSql,
     "q47_pii_redact" -> piiRedactSql,
     "q48_stratified_sample" -> stratifiedSampleSql,
     "q49_asof_join" -> asofJoinSql,
+    "q119_asof_nearest" -> asofNearestSql,
     "q51_curation_pipeline" -> curationPipelineSql,
     "q52_pack_shards" -> packShardsSql,
     "q55_decontaminate" -> decontaminateSql,

@@ -332,4 +332,33 @@ object Dedup {
       .select(col("cluster_id"), col("id").as("survivor_id"),
         col(scoreCol), col("n_members"))
   }
+
+  /** Windowed keep-first deduplication — "at most one row per key per
+    * time window, the EARLIEST wins": the recrawl/rate-limit dedup
+    * (same page fetched daily, same user action retried) that exact
+    * dedup (q22, content-global) and streaming dedup (q79,
+    * watermark-scoped) both miss: here the horizon is a fixed
+    * CALENDAR window, batch-computable over all of history.
+    *
+    * Shape at 100 TB: windows are integer floor-division buckets of
+    * epoch micros (no calendar/timezone arithmetic), and the winner
+    * per (keys, bucket) is ONE partial-aggregable `min_by` of the full
+    * row over the (ts, tie) order — each input partition collapses to
+    * ≤1 row per group before the exchange. The window-function
+    * formulation (row_number = 1) would shuffle every row and sort;
+    * this shuffles only group winners. Same law, an exchange of
+    * winners instead of an exchange of everything.
+    */
+  def windowedFirst(df: DataFrame, keys: Seq[String], tsCol: String,
+                    tieCol: String, windowMicros: Long): DataFrame = {
+    require(windowMicros > 0, s"windowMicros must be > 0, got $windowMicros")
+    val cols = df.columns.toSeq
+    // `div`, not `/`: IEEE division can round up across the boundary
+    val bucket = expr(s"unix_micros(`$tsCol`) div ${windowMicros}L")
+    df.withColumn("_wb", bucket)
+      .groupBy((keys :+ "_wb").map(col): _*)
+      .agg(min_by(struct(cols.map(col): _*),
+        struct(col(tsCol), col(tieCol))).as("_r"))
+      .select(cols.map(c => col(s"_r.$c")): _*)
+  }
 }

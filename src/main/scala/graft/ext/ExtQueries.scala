@@ -35,6 +35,7 @@ object ExtQueries {
   private val CmsWidth = 1024
   private val HeavyK = 50
   private val HllBuckets = 64 // m=64 → ~13% rel. error, plenty per-type
+  private val DayMicros = 86400L * 1000000L // q120: UTC-day dedup window
 
   /** LSH signature width is SCALE-ADAPTIVE: Similarity.bitsFor(N) keeps
     * expected bucket occupancy ~32 as the corpus grows (sf0.01: N=500 →
@@ -80,6 +81,13 @@ object ExtQueries {
     // copy count. One shuffle on the 128-bit key.
     "q22_dedup_exact" -> ((s, d) =>
       Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")),
+
+    // Windowed keep-first dedup: at most one event per (user, type)
+    // per UTC day, earliest (ts, event_id) wins — one partial-
+    // aggregable min_by of the full row, shuffling winners only.
+    "q120_windowed_dedup" -> ((s, d) =>
+      Dedup.windowedFirst(Tables.events(s, d),
+        Seq("user_id", "event_type"), "ts", "event_id", DayMicros)),
 
     // MinHash signatures (16 permutations over 3-gram shingles): one
     // aggregation over the exploded shingles, map-side combinable.
@@ -642,6 +650,20 @@ object ExtQueries {
     "q45_knn_ivf" -> knnIvfSql,
     "q74_lloyd_refine" -> lloydSql,
     "q75_cms_heavy_hitters" -> cmsHeavyHittersSql,
+
+    // keep-first per (user, type, UTC day): integer bucket of epoch
+    // micros, earliest (ts, event_id) wins — row_number is the oracle
+    // form of the engine's min_by
+    "q120_windowed_dedup" ->
+      """SELECT event_id, ts, user_id, event_type, value, props FROM (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |    event_type, value, props,
+        |    row_number() OVER (
+        |      PARTITION BY user_id, event_type,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin,
 
     // hash60 % m buckets; rho = leading zeros of the remaining 54-bit
     // field + 1, via bin() string length (identical no-leading-zeros

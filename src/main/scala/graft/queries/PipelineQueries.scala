@@ -196,6 +196,12 @@ object PipelineQueries {
     // bounded by the two-sided watermark.
     "q53_stream_join" -> ((s, d) => EventStream.attributionJoin(s, d)),
 
+    // STR — the LEFT OUTER stream-stream interval join: unmatched
+    // purchases emit null-extended once the watermark proves no
+    // qualifying click can arrive (the negative-space attribution
+    // question); sentinel reaches both watermark trackers.
+    "q117_stream_left_join" -> ((s, d) => EventStream.attributionJoinLeft(s, d)),
+
     // STR — streaming exactly-once ingestion dedup: every event arrives
     // three times (twice in one batch, once in a later batch);
     // dropDuplicatesWithinWatermark emits each exactly once from
@@ -224,7 +230,14 @@ object PipelineQueries {
     // already-processed neighbors, inside the 1-h watermark). The
     // session law is arrival-invariant up to the watermark, so the
     // same arrival-order-blind q50 oracle verifies it.
-    "q110_stream_sessions_ooo" -> ((s, d) => EventStream.sessionCountsOoo(s, d)))
+    "q110_stream_sessions_ooo" -> ((s, d) => EventStream.sessionCountsOoo(s, d)),
+
+    // STR — the spend-fold twin of the q110 disorder proof: the same
+    // SpendProcessor over the out-of-order multi-file landing dir (one
+    // file per micro-batch); the watermark-buffered fold must consume
+    // late purchases in true (ts, event_id) order to match q85's
+    // arrival-order-blind oracle.
+    "q116_stream_alerts_ooo" -> ((s, d) => EventStream.spendAlertsTwsOoo(s, d)))
 
   /** Market-cap parse fragment shared with the q18 oracle. */
   private def mcapSql(col: String): String =
@@ -242,6 +255,23 @@ object PipelineQueries {
     * MERGE — measured at the boundary, StreamingSpec), win_end =
     * last + gap.
     */
+  /** Ordered cumulative-spend recompute — the one batch law all three
+    * streaming state paths (q85/q107/q116) must converge on.
+    */
+  private val spendAlertsSql =
+    """WITH p AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(round(value * 1000000) AS BIGINT) AS lv
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, event_id, ts, lv,
+      |    CAST(sum(lv) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM p)
+      |SELECT user_id, event_id, ts, cum AS cum_micros,
+      |  CAST(cum // 500000000 AS BIGINT) AS alert_level
+      |FROM c WHERE cum // 500000000 > (cum - lv) // 500000000""".stripMargin
+
   private val streamSessionsSql =
     """WITH e AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -389,6 +419,19 @@ object PipelineQueries {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin,
 
+    // left-join semantics: the purchase filter is a WHERE (keep every
+    // purchase), the click conditions live in the ON (null-extend when
+    // no click qualifies)
+    "q117_stream_left_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  c.event_id AS click_event_id, c.ts AS click_ts,
+        |  c.value AS click_value
+        |FROM events p LEFT JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click'
+        | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |WHERE p.event_type = 'purchase'""".stripMargin,
+
     // exactly-once dedup of an at-least-once delivery IS the original
     // table: the triple-delivery fixture contains only exact duplicates
     "q79_stream_dedup" ->
@@ -399,35 +442,13 @@ object PipelineQueries {
     // the ordered cumulative-sum recompute of the state fold: spend in
     // exact micro-units, alert row iff the running total crosses a
     // $500 multiple (500e6 micros); all-positive values, so // and the
-    // engine's integral division agree
-    // same law as q85 — the POINT is that both state APIs converge on it
-    "q107_stream_alerts_tws" ->
-      """WITH p AS (
-        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-        |    CAST(round(value * 1000000) AS BIGINT) AS lv
-        |  FROM events WHERE event_type = 'purchase'),
-        |c AS (
-        |  SELECT user_id, event_id, ts, lv,
-        |    CAST(sum(lv) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-        |  FROM p)
-        |SELECT user_id, event_id, ts, cum AS cum_micros,
-        |  CAST(cum // 500000000 AS BIGINT) AS alert_level
-        |FROM c WHERE cum // 500000000 > (cum - lv) // 500000000""".stripMargin,
-
-    "q85_stream_alerts" ->
-      """WITH p AS (
-        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-        |    CAST(round(value * 1000000) AS BIGINT) AS lv
-        |  FROM events WHERE event_type = 'purchase'),
-        |c AS (
-        |  SELECT user_id, event_id, ts, lv,
-        |    CAST(sum(lv) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-        |  FROM p)
-        |SELECT user_id, event_id, ts, cum AS cum_micros,
-        |  CAST(cum // 500000000 AS BIGINT) AS alert_level
-        |FROM c WHERE cum // 500000000 > (cum - lv) // 500000000""".stripMargin,
+    // engine's integral division agree. Shared by DESIGN across q85
+    // (flatMapGroupsWithState), q107 (transformWithState) and q116
+    // (the same processor under cross-batch out-of-order arrival) —
+    // all three state paths must converge on the one batch law.
+    "q107_stream_alerts_tws" -> spendAlertsSql,
+    "q85_stream_alerts" -> spendAlertsSql,
+    "q116_stream_alerts_ooo" -> spendAlertsSql,
 
     // q42's law-recompute pattern for the audio container: channels /
     // rate / bit depth / data length the Column-built RIFF headers

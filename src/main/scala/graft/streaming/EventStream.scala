@@ -653,15 +653,37 @@ object EventStream {
     * executor heap.
     */
   def spendAlertsTws(s: SparkSession, dir: String,
-                     thresholdMicros: Long = 500L * 1000000L): DataFrame = {
+                     thresholdMicros: Long = 500L * 1000000L): DataFrame =
+    runSpendStream(s, stageWithSentinel(s, dir),
+      s"stream_tws_${dirTag(dir)}", thresholdMicros,
+      maxFilesPerTrigger = None)
+
+  /** The cross-batch-disorder proof for the SPEND fold (q116, the
+    * alert twin of q110): [[SpendProcessor]] over the out-of-order
+    * multi-file landing dir, one file per micro-batch — held-back
+    * purchases arrive up to 30 minutes later than already-folded
+    * neighbors, and the watermark-buffered fold must still consume
+    * them in true (ts, event_id) order for the alerts to match the
+    * arrival-order-blind batch oracle (q85's, shared verbatim).
+    */
+  def spendAlertsTwsOoo(s: SparkSession, dir: String,
+                        thresholdMicros: Long = 500L * 1000000L): DataFrame =
+    runSpendStream(s, stageOutOfOrder(s, dir),
+      s"stream_tws_ooo_${dirTag(dir)}", thresholdMicros,
+      maxFilesPerTrigger = Some(1))
+
+  /** The SpendProcessor pipeline over an already-staged landing dir
+    * (same shape as [[runSessionStream]]).
+    */
+  private[graft] def runSpendStream(s: SparkSession, staged: String,
+                                    sinkTag: String, thresholdMicros: Long,
+                                    maxFilesPerTrigger: Option[Int]): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     require(thresholdMicros > 0,
       s"thresholdMicros must be > 0, got $thresholdMicros")
-    val staged = stageWithSentinel(s, dir)
-    val tag = dirTag(dir) // basename + path hash (sink-collision guard)
-    val sinkDir = Sinks.tmpPath(s"stream_tws_$tag")
-    val ckptDir = Sinks.tmpPath(s"stream_tws_ckpt_$tag")
+    val sinkDir = Sinks.tmpPath(s"${sinkTag}_sink")
+    val ckptDir = Sinks.tmpPath(s"${sinkTag}_ckpt")
     Sinks.deleteRecursively(sinkDir)
     Sinks.deleteRecursively(ckptDir)
 
@@ -677,7 +699,9 @@ object EventStream {
       // purchases, leaving their alerts buffered forever. The
       // sentinel's lv is 0 and its ts stays above the final watermark,
       // so it never folds and never emits.
-      val typed = s.readStream.schema(eventsSchema)
+      val reader = s.readStream.schema(eventsSchema)
+      maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+      val typed = reader
         .parquet(staged)
         .filter(col("event_type") === "purchase" || col("user_id") < 0)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -889,5 +913,59 @@ object EventStream {
       .start()
     q.awaitTermination()
     s.read.parquet(sinkDir)
+  }
+
+  /** Stream-stream LEFT OUTER interval join — the attribution join
+    * (q53) keeping UNMATCHED purchases as null-click rows: "which
+    * purchases had no preceding click" is the negative-space question
+    * the inner join can't answer. Outer stream-stream joins are the
+    * harder semantics: a match can emit immediately, but an UNMATCHED
+    * left row only becomes provably unmatched once the watermark
+    * passes the end of its match interval (no qualifying click can
+    * arrive anymore) — Spark holds the row in join state until then
+    * and emits it null-extended, state still evicted by the two-sided
+    * watermark, O(1 interval of events) forever.
+    *
+    * The flush sentinel must reach BOTH sides' watermark trackers
+    * (`user_id < 0` escape in each filter — the q107 lesson: a
+    * predicate excluding it pushes below the EventTimeWatermark node
+    * and the final watermark stalls one delay short, holding every
+    * trailing unmatched row hostage). The sentinel's self-join row is
+    * dropped by the read-back filter.
+    */
+  def attributionJoinLeft(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageWithSentinel(s, dir)
+    val tag = dirTag(dir) // basename + path hash (sink-collision guard)
+    val sinkDir = Sinks.tmpPath(s"stream_attrl_$tag")
+    val ckptDir = Sinks.tmpPath(s"stream_attrl_ckpt_$tag")
+    Sinks.deleteRecursively(sinkDir)
+    Sinks.deleteRecursively(ckptDir)
+    val ev = s.readStream.schema(eventsSchema).parquet(staged)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val purchases = ev
+      .filter(col("event_type") === "purchase" || col("user_id") < 0)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", "1 hour")
+    val clicks = ev
+      .filter(col("event_type") === "click" || col("user_id") < 0)
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_event_id"), col("value").as("click_value"))
+      .withWatermark("click_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      expr("""user_id = c_user_id AND
+              click_ts BETWEEN ts - INTERVAL 1 HOUR AND ts"""),
+      "left_outer")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("click_event_id"), col("click_ts"), col("click_value"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        Sinks.appendRawZone(batch, sinkDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(sinkDir).filter(col("user_id") >= 0)
   }
 }

@@ -192,6 +192,50 @@ class ExtOpsSpec extends SparkSpec {
     assert(id0.forall { case (i, c) => i == c } && id0.length == 6)
   }
 
+  test("AsOf.joinNearest: closer side wins, backward takes exact ties, tolerance excludes") {
+    val mkTs = (min: Long) => new Timestamp(1700000000000L + min * 60000L)
+    val left = Seq(
+      (10L, 1L, mkTs(60), 1.0),  // clicks at +50 (b, gap 10) and +65 (f, gap 5) → forward
+      (11L, 2L, mkTs(60), 1.0),  // clicks at +50 and +70 → equidistant → backward
+      (12L, 3L, mkTs(60), 1.0),  // only click at +200 → outside ±1 h tolerance → null
+      (13L, 4L, mkTs(60), 1.0))  // no clicks at all → null
+      .toDF("event_id", "user_id", "ts", "value")
+    val right = Seq(
+      (101L, 1L, mkTs(50), 2.0), (102L, 1L, mkTs(65), 3.0),
+      (103L, 2L, mkTs(50), 4.0), (104L, 2L, mkTs(70), 5.0),
+      (105L, 3L, mkTs(200), 6.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = graft.ext.AsOf.joinNearest(left, right, Seq("user_id"),
+        "event_id", "ts", "ts", Seq("event_id", "value"), "near_",
+        Some(3600L * 1000000L))
+      .select(col("event_id"), col("near_event_id"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(10L -> 102L, 11L -> 103L, 12L -> -1L, 13L -> -1L))
+  }
+
+  test("Dedup.windowedFirst: earliest per key per window survives; buckets split exactly") {
+    val day = 86400L * 1000000L
+    val rows = Seq(
+      // same user+type, same UTC day: earliest ts wins
+      (1L, day * 100 + 5000L, 7L, "view", 1.0),
+      (2L, day * 100 + 9000L, 7L, "view", 1.0),
+      // same-ts tie inside the day: smaller event_id wins
+      (3L, day * 101 + 42L, 7L, "view", 1.0),
+      (4L, day * 101 + 42L, 7L, "view", 1.0),
+      // one µs before midnight vs midnight: DIFFERENT buckets, both kept
+      (5L, day * 103 - 1L, 7L, "view", 1.0),
+      (6L, day * 103, 7L, "view", 1.0),
+      // different type same day: untouched
+      (7L, day * 100 + 1L, 7L, "click", 1.0))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val kept = graft.ext.Dedup.windowedFirst(rows,
+        Seq("user_id", "event_type"), "ts", "event_id", day)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 5L, 6L, 7L))
+  }
+
   test("VideoHeaders parses the fixture's ISO-BMFF boxes and a version-1 mvhd") {
     val docs = Seq((0L, "hello world")).toDF("doc_id", "text")
     val media = Multimodal.videoTable(docs, "doc_id", "text")

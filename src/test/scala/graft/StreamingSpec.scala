@@ -208,6 +208,40 @@ class StreamingSpec extends SparkSpec {
     assert(ooo === sw)
   }
 
+  test("SpendProcessor: a cross-batch late purchase folds in event-time order") {
+    // file 1: user 1 spends 300 at +0 and 300 at +100 min; file 2
+    // delivers a LATE 250 at +45 min (admissible: watermark after
+    // batch 1 is +40 min). True ts-order cumulative: 300, 550, 850 —
+    // the $500 crossing belongs to the +45 min event (cum 550). An
+    // arrival-order fold would misattribute it to the +100 min event
+    // (cum 600) and then absorb the late 250 silently.
+    val m = 60L * 1000000000L
+    val staged = stagedMultiFileDir(Seq(
+      Seq((1L, t0, 1L, "purchase", 300.0),
+        (2L, t0 + 100 * m, 1L, "purchase", 300.0)),
+      Seq((3L, t0 + 45 * m, 1L, "purchase", 250.0)),
+      Seq((9L, t0 + 280 * m, -1L, "flush", 0.0)))) // sentinel
+    val got = EventStream.runSpendStream(spark, staged,
+        "spec_spend_ooo", 500L * 1000000L, maxFilesPerTrigger = Some(1))
+      .select(col("user_id"), col("event_id"), col("cum_micros"),
+        col("alert_level"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === Set((1L, 3L, 550000000L, 1L)))
+  }
+
+  test("attributionJoinLeft: unmatched purchases emit null-extended") {
+    val dir = landingDir(Seq(
+      (1L, t0, 1L, "click", 1.0),             // 30 min before purchase — in
+      (2L, t0 + H / 2, 1L, "purchase", 9.0),
+      (3L, t0, 2L, "purchase", 7.0)))         // user 2: no clicks at all
+    val got = EventStream.attributionJoinLeft(spark, dir)
+      .select(col("event_id"), col("click_event_id"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got === Set((2L, 1L), (3L, -1L)))
+  }
+
   test("spendAlertsTws: transformWithState emits the identical alert set") {
     // the differential contract behind q85/q107 sharing one oracle:
     // both arbitrary-state APIs fold the same law to the same rows
