@@ -63,4 +63,38 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop(BinCol)
   }
+
+  /** Interval × interval OVERLAP join — emits one row per pair of
+    * half-open intervals with `lLo < rHi AND rLo < lHi` (the shape
+    * behind "which sessions were active during which incidents").
+    * Both sides explode into their covered bins and equi-join on the
+    * bin; since an overlapping pair can share MANY bins, the pair is
+    * kept only in its FIRST shared bin — `bin == max(lLo, rLo) div
+    * binWidth`, which for overlapping intervals both sides provably
+    * cover — so each pair arises exactly once WITHOUT a distinct
+    * (dedup would re-shuffle the whole candidate set; the first-bin
+    * guard is a free map-side filter). Same non-negative-domain and
+    * disjoint-column contract as [[binnedIntervalJoin]]; fan-out per
+    * interval is ⌈L/binWidth⌉+1, so size binWidth ≈ typical interval
+    * length.
+    */
+  def binnedOverlapJoin(left: DataFrame, lLo: String, lHi: String,
+                        right: DataFrame, rLo: String, rHi: String,
+                        binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"left/right column names must be disjoint; shared: $shared")
+    require(!(left.columns ++ right.columns).contains(BinCol),
+      s"$BinCol is reserved by binnedOverlapJoin")
+    def binned(df: DataFrame, lo: String, hi: String) = df
+      .filter(col(lo) < col(hi))
+      .withColumn(BinCol, explode(sequence(
+        expr(s"`$lo` div ${binWidth}L"),
+        expr(s"(`$hi` - 1L) div ${binWidth}L"))))
+    binned(left, lLo, lHi).join(binned(right, rLo, rHi), BinCol)
+      .filter(col(lLo) < col(rHi) && col(rLo) < col(lHi) &&
+        col(BinCol) === expr(s"greatest(`$lLo`, `$rLo`) div ${binWidth}L"))
+      .drop(BinCol)
+  }
 }

@@ -162,7 +162,27 @@ object AnalyticsQueries {
     "q111_resample_ffill" -> ((s, d) =>
       Resample.resampleFfill(
         Tables.events(s, d).filter(col("event_type") === "purchase"),
-        "user_id", "ts", "value", "event_id", ResampleStepMicros)))
+        "user_id", "ts", "value", "event_id", ResampleStepMicros)),
+
+    // Interval × interval overlap join (q69's missing half): which user
+    // sessions were ACTIVE during which global incident windows —
+    // binned equi-join, pair emitted once via the first-shared-bin
+    // guard, never a nested loop and never a distinct.
+    "q122_overlap_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val sess = graft.ext.Sessions.sessionize(ev, "user_id", "ts", 30)
+        .select(col("user_id"), col("sess_seq"),
+          unix_micros(col("win_start")).as("s_lo"),
+          unix_micros(col("win_end")).as("s_hi"))
+      val inc = ev
+        .filter(col("event_type") === "error" && col("value") > IncidentValueMin)
+        .select(col("event_id").as("incident_id"),
+          unix_micros(col("ts")).as("i_lo"),
+          (unix_micros(col("ts")) + IncidentWindowMicros).as("i_hi"))
+      RangeJoin.binnedOverlapJoin(sess, "s_lo", "s_hi",
+          inc, "i_lo", "i_hi", IncidentWindowMicros)
+        .select(col("user_id"), col("sess_seq"), col("incident_id"))
+    }))
 
   val oracles: Map[String, String] = Map(
     "q68_pivot_events" -> {
@@ -246,5 +266,35 @@ object AnalyticsQueries {
          |  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
          |    ORDER BY bucket
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
-         |FROM j""".stripMargin)
+         |FROM j""".stripMargin,
+
+    // q41's gaps-and-islands sessions as half-open µs intervals,
+    // straight inequality overlap against the incident windows (the
+    // binning is the ENGINE's plan concern; the law is the overlap)
+    "q122_overlap_join" ->
+      s"""WITH e AS (
+         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+         |  FROM events),
+         |m AS (
+         |  SELECT user_id, ts, us,
+         |    CASE WHEN lag(us) OVER w IS NULL
+         |              OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, us)),
+         |s AS (
+         |  SELECT user_id, ts, us,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, us
+         |                   ROWS UNBOUNDED PRECEDING) AS sess_seq
+         |  FROM m),
+         |sess AS (
+         |  SELECT user_id, CAST(sess_seq AS INT) AS sess_seq,
+         |    min(us) AS s_lo, max(us) + 1800000000 AS s_hi
+         |  FROM s GROUP BY user_id, sess_seq),
+         |inc AS (
+         |  SELECT event_id AS incident_id,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS i_lo,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) + $IncidentWindowMicros AS i_hi
+         |  FROM events WHERE event_type = 'error' AND value > $IncidentValueMin)
+         |SELECT sess.user_id, sess.sess_seq, inc.incident_id
+         |FROM sess JOIN inc ON sess.s_lo < inc.i_hi AND inc.i_lo < sess.s_hi""".stripMargin)
 }

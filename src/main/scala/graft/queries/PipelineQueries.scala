@@ -188,6 +188,24 @@ object PipelineQueries {
         graft.ext.Multimodal.videoTable(Tables.documents(s, d), "doc_id", "text"))
         .toDF()),
 
+    // CDC MERGE apply: delete tombstones + wholesale updates + inserts
+    // in one full-outer pass (transform/Merge). The CDC batch is a
+    // deterministic mutation of orders itself: keys ≡0 (mod 10)
+    // deleted, ≡1,2,3 repriced (+1000, one IEEE add), ≡7 re-inserted
+    // under key+10⁷.
+    "q121_merge_cdc" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cdc = o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("op", lit("D"))
+        .unionByName(o.filter((col("o_orderkey") % 10).isin(1, 2, 3))
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("op", lit("U")))
+        .unionByName(o.filter(col("o_orderkey") % 10 === 7)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+          .withColumn("op", lit("I")))
+      graft.transform.Merge.applyCdc(o, cdc, Seq("o_orderkey"), "op")
+    }),
+
     // STR — streaming sessionization: session_window + watermark in
     // append mode, sentinel-flushed, exactly-once session emission.
     "q50_stream_sessions" -> ((s, d) => EventStream.sessionCounts(s, d)),
@@ -255,6 +273,32 @@ object PipelineQueries {
     * MERGE — measured at the boundary, StreamingSpec), win_end =
     * last + gap.
     */
+  /** q121 twin: the same CDC synthesis, applied with per-column CASE
+    * over a FULL JOIN (USING merges the key).
+    */
+  private val mergeCdcSql = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val picked = cols.map {
+      case "o_orderkey" => "o_orderkey" // merged by USING
+      case c => s"CASE WHEN c.op IS NOT NULL THEN c.$c ELSE t.$c END AS $c"
+    }.mkString(",\n  ")
+    s"""WITH cdc AS (
+       |  SELECT ${cols.mkString(", ")}, 'D' AS op
+       |  FROM orders WHERE o_orderkey % 10 = 0
+       |  UNION ALL
+       |  SELECT o_orderkey, o_custkey, o_orderstatus,
+       |    o_totalprice + 1000.0, o_orderdate, o_orderpriority, 'U'
+       |  FROM orders WHERE o_orderkey % 10 IN (1, 2, 3)
+       |  UNION ALL
+       |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+       |    o_totalprice, o_orderdate, o_orderpriority, 'I'
+       |  FROM orders WHERE o_orderkey % 10 = 7)
+       |SELECT $picked
+       |FROM orders t FULL JOIN cdc c USING (o_orderkey)
+       |WHERE c.op IS NULL OR c.op <> 'D'""".stripMargin
+  }
+
   /** Ordered cumulative-spend recompute — the one batch law all three
     * streaming state paths (q85/q107/q116) must converge on.
     */
@@ -399,6 +443,8 @@ object PipelineQueries {
     // contract is the strict > break (an event landing EXACTLY the
     // 30-minute width after the last one MERGES — touching windows
     // union), the same law as the batch sessionizer (q41)
+    "q121_merge_cdc" -> mergeCdcSql,
+
     "q50_stream_sessions" -> streamSessionsSql,
 
     // the law is shared BY DESIGN: session_window (q50), the

@@ -236,6 +236,43 @@ class ExtOpsSpec extends SparkSpec {
     assert(kept === Set(1L, 3L, 5L, 6L, 7L))
   }
 
+  test("Merge.applyCdc: delete removes, update replaces, insert adds, absent keys pass through") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "name", "v")
+    val cdc = Seq((2L, "b2", 22.0, "U"), (3L, "c", 30.0, "D"),
+      (9L, "new", 90.0, "I")).toDF("k", "name", "v", "op")
+    val got = graft.transform.Merge.applyCdc(target, cdc, Seq("k"), "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, "a", 10.0), (2L, "b2", 22.0), (4L, "d", 40.0),
+      (9L, "new", 90.0)))
+    // a delete for a key not in the target is a no-op, not an error
+    val delOnly = Seq((42L, "x", 0.0, "D")).toDF("k", "name", "v", "op")
+    assert(graft.transform.Merge.applyCdc(target, delOnly, Seq("k"), "op")
+      .count() === 4L)
+    // schema drift in the feed is loud, not silently reordered
+    intercept[IllegalArgumentException](graft.transform.Merge.applyCdc(
+      target, cdc.drop("v"), Seq("k"), "op"))
+  }
+
+  test("binnedOverlapJoin: one row per overlapping pair even across many shared bins; touching is no overlap") {
+    val left = Seq((1L, 0L, 1000L),     // long: spans 10 bins
+      (2L, 350L, 450L),                 // inside bin 3-4
+      (3L, 2000L, 2100L))               // touches right 4's start
+      .toDF("lid", "s_lo", "s_hi")
+    val right = Seq((10L, 500L, 520L),  // inside left 1 only
+      (11L, 0L, 990L),                  // overlaps left 1 AND left 2, 10 shared bins with 1
+      (12L, 5000L, 5100L),              // no overlap with anything
+      (13L, 2100L, 2200L))              // touches left 3's end: half-open → NO match
+      .toDF("rid", "i_lo", "i_hi")
+    val got = graft.ext.RangeJoin.binnedOverlapJoin(
+        left, "s_lo", "s_hi", right, "i_lo", "i_hi", 100L)
+      .select(col("lid"), col("rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // no duplicates despite bin-sharing, and exactly the true overlaps
+    assert(got.length === got.distinct.length)
+    assert(got.toSet === Set((1L, 10L), (1L, 11L), (2L, 11L)))
+  }
+
   test("VideoHeaders parses the fixture's ISO-BMFF boxes and a version-1 mvhd") {
     val docs = Seq((0L, "hello world")).toDF("doc_id", "text")
     val media = Multimodal.videoTable(docs, "doc_id", "text")
