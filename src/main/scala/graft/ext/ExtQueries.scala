@@ -199,7 +199,26 @@ object ExtQueries {
     // (md5-60 hash, leading zeros via binary-string length).
     "q115_hll_registers" -> ((s, d) =>
       Sketches.hllRegisters(Tables.events(s, d), "event_type", "user_id",
-        HllBuckets)))
+        HllBuckets)),
+
+    // The reason registers are STORED (q115's doc): per-day sketches
+    // fold into any window by element-wise max — here the COMPLETE
+    // 7-day rolling distinct-user sketch per day. A range-frame window
+    // would only emit buckets observed on the frame's own day; the
+    // days × daily-registers interval join keeps every bucket observed
+    // anywhere in the window, and the whole computation is
+    // sketch-sized (days × 64 registers), never event-sized.
+    "q124_hll_rolling" -> ((s, d) => {
+      val daily = Sketches.hllRegisters(
+        Tables.events(s, d).withColumn("day",
+          expr("unix_micros(ts) div 86400000000L")),
+        "day", "user_id", HllBuckets)
+      val days = daily.select(col("day").as("at_day")).distinct()
+      daily.join(days,
+          col("day").between(col("at_day") - 6, col("at_day")))
+        .groupBy(col("at_day").as("day"), col("bucket"))
+        .agg(max(col("register")).as("register"))
+    }))
 
   // ------------------------------------------------------------------
   // DuckDB oracle generation. Shared fragments mirror the Column
@@ -681,5 +700,25 @@ object ExtQueries {
          |SELECT event_type, CAST(bucket AS INT) AS bucket,
          |  CAST(max(rho) AS INT) AS register
          |FROM r GROUP BY 1, 2""".stripMargin
+    },
+
+    // daily registers + element-wise max over the 7-day RANGE frame —
+    // the merge law q115's SketchesSpec pins, applied across time
+    "q124_hll_rolling" -> {
+      val rhoMax = 60 - 6 + 1
+      s"""WITH h AS (
+         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         |    ${hash60Sql("'hll_' || CAST(user_id AS VARCHAR)")} AS hv
+         |  FROM events),
+         |r AS (SELECT day, hv % 64 AS bucket,
+         |  CASE WHEN hv // 64 = 0 THEN $rhoMax
+         |    ELSE $rhoMax - length(bin(hv // 64)) END AS rho
+         |  FROM h),
+         |d AS (SELECT day, bucket, max(rho) AS reg FROM r GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT day AS at_day FROM d)
+         |SELECT CAST(at_day AS BIGINT) AS day, CAST(bucket AS INT) AS bucket,
+         |  CAST(max(reg) AS INT) AS register
+         |FROM d JOIN days ON d.day BETWEEN at_day - 6 AND at_day
+         |GROUP BY 1, 2""".stripMargin
     })
 }

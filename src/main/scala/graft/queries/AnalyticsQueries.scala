@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.ext.{BloomBits, Bloom, Chunking, RangeJoin, Resample, TextHash}
+import graft.ext.{BloomBits, Bloom, Chunking, RangeJoin, Regression, Resample, TextHash}
 import graft.functions.Functions.collapseWs
 
 /** Analytics query pack, round 8 widening: the operator families still
@@ -33,6 +33,7 @@ object AnalyticsQueries {
   private val ZBoxPartLo = 100; private val ZBoxPartHi = 299
   private val ZBoxSuppLo = 5; private val ZBoxSuppHi = 49
   private val ResampleStepMicros = 6L * 3600L * 1000000L // 6-hour grid
+  private val EpochHour2024 = 473352L // 2024-01-01T00Z in epoch hours
 
   /** Order-independent exact double sum (see RelationalQueries). */
   private def sumd(c: Column): Column =
@@ -182,7 +183,18 @@ object AnalyticsQueries {
       RangeJoin.binnedOverlapJoin(sess, "s_lo", "s_hi",
           inc, "i_lo", "i_hi", IncidentWindowMicros)
         .select(col("user_id"), col("sess_seq"), col("incident_id"))
-    }))
+    }),
+
+    // Group-wise OLS trend (ext/Regression): value drift per event
+    // type over the month, x = hours since 2024-01-01, y = value in
+    // ppm — five integer moments in one partial-aggregable pass,
+    // sign-corrected integer-ppm slope.
+    "q123_group_regression" -> ((s, d) =>
+      Regression.groupOls(
+        Tables.events(s, d).select(col("event_type"),
+          expr(s"unix_micros(ts) div 3600000000L - $EpochHour2024").as("x"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("y")),
+        "event_type", "x", "y")))
 
   val oracles: Map[String, String] = Map(
     "q68_pivot_events" -> {
@@ -296,5 +308,37 @@ object AnalyticsQueries {
          |    epoch_us(CAST(ts AS TIMESTAMP)) + $IncidentWindowMicros AS i_hi
          |  FROM events WHERE event_type = 'error' AND value > $IncidentValueMin)
          |SELECT sess.user_id, sess.sess_seq, inc.incident_id
-         |FROM sess JOIN inc ON sess.s_lo < inc.i_hi AND inc.i_lo < sess.s_hi""".stripMargin)
+         |FROM sess JOIN inc ON sess.s_lo < inc.i_hi AND inc.i_lo < sess.s_hi""".stripMargin,
+
+    // same integer moments, HUGEINT final arithmetic, sign-corrected
+    // // so truncation direction matches Spark's div on negatives
+    "q123_group_regression" ->
+      s"""WITH e AS (
+         |  SELECT event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 - $EpochHour2024 AS x,
+         |    CAST(round(value * 1000000) AS BIGINT) AS y
+         |  FROM events),
+         |a AS (
+         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy
+         |  FROM e GROUP BY 1)
+         |SELECT event_type, n,
+         |  sx * 1000000 // n AS x_mean_ppm,
+         |  sy * 1000000 // n AS y_mean_ppm,
+         |  CASE
+         |    WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+         |      THEN NULL
+         |    WHEN CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy < 0
+         |    THEN -CAST((-(CAST(n AS HUGEINT) * sxy
+         |                  - CAST(sx AS HUGEINT) * sy) * 1000000)
+         |      // (CAST(n AS HUGEINT) * sxx
+         |         - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+         |    ELSE CAST(((CAST(n AS HUGEINT) * sxy
+         |                - CAST(sx AS HUGEINT) * sy) * 1000000)
+         |      // (CAST(n AS HUGEINT) * sxx
+         |         - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+         |  END AS slope_ppm
+         |FROM a""".stripMargin)
 }

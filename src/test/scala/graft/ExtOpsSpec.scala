@@ -273,6 +273,24 @@ class ExtOpsSpec extends SparkSpec {
     assert(got.toSet === Set((1L, 10L), (1L, 11L), (2L, 11L)))
   }
 
+  test("Regression.groupOls: exact ppm slopes, sign handling, zero-variance null") {
+    val pts = Seq(
+      ("a", 0L, 0L), ("a", 1L, 2000000L), ("a", 2L, 4000000L), // slope 2e6
+      ("b", 0L, 10L), ("b", 1L, 5L), ("b", 2L, 0L),            // slope −5
+      ("c", 7L, 1L), ("c", 7L, 2L),                            // x constant
+      ("d", 0L, 0L), ("d", 1L, 1L), ("d", 2L, 1L))             // slope 1/2
+      .toDF("grp", "x", "y")
+    val got = graft.ext.Regression.groupOls(pts, "grp", "x", "y")
+      .select(col("grp"), col("slope_ppm"))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got === Map(
+      "a" -> Some(2000000L * 1000000L),
+      "b" -> Some(-5000000L),
+      "c" -> None,
+      "d" -> Some(500000L)))
+  }
+
   test("VideoHeaders parses the fixture's ISO-BMFF boxes and a version-1 mvhd") {
     val docs = Seq((0L, "hello world")).toDF("doc_id", "text")
     val media = Multimodal.videoTable(docs, "doc_id", "text")

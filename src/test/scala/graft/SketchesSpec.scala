@@ -94,4 +94,26 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sketches.hllRegisters(keyed, "grp", "key", 63)) // not a power of two
   }
+
+  test("rolling register merge equals a from-scratch sketch of the window") {
+    // keys spread over days 0..9; the 7-day rolling max at day 6 must
+    // equal a sketch built directly from days 0..6 — the element-wise
+    // max merge law applied across time
+    val dayRows = (1 to 400).map(k => (k.toLong % 10, s"user_$k"))
+      .toDF("day", "key")
+    val daily = Sketches.hllRegisters(dayRows, "day", "key", 64)
+    val days = daily.select(col("day").as("at_day")).distinct()
+    val rollingAt6 = daily
+      .join(days, col("day").between(col("at_day") - 6, col("at_day")))
+      .groupBy(col("at_day"), col("bucket"))
+      .agg(max("register").as("register"))
+      .filter(col("at_day") === 6)
+      .select("bucket", "register")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    val direct = Sketches.hllRegisters(
+        dayRows.filter(col("day") <= 6).withColumn("g", lit(1)), "g", "key", 64)
+      .select("bucket", "register")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert(rollingAt6 === direct)
+  }
 }
