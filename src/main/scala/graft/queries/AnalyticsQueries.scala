@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.ext.{BloomBits, Bloom, Chunking, RangeJoin, Regression, Resample, TextHash}
+import graft.ext.{BloomBits, Bloom, Chunking, RangeJoin, Regression, Resample, Selection, TextHash}
 import graft.functions.Functions.collapseWs
 
 /** Analytics query pack, round 8 widening: the operator families still
@@ -194,7 +194,18 @@ object AnalyticsQueries {
         Tables.events(s, d).select(col("event_type"),
           expr(s"unix_micros(ts) div 3600000000L - $EpochHour2024").as("x"),
           expr("CAST(round(value * 1000000) AS BIGINT)").as("y")),
-        "event_type", "x", "y")))
+        "event_type", "x", "y")),
+
+    // EXACT per-type median (lower) of the ppm-quantized value via
+    // iterative histogram selection (ext/Selection) — 3-4 counting
+    // scans, zero row movement, vs the sort-everything row_number
+    // form the oracle uses (fine at oracle scale, hostile at 100 TB).
+    "q125_exact_median" -> ((s, d) =>
+      Selection.exactKth(
+        Tables.events(s, d).select(col("event_type"),
+          expr("CAST(round(value * 1000000) AS BIGINT)").as("v")),
+        "event_type", "v", n => (n + 1) / 2)
+        .withColumnRenamed("kth", "median_ppm")))
 
   val oracles: Map[String, String] = Map(
     "q68_pivot_events" -> {
@@ -340,5 +351,20 @@ object AnalyticsQueries {
          |      // (CAST(n AS HUGEINT) * sxx
          |         - CAST(sx AS HUGEINT) * sx) AS BIGINT)
          |  END AS slope_ppm
-         |FROM a""".stripMargin)
+         |FROM a""".stripMargin,
+
+    // the law, not the algorithm: k-th smallest value (lower median)
+    // per group — the engine reaches it by histogram refinement, the
+    // oracle by row_number
+    "q125_exact_median" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, v AS median_ppm
+        |FROM r WHERE rn = (n + 1) // 2""".stripMargin)
 }

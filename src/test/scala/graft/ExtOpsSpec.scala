@@ -291,6 +291,31 @@ class ExtOpsSpec extends SparkSpec {
       "d" -> Some(500000L)))
   }
 
+  test("Selection.exactKth: exact medians across rounds, duplicates, and k bounds") {
+    val rows = (Seq.fill(5)(("a", 100L)) ++ Seq.fill(4)(("a", 7L)) ++
+      Seq(("a", 1000000L)) ++                       // a: 10 values, median = 100
+      (1L to 101L).map(i => ("b", i * i)) ++        // b: squares 1..10201, median = 51²
+      Seq(("c", -5L), ("c", -5L), ("c", 42L)))      // c: negatives + duplicate median
+      .toDF("grp", "v")
+    // buckets = 2 forces many bisection rounds — exercises the loop,
+    // not just a lucky single-round resolve
+    val got = graft.ext.Selection.exactKth(rows, "grp", "v",
+        n => (n + 1) / 2, buckets = 2, maxRounds = 64)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got === Map("a" -> ((10L, 100L)), "b" -> ((101L, 51L * 51L)),
+      "c" -> ((3L, -5L))))
+    // k = 1 (min) and k = n (max) are the degenerate selections
+    val mins = graft.ext.Selection.exactKth(rows, "grp", "v", _ => 1L)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(mins === Map("a" -> 7L, "b" -> 1L, "c" -> -5L))
+    val maxs = graft.ext.Selection.exactKth(rows, "grp", "v", n => n)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(maxs === Map("a" -> 1000000L, "b" -> 101L * 101L, "c" -> 42L))
+    intercept[IllegalArgumentException](
+      graft.ext.Selection.exactKth(rows, "grp", "v", n => n + 1).collect())
+  }
+
   test("VideoHeaders parses the fixture's ISO-BMFF boxes and a version-1 mvhd") {
     val docs = Seq((0L, "hello world")).toDF("doc_id", "text")
     val media = Multimodal.videoTable(docs, "doc_id", "text")
