@@ -134,6 +134,36 @@ object ReferenceQueries {
           .cast("bigint").as("governance_epoch"))
     }),
 
+    // The VariantType half of SURVEY §1.2's drift contract (q101 is the
+    // get_json_object half): the raw payload parsed ONCE into Spark 4's
+    // binary-encoded VARIANT (`try_parse_json` — malformed documents
+    // degrade to a null variant, not an error), then typed leaves read
+    // with `variant_get`/`try_variant_get`. At 100 TB this is the
+    // strictly better plan when MORE THAN ONE leaf is read per row:
+    // get_json_object re-tokenizes the full JSON text per path, while
+    // VARIANT parses once and each leaf access is an O(log fields)
+    // offset walk in the binary encoding — and a VARIANT column stored
+    // in parquet is shredded/pushdown-eligible where a JSON string is
+    // opaque bytes. Covers: string→int variant cast ("7"), native int,
+    // string leaf, nested path, missing-path null (UNT2/UNT4),
+    // malformed-doc null (UNT3), and a failed cast via try_variant_get
+    // (phone as int → null, where plain variant_get would throw).
+    "q126_variant_payload" -> ((s, _) => {
+      import s.implicits._
+      untypedPayloads.toDF("symbol", "payload")
+        .select(col("symbol"), try_parse_json(col("payload")).as("v"))
+        .select(
+          col("symbol"),
+          variant_get(col("v"), "$.info.auditRisk", "int").as("audit_risk"),
+          variant_get(col("v"), "$.info.overallRisk", "int")
+            .as("overall_risk"),
+          variant_get(col("v"), "$.info.phone", "string").as("phone"),
+          variant_get(col("v"), "$.info.governance.epoch", "bigint")
+            .as("governance_epoch"),
+          try_variant_get(col("v"), "$.info.phone", "int")
+            .as("phone_as_int"))
+    }),
+
     // F18 — market-cap string → double USD.
     "q18_market_cap" -> ((s, _) => {
       import s.implicits._
@@ -207,6 +237,27 @@ object ReferenceQueries {
          |  ${ext("$.info.phone")} AS phone,
          |  CAST(${ext("$.info.governance.epoch")} AS BIGINT)
          |    AS governance_epoch
+         |FROM src""".stripMargin
+    },
+
+    // Same documents, same law as q101 — the engine reaches the leaves
+    // through the binary VARIANT encoding, the oracle re-derives them
+    // from the JSON text (json_valid-guarded; TRY_CAST mirrors
+    // try_variant_get's null-on-failed-cast).
+    "q126_variant_payload" -> {
+      val values = untypedPayloads
+        .map { case (sym, p) => s"('$sym', '$p')" }.mkString(",\n        |  ")
+      def ext(path: String) =
+        s"CASE WHEN json_valid(payload) THEN json_extract_string(payload, '$path') END"
+      s"""WITH src(symbol, payload) AS (VALUES
+         |  $values)
+         |SELECT symbol,
+         |  CAST(${ext("$.info.auditRisk")} AS INT) AS audit_risk,
+         |  CAST(${ext("$.info.overallRisk")} AS INT) AS overall_risk,
+         |  ${ext("$.info.phone")} AS phone,
+         |  CAST(${ext("$.info.governance.epoch")} AS BIGINT)
+         |    AS governance_epoch,
+         |  TRY_CAST(${ext("$.info.phone")} AS INT) AS phone_as_int
          |FROM src""".stripMargin
     },
 

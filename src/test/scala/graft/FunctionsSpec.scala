@@ -103,4 +103,26 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(_.get(0))
     assert(r === Seq(1.0, 0.0, null))
   }
+
+  test("VARIANT payload access (q126) agrees with get_json_object (q101) " +
+       "on every shared column of the drift fixture") {
+    // SURVEY §1.2 promises BOTH access paths for the open-ended payload;
+    // this pins that they are the same function: per symbol, the four
+    // leaves read via try_parse_json + variant_get equal the ones read
+    // via get_json_object + cast — including the malformed-document and
+    // missing-key nulls. q126's extra try_variant_get column is checked
+    // separately (failed cast → null, never an error).
+    import graft.queries.ReferenceQueries
+    val shared = Seq("symbol", "audit_risk", "overall_risk", "phone",
+      "governance_epoch")
+    val viaVariant = ReferenceQueries.defs("q126_variant_payload")(spark, "")
+    val viaString = ReferenceQueries.defs("q101_untyped_payload")(spark, "")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(shared.map(col): _*).collect()
+        .map(r => shared.map(r.getAs[Any]).toList).sortBy(_.head.toString)
+    assert(rows(viaVariant) === rows(viaString))
+    val phoneAsInt = viaVariant.select("phone_as_int").collect().map(_.get(0))
+    assert(phoneAsInt.forall(_ == null),
+      "try_variant_get of a non-numeric string as int must be null")
+  }
 }
