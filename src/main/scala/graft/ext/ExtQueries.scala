@@ -218,6 +218,43 @@ object ExtQueries {
           col("day").between(col("at_day") - 6, col("at_day")))
         .groupBy(col("at_day").as("day"), col("bucket"))
         .agg(max(col("register")).as("register"))
+    }),
+
+    // Production-grade mergeable cardinality via Spark's native Apache
+    // DataSketches HLL (q115/q124 build the register law by hand; this
+    // is the binary-artifact path a lakehouse actually stores): each
+    // (event_type, day) shard aggregates to ONE sketch blob with
+    // `hll_sketch_agg` — the per-release artifact — and cross-release
+    // accounting is `hll_union_agg` over the stored blobs, NO rescan of
+    // history. At 100 TB: shard sketches are built once per increment
+    // (map-side combinable, output bounded by 2^lgK bytes per group),
+    // and any window/release union touches only sketch-sized data —
+    // the q54 O(delta) discipline applied to distinct counting.
+    //
+    // Verify form is SELF-CHECKING: sketch blobs and estimates cannot
+    // hash-match a foreign engine, so the registered output is the
+    // exact distinct twin plus `within_bound` — computed Spark-side as
+    // |est − exact| ≤ max(8% · exact, 1) (5σ for lgK=12's 1.6% RSE) —
+    // which the oracle pins to literal TRUE: an estimate drifting out
+    // of bound turns the row red. The tighter 3σ law and the
+    // union-of-shards ≡ sketch-of-whole identity are pinned in
+    // SketchesSpec.
+    "q127_hll_cardinality" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val shards = ev
+        .withColumn("day", expr("unix_micros(ts) div 86400000000L"))
+        .groupBy("event_type", "day")
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      val est = shards.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("n_est"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(est, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("n_est") - col("n_exact")) <=
+            greatest(ceil(col("n_exact") * lit(0.08)), lit(1L)))
+            .as("within_bound"))
     }))
 
   // ------------------------------------------------------------------
@@ -720,5 +757,15 @@ object ExtQueries {
          |  CAST(max(reg) AS INT) AS register
          |FROM d JOIN days ON d.day BETWEEN at_day - 6 AND at_day
          |GROUP BY 1, 2""".stripMargin
-    })
+    },
+
+    // the exact twin + the bound the engine must meet: the sketch
+    // estimate itself never crosses engines (binary artifact), so the
+    // oracle states the law — exact distinct per type, and TRUE for
+    // the Spark-side |est − exact| ≤ max(8%·exact, 1) check
+    "q127_hll_cardinality" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY 1""".stripMargin)
 }

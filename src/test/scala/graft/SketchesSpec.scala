@@ -116,4 +116,28 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
     assert(rollingAt6 === direct)
   }
+
+  test("native HLL (q127): union of shard sketches = sketch of the whole, " +
+       "estimate within 3 sigma of exact") {
+    // 20k keys with heavy duplication across 10 shards — shards overlap
+    // so sum-of-shard-distincts ≠ global distinct (the reason sketches
+    // are stored at all). lgK=12 → RSE 1.039/√4096 ≈ 1.62%.
+    val rows = (1 to 60000).map(i => ((i % 10).toLong, (i % 20000).toLong))
+      .toDF("shard", "key")
+    val shardSketches = rows.groupBy("shard")
+      .agg(hll_sketch_agg(col("key"), lit(12)).as("sk"))
+    val viaUnion = shardSketches
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .as("est"))
+      .collect()(0).getLong(0)
+    val direct = rows
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("key"), lit(12))).as("est"))
+      .collect()(0).getLong(0)
+    // mergeability is lossless at equal lgK: register-wise max commutes
+    // with insertion order, so both paths see identical registers
+    assert(viaUnion === direct, "union-of-shards must equal sketch-of-whole")
+    val exact = 20000.0
+    assert(math.abs(viaUnion - exact) / exact <= 3 * 0.0162,
+      s"estimate $viaUnion outside 3 sigma of $exact")
+  }
 }
