@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ingest.{RawZone, RawZoneGen}
 import graft.sources.Sinks
-import graft.transform.{Financials, Summary, Upsert}
+import graft.transform.{Financials, Rollup, Summary, Upsert}
 
 /** Scale-proportional pipeline queries: the flagship G1 unpivot and the
   * Summary dimension build running on an sf-proportional synthetic raw
@@ -141,6 +141,72 @@ object ScaleQueries {
       s.read.parquet(path).drop("bucket")
     }),
 
+    // Incremental aggregate maintenance (materialized-view upkeep) —
+    // the q54 O(delta) discipline one level UP: a (stock, year) rollup
+    // kept exactly in sync with the incrementally-upserted fact table
+    // by SIGNED delta aggregates — +1 rows for each day's inserts, −1
+    // rows for the old fact versions the upsert replaces (retraction:
+    // day 1's stale-symbol facts are replaced on days 2/3, so "just
+    // add the delta" would double-count them). Partials are integers
+    // (count, non-null count, quarter-scaled value sum), so the
+    // maintained table is BIT-IDENTICAL to the full recompute — the
+    // oracle aggregates the same regenerate-from-law fact table q54
+    // converges to. History is never rescanned: replaced versions come
+    // from the bucket-pruned read, and the merge rewrites only touched
+    // rollup buckets (transform/Rollup).
+    "q128_incremental_rollup" -> ((s, d) => {
+      val syms = n(d)
+      val raw = s.read.parquet(RawZoneGen.stagedPath(s, syms))
+      val days = Seq("2025-08-14", "2025-08-15", "2025-08-16")
+      val factPath = Sinks.tmpPath(s"fact_ivm_$syms")
+      val rollPath = Sinks.tmpPath(s"rollup_ivm_$syms")
+      Sinks.deleteRecursively(factPath)
+      Sinks.deleteRecursively(rollPath) // re-runnable: day 1 starts fresh
+      val valueQ = (col("value") * 4).cast("long") // exact: values ∈ ℤ/4
+      days.zipWithIndex.foreach { case (day, i) =>
+        val dayRaw = raw.filter(col("load_date") === lit(day))
+        // one run of the parse+unpivot pipeline feeds BOTH consumers
+        // (fact upsert + delta aggregate)
+        val dayFacts = Financials.normalize(dayRaw).localCheckpoint()
+        val replaced =
+          if (i == 0) None
+          else {
+            // old versions this delta will overwrite: bucket-pruned
+            // fact read, PK semi-join against the delta — the same
+            // touched-bucket slice the upsert itself rewrites
+            val touched = dayRaw.select(col("symbol")).distinct()
+              .select(pmod(hash(col("symbol")), lit(32)).as("bucket"))
+              .collect().map(_.getInt(0)).toIndexedSeq
+            Some(s.read.parquet(factPath)
+              .filter(col("bucket").isin(touched: _*))
+              .join(dayFacts.select(Financials.Pk.map(col): _*),
+                Financials.Pk, "left_semi"))
+          }
+        val signed = replaced.fold(dayFacts.withColumn("_sign", lit(1L)))(
+          r => dayFacts.withColumn("_sign", lit(1L))
+            .unionByName(r.drop("bucket").withColumn("_sign", lit(-1L))))
+        // materialize BEFORE the upsert rewrites the files `replaced`
+        // lazily reads — Spark plans are lazy, the overwrite is not
+        val deltaAgg = signed.groupBy("stock", "calendar_year")
+          .agg(sum(col("_sign")).as("n_facts"),
+            sum(col("_sign") * when(col("value").isNotNull, 1L).otherwise(0L))
+              .as("nn"),
+            sum(col("_sign") * valueQ).as("sum_q"))
+          .localCheckpoint()
+        if (i == 0) Financials.normalizeInto(dayRaw, factPath)
+        else Sinks.upsertFactDelta(s, factPath, dayFacts,
+          deltaStocks = Some(dayRaw.select(col("symbol"))))
+        Rollup.mergeDelta(s, rollPath, deltaAgg,
+          Seq("stock", "calendar_year"), "n_facts")
+      }
+      // derived read: all-null groups surface as NULL (nn disambiguates
+      // a true zero sum from a cancelled-to-null one)
+      s.read.parquet(rollPath).select(col("stock"), col("calendar_year"),
+        col("n_facts"),
+        when(col("nn") === 0L, lit(null).cast("double"))
+          .otherwise(col("sum_q").cast("double") / 4.0).as("sum_value"))
+    }),
+
     // Bucketed co-located join — the 100 TB co-location tool the
     // repartition-based layout can't give: fact and summary are both
     // written bucketBy(stock) + sortBy(stock) into the session catalog
@@ -263,6 +329,18 @@ object ScaleQueries {
 
     "q38_fin_unpivot_sf" -> finUnpivotSql,
     "q54_incremental_fact" -> finUnpivotSql,
+
+    // the maintained rollup must be bit-identical to aggregating the
+    // full recompute: integer partials (count, quarter-scaled sum), an
+    // all-null group surfaces as NULL (the engine's nn disambiguator)
+    "q128_incremental_rollup" ->
+      s"""WITH fact AS ($finUnpivotSql)
+         |SELECT stock, calendar_year,
+         |  CAST(count(*) AS BIGINT) AS n_facts,
+         |  CASE WHEN count(value) = 0 THEN NULL
+         |    ELSE CAST(sum(CAST(value * 4 AS BIGINT)) AS DOUBLE) / 4.0
+         |  END AS sum_value
+         |FROM fact GROUP BY 1, 2""".stripMargin,
 
     // top-10 point lookup over the same regenerated fact table; the
     // (date desc, statement_type, metric) order key is total within a
