@@ -312,16 +312,28 @@ object EventStream {
     * trailing window (which a watermark would hold back in append mode
     * on a finite source) is emitted with its final count.
     */
-  def tumblingCounts(s: SparkSession, dir: String): DataFrame = {
-    val staged = stageOnce(s, dir)
-    val tag = dirTag(dir) // basename + path hash (sink-collision guard)
-    val sinkDir = Sinks.tmpPath(s"stream_counts_$tag")
-    val ckptDir = Sinks.tmpPath(s"stream_ckpt_$tag")
+  def tumblingCounts(s: SparkSession, dir: String): DataFrame =
+    runTumblingStream(s, stageOnce(s, dir), s"stream_counts_${dirTag(dir)}",
+      maxFilesPerTrigger = None)
+
+  /** The tumblingCounts pipeline over an already-staged landing dir
+    * (package-private: ScaleStream drives it at 10⁷-event scale with
+    * `maxFilesPerTrigger = Some(1)` so every staged file is its own
+    * micro-batch and the watermark genuinely advances between batches —
+    * the configuration in which dedup-state eviction is observable).
+    */
+  private[graft] def runTumblingStream(s: SparkSession, staged: String,
+                                       sinkTag: String,
+                                       maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val sinkDir = Sinks.tmpPath(s"${sinkTag}_sink")
+    val ckptDir = Sinks.tmpPath(s"${sinkTag}_ckpt")
     // fresh run: a stale checkpoint would resume past the staged input
     // and emit zero batches; a stale sink would leak old windows
     Sinks.deleteRecursively(sinkDir)
     Sinks.deleteRecursively(ckptDir)
-    val stream = s.readStream.schema(eventsSchema)
+    val reader = s.readStream.schema(eventsSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
       .parquet(staged)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
