@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.ext.{BloomBits, Bloom, Chunking, RangeJoin, Regression, Resample, Selection, TextHash}
+import graft.ext.{BloomBits, Bloom, Chunking, RangeJoin, Regression, Resample, Selection, TextHash, TopK}
 import graft.functions.Functions.collapseWs
 
 /** Analytics query pack, round 8 widening: the operator families still
@@ -26,6 +26,8 @@ object AnalyticsQueries {
   private val BlockSource = "src0"
   private val BloomNumBits = 8192 // ≥16 bits/key up to ~500 blocklist keys
   private val BloomNumHashes = 5
+  private val TopKK = 100 // q130: top-k per event_type
+  private val TopKSalts = 8 // q130: phase-1 fan-out per group
   // z-order: 21 bits/dim holds keys to 2M (sf ~100); box selective on
   // BOTH dims — the case neither single-column sort serves
   private val ZBits = 21
@@ -205,7 +207,22 @@ object AnalyticsQueries {
         Tables.events(s, d).select(col("event_type"),
           expr("CAST(round(value * 1000000) AS BIGINT)").as("v")),
         "event_type", "v", n => (n + 1) / 2)
-        .withColumnRenamed("kth", "median_ppm")))
+        .withColumnRenamed("kth", "median_ppm")),
+
+    // Skew-resistant grouped top-k (ext/TopK): top-100 events by value
+    // per event_type — 5 groups over the whole table, the exact shape
+    // where q07's single window sorts a fifth of 100 TB on one task.
+    // Two-phase: local top-k per (type, salt-of-event_id) prunes
+    // everything that provably can't be global top-k, then the global
+    // rank sorts only salts·k rows per type. Total order (value desc,
+    // event_id) makes ranks deterministic; the oracle is the plain
+    // one-window form — identical rows by construction.
+    "q130_grouped_topk" -> ((s, d) =>
+      TopK.groupedTopK(
+        Tables.events(s, d).select(col("event_type"), col("event_id"),
+          col("value")),
+        Seq("event_type"), Seq(col("value").desc, col("event_id").asc),
+        k = TopKK, saltFrom = "event_id", salts = TopKSalts)))
 
   val oracles: Map[String, String] = Map(
     "q68_pivot_events" -> {
@@ -366,5 +383,15 @@ object AnalyticsQueries {
         |    count(*) OVER (PARTITION BY event_type) AS n
         |  FROM e)
         |SELECT event_type, CAST(n AS BIGINT) AS n, v AS median_ppm
-        |FROM r WHERE rn = (n + 1) // 2""".stripMargin)
+        |FROM r WHERE rn = (n + 1) // 2""".stripMargin,
+
+    // the plain one-window form — the two-phase plan must produce
+    // identical rows and ranks under the same total order
+    "q130_grouped_topk" ->
+      s"""SELECT event_type, event_id, value, CAST(rank AS INT) AS rank FROM (
+         |  SELECT event_type, event_id, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY value DESC, event_id) AS rank
+         |  FROM events)
+         |WHERE rank <= $TopKK""".stripMargin)
 }

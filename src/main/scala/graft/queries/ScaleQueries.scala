@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ingest.{RawZone, RawZoneGen}
-import graft.sources.Sinks
+import graft.sources.{Changelog, Sinks}
 import graft.transform.{Financials, Rollup, Summary, Upsert}
 
 /** Scale-proportional pipeline queries: the flagship G1 unpivot and the
@@ -207,6 +207,33 @@ object ScaleQueries {
           .otherwise(col("sum_q").cast("double") / 4.0).as("sum_value"))
     }),
 
+    // Time travel over a commit-partitioned fact changelog
+    // (sources/Changelog) — each day's normalized delta is an O(delta)
+    // APPEND stamped with a monotone commit id (nothing rewritten in
+    // place, every historical snapshot stays readable), and "the table
+    // AS OF commit v" is the keyed last-write-wins compaction of the
+    // partition-pruned commits ≤ v. Read AS OF commit 1 (days 1+2
+    // applied, day 3 committed but invisible): day 1's stale payloads
+    // (every 10th symbol — all even) were REPLACED by day 2's fresh
+    // even-symbol load, and the odd symbols have not arrived yet, so
+    // the snapshot is exactly the fresh even-symbol fact table — the
+    // oracle regenerates it from the law restricted to even i. The
+    // later commit 2 sitting in the log and NOT leaking into the read
+    // is the property under test.
+    "q129_time_travel" -> ((s, d) => {
+      val syms = n(d)
+      val raw = s.read.parquet(RawZoneGen.stagedPath(s, syms))
+      val days = Seq("2025-08-14", "2025-08-15", "2025-08-16")
+      val path = Sinks.tmpPath(s"fact_tt_$syms")
+      Sinks.deleteRecursively(path) // re-runnable: commit 0 starts fresh
+      days.zipWithIndex.foreach { case (day, i) =>
+        Changelog.commit(
+          Financials.normalize(raw.filter(col("load_date") === lit(day))),
+          path, i.toLong)
+      }
+      Changelog.snapshotAt(s, path, Financials.Pk, 1L)
+    }),
+
     // Bucketed co-located join — the 100 TB co-location tool the
     // repartition-based layout can't give: fact and summary are both
     // written bucketBy(stock) + sortBy(stock) into the session catalog
@@ -295,8 +322,13 @@ object ScaleQueries {
   // (quarterly beats yearly on the 2024-12-31 collision) → 792,000.
   // Shared by q38 (full recompute) and q54 (incremental maintenance):
   // the incremental path must CONVERGE to the full table.
-  private val finUnpivotSql =
-      s"""WITH syms AS (SELECT range AS i FROM range(0, $VerifyN)),
+  /** The regenerate-from-law fact SQL, restricted to the symbols
+    * matching `symPred` (a predicate over the symbol index `i`) — the
+    * parameterized form lets partial-universe snapshots (q129's
+    * time-travel read) share the exact same law.
+    */
+  private def finUnpivotSqlWhere(symPred: String): String =
+      s"""WITH syms AS (SELECT range AS i FROM range(0, $VerifyN) WHERE $symPred),
          |stmts(s, code) AS (VALUES (0, 'CF'), (1, 'IS'), (2, 'BS')),
          |dates(f, d, dt) AS (VALUES
          |    $datesValues),
@@ -325,10 +357,17 @@ object ScaleQueries {
          |  PARTITION BY stock, statement_type, metric, date
          |  ORDER BY prec DESC) = 1""".stripMargin
 
+  private val finUnpivotSql = finUnpivotSqlWhere("TRUE")
+
   val oracles: Map[String, String] = Map(
 
     "q38_fin_unpivot_sf" -> finUnpivotSql,
     "q54_incremental_fact" -> finUnpivotSql,
+
+    // AS OF commit 1 = the fresh fact table restricted to even symbol
+    // indices (day 2's universe; day 1's stale rows all replaced, day
+    // 3's odd symbols not yet visible)
+    "q129_time_travel" -> finUnpivotSqlWhere("range % 2 = 0"),
 
     // the maintained rollup must be bit-identical to aggregating the
     // full recompute: integer partials (count, quarter-scaled sum), an

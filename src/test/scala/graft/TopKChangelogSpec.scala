@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.TopK
+import graft.sources.{Changelog, Sinks}
+
+/** Unit tests for the round-10 lakehouse additions: skew-resistant
+  * two-phase grouped top-k (ext/TopK) and the commit-partitioned
+  * time-travel changelog (sources/Changelog).
+  */
+class TopKChangelogSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- TopK ---------------------------------------------------------
+
+  // deterministic, collision-rich: 3 groups × 400 rows, values repeat
+  // every 37 rows so the (value desc, id) tie-break is exercised
+  private def rows = spark.range(1200).select(
+    (col("id") % 3).cast("string").as("g"),
+    col("id").as("rid"),
+    (col("id") * 31 % 37).cast("double").as("v"))
+
+  private def plainTopK(k: Int) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v").desc, col("rid").asc)
+    rows.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  test("groupedTopK equals the single-window form for any salts/k") {
+    for (salts <- Seq(1, 3, 8); k <- Seq(1, 5, 50, 1000)) {
+      val got = TopK.groupedTopK(rows, Seq("g"),
+          Seq(col("v").desc, col("rid").asc), k, "rid", salts)
+        .select("g", "rid", "v", "rank")
+        .as[(String, Long, Double, Int)].collect().sorted.toSeq
+      val want = plainTopK(k).select("g", "rid", "v", "rank")
+        .as[(String, Long, Double, Int)].collect().sorted.toSeq
+      assert(got == want, s"salts=$salts k=$k")
+      // k=1000 > group size 400: every row survives, ranks still exact
+      if (k == 1000) assert(got.size == 1200)
+    }
+  }
+
+  test("groupedTopK reserves its working column names loudly") {
+    val bad = rows.withColumnRenamed("v", "_tk_salt")
+    val e = intercept[IllegalArgumentException] {
+      TopK.groupedTopK(bad, Seq("g"), Seq(col("rid")), 1, "rid", 2)
+    }
+    assert(e.getMessage.contains("_tk_salt"))
+  }
+
+  // ---- Changelog ----------------------------------------------------
+
+  test("snapshotAt reads exactly the state as of each commit") {
+    val path = Sinks.tmpPath("changelog_spec")
+    Sinks.deleteRecursively(path)
+    // commit 0: k1→a, k2→b; commit 1: k2→c (replace), k3→d (new);
+    // commit 2: k1 replaced again
+    Changelog.commit(Seq(("k1", "a"), ("k2", "b")).toDF("k", "v"), path, 0L)
+    Changelog.commit(Seq(("k2", "c"), ("k3", "d")).toDF("k", "v"), path, 1L)
+    Changelog.commit(Seq(("k1", "e")).toDF("k", "v"), path, 2L)
+    def snap(v: Long) = Changelog.snapshotAt(spark, path, Seq("k"), v)
+      .as[(String, String)].collect().toMap
+    assert(snap(0L) == Map("k1" -> "a", "k2" -> "b"))
+    assert(snap(1L) == Map("k1" -> "a", "k2" -> "c", "k3" -> "d"))
+    assert(snap(2L) == Map("k1" -> "e", "k2" -> "c", "k3" -> "d"))
+    assert(Changelog.snapshotLatest(spark, path, Seq("k"))
+      .as[(String, String)].collect().toMap == snap(2L))
+    // the snapshot never exposes the log coordinate
+    assert(!snap(1L).contains(Changelog.CommitCol))
+    assert(Changelog.snapshotAt(spark, path, Seq("k"), 1L)
+      .columns.toSeq == Seq("k", "v"))
+  }
+
+  test("snapshotAt partition-prunes later commits out of the scan") {
+    val path = Sinks.tmpPath("changelog_spec_prune")
+    Sinks.deleteRecursively(path)
+    Changelog.commit(Seq(("k1", "a")).toDF("k", "v"), path, 0L)
+    Changelog.commit(Seq(("k1", "b")).toDF("k", "v"), path, 1L)
+    val plan = Changelog.snapshotAt(spark, path, Seq("k"), 0L)
+      .queryExecution.executedPlan.toString
+    // the _commit <= 0 predicate must reach the scan as a PARTITION
+    // filter (pruned directories), not a post-scan row filter
+    assert(plan.contains("PartitionFilters") && plan.contains("_commit"),
+      plan.take(2000))
+  }
+
+  test("commit refuses a delta that carries the reserved column") {
+    val path = Sinks.tmpPath("changelog_spec_guard")
+    Sinks.deleteRecursively(path)
+    val e = intercept[IllegalArgumentException] {
+      Changelog.commit(Seq(("k1", 0L)).toDF("k", Changelog.CommitCol), path, 0L)
+    }
+    assert(e.getMessage.contains(Changelog.CommitCol))
+  }
+}
