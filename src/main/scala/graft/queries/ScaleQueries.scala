@@ -234,6 +234,19 @@ object ScaleQueries {
       Changelog.snapshotAt(s, path, Financials.Pk, 1L)
     }),
 
+    // Streaming materialized-view maintenance — the q128 exact-IVM day
+    // step driven by Structured Streaming instead of a batch loop: the
+    // raw zone's days are staged as a landing dir, consumed one file
+    // per micro-batch, and each foreachBatch runs ONE transactional
+    // maintenance step (normalize → retract replaced fact versions →
+    // upsert → signed-delta rollup merge). Shares q128's oracle: both
+    // maintenance paths must converge to the identical bit-exact table.
+    "q131_stream_ivm" -> ((s, d) => {
+      val syms = n(d)
+      graft.streaming.StreamIvm.maintainedRollup(
+        s, RawZoneGen.stagedPath(s, syms), s"n$syms")
+    }),
+
     // Bucketed co-located join — the 100 TB co-location tool the
     // repartition-based layout can't give: fact and summary are both
     // written bucketBy(stock) + sortBy(stock) into the session catalog
@@ -359,6 +372,16 @@ object ScaleQueries {
 
   private val finUnpivotSql = finUnpivotSqlWhere("TRUE")
 
+  /** (stock, year) rollup over the regenerated fact table. */
+  private val rollupSql =
+      s"""WITH fact AS ($finUnpivotSql)
+         |SELECT stock, calendar_year,
+         |  CAST(count(*) AS BIGINT) AS n_facts,
+         |  CASE WHEN count(value) = 0 THEN NULL
+         |    ELSE CAST(sum(CAST(value * 4 AS BIGINT)) AS DOUBLE) / 4.0
+         |  END AS sum_value
+         |FROM fact GROUP BY 1, 2""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
     "q38_fin_unpivot_sf" -> finUnpivotSql,
@@ -371,15 +394,11 @@ object ScaleQueries {
 
     // the maintained rollup must be bit-identical to aggregating the
     // full recompute: integer partials (count, quarter-scaled sum), an
-    // all-null group surfaces as NULL (the engine's nn disambiguator)
-    "q128_incremental_rollup" ->
-      s"""WITH fact AS ($finUnpivotSql)
-         |SELECT stock, calendar_year,
-         |  CAST(count(*) AS BIGINT) AS n_facts,
-         |  CASE WHEN count(value) = 0 THEN NULL
-         |    ELSE CAST(sum(CAST(value * 4 AS BIGINT)) AS DOUBLE) / 4.0
-         |  END AS sum_value
-         |FROM fact GROUP BY 1, 2""".stripMargin,
+    // all-null group surfaces as NULL (the engine's nn disambiguator).
+    // Shared by the batch IVM loop (q128) and its streaming twin
+    // (q131) — both maintenance paths must converge to the same table.
+    "q128_incremental_rollup" -> rollupSql,
+    "q131_stream_ivm" -> rollupSql,
 
     // top-10 point lookup over the same regenerated fact table; the
     // (date desc, statement_type, metric) order key is total within a

@@ -201,36 +201,44 @@ object Sinks {
           s"$path was written with buckets=$recorded (see _graft_buckets)")
     }
     val pk = graft.transform.Financials.Pk
-    val (delta, probe) = deltaStocks match {
+    // Materialize the delta ONCE up front: the stray guard below and
+    // the merge job share a single run of the delta's upstream pipeline
+    // (e.g. a day's parse+unpivot), and the merge never lazily re-reads
+    // anything the dynamic overwrite is about to replace. The delta is
+    // O(day), so the materialization is bounded by the increment, never
+    // the table. With deltaStocks the touched-bucket probe still never
+    // runs the pipeline — it scans the caller's key universe only.
+    val delta = incoming.withColumn("bucket", factBucket(buckets))
+      .localCheckpoint()
+    val probe = deltaStocks match {
       case Some(ks) =>
-        (incoming.withColumn("bucket", factBucket(buckets)),
-          ks.select(pmod(hash(col(ks.columns.head)), lit(buckets)).as("bucket")))
-      case None =>
-        // no key universe given: materialize the delta ONCE so the
-        // touched-bucket probe and the merge share a single run of the
-        // delta's upstream pipeline (e.g. a day's parse+unpivot)
-        val d = incoming.withColumn("bucket", factBucket(buckets))
-          .localCheckpoint()
-        (d, d.select("bucket"))
+        ks.select(pmod(hash(col(ks.columns.head)), lit(buckets)).as("bucket"))
+      case None => delta.select("bucket")
     }
     val touched = probe.distinct()
       .collect().map(_.getInt(0)).sorted
     val touchedSeq = touched.toIndexedSeq
-    // Guard the deltaStocks contract INSIDE the write job: a delta row
-    // whose bucket is not in the touched set would otherwise land in the
-    // merged output alone — dynamic overwrite would then replace that
-    // bucket directory with delta-only rows, silently deleting its
-    // history. Filter such rows out of the write (untouched directories
-    // stay intact) and count them via observe in the same action; a
-    // non-zero count throws AFTER the job, so the violation is loud and
-    // the layout is never corrupted. (When deltaStocks is None the probe
-    // is the delta itself and the count is structurally zero.)
-    val strayObs = org.apache.spark.sql.Observation()
-    val guarded = delta
-      .observe(strayObs, coalesce(
-        sum(when(!col("bucket").isin(touchedSeq: _*), 1L)), lit(0L))
-        .as("stray_rows"))
-      .filter(col("bucket").isin(touchedSeq: _*))
+    // Guard the deltaStocks contract BEFORE the write: a delta row
+    // whose bucket is not in the touched set would land in the merged
+    // output alone — dynamic overwrite would then replace that bucket
+    // directory with delta-only rows, silently deleting its history.
+    // Counting strays on the checkpointed delta costs one cheap scan
+    // and throws before ANY rewrite, so a violation never touches the
+    // layout at all. (A listener-based Observation can't serve here:
+    // inside a streaming foreachBatch — StreamIvm's maintenance loop —
+    // the write is a nested execution under the micro-batch's execution
+    // id, QueryExecutionListener events never fire, and Observation.get
+    // deadlocks.) When deltaStocks is None the probe is the delta
+    // itself and the count is structurally zero.
+    val stray = delta.filter(!col("bucket").isin(touchedSeq: _*)).count()
+    if (stray > 0)
+      throw new IllegalStateException(
+        s"upsertFactDelta: $stray delta row(s) fall outside the " +
+          "deltaStocks key universe — nothing was applied (the rewrite " +
+          "was refused before touching the layout, so no history was " +
+          "lost). Pass a deltaStocks that covers every delta stock, " +
+          "or None to derive the universe from the delta itself.")
+    val guarded = delta.filter(col("bucket").isin(touchedSeq: _*))
     val existing = spark.read.parquet(path)
       .filter(col("bucket").isin(touchedSeq: _*))
     // ONE exchange for the whole merge+write (the q38 fusion, applied
@@ -249,13 +257,5 @@ object Sinks {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(path)
     writeLayoutBuckets(path, buckets) // legacy layouts gain the sidecar
-    val stray = strayObs.get("stray_rows").asInstanceOf[Long]
-    if (stray > 0)
-      throw new IllegalStateException(
-        s"upsertFactDelta: $stray delta row(s) fall outside the " +
-          "deltaStocks key universe — those rows were NOT applied " +
-          "(their buckets were excluded from the rewrite, so no history " +
-          "was lost). Pass a deltaStocks that covers every delta stock, " +
-          "or None to derive the universe from the delta itself.")
   }
 }
