@@ -361,4 +361,72 @@ object Dedup {
         struct(col(tsCol), col(tieCol))).as("_r"))
       .select(cols.map(c => col(s"_r.$c")): _*)
   }
+
+  /** Exact repeated-substring spans (the passage-level dedup of
+    * "Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2022, re-expressed relationally): find every token
+    * n-gram that occurs in ≥ 2 DISTINCT documents, then report, per
+    * document, the merged [start, end) token spans those duplicated
+    * n-grams cover — the regions a curation pass would mask or cut.
+    * Complements the whole-document operators above: exactGroups
+    * removes identical documents, LSH/Jaccard near-identical ones;
+    * this catches boilerplate passages embedded in otherwise-unique
+    * documents, which neither whole-document pass can see.
+    *
+    * Law (cross-engine deterministic): 1-based token positions from
+    * the whitespace token law; an n-gram at position i covers
+    * [i, i+n); spans merge when overlapping OR touching (a duplicated
+    * region is contiguous in token space); output one row per document
+    * that has ≥ 1 duplicated span. Gram identity is hash60 of the
+    * space-joined gram (both engines compute the identical md5-prefix
+    * key, so a collision — ~2⁻⁶⁰ — changes both sides identically).
+    *
+    * Scale shape: gram rows ≈ token count, carrying only (id, i,
+    * 60-bit hash) — the gram TEXT never shuffles. One aggregation on
+    * the hash finds cross-doc grams (partial-aggregable two-phase
+    * count-distinct), one semi-join back marks hit positions, and the
+    * interval merge is a per-document window whose partition size is
+    * bounded by document length. No all-pairs stage anywhere; at
+    * 100 TB every stage is proportional to corpus tokens. A
+    * stop-gram shared by k docs contributes k rows to the semi-join
+    * probe — linear, unlike the k² a pair-join would emit.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= n)
+    val grams = toks
+      .select(col("id"), explode(expr(
+        s"""transform(sequence(1, size(t) - ${n - 1}),
+           |  i -> named_struct('i', i, 'g', array_join(slice(t, i, $n), ' ')))"""
+          .stripMargin)).as("p"))
+      .select(col("id"), col("p.i").as("i"), hash60(col("p.g")).as("gh"))
+    val dupGrams = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gh"))
+    val hits = grams.join(dupGrams, Seq("gh"), "left_semi")
+      .select(col("id"), col("i").as("s"), (col("i") + n).as("e"))
+    // classic island detection: a hit starts a new span iff it begins
+    // strictly after everything seen so far ends (touching merges)
+    val byPos = Window.partitionBy(col("id")).orderBy(col("s"), col("e"))
+    val flagged = hits.withColumn("new_span",
+      when(col("s") > coalesce(
+        max(col("e")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(-1)), 1L).otherwise(0L))
+    val islands = flagged.withColumn("span_id",
+      sum(col("new_span")).over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+    islands.groupBy(col("id"), col("span_id"))
+      .agg(min(col("s")).as("ss"), max(col("e")).as("se"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("se") - col("ss")).cast("long")).as("masked_tokens"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("ss"), col("se")))),
+          x => concat(x("ss").cast("string"), lit("-"),
+            x("se").cast("string")))).as("spans"))
+  }
 }

@@ -23,6 +23,7 @@ object ExtQueries {
   // grow with scale, never the join shape).
   private[ext] val ShingleN = 3
   private val NumHashes = 16
+  private val SpanGramN = 8 // q132: repeated-substring gram order
   private val Bands = 4
   private[ext] val JaccardThreshold = 0.5
   private val KnnK = 10
@@ -111,6 +112,14 @@ object ExtQueries {
     // 60-bit SimHash fingerprints per document.
     "q26_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text", ShingleN)),
+
+    // Exact repeated-substring spans (passage-level dedup): merged
+    // [start, end) token spans of every 8-gram shared by ≥ 2 docs —
+    // the regions a curation pass would mask. Gram rows carry only a
+    // 60-bit hash; no all-pairs stage.
+    "q132_repeated_spans" -> ((s, d) =>
+      Dedup.repeatedSpans(Tables.documents(s, d), "doc_id", "text",
+        SpanGramN).withColumnRenamed("id", "doc_id")),
 
     // Text profiling: counts, quality score, language guess, rolling
     // fingerprint — pure projection, no shuffle.
@@ -697,6 +706,44 @@ object ExtQueries {
     "q24_lsh_neardup" -> lshPairsSql,
     "q25_jaccard_pairs" -> jaccardPairsSql,
     "q26_simhash" -> simhashSql,
+
+    // same position/merge law: 1-based i, span [i, i+8), islands merge
+    // on touch (s > running max(e) starts a new span)
+    "q132_repeated_spans" -> {
+      val nm1 = SpanGramN - 1
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, CAST(i AS INT) AS i,
+         |    ${hash60Sql(s"array_to_string(t[i:i+$nm1], ' ')")} AS gh
+         |  FROM toks, unnest(range(1, len(t) - ${nm1 - 1})) AS u(i)
+         |  WHERE len(t) >= $SpanGramN),
+         |dup AS (SELECT gh FROM grams GROUP BY gh
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |hits AS (
+         |  SELECT doc_id, i AS s, i + $SpanGramN AS e
+         |  FROM grams WHERE gh IN (SELECT gh FROM dup)),
+         |flagged AS (
+         |  SELECT doc_id, s, e,
+         |    CASE WHEN s > coalesce(max(e) OVER (
+         |      PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |    THEN 1 ELSE 0 END AS new_span
+         |  FROM hits),
+         |islands AS (
+         |  SELECT doc_id, s, e, sum(new_span) OVER (
+         |    PARTITION BY doc_id ORDER BY s, e
+         |    ROWS UNBOUNDED PRECEDING) AS span_id
+         |  FROM flagged),
+         |spans AS (
+         |  SELECT doc_id, span_id, min(s) AS ss, max(e) AS se
+         |  FROM islands GROUP BY 1, 2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(se - ss) AS BIGINT) AS masked_tokens,
+         |  string_agg(ss || '-' || se, ',' ORDER BY ss, se) AS spans
+         |FROM spans GROUP BY doc_id""".stripMargin
+    },
     "q27_text_stats" -> textStatsSql("documents"),
     "q28_knn_brute" -> knnBruteSql,
     "q29_knn_lsh" -> knnLshSql,

@@ -158,4 +158,49 @@ class DedupSpec extends SparkSpec {
     assert(fp(1L) !== fp(3L))
     assert(fp.values.forall(v => v >= 0L && v < (1L << 60)))
   }
+
+  test("repeatedSpans: cross-doc law, overlap+touch merge, no false hits") {
+    // shared passage "a b c" (n=3) sits at positions 1 of doc 1 and
+    // 4 of doc 2; doc 1 additionally repeats "x y z x y z" WITHIN
+    // itself only — a within-doc repeat must NOT create a span (the
+    // law is count(DISTINCT doc) >= 2). doc 3 shares nothing.
+    val corpus = Seq(
+      (1L, "a b c q x y z x y z"),      // hit gram "a b c" at i=1
+      (2L, "p q r a b c d e"),          // hits at i=4 ("a b c"), i=5? no
+      (3L, "m n o u v w k l"))
+      .toDF("doc_id", "text")
+    val got = Dedup.repeatedSpans(corpus, "doc_id", "text", 3)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("masked_tokens"), r.getAs[String]("spans"))).toSet
+    assert(got === Set(
+      (1L, 1L, 3L, "1-4"),
+      (2L, 1L, 3L, "4-7")))
+
+    // overlapping grams fuse into ONE span: docs share a 5-token run →
+    // three overlapping 3-grams each, one merged [start, start+5) span
+    val run = Seq(
+      (10L, "s t u v w tail1 tail2"),
+      (11L, "head0 s t u v w"))
+      .toDF("doc_id", "text")
+    val merged = Dedup.repeatedSpans(run, "doc_id", "text", 3)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("masked_tokens"), r.getAs[String]("spans"))).toSet
+    assert(merged === Set(
+      (10L, 1L, 5L, "1-6"),
+      (11L, 1L, 5L, "2-7")))
+
+    // touching (non-overlapping) duplicated regions also merge: doc 20
+    // shares [1,4) with doc 21 and [4,7) with doc 22 — one span "1-7"
+    val touch = Seq(
+      (20L, "a1 a2 a3 b1 b2 b3"),
+      (21L, "a1 a2 a3 z1 z2 z3"),
+      (22L, "y1 y2 y3 b1 b2 b3"))
+      .toDF("doc_id", "text")
+    val t20 = Dedup.repeatedSpans(touch, "doc_id", "text", 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[String]("spans"))).toMap
+    assert(t20(20L) === (1L, "1-7"))
+    assert(t20(21L) === (1L, "1-4"))
+    assert(t20(22L) === (1L, "4-7"))
+  }
 }
