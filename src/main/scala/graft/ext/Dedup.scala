@@ -202,36 +202,36 @@ object Dedup {
     * cost is linear in corpus size, and the self-join touches only
     * band-bucket collisions.
     */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int, numHashes: Int, bands: Int,
-                      threshold: Double): DataFrame = {
+  /** Banded LSH rows (id, band, bk) of a fingerprint-set table: the
+    * MinHash signature built from the exploded sets, banded into
+    * `bands` concatenated keys. This IS the prior-release index
+    * artifact the incremental path stores (see incrementalLshPairs).
+    */
+  private[graft] def lshBandRows(shSets: DataFrame, numHashes: Int,
+                                 bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // ONE materialized fingerprint-set index feeds both the signature
-    // build (exploded rows) and the exact-Jaccard verify joins — the
-    // corpus is tokenized+hashed once, and the verify intersections run
-    // on 8-byte longs (identical sizes to the string sets barring an
-    // md5-prefix collision, see fingerprintSets).
-    val shSets = fingerprintSets(docs, idCol, textCol, n).localCheckpoint()
     val sh = shSets.select(col("id"), explode(col("sh")).as("h60"))
       .withColumn("x", col("h60") % P)
     val mins = minhashPerms(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("x") + lit(b)) % P).as(s"h$i")
     }
     val sig = sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
-    val bandRows = sig.select(col("id"),
+    sig.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           concat_ws("_", (0 until rows).map(r => col(s"h${b * rows + r}")): _*)
             .as("bk"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
-    val cand = bandRows.as("a")
-      .join(bandRows.as("b"),
-        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
+    * a fingerprint-set table: ≥ threshold survives, with the shared
+    * jaccard value. Intersections run on 8-byte longs.
+    */
+  private def verifyJaccard(cand: DataFrame, shSets: DataFrame,
+                            threshold: Double): DataFrame =
     cand
       .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -240,6 +240,74 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, numHashes: Int, bands: Int,
+                      threshold: Double): DataFrame = {
+    // ONE materialized fingerprint-set index feeds both the signature
+    // build (exploded rows) and the exact-Jaccard verify joins — the
+    // corpus is tokenized+hashed once, and the verify intersections run
+    // on 8-byte longs (identical sizes to the string sets barring an
+    // md5-prefix collision, see fingerprintSets).
+    val shSets = fingerprintSets(docs, idCol, textCol, n).localCheckpoint()
+    val bandRows = lshBandRows(shSets, numHashes, bands)
+    val cand = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(cand, shSets, threshold)
+  }
+
+  /** The prior-release LSH index artifact for incremental dedup: the
+    * band rows and the fingerprint sets of an already-released corpus,
+    * both plain tables a release pipeline writes once (parquet) and
+    * every later ingest batch reads. Band rows find candidates; the
+    * sets verify exact Jaccard without re-reading released TEXT.
+    */
+  def lshIndexOf(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int, numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
+    val shSets = fingerprintSets(docs, idCol, textCol, n)
+    (lshBandRows(shSets, numHashes, bands), shSets)
+  }
+
+  /** Incremental near-dup detection of a NEW batch against a released
+    * corpus — the continuously-growing-corpus shape: the released side
+    * is represented ONLY by its stored index artifact (band rows +
+    * fingerprint sets from lshIndexOf); its text is never re-tokenized
+    * and its signatures never recomputed. The new batch is fingerprinted
+    * and banded (O(new)), candidates are new×(released ∪ new) band-key
+    * collisions (released×released is structurally excluded — those
+    * pairs were adjudicated when the release was cut), and exact
+    * Jaccard verifies against the union of set tables.
+    *
+    * Law: exactly the full-corpus minhashLshPairs output restricted to
+    * pairs with ≥ 1 new side (same permutation constants ⇒ identical
+    * band keys ⇒ identical candidate set; id_a < id_b canonical order).
+    *
+    * Scale shape: per-batch cost is O(new tokens) signature work plus
+    * an equi-join of the new band rows against the index — a
+    * broadcast-able probe when the batch is small, a shuffle join
+    * whose released side the band-key equi-join prunes to colliding
+    * buckets otherwise. Nothing is ever all-pairs, and the released
+    * corpus contributes index ROWS (bands × docs), not text.
+    */
+  def incrementalLshPairs(newDocs: DataFrame, idCol: String, textCol: String,
+                          indexBands: DataFrame, indexSets: DataFrame,
+                          n: Int, numHashes: Int, bands: Int,
+                          threshold: Double): DataFrame = {
+    val newSets = fingerprintSets(newDocs, idCol, textCol, n).localCheckpoint()
+    val newBands = lshBandRows(newSets, numHashes, bands)
+    val allBands = indexBands.unionByName(newBands)
+    val cand = newBands.as("a")
+      .join(allBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    verifyJaccard(cand, indexSets.unionByName(newSets), threshold)
   }
 
   /** 60-bit SimHash fingerprint per document: for each bit position,

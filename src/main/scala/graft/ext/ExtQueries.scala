@@ -24,6 +24,27 @@ object ExtQueries {
   private[ext] val ShingleN = 3
   private val NumHashes = 16
   private val SpanGramN = 8 // q132: repeated-substring gram order
+
+  /** q133: the prior-release LSH index artifact (band rows +
+    * fingerprint sets of the released corpus, doc_id % 3 != 0), staged
+    * once per JVM per sf dir — in a real pipeline the release step
+    * writes these tables and every later ingest batch only READS them.
+    * The query's subject is the incremental batch-vs-index join, not
+    * the (already-released) index build.
+    */
+  private val lshIndexStaged =
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private def stagedLshIndex(s: SparkSession, d: String): (String, String) =
+    lshIndexStaged.getOrElseUpdate(new java.io.File(d).getCanonicalPath, {
+      val bp = graft.sources.Sinks.tmpPathFor("lsh_index_bands", d)
+      val sp = graft.sources.Sinks.tmpPathFor("lsh_index_sets", d)
+      val (bands, sets) = Dedup.lshIndexOf(
+        Tables.documents(s, d).filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", ShingleN, NumHashes, Bands)
+      bands.write.mode("overwrite").parquet(bp)
+      sets.write.mode("overwrite").parquet(sp)
+      (bp, sp)
+    })
   private val Bands = 4
   private[ext] val JaccardThreshold = 0.5
   private val KnnK = 10
@@ -112,6 +133,18 @@ object ExtQueries {
     // 60-bit SimHash fingerprints per document.
     "q26_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text", ShingleN)),
+
+    // Incremental near-dup detection: the arriving batch (doc_id
+    // % 3 == 0) against the staged prior-release LSH index — released
+    // text is never re-tokenized, released signatures never recomputed;
+    // released×released pairs structurally excluded.
+    "q133_incremental_dedup" -> ((s, d) => {
+      val (bp, sp) = stagedLshIndex(s, d)
+      Dedup.incrementalLshPairs(
+        Tables.documents(s, d).filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", s.read.parquet(bp), s.read.parquet(sp),
+        ShingleN, NumHashes, Bands, JaccardThreshold)
+    }),
 
     // Exact repeated-substring spans (passage-level dedup): merged
     // [start, end) token spans of every 8-gram shared by ≥ 2 docs —
@@ -706,6 +739,13 @@ object ExtQueries {
     "q24_lsh_neardup" -> lshPairsSql,
     "q25_jaccard_pairs" -> jaccardPairsSql,
     "q26_simhash" -> simhashSql,
+
+    // the incremental path must equal the full-corpus LSH recompute
+    // restricted to pairs with >= 1 new-batch side — same permutation
+    // constants, identical band keys, identical candidate set
+    "q133_incremental_dedup" ->
+      s"""SELECT id_a, id_b, jaccard FROM ($lshPairsSql)
+         |WHERE id_a % 3 = 0 OR id_b % 3 = 0""".stripMargin,
 
     // same position/merge law: 1-based i, span [i, i+8), islands merge
     // on touch (s > running max(e) starts a new span)

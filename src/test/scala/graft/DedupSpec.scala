@@ -159,6 +159,32 @@ class DedupSpec extends SparkSpec {
     assert(fp.values.forall(v => v >= 0L && v < (1L << 60)))
   }
 
+  test("incrementalLshPairs: equals full recompute restricted to new-side pairs") {
+    // planted corpus: 1≈2 (released×released — must NOT appear), 3≈4
+    // (new×released), 6≈9 (new×new), 5 unrelated. % 3 == 0 is "new".
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "one two three four five six seven eight nine eleven"),
+      (5L, "utterly unrelated content about catalyst plans and shuffles"),
+      (6L, "red orange yellow green blue indigo violet ultra infra deep"),
+      (9L, "red orange yellow green blue indigo violet ultra infra deep"))
+      .toDF("doc_id", "text")
+    val (bands, sets) = Dedup.lshIndexOf(
+      corpus.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", 3, 16, 4)
+    val inc = Dedup.incrementalLshPairs(
+      corpus.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+      bands, sets, 3, 16, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashLshPairs(corpus, "doc_id", "text", 3, 16, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc === full.filter(p => p._1 % 3 == 0 || p._2 % 3 == 0))
+    assert(inc.contains((6L, 9L)))         // new×new found
+    assert(inc.exists(p => p == (3L, 4L))) // new×released found
+    assert(!inc.contains((1L, 2L)))        // released×released excluded
+  }
+
   test("repeatedSpans: cross-doc law, overlap+touch merge, no false hits") {
     // shared passage "a b c" (n=3) sits at positions 1 of doc 1 and
     // 4 of doc 2; doc 1 additionally repeats "x y z x y z" WITHIN
