@@ -247,6 +247,19 @@ object ScaleQueries {
         s, RawZoneGen.stagedPath(s, syms), s"n$syms")
     }),
 
+    // Exactly-once streaming maintenance on changelog storage — the
+    // MVCC answer to the q131 variant's documented re-delivery gap:
+    // fact and rollup live as commit-partitioned changelogs, each
+    // micro-batch idempotently overwrites its OWN commit directory and
+    // reads retractions from the immutable commits < b, so an
+    // at-least-once foreachBatch retry recomputes byte-identical
+    // output. Third maintenance path sharing the bit-exact oracle.
+    "q134_stream_ivm_mvcc" -> ((s, d) => {
+      val syms = n(d)
+      graft.streaming.StreamIvm.maintainedRollupMvcc(
+        s, RawZoneGen.stagedPath(s, syms), s"n$syms")
+    }),
+
     // Bucketed co-located join — the 100 TB co-location tool the
     // repartition-based layout can't give: fact and summary are both
     // written bucketBy(stock) + sortBy(stock) into the session catalog
@@ -395,10 +408,12 @@ object ScaleQueries {
     // the maintained rollup must be bit-identical to aggregating the
     // full recompute: integer partials (count, quarter-scaled sum), an
     // all-null group surfaces as NULL (the engine's nn disambiguator).
-    // Shared by the batch IVM loop (q128) and its streaming twin
-    // (q131) — both maintenance paths must converge to the same table.
+    // Shared by the batch IVM loop (q128) and its streaming twins
+    // (q131 in-place, q134 changelog/MVCC) — every maintenance path
+    // must converge to the same table.
     "q128_incremental_rollup" -> rollupSql,
     "q131_stream_ivm" -> rollupSql,
+    "q134_stream_ivm_mvcc" -> rollupSql,
 
     // top-10 point lookup over the same regenerated fact table; the
     // (date desc, statement_type, metric) order key is total within a

@@ -47,6 +47,28 @@ object Changelog {
       .write.partitionBy(CommitCol).mode("append").parquet(path)
   }
 
+  /** Append-or-replace commit `commitId` IDEMPOTENTLY: a dynamic
+    * partition overwrite of this commit's own `_commit=<v>` directory
+    * (plus any `alsoPartitionBy` sub-dirs present in the delta). A
+    * re-delivered write of the SAME deterministic delta — the
+    * Structured Streaming foreachBatch retry contract — lands
+    * byte-identically on top of any complete or partial earlier
+    * attempt, while every other commit's directory is untouched. This
+    * is what makes a changelog the exactly-once substrate: the writer
+    * keys physical placement by the commit id it was told, so the
+    * storage layer absorbs at-least-once delivery.
+    */
+  def commitIdempotent(delta: DataFrame, path: String, commitId: Long,
+                       alsoPartitionBy: Seq[String] = Nil): Unit = {
+    require(commitId >= 0, s"commitId must be >= 0, got $commitId")
+    require(!delta.columns.contains(CommitCol),
+      s"Changelog reserves column name $CommitCol; rename it on the input")
+    delta.withColumn(CommitCol, lit(commitId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(CommitCol +: alsoPartitionBy: _*).parquet(path)
+  }
+
   /** The table as of commit `v` (inclusive): keyed last-write-wins over
     * the partition-pruned commits ≤ v. Returns the data columns only —
     * `_commit` is the log's coordinate, not the table's.

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
-import graft.sources.Sinks
-import graft.transform.{Financials, Rollup}
+import graft.sources.{Changelog, Sinks}
+import graft.transform.{Financials, Rollup, Upsert}
 
 /** STREAMING materialized-view maintenance — the q128 exact-IVM loop
   * (fact upsert + signed-delta rollup merge with retraction) driven by
@@ -133,5 +133,111 @@ object StreamIvm {
       col("n_facts"),
       when(col("nn") === 0L, lit(null).cast("double"))
         .otherwise(col("sum_q").cast("double") / 4.0).as("sum_value"))
+  }
+
+  // ---- MVCC / exactly-once variant -----------------------------------
+
+  /** One micro-batch of the CHANGELOG-backed maintenance loop —
+    * idempotent by construction, which is the property the in-place
+    * variant above documents as out of scope. Both tables are
+    * commit-partitioned changelogs (sources/Changelog):
+    *
+    *  - the day's facts commit as fact-log commit `b` (bucket
+    *    sub-partitioned for pruned reads);
+    *  - the rollup delta (day's facts + signed retraction of the
+    *    versions they replace) commits as rollup-log commit `b`;
+    *  - retraction reads come from `latestByKey` over fact commits
+    *    ≤ b−1 — the partition filter makes any complete OR PARTIAL
+    *    earlier attempt at commit `b` itself invisible, so the inputs
+    *    of attempt #2 are byte-identical to attempt #1's;
+    *  - both writes are `Changelog.commitIdempotent` dynamic
+    *    overwrites of the batch's OWN commit directory.
+    *
+    * Re-delivering any batch (Structured Streaming's at-least-once
+    * foreachBatch retry after a mid-batch crash) therefore recomputes
+    * and rewrites exactly what the first attempt would have written:
+    * effective exactly-once with no ledger, no lock, and no
+    * coordination beyond the batchId the framework already supplies.
+    */
+  private[graft] def applyBatchMvcc(s: SparkSession, batch: DataFrame,
+                                    b: Long, factLog: String,
+                                    rollLog: String): Unit = {
+    val valueQ = (col("value") * 4).cast("long") // exact: values ∈ ℤ/4
+    val dayFacts = Financials.normalize(batch).localCheckpoint()
+    val replaced =
+      if (b == 0L) None
+      else {
+        val touched = batch.select(col("symbol")).distinct()
+          .select(pmod(hash(col("symbol")), lit(32)).as("bucket"))
+          .collect().map(_.getInt(0)).toIndexedSeq
+        val hist = s.read.parquet(factLog)
+          .filter(col(Changelog.CommitCol) < b && col("bucket").isin(touched: _*))
+        Some(Upsert.latestByKey(hist, Financials.Pk, col(Changelog.CommitCol))
+          .drop(Changelog.CommitCol, "bucket")
+          .join(dayFacts.select(Financials.Pk.map(col): _*),
+            Financials.Pk, "left_semi"))
+      }
+    val signed = replaced.fold(dayFacts.withColumn("_sign", lit(1L)))(
+      r => dayFacts.withColumn("_sign", lit(1L))
+        .unionByName(r.withColumn("_sign", lit(-1L))))
+    // materialize BEFORE the fact commit: attempt #2 of this batch
+    // overwrites files a lazy `hist` plan under the SAME commit id
+    // could never read anyway (the < b filter), but the delta must
+    // also not re-read its own day's landing file mid-overwrite
+    val deltaAgg = signed.groupBy("stock", "calendar_year")
+      .agg(sum(col("_sign")).as("n_facts"),
+        sum(col("_sign") *
+          when(col("value").isNotNull, 1L).otherwise(0L)).as("nn"),
+        sum(col("_sign") * valueQ).as("sum_q"))
+      .localCheckpoint()
+    Changelog.commitIdempotent(
+      dayFacts.withColumn("bucket", Sinks.factBucket(32)),
+      factLog, b, alsoPartitionBy = Seq("bucket"))
+    Changelog.commitIdempotent(deltaAgg, rollLog, b)
+  }
+
+  /** The served rollup of the MVCC loop: signed deltas SUM across all
+    * rollup-log commits (additive — no merge step ever ran), keys whose
+    * liveness count cancelled to zero vanish, and the projection
+    * contract matches q128 (NULL sum iff nn = 0). Reading the log is
+    * O(commits); the compaction discipline documented on Changelog
+    * (fold commits ≤ v into a base commit) bounds it operationally.
+    */
+  private def servedRollup(s: SparkSession, rollLog: String): DataFrame =
+    s.read.parquet(rollLog)
+      .groupBy(col("stock"), col("calendar_year"))
+      .agg(sum(col("n_facts")).as("n_facts"), sum(col("nn")).as("nn"),
+        sum(col("sum_q")).as("sum_q"))
+      .filter(col("n_facts") =!= 0L)
+      .select(col("stock"), col("calendar_year"), col("n_facts"),
+        when(col("nn") === 0L, lit(null).cast("double"))
+          .otherwise(col("sum_q").cast("double") / 4.0).as("sum_value"))
+
+  /** Run the exactly-once maintenance stream over the staged landing
+    * dir and return the served rollup — the third maintenance path
+    * (batch loop q128, in-place stream q131, changelog stream here)
+    * that must converge to the identical bit-exact table.
+    */
+  def maintainedRollupMvcc(s: SparkSession, rawPath: String,
+                           tag: String): DataFrame = {
+    val landing = stageDailyLanding(s, rawPath, tag)
+    val factLog = Sinks.tmpPath(s"stream_ivm_mvcc_fact_$tag")
+    val rollLog = Sinks.tmpPath(s"stream_ivm_mvcc_roll_$tag")
+    val ckptDir = Sinks.tmpPath(s"stream_ivm_mvcc_ckpt_$tag")
+    Sinks.deleteRecursively(factLog) // re-runnable: commit 0 starts fresh
+    Sinks.deleteRecursively(rollLog)
+    Sinks.deleteRecursively(ckptDir)
+    val q = s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1) // one increment per micro-batch
+      .parquet(landing)
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        applyBatchMvcc(s, batch, batchId, factLog, rollLog)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    servedRollup(s, rollLog)
   }
 }

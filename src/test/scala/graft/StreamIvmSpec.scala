@@ -42,4 +42,44 @@ class StreamIvmSpec extends SparkSpec {
     assert(maintained.nonEmpty)
     assert(maintained === recomputed)
   }
+
+  test("MVCC variant converges identically and absorbs batch re-delivery") {
+    val syms = 10
+    val rawPath = RawZoneGen.stagedPath(spark, syms)
+    val raw = spark.read.parquet(rawPath)
+      .select(col("symbol"), col("payload"), col("loaded_at"),
+        col("load_date").cast("date"))
+
+    def served = StreamIvm.maintainedRollupMvcc(spark, rawPath, "mvccspec")
+    val first = served.collect().map(_.toSeq).toSet
+    val inPlace = StreamIvm.maintainedRollup(spark, rawPath, "mvccspec")
+      .collect().map(_.toSeq).toSet
+    assert(first.nonEmpty)
+    assert(first === inPlace) // both streaming paths, identical table
+
+    // at-least-once re-delivery: re-apply a MIDDLE batch and the LAST
+    // batch with their original commit ids (the foreachBatch retry
+    // contract). Every re-application must land byte-identically —
+    // retraction inputs are the immutable commits < b, and the writes
+    // overwrite only the batch's own commit directories.
+    val factLog = graft.sources.Sinks.tmpPath("stream_ivm_mvcc_fact_mvccspec")
+    val rollLog = graft.sources.Sinks.tmpPath("stream_ivm_mvcc_roll_mvccspec")
+    val days = raw.select(col("load_date")).distinct()
+      .collect().map(_.getDate(0).toString).sorted
+    Seq(1, days.length - 1).distinct.foreach { i =>
+      StreamIvm.applyBatchMvcc(spark,
+        raw.filter(col("load_date") === lit(days(i))), i.toLong,
+        factLog, rollLog)
+      val after = spark.read.parquet(rollLog)
+        .groupBy(col("stock"), col("calendar_year"))
+        .agg(sum(col("n_facts")).as("n_facts"), sum(col("nn")).as("nn"),
+          sum(col("sum_q")).as("sum_q"))
+        .filter(col("n_facts") =!= 0L)
+        .select(col("stock"), col("calendar_year"), col("n_facts"),
+          when(col("nn") === 0L, lit(null).cast("double"))
+            .otherwise(col("sum_q").cast("double") / 4.0).as("sum_value"))
+        .collect().map(_.toSeq).toSet
+      assert(after === first, s"re-delivery of batch $i changed the rollup")
+    }
+  }
 }
