@@ -17,6 +17,8 @@ object CurationQueries {
   private val NearTolUs = 3600L * 1000000L // q119: ±1 h nearest window
   private val SampleRates = Seq("en" -> 0.5, "zh" -> 0.25, "de" -> 1.0)
   private val DefaultRate = 0.75
+  private val MixFrac = 0.6    // q135: overall mixture budget ⌊frac·N⌋
+  private val MixSalt = "m135" // q135: hash-law salt
   private val QualityMin = 0.55
   private val PipeSalt = "q51"
   private val PipeRates = Seq("en" -> 0.6, "und" -> 1.0)
@@ -153,6 +155,14 @@ object CurationQueries {
       Sampling.stratifiedBernoulli(
         Tables.documents(s, d).select(col("doc_id"), col("lang")),
         "doc_id", "lang", SampleRates.toMap, DefaultRate, SampleSalt)),
+
+    // √-temperature mixture: per-language keep rates DERIVED from the
+    // live corpus counts (m_s ∝ √n_s scaled to a ⌊frac·N⌋ budget) —
+    // the head language is flattened, the tail upweighted.
+    "q135_mixture_sample" -> ((s, d) =>
+      Sampling.temperatureMixture(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "lang", "doc_id", MixFrac, MixSalt)),
 
     // Purchase→latest-prior-click attribution: backward as-of self-join
     // on the events table.
@@ -373,6 +383,29 @@ object CurationQueries {
        |    % ${Sampling.Denom}
        |  < CASE lang $cases ELSE ${math.round(DefaultRate * Sampling.Denom)} END""".stripMargin
   }
+
+  /** √-temperature mixture twin: identical quantized-√ law — sq is an
+    * integer per language, S an order-free integer sum, the rate
+    * arithmetic a fixed operand order over integer-valued doubles.
+    */
+  private val mixtureSampleSql =
+    s"""WITH stats AS (
+       |  SELECT lang AS src, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))
+       |      * CAST(1000000 AS DOUBLE)) AS BIGINT) AS sq
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT sum(n) AS nn, sum(sq) AS s2 FROM stats),
+       |thr AS (
+       |  SELECT src, CAST(floor(least(CAST(1.0 AS DOUBLE),
+       |    (floor(CAST(nn AS DOUBLE) * CAST($MixFrac AS DOUBLE))
+       |       * CAST(sq AS DOUBLE))
+       |      / (CAST(s2 AS DOUBLE) * CAST(n AS DOUBLE)))
+       |    * CAST(${Sampling.Denom} AS DOUBLE)) AS BIGINT) AS thr
+       |  FROM stats, tot)
+       |SELECT d.doc_id, d.lang FROM documents d
+       |JOIN thr ON d.lang = thr.src
+       |WHERE CAST('0x' || substr(md5('$MixSalt' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |    % ${Sampling.Denom} < thr""".stripMargin
 
   /** Backward as-of twin, written as an explicit latest-prior window
     * (portable ANSI; also pins the equal-ts and tie-break semantics —
@@ -689,6 +722,7 @@ object CurationQueries {
     "q58_dedup_clusters_all" -> dedupClustersAllSql,
     "q47_pii_redact" -> piiRedactSql,
     "q48_stratified_sample" -> stratifiedSampleSql,
+    "q135_mixture_sample" -> mixtureSampleSql,
     "q49_asof_join" -> asofJoinSql,
     "q119_asof_nearest" -> asofNearestSql,
     "q51_curation_pipeline" -> curationPipelineSql,

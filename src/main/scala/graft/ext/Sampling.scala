@@ -96,6 +96,53 @@ object Sampling {
       .drop("_max_w")
   }
 
+  /** Deterministic √-temperature mixture sample — the corpus-mixing
+    * law LLM pipelines use to keep a head domain from drowning the
+    * tail (temperature α = 0.5 flattening of the source distribution):
+    * target per-source counts m_s ∝ √n_s scaled to an overall budget
+    * of ⌊frac·N⌋ rows, realized as per-source Bernoulli keep rates
+    * p_s = min(1, m_s/n_s) over the salted content-hash law. Unlike
+    * [[weightedBernoulli]] the rates are DERIVED from the live corpus
+    * statistics, not supplied per row — the operator is the policy.
+    *
+    * Cross-engine determinism: √n is quantized to an integer
+    * sq_s = ⌊√n_s · 10⁶⌋ per source, so the normalizer S = Σ sq_s is
+    * an ORDER-FREE integer sum (a raw Σ√n double fold would depend on
+    * aggregation order and diverge between engines); the remaining
+    * arithmetic (B·sq_s)/(S·n_s) runs on integer-valued doubles in a
+    * fixed operand order, and the per-row decision is the usual
+    * integer compare hash60 % Denom < ⌊p_s·Denom⌋ — no per-row float.
+    * α is fixed at 0.5 because IEEE sqrt is correctly rounded on both
+    * engines while pow(x, α) is not.
+    *
+    * Shape at 100 TB: one count-by-source aggregate (metadata-sized —
+    * sources number in the thousands at most), broadcast back as
+    * thresholds, then a scan-level filter. No shuffle of the corpus.
+    */
+  def temperatureMixture(df: DataFrame, srcCol: String, idCol: String,
+                         frac: Double, salt: String): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0,1], got $frac")
+    val reserved = Seq("_src", "_n", "_sq", "_tot", "_sqs", "_thr")
+    require(reserved.forall(c => !df.columns.contains(c)),
+      s"input must not contain reserved columns ${reserved.mkString(",")}")
+    val stats = df.groupBy(col(srcCol).as("_src"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_sq",
+        floor(sqrt(col("_n").cast("double")) * lit(1000000.0)).cast("long"))
+    val tot = stats.agg(sum(col("_n")).as("_tot"), sum(col("_sq")).as("_sqs"))
+    val thr = stats.crossJoin(broadcast(tot))
+      .select(col("_src"),
+        floor(least(lit(1.0),
+          (floor(col("_tot").cast("double") * lit(frac)) * col("_sq").cast("double")) /
+            (col("_sqs").cast("double") * col("_n").cast("double")))
+          * lit(Denom.toDouble)).cast("long").as("_thr"))
+    df.join(broadcast(thr), col(srcCol) === col("_src"))
+      .filter(
+        hash60(concat(lit(salt), col(idCol).cast("string"))) % Denom
+          < col("_thr"))
+      .drop("_src", "_thr")
+  }
+
   /** Deterministic FIXED-QUOTA per-group sample — exactly
     * `min(k, |group|)` rows per group, chosen by ranking the group on a
     * salted content hash (the distributed, reproducible analogue of a

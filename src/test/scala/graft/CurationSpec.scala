@@ -108,6 +108,26 @@ class CurationSpec extends SparkSpec {
     assert(s1 !== s2)
   }
 
+  test("temperatureMixture: √-flattening, cap at 1, budget, determinism") {
+    // 900 "en" + 100 "fr": √-temperature targets m ∝ √n, so with
+    // frac=0.5 (budget 500): S = √900+√100 = 40, m_en = 500·30/40 =
+    // 375 (rate .4167), m_fr = 500·10/40 = 125 > 100 → rate capped
+    // at 1 — the tail language is kept WHOLE, the head downsampled.
+    val df = (0L until 1000L).map(i => (i, if (i < 900) "en" else "fr"))
+      .toDF("id", "lang")
+    val got = Sampling.temperatureMixture(df, "lang", "id", 0.5, "mx")
+    val byLang = got.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("fr") === 100L)                      // capped: all kept
+    val en = byLang("en")
+    assert(en > 300L && en < 450L,                     // ~375 expected
+      s"en sample $en far from the 375 target")
+    // deterministic: same salt → identical sample
+    val again = Sampling.temperatureMixture(df, "lang", "id", 0.5, "mx")
+      .collect().map(_.getLong(0)).toSet
+    assert(again === got.collect().map(_.getLong(0)).toSet)
+  }
+
   // ---- decontamination ------------------------------------------------
 
   test("contamination: planted benchmark overlap counted exactly") {
