@@ -255,7 +255,13 @@ object PipelineQueries {
     // file per micro-batch); the watermark-buffered fold must consume
     // late purchases in true (ts, event_id) order to match q85's
     // arrival-order-blind oracle.
-    "q116_stream_alerts_ooo" -> ((s, d) => EventStream.spendAlertsTwsOoo(s, d)))
+    "q116_stream_alerts_ooo" -> ((s, d) => EventStream.spendAlertsTwsOoo(s, d)),
+
+    // STR — chained window-on-window aggregation (Spark 4 multiple
+    // stateful operators): hourly per-type counts re-aggregated to
+    // daily totals in ONE append-mode query; the day stage consumes
+    // hourly partials, never raw events.
+    "q138_stream_daily_chain" -> ((s, d) => EventStream.dailyCountsChained(s, d)))
 
   /** Market-cap parse fragment shared with the q18 oracle. */
   private def mcapSql(col: String): String =
@@ -404,6 +410,13 @@ object PipelineQueries {
         |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    // arrival-order-blind daily law — the chained hourly→daily cascade
+    // must equal counting the raw events per day directly
+    "q138_stream_daily_chain" ->
+      """SELECT date_trunc('day', ts) AS day_start,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // conform is deterministic repair: the long→string→long and
     // double→string→double hops are exact round trips on both engines,

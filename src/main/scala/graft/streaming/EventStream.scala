@@ -228,13 +228,41 @@ class SessionProcessor(gapUs: Long)
 
 object EventStream {
 
-  /** Same physical schema as Tables.events (TIMESTAMP(NANOS) parquet
-    * read as long under spark.sql.legacy.parquet.nanosAsLong).
+  /** Wire schema of STAGED landing files: ts is an epoch-NANOS long —
+    * every staging helper normalizes the source to this via
+    * [[eventsNanos]], so the streaming readers' `ts div 1000`
+    * conversion holds regardless of which precision the testdata
+    * generation shipped (ScaleStream's generated landings and
+    * StreamingSpec's fixtures write ns longs directly).
     */
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** The source events table with ts as epoch-ns LONG — the staging
+    * wire format. Generations have shipped ts as TIMESTAMP(NANOS)
+    * (reads as a raw long under nanosAsLong) and TIMESTAMP(MICROS)
+    * (reads as a timestamp); dispatch on the INFERRED type — pinning a
+    * LongType schema over a µs file silently yields raw µs and shifts
+    * every event 1000× early (observed when the generator switched).
+    */
+  private def eventsNanos(s: SparkSession, dir: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/events.parquet")
+    val norm = df.schema("ts").dataType match {
+      case LongType => df // nanos generation: already the wire format
+      case _: TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      // µs generation infers NTZ (isAdjustedToUTC=false); session TZ is
+      // pinned UTC, so the cast relabels the same instant exactly
+      case _: TimestampNTZType =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case t => throw new IllegalArgumentException(
+        s"events.ts has unexpected type $t under $dir")
+    }
+    norm.select(eventsSchema.fieldNames.map(col).toIndexedSeq: _*)
+  }
 
   /** The file-stream source consumes a DIRECTORY of arriving files (the
     * shape a real deployment has anyway: a landing dir the fetcher
@@ -257,7 +285,7 @@ object EventStream {
   private def stageOnce(s: SparkSession, dir: String): String =
     stagedDirs.getOrElseUpdate(dir, {
       val staged = Sinks.tmpPath(stagedNameFor("stream_in", dir))
-      s.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
+      eventsNanos(s, dir)
         .write.mode("overwrite").parquet(staged)
       staged
     })
@@ -270,11 +298,23 @@ object EventStream {
     * exactly this purpose. (The sentinel's own never-closing session is
     * the only row the watermark holds back.)
     */
-  private val sentinelDirs = scala.collection.concurrent.TrieMap[String, String]()
+  private val sentinelDirs = scala.collection.concurrent.TrieMap[(String, Long), String]()
   private def stageWithSentinel(s: SparkSession, dir: String): String =
-    sentinelDirs.getOrElseUpdate(dir, {
-      val staged = Sinks.tmpPath(stagedNameFor("stream_in_sent", dir))
-      val base = s.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
+    stageWithSentinelAt(s, dir, horizonHours = 3L)
+
+  /** [[stageWithSentinel]] with a caller-chosen flush horizon: a
+    * sentinel only flushes windows whose CLOSE the advanced watermark
+    * passes, so an aggregation windowed coarser than the session gap
+    * (q138's 1-day second stage) needs the sentinel farther out than
+    * the default 3 h — past the last day boundary plus the watermark
+    * delay.
+    */
+  private def stageWithSentinelAt(s: SparkSession, dir: String,
+                                  horizonHours: Long): String =
+    sentinelDirs.getOrElseUpdate((dir, horizonHours), {
+      val staged = Sinks.tmpPath(
+        stagedNameFor(s"stream_in_sent_h$horizonHours", dir))
+      val base = eventsNanos(s, dir)
       val maxRow = base.agg(max(col("ts"))).head()
       require(!maxRow.isNullAt(0),
         s"events table under $dir is empty — no watermark horizon to " +
@@ -282,7 +322,7 @@ object EventStream {
       val maxNs = maxRow.getLong(0)
       val sentinel = s.range(1).select(
         lit(-1L).as("event_id"),
-        lit(maxNs + 3L * 3600L * 1000000000L).as("ts"), // +3 h in ns
+        lit(maxNs + horizonHours * 3600L * 1000000000L).as("ts"), // +h in ns
         lit(-1L).as("user_id"), lit("flush").as("event_type"),
         lit(0.0).as("value"), lit(null).cast("string").as("props"))
       // The file source processes files oldest-first and a watermark only
@@ -404,6 +444,68 @@ object EventStream {
       .select("win_start", "win_end", "event_type", "n")
   }
 
+  /** Chained (window-on-window) streaming aggregation — hourly per-type
+    * counts re-aggregated into DAILY totals inside ONE streaming query,
+    * Spark 4's multiple-stateful-operator support (dedup → windowed agg
+    * → windowed agg). The second stage groups on
+    * `window(window_time(hwin), "1 day")` — the documented chained-agg
+    * idiom: `window_time` exposes the hourly window's event-time point
+    * (end − 1 µs) so the day window inherits a watermark.
+    *
+    * Why it matters at 100 TB: the daily rollup consumes hourly
+    * PARTIALS (|types| × 24 rows per day), never raw events — map-side-
+    * combine discipline applied ACROSS streaming stages. The
+    * alternative (a second job re-reading the hourly sink) pays another
+    * scan and another scheduler; here the cascade shares one lineage,
+    * one checkpoint, one failure domain. State is bounded per stage:
+    * open hours + open days per type, each evicted at watermark.
+    *
+    * Stacked stateful aggs REQUIRE append mode (update is rejected), so
+    * rows land in a plain parquet file sink — no changelog/compaction —
+    * and each window emits exactly once, when its close passes the
+    * watermark. Flushing the final DAY needs the sentinel staged past
+    * the last day boundary plus the watermark delay: 50 h covers any
+    * last-event phase within its day (≤ 24 h to the boundary + 1 h
+    * delay), where tumblingCounts' 3 h default would strand it. As in
+    * sessionCounts, the sentinel is NOT filtered before the aggregate —
+    * a pre-agg predicate gets pushed below the EventTimeWatermark node
+    * and the watermark would never advance; its own hour window (close
+    * = sentinel's hour end > final watermark = sentinel − 1 h) is held
+    * back naturally, so it never reaches stage 2 or the sink. The
+    * read-back filter is defensive.
+    */
+  def dailyCountsChained(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageWithSentinelAt(s, dir, horizonHours = 50L)
+    val tag = dirTag(dir) // basename + path hash (sink-collision guard)
+    val sinkDir = Sinks.tmpPath(s"stream_daily_$tag")
+    val ckptDir = Sinks.tmpPath(s"stream_daily_ckpt_$tag")
+    Sinks.deleteRecursively(sinkDir)
+    Sinks.deleteRecursively(ckptDir)
+    val hourly = s.readStream.schema(eventsSchema)
+      .parquet(staged)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      // watermark-scoped dedup state (see tumblingCounts) — the
+      // exactly-once ingestion layer runs below both aggregates
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("ts"), "1 hour").as("hwin"), col("event_type"))
+      .agg(count(lit(1)).as("n_hour"))
+    val daily = hourly
+      .groupBy(window(window_time(col("hwin")), "1 day").as("dwin"),
+        col("event_type"))
+      .agg(sum(col("n_hour")).as("n"))
+      .select(col("dwin.start").as("day_start"), col("event_type"), col("n"))
+    val q = daily.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(sinkDir).filter(col("event_type") =!= "flush")
+  }
+
   /** Stream–STATIC dimension enrichment — the remaining join shape of
     * the streaming surface (stream-stream interval join is q53): each
     * micro-batch equi-joins against a STATIC batch-computed dimension
@@ -518,7 +620,7 @@ object EventStream {
   private def stageDuplicated(s: SparkSession, dir: String): String =
     dupDirs.getOrElseUpdate(dir, {
       val staged = Sinks.tmpPath(stagedNameFor("stream_in_dup", dir))
-      val base = s.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
+      val base = eventsNanos(s, dir)
       base.union(base).repartition(1).write.mode("overwrite").parquet(staged)
       base.repartition(1).write.mode("append").parquet(staged)
       staged
@@ -828,7 +930,7 @@ object EventStream {
   private def stageOutOfOrder(s: SparkSession, dir: String): String =
     oooDirs.getOrElseUpdate(dir, {
       val staged = Sinks.tmpPath(stagedNameFor("stream_in_ooo", dir))
-      val base = s.read.schema(eventsSchema).parquet(s"$dir/events.parquet")
+      val base = eventsNanos(s, dir)
       val mm = base.agg(min(col("ts")), max(col("ts"))).head()
       require(!mm.isNullAt(0),
         s"events table under $dir is empty — nothing to stage")
