@@ -193,6 +193,19 @@ object AuditQueries {
       s.read.orc(path)
     }),
 
+    // S-extension — JSON-lines round-trip (sources/JsonLines): the
+    // interchange format training corpora ship in. Written
+    // zstd-compressed, read back with the EXPLICIT schema (inference
+    // would be a second full corpus scan at 100 TB — the API refuses
+    // it), and compared whole against the source table: the documents
+    // text column carries quotes/whitespace/high-codepoint characters,
+    // so any escaping or encoding defect in the hop breaks the hash.
+    "q136_jsonl_roundtrip" -> ((s, d) => {
+      val path = graft.sources.Sinks.tmpPathFor("sink_jsonl_documents", d)
+      graft.sources.JsonLines.write(Tables.documents(s, d), path)
+      graft.sources.JsonLines.read(s, path, Tables.documentsSchema)
+    }),
+
     // SQL-registered engine function through spark.sql: the SAME
     // Column composition as q18, reached via the FunctionRegistry
     // (GraftSqlFunctions.register / spark.sql.extensions) — proves the
@@ -476,6 +489,8 @@ object AuditQueries {
 
     // layout-only hop: content must equal the plain table (q84 law)
     "q99_orc_roundtrip" -> "SELECT * FROM orders",
+
+    "q136_jsonl_roundtrip" -> "SELECT * FROM documents",
 
     // q92's coverage law → gate → q90's cross-multiplied integer
     // sample (max over the GATED set — the operator computes its max
