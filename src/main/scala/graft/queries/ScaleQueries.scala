@@ -234,6 +234,32 @@ object ScaleQueries {
       Changelog.snapshotAt(s, path, Financials.Pk, 1L)
     }),
 
+    // Changelog checkpoint + vacuum — the bounded-history half of the
+    // q129 time-travel story: after the same three commits, fold
+    // commits ≤ 1 into a single base commit (written as commit 1) and
+    // VACUUM the superseded directories, then read AS OF the still-
+    // untouched commit 2. The read must be byte-identical to the full
+    // fresh table (base ∪ commit 2 under LWW = all three days applied)
+    // — proof the fold lost nothing and the vacuum dropped only
+    // superseded state. History ABOVE the horizon is never read:
+    // checkpoint cost is O(live keys ≤ v), independent of later
+    // commits — at 100 TB you checkpoint yesterday without touching
+    // today's appends.
+    "q137_changelog_checkpoint" -> ((s, d) => {
+      val syms = n(d)
+      val raw = s.read.parquet(RawZoneGen.stagedPath(s, syms))
+      val days = Seq("2025-08-14", "2025-08-15", "2025-08-16")
+      val path = Sinks.tmpPath(s"fact_ckpt_$syms")
+      Sinks.deleteRecursively(path) // re-runnable: commit 0 starts fresh
+      days.zipWithIndex.foreach { case (day, i) =>
+        Changelog.commit(
+          Financials.normalize(raw.filter(col("load_date") === lit(day))),
+          path, i.toLong)
+      }
+      Changelog.checkpoint(s, path, Financials.Pk, 1L)
+      Changelog.snapshotAt(s, path, Financials.Pk, 2L)
+    }),
+
     // Streaming materialized-view maintenance — the q128 exact-IVM day
     // step driven by Structured Streaming instead of a batch loop: the
     // raw zone's days are staged as a landing dir, consumed one file
@@ -404,6 +430,10 @@ object ScaleQueries {
     // indices (day 2's universe; day 1's stale rows all replaced, day
     // 3's odd symbols not yet visible)
     "q129_time_travel" -> finUnpivotSqlWhere("range % 2 = 0"),
+
+    // checkpoint(1) then AS OF 2 = every day applied = the fresh table:
+    // the fold must lose nothing, the vacuum only superseded state
+    "q137_changelog_checkpoint" -> finUnpivotSql,
 
     // the maintained rollup must be bit-identical to aggregating the
     // full recompute: integer partials (count, quarter-scaled sum), an

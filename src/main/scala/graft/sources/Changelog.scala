@@ -84,4 +84,47 @@ object Changelog {
                      keys: Seq[String]): DataFrame =
     Upsert.latestByKey(spark.read.parquet(path), keys, col(CommitCol))
       .drop(CommitCol)
+
+  /** Checkpoint the log at commit `v`: fold every commit ≤ v into ONE
+    * base commit written as `v` itself, then VACUUM the superseded
+    * commit directories — the bounded-history answer the class doc
+    * promised ("fold commits ≤ v into a new base commit and drop the
+    * olds"). Cost is O(live keys ≤ v) — one snapshot compaction — plus
+    * directory deletes; commits > v are never read or touched, so
+    * maintenance cost is independent of how much history sits ABOVE
+    * the horizon.
+    *
+    * Contract (the same retention trade every compacting log makes —
+    * Kafka compacted topics, lakehouse VACUUM):
+    *  - `snapshotAt(w)` for any w ≥ v is byte-identical before and
+    *    after (the base holds exactly the pre-checkpoint state at v);
+    *  - snapshots BELOW the horizon (w < v) become empty — the log no
+    *    longer distinguishes pre-v states; pick v to match the
+    *    time-travel retention you owe readers.
+    *
+    * The fold is materialized into a staging dir OUTSIDE the log
+    * before anything is deleted — outside because Spark's file index
+    * skips `_`-prefixed dirs even when addressed directly, so an
+    * in-log `_staging` dir could be written but never read back
+    * (observed: an empty base) — making the sequence restartable:
+    * until the final commit lands, every source commit dir is still
+    * present or the staged base is; a production port would swap the
+    * staged base in by rename for full atomicity.
+    */
+  def checkpoint(spark: SparkSession, path: String, keys: Seq[String],
+                 v: Long): Unit = {
+    val staging = Sinks.tmpPath(
+      s"ckpt_staging_${new java.io.File(path).getName}_$v")
+    snapshotAt(spark, path, keys, v)
+      .write.mode("overwrite").parquet(staging)
+    val superseded = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter { f =>
+        val n = f.getName
+        n.startsWith(s"$CommitCol=") &&
+          n.stripPrefix(s"$CommitCol=").toLong <= v
+      }
+    superseded.foreach(f => Sinks.deleteRecursively(f.getAbsolutePath))
+    commit(spark.read.parquet(staging), path, v)
+    Sinks.deleteRecursively(staging)
+  }
 }

@@ -92,4 +92,39 @@ class TopKChangelogSpec extends SparkSpec {
     }
     assert(e.getMessage.contains(Changelog.CommitCol))
   }
+
+  test("checkpoint folds history below the horizon and vacuums it (q137)") {
+    val path = Sinks.tmpPath("changelog_spec_ckpt")
+    Sinks.deleteRecursively(path)
+    Changelog.commit(Seq(("k1", "a"), ("k2", "b")).toDF("k", "v"), path, 0L)
+    Changelog.commit(Seq(("k2", "c"), ("k3", "d")).toDF("k", "v"), path, 1L)
+    Changelog.commit(Seq(("k1", "e")).toDF("k", "v"), path, 2L)
+    def snap(v: Long) = Changelog.snapshotAt(spark, path, Seq("k"), v)
+      .as[(String, String)].collect().toMap
+    val before1 = snap(1L)
+    val before2 = snap(2L)
+
+    Changelog.checkpoint(spark, path, Seq("k"), 1L)
+
+    def commitDirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith(s"${Changelog.CommitCol}="))
+      .map(_.getName).sorted.toSeq
+    // commit 0 vacuumed; the base now lives AS commit 1; commit 2
+    // untouched; no staging residue
+    assert(commitDirs == Seq(s"${Changelog.CommitCol}=1",
+      s"${Changelog.CommitCol}=2"))
+    assert(!new java.io.File(path).listFiles()
+      .exists(_.getName.startsWith("_ckpt_staging")))
+    // reads at and above the horizon are value-identical
+    assert(snap(1L) == before1)
+    assert(snap(2L) == before2)
+    assert(Changelog.snapshotLatest(spark, path, Seq("k"))
+      .as[(String, String)].collect().toMap == before2)
+    // below the horizon the log no longer distinguishes states — the
+    // documented retention trade
+    assert(snap(0L) == Map.empty)
+    // idempotent: re-checkpointing the same horizon is a no-op fold
+    Changelog.checkpoint(spark, path, Seq("k"), 1L)
+    assert(snap(2L) == before2)
+  }
 }
