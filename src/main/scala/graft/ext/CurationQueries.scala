@@ -19,6 +19,10 @@ object CurationQueries {
   private val DefaultRate = 0.75
   private val MixFrac = 0.6    // q135: overall mixture budget ⌊frac·N⌋
   private val MixSalt = "m135" // q135: hash-law salt
+  // q139: per-language interleave weights (higher = denser in the
+  // order); lcm = 6, so strides are en 2 / de,es,zh 3 / fr 6
+  private val StrideWeights = Seq(
+    "en" -> 3L, "de" -> 2L, "es" -> 2L, "fr" -> 1L, "zh" -> 2L)
   private val QualityMin = 0.55
   private val PipeSalt = "q51"
   private val PipeRates = Seq("en" -> 0.6, "und" -> 1.0)
@@ -163,6 +167,15 @@ object CurationQueries {
       Sampling.temperatureMixture(
         Tables.documents(s, d).select(col("doc_id"), col("lang")),
         "lang", "doc_id", MixFrac, MixSalt)),
+
+    // Stride-scheduled epoch order: q135 picks the documents, this
+    // assigns their global reading sequence — every contiguous window
+    // of the order sees the weighted mixture, deterministically.
+    "q139_stride_interleave" -> ((s, d) =>
+      Interleave.strideOrder(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", StrideWeights.toMap)
+        .select(col("seq"), col("doc_id"), col("lang"), col("vt"))),
 
     // Purchase→latest-prior-click attribution: backward as-of self-join
     // on the events table.
@@ -406,6 +419,31 @@ object CurationQueries {
        |JOIN thr ON d.lang = thr.src
        |WHERE CAST('0x' || substr(md5('$MixSalt' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
        |    % ${Sampling.Denom} < thr""".stripMargin
+
+  /** Stride-interleave twin: the same integer law — 0-based per-language
+    * rank r, vt = (2r+1)·(lcm/w), global order (vt, lang, doc_id).
+    * DuckDB `//` is integral division (its `/` is float); every stride
+    * divides the lcm exactly by construction.
+    */
+  private val strideInterleaveSql = {
+    val lcmW = StrideWeights.map(_._2).reduce((a, b) => a / gcdL(a, b) * b)
+    val cases = StrideWeights.map { case (k, w) =>
+      s"WHEN '$k' THEN ${lcmW / w}"
+    }.mkString(" ")
+    s"""WITH r AS (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1 AS r
+       |  FROM documents),
+       |v AS (
+       |  SELECT doc_id, lang,
+       |    CAST((2*r + 1) * (CASE lang $cases END) AS BIGINT) AS vt
+       |  FROM r)
+       |SELECT CAST(row_number() OVER (ORDER BY vt, lang, doc_id) AS BIGINT)
+       |    AS seq,
+       |  doc_id, lang, vt FROM v""".stripMargin
+  }
+
+  private def gcdL(a: Long, b: Long): Long = if (b == 0) a else gcdL(b, a % b)
 
   /** Backward as-of twin, written as an explicit latest-prior window
     * (portable ANSI; also pins the equal-ts and tie-break semantics —
@@ -723,6 +761,8 @@ object CurationQueries {
     "q47_pii_redact" -> piiRedactSql,
     "q48_stratified_sample" -> stratifiedSampleSql,
     "q135_mixture_sample" -> mixtureSampleSql,
+
+    "q139_stride_interleave" -> strideInterleaveSql,
     "q49_asof_join" -> asofJoinSql,
     "q119_asof_nearest" -> asofNearestSql,
     "q51_curation_pipeline" -> curationPipelineSql,
