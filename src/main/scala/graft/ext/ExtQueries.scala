@@ -236,6 +236,31 @@ object ExtQueries {
         .select(col("term"), col("n_exact"), col("n_est"))
     }),
 
+    // Sketch-SCREENED exact heavy hitters — the CMS as a shuffle gate,
+    // not just a summary (the q75 complement): row-local broadcast
+    // probe appends each token row's estimate with NO shuffle, the
+    // threshold gate drops the tail before the exchange, and the exact
+    // groupBy counts only survivors (complete per term — every
+    // occurrence screens identically; CMS overcounts ⇒ no false
+    // negatives; the final exact HAVING removes false positives). The
+    // oracle needs no sketch: the result provably equals plain GROUP
+    // BY ... HAVING. Threshold = ⌊total_tokens/32⌋, scale-proportional
+    // and integer-exact on both engines.
+    "q140_sketch_heavy_exact" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(TextHash.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+        .localCheckpoint() // feeds sketch build, screen, and threshold
+      val cms = Sketches.countMin(toks, "term", CmsDepth, CmsWidth)
+      val thr = toks.agg(expr("count(1) div 32").as("thr"))
+      val screened = Sketches
+        .screenEstimate(toks, "term", cms, CmsDepth, CmsWidth, "n_est")
+        .join(broadcast(thr), col("n_est") >= col("thr")) // scalar gate
+      screened.groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .join(broadcast(thr), col("n") >= col("thr"))
+        .select(col("term"), col("n"))
+    }),
+
     // HyperLogLog registers per event type — the cardinality sketch's
     // mergeable STATE (element-wise max), exact integers end to end
     // (md5-60 hash, leading zeros via binary-string length).
@@ -793,6 +818,17 @@ object ExtQueries {
     "q45_knn_ivf" -> knnIvfSql,
     "q74_lloyd_refine" -> lloydSql,
     "q75_cms_heavy_hitters" -> cmsHeavyHittersSql,
+
+    // the sketch is invisible to the oracle BY THEOREM (no false
+    // negatives + exact verify): screened exact ≡ plain HAVING
+    "q140_sketch_heavy_exact" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tt AS (SELECT term FROM toks WHERE length(term) > 0),
+        |tot AS (SELECT count(*) // 32 AS thr FROM tt),
+        |ex AS (SELECT term, count(*) AS n FROM tt GROUP BY term)
+        |SELECT term, n FROM ex, tot WHERE n >= thr""".stripMargin,
 
     // keep-first per (user, type, UTC day): integer bucket of epoch
     // micros, earliest (ts, event_id) wins — row_number is the oracle

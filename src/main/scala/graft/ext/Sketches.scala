@@ -70,6 +70,40 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
   }
 
+  /** ROW-LOCAL count-min screen: append each row's sketch estimate for
+    * its term WITHOUT shuffling the rows — `depth` broadcast hash
+    * joins against the (≤ depth·width)-row sketch, then `least()`
+    * across the per-row cell counts. This is the piece that makes the
+    * sketch a SHUFFLE GATE rather than just a summary: at 100 TB,
+    * exact heavy-hitter counting via plain groupBy shuffles every junk
+    * singleton in a billion-term vocabulary; screening first means the
+    * exact aggregation's exchange carries ONLY rows whose estimate
+    * clears the threshold — and since CMS only ever overcounts, no
+    * true heavy hitter is lost (no-false-negative theorem). The tail
+    * never shuffles; the survivors' exact counts are complete because
+    * every occurrence of a term screens identically.
+    */
+  def screenEstimate(rows: DataFrame, termCol: String, cms: DataFrame,
+                     depth: Int, width: Int, out: String): DataFrame = {
+    require(depth > 0 && width > 0, s"need depth/width > 0, got $depth/$width")
+    val internal = (0 until depth)
+      .flatMap(j => Seq(s"_cms_pos_$j", s"_cms_cnt_$j"))
+    val reserved = rows.columns.filter(c => internal.contains(c) || c == out)
+    require(reserved.isEmpty,
+      s"screenEstimate reserves column name(s) ${reserved.mkString(", ")}; " +
+        "rename them on the input")
+    var acc = rows
+    val ests = (0 until depth).map { j =>
+      val cmsJ = cms.filter(col("row") === j)
+        .select(col("pos").as(s"_cms_pos_$j"), col("cnt").as(s"_cms_cnt_$j"))
+      acc = acc.join(broadcast(cmsJ),
+        cmsPos(col(termCol), j, width) === col(s"_cms_pos_$j"), "left")
+      // absent cell = never inserted = estimate 0 (see estimateMin)
+      coalesce(col(s"_cms_cnt_$j"), lit(0L))
+    }
+    acc.withColumn(out, least(ests: _*)).drop(internal: _*)
+  }
+
   /** HyperLogLog register build — the CARDINALITY member of the sketch
     * family (count-min = frequency, approx_percentile = quantiles).
     * This materializes the sketch STATE, not a float estimate: per

@@ -26,6 +26,38 @@ class SketchesSpec extends SparkSpec {
     assert(est.count { case (_, ex, e) => e == ex } >= 30)
   }
 
+  test("screened exact heavy hitters equal plain HAVING (q140 law)") {
+    // tiny width FORCES collisions → the screen passes false positives;
+    // the exact verify must remove every one of them, at any threshold
+    for (width <- Seq(4, 16, 1024); thr <- Seq(1L, 5L, 30L, 61L)) {
+      val depth = 3
+      val cms = Sketches.countMin(stream, "term", depth, width)
+      val got = Sketches
+        .screenEstimate(stream, "term", cms, depth, width, "n_est")
+        .filter(col("n_est") >= thr)
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= thr)
+        .as[(String, Long)].collect().toSet
+      val want = stream.groupBy("term").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= thr).as[(String, Long)].collect().toSet
+      assert(got == want, s"width=$width thr=$thr")
+      if (thr == 61L) assert(want.isEmpty) // max count is 60
+      if (thr == 1L) assert(want.size == 40) // every term survives
+    }
+  }
+
+  test("screenEstimate matches estimateMin per term (row-local probe law)") {
+    val depth = 4; val width = 8 // collision-rich
+    val cms = Sketches.countMin(stream, "term", depth, width)
+    val byRow = Sketches
+      .screenEstimate(stream.distinct(), "term", cms, depth, width, "n_est")
+      .as[(String, Long)].collect().toMap
+    val byProbe = Sketches
+      .estimateMin(cms, stream.distinct(), "term", depth, width)
+      .as[(String, Long)].collect().toMap
+    assert(byRow == byProbe)
+  }
+
   test("each hash row conserves the total stream mass") {
     val depth = 3; val width = 16
     val cms = Sketches.countMin(stream, "term", depth, width)
