@@ -23,6 +23,8 @@ object CurationQueries {
   // order); lcm = 6, so strides are en 2 / de,es,zh 3 / fr 6
   private val StrideWeights = Seq(
     "en" -> 3L, "de" -> 2L, "es" -> 2L, "fr" -> 1L, "zh" -> 2L)
+  private val EqSplitFrac = 0.1     // q141: exact per-stratum holdout
+  private val EqSplitSalt = "eq141" // q141: hash-law salt
   private val QualityMin = 0.55
   private val PipeSalt = "q51"
   private val PipeRates = Seq("en" -> 0.6, "und" -> 1.0)
@@ -176,6 +178,16 @@ object CurationQueries {
         Tables.documents(s, d).select(col("doc_id"), col("lang")),
         "doc_id", "lang", StrideWeights.toMap)
         .select(col("seq"), col("doc_id"), col("lang"), col("vt"))),
+
+    // Exact-quota stratified holdout: exactly ⌊n_lang·10%⌋ val docs
+    // per language by salted-hash rank (q48/q52 give proportions only
+    // in expectation; eval sets need exact counts) — per-stratum rank
+    // via the bucketed prefix-sum kernel, no per-stratum sort task.
+    "q141_exact_quota_split" -> ((s, d) =>
+      Sampling.exactQuotaSplit(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", EqSplitFrac, EqSplitSalt)
+        .select(col("doc_id"), col("lang"), col("split"))),
 
     // Purchase→latest-prior-click attribution: backward as-of self-join
     // on the events table.
@@ -444,6 +456,27 @@ object CurationQueries {
   }
 
   private def gcdL(a: Long, b: Long): Long = if (b == 0) a else gcdL(b, a % b)
+
+  /** Exact-quota split twin: same salted-hash order, same integer
+    * quota ((n·bp) div 10⁴) — the window-rank form is the oracle shape
+    * of the engine's bucketed prefix-sum rank.
+    */
+  private val exactQuotaSplitSql = {
+    val bp = math.round(EqSplitFrac * Sampling.Denom)
+    s"""WITH h AS (
+       |  SELECT doc_id, lang,
+       |    CAST('0x' || substr(md5('$EqSplitSalt' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hh
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS r,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM h)
+       |SELECT doc_id, lang,
+       |  CASE WHEN r <= (n * $bp) // ${Sampling.Denom} THEN 'val'
+       |       ELSE 'train' END AS split
+       |FROM r""".stripMargin
+  }
 
   /** Backward as-of twin, written as an explicit latest-prior window
     * (portable ANSI; also pins the equal-ts and tie-break semantics —
@@ -763,6 +796,8 @@ object CurationQueries {
     "q135_mixture_sample" -> mixtureSampleSql,
 
     "q139_stride_interleave" -> strideInterleaveSql,
+
+    "q141_exact_quota_split" -> exactQuotaSplitSql,
     "q49_asof_join" -> asofJoinSql,
     "q119_asof_nearest" -> asofNearestSql,
     "q51_curation_pipeline" -> curationPipelineSql,

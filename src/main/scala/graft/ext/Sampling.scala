@@ -168,4 +168,44 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
   }
+
+  /** EXACT-QUOTA stratified holdout split: within each stratum, rank
+    * rows on the salted content hash and label the first
+    * ⌊n_s · frac⌋ "val", the rest "train" — exactly that many, per
+    * stratum, every run. [[hashSplit]] gives proportions only in
+    * EXPECTATION (a small stratum can land a 14% holdout from a 10%
+    * cut); evaluation sets need exact counts, and rerun-stable
+    * membership (the salt+hash order, not row order, decides).
+    *
+    * frac is rounded to basis points ONCE on the driver; the quota is
+    * then pure integer arithmetic ((n·bp) div 10⁴), so no
+    * float-rounding boundary can flip a row cross-engine.
+    *
+    * Scale: the per-stratum rank uses [[Interleave.bucketedGroupRank]]
+    * — the hash key is uniform, so bucketing it yields balanced
+    * buckets and NO per-stratum single-machine sort (the window-rank
+    * form would sort a 20-TB stratum on one task); stratum sizes are a
+    * metadata aggregate broadcast back.
+    */
+  def exactQuotaSplit(df: DataFrame, idCol: String, strataCol: String,
+                      valFrac: Double, salt: String): DataFrame = {
+    require(valFrac >= 0.0 && valFrac <= 1.0,
+      s"valFrac must be in [0,1], got $valFrac")
+    val reserved = Seq("_eq_h", "_eq_r", "_eq_n", "split")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"exactQuotaSplit reserves column name(s) ${clash.mkString(", ")}; " +
+        "rename them on the input")
+    val bp = math.round(valFrac * Denom)
+    val withH = df.withColumn("_eq_h",
+      hash60(concat(lit(salt), col(idCol).cast("string"))))
+    val ranked = Interleave.bucketedGroupRank(withH, Seq(strataCol),
+      col("_eq_h"), 1L << 48, Seq(col("_eq_h"), col(idCol)), "_eq_r")
+    val sizes = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_eq_n"))
+    ranked.join(broadcast(sizes), Seq(strataCol))
+      .withColumn("split",
+        when(col("_eq_r") <= expr(s"(_eq_n * $bp) div $Denom"), lit("val"))
+          .otherwise(lit("train")))
+      .drop("_eq_h", "_eq_r", "_eq_n")
+  }
 }

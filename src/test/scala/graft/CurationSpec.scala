@@ -108,6 +108,24 @@ class CurationSpec extends SparkSpec {
     assert(s1 !== s2)
   }
 
+  test("exactQuotaSplit: exact per-stratum quota, partition-invariant membership") {
+    // uneven strata incl. one too small for a full holdout row
+    val docs = ((0 until 83).map(i => (i.toLong, "en")) ++
+      (100 until 131).map(i => (i.toLong, "de")) ++
+      Seq((200L, "fr"), (201L, "fr"), (202L, "fr"))).toDF("doc_id", "lang")
+    def run(parts: Int) =
+      Sampling.exactQuotaSplit(docs.repartition(parts), "doc_id", "lang",
+        0.1, "spec_eq").select("doc_id", "lang", "split")
+    val got = run(4).as[(Long, String, String)].collect().toSet
+    // exact quotas: ⌊83·0.1⌋=8, ⌊31·0.1⌋=3, ⌊3·0.1⌋=0
+    val valByLang = got.filter(_._3 == "val").groupBy(_._2).view
+      .mapValues(_.size).toMap
+    assert(valByLang == Map("en" -> 8, "de" -> 3))
+    assert(got.size == 117) // every row labeled, none duplicated
+    // membership is a pure function of (salt, id): partitioning-invariant
+    assert(run(1).as[(Long, String, String)].collect().toSet == got)
+  }
+
   test("temperatureMixture: √-flattening, cap at 1, budget, determinism") {
     // 900 "en" + 100 "fr": √-temperature targets m ∝ √n, so with
     // frac=0.5 (budget 500): S = √900+√100 = 40, m_en = 500·30/40 =
