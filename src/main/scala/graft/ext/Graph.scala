@@ -337,6 +337,48 @@ object Graph {
     * @param iters fixed synchronous rounds (≥ 0: 0 returns id labels)
     * @return (id, community) — the node's label after `iters` rounds
     */
+  /** k-core peel (fifth graph kernel): repeatedly delete nodes of
+    * degree < k until the remainder — the k-core — is stable; returns
+    * its nodes with their within-core degree. The density filter
+    * behind "keep only well-connected entities" (spam rings, dense
+    * co-occurrence hubs, link-farm detection).
+    *
+    * Fixed `iters` instead of a convergence probe ON PURPOSE: peeling
+    * is monotone (the edge set only shrinks), so once the fixpoint is
+    * reached every further round is a bit-identical no-op — a fixed
+    * unroll shared with the oracle needs no cross-engine "did it
+    * converge" agreement, and rounds after convergence cost one
+    * already-stable aggregate + two joins. Pick iters ≥ the peel depth
+    * (cascade length), not the graph size.
+    *
+    * Scale: each round is one partial-aggregable degree count and two
+    * equi-joins on node id (the survivor set broadcasts once the peel
+    * bites); no all-pairs stage, shuffle ∝ surviving edges — and the
+    * edge set only ever shrinks.
+    */
+  def kCore(edges: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val Array(ca, cb, _*) = edges.columns
+    val und = edges.select(
+        least(col(ca), col(cb)).as("u"), greatest(col(ca), col(cb)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    var sym = und.union(und.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      // symmetric edge set ⇒ degree(u) = row count of u on the left
+      val keep = sym.groupBy(col("u").as("id"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("id"))
+      sym = sym
+        .join(keep.withColumnRenamed("id", "u"), Seq("u"))
+        .join(keep.withColumnRenamed("id", "v"), Seq("v"))
+        .select(col("u"), col("v")).localCheckpoint()
+    }
+    sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+  }
+
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val Array(ca, cb, _*) = edges.columns

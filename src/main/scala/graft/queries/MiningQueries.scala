@@ -27,6 +27,12 @@ object MiningQueries {
   private val GroupSalt = "grp_v1"
   private val FragmentFiles = 64
   private val CompactTargetBytes = 4L * 1024 * 1024 // ~4 MiB/file
+  // q142: sits just under the co-purchase graph's median degree at
+  // sf0.01 (115), where the peel genuinely cascades (1903 → 1878 →
+  // 1865 → 1858 → 1857 nodes, stable by round 5 of 8); at smaller sf
+  // the whole graph peels away (empty core — both engines agree)
+  private val KCoreK = 80
+  private val KCoreIters = 8
 
   /** Fragmented orders copy (the small-file problem as a fixture),
     * staged once per JVM per sf dir — q84 times the COMPACTION, never
@@ -76,6 +82,20 @@ object MiningQueries {
     // PageRank, exact integer ppm arithmetic, fixed 3 iterations.
     "q77_pagerank" -> ((s, d) =>
       Graph.pageRankPpm(supplyEdges(s, d), PrIters, PrDamping)),
+
+    // k-core peel over the part co-purchase graph (parts sharing an
+    // order): the density filter — nodes surviving repeated
+    // remove-degree-<k rounds, with their within-core degree. Fixed
+    // 8-round unroll shared with the oracle; peeling is monotone so
+    // extra rounds after the fixpoint are no-ops.
+    "q142_kcore" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      Graph.kCore(pairs, KCoreK, KCoreIters)
+    }),
 
     // SCD2 run compression of the per-user event-type history.
     "q78_scd2_versions" -> ((s, d) =>
@@ -196,6 +216,28 @@ object MiningQueries {
          |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank_ppm FROM n),
          |${(1 to PrIters).map(iterCte).mkString(",\n")}
          |SELECT id, rank_ppm FROM r$PrIters""".stripMargin
+    },
+
+    // unrolled peel (the q77 discipline): per round, the keep set is
+    // the HAVING-degree filter and the edge set is restricted to
+    // kept×kept; symmetric edges ⇒ degree = row count per u
+    "q142_kcore" -> {
+      val rounds = (1 to KCoreIters).map { i =>
+        val prev = s"s${i - 1}"
+        s"""k$i AS (SELECT u AS id FROM $prev GROUP BY u
+           |  HAVING count(*) >= $KCoreK),
+           |s$i AS MATERIALIZED (
+           |  SELECT e.u, e.v FROM $prev e
+           |  JOIN k$i a ON e.u = a.id JOIN k$i b ON e.v = b.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pp AS (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |s0 AS MATERIALIZED (SELECT u, v FROM pp UNION SELECT v, u FROM pp),
+         |$rounds
+         |SELECT u AS id, CAST(count(*) AS BIGINT) AS deg
+         |FROM s$KCoreIters GROUP BY u""".stripMargin
     },
 
     "q78_scd2_versions" ->

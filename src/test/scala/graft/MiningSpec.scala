@@ -162,6 +162,29 @@ class MiningSpec extends SparkSpec {
 
   // ---- recursive CTE (q103 engine contract) --------------------------
 
+  test("kCore: cascade peel, within-core degrees, empty core, idempotence") {
+    import spark.implicits._
+    // K4 clique {1,2,3,4} + a tail 4-5-6: node 5 has degree 2 only
+    // AFTER 6 peels (cascade), and the clique's degrees drop from
+    // {3,3,3,4} to exactly 3 once the tail is gone
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("a", "b")
+    def run(k: Int, iters: Int) =
+      Graph.kCore(edges, k, iters).as[(Long, Long)].collect().toMap
+    // k=2: 6 peels (deg 1), then 5 peels (deg 1 after the cascade) —
+    // two rounds genuinely needed; the clique+4 remains
+    assert(run(2, 4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // after one round only 6 is gone: 5 still present at deg 1
+    assert(run(2, 1) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L, 5L -> 1L))
+    // k=3: the clique is the 3-core
+    assert(run(3, 4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=4: nothing survives (no K5)
+    assert(run(4, 4) == Map.empty)
+    // extra rounds past the fixpoint are no-ops
+    assert(run(2, 8) == run(2, 4))
+  }
+
   test("recursive CTE: hierarchy depths exact on a 7-node binary tree") {
     (0L until 7L).toDF("doc_id").createOrReplaceTempView("rec_spec_nodes")
     val got = spark.sql(
