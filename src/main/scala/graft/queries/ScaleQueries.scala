@@ -260,6 +260,31 @@ object ScaleQueries {
       Changelog.snapshotAt(s, path, Financials.Pk, 2L)
     }),
 
+    // Schema evolution across changelog commits — the drift every
+    // long-lived table suffers: day 3's delta ships an ADDED column
+    // (ingest_ver) the earlier commits never had. snapshotAtEvolved
+    // merges the commit schemas (union), pre-evolution rows null-fill,
+    // and LWW compaction is unchanged — so the snapshot shows the flag
+    // exactly on the keys whose LATEST version arrived after the
+    // evolution (the odd symbols; the evens' day-2 versions predate
+    // it). No rewrite of history, no re-ingest: the 100-TB answer to
+    // "we added a column last quarter".
+    "q143_changelog_evolution" -> ((s, d) => {
+      val syms = n(d)
+      val raw = s.read.parquet(RawZoneGen.stagedPath(s, syms))
+      val days = Seq("2025-08-14", "2025-08-15", "2025-08-16")
+      val path = Sinks.tmpPath(s"fact_evo_$syms")
+      Sinks.deleteRecursively(path) // re-runnable: commit 0 starts fresh
+      days.zipWithIndex.foreach { case (day, i) =>
+        val delta =
+          Financials.normalize(raw.filter(col("load_date") === lit(day)))
+        Changelog.commit(
+          if (i == 2) delta.withColumn("ingest_ver", lit("v2")) else delta,
+          path, i.toLong)
+      }
+      Changelog.snapshotAtEvolved(s, path, Financials.Pk, 2L)
+    }),
+
     // Streaming materialized-view maintenance — the q128 exact-IVM day
     // step driven by Structured Streaming instead of a batch loop: the
     // raw zone's days are staged as a landing dir, consumed one file
@@ -434,6 +459,15 @@ object ScaleQueries {
     // checkpoint(1) then AS OF 2 = every day applied = the fresh table:
     // the fold must lose nothing, the vacuum only superseded state
     "q137_changelog_checkpoint" -> finUnpivotSql,
+
+    // evolution: the flag rides exactly the keys whose latest version
+    // is the day-3 (odd-symbol) delta; evens' day-2 versions null-fill
+    "q143_changelog_evolution" ->
+      s"""WITH fact AS ($finUnpivotSql)
+         |SELECT fact.*,
+         |  CASE WHEN CAST(substr(stock, 2) AS INTEGER) % 2 = 1
+         |       THEN 'v2' END AS ingest_ver
+         |FROM fact""".stripMargin,
 
     // the maintained rollup must be bit-identical to aggregating the
     // full recompute: integer partials (count, quarter-scaled sum), an

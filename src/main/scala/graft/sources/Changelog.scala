@@ -85,6 +85,26 @@ object Changelog {
     Upsert.latestByKey(spark.read.parquet(path), keys, col(CommitCol))
       .drop(CommitCol)
 
+  /** [[snapshotAt]] under SCHEMA EVOLUTION: commits may carry different
+    * column sets (columns added over the log's life — the drift every
+    * long-lived table suffers); `mergeSchema` folds the commit dirs
+    * into the union schema, rows from pre-evolution commits null-fill
+    * the later columns, and the keyed LWW compaction then works
+    * unchanged (the payload struct simply carries the widened set). A
+    * SEPARATE entry point on purpose: schema merging reads every
+    * file's footer up front, a planning cost the fixed-schema read
+    * path must not silently pay; callers opt in when their log has
+    * actually evolved. Columns can only be ADDED — a type change or
+    * rename is a new table, the same rule every lakehouse format
+    * enforces without column-mapping metadata.
+    */
+  def snapshotAtEvolved(spark: SparkSession, path: String,
+                        keys: Seq[String], v: Long): DataFrame =
+    Upsert.latestByKey(
+      spark.read.option("mergeSchema", "true").parquet(path)
+        .filter(col(CommitCol) <= v),
+      keys, col(CommitCol)).drop(CommitCol)
+
   /** Checkpoint the log at commit `v`: fold every commit ≤ v into ONE
     * base commit written as `v` itself, then VACUUM the superseded
     * commit directories — the bounded-history answer the class doc

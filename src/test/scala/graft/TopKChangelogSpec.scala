@@ -93,6 +93,24 @@ class TopKChangelogSpec extends SparkSpec {
     assert(e.getMessage.contains(Changelog.CommitCol))
   }
 
+  test("snapshotAtEvolved: added column null-fills pre-evolution rows (q143)") {
+    val path = Sinks.tmpPath("changelog_spec_evo")
+    Sinks.deleteRecursively(path)
+    Changelog.commit(Seq(("k1", "a"), ("k2", "b")).toDF("k", "v"), path, 0L)
+    // commit 1 adds column `tag` and replaces k2 only
+    Changelog.commit(Seq(("k2", "c", "t1")).toDF("k", "v", "tag"), path, 1L)
+    val snap = Changelog.snapshotAtEvolved(spark, path, Seq("k"), 1L)
+    assert(snap.columns.sorted.toSeq == Seq("k", "tag", "v"))
+    val got = snap.select("k", "v", "tag")
+      .as[(String, String, Option[String])].collect().toSet
+    // k1's latest version predates the evolution → null tag; k2's
+    // latest carries it
+    assert(got == Set(("k1", "a", None), ("k2", "c", Some("t1"))))
+    // the fixed-schema read path is unaffected by the opt-in
+    assert(Changelog.snapshotAt(spark, path, Seq("k"), 0L)
+      .columns.toSeq == Seq("k", "v"))
+  }
+
   test("checkpoint folds history below the horizon and vacuums it (q137)") {
     val path = Sinks.tmpPath("changelog_spec_ckpt")
     Sinks.deleteRecursively(path)
