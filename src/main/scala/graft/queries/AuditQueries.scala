@@ -36,6 +36,7 @@ object AuditQueries {
   // (~32% at V=20) so the gate passes most-but-not-all documents
   private val ReleaseOovCapPpm = 350000L
   private val ReleaseSampleSalt = "rel_v1"
+  private val DriftSalt = "drift144" // q144: release-half assignment
   private val ReleaseSplitSalt = "rel_split_v1"
   private val ReleaseCuts = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
   // q106: merge rounds — enough to produce multi-character subwords
@@ -191,6 +192,38 @@ object AuditQueries {
       val path = graft.sources.Sinks.tmpPathFor("sink_orc_orders", d)
       Tables.orders(s, d).write.mode("overwrite").orc(path)
       s.read.orc(path)
+    }),
+
+    // Release drift report — the distribution-shift monitor a corpus
+    // release gate runs next to q93's integrity audit: per-term
+    // frequency in integer ppm for two releases (deterministic hash
+    // halves standing in for release N / N+1), full-outer joined so
+    // terms that appeared or vanished still report, delta in exact
+    // integer ppm. Scale shape: two token scans collapsing to
+    // vocabulary-sized aggregates, one metadata-total broadcast each,
+    // one vocabulary-sized join — the corpus never shuffles.
+    "q144_release_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def half(rem: Int) = docs.filter(
+        pmod(graft.ext.TextHash.hash60(
+          concat(lit(DriftSalt), col("doc_id").cast("string"))), lit(2L))
+          === rem)
+      def ppm(df: org.apache.spark.sql.DataFrame) = {
+        val toks = df
+          .select(explode(graft.ext.TextHash.tokens(col("text"))).as("term"))
+          .filter(length(col("term")) > 0)
+        toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(toks.agg(count(lit(1)).as("_tot"))))
+          .select(col("term"), expr("(n * 1000000) div _tot").as("ppm"))
+      }
+      val a = ppm(half(0)).select(col("term"), col("ppm").as("ppm_a"))
+      val b = ppm(half(1)).select(col("term"), col("ppm").as("ppm_b"))
+      a.join(b, Seq("term"), "full_outer")
+        .select(col("term"),
+          coalesce(col("ppm_a"), lit(0L)).as("ppm_a"),
+          coalesce(col("ppm_b"), lit(0L)).as("ppm_b"),
+          (coalesce(col("ppm_b"), lit(0L)) -
+            coalesce(col("ppm_a"), lit(0L))).as("delta_ppm"))
     }),
 
     // S-extension — JSON-lines round-trip (sources/JsonLines): the
@@ -491,6 +524,34 @@ object AuditQueries {
     "q99_orc_roundtrip" -> "SELECT * FROM orders",
 
     "q136_jsonl_roundtrip" -> "SELECT * FROM documents",
+
+    // identical integer-ppm law per hash half; FULL OUTER keeps
+    // appeared/vanished terms, absent side reports 0
+    "q144_release_drift" ->
+      s"""WITH h AS (
+         |  SELECT text,
+         |    CAST('0x' || substr(md5('$DriftSalt' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 AS r
+         |  FROM documents),
+         |ta AS (
+         |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM h WHERE r = 0),
+         |tb AS (
+         |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM h WHERE r = 1),
+         |pa AS (
+         |  SELECT term, (count(*) * 1000000)
+         |      // (SELECT count(*) FROM ta WHERE length(term) > 0) AS ppm
+         |  FROM ta WHERE length(term) > 0 GROUP BY term),
+         |pb AS (
+         |  SELECT term, (count(*) * 1000000)
+         |      // (SELECT count(*) FROM tb WHERE length(term) > 0) AS ppm
+         |  FROM tb WHERE length(term) > 0 GROUP BY term)
+         |SELECT COALESCE(pa.term, pb.term) AS term,
+         |  CAST(COALESCE(pa.ppm, 0) AS BIGINT) AS ppm_a,
+         |  CAST(COALESCE(pb.ppm, 0) AS BIGINT) AS ppm_b,
+         |  CAST(COALESCE(pb.ppm, 0) - COALESCE(pa.ppm, 0) AS BIGINT)
+         |    AS delta_ppm
+         |FROM pa FULL OUTER JOIN pb ON pa.term = pb.term""".stripMargin,
 
     // q92's coverage law → gate → q90's cross-multiplied integer
     // sample (max over the GATED set — the operator computes its max
