@@ -43,6 +43,16 @@ object Interleave {
     * Plan: one metadata-sized aggregate (#groups × #buckets rows), a
     * prefix-sum window over THAT (never over the data), and a
     * per-(group, bucket) local rank — max task sort = one bucket.
+    *
+    * SIZING LAW (measured in ScaleRank at 60M rows): the kernel is for
+    * FEW-group and global ranking, where the window form collapses to
+    * one sort task per group (global: 3× slower; 4 groups: 1.8×
+    * slower than this kernel). Keep groups × buckets small enough that
+    * the offsets table still BROADCASTS — widen `bucketWidth` as group
+    * count grows (2^16-wide buckets at 4096 groups made a 26M-row
+    * counts table and ran 8× slower than the window form; 2^24 restores
+    * the plan). When the group count alone saturates the cluster,
+    * per-group window sorts are already parallel — use the window.
     */
   def bucketedGroupRank(df: DataFrame, groupCols: Seq[String],
                         bucketOn: Column, bucketWidth: Long,
