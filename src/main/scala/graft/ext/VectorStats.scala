@@ -56,4 +56,40 @@ object VectorStats {
           round(num / sqrt(rad) * 1e6).cast("long")))
       .select("vec_id", "dim", "q", "z_ppm")
   }
+
+  /** Uniform per-dimension scalar quantization to `levels` integer
+    * codes (levels=256 → int8 storage): code = ⌊(x − min_d) · levels /
+    * (max_d − min_d)⌋ clamped to levels−1, per dimension d. THE
+    * storage-layer operator of a 100-TB embedding corpus — 4× smaller
+    * than float32 on the wire and at rest, with reconstruction error
+    * bounded by one quantization step (spec-pinned); the ANN recall
+    * cost of int8 is the industry-standard trade.
+    *
+    * Scale shape: one partial-aggregable per-dimension min/max (output
+    * = dims rows, broadcast back) + a scan-level projection — the
+    * corpus never shuffles.
+    *
+    * Determinism: float32 inputs widen to double EXACTLY; min/max pick
+    * among exactly-representable values; the (x−mn)·levels/(mx−mn)
+    * chain is one fixed IEEE-754 double sequence both engines execute
+    * identically, and ⌊·⌋ of an identical double is identical — the
+    * q43/q74 determinism contract. A degenerate dimension (mx = mn)
+    * codes to 0.
+    */
+  def quantizeUniform(emb: DataFrame, idCol: String, vecCol: String,
+                      levels: Int): DataFrame = {
+    require(levels >= 2, s"levels must be >= 2, got $levels")
+    val e = emb.select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol)).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
+      .localCheckpoint() // feeds the min/max aggregate AND the projection
+    val mm = e.groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    e.join(broadcast(mm), "dim")
+      .withColumn("code",
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(least(lit(levels - 1),
+            floor((col("x") - col("mn")) * lit(levels.toDouble)
+              / (col("mx") - col("mn")))).cast("int")))
+      .select("vec_id", "dim", "code")
+  }
 }

@@ -37,6 +37,7 @@ object AuditQueries {
   private val ReleaseOovCapPpm = 350000L
   private val ReleaseSampleSalt = "rel_v1"
   private val DriftSalt = "drift144" // q144: release-half assignment
+  private val QuantLevels = 256      // q145: int8 quantizer levels
   private val ReleaseSplitSalt = "rel_split_v1"
   private val ReleaseCuts = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
   // q106: merge rounds — enough to produce multi-character subwords
@@ -160,6 +161,14 @@ object AuditQueries {
     "q96_embed_zscore" -> ((s, d) =>
       VectorStats.standardizePpm(Tables.embeddings(s, d), "vec_id",
         "embedding")),
+
+    // Int8 embedding quantization — the vector corpus' storage layer:
+    // per-dimension uniform 256-level codes, min/max broadcast back,
+    // the corpus never shuffles; one fixed IEEE double sequence both
+    // engines execute identically (see VectorStats.quantizeUniform).
+    "q145_embed_quantize" -> ((s, d) =>
+      VectorStats.quantizeUniform(Tables.embeddings(s, d), "vec_id",
+        "embedding", QuantLevels)),
 
     // STR — stream-static dimension enrichment: micro-batches
     // broadcast-join a batch-computed cohort dim, then aggregate.
@@ -685,6 +694,22 @@ object AuditQueries {
         |      * 1000000) AS BIGINT)
         |  END AS z_ppm
         |FROM q JOIN s ON q.dim = s.dim""".stripMargin,
+
+    // identical double chain: float widens exactly, (x−mn)·L/(mx−mn)
+    // in the same operand order, floor of an identical double
+    "q145_embed_quantize" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(u.i AS INT) AS dim,
+         |    CAST(embedding[CAST(u.i AS INT) + 1] AS DOUBLE) AS x
+         |  FROM embeddings, unnest(range(len(embedding))) AS u(i)),
+         |mm AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY dim)
+         |SELECT e.vec_id, e.dim,
+         |  CAST(CASE WHEN mm.mx = mm.mn THEN 0
+         |       ELSE LEAST($QuantLevels - 1,
+         |         floor((e.x - mm.mn) * ${QuantLevels.toDouble}
+         |           / (mm.mx - mm.mn)))
+         |       END AS INT) AS code
+         |FROM e JOIN mm ON e.dim = mm.dim""".stripMargin,
 
     "q93_integrity_audit" ->
       s"""SELECT 'li_nonpositive_qty' AS "check",

@@ -340,6 +340,34 @@ class AuditSpec extends SparkSpec {
     assert(out.getLong(1) == 1L) // 9 orphaned; the NULL key is excluded
   }
 
+  test("quantizeUniform: code range, reconstruction bound, degenerate dim (q145)") {
+    val vecs = Seq(
+      (1L, Array(0.0f, 5.0f, 7.5f)),
+      (2L, Array(1.0f, 5.0f, -2.5f)),
+      (3L, Array(0.5f, 5.0f, 10.0f))).toDF("vec_id", "embedding")
+    val codes = VectorStats.quantizeUniform(vecs, "vec_id", "embedding", 256)
+      .select("vec_id", "dim", "code")
+      .as[(Long, Int, Int)].collect()
+    assert(codes.length == 9)
+    assert(codes.forall { case (_, _, c) => c >= 0 && c <= 255 })
+    // degenerate dim 1 (all 5.0) codes to 0
+    assert(codes.filter(_._2 == 1).forall(_._3 == 0))
+    // per-dim max clamps to the top code; min codes to 0
+    assert(codes.find(t => t._1 == 2L && t._2 == 0).get._3 == 255)
+    assert(codes.find(t => t._1 == 1L && t._2 == 0).get._3 == 0)
+    assert(codes.find(t => t._1 == 3L && t._2 == 2).get._3 == 255)
+    // reconstruction bound: midpoint dequant within step/2 of the input
+    val vals = Map((1L, 0) -> 0.0, (2L, 0) -> 1.0, (3L, 0) -> 0.5,
+      (1L, 2) -> 7.5, (2L, 2) -> -2.5, (3L, 2) -> 10.0)
+    val rng = Map(0 -> (0.0, 1.0), 2 -> (-2.5, 10.0))
+    codes.filter(_._2 != 1).foreach { case (id, d, c) =>
+      val (mn, mx) = rng(d); val step = (mx - mn) / 256.0
+      val deq = mn + (c + 0.5) * step
+      assert(math.abs(deq - vals((id, d))) <= step / 2 + 1e-12,
+        s"vec $id dim $d code $c")
+    }
+  }
+
   test("transitionMatrix: ties broken by tie column, not input order") {
     val t = Timestamp.valueOf("2024-01-01 00:00:00")
     val df = Seq((1L, t, 2L, "b"), (1L, t, 1L, "a"), (1L, t, 3L, "c"))
