@@ -50,6 +50,8 @@ object ExtQueries {
   private val KnnK = 10
   private val KnnQueryIds = 5 // vec_id < 5 → 5 query vectors
   private val EmbDims = 64
+  private val QuantLevels = 256      // q146: int8 quantizer levels
+  private val RerankCandidates = 48  // q146: stage-1 survivors per query
   private val CosineThreshold = 0.3
   private val IvfProbes = 4
   private val LloydIters = 2
@@ -165,6 +167,16 @@ object ExtQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < KnnQueryIds), KnnK)
+    }),
+
+    // Two-stage quantized ANN: int8-code integer-dot prefilter (q145's
+    // storage layer made searchable; zero IEEE in the corpus-wide
+    // stage) → exact cosine re-rank of the top candidates.
+    "q146_quantized_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.quantizedRerankTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < KnnQueryIds), KnnK, QuantLevels,
+        RerankCandidates)
     }),
 
     // Approximate top-k via sign-LSH buckets (equi-join on the
@@ -536,6 +548,51 @@ object ExtQueries {
        |  FROM scored)
        |SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= $KnnK""".stripMargin
 
+  /** Quantized-rerank twin: identical integer quantizer (q145's law),
+    * integer dot-product candidate rank, exact-cosine re-rank — only
+    * the re-rank touches IEEE, under the q28 cosine contract.
+    */
+  private val quantRerankSql =
+    s"""WITH ex AS (
+       |  SELECT vec_id, CAST(u.i AS INT) AS dim,
+       |    CAST(embedding[CAST(u.i AS INT) + 1] AS DOUBLE) AS x
+       |  FROM embeddings, unnest(range(len(embedding))) AS u(i)),
+       |mm AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY dim),
+       |c AS (
+       |  SELECT ex.vec_id, ex.dim,
+       |    CAST(CASE WHEN mm.mx = mm.mn THEN 0
+       |         ELSE LEAST(${QuantLevels - 1},
+       |           floor((ex.x - mm.mn) * ${QuantLevels.toDouble}
+       |             / (mm.mx - mm.mn))) END AS BIGINT) AS code
+       |  FROM ex JOIN mm ON ex.dim = mm.dim),
+       |qc AS (SELECT vec_id AS query_id, dim, code AS qcode FROM c
+       |       WHERE vec_id < $KnnQueryIds),
+       |dots AS (
+       |  SELECT qc.query_id, c.vec_id AS nbr_id,
+       |    sum(c.code * qc.qcode) AS dot_q
+       |  FROM c JOIN qc ON c.dim = qc.dim AND c.vec_id <> qc.query_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT query_id, nbr_id FROM (
+       |    SELECT query_id, nbr_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY dot_q DESC, nbr_id) AS rn
+       |    FROM dots) WHERE rn <= $RerankCandidates),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT cand.query_id, cand.nbr_id,
+       |    ${cosineSql("q.v", "n.v")} AS cosine
+       |  FROM cand
+       |  JOIN e q ON q.vec_id = cand.query_id
+       |  JOIN e n ON n.vec_id = cand.nbr_id),
+       |r AS (
+       |  SELECT query_id, nbr_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, nbr_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, nbr_id, cosine, rank FROM r WHERE rank <= $KnnK""".stripMargin
+
   /** Sign-LSH top-k twin (multi-probe: own bucket + every
     * one-bit-flipped bucket on the query side).
     */
@@ -811,6 +868,7 @@ object ExtQueries {
     },
     "q27_text_stats" -> textStatsSql("documents"),
     "q28_knn_brute" -> knnBruteSql,
+    "q146_quantized_rerank" -> quantRerankSql,
     "q29_knn_lsh" -> knnLshSql,
     "q30_embed_neardup" -> embedNearDupSql,
     "q43_bucket_centroids" -> bucketCentroidsSql,

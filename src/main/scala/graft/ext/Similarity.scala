@@ -256,6 +256,63 @@ object Similarity {
       .select(col("query_id"), col("nbr_id"), col("cosine"), col("rank"))
   }
 
+  /** Two-stage quantized ANN: integer-code prefilter → exact float
+    * re-rank — q145's int8 storage layer made SEARCHABLE, the
+    * deployment shape of vector search over a quantized corpus. Stage
+    * 1 scores every corpus vector against each query by the integer
+    * dot product of their quantization codes: pure int64 arithmetic
+    * (bit-identical on any engine — no IEEE anywhere in the stage that
+    * touches the whole corpus) over 4× less data than float32, which
+    * is why int8 search exists. Stage 2 re-ranks only the top
+    * `nCandidates` per query with the exact double cosine (the q28
+    * determinism contract).
+    *
+    * Scale shape: the code table is the written index artifact
+    * (localCheckpoint here, clustered parquet in deployment); stage 1
+    * is an equi-join on dim against the broadcast Q·dims query codes
+    * plus a partial-aggregable sum — linear in corpus size for a fixed
+    * query set; stage 2 touches Q·nCandidates rows. Recall loss vs
+    * exact brute force is the quantizer's approximation — bounded by
+    * the per-dimension step, and recovered by raising nCandidates.
+    */
+  def quantizedRerankTopK(vectors: DataFrame, idCol: String, embCol: String,
+                          queries: DataFrame, k: Int, levels: Int,
+                          nCandidates: Int): DataFrame = {
+    require(nCandidates >= k,
+      s"nCandidates ($nCandidates) must be >= k ($k)")
+    // the int8 index artifact: built once, searched many times
+    val codes = VectorStats.quantizeUniform(vectors, idCol, embCol, levels)
+      .localCheckpoint()
+    val qc = codes
+      .join(broadcast(queries.select(col(idCol).as("vec_id"))), "vec_id")
+      .select(col("vec_id").as("query_id"), col("dim"),
+        col("code").cast("long").as("qcode"))
+    val candW = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot_q").desc, col("nbr_id"))
+    val cands = codes.join(broadcast(qc), Seq("dim"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("nbr_id"))
+      .agg(sum(col("code").cast("long") * col("qcode")).as("dot_q"))
+      .withColumn("crk", row_number().over(candW))
+      .filter(col("crk") <= nCandidates)
+      .select(col("query_id"), col("nbr_id"))
+    val qe = queries.select(col(idCol).as("query_id"),
+        toDoubleArray(col(embCol)).as("q_emb"))
+      .withColumn("q_nrm", l2Norm(col("q_emb")))
+    val corpus = vectors.select(col(idCol).as("nbr_id"),
+      toDoubleArray(col(embCol)).as("nbr_emb"))
+      .withColumn("nbr_nrm", l2Norm(col("nbr_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("nbr_id"))
+    corpus.join(broadcast(cands.join(broadcast(qe), Seq("query_id"))),
+        Seq("nbr_id"))
+      .withColumn("cosine", cosineFromNorms(col("q_emb"), col("q_nrm"),
+        col("nbr_emb"), col("nbr_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("cosine"), col("rank"))
+  }
+
   /** Lloyd (k-means) refinement of the IVF coarse quantizer: `iters`
     * rounds of assign-to-nearest-centroid (cosine; deterministic
     * tie-break on the cluster id) + quantized mean recompute,

@@ -92,6 +92,29 @@ class SimilaritySpec extends SparkSpec {
     assert(canon(ivf) === canon(brute))
   }
 
+  test("quantizedRerankTopK: full candidate set reproduces brute force (q146)") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 3)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+    val n = emb.count().toInt
+    // keep every stage-1 candidate → the re-rank IS brute force (the
+    // exact-recovery law: raising nCandidates converges to exact)
+    val full = Similarity.quantizedRerankTopK(emb, "vec_id", "embedding",
+      q, 5, 256, nCandidates = n)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+    assert(canon(full) === canon(brute))
+    // a narrow candidate set is still well-formed: k rows per query,
+    // ranks dense from 1, results a subset of the corpus
+    val narrow = Similarity.quantizedRerankTopK(emb, "vec_id", "embedding",
+      q, 5, 256, nCandidates = 8).collect()
+    assert(narrow.length == 15) // 3 queries (vec_id 0,1,2) × k=5
+    assert(narrow.map(_.getAs[Int]("rank")).sorted.toSeq ==
+      Seq(1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4, 5, 5, 5))
+  }
+
   test("lshTopK multi-probe: results come from probed buckets and distance-1 buckets contribute") {
     import org.apache.spark.sql.functions._
     val dims = 64
