@@ -49,11 +49,15 @@ object ScaleStream {
   private val BlockSkipUs = 60L * 60L * 1000000L // +1 h after each block
   private val T0Us = 1735689600L * 1000000L // 2025-01-01T00:00Z
 
-  /** Tumbling-law events: strictly increasing ts, unique ids, 5 types. */
-  def tumblingEvents(s: SparkSession, n: Long): DataFrame =
+  /** Tumbling-law events: strictly increasing ts, unique ids, 5 types.
+    * `stepUs` sets event-time density (3600 µs → 10⁶ events/hour; the
+    * chained-daily scenario uses 86400 µs → 10⁶ events/day).
+    */
+  def tumblingEvents(s: SparkSession, n: Long,
+                     stepUs: Long = StepUs): DataFrame =
     s.range(n).select(
       col("id").as("event_id"),
-      ((col("id") * StepUs + T0Us) * 1000L).as("ts"), // ns on disk
+      ((col("id") * stepUs + T0Us) * 1000L).as("ts"), // ns on disk
       pmod(hash(col("id"), lit(1)), lit(100000)).as("user_id"),
       element_at(array(Seq("view", "click", "purchase", "refund", "scroll")
         .map(lit): _*), pmod(hash(col("id"), lit(2)), lit(5)).cast("int") + 1)
@@ -87,7 +91,8 @@ object ScaleStream {
     * stageWithSentinel).
     */
   def stageChunked(s: SparkSession, df: DataFrame, path: String,
-                   chunks: Int, total: Long, sentinel: Boolean): String = {
+                   chunks: Int, total: Long, sentinel: Boolean,
+                   sentinelHours: Long = 3L): String = {
     Sinks.deleteRecursively(path)
     def files() = Option(new java.io.File(path).listFiles()).fold(
       Set.empty[java.io.File])(_.filter(_.getName.endsWith(".parquet")).toSet)
@@ -104,7 +109,7 @@ object ScaleStream {
       val before = files()
       val maxNs = df.agg(max(col("ts"))).head().getLong(0)
       s.range(1).select(lit(-1L).as("event_id"),
-          lit(maxNs + 3L * 3600L * 1000000000L).as("ts"),
+          lit(maxNs + sentinelHours * 3600L * 1000000000L).as("ts"),
           lit(-1L).as("user_id"), lit("flush").as("event_type"),
           lit(0.0).as("value"), lit(null).cast("string").as("props"))
         .coalesce(1).write.mode("append").parquet(path)
@@ -217,6 +222,40 @@ object ScaleStream {
     val sessPeak = sessBatches.flatMap(_._3).max
     println(s"[scale-stream] sess state peak=$sessPeak " +
       s"(bound: open sessions = live users = $nUsers)")
+
+    // ---- chained hourly→daily (q138 shape): stacked stateful aggs ----
+    // 86400 µs step → 10⁶ events/day; 10M events span 10 full days, so
+    // the day stage genuinely closes windows across micro-batches. The
+    // sentinel sits 50 h out (past the last day close + 1 h delay).
+    val chainDir = Sinks.tmpPath(s"scale_stream_chain_$nTumbling")
+    stageChunked(spark, tumblingEvents(spark, nTumbling, stepUs = 86400L),
+      chainDir, chunks = 20, total = nTumbling, sentinel = true,
+      sentinelHours = 50L)
+    val (daily, chainBatches, chainSecs) = withCapture(spark) {
+      EventStream.runDailyChainStream(spark, chainDir,
+          s"scale_chain_$nTumbling", maxFilesPerTrigger = Some(1))
+        .localCheckpoint()
+    }
+    chainBatches.foreach { case (b, rows, st) =>
+      println(s"[scale-stream] chain batch=$b rows=$rows " +
+        s"stateRows=${st.mkString("/")}")
+    }
+    val sumDaily = daily.agg(sum("n")).head().getLong(0)
+    val fullDays = daily.groupBy("day_start").agg(sum("n").as("d"))
+      .filter(col("d") === 1000000L).count()
+    val expectDays = nTumbling / 1000000L
+    println(f"[scale-stream] chain n=$nTumbling total=$chainSecs%.1f s " +
+      f"(${nTumbling / chainSecs}%.0f rows/s) sumN=$sumDaily " +
+      s"fullDays=$fullDays expect=$expectDays " +
+      s"lawOk=${sumDaily == nTumbling && fullDays == expectDays}")
+    // state per stage: dedup ids (watermark-bounded), open hours
+    // (≤ horizon hours × types), open days (≤ 2 days × types) — the
+    // day stage's state is PARTIALS, three orders smaller than inputs
+    val chainPeaks = chainBatches.map(_._3).filter(_.nonEmpty)
+      .reduceOption((a, b) => a.zipAll(b, 0L, 0L).map(t => t._1 max t._2))
+      .getOrElse(Seq.empty)
+    println(s"[scale-stream] chain per-operator state peaks=" +
+      s"${chainPeaks.mkString("/")}")
     spark.stop()
   }
 }

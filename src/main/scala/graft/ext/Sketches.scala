@@ -82,6 +82,11 @@ object Sketches {
     * true heavy hitter is lost (no-false-negative theorem). The tail
     * never shuffles; the survivors' exact counts are complete because
     * every occurrence of a term screens identically.
+    *
+    * Pass a MATERIALIZED sketch (localCheckpoint / written artifact):
+    * each of the `depth` broadcast joins otherwise re-derives the full
+    * sketch aggregation from lineage, multiplying the build cost by
+    * depth (measured 13× on the q140 corpus).
     */
   def screenEstimate(rows: DataFrame, termCol: String, cms: DataFrame,
                      depth: Int, width: Int, out: String): DataFrame = {

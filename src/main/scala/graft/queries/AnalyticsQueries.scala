@@ -97,6 +97,23 @@ object AnalyticsQueries {
         EventTypes.map(t => col(t).as(s"v_$t")): _*)
     }),
 
+    // UNPIVOT (melt) — q68's true inverse through Spark's NATIVE
+    // Dataset.unpivot (the Unpivot logical node, one generated
+    // expand — no union of N scans): four lineitem measures to long
+    // (key, metric, value) form. At 100 TB this is the
+    // wide-telemetry→long-fact normalization step, and the expand
+    // multiplies rows INSIDE the scan projection — the corpus is read
+    // once.
+    "q147_unpivot_melt" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")),
+
     // Range join without an equi key: all events inside any global
     // incident window [error_ts, error_ts + 10 min) — binned equi-join
     // plan (ext/RangeJoin), never a nested-loop cartesian.
@@ -231,6 +248,21 @@ object AnalyticsQueries {
         .mkString(",\n")
       s"SELECT user_id,\n$cols\nFROM events GROUP BY user_id"
     },
+
+    // the melt law is the 4-way UNION ALL — metric names are Spark's
+    // unpivot convention: the source column name verbatim
+    "q147_unpivot_melt" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |  l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |FROM lineitem""".stripMargin,
 
     "q69_range_join" ->
       s"""WITH inc AS (

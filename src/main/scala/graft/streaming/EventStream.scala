@@ -474,14 +474,25 @@ object EventStream {
     * back naturally, so it never reaches stage 2 or the sink. The
     * read-back filter is defensive.
     */
-  def dailyCountsChained(s: SparkSession, dir: String): DataFrame = {
-    val staged = stageWithSentinelAt(s, dir, horizonHours = 50L)
-    val tag = dirTag(dir) // basename + path hash (sink-collision guard)
-    val sinkDir = Sinks.tmpPath(s"stream_daily_$tag")
-    val ckptDir = Sinks.tmpPath(s"stream_daily_ckpt_$tag")
+  def dailyCountsChained(s: SparkSession, dir: String): DataFrame =
+    runDailyChainStream(s, stageWithSentinelAt(s, dir, horizonHours = 50L),
+      s"stream_daily_${dirTag(dir)}", maxFilesPerTrigger = None)
+
+  /** The chained pipeline over an already-staged landing dir
+    * (package-private: ScaleStream drives it at 10⁷-event scale with
+    * one file per micro-batch, where the two stages' state bounds —
+    * open hours and open days per type — are observable per batch).
+    */
+  private[graft] def runDailyChainStream(s: SparkSession, staged: String,
+                                         sinkTag: String,
+                                         maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val sinkDir = Sinks.tmpPath(s"${sinkTag}_sink")
+    val ckptDir = Sinks.tmpPath(s"${sinkTag}_ckpt")
     Sinks.deleteRecursively(sinkDir)
     Sinks.deleteRecursively(ckptDir)
-    val hourly = s.readStream.schema(eventsSchema)
+    val reader = s.readStream.schema(eventsSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val hourly = reader
       .parquet(staged)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
