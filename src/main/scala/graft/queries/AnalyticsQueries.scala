@@ -141,6 +141,17 @@ object AnalyticsQueries {
           grouping(col("l_returnflag")).cast("int").as("g_rf"),
           grouping(col("l_linestatus")).cast("int").as("g_ls"))),
 
+    // ROLLUP — the hierarchical third of the multi-level agg family
+    // (q01 flat, q70 cube): sets ((flag,status),(flag),()) — the
+    // subtotal/grand-total report shape, one pass, expand-based like
+    // cube but |levels|+1 output groups instead of 2^|cols|.
+    "q149_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sumd(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"))),
+
     // Overlapping training-window chunking (ext/Chunking law).
     "q71_doc_chunks" -> ((s, d) =>
       Chunking.chunk(Tables.documents(s, d), "doc_id", "text",
@@ -279,6 +290,13 @@ object AnalyticsQueries {
          |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
          |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q149_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlSumd("l_quantity")} AS sum_qty, count(*) AS n,
+         |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+         |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "q71_doc_chunks" ->
       s"""WITH m AS (

@@ -115,6 +115,28 @@ object RelationalQueries {
         .withColumn("delta", col("revenue") - col("prev_revenue"))
     }),
 
+    // W-completion — the distribution window functions (percent_rank,
+    // cume_dist, nth_value): where q07/q08 cover ranking and offset,
+    // this covers position-as-fraction — the "where does this order
+    // sit in the customer's history" analytics shape. percent_rank =
+    // (rank−1)/(n−1) is one integer-operand double division, IEEE-
+    // identical cross-engine; the unique (price, key) tiebreak makes
+    // the order total so cume_dist has no peer-group ambiguity; the
+    // nth_value frame is pinned to the FULL partition explicitly (the
+    // default running frame would return null for rows before slot 2).
+    "q148_window_distribution" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("second_order", nth_value(col("o_orderkey"), 2).over(full))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("pr"), col("cd"), col("second_order"))
+    }),
+
     // A1 — DISTINCT (the reference's SELECT DISTINCT symbol, 3 sites).
     "q09_distinct" -> ((s, d) => {
       Tables.orders(s, d)
@@ -262,6 +284,18 @@ object RelationalQueries {
 
     "q09_distinct" ->
       "SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
+
+    "q148_window_distribution" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  nth_value(o_orderkey, 2) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice, o_orderkey)""".stripMargin,
 
     "q10_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
