@@ -220,6 +220,13 @@ object PipelineQueries {
     // question); sentinel reaches both watermark trackers.
     "q117_stream_left_join" -> ((s, d) => EventStream.attributionJoinLeft(s, d)),
 
+    // STR — the FULL OUTER stream-stream interval join (the last cell
+    // of the join matrix after q53 inner / q117 left): matched pairs,
+    // never-clicked purchases, AND never-converted clicks in one pass;
+    // each unmatched side emits once the two-sided watermark proves
+    // the match impossible.
+    "q150_stream_full_join" -> ((s, d) => EventStream.attributionJoinFull(s, d)),
+
     // STR — streaming exactly-once ingestion dedup: every event arrives
     // three times (twice in one batch, once in a later batch);
     // dropDuplicatesWithinWatermark emits each exactly once from
@@ -490,6 +497,17 @@ object PipelineQueries {
         | AND c.event_type = 'click'
         | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
         |WHERE p.event_type = 'purchase'""".stripMargin,
+
+    // arrival-order-blind full-outer interval law; c_user_id rides the
+    // output so unmatched clicks keep their key (p.user_id is null)
+    "q150_stream_full_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, p.value,
+        |  c.event_id AS click_event_id, c.user_id AS c_user_id,
+        |  c.ts AS click_ts, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin,
 
     // exactly-once dedup of an at-least-once delivery IS the original
     // table: the triple-delivery fixture contains only exact duplicates

@@ -1093,4 +1093,63 @@ object EventStream {
     q.awaitTermination()
     s.read.parquet(sinkDir).filter(col("user_id") >= 0)
   }
+
+  /** Stream-stream FULL OUTER interval join — the last cell of the
+    * streaming join matrix (q53 inner, q117 left): matched
+    * purchase↔click pairs emit as they meet, an unmatched PURCHASE
+    * emits null-extended once the watermark proves no qualifying
+    * click can arrive (q117's law), and an unmatched CLICK emits
+    * null-extended once the watermark proves no purchase window can
+    * still claim it — "which clicks converted, which didn't, and
+    * which purchases came from nowhere" in ONE pass. State on both
+    * sides is the two-sided-watermark interval, evicted as it
+    * passes; the asymmetry of the interval (click ∈ [purchase − 1 h,
+    * purchase]) means a click is provably unclaimable only after the
+    * watermark passes its ts + 1 h — the engine derives that from
+    * the join condition.
+    *
+    * Sentinel discipline as q117 (reach BOTH watermark trackers via
+    * the `user_id < 0` escape); for the read-back filter BOTH side's
+    * user columns must be checked — an unmatched row carries nulls on
+    * the other side, and the sentinel's own unmatched rows appear
+    * once per side.
+    */
+  def attributionJoinFull(s: SparkSession, dir: String): DataFrame = {
+    val staged = stageWithSentinel(s, dir)
+    val tag = dirTag(dir) // basename + path hash (sink-collision guard)
+    val sinkDir = Sinks.tmpPath(s"stream_attrf_$tag")
+    val ckptDir = Sinks.tmpPath(s"stream_attrf_ckpt_$tag")
+    Sinks.deleteRecursively(sinkDir)
+    Sinks.deleteRecursively(ckptDir)
+    val ev = s.readStream.schema(eventsSchema).parquet(staged)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val purchases = ev
+      .filter(col("event_type") === "purchase" || col("user_id") < 0)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", "1 hour")
+    val clicks = ev
+      .filter(col("event_type") === "click" || col("user_id") < 0)
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_event_id"), col("value").as("click_value"))
+      .withWatermark("click_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      expr("""user_id = c_user_id AND
+              click_ts BETWEEN ts - INTERVAL 1 HOUR AND ts"""),
+      "full_outer")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("click_event_id"), col("c_user_id"), col("click_ts"),
+        col("click_value"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        Sinks.appendRawZone(batch, sinkDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(sinkDir)
+      .filter(coalesce(col("user_id"), lit(0L)) >= 0 &&
+        coalesce(col("c_user_id"), lit(0L)) >= 0)
+  }
 }
