@@ -260,6 +260,25 @@ object ScaleQueries {
       Changelog.snapshotAt(s, path, Financials.Pk, 2L)
     }),
 
+    // Targeted delete on the bucketed layout — right-to-be-forgotten:
+    // build the maintained fact table, then DELETE every 7th symbol's
+    // rows. Only the buckets those symbols hash into are rewritten
+    // (anti-join merge, O(|keys| × history/buckets)); a fully-emptied
+    // bucket is vacuumed explicitly (dynamic overwrite alone would
+    // leave its old directory standing). Oracle = the regenerate law
+    // restricted to the surviving symbols.
+    "q151_targeted_delete" -> ((s, d) => {
+      val syms = n(d)
+      val path = Sinks.tmpPath(s"fact_del_$syms")
+      Sinks.deleteRecursively(path) // re-runnable: fresh build each run
+      Financials.normalizeInto(
+        s.read.parquet(RawZoneGen.stagedPath(s, syms)), path)
+      val goners = s.range(syms).filter(col("id") % 7 === 0)
+        .select(format_string("S%05d", col("id")).as("stock"))
+      Sinks.deleteFactKeys(s, path, goners)
+      s.read.parquet(path).drop("bucket")
+    }),
+
     // Schema evolution across changelog commits — the drift every
     // long-lived table suffers: day 3's delta ships an ADDED column
     // (ingest_ver) the earlier commits never had. snapshotAtEvolved
@@ -459,6 +478,9 @@ object ScaleQueries {
     // checkpoint(1) then AS OF 2 = every day applied = the fresh table:
     // the fold must lose nothing, the vacuum only superseded state
     "q137_changelog_checkpoint" -> finUnpivotSql,
+
+    // delete every 7th symbol → the law restricted to the survivors
+    "q151_targeted_delete" -> finUnpivotSqlWhere("range % 7 <> 0"),
 
     // evolution: the flag rides exactly the keys whose latest version
     // is the day-3 (odd-symbol) delta; evens' day-2 versions null-fill

@@ -258,4 +258,53 @@ object Sinks {
       .partitionBy("bucket").parquet(path)
     writeLayoutBuckets(path, buckets) // legacy layouts gain the sidecar
   }
+
+  /** Targeted DELETE on the bucketed fact layout — the
+    * right-to-be-forgotten / contract-expiry operation: remove every
+    * fact row of the given stocks while rewriting ONLY the hash
+    * buckets those stocks live in. Cost is O(|keys| × history/buckets)
+    * — the [[upsertFactDelta]] discipline with a broadcast anti-join
+    * in place of the merge — never O(table): at 100 TB a deletion
+    * request touches a handful of bucket directories, not the corpus.
+    *
+    * Two physical-layout subtleties the naive form gets wrong:
+    *  - dynamic partition overwrite replaces only bucket dirs PRESENT
+    *    in the output — a bucket whose every row is deleted emits no
+    *    rows and its directory (old data included!) would silently
+    *    survive. Fully-emptied touched buckets are vacuumed
+    *    explicitly.
+    *  - the surviving set must be MATERIALIZED before the overwrite
+    *    starts (localCheckpoint): it is derived by reading the very
+    *    directories the write replaces.
+    */
+  def deleteFactKeys(spark: org.apache.spark.sql.SparkSession,
+                     path: String, stocks: DataFrame,
+                     buckets: Int = 32): Unit = {
+    readLayoutBuckets(path).foreach { recorded =>
+      require(recorded == buckets,
+        s"deleteFactKeys called with buckets=$buckets but the layout at " +
+          s"$path was written with buckets=$recorded (see _graft_buckets)")
+    }
+    val pk = graft.transform.Financials.Pk
+    val keys = stocks.select(col(stocks.columns.head).as("stock"))
+      .distinct().localCheckpoint()
+    val touched = keys.select(factBucket(buckets).cast("int").as("bucket"))
+      .distinct().collect().map(_.getInt(0)).sorted.toIndexedSeq
+    if (touched.nonEmpty) {
+      val surviving = spark.read.parquet(path)
+        .filter(col("bucket").isin(touched: _*))
+        .join(broadcast(keys), Seq("stock"), "left_anti")
+        .repartition(buckets, col("stock"))
+        .sortWithinPartitions(("bucket" +: pk).map(col): _*)
+        .localCheckpoint() // materialize BEFORE overwriting the source dirs
+      val nonEmpty = surviving.select(col("bucket").cast("int"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      surviving.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(path)
+      (touched.toSet -- nonEmpty).foreach(b =>
+        deleteRecursively(s"$path/bucket=$b"))
+      writeLayoutBuckets(path, buckets)
+    }
+  }
 }

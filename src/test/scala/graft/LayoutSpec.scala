@@ -97,6 +97,47 @@ class LayoutSpec extends SparkSpec {
     assert(s1.filter(col("value") < 500000.0).count() === 0L)
   }
 
+  test("deleteFactKeys: only touched buckets rewritten; emptied bucket vacuumed (q151)") {
+    val buckets = 4
+    val path = Sinks.tmpPath("test_fact_delete")
+    Sinks.deleteRecursively(path)
+    val base = Financials.normalize(RawZoneGen.payloads(spark, 6)) // S00000–S00005
+    Sinks.writeFactPartitioned(base, path, buckets)
+    val before = bucketFiles(path)
+    val allStocks = (0 until 6).map(i => f"S$i%05d")
+    def bucketOf(s: String) = spark.range(1)
+      .select(pmod(hash(lit(s)), lit(buckets))).as[Int].head()
+    val byBucket = allStocks.groupBy(bucketOf)
+
+    // choose one bucket and delete EVERY stock in it (the vacuum
+    // case), plus one stock from a different bucket (the partial case)
+    val (emptyB, emptyStocks) = byBucket.head
+    val partialStock = byBucket.find { case (b, ss) =>
+      b != emptyB && ss.size >= 2 }.orElse(
+      byBucket.find(_._1 != emptyB)).map { case (_, ss) => ss.head }.get
+    val goners = (emptyStocks :+ partialStock).distinct
+    Sinks.deleteFactKeys(spark, path, goners.toDF("stock"), buckets)
+
+    // deleted keys gone, survivors byte-exact vs the base restricted
+    val back = spark.read.parquet(path).drop("bucket")
+    assert(back.filter(col("stock").isin(goners: _*)).count() === 0L)
+    val expect = base.filter(!col("stock").isin(goners: _*))
+    assert(back.exceptAll(expect).isEmpty && expect.exceptAll(back).isEmpty)
+    // the fully-emptied bucket directory is vacuumed, not left stale
+    assert(!new File(s"$path/bucket=$emptyB").exists())
+    // untouched buckets' files byte-identical
+    val touched = goners.map(bucketOf).map(b => s"bucket=$b").toSet
+    val after = bucketFiles(path)
+    (before.keySet -- touched).foreach { b =>
+      assert(after(b) === before(b), s"untouched $b was rewritten")
+    }
+    // idempotent: deleting the same keys again is a no-op
+    val filesBefore = bucketFiles(path)
+    Sinks.deleteFactKeys(spark, path, goners.toDF("stock"), buckets)
+    assert(spark.read.parquet(path).count() === expect.count())
+    assert(bucketFiles(path).keySet === filesBefore.keySet)
+  }
+
   test("upsertFactDelta: non-superset deltaStocks throws AND loses no history") {
     val buckets = 4
     val path = Sinks.tmpPath("test_fact_stray")
