@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ext.{Cohorts, Funnel, Graph, LangModel, Sampling, Scd, Terms}
 import graft.sources.{Compaction, Sinks}
@@ -33,6 +34,7 @@ object MiningQueries {
   // the whole graph peels away (empty core — both engines agree)
   private val KCoreK = 80
   private val KCoreIters = 8
+  private val SeqMaxLen = 50 // q152: per-user sequence cap
 
   /** Fragmented orders copy (the small-file problem as a fixture),
     * staged once per JVM per sf dir — q84 times the COMPACTION, never
@@ -101,6 +103,27 @@ object MiningQueries {
     "q78_scd2_versions" -> ((s, d) =>
       Scd.compressHistory(Tables.events(s, d), "user_id", "ts",
         "event_id", "event_type")),
+
+    // Per-key ordered sequence extraction — the behavioral-LM training
+    // example: each user's first-K event types in exact (ts, event_id)
+    // order as one space-joined string. The rank filter runs BEFORE
+    // the collect, so per-key state is bounded by K — a bare
+    // collect_list would be unbounded by the hottest key — and
+    // array_sort on the (rn, type) structs pins the order
+    // collect_list itself does not guarantee.
+    "q152_event_sequences" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= SeqMaxLen)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("seq_len"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("rn"), col("event_type")))),
+              x => x.getField("event_type")), " ").as("seq"))
+    }),
 
     // Ordered conversion funnel: earliest strictly-increasing
     // signup -> view -> purchase timestamps per user.
@@ -239,6 +262,18 @@ object MiningQueries {
          |SELECT u AS id, CAST(count(*) AS BIGINT) AS deg
          |FROM s$KCoreIters GROUP BY u""".stripMargin
     },
+
+    // identical rank-filter-then-aggregate law; string_agg's ORDER BY
+    // is the oracle form of the engine's array_sort-pinned collect
+    "q152_event_sequences" ->
+      s"""WITH r AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM events)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS seq_len,
+         |  string_agg(event_type, ' ' ORDER BY rn) AS seq
+         |FROM r WHERE rn <= $SeqMaxLen GROUP BY user_id""".stripMargin,
 
     "q78_scd2_versions" ->
       """WITH e AS (
