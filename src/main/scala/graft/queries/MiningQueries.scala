@@ -104,6 +104,27 @@ object MiningQueries {
       Scd.compressHistory(Tables.events(s, d), "user_id", "ts",
         "event_id", "event_type")),
 
+    // Point-in-time feature join (leakage-free training features):
+    // for every purchase (label event), the user's click count
+    // STRICTLY BEFORE that purchase under the (ts, event_id) total
+    // order — the as-of-label-time aggregate that prevents
+    // training-serving skew (a plain groupBy feature would leak
+    // post-label clicks into the example). One window pass over the
+    // unioned event stream (rows UNBOUNDED PRECEDING → -1 excludes
+    // the label row itself); no self-join, no per-label scan.
+    "q153_pit_features" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("clicks_before",
+          coalesce(sum(when(col("event_type") === "click", 1L)
+            .otherwise(0L)).over(w), lit(0L)))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("clicks_before"))
+    }),
+
     // Per-key ordered sequence extraction — the behavioral-LM training
     // example: each user's first-K event types in exact (ts, event_id)
     // order as one space-joined string. The rank filter runs BEFORE
@@ -262,6 +283,20 @@ object MiningQueries {
          |SELECT u AS id, CAST(count(*) AS BIGINT) AS deg
          |FROM s$KCoreIters GROUP BY u""".stripMargin
     },
+
+    // the same strictly-before law as an explicit window frame; the
+    // (ts, event_id) total order pins same-timestamp semantics
+    "q153_pit_features" ->
+      """SELECT event_id, user_id, ts, clicks_before FROM (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type,
+        |    CAST(COALESCE(
+        |      sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS clicks_before
+        |  FROM events)
+        |WHERE event_type = 'purchase'""".stripMargin,
 
     // identical rank-filter-then-aggregate law; string_agg's ORDER BY
     // is the oracle form of the engine's array_sort-pinned collect
