@@ -97,6 +97,10 @@ object Interleave {
                   bucketWidth: Long = 4096L): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be non-empty and positive")
+    val taken = df.columns.filter(Set("vt", "seq", "_stride_r"))
+    require(taken.isEmpty,
+      s"strideOrder reserves column name(s) ${taken.mkString(", ")}; " +
+        "rename them on the input")
     val lcm = weights.values.reduce((a, b) => a / gcd(a, b) * b)
     // per-group 0-based rank r, then vt = (2r+1)·(L/w)
     val ranked = bucketedGroupRank(df, Seq(groupCol), col(idCol),

@@ -237,7 +237,9 @@ object AuditQueries {
 
     // S-extension — JSON-lines round-trip (sources/JsonLines): the
     // interchange format training corpora ship in. Written
-    // zstd-compressed, read back with the EXPLICIT schema (inference
+    // gzip-compressed (JsonLines' default; this Spark build's JSON
+    // writer has no zstd codec), read back with the EXPLICIT schema
+    // (inference
     // would be a second full corpus scan at 100 TB — the API refuses
     // it), and compared whole against the source table: the documents
     // text column carries quotes/whitespace/high-codepoint characters,

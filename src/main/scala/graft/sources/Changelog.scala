@@ -122,29 +122,47 @@ object Changelog {
     *    longer distinguishes pre-v states; pick v to match the
     *    time-travel retention you owe readers.
     *
-    * The fold is materialized into a staging dir OUTSIDE the log
-    * before anything is deleted — outside because Spark's file index
-    * skips `_`-prefixed dirs even when addressed directly, so an
-    * in-log `_staging` dir could be written but never read back
-    * (observed: an empty base) — making the sequence restartable:
-    * until the final commit lands, every source commit dir is still
-    * present or the staged base is; a production port would swap the
-    * staged base in by rename for full atomicity.
+    * Crash-safety law: the base LANDS before anything is destroyed.
+    * The sequence is (1) fold into a staging dir that is a SIBLING of
+    * the log — same filesystem, durable across a JVM exit, never the
+    * PID-scoped scratch root whose shutdown hook would delete the
+    * only copy mid-sequence; (2) dynamic-overwrite the `_commit=v`
+    * directory with the fold (so the log is already fully correct:
+    * the base's rows carry `_commit=v` and LWW-beat every superseded
+    * copy below the horizon); (3) only then vacuum commits STRICTLY
+    * below v and drop the staging dir. Every failure point therefore
+    * leaves a recoverable log: before (2) completes all source
+    * commits are intact (the overwrite swaps at job commit), and
+    * after (2) the remaining steps only remove redundancy — re-run
+    * `checkpoint(v)` to finish. The staging dir is OUTSIDE the log
+    * dir because Spark's file index skips `_`-prefixed dirs even when
+    * addressed directly, and any non-`_commit=` child would corrupt
+    * partition discovery.
+    *
+    * The fold reads with `mergeSchema=true`: commits ≤ v may carry
+    * evolved schemas ([[snapshotAtEvolved]]), and a single-footer
+    * read would silently drop later-added columns from the base —
+    * with the vacuum then destroying the only copy. The
+    * footer-merge planning cost is the price of deleting data safely;
+    * the hot read path ([[snapshotAt]]) still never pays it.
     */
   def checkpoint(spark: SparkSession, path: String, keys: Seq[String],
                  v: Long): Unit = {
-    val staging = Sinks.tmpPath(
-      s"ckpt_staging_${new java.io.File(path).getName}_$v")
-    snapshotAt(spark, path, keys, v)
+    val staging = s"${path.stripSuffix("/")}__ckpt_staging_v$v"
+    Sinks.deleteRecursively(staging)
+    Upsert.latestByKey(
+      spark.read.option("mergeSchema", "true").parquet(path)
+        .filter(col(CommitCol) <= v),
+      keys, col(CommitCol)).drop(CommitCol)
       .write.mode("overwrite").parquet(staging)
+    commitIdempotent(spark.read.parquet(staging), path, v)
     val superseded = Option(new java.io.File(path).listFiles()).toSeq.flatten
       .filter { f =>
         val n = f.getName
         n.startsWith(s"$CommitCol=") &&
-          n.stripPrefix(s"$CommitCol=").toLong <= v
+          n.stripPrefix(s"$CommitCol=").toLong < v
       }
     superseded.foreach(f => Sinks.deleteRecursively(f.getAbsolutePath))
-    commit(spark.read.parquet(staging), path, v)
     Sinks.deleteRecursively(staging)
   }
 }

@@ -273,13 +273,26 @@ object Sinks {
     *    rows and its directory (old data included!) would silently
     *    survive. Fully-emptied touched buckets are vacuumed
     *    explicitly.
-    *  - the surviving set must be MATERIALIZED before the overwrite
-    *    starts (localCheckpoint): it is derived by reading the very
-    *    directories the write replaces.
+    *  - the surviving set must be MATERIALIZED DURABLY before the
+    *    overwrite starts: it is derived by reading the very
+    *    directories the write replaces. A `localCheckpoint` is NOT
+    *    enough on a real cluster — it stores the only copy as
+    *    executor-memory/disk blocks, so an executor loss after the
+    *    overwrite began would lose surviving rows forever. Instead
+    *    the surviving set is STAGED as a sibling parquet dir on the
+    *    layout's own filesystem (write + read-back + swap): every
+    *    failure point now leaves either the untouched source buckets
+    *    or a durable staged copy, and the overwrite job reads only
+    *    the staging dir — no read-your-own-overwrite race at all.
     */
   def deleteFactKeys(spark: org.apache.spark.sql.SparkSession,
                      path: String, stocks: DataFrame,
                      buckets: Int = 32): Unit = {
+    require(stocks.columns.length == 1,
+      s"deleteFactKeys expects a single-column keys frame (the stocks " +
+        s"to delete); got columns [${stocks.columns.mkString(", ")}] — " +
+        "select the key column explicitly so a malformed frame fails " +
+        "loudly instead of deleting the wrong rows")
     readLayoutBuckets(path).foreach { recorded =>
       require(recorded == buckets,
         s"deleteFactKeys called with buckets=$buckets but the layout at " +
@@ -287,16 +300,19 @@ object Sinks {
     }
     val pk = graft.transform.Financials.Pk
     val keys = stocks.select(col(stocks.columns.head).as("stock"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint() // bounded: the key list itself
     val touched = keys.select(factBucket(buckets).cast("int").as("bucket"))
       .distinct().collect().map(_.getInt(0)).sorted.toIndexedSeq
     if (touched.nonEmpty) {
-      val surviving = spark.read.parquet(path)
+      val staging = s"${path.stripSuffix("/")}__delete_staging"
+      deleteRecursively(staging)
+      spark.read.parquet(path)
         .filter(col("bucket").isin(touched: _*))
         .join(broadcast(keys), Seq("stock"), "left_anti")
+        .write.mode("overwrite").parquet(staging)
+      val surviving = spark.read.parquet(staging)
         .repartition(buckets, col("stock"))
         .sortWithinPartitions(("bucket" +: pk).map(col): _*)
-        .localCheckpoint() // materialize BEFORE overwriting the source dirs
       val nonEmpty = surviving.select(col("bucket").cast("int"))
         .distinct().collect().map(_.getInt(0)).toSet
       surviving.write.mode("overwrite")
@@ -305,6 +321,7 @@ object Sinks {
       (touched.toSet -- nonEmpty).foreach(b =>
         deleteRecursively(s"$path/bucket=$b"))
       writeLayoutBuckets(path, buckets)
+      deleteRecursively(staging)
     }
   }
 }

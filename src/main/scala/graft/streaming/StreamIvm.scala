@@ -97,6 +97,15 @@ object StreamIvm {
       .option("checkpointLocation", ckptDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         // ---- the q128 day step, verbatim, on this micro-batch ----
+        // Durability note: the two localCheckpoints below hold
+        // micro-batch-sized state only (one day's facts; the per-key
+        // delta aggregate). Losing their blocks to an executor death
+        // fails THIS batch before/during its writes — and because this
+        // in-place variant's writes are not idempotent under retry,
+        // the cluster-grade deployment of this loop is applyBatchMvcc
+        // below, whose commits absorb at-least-once redelivery. Here
+        // the pattern is kept cheap deliberately; the MVCC variant is
+        // the durable answer, not a bigger checkpoint.
         val dayFacts = Financials.normalize(batch).localCheckpoint()
         val replaced =
           if (batchId == 0L) None

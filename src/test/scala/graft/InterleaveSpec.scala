@@ -79,6 +79,14 @@ class InterleaveSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("outside the weight map")))
   }
 
+  test("strideOrder reserves its output/working column names loudly") {
+    val df = Seq((1L, "a", 9L)).toDF("id", "g", "vt")
+    val e = intercept[IllegalArgumentException] {
+      Interleave.strideOrder(df, "id", "g", weights)
+    }
+    assert(e.getMessage.contains("strideOrder reserves"))
+  }
+
   test("bucketedGroupRank reserves its working column names loudly") {
     val bad = docs(10).withColumnRenamed("g", "_rk_bucket")
     val e = intercept[IllegalArgumentException] {

@@ -136,6 +136,17 @@ class LayoutSpec extends SparkSpec {
     Sinks.deleteFactKeys(spark, path, goners.toDF("stock"), buckets)
     assert(spark.read.parquet(path).count() === expect.count())
     assert(bucketFiles(path).keySet === filesBefore.keySet)
+    // the durable staging dir is swapped away, not left behind
+    assert(!new File(s"${path}__delete_staging").exists())
+    // a malformed multi-column keys frame fails loudly before touching
+    // anything (the silent-wrong-delete guard)
+    val files2 = bucketFiles(path)
+    val bad = intercept[IllegalArgumentException] {
+      Sinks.deleteFactKeys(spark, path,
+        Seq(("x", "S00000")).toDF("note", "stock"), buckets)
+    }
+    assert(bad.getMessage.contains("single-column"))
+    assert(bucketFiles(path) === files2)
   }
 
   test("upsertFactDelta: non-superset deltaStocks throws AND loses no history") {

@@ -145,4 +145,27 @@ class TopKChangelogSpec extends SparkSpec {
     Changelog.checkpoint(spark, path, Seq("k"), 1L)
     assert(snap(2L) == before2)
   }
+
+  test("checkpoint folds evolved schemas losslessly and lands the base " +
+    "before vacuuming") {
+    val path = Sinks.tmpPath("changelog_spec_ckpt_evo")
+    Sinks.deleteRecursively(path)
+    Changelog.commit(Seq(("k1", "a"), ("k2", "b")).toDF("k", "v"), path, 0L)
+    // commit 1 ADDS column `tag` — the fold must read with mergeSchema
+    // or this column (and k2's only surviving value for it) would be
+    // silently dropped, then vacuumed out of existence
+    Changelog.commit(Seq(("k2", "c", "t1")).toDF("k", "v", "tag"), path, 1L)
+    Changelog.checkpoint(spark, path, Seq("k"), 1L)
+    val base = Changelog.snapshotAtEvolved(spark, path, Seq("k"), 1L)
+    assert(base.columns.sorted.toSeq == Seq("k", "tag", "v"))
+    assert(base.select("k", "v", "tag")
+      .as[(String, String, Option[String])].collect().toSet ==
+      Set(("k1", "a", None), ("k2", "c", Some("t1"))))
+    // only the base commit remains; no staging residue beside the log
+    val dirs = new java.io.File(path).listFiles().map(_.getName).toSeq
+    assert(dirs.filter(_.startsWith(s"${Changelog.CommitCol}=")) ==
+      Seq(s"${Changelog.CommitCol}=1"))
+    assert(!new java.io.File(path).getParentFile.listFiles()
+      .exists(_.getName.contains("changelog_spec_ckpt_evo__ckpt_staging")))
+  }
 }

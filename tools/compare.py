@@ -63,6 +63,11 @@ def main(sf_dir, out_dir):
     import os
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(f"{out_dir}/{d}"))
+    # an oracle entry with no output dir means the query THREW in
+    # Verify (which logs-and-continues) — that is a failure, not a gap
+    for name in sorted(set(oracle) - set(names)):
+        print(f"✗ {name}: NO OUTPUT (query failed in Verify — see its stderr)")
+        fail += 1
     for name in names:
         got_sql = f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
         if name not in oracle:
