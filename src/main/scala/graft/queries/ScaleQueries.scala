@@ -387,6 +387,28 @@ object ScaleQueries {
           col("_i.fullTimeEmployees").cast("int").as("employees"),
           col("_i.sector").as("sector"),
           col("loaded_at"))
+    }),
+
+    // JDBC warehouse round-trip (sources/JdbcStore) — the reference's
+    // primary storage interface (MySQL append/point-read) exercised
+    // through Spark's actual JDBC surface against the embedded Derby
+    // on the classpath: batched parallel `write.jdbc` (VARCHAR DDL
+    // overrides, as the reference's CREATE TABLE declares), then a
+    // range-strided partitioned `read.jdbc` on the key with a
+    // predicate PUSHED into each partition's WHERE clause (asserted
+    // in JdbcStoreSpec; here verified by value — the oracle reads the
+    // same rows straight from parquet, so any row the pushdown
+    // wrongly pruned or duplicated breaks the hash). In production
+    // only the URL changes; the options keep their meaning.
+    "q154_jdbc_roundtrip" -> ((s, d) => {
+      val db = Sinks.tmpPathFor("derby_orders", d)
+      graft.sources.JdbcStore.writeTable(
+        Tables.orders(s, d), db, "orders",
+        columnTypes =
+          Some("o_orderstatus VARCHAR(1), o_orderpriority VARCHAR(15)"))
+      graft.sources.JdbcStore.readPartitioned(s, db, "orders",
+          "o_orderkey", 8)
+        .filter(col("o_totalprice") > 150000.0)
     }))
 
   /** q57's lookup key — exists at every scale (symbolCount ≥ 10). */
@@ -500,6 +522,12 @@ object ScaleQueries {
     "q128_incremental_rollup" -> rollupSql,
     "q131_stream_ivm" -> rollupSql,
     "q134_stream_ivm_mvcc" -> rollupSql,
+
+    // the Derby round-trip must surface exactly the parquet rows the
+    // pushed predicate selects — no loss, duplication, or precision
+    // drift through DDL mapping + strided scans
+    "q154_jdbc_roundtrip" ->
+      "SELECT * FROM orders WHERE o_totalprice > 150000.0",
 
     // top-10 point lookup over the same regenerated fact table; the
     // (date desc, statement_type, metric) order key is total within a

@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.sources.{JdbcStore, Sinks}
+
+class JdbcStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = (1L to 100L).map { i =>
+    (i, i % 7, s"s$i", 1000.0 + i, Timestamp.valueOf(s"2025-01-01 00:00:0${i % 10}.00012${i % 10}"))
+  }.toDF("k", "grp", "name", "price", "ts")
+
+  test("write.jdbc + partitioned read.jdbc round-trips values exactly") {
+    val db = Sinks.tmpPath("jdbc_spec_rt")
+    JdbcStore.writeTable(fixture, db, "facts",
+      columnTypes = Some("name VARCHAR(32)"))
+    val back = JdbcStore.readPartitioned(spark, db, "facts", "k", 4)
+    assert(back.columns.toSeq == fixture.columns.toSeq)
+    val a = fixture.collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(a == b) // µs timestamp precision included
+  }
+
+  test("partitioned read plans >1 input partition and pushes predicates") {
+    val db = Sinks.tmpPath("jdbc_spec_push")
+    JdbcStore.writeTable(fixture, db, "facts")
+    val back = JdbcStore.readPartitioned(spark, db, "facts", "k", 4)
+    assert(back.rdd.getNumPartitions == 4,
+      "range-strided JDBC scan must fan out, not read on one connection")
+    val filtered = back.filter(col("price") > 1050.0 && col("grp") === 3L)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThan(price,1050.0)") &&
+      plan.contains("EqualTo(grp,3)"),
+      s"filters must reach the JDBC scan's WHERE clause, plan was:\n$plan")
+    assert(filtered.count() ==
+      fixture.filter(col("price") > 1050.0 && col("grp") === 3L).count())
+  }
+
+  test("overwrite is idempotent (rerun replaces, never duplicates)") {
+    val db = Sinks.tmpPath("jdbc_spec_idem")
+    JdbcStore.writeTable(fixture, db, "facts")
+    JdbcStore.writeTable(fixture, db, "facts")
+    assert(JdbcStore.readPartitioned(spark, db, "facts", "k", 2)
+      .count() == 100L)
+  }
+}
