@@ -57,6 +57,40 @@ object ScaleQueries {
       (factT, sumT)
     })
 
+  /** ANALYZE, once per JVM per table — catalog stats are session-state,
+    * but the staged tables are JVM-memoized so the stats follow them.
+    */
+  private val statsAnalyzed = scala.collection.concurrent.TrieMap[String, Boolean]()
+  private def analyzeOnce(s: SparkSession, table: String): Unit =
+    statsAnalyzed.getOrElseUpdate(table, {
+      s.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR ALL COLUMNS")
+      true
+    }): Unit
+
+  /** Total bytes of the parquet files under a staged table's dir — the
+    * size Catalyst falls back to when a relation has no catalog stats.
+    */
+  private def dirBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+      else if (f.getName.endsWith(".parquet")) f.length() else 0L
+    walk(new java.io.File(path))
+  }
+
+  /** Run `f` with session confs set, restoring prior values after — for
+    * queries that must pin planner behavior without leaking it into the
+    * rest of the suite. The materialization MUST happen inside `f`
+    * (plans are lazy; a conf restored before the action never applied).
+    */
+  private def withConfs[T](s: SparkSession, kvs: (String, String)*)(f: => T): T = {
+    val old = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   /** Stage every scale fixture for a bench dir (called by Bench outside
     * the timed window; Verify pays it inside whichever query touches it
     * first, where wall-clock is not a metric).
@@ -409,6 +443,60 @@ object ScaleQueries {
       graft.sources.JdbcStore.readPartitioned(s, db, "orders",
           "o_orderkey", 8)
         .filter(col("o_totalprice") > 150000.0)
+    }),
+
+    // Statistics-driven broadcast (CBO) — the 100×-scale claim
+    // "Catalyst PROVES the small side broadcastable, it doesn't guess"
+    // made checkable end-to-end, at the query's own scale. The dim is
+    // the bucketed summary catalog table under a 3-conjunct equality
+    // filter whose CBO selectivity is 1/(ndv·ndv·ndv) = 1/140 — an
+    // estimate only ANALYZE'd column stats can produce; the no-stats
+    // planner sees file-size × type-default width ratios and cannot
+    // shrink a Filter at all. Both estimates are READ FROM THE PLAN
+    // (optimizedPlan.stats under each conf), the broadcast threshold
+    // is pinned strictly between them, and the require()s fail the
+    // round unless the SAME hint-free join plans as SortMergeJoin
+    // without CBO and BroadcastHashJoin with it. Materialized inside
+    // the conf window (plans are lazy; a restored conf never applied).
+    "q155_stats_broadcast_join" -> ((s, d) => {
+      val syms = n(d)
+      val (factT, sumT) = stagedBucketedTables(s, syms)
+      analyzeOnce(s, sumT)
+      // sector ∧ currency ∧ industry laws: i%5=0 ∧ i%4=0 ∧ i%7=0 ⇔ i%140=0
+      def dim = s.table(sumT)
+        .filter(col("sector") === "Technology" &&
+          col("currency") === "USD" && col("industry") === "Industry 0")
+        .select("stock")
+      def out = s.table(factT).join(dim, "stock")
+        .groupBy("calendar_year")
+        .agg(count(lit(1)).as("n_facts"),
+          sum(when(col("value").isNotNull, 1L).otherwise(0L)).as("_nn"),
+          sum((col("value") * 4).cast("long")).as("_sum_q"))
+        .select(col("calendar_year"), col("n_facts"),
+          when(col("_nn") === 0L, lit(null).cast("double"))
+            .otherwise(col("_sum_q").cast("double") / 4.0).as("sum_value"))
+      def dimEstimate(cbo: Boolean): BigInt =
+        withConfs(s, "spark.sql.cbo.enabled" -> cbo.toString) {
+          dim.queryExecution.optimizedPlan.stats.sizeInBytes
+        }
+      val (e0, e1) = (dimEstimate(cbo = false), dimEstimate(cbo = true))
+      require(e1 * 2 <= e0,
+        s"stats no longer separate the estimates (no-stats=$e0 cbo=$e1)")
+      val threshold = ((e0 + e1) / 2).toLong
+      withConfs(s, "spark.sql.cbo.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> threshold.toString) {
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin") &&
+          !plan.contains("BroadcastHashJoin"),
+          s"without stats the join must NOT broadcast ($threshold):\n$plan")
+      }
+      withConfs(s, "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> threshold.toString) {
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("BroadcastHashJoin"),
+          s"stats-driven broadcast did not happen ($threshold):\n$plan")
+        out.localCheckpoint()
+      }
     }))
 
   /** q57's lookup key — exists at every scale (symbolCount ≥ 10). */
@@ -528,6 +616,19 @@ object ScaleQueries {
     // drift through DDL mapping + strided scans
     "q154_jdbc_roundtrip" ->
       "SELECT * FROM orders WHERE o_totalprice > 150000.0",
+
+    // per-year rollup of the symbols matching the dim's 3-conjunct
+    // filter (sector ∧ currency ∧ industry ⇔ i % 140 = 0) — the join
+    // itself is the subject (stats-proven broadcast); the values must
+    // equal the regenerate-from-law fact restricted to those symbols
+    "q155_stats_broadcast_join" ->
+      s"""WITH fact AS (${finUnpivotSqlWhere("range % 140 = 0")})
+         |SELECT calendar_year,
+         |  CAST(count(*) AS BIGINT) AS n_facts,
+         |  CASE WHEN count(value) = 0 THEN NULL
+         |    ELSE CAST(sum(CAST(value * 4 AS BIGINT)) AS DOUBLE) / 4.0
+         |  END AS sum_value
+         |FROM fact GROUP BY 1""".stripMargin,
 
     // top-10 point lookup over the same regenerated fact table; the
     // (date desc, statement_type, metric) order key is total within a
