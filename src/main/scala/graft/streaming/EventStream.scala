@@ -881,12 +881,33 @@ object EventStream {
   private[graft] def runSessionStream(s: SparkSession, staged: String,
                                           sinkTag: String, gapMinutes: Int,
                                           maxFilesPerTrigger: Option[Int]): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val sinkDir = Sinks.tmpPath(s"${sinkTag}_sink")
     val ckptDir = Sinks.tmpPath(s"${sinkTag}_ckpt")
     Sinks.deleteRecursively(sinkDir)
     Sinks.deleteRecursively(ckptDir)
+    runSessionStreamAt(s, staged, sinkDir, ckptDir, gapMinutes,
+      maxFilesPerTrigger)
+  }
+
+  /** RESUMABLE core of the SessionProcessor pipeline: caller owns the
+    * sink and checkpoint directories and nothing is deleted, so a
+    * second invocation with the SAME `ckptDir` after more files landed
+    * in `staged` is a genuine restart-from-checkpoint — the file
+    * source's committed offsets skip every already-processed file, and
+    * the RocksDB state store restores each key's buffered interval set
+    * AND its pending event-time timer before the first new batch runs.
+    * That is the operational contract a 100 TB deployment leans on
+    * (executor loss, driver restart, planned redeploy), and
+    * StreamingSpec proves it the only way that counts: a session whose
+    * events STRADDLE the restart must come out identical to the
+    * uninterrupted run's.
+    */
+  private[graft] def runSessionStreamAt(s: SparkSession, staged: String,
+                                        sinkDir: String, ckptDir: String,
+                                        gapMinutes: Int,
+                                        maxFilesPerTrigger: Option[Int]): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(providerKey)
     s.conf.set(providerKey,

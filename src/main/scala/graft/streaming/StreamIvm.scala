@@ -212,7 +212,7 @@ object StreamIvm {
     * O(commits); the compaction discipline documented on Changelog
     * (fold commits ≤ v into a base commit) bounds it operationally.
     */
-  private def servedRollup(s: SparkSession, rollLog: String): DataFrame =
+  private[graft] def servedRollup(s: SparkSession, rollLog: String): DataFrame =
     s.read.parquet(rollLog)
       .groupBy(col("stock"), col("calendar_year"))
       .agg(sum(col("n_facts")).as("n_facts"), sum(col("nn")).as("nn"),
@@ -236,6 +236,29 @@ object StreamIvm {
     Sinks.deleteRecursively(factLog) // re-runnable: commit 0 starts fresh
     Sinks.deleteRecursively(rollLog)
     Sinks.deleteRecursively(ckptDir)
+    runMvccStreamAt(s, landing, factLog, rollLog, ckptDir)
+    servedRollup(s, rollLog)
+  }
+
+  /** RESUMABLE core of the MVCC maintenance stream: caller owns the
+    * logs and the checkpoint and nothing is deleted, so invoking it
+    * again with the SAME `ckptDir` after more landing files arrived is
+    * a restart-from-checkpoint — the source's committed offsets skip
+    * every already-applied increment, and batchIds CONTINUE from where
+    * the stopped run left off (Structured Streaming persists the batch
+    * counter), so each new increment commits under a fresh changelog
+    * commit id and the already-landed commits 0..k−1 are never
+    * touched. Combined with applyBatchMvcc's idempotence this is the
+    * full delivery story: redelivery of an in-flight batch lands
+    * byte-identically, and a restart resumes exactly-once semantics
+    * with no operator intervention. StreamIvmSpec proves the restart
+    * leg: stop after k increments, land the rest, resume, and the
+    * served rollup (and the commit-id sequence) must equal the
+    * uninterrupted run's.
+    */
+  private[graft] def runMvccStreamAt(s: SparkSession, landing: String,
+                                     factLog: String, rollLog: String,
+                                     ckptDir: String): Unit = {
     val q = s.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", 1) // one increment per micro-batch
       .parquet(landing)
@@ -247,6 +270,5 @@ object StreamIvm {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    servedRollup(s, rollLog)
   }
 }

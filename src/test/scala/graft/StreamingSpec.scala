@@ -182,6 +182,74 @@ class StreamingSpec extends SparkSpec {
       (3L, 3L, us0 + 40 * mu, us0 + 130 * mu)))
   }
 
+  /** Append one more landing file to an already-staged dir, its mtime
+    * strictly after every existing file's (the file source orders
+    * batches by mtime; two commits inside one timestamp granule can
+    * swap).
+    */
+  private def appendLandingFile(staged: String,
+      rows: Seq[(Long, Long, Long, String, Double)]): Unit = {
+    val d = new java.io.File(staged)
+    def parts(): Set[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && f.getName.startsWith("part-")).toSet
+    val before = parts()
+    val base = (before.map(_.lastModified()) + System.currentTimeMillis()).max
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit(null).cast("string"))
+      .coalesce(1).write.mode("append").parquet(staged)
+    (parts() -- before).foreach(_.setLastModified(base + 2000L))
+  }
+
+  test("SessionProcessor: buffered sessions and timers survive a checkpoint restart") {
+    // THE restart-from-checkpoint proof (round-10 verdict task 3): run
+    // the stream over file 1 only, let AvailableNow terminate (nothing
+    // emitted — every session still buffered in RocksDB), then land
+    // file 2 + the sentinel and START A NEW QUERY on the same
+    // checkpoint. The restarted query must restore each user's
+    // buffered interval set and pending timer:
+    //  - user 1's file-2 event at +20 min gap-merges into the RESTORED
+    //    [0,+10] session → ONE session of 3 events spanning the
+    //    restart (state lost ⇒ two sessions, or one of 1 event);
+    //  - user 2's +45 min event is > gap after its restored +5 min
+    //    session → stays its own session, and the OLD session flushes
+    //    through the restored/re-armed timer path.
+    val m = 60L * 1000000000L
+    val staged = stagedMultiFileDir(Seq(Seq(
+      (1L, t0, 1L, "view", 1.0),
+      (2L, t0 + 10 * m, 1L, "view", 1.0),
+      (3L, t0 + 5 * m, 2L, "view", 1.0))))
+    val sinkDir = graft.sources.Sinks.tmpPath("spec_sess_restart_sink")
+    val ckptDir = graft.sources.Sinks.tmpPath("spec_sess_restart_ckpt")
+    graft.sources.Sinks.deleteRecursively(sinkDir)
+    graft.sources.Sinks.deleteRecursively(ckptDir)
+    val interim = EventStream.runSessionStreamAt(spark, staged, sinkDir,
+      ckptDir, 30, maxFilesPerTrigger = Some(1))
+    assert(interim.count() === 0L) // all sessions still open at the stop
+    appendLandingFile(staged, Seq(
+      (4L, t0 + 20 * m, 1L, "view", 1.0),
+      (5L, t0 + 45 * m, 2L, "view", 1.0)))
+    appendLandingFile(staged, Seq(
+      (9L, t0 + 280 * m, -1L, "flush", 0.0))) // sentinel
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("n_events"),
+        unix_micros(col("win_start")).as("s"), unix_micros(col("win_end")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    val resumed = rowSet(EventStream.runSessionStreamAt(spark, staged,
+      sinkDir, ckptDir, 30, maxFilesPerTrigger = Some(1)))
+    val us0 = t0 / 1000
+    val mu = 60L * 1000000L
+    assert(resumed === Set(
+      (1L, 3L, us0, us0 + 50 * mu),
+      (2L, 1L, us0 + 5 * mu, us0 + 35 * mu),
+      (2L, 1L, us0 + 45 * mu, us0 + 75 * mu)))
+    // and the interrupted run equals the uninterrupted one, row for row
+    val control = rowSet(EventStream.runSessionStream(spark, staged,
+      "spec_sess_restart_ctl", 30, maxFilesPerTrigger = Some(1)))
+    assert(resumed === control)
+  }
+
   test("sessionCountsOoo: out-of-order arrival equals session_window's sessions") {
     // ~200 events over ~19 h per user with gaps of 1–45 min (so real
     // session breaks occur); stageOutOfOrder defers even-id events at
