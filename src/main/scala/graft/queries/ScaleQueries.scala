@@ -497,6 +497,47 @@ object ScaleQueries {
           s"stats-driven broadcast did not happen ($threshold):\n$plan")
         out.localCheckpoint()
       }
+    }),
+
+    // S9/S10 at the CATALOG level — the reference's CREATE DATABASE /
+    // CREATE TABLE IF NOT EXISTS + DESCRIBE discipline
+    // (details.py:169–175, Financilas.py:38–66, Summary.py:31–59) as
+    // real Spark DDL over the maintained layout: an EXTERNAL
+    // partitioned table registered over the bucket-partitioned fact
+    // dir, partitions recovered with MSCK REPAIR TABLE (the catalog
+    // twin of S9's schema repair — registration alone leaves a
+    // partitioned datasource table EMPTY), DESCRIBE EXTENDED asserted
+    // to carry the location and the partition column, and the rollup
+    // run THROUGH the catalog name, never the path. At deployment
+    // scale this is the difference between "files on a bucket" and a
+    // governed table: stats (q155), grants, and downstream tools all
+    // hang off the catalog entry. Idempotent per JVM by IF NOT EXISTS
+    // (Bench runs every query 3×).
+    "q156_catalog_ddl" -> ((s, d) => {
+      val syms = n(d)
+      val path = stagedFactPath(s, syms)
+      val tbl = s"graft_wh.financials_$syms"
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_wh")
+      val cols = s.read.parquet(path).schema.fields
+        .filter(_.name != "bucket")
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl ($cols, bucket INT)
+               |USING parquet PARTITIONED BY (bucket)
+               |LOCATION '$path'""".stripMargin)
+      s.sql(s"MSCK REPAIR TABLE $tbl")
+      val desc = s.sql(s"DESCRIBE EXTENDED $tbl").collect()
+      def row(k: String) = desc.find(r => r.getString(0).trim == k)
+      require(row("Location").exists(r =>
+        r.getString(1).contains(new java.io.File(path).getName)),
+        s"catalog must record the external location:\n${desc.mkString("\n")}")
+      require(desc.exists(r => r.getString(0).trim == "bucket"),
+        "partition column must be cataloged")
+      s.sql(s"""SELECT statement_type, calendar_year,
+               |  count(*) AS n_facts,
+               |  CASE WHEN count(value) = 0 THEN NULL
+               |    ELSE CAST(sum(CAST(value * 4 AS BIGINT)) AS DOUBLE) / 4.0
+               |  END AS sum_value
+               |FROM $tbl GROUP BY 1, 2""".stripMargin)
     }))
 
   /** q57's lookup key — exists at every scale (symbolCount ≥ 10). */
@@ -629,6 +670,19 @@ object ScaleQueries {
          |    ELSE CAST(sum(CAST(value * 4 AS BIGINT)) AS DOUBLE) / 4.0
          |  END AS sum_value
          |FROM fact GROUP BY 1""".stripMargin,
+
+    // per-statement-per-year rollup THROUGH the catalog name: the DDL
+    // registration + MSCK recovery is the subject — any partition the
+    // repair missed (or double-registered) breaks n_facts against the
+    // regenerate-from-law fact
+    "q156_catalog_ddl" ->
+      s"""WITH fact AS ($finUnpivotSql)
+         |SELECT statement_type, calendar_year,
+         |  CAST(count(*) AS BIGINT) AS n_facts,
+         |  CASE WHEN count(value) = 0 THEN NULL
+         |    ELSE CAST(sum(CAST(value * 4 AS BIGINT)) AS DOUBLE) / 4.0
+         |  END AS sum_value
+         |FROM fact GROUP BY 1, 2""".stripMargin,
 
     // top-10 point lookup over the same regenerated fact table; the
     // (date desc, statement_type, metric) order key is total within a
