@@ -250,6 +250,18 @@ object AuditQueries {
       graft.sources.JsonLines.read(s, path, Tables.documentsSchema)
     }),
 
+    // Avro interchange round-trip (sources/AvroInterchange) — the
+    // Kafka/schema-registry dump format, written snappy-compressed and
+    // read back under the EXPLICIT reader schema; the documents text
+    // column's quotes/whitespace/high-codepoint characters make any
+    // encoding defect in the Avro string/long codecs break the hash
+    // against the parquet source of truth.
+    "q157_avro_roundtrip" -> ((s, d) => {
+      val path = graft.sources.Sinks.tmpPathFor("sink_avro_documents", d)
+      graft.sources.AvroInterchange.write(Tables.documents(s, d), path)
+      graft.sources.AvroInterchange.read(s, path, Tables.documentsSchema)
+    }),
+
     // SQL-registered engine function through spark.sql: the SAME
     // Column composition as q18, reached via the FunctionRegistry
     // (GraftSqlFunctions.register / spark.sql.extensions) — proves the
@@ -535,6 +547,10 @@ object AuditQueries {
     "q99_orc_roundtrip" -> "SELECT * FROM orders",
 
     "q136_jsonl_roundtrip" -> "SELECT * FROM documents",
+
+    // lossless interchange hop: Avro container files must carry the
+    // exact table (q136's law, row-oriented codec path)
+    "q157_avro_roundtrip" -> "SELECT * FROM documents",
 
     // identical integer-ppm law per hash half; FULL OUTER keeps
     // appeared/vanished terms, absent side reports 0
