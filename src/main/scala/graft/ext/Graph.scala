@@ -379,6 +379,58 @@ object Graph {
     sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Single-source BFS hop levels — unweighted shortest-path distance
+    * from `source`, the navigation kernel the component/centrality
+    * family lacked (CC answers WHETHER two nodes connect; this answers
+    * HOW FAR). Frontier expansion over a monotone visited set: round r
+    * joins the previous frontier against the symmetric edge set,
+    * anti-joins out already-leveled nodes (a node's FIRST discovery is
+    * its shortest hop count — the BFS invariant), and labels the
+    * survivors r.
+    *
+    * Scale: each round is one equi-join (frontier ⋈ edges, shuffled on
+    * node id) plus one left-anti against the visited set — never
+    * all-pairs; the frontier side shrinks to the round's newly
+    * discovered nodes, not the graph. Rounds are bounded by `maxDepth`
+    * and an exhausted frontier short-circuits via the same Observation
+    * trick as [[connectedComponents]] (the count rides the
+    * materializing job, no second action). Visited state is O(V) rows,
+    * localCheckpoint'd per round to truncate lineage — the identical
+    * durability tier the CC kernels hold, with the identical cluster
+    * note (reliable checkpoint dir on a real deployment).
+    */
+  def bfsLevels(edges: DataFrame, source: Long, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    val Array(ca, cb, _*) = edges.columns
+    val s = edges.sparkSession
+    val sym = edges.select(
+        col(ca).cast("long").as("u"), col(cb).cast("long").as("v"))
+      .union(edges.select(
+        col(cb).cast("long").as("u"), col(ca).cast("long").as("v")))
+      .filter(col("u") =!= col("v"))
+      .localCheckpoint()
+    var levels = s.range(1)
+      .select(lit(source).as("id"), lit(0).cast("int").as("lvl"))
+      .localCheckpoint()
+    var frontier = levels.select("id")
+    var r = 1
+    var exhausted = false
+    while (r <= maxDepth && !exhausted) {
+      val obs = org.apache.spark.sql.Observation()
+      val next = sym.join(frontier.withColumnRenamed("id", "u"), "u")
+        .select(col("v").as("id")).distinct()
+        .join(levels, Seq("id"), "left_anti")
+        .select(col("id"), lit(r).cast("int").as("lvl"))
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint() // eager: materializes and fires the metric
+      exhausted = obs.get("n").asInstanceOf[Long] == 0L
+      levels = levels.union(next).localCheckpoint()
+      frontier = next.select("id")
+      r += 1
+    }
+    levels
+  }
+
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val Array(ca, cb, _*) = edges.columns

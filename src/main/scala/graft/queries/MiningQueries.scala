@@ -35,6 +35,11 @@ object MiningQueries {
   private val KCoreK = 80
   private val KCoreIters = 8
   private val SeqMaxLen = 50 // q152: per-user sequence cap
+  // q158: the co-purchase graph is dense (median degree ~115 at
+  // sf0.01), so most of the reachable set sits at 1–2 hops; 4 rounds
+  // covers the fringe and proves the per-round law, and extra rounds
+  // past frontier exhaustion are no-ops on both engines
+  private val BfsDepth = 4
 
   /** Fragmented orders copy (the small-file problem as a fixture),
     * staged once per JVM per sf dir — q84 times the COMPACTION, never
@@ -97,6 +102,22 @@ object MiningQueries {
             col("a.l_partkey") < col("b.l_partkey"))
         .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       Graph.kCore(pairs, KCoreK, KCoreIters)
+    }),
+
+    // Single-source BFS levels over the same co-purchase graph: hop
+    // distance from the smallest part key (a deterministic source both
+    // engines derive identically). The frontier-expansion kernel —
+    // equi-join per round, first-discovery-wins anti-join — is the
+    // graph family's navigation primitive; the bounded collect is ONE
+    // row (the source id).
+    "q158_bfs_levels" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      val source = pairs.agg(min(col("u"))).head().getLong(0)
+      Graph.bfsLevels(pairs, source, BfsDepth)
     }),
 
     // SCD2 run compression of the per-user event-type history.
@@ -282,6 +303,29 @@ object MiningQueries {
          |$rounds
          |SELECT u AS id, CAST(count(*) AS BIGINT) AS deg
          |FROM s$KCoreIters GROUP BY u""".stripMargin
+    },
+
+    // frontier unroll (the q142 discipline): per round, the new
+    // frontier is the neighbors of the previous one minus every node
+    // already leveled — first discovery wins, which IS hop distance
+    "q158_bfs_levels" -> {
+      val rounds = (1 to BfsDepth).map { i =>
+        s"""f$i AS MATERIALIZED (
+           |  SELECT DISTINCT e.v AS id FROM s0 e
+           |  JOIN f${i - 1} p ON e.u = p.id
+           |  WHERE e.v NOT IN (SELECT id FROM v${i - 1})),
+           |v$i AS (SELECT id, lvl FROM v${i - 1}
+           |  UNION ALL SELECT id, $i AS lvl FROM f$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pp AS (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |s0 AS MATERIALIZED (SELECT u, v FROM pp UNION SELECT v, u FROM pp),
+         |v0 AS (SELECT (SELECT min(u) FROM s0) AS id, 0 AS lvl),
+         |f0 AS (SELECT id FROM v0),
+         |$rounds
+         |SELECT id, CAST(lvl AS INT) AS lvl FROM v$BfsDepth""".stripMargin
     },
 
     // the same strictly-before law as an explicit window frame; the

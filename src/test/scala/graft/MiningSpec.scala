@@ -185,6 +185,24 @@ class MiningSpec extends SparkSpec {
     assert(run(2, 8) == run(2, 4))
   }
 
+  test("bfsLevels: hop distances, first-discovery-wins, frontier exhaustion") {
+    import spark.implicits._
+    // path 1-2-3-4 with a shortcut 1-3 (3 is discovered at hop 1, the
+    // 2-hop path via 2 must NOT relabel it), plus an unreachable
+    // component {8,9}
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (8L, 9L)).toDF("a", "b")
+    def run(depth: Int) =
+      Graph.bfsLevels(edges, 1L, depth).as[(Long, Int)].collect().toMap
+    assert(run(3) == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+    // depth caps the sweep: at 1 the fringe is unlabeled
+    assert(run(1) == Map(1L -> 0, 2L -> 1, 3L -> 1))
+    // rounds past frontier exhaustion are no-ops (and short-circuit)
+    assert(run(10) == run(3))
+    // unreachable nodes never appear
+    assert(!run(10).contains(8L) && !run(10).contains(9L))
+  }
+
   test("recursive CTE: hierarchy depths exact on a 7-node binary tree") {
     (0L until 7L).toDF("doc_id").createOrReplaceTempView("rec_spec_nodes")
     val got = spark.sql(
