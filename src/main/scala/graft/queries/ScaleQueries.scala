@@ -538,7 +538,113 @@ object ScaleQueries {
                |    ELSE CAST(sum(CAST(value * 4 AS BIGINT)) AS DOUBLE) / 4.0
                |  END AS sum_value
                |FROM $tbl GROUP BY 1, 2""".stripMargin)
+    }),
+
+    // Streaming → warehouse EXACTLY-ONCE — the foreachBatch JDBC sink
+    // discipline StreamIvm's scaladoc names as the remaining delivery
+    // gap (Structured Streaming redelivers a batch after a mid-batch
+    // crash; a naive append double-inserts). The events landing dir
+    // arrives file-by-file into JdbcStore.appendBatchExactlyOnce
+    // (stage table per batch → one RDBMS transaction publishing rows +
+    // ledger entry atomically), and BOTH crash legs are exercised
+    // in-query, not just claimed:
+    //  - crash DURING STAGING: before the stream starts, batch 2's
+    //    stage table is pre-poisoned with a partial garbage attempt
+    //    (rows that exist in no landing file) — the sink's re-runnable
+    //    staging overwrite must clobber it, or the oracle's full-table
+    //    hash breaks;
+    //  - crash AFTER COMMIT: batch 0 is redelivered after the stream
+    //    finishes — the ledger must no-op it (require: count
+    //    unchanged), or the compare breaks with doubled rows.
+    // The read-back is the same range-strided partitioned scan as
+    // q154; the oracle reads events straight from parquet, so any
+    // lost, duplicated, or precision-drifted row (µs timestamps
+    // included) fails the hash. On MySQL only the URL changes.
+    "q159_jdbc_stream_sink" -> ((s, d) => {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.streaming.Trigger
+      val db = Sinks.tmpPathFor("derby_events_wh", d)
+      val landing = stagedEventLanding(s, d)
+      val tbl = "EVENTS_WH"
+      val types = Some("event_type VARCHAR(32), props VARCHAR(64)")
+      // rerun = fresh delivery story: drop target + ledger rows (the
+      // Derby DIR must survive — an embedded engine keeps it booted)
+      graft.sources.JdbcStore.resetExactlyOnceTarget(db, tbl)
+      // simulate a crash mid-staging of batch 2: partial garbage rows
+      graft.sources.JdbcStore.writeTable(
+        s.read.parquet(landing).limit(5)
+          .withColumn("event_id", col("event_id") + lit(100000000L)),
+        db, s"${tbl}_STAGE_2", types)
+      val ckpt = Sinks.tmpPathFor("derby_events_ckpt", d)
+      Sinks.deleteRecursively(ckpt)
+      val q = s.readStream.schema(eventsWhSchema)
+        .option("maxFilesPerTrigger", 1) // one landing file per batch
+        .parquet(landing)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+          graft.sources.JdbcStore.appendBatchExactlyOnce(
+            b, db, tbl, id, types)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // simulate a crash after batch 0's commit: redelivery must no-op
+      val n0 = graft.sources.JdbcStore.tableCount(db, tbl)
+      graft.sources.JdbcStore.appendBatchExactlyOnce(
+        s.read.parquet(landing)
+          .filter(pmod(col("event_id"), lit(4)) === 0), db, tbl, 0L, types)
+      require(graft.sources.JdbcStore.tableCount(db, tbl) == n0,
+        "redelivered batch 0 must be a ledger no-op")
+      graft.sources.JdbcStore.readPartitioned(s, db, tbl, "event_id", 8)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
     }))
+
+  /** The streaming-read schema of the staged events landing dir. */
+  private def eventsWhSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
+
+  /** The events table staged as 4 mtime-ordered landing files (split
+    * by event_id mod 4) — the arriving micro-batch feed for the JDBC
+    * exactly-once sink. `ts` is normalized to TimestampType whatever
+    * the generation's physical type (ns-int64 or µs, possibly NTZ —
+    * session TZ is pinned UTC, so casts relabel the same instant).
+    * Memoized per JVM per input dir.
+    */
+  private val eventLandingStaged =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def stagedEventLanding(s: SparkSession, d: String): String =
+    eventLandingStaged.getOrElseUpdate(d, {
+      import org.apache.spark.sql.types._
+      val path = Sinks.tmpPathFor("jdbc_sink_landing", d)
+      Sinks.deleteRecursively(path)
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val ev = (raw.schema("ts").dataType match {
+        case LongType => // nanos generation
+          raw.withColumn("ts",
+            timestamp_micros((col("ts") / 1000L).cast("long")))
+        case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+      }).select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      def files() = Option(new java.io.File(path).listFiles()).fold(
+        Set.empty[java.io.File])(
+        _.filter(_.getName.endsWith(".parquet")).toSet)
+      var mtime = System.currentTimeMillis() - 6 * 2000L
+      (0 until 4).foreach { i =>
+        val before = files()
+        ev.filter(pmod(col("event_id"), lit(4)) === i)
+          .coalesce(1).write.mode("append").parquet(path)
+        (files() -- before).foreach(_.setLastModified(mtime))
+        mtime += 2000L
+      }
+      path
+    })
 
   /** q57's lookup key — exists at every scale (symbolCount ≥ 10). */
   private val PointSymbol = "S00007"
@@ -657,6 +763,12 @@ object ScaleQueries {
     // drift through DDL mapping + strided scans
     "q154_jdbc_roundtrip" ->
       "SELECT * FROM orders WHERE o_totalprice > 150000.0",
+
+    // the exactly-once streamed warehouse must hold EXACTLY the events
+    // table: a doubled batch (redelivery), a surviving poisoned stage
+    // row, or µs drift through Derby's TIMESTAMP all break the hash
+    "q159_jdbc_stream_sink" ->
+      "SELECT event_id, ts, user_id, event_type, value, props FROM events",
 
     // per-year rollup of the symbols matching the dim's 3-conjunct
     // filter (sector ∧ currency ∧ industry ⇔ i % 140 = 0) — the join

@@ -87,6 +87,127 @@ object JdbcStore {
     } finally conn.close()
   }
 
+  /** Exactly-once micro-batch append into a JDBC warehouse — the
+    * committed-batchId ledger StreamIvm's scaladoc names as the
+    * foreachBatch discipline a JDBC sink needs (Structured Streaming
+    * redelivers a batch after a mid-batch crash; a naive append would
+    * double-insert). The industry-standard two-phase shape:
+    *
+    *  1. SKIP if the ledger already holds (table, batchId) — the batch
+    *     fully published before a prior crash;
+    *  2. STAGE the batch into its own `<table>_STAGE_<id>` table via
+    *     parallel `write.jdbc` overwrite — re-runnable: a retry
+    *     overwrites any partial earlier staging, and parallelism stays
+    *     on the Spark side where it belongs;
+    *  3. PUBLISH in ONE driver-side RDBMS transaction: `INSERT INTO
+    *     target SELECT * FROM stage` + the ledger row, COMMIT — the
+    *     rows and the fact-of-publication land atomically (this is
+    *     what the warehouse's ACID is FOR; Spark supplies the batchId,
+    *     the RDBMS supplies the atomicity).
+    *
+    * Every crash point replays safely: before COMMIT the target has no
+    * rows from this batch and the ledger no entry (redo stages +
+    * publishes); after COMMIT the ledger entry makes the redo a no-op.
+    * The staging DROP after commit is cosmetic cleanup — an orphaned
+    * stage table is dead weight, never wrong data.
+    *
+    * Scale: staging writes are `numPartitions` parallel connections;
+    * the publish INSERT..SELECT runs entirely inside the warehouse
+    * (no rows cross back through the driver); the ledger is one row
+    * per batch. On MySQL the same code path holds (InnoDB
+    * transactions); only the URL changes.
+    */
+  def appendBatchExactlyOnce(batch: DataFrame, dbDir: String,
+                             table: String, batchId: Long,
+                             columnTypes: Option[String] = None,
+                             numPartitions: Int = 4): Unit = {
+    derbyHome
+    val conn = DriverManager.getConnection(url(dbDir))
+    try {
+      execIgnoringExisting(conn,
+        """CREATE TABLE GRAFT_BATCH_LEDGER (
+          |  TBL VARCHAR(128) NOT NULL, BATCH_ID BIGINT NOT NULL,
+          |  PRIMARY KEY (TBL, BATCH_ID))""".stripMargin)
+      val rs = conn.createStatement().executeQuery(
+        s"""SELECT COUNT(*) FROM GRAFT_BATCH_LEDGER
+           |WHERE TBL = '$table' AND BATCH_ID = $batchId""".stripMargin)
+      rs.next()
+      if (rs.getInt(1) > 0) return // already published atomically
+    } finally conn.close()
+
+    val stage = s"${table}_STAGE_$batchId"
+    val w = batch.write.mode("overwrite")
+      .option("numPartitions", numPartitions)
+      .option("batchsize", 1000)
+    columnTypes.foreach(t => w.option("createTableColumnTypes", t))
+    w.jdbc(url(dbDir), stage, props)
+
+    val pub = DriverManager.getConnection(url(dbDir))
+    try {
+      execIgnoringExisting(pub,
+        s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
+      pub.setAutoCommit(false)
+      val st = pub.createStatement()
+      st.executeUpdate(s"INSERT INTO $table SELECT * FROM $stage")
+      st.executeUpdate(
+        s"INSERT INTO GRAFT_BATCH_LEDGER VALUES ('$table', $batchId)")
+      pub.commit()
+      pub.setAutoCommit(true)
+      st.executeUpdate(s"DROP TABLE $stage"): Unit
+    } finally pub.close()
+  }
+
+  /** COUNT(*) read driver-side over plain JDBC — the O(1)-row probe
+    * the redelivery proof uses (the RDBMS counts; no Spark scan).
+    */
+  def tableCount(dbDir: String, table: String): Long = {
+    derbyHome
+    val conn = DriverManager.getConnection(url(dbDir))
+    try {
+      val rs = conn.createStatement()
+        .executeQuery(s"SELECT COUNT(*) FROM $table")
+      rs.next()
+      rs.getLong(1)
+    } finally conn.close()
+  }
+
+  /** Drop `table` and forget its ledger rows — the re-runnable fixture
+    * reset for [[appendBatchExactlyOnce]] targets: a rerun must replay
+    * the whole delivery story from batch 0, which a stale ledger would
+    * silently skip. Swallows only does-not-exist errors (first run).
+    */
+  def resetExactlyOnceTarget(dbDir: String, table: String): Unit = {
+    derbyHome
+    val conn = DriverManager.getConnection(url(dbDir))
+    try {
+      execIgnoringMissing(conn, s"DROP TABLE $table")
+      execIgnoringMissing(conn,
+        s"DELETE FROM GRAFT_BATCH_LEDGER WHERE TBL = '$table'")
+    } finally conn.close()
+  }
+
+  /** Run DDL, swallowing only Derby's already-exists error (X0Y32) —
+    * the CREATE TABLE IF NOT EXISTS Derby lacks.
+    */
+  private def execIgnoringExisting(conn: java.sql.Connection,
+                                   ddl: String): Unit =
+    try { conn.createStatement().executeUpdate(ddl): Unit }
+    catch {
+      case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+    }
+
+  /** Run a statement, swallowing only Derby's object-missing errors
+    * (42Y55 = DROP on a missing table, 42X05 = DML on a missing table)
+    * — the DROP TABLE IF EXISTS Derby lacks.
+    */
+  private def execIgnoringMissing(conn: java.sql.Connection,
+                                  sql: String): Unit =
+    try { conn.createStatement().executeUpdate(sql): Unit }
+    catch {
+      case e: java.sql.SQLException
+        if e.getSQLState == "42Y55" || e.getSQLState == "42X05" => ()
+    }
+
   /** The table as `numPartitions` parallel range-strided JDBC scans on
     * `partitionColumn`. Filters applied on the returned frame are
     * pushed into each scan's WHERE clause by Catalyst (assert:

@@ -46,4 +46,39 @@ class JdbcStoreSpec extends SparkSpec {
     assert(JdbcStore.readPartitioned(spark, db, "facts", "k", 2)
       .count() == 100L)
   }
+
+  test("appendBatchExactlyOnce absorbs redelivery and partial staging") {
+    val db = Sinks.tmpPath("jdbc_spec_eo")
+    val tbl = "EO_FACTS"
+    val types = Some("name VARCHAR(32)")
+    def batch(i: Long) = fixture.filter(col("grp") === i)
+    JdbcStore.resetExactlyOnceTarget(db, tbl)
+
+    // crash-during-staging leg: a partial garbage attempt at batch 1's
+    // stage table (rows not in the real batch) must be clobbered
+    JdbcStore.writeTable(
+      batch(1L).limit(2).withColumn("k", col("k") + 100000L),
+      db, s"${tbl}_STAGE_1", types)
+
+    JdbcStore.appendBatchExactlyOnce(batch(0L), db, tbl, 0L, types)
+    JdbcStore.appendBatchExactlyOnce(batch(1L), db, tbl, 1L, types)
+    val n = JdbcStore.tableCount(db, tbl)
+    assert(n == batch(0L).count() + batch(1L).count())
+
+    // crash-after-commit leg: redelivering both batches must no-op
+    JdbcStore.appendBatchExactlyOnce(batch(0L), db, tbl, 0L, types)
+    JdbcStore.appendBatchExactlyOnce(batch(1L), db, tbl, 1L, types)
+    assert(JdbcStore.tableCount(db, tbl) == n)
+
+    // content exactness: poisoned stage rows must not have survived
+    val back = JdbcStore.readPartitioned(spark, db, tbl, "k", 2)
+    val want = batch(0L).unionByName(batch(1L))
+      .collect().map(_.toSeq).toSet
+    assert(back.collect().map(_.toSeq).toSet == want)
+
+    // rerun reset: a fresh delivery story replays from batch 0
+    JdbcStore.resetExactlyOnceTarget(db, tbl)
+    JdbcStore.appendBatchExactlyOnce(batch(0L), db, tbl, 0L, types)
+    assert(JdbcStore.tableCount(db, tbl) == batch(0L).count())
+  }
 }
