@@ -598,7 +598,69 @@ object ScaleQueries {
         "redelivered batch 0 must be a ledger no-op")
       graft.sources.JdbcStore.readPartitioned(s, db, tbl, "event_id", 8)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    }),
+
+    // JDBC AGGREGATE PUSHDOWN through the V2 JDBCTableCatalog — the
+    // other half of the warehouse interface story: q154/q159 move ROWS
+    // across the wire; at 100 TB the winning query ships the
+    // AGGREGATION to the warehouse and moves only group-count rows
+    // back. The orders warehouse models money as integer cents (the
+    // deployment-grade choice — and what keeps a warehouse-side SUM
+    // bit-exact against the parquet oracle regardless of either
+    // engine's float summation order). The catalog is registered at
+    // runtime (catalog confs resolve lazily), the GROUP BY runs
+    // through the catalog name, and the require()s pin the contract:
+    // COUNT/SUM/MIN/MAX and the group-by land in PushedAggregates /
+    // PushedGroupByExpressions (Derby executes them; no Spark-side
+    // scan of the table), with the status predicate in PushedFilters.
+    "q160_jdbc_agg_pushdown" -> ((s, d) => {
+      val db = stagedOrdersWarehouse(s, d)
+      s.conf.set("spark.sql.catalog.graft_jdbc",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+      s.conf.set("spark.sql.catalog.graft_jdbc.url",
+        graft.sources.JdbcStore.url(db))
+      s.conf.set("spark.sql.catalog.graft_jdbc.driver",
+        "org.apache.derby.jdbc.EmbeddedDriver")
+      s.conf.set("spark.sql.catalog.graft_jdbc.pushDownAggregate", "true")
+      val out = s.sql(
+        """SELECT o_orderpriority,
+          |  COUNT(*) AS n_orders,
+          |  SUM(o_total_cents) AS sum_cents,
+          |  MIN(o_total_cents) AS min_cents,
+          |  MAX(o_total_cents) AS max_cents
+          |FROM graft_jdbc.APP.ORDERS_WH
+          |WHERE o_orderstatus = 'F'
+          |GROUP BY o_orderpriority""".stripMargin)
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("PushedAggregates: [COUNT(*)"),
+        s"aggregates must execute inside the warehouse, plan was:\n$plan")
+      require(plan.contains("PushedGroupByExpressions: [o_orderpriority]"),
+        s"group-by must push to the warehouse, plan was:\n$plan")
+      require(plan.contains("o_orderstatus = 'F'"),
+        s"status predicate must reach the warehouse WHERE, plan was:\n$plan")
+      out.select(col("o_orderpriority"), col("n_orders"),
+        (col("sum_cents").cast("double") / 100.0).as("sum_price"),
+        (col("min_cents").cast("double") / 100.0).as("min_price"),
+        (col("max_cents").cast("double") / 100.0).as("max_price"))
     }))
+
+  /** The orders warehouse table for q160, integer-cents money model,
+    * staged ONCE per JVM per input dir (the subject is the pushed-down
+    * read, not the load).
+    */
+  private val ordersWhStaged =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def stagedOrdersWarehouse(s: SparkSession, d: String): String =
+    ordersWhStaged.getOrElseUpdate(d, {
+      val db = Sinks.tmpPathFor("derby_orders_wh", d)
+      graft.sources.JdbcStore.writeTable(
+        Tables.orders(s, d).withColumn("o_total_cents",
+          round(col("o_totalprice") * 100).cast("long")),
+        db, "ORDERS_WH",
+        columnTypes =
+          Some("o_orderstatus VARCHAR(1), o_orderpriority VARCHAR(15)"))
+      db
+    })
 
   /** The streaming-read schema of the staged events landing dir. */
   private def eventsWhSchema = {
@@ -769,6 +831,18 @@ object ScaleQueries {
     // row, or µs drift through Derby's TIMESTAMP all break the hash
     "q159_jdbc_stream_sink" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+
+    // the warehouse-side aggregate must equal the parquet-side one
+    // exactly — the integer-cents money model makes the SUM order-free
+    // (Spark round() is HALF_UP, DuckDB round() half-away: identical
+    // on positive prices; CAST of an integral double is exact in both)
+    "q160_jdbc_agg_pushdown" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price,
+        |  CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS min_price,
+        |  CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS max_price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY 1""".stripMargin,
 
     // per-year rollup of the symbols matching the dim's 3-conjunct
     // filter (sector ∧ currency ∧ industry ⇔ i % 140 = 0) — the join

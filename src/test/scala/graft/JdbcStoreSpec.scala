@@ -81,4 +81,29 @@ class JdbcStoreSpec extends SparkSpec {
     JdbcStore.appendBatchExactlyOnce(batch(0L), db, tbl, 0L, types)
     assert(JdbcStore.tableCount(db, tbl) == batch(0L).count())
   }
+
+  test("v2 jdbc catalog pushes aggregates, group-by, and filters down") {
+    val db = Sinks.tmpPath("jdbc_spec_cat")
+    JdbcStore.writeTable(fixture, db, "facts")
+    spark.conf.set("spark.sql.catalog.derbyspec",
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set("spark.sql.catalog.derbyspec.url", JdbcStore.url(db))
+    spark.conf.set("spark.sql.catalog.derbyspec.driver",
+      "org.apache.derby.jdbc.EmbeddedDriver")
+    spark.conf.set("spark.sql.catalog.derbyspec.pushDownAggregate", "true")
+    // unquoted DDL names uppercase in Derby: the catalog lists FACTS
+    val agg = spark.sql(
+      """SELECT grp, COUNT(*) AS n, MAX(k) AS max_k
+        |FROM derbyspec.APP.FACTS WHERE k > 10 GROUP BY grp""".stripMargin)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT(*), MAX(k)]"),
+      s"aggregate must run inside the warehouse, plan was:\n$plan")
+    assert(plan.contains("PushedGroupByExpressions: [grp]"), plan)
+    assert(plan.contains("k > 10"), s"filter must push, plan was:\n$plan")
+    val got = agg.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = fixture.filter(col("k") > 10).groupBy("grp")
+      .agg(count(lit(1)).as("n"), max("k").as("max_k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
 }
