@@ -125,6 +125,44 @@ object MiningQueries {
       Scd.compressHistory(Tables.events(s, d), "user_id", "ts",
         "event_id", "event_type")),
 
+    // Daily snapshot reconstruction FROM the SCD2 dimension — the
+    // warehouse op q78's versioned build exists to serve: for every
+    // (user, day-end) instant, the version whose validity interval
+    // covers it. The interval law makes the lookup exact and
+    // tie-proof: versions partition each user's timeline from their
+    // first event onward, and a zero-length run (two versions sharing
+    // effective_from, possible under same-µs events) matches NO
+    // instant — so the join is provably 1:≤1 with no as-of tie-break
+    // needed. Plan: the day grid is distinct-users × a 30-row
+    // broadcast day list (derived from a 1-row min/max aggregate);
+    // the lookup is an equi-join on user_id (SMJ/shuffle-hash on the
+    // key) with the interval predicate as a post-join filter —
+    // per-user version counts bound the filter's fan-in, never the
+    // table. LEFT join keeps pre-first-event user-days as explicit
+    // null snapshots (the dashboard's "not yet seen" rows).
+    "q161_scd2_snapshot" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val scd = Scd.compressHistory(ev, "user_id", "ts",
+        "event_id", "event_type")
+      val bounds = ev.agg(
+        to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+      val days = broadcast(bounds.select(
+        explode(sequence(col("d0"), col("d1"))).as("day")))
+      val probe = ev.select(col("user_id")).distinct()
+        .crossJoin(days)
+        .withColumn("snap",
+          col("day").cast("timestamp") + expr("INTERVAL 1 DAY")
+            - expr("INTERVAL 1 MICROSECOND"))
+      probe.join(scd,
+          probe("user_id") === scd("user_id") &&
+            scd("effective_from") <= probe("snap") &&
+            (scd("effective_to").isNull ||
+              scd("effective_to") > probe("snap")),
+          "left")
+        .select(probe("user_id"), probe("day"),
+          scd("value").as("cur_value"), scd("version").as("cur_version"))
+    }),
+
     // Point-in-time feature join (leakage-free training features):
     // for every purchase (label event), the user's click count
     // STRICTLY BEFORE that purchase under the (ts, event_id) total
@@ -378,6 +416,49 @@ object MiningQueries {
         |  lead(effective_from) OVER w2 AS effective_to,
         |  lead(effective_from) OVER w2 IS NULL AS is_current
         |FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY version)""".stripMargin,
+
+    // same gaps-and-islands versions CTE as q78, then the interval
+    // lookup per (user, end-of-day) instant; zero-length runs match
+    // no instant, so the join is 1:≤1 by construction
+    "q161_scd2_snapshot" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN row_number() OVER w = 1 THEN 1
+        |         WHEN event_type IS NOT DISTINCT FROM lag(event_type) OVER w
+        |           THEN 0
+        |         ELSE 1 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |v AS (
+        |  SELECT user_id, ts, event_type,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS INT) AS version
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, version, min(event_type) AS value,
+        |    min(ts) AS effective_from
+        |  FROM v GROUP BY user_id, version),
+        |scd AS (
+        |  SELECT user_id, version, value, effective_from,
+        |    lead(effective_from) OVER (PARTITION BY user_id
+        |      ORDER BY version) AS effective_to
+        |  FROM g),
+        |b AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        |      FROM e),
+        |days AS (SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |probe AS (
+        |  SELECT u.user_id, days.day,
+        |    CAST(days.day AS TIMESTAMP) + INTERVAL 1 DAY
+        |      - INTERVAL 1 MICROSECOND AS snap
+        |  FROM (SELECT DISTINCT user_id FROM e) u, days)
+        |SELECT p.user_id, p.day, s.value AS cur_value,
+        |  s.version AS cur_version
+        |FROM probe p LEFT JOIN scd s
+        |  ON s.user_id = p.user_id AND s.effective_from <= p.snap
+        |  AND (s.effective_to IS NULL OR s.effective_to > p.snap)""".stripMargin,
 
     "q80_funnel" -> {
       val Seq(s0, s1, s2) = FunnelStages
