@@ -35,8 +35,28 @@ object Selection {
     */
   def exactKth(df: DataFrame, groupCol: String, valueCol: String,
                kOfN: Long => Long, buckets: Int = 1024,
-               maxRounds: Int = 16): DataFrame = {
+               maxRounds: Int = 16): DataFrame =
+    exactKths(df, groupCol, valueCol, Seq(kOfN), buckets, maxRounds)
+      .select(col(groupCol), col("n"), col("kth"))
+
+  /** MULTI-quantile generalization: every requested k-th value per
+    * group resolves in the SAME ≤⌈log_B W⌉ counting scans — the
+    * per-round histogram is keyed (group, quantile), built by
+    * replicating each scanned row across the quantiles whose still-
+    * open [lo, hi] window contains it (one broadcast join on the
+    * group; resolved quantiles leave the bounds list, so replication
+    * SHRINKS round over round). Shuffle volume per round is groups ×
+    * open-quantiles × B — metadata. An equi-depth histogram's B−1
+    * boundaries therefore cost the same scan count as one median, not
+    * (B−1)× it.
+    *
+    * Returns (groupCol, q, n, kth) where q is the index into `ks`.
+    */
+  def exactKths(df: DataFrame, groupCol: String, valueCol: String,
+                ks: Seq[Long => Long], buckets: Int = 1024,
+                maxRounds: Int = 16): DataFrame = {
     require(buckets >= 2, s"need ≥ 2 buckets, got $buckets")
+    require(ks.nonEmpty, "need at least one quantile")
     val spark = df.sparkSession
     val base = df.select(col(groupCol).cast("string").as("g"),
       col(valueCol).cast("long").as("v"))
@@ -44,13 +64,17 @@ object Selection {
     val init = base.groupBy("g")
       .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
       .collect()
-      .map(r => r.getString(0) ->
-        ((r.getLong(1), kOfN(r.getLong(1)), r.getLong(2), r.getLong(3))))
-      .toMap
-    require(init.values.forall { case (n, k, _, _) => k >= 1 && k <= n },
-      "kOfN must return k in [1, n]")
+      .flatMap { r =>
+        val (g, n, lo, hi) =
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        ks.zipWithIndex.map { case (kOfN, qi) =>
+          val k = kOfN(n)
+          require(k >= 1 && k <= n, s"kOfN($n) = $k outside [1, $n]")
+          (g, qi) -> ((n, k, lo, hi))
+        }
+      }.toMap
 
-    // state: group -> (n, k-within-[lo,hi], lo, hi)
+    // state: (group, quantile) -> (n, k-within-[lo,hi], lo, hi)
     var state = init
     var rounds = 0
     while (state.values.exists { case (_, _, lo, hi) => lo < hi }) {
@@ -58,9 +82,10 @@ object Selection {
         s"selection failed to resolve in $maxRounds rounds — " +
           "non-integral or unbounded domain?")
       rounds += 1
-      val bounds = spark.createDataFrame(
-        state.toSeq.map { case (g, (_, _, lo, hi)) => (g, lo, hi) })
-        .toDF("g", "_lo", "_hi")
+      val open = state.toSeq.collect {
+        case ((g, q), (_, _, lo, hi)) if lo < hi => (g, q, lo, hi)
+      }
+      val bounds = spark.createDataFrame(open).toDF("g", "q", "_lo", "_hi")
       // bucket width ≥ 1 via ceil((hi-lo+1)/B); values outside [lo,hi]
       // were excluded in an earlier round and are filtered out
       val hist = base
@@ -69,27 +94,27 @@ object Selection {
         .withColumn("_w",
           expr(s"(_hi - _lo + ${buckets}L) div ${buckets}L"))
         .withColumn("_b", expr("(v - _lo) div _w"))
-        .groupBy("g", "_b").agg(count(lit(1)).as("c"))
+        .groupBy("g", "q", "_b").agg(count(lit(1)).as("c"))
         .collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-        .groupBy(_._1)
-      state = state.map { case (g, (n, k, lo, hi)) =>
-        if (lo == hi) g -> ((n, k, lo, hi))
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .groupBy(t => (t._1, t._2))
+      state = state.map { case (key @ (_, _), (n, k, lo, hi)) =>
+        if (lo == hi) key -> ((n, k, lo, hi))
         else {
           val w = (hi - lo + buckets) / buckets
-          val cum = hist(g).sortBy(_._2)
+          val cum = hist(key).sortBy(_._3)
           var kk = k
           var picked = -1L
-          for ((_, b, c) <- cum if picked < 0)
+          for ((_, _, b, c) <- cum if picked < 0)
             if (kk <= c) picked = b else kk -= c
           val nlo = lo + picked * w
           val nhi = math.min(hi, lo + (picked + 1) * w - 1)
-          g -> ((n, kk, nlo, nhi))
+          key -> ((n, kk, nlo, nhi))
         }
       }
     }
     spark.createDataFrame(
-        state.toSeq.map { case (g, (n, _, lo, _)) => (g, n, lo) })
-      .toDF(groupCol, "n", "kth")
+        state.toSeq.map { case ((g, q), (n, _, lo, _)) => (g, q, n, lo) })
+      .toDF(groupCol, "q", "n", "kth")
   }
 }

@@ -28,6 +28,7 @@ object AnalyticsQueries {
   private val BloomNumHashes = 5
   private val TopKK = 100 // q130: top-k per event_type
   private val TopKSalts = 8 // q130: phase-1 fan-out per group
+  private val HistB = 8 // q163: equi-depth buckets per event_type
   // z-order: 21 bits/dim holds keys to 2M (sf ~100); box selective on
   // BOTH dims — the case neither single-column sort serves
   private val ZBits = 21
@@ -250,7 +251,64 @@ object AnalyticsQueries {
         Tables.events(s, d).select(col("event_type"), col("event_id"),
           col("value")),
         Seq("event_type"), Seq(col("value").desc, col("event_id").asc),
-        k = TopKK, saltFrom = "event_id", salts = TopKSalts)))
+        k = TopKK, saltFrom = "event_id", salts = TopKSalts)),
+
+    // Equi-depth histogram profile — the data-profiling staple (CBO
+    // histograms, drift monitors, binned feature transforms) built on
+    // MULTI-quantile exact selection: all 8 per-type boundaries
+    // resolve in the SAME ~4 counting scans (Selection.exactKths —
+    // not 8 separate selections), zero row movement. Bucketing is
+    // then one broadcast sorted-array probe per row (codegen HOF:
+    // bucket = 1 + #{boundaries < v}, which provably matches the
+    // smallest-covering-interval law even under duplicate boundaries
+    // — a zero-width bucket matches no row in both engines) + one
+    // partial-aggregable count. Boundary values are data, bucket
+    // counts are law: ~n/8 per bucket up to value-tie spill.
+    "q163_equidepth_hist" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_type"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("v"))
+      val ks: Seq[Long => Long] =
+        (1 to HistB).map(i => (n: Long) => (i * n + HistB - 1) / HistB)
+      val arr = Selection.exactKths(e, "event_type", "v", ks)
+        .groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("q"), col("kth"))))
+          .as("_s"))
+        .select(col("event_type"),
+          expr("transform(_s, x -> x.kth)").as("_bnds"))
+      e.join(broadcast(arr), "event_type")
+        .withColumn("bucket",
+          (size(filter(col("_bnds"), b => b < col("v"))) + 1).cast("int"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n_rows"))
+        .join(broadcast(arr), "event_type")
+        .withColumn("hi_ppm", expr("_bnds[bucket - 1]"))
+        .select("event_type", "bucket", "hi_ppm", "n_rows")
+    }),
+
+    // Robust outlier screen: per-type median and MAD (median absolute
+    // deviation — the robust σ that one fat-finger row cannot drag,
+    // unlike mean/stddev), both EXACT via the selection kernel (two
+    // ~4-scan selections, zero row movement), then the outlier count
+    // at the 3-MAD fence. Everything integer (ppm values, integer
+    // fence compare) — no IEEE anywhere, bit-exact cross-engine.
+    "q164_mad_outliers" -> ((s, d) => {
+      val e = Tables.events(s, d).select(col("event_type"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("v"))
+      val med = Selection.exactKth(e, "event_type", "v", n => (n + 1) / 2)
+        .select(col("event_type"), col("kth").as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("v") - col("med")))
+      val mad = Selection.exactKth(dev, "event_type", "adev",
+          n => (n + 1) / 2)
+        .select(col("event_type"), col("kth").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          max(col("med")).as("median_ppm"),
+          max(col("mad")).as("mad_ppm"),
+          sum(when(col("adev") > col("mad") * 3, 1L).otherwise(0L))
+            .as("n_outliers"))
+    }))
 
   val oracles: Map[String, String] = Map(
     "q68_pivot_events" -> {
@@ -434,6 +492,61 @@ object AnalyticsQueries {
         |  FROM e)
         |SELECT event_type, CAST(n AS BIGINT) AS n, v AS median_ppm
         |FROM r WHERE rn = (n + 1) // 2""".stripMargin,
+
+    // boundaries = values at ranks ceil(i·n/B); bucket membership by
+    // the smallest-covering-interval law (lag gives each bucket its
+    // open lower edge; a zero-width bucket matches no row)
+    "q163_equidepth_hist" ->
+      s"""WITH e AS (
+         |  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, v,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM e),
+         |idx AS (SELECT i FROM range(1, ${HistB + 1}) t(i)),
+         |bnd AS (
+         |  SELECT r.event_type, idx.i, r.v AS hi
+         |  FROM r JOIN idx ON r.rn = (idx.i * r.n + ${HistB - 1}) // $HistB),
+         |bnd2 AS (
+         |  SELECT event_type, i, hi,
+         |    lag(hi) OVER (PARTITION BY event_type ORDER BY i) AS lo
+         |  FROM bnd)
+         |SELECT e.event_type, CAST(b.i AS INT) AS bucket, b.hi AS hi_ppm,
+         |  CAST(count(*) AS BIGINT) AS n_rows
+         |FROM e JOIN bnd2 b
+         |  ON e.event_type = b.event_type AND e.v <= b.hi
+         |  AND (b.lo IS NULL OR e.v > b.lo)
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // both medians by the row_number law; the fence compare is pure
+    // integers on both sides
+    "q164_mad_outliers" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |med AS (SELECT event_type, v AS med FROM m WHERE rn = (n + 1) // 2),
+        |dev AS (
+        |  SELECT e.event_type, abs(e.v - med.med) AS adev, med.med
+        |  FROM e JOIN med USING (event_type)),
+        |m2 AS (
+        |  SELECT event_type, adev,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dev),
+        |mad AS (SELECT event_type, adev AS mad FROM m2 WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  max(d.med) AS median_ppm, max(mad.mad) AS mad_ppm,
+        |  CAST(sum(CASE WHEN d.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad USING (event_type)
+        |GROUP BY 1""".stripMargin,
 
     // the plain one-window form — the two-phase plan must produce
     // identical rows and ranks under the same total order

@@ -316,6 +316,28 @@ class ExtOpsSpec extends SparkSpec {
       graft.ext.Selection.exactKth(rows, "grp", "v", n => n + 1).collect())
   }
 
+  test("Selection.exactKths: every quantile equals its single-k run, in shared scans") {
+    val rows = ((1L to 101L).map(i => ("b", i * i)) ++
+      Seq.fill(6)(("d", 9L)) ++ Seq(("d", 10L), ("d", 11L)))
+      .toDF("grp", "v")
+    val ks: Seq[Long => Long] =
+      Seq(_ => 1L, n => (n + 1) / 2, n => n, n => (n * 3 + 3) / 4)
+    val multi = graft.ext.Selection
+      .exactKths(rows, "grp", "v", ks, buckets = 2, maxRounds = 64)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(3))
+      .toMap
+    ks.zipWithIndex.foreach { case (kOfN, qi) =>
+      val single = graft.ext.Selection.exactKth(rows, "grp", "v", kOfN,
+          buckets = 2, maxRounds = 64)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      single.foreach { case (g, v) =>
+        assert(multi((g, qi)) == v, s"quantile $qi group $g")
+      }
+    }
+    // heavy duplicates: q1 of d (8 values) is rank 2 -> 9; q3 rank 6 -> 9
+    assert(multi(("d", 1)) == 9L && multi(("d", 3)) == 9L)
+  }
+
   test("VideoHeaders parses the fixture's ISO-BMFF boxes and a version-1 mvhd") {
     val docs = Seq((0L, "hello world")).toDF("doc_id", "text")
     val media = Multimodal.videoTable(docs, "doc_id", "text")
