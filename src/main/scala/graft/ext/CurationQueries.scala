@@ -127,6 +127,22 @@ object CurationQueries {
     "q47_pii_redact" -> ((s, d) =>
       Redact.scrub(piiEnriched(Tables.documents(s, d)), "doc_id", "text")),
 
+    // Dictionary (label) encoding of the corpus' two categorical
+    // features — sorted-distinct vocabularies with dense 0-based ids
+    // (stable across runs and engines; contiguous, embedding-table-
+    // ready), attached via broadcast joins. The corpus never shuffles;
+    // the only sorts rank the metadata-sized vocabularies.
+    "q162_label_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val langDict = Encoding.dictionary(docs, "lang", "lang_id")
+      val srcDict = Encoding.dictionary(docs, "source", "source_id")
+      Encoding.encode(
+          Encoding.encode(docs.select("doc_id", "lang", "source"),
+            langDict, "lang"),
+          srcDict, "source")
+        .select("doc_id", "lang", "lang_id", "source", "source_id")
+    }),
+
     // Model-based quality filter (CCNet-style): a trained linear model
     // over q27 profile features, applied as ONE shuffle-free projection
     // — weights fold into codegen, the dot product is the native
@@ -792,6 +808,23 @@ object CurationQueries {
     "q46_dedup_clusters" -> dedupClustersSql,
     "q58_dedup_clusters_all" -> dedupClustersAllSql,
     "q47_pii_redact" -> piiRedactSql,
+
+    // sorted-distinct vocabularies, dense 0-based ids
+    "q162_label_encode" ->
+      """WITH lv AS (
+        |  SELECT lang, CAST(row_number() OVER (ORDER BY lang) - 1 AS INT)
+        |    AS lang_id
+        |  FROM (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL)),
+        |sv AS (
+        |  SELECT source, CAST(row_number() OVER (ORDER BY source) - 1 AS INT)
+        |    AS source_id
+        |  FROM (SELECT DISTINCT source FROM documents
+        |        WHERE source IS NOT NULL))
+        |SELECT d.doc_id, d.lang, lv.lang_id, d.source, sv.source_id
+        |FROM documents d
+        |LEFT JOIN lv USING (lang)
+        |LEFT JOIN sv USING (source)""".stripMargin,
+
     "q48_stratified_sample" -> stratifiedSampleSql,
     "q135_mixture_sample" -> mixtureSampleSql,
 

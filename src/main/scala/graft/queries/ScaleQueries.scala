@@ -642,6 +642,55 @@ object ScaleQueries {
         (col("sum_cents").cast("double") / 100.0).as("sum_price"),
         (col("min_cents").cast("double") / 100.0).as("min_price"),
         (col("max_cents").cast("double") / 100.0).as("max_price"))
+    }),
+
+    // Streaming PARQUET file sink with its `_spark_metadata` manifest
+    // — the exactly-once lake-landing contract (the file-sink twin of
+    // q159's warehouse ledger): each micro-batch's files become
+    // visible atomically via the manifest commit, and a reader that
+    // honors the manifest sees ONLY committed files. Proven, not
+    // claimed: after the stream finishes, an ORPHAN parquet file
+    // (the debris a crashed task attempt leaves behind) is planted in
+    // the output dir with poisoned ids — a plain directory-listing
+    // read would include it and break the oracle hash; the manifest
+    // read must ignore it. At 100 TB this is why a streaming landing
+    // zone stays readable DURING ingestion without ever serving a
+    // torn batch.
+    "q165_stream_parquet_sink" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val landing = stagedEventLanding(s, d)
+      val out = Sinks.tmpPathFor("stream_pq_sink", d)
+      val ckpt = Sinks.tmpPathFor("stream_pq_sink_ckpt", d)
+      Sinks.deleteRecursively(out) // re-runnable: fresh sink + ckpt
+      Sinks.deleteRecursively(ckpt)
+      val q = s.readStream.schema(eventsWhSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // plant crashed-task debris: a valid parquet file the manifest
+      // never committed, with ids that would wreck the compare
+      val orphanStage = Sinks.tmpPathFor("stream_pq_orphan", d)
+      Sinks.deleteRecursively(orphanStage)
+      s.read.schema(eventsWhSchema).parquet(landing).limit(7)
+        .withColumn("event_id", col("event_id") + lit(900000000L))
+        .coalesce(1).write.mode("overwrite").parquet(orphanStage)
+      val part = new java.io.File(orphanStage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(out,
+          "part-00099-deadbeef-orphan-c000.snappy.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val back = s.read.parquet(out)
+      require(back.count() ==
+        s.read.schema(eventsWhSchema).parquet(landing).count(),
+        "manifest read must see exactly the committed rows, no orphans")
+      back.select("event_id", "ts", "user_id", "event_type", "value",
+        "props")
     }))
 
   /** The orders warehouse table for q160, integer-cents money model,
@@ -836,6 +885,12 @@ object ScaleQueries {
     // exactly — the integer-cents money model makes the SUM order-free
     // (Spark round() is HALF_UP, DuckDB round() half-away: identical
     // on positive prices; CAST of an integral double is exact in both)
+    // a manifest-honoring read of the streamed lake landing must hold
+    // exactly the events table — the planted orphan file's poisoned
+    // ids break the hash if the reader ever falls back to dir listing
+    "q165_stream_parquet_sink" ->
+      "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+
     "q160_jdbc_agg_pushdown" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price,
