@@ -262,6 +262,22 @@ object AuditQueries {
       graft.sources.AvroInterchange.read(s, path, Tables.documentsSchema)
     }),
 
+    // XML interchange round-trip (sources/XmlInterchange) — the
+    // regulatory-feed/legacy-bus format via Spark 4's native XML
+    // support, written rowTag-nested and read back under the EXPLICIT
+    // reader schema with surrounding-whitespace preservation ON
+    // (the default trims inside row tags — corpus-corrupting); the
+    // documents text column's angle brackets, quotes, and
+    // high-codepoint characters make any escaping defect in the XML
+    // codec break the hash against the parquet source of truth.
+    "q166_xml_roundtrip" -> ((s, d) => {
+      val path = graft.sources.Sinks.tmpPathFor("sink_xml_documents", d)
+      graft.sources.XmlInterchange.write(Tables.documents(s, d), path,
+        rowTag = "doc")
+      graft.sources.XmlInterchange.read(s, path, Tables.documentsSchema,
+        rowTag = "doc")
+    }),
+
     // SQL-registered engine function through spark.sql: the SAME
     // Column composition as q18, reached via the FunctionRegistry
     // (GraftSqlFunctions.register / spark.sql.extensions) — proves the
@@ -551,6 +567,7 @@ object AuditQueries {
     // lossless interchange hop: Avro container files must carry the
     // exact table (q136's law, row-oriented codec path)
     "q157_avro_roundtrip" -> "SELECT * FROM documents",
+    "q166_xml_roundtrip" -> "SELECT * FROM documents",
 
     // identical integer-ppm law per hash half; FULL OUTER keeps
     // appeared/vanished terms, absent side reports 0

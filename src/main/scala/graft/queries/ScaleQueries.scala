@@ -691,6 +691,46 @@ object ScaleQueries {
         "manifest read must see exactly the committed rows, no orphans")
       back.select("event_id", "ts", "user_id", "event_type", "value",
         "props")
+    }),
+
+    // STATE-STORE INTROSPECTION — Spark 4's `statestore` data source
+    // reads a checkpointed query's state as a TABLE: the ops surface
+    // for auditing a production stream (is state growing? which keys
+    // live? what does the aggregate hold RIGHT NOW?) without touching
+    // the stream itself. The subject query is an unwatermarked
+    // running count per event_type (update mode, sink discarded) —
+    // chosen because its final state has a MICRO-BATCH-INVARIANT law:
+    // whatever the file-arrival batching, the state must hold exactly
+    // the whole-input groupBy counts, so the DuckDB oracle is the
+    // plain aggregate. The read targets the LAST committed batch of
+    // operator 0 and projects key/value struct fields; at deployment
+    // scale it's the same partition-parallel scan over the RocksDB/
+    // HDFS store files the stream itself uses — no replay, no stream
+    // restart.
+    "q167_state_reader" -> ((s, d) => {
+      val landing = stagedEventLanding(s, d)
+      val ckpt = Sinks.tmpPathFor("state_reader_ckpt", d)
+      Sinks.deleteRecursively(ckpt) // re-runnable: fresh state history
+      import org.apache.spark.sql.streaming.Trigger
+      val q = s.readStream.schema(eventsWhSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .groupBy(col("event_type")).count()
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        // noop sink still MATERIALIZES every partition — an empty
+        // foreachBatch body would skip the tasks whose state-store
+        // commits the batch needs (commit validation rejects it)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("overwrite").format("noop").save()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.format("statestore").load(ckpt)
+        .select(col("key.event_type").as("event_type"),
+          col("value.count").as("n"))
     }))
 
   /** The orders warehouse table for q160, integer-cents money model,
@@ -890,6 +930,11 @@ object ScaleQueries {
     // ids break the hash if the reader ever falls back to dir listing
     "q165_stream_parquet_sink" ->
       "SELECT event_id, ts, user_id, event_type, value, props FROM events",
+
+    // the state table's law is micro-batch-invariant: the running
+    // aggregate's state equals the whole-input groupBy
+    "q167_state_reader" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
 
     "q160_jdbc_agg_pushdown" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
