@@ -268,6 +268,32 @@ object ScaleQueries {
       Changelog.snapshotAt(s, path, Financials.Pk, 1L)
     }),
 
+    // CHANGE DATA FEED over the same 3-commit changelog: every key
+    // whose tracked measure differs between AS OF 0 (the stale
+    // every-10th-symbol universe) and AS OF 2 (everything fresh),
+    // labeled insert/update with old/new side by side — computed the
+    // changelog-native way: candidates ONLY from the commits in
+    // (0, 2] (partition-pruned), endpoint states semi-joined to the
+    // candidates BEFORE compaction, O(delta) never two-full-snapshot
+    // diff. The value law genuinely exercises the no-op suppression:
+    // a stale row (… + 0.75) equals its fresh replacement exactly
+    // when k ≡ 3 (mod 7) and k ≢ 0 (mod 97) — those keys must VANISH
+    // from the feed in both engines.
+    "q168_changelog_cdf" -> ((s, d) => {
+      val syms = n(d)
+      val raw = s.read.parquet(RawZoneGen.stagedPath(s, syms))
+      val days = Seq("2025-08-14", "2025-08-15", "2025-08-16")
+      val path = Sinks.tmpPath(s"fact_cdf_$syms")
+      Sinks.deleteRecursively(path) // re-runnable: commit 0 starts fresh
+      days.zipWithIndex.foreach { case (day, i) =>
+        Changelog.commit(
+          Financials.normalize(raw.filter(col("load_date") === lit(day))),
+          path, i.toLong)
+      }
+      Changelog.changesBetween(s, path, Financials.Pk, 0L, 2L,
+        trackCols = Seq("value"))
+    }),
+
     // Changelog checkpoint + vacuum — the bounded-history half of the
     // q129 time-travel story: after the same three commits, fold
     // commits ≤ 1 into a single base commit (written as commit 1) and
@@ -863,6 +889,30 @@ object ScaleQueries {
 
   private val finUnpivotSql = finUnpivotSqlWhere("TRUE")
 
+  /** The STALE generation's fact law (RawZoneGen `leafValue(stale)`:
+    * every 10th symbol, value (k mod 1000) + 0.75, never null), same
+    * pane precedence — the AS OF 0 state of the q129/q168 changelog.
+    */
+  private val staleUnpivotSql: String =
+      s"""SELECT stock, statement_type, metric, date, old_value FROM (
+         |  SELECT
+         |    'S' || lpad(CAST(i AS VARCHAR), 5, '0') AS stock,
+         |    code AS statement_type,
+         |    code || '_M' || lpad(CAST(m AS VARCHAR), 2, '0') AS metric,
+         |    CAST((i*31 + s*17 + f*13 + d*7 + m*3) % 1000 AS DOUBLE) + 0.75
+         |      AS old_value,
+         |    dt AS date, s*2 + f AS prec
+         |  FROM (SELECT range AS i FROM range(0, $VerifyN)
+         |        WHERE range % 10 = 0) syms,
+         |    (VALUES (0, 'CF'), (1, 'IS'), (2, 'BS')) stmts(s, code),
+         |    (VALUES
+         |    $datesValues) dates(f, d, dt),
+         |    (SELECT range AS m
+         |     FROM range(0, ${RawZoneGen.MetricsPerStatement})) mets)
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY stock, statement_type, metric, date
+         |  ORDER BY prec DESC) = 1""".stripMargin
+
   /** (stock, year) rollup over the regenerated fact table. */
   private val rollupSql =
       s"""WITH fact AS ($finUnpivotSql)
@@ -882,6 +932,21 @@ object ScaleQueries {
     // indices (day 2's universe; day 1's stale rows all replaced, day
     // 3's odd symbols not yet visible)
     "q129_time_travel" -> finUnpivotSqlWhere("range % 2 = 0"),
+
+    // the feed = fresh state LEFT JOIN stale state on the PK, no-op
+    // rows suppressed: stale (…+0.75) equals fresh exactly when
+    // k ≡ 3 (mod 7) ∧ k ≢ 0 (mod 97) — those keys must vanish
+    "q168_changelog_cdf" ->
+      s"""WITH fact AS ($finUnpivotSql),
+         |stale AS ($staleUnpivotSql)
+         |SELECT f.stock, f.statement_type, f.metric, f.date,
+         |  f.value AS new_value, s.old_value,
+         |  CASE WHEN s.old_value IS NULL THEN 'insert' ELSE 'update' END
+         |    AS change_type
+         |FROM fact f LEFT JOIN stale s
+         |  USING (stock, statement_type, metric, date)
+         |WHERE s.old_value IS NULL
+         |   OR s.old_value IS DISTINCT FROM f.value""".stripMargin,
 
     // checkpoint(1) then AS OF 2 = every day applied = the fresh table:
     // the fold must lose nothing, the vacuum only superseded state

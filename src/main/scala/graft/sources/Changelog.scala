@@ -85,6 +85,56 @@ object Changelog {
     Upsert.latestByKey(spark.read.parquet(path), keys, col(CommitCol))
       .drop(CommitCol)
 
+  /** CHANGE DATA FEED between two snapshots — every key whose tracked
+    * columns differ between AS OF `v0` and AS OF `v1`, labeled
+    * `insert` (no v0 version) or `update`, with old/new values side
+    * by side. The lakehouse "what changed since release v0" query,
+    * computed the changelog-native way: O(delta), never two full
+    * snapshots diffed.
+    *
+    *  - candidate keys come ONLY from commits in (v0, v1] (partition-
+    *    pruned — a key untouched in the window cannot have changed and
+    *    is never read);
+    *  - both endpoint states are `latestByKey` over commits ≤ v
+    *    SEMI-JOINED to the candidates first, so the LWW compaction
+    *    runs on O(touched × history-per-key), not the table;
+    *  - a candidate whose tracked columns come out equal (a commit
+    *    rewrote the row byte-identically, or touched only untracked
+    *    columns) is SUPPRESSED — the no-op-churn filter every CDC
+    *    consumer wants; null-safe compare, so null→x, x→null are
+    *    changes and null→null is not.
+    *
+    * `trackCols` scopes the diff to the measures the consumer cares
+    * about (the common CDC shape); pass all non-key columns for a
+    * whole-row feed. Deletes cannot occur in an append-only LWW log
+    * (no tombstones), so the feed is insert/update only.
+    */
+  def changesBetween(spark: SparkSession, path: String,
+                     keys: Seq[String], v0: Long, v1: Long,
+                     trackCols: Seq[String]): DataFrame = {
+    require(v0 < v1, s"need v0 < v1, got $v0 >= $v1")
+    val log = spark.read.parquet(path)
+    val touched = log
+      .filter(col(CommitCol) > v0 && col(CommitCol) <= v1)
+      .select(keys.map(col): _*).distinct()
+    def stateAt(v: Long) = Upsert.latestByKey(
+      log.filter(col(CommitCol) <= v).join(touched, keys, "left_semi"),
+      keys, col(CommitCol))
+    val newSide = stateAt(v1).select(
+      keys.map(col) ++ trackCols.map(c => col(c).as(s"new_$c")): _*)
+    val oldSide = stateAt(v0).select(
+      keys.map(col) ++ trackCols.map(c => col(c).as(s"old_$c")) :+
+        lit(true).as("_had_old"): _*)
+    val changed = trackCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    newSide.join(oldSide, keys, "left")
+      .filter(col("_had_old").isNull || changed)
+      .withColumn("change_type",
+        when(col("_had_old").isNull, lit("insert")).otherwise(lit("update")))
+      .drop("_had_old")
+  }
+
   /** [[snapshotAt]] under SCHEMA EVOLUTION: commits may carry different
     * column sets (columns added over the log's life — the drift every
     * long-lived table suffers); `mergeSchema` folds the commit dirs

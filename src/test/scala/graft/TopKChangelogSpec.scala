@@ -168,4 +168,36 @@ class TopKChangelogSpec extends SparkSpec {
     assert(!new java.io.File(path).getParentFile.listFiles()
       .exists(_.getName.contains("changelog_spec_ckpt_evo__ckpt_staging")))
   }
+
+  test("changesBetween: insert/update labels, no-op suppression, tracked scoping") {
+    val path = Sinks.tmpPath("changelog_spec_cdf")
+    Sinks.deleteRecursively(path)
+    // c0: k1..k4; c1: k2 value changed, k3 rewritten IDENTICALLY,
+    // k4 only the untracked note changed, k5 new
+    Changelog.commit(Seq(
+      ("k1", 10.0, "a"), ("k2", 20.0, "a"), ("k3", 30.0, "a"),
+      ("k4", 40.0, "a")).toDF("k", "v", "note"), path, 0L)
+    Changelog.commit(Seq(
+      ("k2", 21.0, "a"), ("k3", 30.0, "a"), ("k4", 40.0, "b"),
+      ("k5", 50.0, "a")).toDF("k", "v", "note"), path, 1L)
+    val feed = Changelog.changesBetween(spark, path, Seq("k"), 0L, 1L,
+        trackCols = Seq("v"))
+      .collect().map(r => r.getAs[String]("k") ->
+        ((r.getAs[String]("change_type"), r.getAs[Any]("old_v"),
+          r.getAs[Any]("new_v")))).toMap
+    // k1 untouched (not a candidate), k3 identical + k4 untracked-only
+    // change both suppressed; k2 update, k5 insert
+    assert(feed == Map(
+      "k2" -> (("update", 20.0, 21.0)),
+      "k5" -> (("insert", null, 50.0))))
+    // whole-row tracking surfaces k4's note flip too
+    val full = Changelog.changesBetween(spark, path, Seq("k"), 0L, 1L,
+        trackCols = Seq("v", "note"))
+      .collect().map(r => r.getAs[String]("k") ->
+        r.getAs[String]("change_type")).toMap
+    assert(full == Map("k2" -> "update", "k4" -> "update",
+      "k5" -> "insert"))
+    intercept[IllegalArgumentException](
+      Changelog.changesBetween(spark, path, Seq("k"), 1L, 1L, Seq("v")))
+  }
 }
