@@ -127,6 +127,19 @@ object CurationQueries {
     "q47_pii_redact" -> ((s, d) =>
       Redact.scrub(piiEnriched(Tables.documents(s, d)), "doc_id", "text")),
 
+    // WEIGHTED exact median — "50% of the corpus CHARACTERS live in
+    // documents ≤ X chars long", per language: the mixture statistic
+    // a token-budgeted training run actually plans with (the
+    // unweighted median over-weights tiny docs). Histogram-refinement
+    // selection summing weights instead of rows (Selection
+    // .weightedKths): same fixed ~4 counting scans, zero row
+    // movement, exact.
+    "q170_weighted_median" -> ((s, d) =>
+      Selection.weightedKths(Tables.documents(s, d), "lang",
+          "n_chars", "n_chars", Seq((w: Long) => (w + 1) / 2))
+        .select(col("lang"), col("n").as("total_chars"),
+          col("kth").as("wmedian_chars"))),
+
     // Dictionary (label) encoding of the corpus' two categorical
     // features — sorted-distinct vocabularies with dense 0-based ids
     // (stable across runs and engines; contiguous, embedding-table-
@@ -808,6 +821,23 @@ object CurationQueries {
     "q46_dedup_clusters" -> dedupClustersSql,
     "q58_dedup_clusters_all" -> dedupClustersAllSql,
     "q47_pii_redact" -> piiRedactSql,
+
+    // smallest value whose cumulative weight reaches ⌈W/2⌉ — the
+    // engine reaches it by weighted histogram refinement, the oracle
+    // by a cumulative-sum window
+    "q170_weighted_median" ->
+      """WITH a AS (
+        |  SELECT lang, n_chars AS v, sum(n_chars) AS wv
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lang, v,
+        |    sum(wv) OVER (PARTITION BY lang ORDER BY v) AS cw,
+        |    sum(wv) OVER (PARTITION BY lang) AS tw
+        |  FROM a)
+        |SELECT lang, CAST(max(tw) AS BIGINT) AS total_chars,
+        |  CAST(min(CASE WHEN cw >= (tw + 1) // 2 THEN v END) AS BIGINT)
+        |    AS wmedian_chars
+        |FROM c GROUP BY 1""".stripMargin,
 
     // sorted-distinct vocabularies, dense 0-based ids
     "q162_label_encode" ->

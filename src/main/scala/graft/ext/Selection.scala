@@ -54,19 +54,40 @@ object Selection {
     */
   def exactKths(df: DataFrame, groupCol: String, valueCol: String,
                 ks: Seq[Long => Long], buckets: Int = 1024,
-                maxRounds: Int = 16): DataFrame = {
+                maxRounds: Int = 16): DataFrame =
+    weightedKths(df.withColumn("_w1", lit(1L)), groupCol, valueCol,
+      "_w1", ks, buckets, maxRounds)
+
+  /** WEIGHTED multi-quantile selection: the k-th is the smallest value
+    * whose cumulative WEIGHT reaches k = `kOfW`(group weight total) —
+    * e.g. the character-weighted median document length ("50% of the
+    * corpus bytes live in docs ≤ X chars"), or any importance-weighted
+    * quantile a training mixture reasons with. Same histogram
+    * refinement, counting `sum(weight)` per bucket instead of rows;
+    * weights must be POSITIVE integers (a zero/negative weight makes
+    * "the value at cumulative weight k" ill-defined — guarded).
+    * Returns (groupCol, q, n, kth) where n is the group's total
+    * weight.
+    */
+  def weightedKths(df: DataFrame, groupCol: String, valueCol: String,
+                   weightCol: String, ks: Seq[Long => Long],
+                   buckets: Int = 1024, maxRounds: Int = 16): DataFrame = {
     require(buckets >= 2, s"need ≥ 2 buckets, got $buckets")
     require(ks.nonEmpty, "need at least one quantile")
     val spark = df.sparkSession
     val base = df.select(col(groupCol).cast("string").as("g"),
-      col(valueCol).cast("long").as("v"))
-    // round 0: per-group count and value bounds (one scan)
+      col(valueCol).cast("long").as("v"),
+      col(weightCol).cast("long").as("w"))
+    // round 0: per-group weight total, min weight guard, value bounds
     val init = base.groupBy("g")
-      .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+      .agg(sum("w").as("n"), min("v").as("lo"), max("v").as("hi"),
+        min("w").as("_wmin"))
       .collect()
       .flatMap { r =>
         val (g, n, lo, hi) =
           (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        require(r.getLong(4) >= 1L,
+          s"weights must be positive integers (group $g has ${r.getLong(4)})")
         ks.zipWithIndex.map { case (kOfN, qi) =>
           val k = kOfN(n)
           require(k >= 1 && k <= n, s"kOfN($n) = $k outside [1, $n]")
@@ -91,10 +112,10 @@ object Selection {
       val hist = base
         .join(broadcast(bounds), Seq("g"))
         .filter(col("v") >= col("_lo") && col("v") <= col("_hi"))
-        .withColumn("_w",
+        .withColumn("_bw",
           expr(s"(_hi - _lo + ${buckets}L) div ${buckets}L"))
-        .withColumn("_b", expr("(v - _lo) div _w"))
-        .groupBy("g", "q", "_b").agg(count(lit(1)).as("c"))
+        .withColumn("_b", expr("(v - _lo) div _bw"))
+        .groupBy("g", "q", "_b").agg(sum("w").as("c"))
         .collect()
         .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
         .groupBy(t => (t._1, t._2))

@@ -35,6 +35,26 @@ object ScaleQueries {
       p
     })
 
+  /** The 3-commit changelog fixture (day 1 = stale every-10th-symbol
+    * universe, day 2 = evens fresh, day 3 = odds fresh), staged ONCE
+    * per JVM per size — for queries whose subject is READING the log
+    * (q168 CDF, q169 CDF-driven maintenance); q129/q137/q151 rebuild
+    * live because committing is their subject.
+    */
+  private val cdfLogStaged = scala.collection.concurrent.TrieMap[Int, String]()
+  private def stagedCdfLog(s: SparkSession, syms: Int): String =
+    cdfLogStaged.getOrElseUpdate(syms, {
+      val raw = s.read.parquet(RawZoneGen.stagedPath(s, syms))
+      val path = Sinks.tmpPath(s"fact_cdf_$syms")
+      Sinks.deleteRecursively(path)
+      Seq("2025-08-14", "2025-08-15", "2025-08-16").zipWithIndex.foreach {
+        case (day, i) => Changelog.commit(
+          Financials.normalize(raw.filter(col("load_date") === lit(day))),
+          path, i.toLong)
+      }
+      path
+    })
+
   /** The two bucketed catalog tables of q56, staged ONCE per JVM per
     * size (mirrors RawZoneGen.stagedPath): the query's subject is the
     * ZERO-EXCHANGE sort-merge join the bucketed layout enables, so the
@@ -279,19 +299,50 @@ object ScaleQueries {
     // a stale row (… + 0.75) equals its fresh replacement exactly
     // when k ≡ 3 (mod 7) and k ≢ 0 (mod 97) — those keys must VANISH
     // from the feed in both engines.
-    "q168_changelog_cdf" -> ((s, d) => {
-      val syms = n(d)
-      val raw = s.read.parquet(RawZoneGen.stagedPath(s, syms))
-      val days = Seq("2025-08-14", "2025-08-15", "2025-08-16")
-      val path = Sinks.tmpPath(s"fact_cdf_$syms")
-      Sinks.deleteRecursively(path) // re-runnable: commit 0 starts fresh
-      days.zipWithIndex.foreach { case (day, i) =>
-        Changelog.commit(
-          Financials.normalize(raw.filter(col("load_date") === lit(day))),
-          path, i.toLong)
-      }
-      Changelog.changesBetween(s, path, Financials.Pk, 0L, 2L,
-        trackCols = Seq("value"))
+    "q168_changelog_cdf" -> ((s, d) =>
+      Changelog.changesBetween(s, stagedCdfLog(s, n(d)), Financials.Pk,
+        0L, 2L, trackCols = Seq("value"))),
+
+    // CDF-DRIVEN AGGREGATE MAINTENANCE — the proof that q168's feed
+    // is SUFFICIENT for a downstream consumer to maintain an exact
+    // aggregate (the contract CDC exists to provide): start from the
+    // rollup of the AS OF 0 state, apply the feed as signed deltas
+    // (insert → +new; update → +new −old; n_facts moves only on
+    // insert), and the result must equal the rollup of the AS OF 2
+    // state — the SAME oracle as the full-recompute rollup. The
+    // suppressed no-op rows (old ≡ new) contribute zero to every
+    // partial by construction, so the suppression is proven SAFE for
+    // maintenance, not just cosmetic. calendar_year rides as a
+    // tracked column (constant per PK — never affects suppression)
+    // so the delta can group without re-deriving from the date.
+    "q169_cdf_maintenance" -> ((s, d) => {
+      val path = stagedCdfLog(s, n(d))
+      val valueQ = (c: org.apache.spark.sql.Column) =>
+        coalesce((c * 4).cast("long"), lit(0L))
+      val nonNull = (c: org.apache.spark.sql.Column) =>
+        when(c.isNotNull, 1L).otherwise(0L)
+      val roll0 = Changelog.snapshotAt(s, path, Financials.Pk, 0L)
+        .groupBy(col("stock"), col("calendar_year"))
+        .agg(count(lit(1)).as("n_facts"),
+          sum(nonNull(col("value"))).as("nn"),
+          sum(valueQ(col("value"))).as("sum_q"))
+      val isUpd = col("change_type") === "update"
+      val deltas = Changelog.changesBetween(s, path, Financials.Pk,
+          0L, 2L, trackCols = Seq("value", "calendar_year"))
+        .groupBy(col("stock"), col("new_calendar_year").as("calendar_year"))
+        .agg(sum(when(isUpd, 0L).otherwise(1L)).as("n_facts"),
+          sum(nonNull(col("new_value")) -
+            when(isUpd, nonNull(col("old_value"))).otherwise(0L)).as("nn"),
+          sum(valueQ(col("new_value")) -
+            when(isUpd, valueQ(col("old_value"))).otherwise(0L)).as("sum_q"))
+      roll0.unionByName(deltas)
+        .groupBy(col("stock"), col("calendar_year"))
+        .agg(sum(col("n_facts")).as("n_facts"), sum(col("nn")).as("nn"),
+          sum(col("sum_q")).as("sum_q"))
+        .filter(col("n_facts") =!= 0L)
+        .select(col("stock"), col("calendar_year"), col("n_facts"),
+          when(col("nn") === 0L, lit(null).cast("double"))
+            .otherwise(col("sum_q").cast("double") / 4.0).as("sum_value"))
     }),
 
     // Changelog checkpoint + vacuum — the bounded-history half of the
@@ -973,6 +1024,10 @@ object ScaleQueries {
     "q128_incremental_rollup" -> rollupSql,
     "q131_stream_ivm" -> rollupSql,
     "q134_stream_ivm_mvcc" -> rollupSql,
+
+    // the fourth maintenance path: rollup(AS OF 0) + signed CDF
+    // deltas must converge to the same full-recompute rollup
+    "q169_cdf_maintenance" -> rollupSql,
 
     // the Derby round-trip must surface exactly the parquet rows the
     // pushed predicate selects — no loss, duplication, or precision

@@ -338,6 +338,23 @@ class ExtOpsSpec extends SparkSpec {
     assert(multi(("d", 1)) == 9L && multi(("d", 3)) == 9L)
   }
 
+  test("Selection.weightedKths: cumulative-weight law and positive-weight guard") {
+    // group a: W=10, K=⌈10/2⌉=5, cw(1)=5 ≥ 5 → weighted median 1
+    // (the UNweighted median of {1,2,3} would be 2 — the weight matters)
+    // group b: W=7, K=4, cw(10)=3 < 4, cw(20)=7 → 20
+    val rows = Seq(("a", 1L, 5L), ("a", 2L, 1L), ("a", 3L, 4L),
+      ("b", 10L, 3L), ("b", 20L, 4L)).toDF("grp", "v", "w")
+    val got = graft.ext.Selection.weightedKths(rows, "grp", "v", "w",
+        Seq((tw: Long) => (tw + 1) / 2), buckets = 2, maxRounds = 64)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map("a" -> ((10L, 1L)), "b" -> ((7L, 20L))))
+    intercept[IllegalArgumentException](
+      graft.ext.Selection.weightedKths(
+        rows.withColumn("w", col("w") - 3L), "grp", "v", "w",
+        Seq((tw: Long) => 1L)).collect())
+  }
+
   test("VideoHeaders parses the fixture's ISO-BMFF boxes and a version-1 mvhd") {
     val docs = Seq((0L, "hello world")).toDF("doc_id", "text")
     val media = Multimodal.videoTable(docs, "doc_id", "text")
