@@ -808,7 +808,60 @@ object ScaleQueries {
       s.read.format("statestore").load(ckpt)
         .select(col("key.event_type").as("event_type"),
           col("value.count").as("n"))
+    }),
+
+    // DYNAMIC PARTITION PRUNING — the other half of q155's
+    // planner-capability story: q155 proves stats pick the broadcast;
+    // this proves the star-schema join PRUNES THE FACT SCAN AT
+    // RUNTIME. The events fact is laid out partitioned by event_type;
+    // the join keys on the partition column while the selective
+    // filter sits on the DIM's attribute ('hot'), so static pruning
+    // is impossible — only DPP (a dynamic-pruning subquery feeding
+    // the scan's PartitionFilters from the broadcast dim) can skip
+    // the cold partitions. require()d from the executed plan. At
+    // 100 TB this is the difference between scanning a week and
+    // scanning the whole lake when the filter lives on a dimension.
+    "q171_dynamic_partition_pruning" -> ((s, d) => {
+      val (path, dimPath) = stagedTypedEventLayout(s, d)
+      // the dim must be a REAL scan: a literal LocalRelation would
+      // constant-fold the 'hot' filter away, and DPP's selective-
+      // predicate check (rightly) refuses a pruning side with no
+      // surviving predicate
+      val dim = s.read.parquet(dimPath)
+      val out = s.read.parquet(path)
+        .join(dim.filter(col("category") === "hot"), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("_c"))
+        .select(col("event_type"), col("n"),
+          (col("_c").cast("double") / 100.0).as("sum_value"))
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("dynamicpruning"),
+        s"fact scan must carry a dynamic-pruning partition filter:\n$plan")
+      out
     }))
+
+  /** The events fact laid out PARTITIONED BY event_type (the
+    * time-series star-schema layout whose scans q171's DPP prunes),
+    * staged once per JVM per input dir.
+    */
+  private val typedEventsStaged =
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private def stagedTypedEventLayout(s: SparkSession,
+                                     d: String): (String, String) =
+    typedEventsStaged.getOrElseUpdate(d, {
+      import s.implicits._
+      val path = Sinks.tmpPathFor("events_by_type", d)
+      val dimPath = Sinks.tmpPathFor("events_type_dim", d)
+      Sinks.deleteRecursively(path)
+      Sinks.deleteRecursively(dimPath)
+      Tables.events(s, d).write.partitionBy("event_type").parquet(path)
+      Seq(("click", "hot"), ("error", "hot"), ("purchase", "cold"),
+        ("signup", "cold"), ("view", "cold"))
+        .toDF("event_type", "category")
+        .coalesce(1).write.parquet(dimPath)
+      (path, dimPath)
+    })
 
   /** The orders warehouse table for q160, integer-cents money model,
     * staged ONCE per JVM per input dir (the subject is the pushed-down
@@ -1055,6 +1108,15 @@ object ScaleQueries {
     // aggregate's state equals the whole-input groupBy
     "q167_state_reader" ->
       "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+
+    // only the hot dim rows' partitions contribute — cent-scaled
+    // integer sum keeps the aggregate order-free cross-engine
+    "q171_dynamic_partition_pruning" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS sum_value
+        |FROM events WHERE event_type IN ('click', 'error')
+        |GROUP BY 1""".stripMargin,
 
     "q160_jdbc_agg_pushdown" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

@@ -113,6 +113,14 @@ object Changelog {
                      keys: Seq[String], v0: Long, v1: Long,
                      trackCols: Seq[String]): DataFrame = {
     require(v0 < v1, s"need v0 < v1, got $v0 >= $v1")
+    // loud contract on generated names (the strideOrder discipline):
+    // a key named change_type / _had_old, or a tracked column whose
+    // old_/new_ form collides with a key, would silently clobber
+    val generated = Set("change_type", "_had_old") ++
+      trackCols.flatMap(c => Seq(s"old_$c", s"new_$c"))
+    require(keys.forall(!generated.contains(_)),
+      s"key columns collide with generated feed columns: " +
+        keys.filter(generated.contains).mkString(", "))
     val log = spark.read.parquet(path)
     val touched = log
       .filter(col(CommitCol) > v0 && col(CommitCol) <= v1)
