@@ -839,6 +839,45 @@ object ScaleQueries {
       require(plan.contains("dynamicpruning"),
         s"fact scan must carry a dynamic-pruning partition filter:\n$plan")
       out
+    }),
+
+    // RUNTIME BLOOM-FILTER JOIN PRUNING — the third leg of the
+    // runtime-filtering trilogy (q155 stats-proven broadcast, q171
+    // partition-level DPP, here ROW-level pruning on a NON-partition
+    // key): when the join must shuffle (broadcast disabled — the
+    // 100 TB case where neither side broadcasts), Catalyst builds a
+    // Bloom filter from the dim's selective 'hot' rows and injects a
+    // `might_contain` prefilter into the FACT scan side, dropping
+    // non-joining rows BEFORE the exchange instead of shipping them.
+    // require()d from the plan: the bloom probe present on the fact
+    // side AND the join still a shuffle join. The false-positive rows
+    // the Bloom admits are removed by the join itself — the filter
+    // only reduces, never decides, so the oracle is the plain join.
+    "q172_runtime_bloom_join" -> ((s, d) => {
+      val (_, dimPath) = stagedTypedEventLayout(s, d)
+      def out = Tables.events(s, d)
+        .join(s.read.parquet(dimPath)
+          .filter(col("category") === "hot"), "event_type")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_hot"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("_c"))
+        .select(col("user_id"), col("n_hot"),
+          (col("_c").cast("double") / 100.0).as("sum_value"))
+      withConfs(s,
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+          -> "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+          -> "0") {
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("might_contain"),
+          s"fact side must carry the runtime Bloom probe:\n$plan")
+        require(plan.contains("SortMergeJoin") ||
+          plan.contains("ShuffledHashJoin"),
+          s"the subject is the SHUFFLE join's pruning:\n$plan")
+        out.localCheckpoint() // materialize inside the conf window
+      }
     }))
 
   /** The events fact laid out PARTITIONED BY event_type (the
@@ -1113,6 +1152,15 @@ object ScaleQueries {
     // integer sum keeps the aggregate order-free cross-engine
     "q171_dynamic_partition_pruning" ->
       """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS sum_value
+        |FROM events WHERE event_type IN ('click', 'error')
+        |GROUP BY 1""".stripMargin,
+
+    // the Bloom only reduces, never decides — the law is the plain
+    // hot-type join aggregate per user
+    "q172_runtime_bloom_join" ->
+      """SELECT user_id, count(*) AS n_hot,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
         |    AS sum_value
         |FROM events WHERE event_type IN ('click', 'error')
