@@ -120,6 +120,10 @@ object ScaleQueries {
     RawZoneGen.stagedPath(s, syms): Unit
     stagedFactPath(s, syms): Unit
     stagedBucketedTables(s, syms): Unit
+    stagedCdfLog(s, syms): Unit          // q168/q169 read subject
+    stagedEventLanding(s, d): Unit       // q159/q165/q167 stream feed
+    stagedOrdersWarehouse(s, d): Unit    // q160 pushed-read subject
+    stagedTypedEventLayout(s, d): Unit   // q171/q172 star layout
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
