@@ -72,6 +72,9 @@ object ReferenceQueries {
     * string/number leaves, a nested untyped object, a payload missing
     * the keys, a malformed payload, and a payload with no info object.
     */
+  /** q175's lookup key — row 7 exists at every scale factor. */
+  private val PointOrderKey = 7L
+
   private val untypedPayloads: Seq[(String, String)] = Seq(
     "UNT1" -> ("""{"info":{"symbol":"UNT1","longName":"Untyped One",""" +
       """"auditRisk":"7","overallRisk":3,"phone":"+1-512-555-0100",""" +
@@ -101,6 +104,55 @@ object ReferenceQueries {
 
     // G1 — flagship nested-JSON unpivot → financials fact table.
     "q21_fin_unpivot" -> ((s, _) => Financials.normalize(fixtureRaw(s))),
+
+    // COLLATION-aware aggregation (Spark 4 collations): group under
+    // UTF8_LCASE so case variants of a key merge WITHOUT a lower()
+    // rewrite of the data — the governed way to make "Web" and "web"
+    // one group while the stored strings keep their case. The mixed-
+    // case column is derived by law (even doc_ids initcap'd); lower()
+    // rides along as the deterministic emitted key (a collated
+    // group's representative string is arrival-order-dependent — a
+    // trap this query pins shut). If the collation failed to merge,
+    // the row count doubles and the hash breaks.
+    "q173_collated_group" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("src",
+          when(pmod(col("doc_id"), lit(2)) === 0, initcap(col("source")))
+            .otherwise(col("source")))
+        .groupBy(collate(col("src"), "UTF8_LCASE").as("_k"),
+          lower(col("src")).as("src_ci"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .select("src_ci", "n_docs", "n_chars")),
+
+    // SQL PIPE SYNTAX (Spark 4 `|>`): the same hot-type aggregate a
+    // classic SELECT would write, expressed as a linear pipeline —
+    // the SQL surface a migrating notebook user increasingly writes;
+    // parity proven by sharing the classic oracle (integer-cents sum
+    // keeps it order-free).
+    "q174_pipe_syntax" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_pipe")
+      s.sql(
+        """FROM events_pipe
+          ||> WHERE value > 50.0
+          ||> AGGREGATE count(*) AS n,
+          |     sum(CAST(round(value * 100) AS BIGINT)) AS _c
+          |   GROUP BY event_type
+          ||> SELECT event_type, n, CAST(_c AS DOUBLE) / 100.0 AS sum_value
+          |""".stripMargin)
+    }),
+
+    // PARAMETERIZED SQL (named args): the S7 point query with the key
+    // bound as a parameter instead of spliced into the string — the
+    // injection-safe form every service endpoint should use; the
+    // parameter is typed (no string round-trip), so pushdown is
+    // identical to the literal form.
+    "q175_parameterized_point" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_param")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+          |FROM orders_param WHERE o_orderkey = :k""".stripMargin,
+        Map("k" -> PointOrderKey))
+    }),
 
     // Unicode canonicalization (NFC native expression + whitespace/
     // control cleanup) — the pre-dedup text cleaning pass; `changed`
@@ -198,6 +250,27 @@ object ReferenceQueries {
     * (Financilas.py:71–107 applied to the fixture by hand).
     */
   val oracles: Map[String, String] = Map(
+
+    // lower() of the law-derived mixed-case key recovers the stored
+    // source, so the oracle needs no case dance — it just states the
+    // merged-group law the collation must reproduce
+    "q173_collated_group" ->
+      """SELECT source AS src_ci, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // the classic-SELECT form of the pipe query
+    "q174_pipe_syntax" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS sum_value
+        |FROM events WHERE value > 50.0
+        |GROUP BY 1""".stripMargin,
+
+    // the literal form of the parameterized point query
+    "q175_parameterized_point" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey = 7""".stripMargin,
 
     // The identical four-step pipeline in DuckDB: nfc_normalize (same
     // UAX #15 composition as java.text.Normalizer) → strip controls →
