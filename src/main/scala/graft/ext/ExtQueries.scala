@@ -136,6 +136,32 @@ object ExtQueries {
     "q26_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text", ShingleN)),
 
+    // LSH RECALL AUDIT — the banding recall contract (documented on
+    // minhashLshPairs since r5) made INSPECTABLE: exactly which true
+    // ≥-threshold pairs a banding config misses (truth ANTI JOIN lsh;
+    // every verified LSH pair is true by construction, so the missed
+    // pairs ARE the recall story). Two configs side by side: the
+    // production 4×4 (P[miss] = (1−j⁴)⁴ — tiny at this corpus' high-
+    // jaccard near-dups, and the audit PROVES it misses nothing here)
+    // and a deliberately under-banded 1×16 (candidate only on a full
+    // 16-hash signature match, P[catch] = j¹⁶ — at j=0.8 only 2.8%),
+    // whose misses both engines must derive identically. This is the
+    // release gate that decides whether to buy more bands — run on a
+    // sample at 100 TB, exact here.
+    "q176_lsh_recall_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val truth = Dedup.jaccardPairs(docs, "doc_id", "text",
+        ShingleN, JaccardThreshold)
+      def missesOf(bands: Int, tag: String) =
+        truth.join(
+            Dedup.minhashLshPairs(docs, "doc_id", "text", ShingleN,
+              NumHashes, bands, JaccardThreshold)
+              .select("id_a", "id_b"),
+            Seq("id_a", "id_b"), "left_anti")
+          .withColumn("config", lit(tag))
+      missesOf(Bands, s"b$Bands").unionByName(missesOf(1, "b1"))
+    }),
+
     // Incremental near-dup detection: the arriving batch (doc_id
     // % 3 == 0) against the staged prior-release LSH index — released
     // text is never re-tokenized, released signatures never recomputed;
@@ -421,11 +447,12 @@ object ExtQueries {
     }.mkString(" + ")
 
   /** Banded LSH candidate pairs + exact-Jaccard verification (twin of
-    * Dedup.minhashLshPairs).
+    * Dedup.minhashLshPairs), parameterized by band count so the q176
+    * recall audit can compare configs.
     */
-  private val lshPairsSql = {
-    val rows = NumHashes / Bands
-    val bandSelects = (0 until Bands).map { b =>
+  private def lshPairsSqlFor(bands: Int): String = {
+    val rows = NumHashes / bands
+    val bandSelects = (0 until bands).map { b =>
       val cols = (0 until rows).map(r => s"h${b * rows + r}").mkString(", ")
       s"SELECT id, $b AS band, concat_ws('_', $cols) AS bk FROM sig"
     }.mkString("\n  UNION ALL ")
@@ -451,6 +478,8 @@ object ExtQueries {
        |FROM verified
        |WHERE CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE) >= $JaccardThreshold""".stripMargin
   }
+
+  private val lshPairsSql = lshPairsSqlFor(Bands)
 
   /** Exact shingle-inverted-index Jaccard CTE chain — `j` is the final
     * scored-pairs CTE. Shared with the connected-components oracle
@@ -825,6 +854,20 @@ object ExtQueries {
     },
     "q24_lsh_neardup" -> lshPairsSql,
     "q25_jaccard_pairs" -> jaccardPairsSql,
+
+    // truth minus banding-survivors, per config — CTE chains inlined,
+    // inner names shadowing per engine scoping rules
+    "q176_lsh_recall_audit" ->
+      s"""WITH t AS ($jaccardPairsSql),
+         |l$Bands AS ($lshPairsSql),
+         |l1 AS (${lshPairsSqlFor(1)})
+         |SELECT t.id_a, t.id_b, t.jaccard, 'b$Bands' AS config
+         |FROM t LEFT JOIN l$Bands l ON t.id_a = l.id_a AND t.id_b = l.id_b
+         |WHERE l.id_a IS NULL
+         |UNION ALL
+         |SELECT t.id_a, t.id_b, t.jaccard, 'b1' AS config
+         |FROM t LEFT JOIN l1 l ON t.id_a = l.id_a AND t.id_b = l.id_b
+         |WHERE l.id_a IS NULL""".stripMargin,
     "q26_simhash" -> simhashSql,
 
     // the incremental path must equal the full-corpus LSH recompute
