@@ -108,6 +108,14 @@ object Changelog {
     * about (the common CDC shape); pass all non-key columns for a
     * whole-row feed. Deletes cannot occur in an append-only LWW log
     * (no tombstones), so the feed is insert/update only.
+    *
+    * Plan shape: three pruned passes over the log (candidates, then
+    * one compaction per endpoint), each O(delta)-bounded by the
+    * semi-join — deliberately NOT materialized between passes: the
+    * read is side-effect-free, so re-derivation is merely repeated
+    * pruned IO, and keeping the plan lazy lets AQE size each pass
+    * independently (a checkpoint here would trade that for executor-
+    * block durability the result does not need).
     */
   def changesBetween(spark: SparkSession, path: String,
                      keys: Seq[String], v0: Long, v1: Long,

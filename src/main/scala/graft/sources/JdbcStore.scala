@@ -109,7 +109,12 @@ object JdbcStore {
     * rows from this batch and the ledger no entry (redo stages +
     * publishes); after COMMIT the ledger entry makes the redo a no-op.
     * The staging DROP after commit is cosmetic cleanup — an orphaned
-    * stage table is dead weight, never wrong data.
+    * stage table is dead weight, never wrong data. Even two CONCURRENT
+    * publishers of the same batch (which Structured Streaming never
+    * produces, but a zombie driver could) cannot double-insert: the
+    * ledger's PRIMARY KEY rejects the second publish's ledger row
+    * INSIDE its transaction, the exception aborts before COMMIT, and
+    * closing the non-autocommit connection rolls the rows back.
     *
     * Scale: staging writes are `numPartitions` parallel connections;
     * the publish INSERT..SELECT runs entirely inside the warehouse
