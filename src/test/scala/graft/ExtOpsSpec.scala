@@ -338,6 +338,24 @@ class ExtOpsSpec extends SparkSpec {
     assert(multi(("d", 1)) == 9L && multi(("d", 3)) == 9L)
   }
 
+  test("Encoding: dense sorted ids; nulls excluded from vocab; OOV encodes null") {
+    val corpus = Seq((1L, "b"), (2L, "a"), (3L, "b"), (4L, null))
+      .toDF("id", "cat")
+    val dict = graft.ext.Encoding.dictionary(corpus, "cat", "cat_id")
+    assert(dict.collect().map(r => r.getString(0) -> r.getInt(1)).toMap ==
+      Map("a" -> 0, "b" -> 1)) // sorted, 0-based, null not a category
+    // ids are stable: re-derivation yields the identical mapping
+    assert(graft.ext.Encoding.dictionary(corpus, "cat", "cat_id")
+      .collect().toSet == dict.collect().toSet)
+    // unseen value (dictionary from a past release) and null both -> null
+    val next = Seq((5L, "a"), (6L, "zz"), (7L, null)).toDF("id", "cat")
+    val enc = graft.ext.Encoding.encode(next, dict, "cat")
+      .collect().map(r => r.getLong(r.fieldIndex("id")) ->
+        (if (r.isNullAt(r.fieldIndex("cat_id"))) null
+         else r.getInt(r.fieldIndex("cat_id")))).toMap
+    assert(enc == Map(5L -> 0, 6L -> null, 7L -> null))
+  }
+
   test("Selection.weightedKths: cumulative-weight law and positive-weight guard") {
     // group a: W=10, K=⌈10/2⌉=5, cw(1)=5 ≥ 5 → weighted median 1
     // (the UNweighted median of {1,2,3} would be 2 — the weight matters)
