@@ -882,7 +882,77 @@ object ScaleQueries {
           s"the subject is the SHUFFLE join's pruning:\n$plan")
         out.localCheckpoint() // materialize inside the conf window
       }
+    }),
+
+    // AQE SKEW-JOIN SPLIT — the fourth and final runtime-planning
+    // proof (q155 stats broadcast, q171 DPP, q172 runtime Bloom, here
+    // the RE-PLAN AFTER EXECUTION STARTS): 70% of the fact rides ONE
+    // join key by law, so the shuffle's hot partition dwarfs the
+    // median; AQE must observe the actual partition sizes at the
+    // stage boundary and split the skewed partition across tasks
+    // (replicating the matching build rows) — the `skew=true` marker
+    // is require()d from the FINAL adaptive plan, which only exists
+    // after execution (the assert runs post-materialization,
+    // deliberately unlike the static-plan proofs). Thresholds are
+    // scaled to the sf0.1 shuffle so the defaults' 256 MB bar does
+    // not hide the behavior being proven; broadcast is disabled so
+    // the join genuinely shuffles (the 100 TB shape).
+    "q177_aqe_skew_join" -> ((s, d) => {
+      // round-robin repartition gives the map stage the multi-task
+      // shape a real multi-file fact scan has — a skewed REDUCE
+      // partition is split along its MAP-side block boundaries, so a
+      // single-mapper stage (one parquet row group at verify scale)
+      // leaves AQE nothing to split by
+      def keyed = Tables.events(s, d).repartition(8).select(
+        when(pmod(col("user_id"), lit(10)) < 7, 0L)
+          .otherwise(col("user_id")).as("k"),
+        col("value"))
+      // the dim is a STAGED scan: OptimizeSkewedJoin only matches an
+      // SMJ whose children are sorts DIRECTLY over shuffle stages — a
+      // distinct computed in the same plan leaves its final aggregate
+      // between shuffle and sort and the rule (rightly) stands down
+      val dimPath = stagedSkewDim(s, d)
+      def out = keyed.join(s.read.parquet(dimPath), "k")
+        .groupBy(col("attr"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("_c"))
+        .select(col("attr"), col("n"),
+          (col("_c").cast("double") / 100.0).as("sum_value"))
+      withConfs(s,
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+          -> "4096",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2048",
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+        val result = out
+        val materialized = result.localCheckpoint()
+        val plan = result.queryExecution.executedPlan.toString
+        require(plan.contains("skew=true"),
+          s"AQE must split the skewed partition at runtime:\n$plan")
+        materialized
+      }
     }))
+
+  /** q177's skew-join dim: the distinct skew keys with an attribute,
+    * staged to parquet once per JVM per input dir (see the in-query
+    * note on why the dim must be a scan).
+    */
+  private val skewDimStaged =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def stagedSkewDim(s: SparkSession, d: String): String =
+    skewDimStaged.getOrElseUpdate(d, {
+      val path = Sinks.tmpPathFor("skew_dim", d)
+      Sinks.deleteRecursively(path)
+      Tables.events(s, d).select(
+          when(pmod(col("user_id"), lit(10)) < 7, 0L)
+            .otherwise(col("user_id")).as("k"))
+        .distinct()
+        .withColumn("attr", pmod(col("k"), lit(100)))
+        .coalesce(1).write.parquet(path)
+      path
+    })
 
   /** The events fact laid out PARTITIONED BY event_type (the
     * time-series star-schema layout whose scans q171's DPP prunes),
@@ -1159,6 +1229,20 @@ object ScaleQueries {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
         |    AS sum_value
         |FROM events WHERE event_type IN ('click', 'error')
+        |GROUP BY 1""".stripMargin,
+
+    // the split only re-partitions, never re-computes — the law is
+    // the plain skew-keyed join aggregate
+    "q177_aqe_skew_join" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END AS k,
+        |    value
+        |  FROM events),
+        |d AS (SELECT DISTINCT k, k % 100 AS attr FROM e)
+        |SELECT d.attr, count(*) AS n,
+        |  CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS sum_value
+        |FROM e JOIN d USING (k)
         |GROUP BY 1""".stripMargin,
 
     // the Bloom only reduces, never decides — the law is the plain
