@@ -140,6 +140,23 @@ object CurationQueries {
         .select(col("lang"), col("n").as("total_chars"),
           col("kth").as("wmedian_chars"))),
 
+    // WEIGHTED equi-depth histogram — the q163 × q170 composition the
+    // kernel was built for: per-language QUARTILES of document length
+    // where the mass axis is CHARACTERS, not documents ("the doc
+    // length below which 25/50/75/100% of the corpus bytes sit" — how
+    // a token-budgeted mixture actually allocates). All 4 weighted
+    // boundaries per language resolve in the SAME fixed counting
+    // scans (multi-quantile × weighted in one exactKths state), zero
+    // row movement.
+    "q178_weighted_hist" -> ((s, d) => {
+      val qs: Seq[Long => Long] =
+        (1 to 4).map(i => (w: Long) => (i * w + 3) / 4)
+      Selection.weightedKths(Tables.documents(s, d), "lang",
+          "n_chars", "n_chars", qs)
+        .select(col("lang"), (col("q") + 1).cast("int").as("quartile"),
+          col("n").as("total_chars"), col("kth").as("hi_chars"))
+    }),
+
     // Dictionary (label) encoding of the corpus' two categorical
     // features — sorted-distinct vocabularies with dense 0-based ids
     // (stable across runs and engines; contiguous, embedding-table-
@@ -838,6 +855,25 @@ object CurationQueries {
         |  CAST(min(CASE WHEN cw >= (tw + 1) // 2 THEN v END) AS BIGINT)
         |    AS wmedian_chars
         |FROM c GROUP BY 1""".stripMargin,
+
+    // smallest value whose cumulative weight reaches ⌈i·W/4⌉, per i —
+    // the window form of the weighted multi-quantile law
+    "q178_weighted_hist" ->
+      """WITH a AS (
+        |  SELECT lang, n_chars AS v, sum(n_chars) AS wv
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lang, v,
+        |    sum(wv) OVER (PARTITION BY lang ORDER BY v) AS cw,
+        |    sum(wv) OVER (PARTITION BY lang) AS tw
+        |  FROM a),
+        |i AS (SELECT i FROM range(1, 5) t(i))
+        |SELECT c.lang, CAST(i.i AS INT) AS quartile,
+        |  CAST(max(c.tw) AS BIGINT) AS total_chars,
+        |  CAST(min(CASE WHEN c.cw >= (i.i * c.tw + 3) // 4 THEN c.v END)
+        |    AS BIGINT) AS hi_chars
+        |FROM c CROSS JOIN i
+        |GROUP BY 1, 2""".stripMargin,
 
     // sorted-distinct vocabularies, dense 0-based ids
     "q162_label_encode" ->
