@@ -24,9 +24,11 @@ import graft.ext.Selection
   * Measured (local[32], 8 boundaries/group): at 20M rows the kernel
   * runs 13.6 s vs the window's 53.7 s global (4.0×) and 8.0 vs 11.6 s
   * at G=4; at 60M rows 32.3 s vs 229.6 s global (7.1×) and 28.8 vs
-  * 57.9 s at G=4 (2.0×). The global gap WIDENS with scale — the
-  * window form's cost is one task sorting the entire input, so it
-  * degrades superlinearly while the kernel's counting scans stay
+  * 57.9 s at G=4 (2.0×); at 120M rows 47.4 s vs 417.6 s global
+  * (8.8×) and 47.0 vs 92.4 s at G=4 (2.0×). The global gap WIDENS
+  * monotonically with scale (4.0× → 7.1× → 8.8×) — the window form's
+  * cost is one task sorting the entire input, so it degrades
+  * superlinearly while the kernel's counting scans stay
   * embarrassingly parallel. Boundaries asserted identical every run.
   *
   * Usage: runMain graft.ScaleSelect [nRows] — prints per-(G, form)
