@@ -933,7 +933,34 @@ object ScaleQueries {
           s"AQE must split the skewed partition at runtime:\n$plan")
         materialized
       }
+    }),
+
+    // RETENTION SWEEP (TTL) on the day-partitioned event layout — the
+    // nightly job every lake runs: expire partitions older than the
+    // retention horizon as a PURE METADATA operation (surviving
+    // directories never opened, byte-identity spec-pinned in
+    // LayoutSpec; the sweep costs O(expired partitions), zero data
+    // IO). The layout is rebuilt per invocation because the expiry
+    // MUTATES it (the q151 discipline); the in-query require pins
+    // the audit line — exactly the pre-horizon days expired — and
+    // the oracle pins the surviving rows.
+    "q179_retention_sweep" -> ((s, d) => {
+      val path = Sinks.tmpPathFor("events_by_day", d)
+      Sinks.deleteRecursively(path)
+      Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .write.partitionBy("day").parquet(path)
+      val expired = Sinks.expirePartitions(path, "day", RetentionFrom)
+      require(expired.forall(_ < RetentionFrom) &&
+        expired == expired.sorted,
+        s"sweep must expire exactly the pre-horizon days, got $expired")
+      s.read.parquet(path)
+        .select("event_id", "ts", "user_id", "event_type", "value",
+          "props")
     }))
+
+  /** q179's retention horizon — mid-span at every scale factor. */
+  private val RetentionFrom = "2024-01-16"
 
   /** q177's skew-join dim: the distinct skew keys with an attribute,
     * staged to parquet once per JVM per input dir (see the in-query
@@ -1230,6 +1257,12 @@ object ScaleQueries {
         |    AS sum_value
         |FROM events WHERE event_type IN ('click', 'error')
         |GROUP BY 1""".stripMargin,
+
+    // survivors = rows at-or-after the horizon; an expired day's row
+    // surviving (or a surviving day's file touched) breaks the hash
+    "q179_retention_sweep" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+        |FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-16'""".stripMargin,
 
     // the split only re-partitions, never re-computes — the law is
     // the plain skew-keyed join aggregate

@@ -55,6 +55,34 @@ object Sinks {
     if (f.exists()) rm(f)
   }
 
+  /** RETENTION SWEEP over a partitioned layout: delete every
+    * `<partitionCol>=<value>` directory with value < `keepFrom`
+    * (lexicographic — chronological for ISO dates, the layout's
+    * convention). This is the TTL/retention job every lake runs
+    * nightly, and it is a pure METADATA operation: surviving
+    * partition directories are never opened, let alone rewritten
+    * (byte-identity spec-pinned in LayoutSpec) — at 100 TB the sweep
+    * costs O(expired partitions) directory deletes, zero data IO.
+    * Returns the expired partition values (the audit line the job
+    * logs). Unknown-layout guard: a non-`col=`-prefixed child fails
+    * loudly rather than being silently skipped or wrongly deleted.
+    */
+  def expirePartitions(path: String, partitionCol: String,
+                       keepFrom: String): Seq[String] = {
+    val prefix = s"$partitionCol="
+    // non-directory children are commit markers (_SUCCESS, .crc) —
+    // partitions are directories, and every directory must be one
+    val children = Option(new File(path).listFiles()).toSeq.flatten
+      .filter(_.isDirectory)
+    require(children.nonEmpty, s"no partitions under $path")
+    children.foreach(f => require(f.getName.startsWith(prefix),
+      s"unexpected child ${f.getName} — not a $prefix partition dir"))
+    val expired = children
+      .filter(_.getName.stripPrefix(prefix) < keepFrom).sortBy(_.getName)
+    expired.foreach(f => deleteRecursively(f.getAbsolutePath))
+    expired.map(_.getName.stripPrefix(prefix))
+  }
+
   /** S3 — header'd CSV directory sink (minimal quoting = Spark default). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)

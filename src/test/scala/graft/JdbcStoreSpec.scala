@@ -82,6 +82,56 @@ class JdbcStoreSpec extends SparkSpec {
     assert(JdbcStore.tableCount(db, tbl) == batch(0L).count())
   }
 
+  test("exactly-once JDBC sink stream resumes from its checkpoint across a restart") {
+    // the q159 shape's restart leg: land two files, let AvailableNow
+    // terminate, land two more, START A NEW QUERY on the same
+    // checkpoint — the source's committed offsets must skip the
+    // applied files and the batch counter must CONTINUE (ledger ids
+    // 2, 3 — a reset-to-0 restart would hit the ledger and silently
+    // DROP the new files' rows), so the warehouse holds each row once.
+    import org.apache.spark.sql.streaming.Trigger
+    val db = Sinks.tmpPath("jdbc_spec_restart_db")
+    val landing = Sinks.tmpPath("jdbc_spec_restart_in")
+    val ckpt = Sinks.tmpPath("jdbc_spec_restart_ckpt")
+    Seq(landing, ckpt).foreach(Sinks.deleteRecursively)
+    val tbl = "RESTART_FACTS"
+    JdbcStore.resetExactlyOnceTarget(db, tbl)
+
+    def parts() = Option(new java.io.File(landing).listFiles()).fold(
+      Set.empty[java.io.File])(_.filter(_.getName.endsWith(".parquet")).toSet)
+    var mtime = System.currentTimeMillis() - 10000
+    def land(lo: Long, hi: Long): Unit = {
+      val before = parts()
+      spark.range(lo, hi).select(col("id").as("k"),
+          (col("id") * 3).as("v"))
+        .coalesce(1).write.mode("append").parquet(landing)
+      (parts() -- before).foreach(_.setLastModified(mtime))
+      mtime += 2000
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", "long").add("v", "long")
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            JdbcStore.appendBatchExactlyOnce(b, db, tbl, id)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    land(0L, 100L); land(100L, 200L)
+    run()
+    assert(JdbcStore.tableCount(db, tbl) == 200L)
+    land(200L, 300L); land(300L, 400L)
+    run() // restart on the SAME checkpoint: batchIds continue at 2, 3
+    assert(JdbcStore.tableCount(db, tbl) == 400L)
+    val back = JdbcStore.readPartitioned(spark, db, tbl, "k", 2)
+    assert(back.agg(sum(col("v"))).head().getLong(0) ==
+      (0L until 400L).map(_ * 3).sum) // every row exactly once
+  }
+
   test("v2 jdbc catalog pushes aggregates, group-by, and filters down") {
     val db = Sinks.tmpPath("jdbc_spec_cat")
     JdbcStore.writeTable(fixture, db, "facts")

@@ -223,4 +223,39 @@ class LayoutSpec extends SparkSpec {
       Financials.normalize(RawZoneGen.payloads(spark, 6)), "S00003", k = 5)
     assert(q.collect().toSeq === unpruned.collect().toSeq)
   }
+
+  test("expirePartitions: metadata-only sweep — survivors byte-identical, guard loud (q179)") {
+    import org.apache.spark.sql.functions.{col, concat, lit, lpad}
+    val path = Sinks.tmpPath("test_retention_sweep")
+    Sinks.deleteRecursively(path)
+    spark.range(40).select(
+        col("id").as("k"),
+        concat(lit("2024-01-"),
+          lpad(((col("id") % 4) + 1).cast("string"), 2, "0")).as("day"))
+      .write.partitionBy("day").parquet(path)
+    def files() = new File(path).listFiles().filter(_.isDirectory)
+      .map(d => d.getName -> d.listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).toSet).toMap
+    val before = files()
+    assert(before.keySet ==
+      Set("day=2024-01-01", "day=2024-01-02", "day=2024-01-03", "day=2024-01-04"))
+    val expired = Sinks.expirePartitions(path, "day", "2024-01-03")
+    assert(expired == Seq("2024-01-01", "2024-01-02"))
+    val after = files()
+    assert(after.keySet == Set("day=2024-01-03", "day=2024-01-04"))
+    // pure metadata: surviving files untouched (name, bytes, mtime)
+    after.foreach { case (d, fs) => assert(fs == before(d), d) }
+    assert(spark.read.parquet(path).count() == 20L)
+    // idempotent: a second sweep at the same horizon expires nothing
+    assert(Sinks.expirePartitions(path, "day", "2024-01-03").isEmpty)
+    // loud guard: a non-partition directory fails, deletes nothing
+    new File(path, "stray_dir").mkdirs()
+    intercept[IllegalArgumentException](
+      Sinks.expirePartitions(path, "day", "2024-01-04"))
+    // the refused sweep deleted NOTHING (including the day=03 dir the
+    // horizon would have expired)
+    assert(files().keySet ==
+      Set("day=2024-01-03", "day=2024-01-04", "stray_dir"))
+  }
 }
