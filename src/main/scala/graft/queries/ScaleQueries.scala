@@ -957,7 +957,24 @@ object ScaleQueries {
       s.read.parquet(path)
         .select("event_id", "ts", "user_id", "event_type", "value",
           "props")
-    }))
+    }),
+
+    // DESCRIBE HISTORY over the changelog — the lakehouse audit every
+    // table format exposes (per-commit row counts, touched keys, the
+    // date span each commit wrote): one partition-grouped aggregate
+    // over the commit column, O(log) with map-side combine, commits
+    // never joined. The oracle derives every line from the
+    // generator's CLOSED FORM (stale = every 10th symbol, day 2 =
+    // evens, day 3 = odds, 1,440 facts/symbol) — so a commit that
+    // leaked rows into a neighbor, double-wrote, or dropped a pane
+    // breaks the audit line exactly where an operator would look.
+    "q180_changelog_history" -> ((s, d) =>
+      s.read.parquet(stagedCdfLog(s, n(d)))
+        .groupBy(col(Changelog.CommitCol).cast("int").as("commit"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("stock")).as("n_stocks"),
+          min(col("date")).as("first_date"),
+          max(col("date")).as("last_date"))))
 
   /** q179's retention horizon — mid-span at every scale factor. */
   private val RetentionFrom = "2024-01-16"
@@ -1257,6 +1274,25 @@ object ScaleQueries {
         |    AS sum_value
         |FROM events WHERE event_type IN ('click', 'error')
         |GROUP BY 1""".stripMargin,
+
+    // every audit line from the generator's closed form: stocks per
+    // day-commit by parity/stale law, rows = stocks × (distinct pane
+    // dates × 3 statements × M metrics), span = the date axis
+    "q180_changelog_history" ->
+      s"""WITH dates(f, dd, dt) AS (VALUES
+         |    $datesValues),
+         |b AS (SELECT min(dt) AS fd, max(dt) AS ld,
+         |        count(DISTINCT dt) AS nd FROM dates),
+         |n(commit, n_stocks) AS (
+         |  SELECT 0, ($VerifyN + 9) // 10 UNION ALL
+         |  SELECT 1, ($VerifyN + 1) // 2 UNION ALL
+         |  SELECT 2, $VerifyN // 2)
+         |SELECT CAST(n.commit AS INT) AS commit,
+         |  CAST(n.n_stocks * b.nd * 3 * ${RawZoneGen.MetricsPerStatement}
+         |    AS BIGINT) AS n_rows,
+         |  CAST(n.n_stocks AS BIGINT) AS n_stocks,
+         |  b.fd AS first_date, b.ld AS last_date
+         |FROM n, b""".stripMargin,
 
     // survivors = rows at-or-after the horizon; an expired day's row
     // surviving (or a surviving day's file touched) breaks the hash
