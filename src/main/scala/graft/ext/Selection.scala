@@ -78,14 +78,23 @@ object Selection {
     val base = df.select(col(groupCol).cast("string").as("g"),
       col(valueCol).cast("long").as("v"),
       col(weightCol).cast("long").as("w"))
-    // round 0: per-group weight total, min weight guard, value bounds
+    // round 0: per-group weight total, weight-validity guards (NULL
+    // weights first — min(w) skips NULLs, so without the explicit NULL
+    // count a group mixing positive and null weights would pass the
+    // positivity guard and its null-weight rows silently count as
+    // weight 0, violating the loud-failure contract; an all-null group
+    // would NPE on the min), value bounds
     val init = base.groupBy("g")
       .agg(sum("w").as("n"), min("v").as("lo"), max("v").as("hi"),
-        min("w").as("_wmin"))
+        min("w").as("_wmin"),
+        sum(when(col("w").isNull, 1L).otherwise(0L)).as("_wnull"))
       .collect()
       .flatMap { r =>
-        val (g, n, lo, hi) =
-          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        val g = r.getString(0)
+        require(r.getLong(5) == 0L,
+          s"weights must be positive integers (group $g has " +
+            s"${r.getLong(5)} NULL-weight row(s))")
+        val (n, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3))
         require(r.getLong(4) >= 1L,
           s"weights must be positive integers (group $g has ${r.getLong(4)})")
         ks.zipWithIndex.map { case (kOfN, qi) =>

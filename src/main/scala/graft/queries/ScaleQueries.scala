@@ -124,6 +124,7 @@ object ScaleQueries {
     stagedEventLanding(s, d): Unit       // q159/q165/q167 stream feed
     stagedOrdersWarehouse(s, d): Unit    // q160 pushed-read subject
     stagedTypedEventLayout(s, d): Unit   // q171/q172 star layout
+    stagedRetentionLayout(s, d): Unit    // q179 sweep master copy
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -940,16 +941,17 @@ object ScaleQueries {
     // retention horizon as a PURE METADATA operation (surviving
     // directories never opened, byte-identity spec-pinned in
     // LayoutSpec; the sweep costs O(expired partitions), zero data
-    // IO). The layout is rebuilt per invocation because the expiry
-    // MUTATES it (the q151 discipline); the in-query require pins
-    // the audit line — exactly the pre-horizon days expired — and
-    // the oracle pins the surviving rows.
+    // IO). The expiry MUTATES its input, so each invocation sweeps a
+    // FRESH hard-link copy of a per-JVM staged master layout (the
+    // r11 bench lesson: rebuilding the 30-day layout in-query made
+    // the recorded 0.85 s ~90% fixture write — the link copy is
+    // O(files) metadata, so the bench now measures the sweep). The
+    // in-query require pins the audit line — exactly the pre-horizon
+    // days expired — and the oracle pins the surviving rows.
     "q179_retention_sweep" -> ((s, d) => {
       val path = Sinks.tmpPathFor("events_by_day", d)
       Sinks.deleteRecursively(path)
-      Tables.events(s, d)
-        .withColumn("day", to_date(col("ts")))
-        .write.partitionBy("day").parquet(path)
+      Sinks.hardlinkTree(stagedRetentionLayout(s, d), path)
       val expired = Sinks.expirePartitions(path, "day", RetentionFrom)
       require(expired.forall(_ < RetentionFrom) &&
         expired == expired.sorted,
@@ -978,6 +980,21 @@ object ScaleQueries {
 
   /** q179's retention horizon — mid-span at every scale factor. */
   private val RetentionFrom = "2024-01-16"
+
+  /** q179's day-partitioned master layout, staged once per JVM per
+    * input dir; every invocation sweeps a fresh hard-link copy.
+    */
+  private val retentionStaged =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def stagedRetentionLayout(s: SparkSession, d: String): String =
+    retentionStaged.getOrElseUpdate(d, {
+      val path = Sinks.tmpPathFor("events_by_day_master", d)
+      Sinks.deleteRecursively(path)
+      Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .write.partitionBy("day").parquet(path)
+      path
+    })
 
   /** q177's skew-join dim: the distinct skew keys with an attribute,
     * staged to parquet once per JVM per input dir (see the in-query

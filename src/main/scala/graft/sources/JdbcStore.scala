@@ -46,6 +46,21 @@ object JdbcStore {
 
   def url(dbDir: String): String = { derbyHome; s"jdbc:derby:$dbDir;create=true" }
 
+  /** Guard for identifiers that must be INTERPOLATED into SQL text
+    * (table/column names in DDL and DML — JDBC parameters cannot bind
+    * identifiers, only values). Everything else in this module binds
+    * through PreparedStatement parameters; identifiers pass through
+    * this allowlist so a quote, space, or any other metacharacter in a
+    * caller-supplied name fails loudly instead of breaking (or
+    * injecting into) the statement.
+    */
+  private def checkedIdent(name: String): String = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"SQL identifier '$name' is not a plain [A-Za-z0-9_] name — " +
+        "refusing to interpolate it into a statement")
+    name
+  }
+
   private def props: Properties = {
     val p = new Properties()
     // Derby 10.15+ ships EmbeddedDriver in derbytools.jar (on the
@@ -81,7 +96,7 @@ object JdbcStore {
     val conn = DriverManager.getConnection(url(dbDir))
     try {
       val rs = conn.createStatement().executeQuery(
-        s"""SELECT MIN("$colName"), MAX("$colName") FROM $table""")
+        s"""SELECT MIN("${checkedIdent(colName)}"), MAX("${checkedIdent(colName)}") FROM ${checkedIdent(table)}""")
       rs.next()
       (rs.getLong(1), rs.getLong(2))
     } finally conn.close()
@@ -127,20 +142,25 @@ object JdbcStore {
                              columnTypes: Option[String] = None,
                              numPartitions: Int = 4): Unit = {
     derbyHome
+    val tbl = checkedIdent(table)
     val conn = DriverManager.getConnection(url(dbDir))
     try {
       execIgnoringExisting(conn,
         """CREATE TABLE GRAFT_BATCH_LEDGER (
           |  TBL VARCHAR(128) NOT NULL, BATCH_ID BIGINT NOT NULL,
           |  PRIMARY KEY (TBL, BATCH_ID))""".stripMargin)
-      val rs = conn.createStatement().executeQuery(
-        s"""SELECT COUNT(*) FROM GRAFT_BATCH_LEDGER
-           |WHERE TBL = '$table' AND BATCH_ID = $batchId""".stripMargin)
+      // ledger VALUES bind as parameters — never interpolated, the
+      // same injection-safe discipline as q175's parameterized SQL
+      val ps = conn.prepareStatement(
+        "SELECT COUNT(*) FROM GRAFT_BATCH_LEDGER WHERE TBL = ? AND BATCH_ID = ?")
+      ps.setString(1, tbl)
+      ps.setLong(2, batchId)
+      val rs = ps.executeQuery()
       rs.next()
       if (rs.getInt(1) > 0) return // already published atomically
     } finally conn.close()
 
-    val stage = s"${table}_STAGE_$batchId"
+    val stage = checkedIdent(s"${tbl}_STAGE_$batchId")
     val w = batch.write.mode("overwrite")
       .option("numPartitions", numPartitions)
       .option("batchsize", 1000)
@@ -150,15 +170,28 @@ object JdbcStore {
     val pub = DriverManager.getConnection(url(dbDir))
     try {
       execIgnoringExisting(pub,
-        s"CREATE TABLE $table AS SELECT * FROM $stage WITH NO DATA")
+        s"CREATE TABLE $tbl AS SELECT * FROM $stage WITH NO DATA")
       pub.setAutoCommit(false)
       val st = pub.createStatement()
-      st.executeUpdate(s"INSERT INTO $table SELECT * FROM $stage")
-      st.executeUpdate(
-        s"INSERT INTO GRAFT_BATCH_LEDGER VALUES ('$table', $batchId)")
+      st.executeUpdate(s"INSERT INTO $tbl SELECT * FROM $stage")
+      val ins = pub.prepareStatement(
+        "INSERT INTO GRAFT_BATCH_LEDGER VALUES (?, ?)")
+      ins.setString(1, tbl)
+      ins.setLong(2, batchId)
+      ins.executeUpdate()
       pub.commit()
       pub.setAutoCommit(true)
-      st.executeUpdate(s"DROP TABLE $stage"): Unit
+      // Cosmetic cleanup only — the publish is already committed. A
+      // failed DROP must not fail the streaming batch (which would
+      // force a spurious restart the ledger then no-ops): an orphaned
+      // stage table is dead weight, never wrong data.
+      try st.executeUpdate(s"DROP TABLE $stage"): Unit
+      catch {
+        case e: java.sql.SQLException =>
+          System.err.println(
+            s"[JdbcStore] post-commit DROP of stage table $stage failed " +
+              s"(${e.getSQLState}); orphaned stage left behind: ${e.getMessage}")
+      }
     } finally pub.close()
   }
 
@@ -170,7 +203,7 @@ object JdbcStore {
     val conn = DriverManager.getConnection(url(dbDir))
     try {
       val rs = conn.createStatement()
-        .executeQuery(s"SELECT COUNT(*) FROM $table")
+        .executeQuery(s"SELECT COUNT(*) FROM ${checkedIdent(table)}")
       rs.next()
       rs.getLong(1)
     } finally conn.close()
@@ -185,9 +218,18 @@ object JdbcStore {
     derbyHome
     val conn = DriverManager.getConnection(url(dbDir))
     try {
-      execIgnoringMissing(conn, s"DROP TABLE $table")
-      execIgnoringMissing(conn,
-        s"DELETE FROM GRAFT_BATCH_LEDGER WHERE TBL = '$table'")
+      val tbl = checkedIdent(table)
+      execIgnoringMissing(conn, s"DROP TABLE $tbl")
+      // parameterized TBL value (missing-ledger first run swallowed)
+      try {
+        val ps = conn.prepareStatement(
+          "DELETE FROM GRAFT_BATCH_LEDGER WHERE TBL = ?")
+        ps.setString(1, tbl)
+        ps.executeUpdate(): Unit
+      } catch {
+        case e: java.sql.SQLException
+          if e.getSQLState == "42Y55" || e.getSQLState == "42X05" => ()
+      }
     } finally conn.close()
   }
 

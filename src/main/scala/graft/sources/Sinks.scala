@@ -55,6 +55,28 @@ object Sinks {
     if (f.exists()) rm(f)
   }
 
+  /** Hard-link copy of a directory tree (dirs created, files linked) —
+    * the O(files) METADATA way to hand a mutating operation (retention
+    * sweep, compaction test) a fresh working copy of a staged master
+    * layout without rewriting a byte of data. Deleting the copy only
+    * drops link counts; the master is untouched. Local-filesystem
+    * scratch only (hard links do not cross filesystems) — on a real
+    * lake the equivalent is a metadata-level shallow clone.
+    */
+  def hardlinkTree(src: String, dst: String): Unit = {
+    val s = new File(src)
+    require(s.isDirectory, s"no such dir to link-copy: $src")
+    def walk(from: File, to: File): Unit = {
+      to.mkdirs()
+      Option(from.listFiles()).toSeq.flatten.foreach { f =>
+        if (f.isDirectory) walk(f, new File(to, f.getName))
+        else java.nio.file.Files.createLink(
+          new File(to, f.getName).toPath, f.toPath): Unit
+      }
+    }
+    walk(s, new File(dst))
+  }
+
   /** RETENTION SWEEP over a partitioned layout: delete every
     * `<partitionCol>=<value>` directory with value < `keepFrom`
     * (lexicographic — chronological for ISO dates, the layout's
@@ -70,13 +92,29 @@ object Sinks {
   def expirePartitions(path: String, partitionCol: String,
                        keepFrom: String): Seq[String] = {
     val prefix = s"$partitionCol="
+    // the LAYOUT must exist (a typo'd path must not silently no-op)…
+    require(new File(path).isDirectory, s"no such layout dir: $path")
     // non-directory children are commit markers (_SUCCESS, .crc) —
     // partitions are directories, and every directory must be one
     val children = Option(new File(path).listFiles()).toSeq.flatten
       .filter(_.isDirectory)
-    require(children.nonEmpty, s"no partitions under $path")
-    children.foreach(f => require(f.getName.startsWith(prefix),
-      s"unexpected child ${f.getName} — not a $prefix partition dir"))
+    // …but zero partition dirs is a legal state, not an error: an
+    // earlier sweep (or a sweep racing this one) may have expired
+    // every partition — the nightly job must no-op, not crash
+    children.foreach { f =>
+      require(f.getName.startsWith(prefix),
+        s"unexpected child ${f.getName} — not a $prefix partition dir")
+      // a NULL-valued partition has no position in the lexicographic
+      // date order — comparing the sentinel string against the
+      // horizon would expire (or keep) it by accident. Null-partition
+      // retention is a policy decision; fail loudly until a caller
+      // makes one.
+      require(f.getName.stripPrefix(prefix) != "__HIVE_DEFAULT_PARTITION__",
+        s"null-valued partition ${f.getName} under $path — retention " +
+          "for the null partition is undefined (lexicographic compare " +
+          "against the date horizon would classify it by accident); " +
+          "drop or re-key it before sweeping")
+    }
     val expired = children
       .filter(_.getName.stripPrefix(prefix) < keepFrom).sortBy(_.getName)
     expired.foreach(f => deleteRecursively(f.getAbsolutePath))
@@ -236,6 +274,14 @@ object Sinks {
     // O(day), so the materialization is bounded by the increment, never
     // the table. With deltaStocks the touched-bucket probe still never
     // runs the pipeline — it scans the caller's key universe only.
+    // Durability: losing these executor blocks mid-merge fails the JOB
+    // before its single overwrite commits (the file-commit protocol
+    // publishes at job commit only), so the caller's retry — a batch
+    // scheduler rerun or foreachBatch redelivery — re-derives the
+    // delta from its durable upstream (the raw-zone partition) and
+    // re-applies; the localCheckpoint stages WORK, not the only copy
+    // of any data, unlike deleteFactKeys' surviving set (which IS
+    // durably staged below for exactly that reason).
     val delta = incoming.withColumn("bucket", factBucket(buckets))
       .localCheckpoint()
     val probe = deltaStocks match {

@@ -167,6 +167,23 @@ object StreamIvm {
     * and rewrites exactly what the first attempt would have written:
     * effective exactly-once with no ledger, no lock, and no
     * coordination beyond the batchId the framework already supplies.
+    *
+    * Cluster-durability of the two `localCheckpoint` staging sites
+    * below (dayFacts, deltaAgg): both hold MICRO-BATCH-sized state as
+    * executor blocks, so an executor loss can only FAIL this attempt
+    * of the batch — never corrupt a landed commit — and the failure
+    * is absorbed by exactly the redelivery path this method exists
+    * for: Structured Streaming re-runs the batch, attempt #2's inputs
+    * are byte-identical (the `< b` commit filter hides any partial
+    * attempt-#1 debris), and its commits overwrite their own commit
+    * directories idempotently. StreamIvmSpec's redelivery case proves
+    * this leg by running applyBatchMvcc twice for the same batchId.
+    * Durable staging (the Sinks.deleteFactKeys write+swap pattern)
+    * is therefore NOT needed here: it buys crash-survival of an
+    * intermediate the retry re-derives for free. The write+swap
+    * pattern is reserved for sites where a lost intermediate loses
+    * DATA (a surviving-rows set derived from directories the write
+    * replaces) rather than WORK.
     */
   private[graft] def applyBatchMvcc(s: SparkSession, batch: DataFrame,
                                     b: Long, factLog: String,

@@ -373,6 +373,26 @@ class ExtOpsSpec extends SparkSpec {
         Seq((tw: Long) => 1L)).collect())
   }
 
+  test("Selection.weightedKths: NULL weights fail loudly (round-12 ADVICE — " +
+       "min(w) skips nulls, so the positivity guard alone would silently " +
+       "treat them as weight 0)") {
+    // group a mixes positive and NULL weights: min(w)=1 would pass the
+    // positivity guard; the null-count guard must trip instead
+    val mixed = Seq(("a", 1L, Some(5L)), ("a", 2L, None), ("b", 9L, Some(2L)))
+      .toDF("grp", "v", "w")
+    val e = intercept[IllegalArgumentException](
+      graft.ext.Selection.weightedKths(mixed, "grp", "v", "w",
+        Seq((tw: Long) => (tw + 1) / 2)).collect())
+    assert(e.getMessage.toLowerCase.contains("null"))
+    // an ALL-null-weight group dies with the same loud message, not NPE
+    val allNull = Seq(("c", 1L, None: Option[Long]), ("c", 2L, None))
+      .toDF("grp", "v", "w")
+    val e2 = intercept[IllegalArgumentException](
+      graft.ext.Selection.weightedKths(allNull, "grp", "v", "w",
+        Seq((tw: Long) => 1L)).collect())
+    assert(e2.getMessage.toLowerCase.contains("null"))
+  }
+
   test("VideoHeaders parses the fixture's ISO-BMFF boxes and a version-1 mvhd") {
     val docs = Seq((0L, "hello world")).toDF("doc_id", "text")
     val media = Multimodal.videoTable(docs, "doc_id", "text")

@@ -156,4 +156,21 @@ class JdbcStoreSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want)
   }
+
+  test("interpolated identifiers are allowlisted — a metacharacter name " +
+       "is refused before any SQL runs (round-12 ADVICE: ledger values " +
+       "now bind as PreparedStatement parameters; identifiers, which " +
+       "JDBC cannot bind, pass a loud [A-Za-z0-9_] gate)") {
+    val db = Sinks.tmpPath("jdbc_spec_ident")
+    for (bad <- Seq("t'; DROP TABLE x--", "t\"q", "t name", "1tbl", "")) {
+      intercept[IllegalArgumentException](JdbcStore.tableCount(db, bad))
+      intercept[IllegalArgumentException](JdbcStore.bounds(db, bad, "k"))
+      intercept[IllegalArgumentException](
+        JdbcStore.appendBatchExactlyOnce(fixture, db, bad, 0L))
+      intercept[IllegalArgumentException](
+        JdbcStore.resetExactlyOnceTarget(db, bad))
+    }
+    intercept[IllegalArgumentException](
+      JdbcStore.bounds(db, "facts", """k" FROM x; --"""))
+  }
 }

@@ -258,4 +258,55 @@ class LayoutSpec extends SparkSpec {
     assert(files().keySet ==
       Set("day=2024-01-03", "day=2024-01-04", "stray_dir"))
   }
+
+  test("expirePartitions: fully-expired layout no-ops; null partition and " +
+       "missing path fail loudly (round-12 ADVICE)") {
+    import org.apache.spark.sql.functions.{col, concat, lit, lpad}
+    val path = Sinks.tmpPath("test_retention_sweep_edge")
+    Sinks.deleteRecursively(path)
+    spark.range(10).select(
+        col("id").as("k"),
+        concat(lit("2024-01-0"), ((col("id") % 2) + 1).cast("string"))
+          .as("day"))
+      .write.partitionBy("day").parquet(path)
+    // horizon beyond every partition: the sweep empties the layout…
+    assert(Sinks.expirePartitions(path, "day", "2024-02-01") ==
+      Seq("2024-01-01", "2024-01-02"))
+    // …and the NEXT nightly sweep over the emptied layout must no-op,
+    // not crash (only commit markers remain)
+    assert(Sinks.expirePartitions(path, "day", "2024-02-01").isEmpty)
+    // a typo'd path still fails loudly (silent no-op would hide it)
+    intercept[IllegalArgumentException](
+      Sinks.expirePartitions(path + "_nope", "day", "2024-02-01"))
+    // a null-valued partition has no place in the date order: reject
+    // loudly, delete nothing
+    new File(path, "day=__HIVE_DEFAULT_PARTITION__").mkdirs()
+    new File(path, "day=2024-03-01").mkdirs()
+    val e = intercept[IllegalArgumentException](
+      Sinks.expirePartitions(path, "day", "2024-04-01"))
+    assert(e.getMessage.contains("__HIVE_DEFAULT_PARTITION__"))
+    assert(new File(path, "day=2024-03-01").isDirectory)
+  }
+
+  test("hardlinkTree: working copy is O(files) metadata; mutating the " +
+       "copy leaves the master byte-identical (q179 bench staging)") {
+    import org.apache.spark.sql.functions.col
+    val master = Sinks.tmpPath("test_linktree_master")
+    val work = Sinks.tmpPath("test_linktree_work")
+    Sinks.deleteRecursively(master); Sinks.deleteRecursively(work)
+    spark.range(20).select(col("id"), (col("id") % 3).as("p"))
+      .write.partitionBy("p").parquet(master)
+    def snap(p: String) = new File(p).listFiles().filter(_.isDirectory)
+      .map(d => d.getName -> d.listFiles().map(f =>
+        (f.getName, f.length())).toSet).toMap
+    val before = snap(master)
+    Sinks.hardlinkTree(master, work)
+    assert(snap(work) == before) // same names and sizes, zero data copy
+    assert(spark.read.parquet(work).count() == 20L)
+    // sweep the copy; the master must not lose a byte
+    Sinks.expirePartitions(work, "p", "2")
+    assert(snap(work).keySet == Set("p=2"))
+    assert(snap(master) == before)
+    assert(spark.read.parquet(master).count() == 20L)
+  }
 }

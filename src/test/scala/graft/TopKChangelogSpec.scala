@@ -200,4 +200,135 @@ class TopKChangelogSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Changelog.changesBetween(spark, path, Seq("k"), 1L, 1L, Seq("v")))
   }
+
+  // ---- Concurrency (round-12: pin the MVCC claims under racing
+  // writers/readers, not just sequential crash-retry) ----------------
+
+  /** Run `body` on two threads at once; each writer retries once on a
+    * transient failure — the at-least-once discipline the streaming
+    * framework supplies around foreachBatch (a failed publish attempt
+    * is redelivered; what the changelog must guarantee is that the
+    * SURVIVING state is correct once all deliveries complete).
+    */
+  private def raceTwo(body: => Unit): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = (1 to 2).map(_ => Future {
+        try body catch { case _: Throwable => body }
+      })
+      Await.result(Future.sequence(fs), 3.minutes): Unit
+    } finally pool.shutdown()
+  }
+
+  test("two concurrent idempotent commits of the same (id, delta) — the " +
+       "zombie-publisher race — leave the keyed read correct") {
+    val path = Sinks.tmpPath("changelog_race_sameid")
+    // Structured Streaming can only produce this race as a zombie
+    // driver redelivering the SAME deterministic batch under the same
+    // id. File-level outcomes may differ (either writer's files, or
+    // both writers' byte-identical row sets side by side — dynamic
+    // overwrite serializes per job commit, not across jobs), but the
+    // changelog's read contract is KEYED last-write-wins, which
+    // collapses every such outcome to the one delta state. 5 trials
+    // to give the race room to interleave differently.
+    for (_ <- 1 to 5) {
+      Sinks.deleteRecursively(path)
+      Changelog.commit(Seq(("k1", "a"), ("k2", "a")).toDF("k", "v"), path, 0L)
+      val delta = Seq(("k1", "b"), ("k3", "b")).toDF("k", "v")
+      raceTwo(Changelog.commitIdempotent(delta, path, 1L))
+      val got = Changelog.snapshotLatest(spark, path, Seq("k"))
+        .as[(String, String)].collect().sorted.toSeq
+      assert(got == Seq(("k1", "b"), ("k2", "a"), ("k3", "b")))
+    }
+  }
+
+  test("two concurrent idempotent commits under DIFFERENT ids both land, " +
+       "LWW order decided by commit id — never arrival order") {
+    val path = Sinks.tmpPath("changelog_race_diffid")
+    for (_ <- 1 to 5) {
+      Sinks.deleteRecursively(path)
+      Changelog.commit(Seq(("k1", "a"), ("k2", "a")).toDF("k", "v"), path, 0L)
+      val d1 = Seq(("k1", "c1"), ("k3", "c1")).toDF("k", "v")
+      val d2 = Seq(("k1", "c2"), ("k4", "c2")).toDF("k", "v")
+      // each writer owns its own _commit=<v> directory — the dynamic
+      // overwrite touches only that partition, so the two jobs are
+      // physically disjoint and BOTH must land whatever the interleave
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence(Seq(
+        Future(Changelog.commitIdempotent(d1, path, 1L)),
+        Future(Changelog.commitIdempotent(d2, path, 2L)))), 3.minutes): Unit
+      finally pool.shutdown()
+      val got = Changelog.snapshotLatest(spark, path, Seq("k"))
+        .as[(String, String)].collect().sorted.toSeq
+      // k1: commit 2 wins by ID even if commit 1's job finished later
+      assert(got == Seq(("k1", "c2"), ("k2", "a"), ("k3", "c1"),
+        ("k4", "c2")))
+    }
+  }
+
+  test("checkpoint(v) racing snapshotAt(w >= v) readers: completed reads " +
+       "are correct; a reader holding a PRE-checkpoint plan fails loudly, " +
+       "never returns truncated data") {
+    val path = Sinks.tmpPath("changelog_race_ckpt")
+    Sinks.deleteRecursively(path)
+    // 6 commits over 60 keys; commits 4-5 rewrite a strict subset, so
+    // pre-horizon commits still carry live rows (the meaningful case)
+    for (c <- 0L to 5L)
+      Changelog.commit(
+        spark.range(c * 10, c * 10 + 20).select(
+          concat(lit("k"), col("id")).as("k"),
+          concat(lit("v"), lit(c)).as("v")),
+        path, c)
+    val expected = Changelog.snapshotAt(spark, path, Seq("k"), 5L)
+      .as[(String, String)].collect().sorted.toSeq
+    // the deterministic interleaving: a reader PLANS before the
+    // checkpoint (file listing done), COLLECTS after the vacuum — the
+    // files it planned over are gone, and with the default
+    // ignoreMissingFiles=false the read must fail LOUDLY (the
+    // snapshot-isolation trade a file-only log makes; a tx-log format
+    // buys live readers, not different correctness)
+    val stalePlan = Changelog.snapshotAt(spark, path, Seq("k"), 5L)
+    stalePlan.count() // force listing + a materialization pre-race
+    // live race: readers re-planning concurrently with the checkpoint
+    // either see a correct state (base lands BEFORE the vacuum, and
+    // base-plus-leftover-pre-horizon-commits still LWW-compact to the
+    // same state) or fail loudly mid-vacuum — never a wrong answer
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    @volatile var stop = false
+    val reader = Future {
+      var completed = 0
+      var failed = 0
+      val wrong = Seq.newBuilder[Seq[(String, String)]]
+      while (!stop) {
+        try {
+          val got = Changelog.snapshotAt(spark, path, Seq("k"), 5L)
+            .as[(String, String)].collect().sorted.toSeq
+          completed += 1
+          if (got != expected) wrong += got
+        } catch { case _: Throwable => failed += 1 }
+      }
+      (completed, failed, wrong.result())
+    }
+    try {
+      Changelog.checkpoint(spark, path, Seq("k"), 3L)
+    } finally stop = true
+    val (completed, failed, wrong) = Await.result(reader, 3.minutes)
+    assert(wrong.isEmpty,
+      s"concurrent reader saw a WRONG state ($completed completed, " +
+        s"$failed loud failures): ${wrong.take(1)}")
+    // post-checkpoint: w >= v snapshots byte-identical, stale plan loud
+    val after = Changelog.snapshotAt(spark, path, Seq("k"), 5L)
+      .as[(String, String)].collect().sorted.toSeq
+    assert(after == expected)
+    intercept[Throwable](stalePlan.as[(String, String)].collect())
+  }
 }
