@@ -39,9 +39,26 @@ import graft.ext.{Bpe, Dedup, Terms}
   *    order). The harness requires row count n·k and the single
   *    closed-form score.
   *
-  * Measured numbers live in SURVEY.md §7.2 (round-12 notes) — the
-  * harness prints per-operator seconds; the law checks make every
-  * timing double as an exact correctness proof.
+  * Measured (local[32], round-12 session; SURVEY.md §7.2 carries the
+  * round note):
+  *  - BPE train 20 rounds: 4.86 s at 1M docs → 6.29 s at 5M docs —
+  *    5× the corpus costs 1.29×, because only the ONE word-frequency
+  *    pass scales with the corpus; the 20-round merge loop runs on
+  *    the 1,000-word state. Merge tables at 10k / 1M / 5M docs:
+  *    IDENTICAL (law).
+  *  - BPE rounds sweep: +20 rounds (20→40) costs +1.93 s at 1M docs
+  *    and +0.77 s at 5M docs — the per-round driver-argmax floor is
+  *    ~0.04–0.10 s/round, linear in merge count and INDEPENDENT of
+  *    corpus size, exactly as the q106 scaladoc argues.
+  *  - repeatedSpans (n=3): 20.5 s at 1M docs (~29M grams) → 110.2 s
+  *    at 5M docs (~145M grams) — 5.4× for 5× the tokens, linear in
+  *    corpus tokens; span law exact at both sizes (100k/500k planted
+  *    docs × 1 span × 8 masked tokens, zero accidental spans).
+  *  - tfIdfTopK (k=5): 8.4 s at 1M docs → 51.9 s at 5M docs — 6.2×
+  *    for 5× the (id, term) pairs (the materialized tf shuffle and
+  *    the per-doc top-k window dominate; the vocabulary side is V
+  *    rows). Score law exact (5M/25M rows, single score 3,912,023
+  *    ppm at both sizes).
   *
   * Usage: runMain graft.ScaleText [nDocs ...] (each a multiple of
   * 1,000; default 1000000 5000000) — per-operator seconds + law
