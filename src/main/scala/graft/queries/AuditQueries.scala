@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.ext.{Bpe, Cooccur, Diff, Fuzzy, Graph, Quality, Rolling,
   Sampling, Terms, Transitions, VectorStats}
+import graft.sources.{Changelog, Sinks}
 import graft.streaming.EventStream
 
 /** Audit / temporal-analytics pack (round 8, fifth widening) — the
@@ -67,7 +68,63 @@ object AuditQueries {
     kept.unionByName(added)
   }
 
+  /** Tombstone OPS-LOG over orders (q181/q182 subject), rebuilt per
+    * invocation because committing is the subject (the q129
+    * discipline). Three commits with every CDC class planted
+    * deterministically:
+    *  - commit 0 UPSERTS the base subset (o_orderkey % 4 ≠ 3);
+    *  - commit 1 TOMBSTONES every 10th key;
+    *  - commit 2 re-inserts every 20th key at price +1000 (the
+    *    RESURRECTION — half the deleted keys come back, so delete
+    *    followed by re-insert must resolve purely by commit order),
+    *    inserts the held-out % 4 = 3 tail, updates keys ≡ 1 (mod 7)
+    *    at price +500, and rewrites keys ≡ 2 (mod 7) IDENTICALLY
+    *    (the no-op the feed must suppress).
+    * All branches are disjoint by arithmetic (mod-10 multiples are
+    * even, so they never hit % 4 = 3; the update/no-op branches
+    * exclude mod-10 multiples), so no commit carries a duplicate key.
+    */
+  private def opsLog(s: SparkSession, d: String): String = {
+    val path = Sinks.tmpPathFor("orders_ops_log", d)
+    Sinks.deleteRecursively(path)
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val k = col("o_orderkey")
+    Changelog.commitUpsert(o.filter(k % 4 =!= 3), path, 0L)
+    Changelog.commitDelete(s,
+      o.filter(k % 4 =!= 3 && k % 10 === 0).select("o_orderkey"), path, 1L)
+    val commit2 = o.filter(k % 20 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .unionByName(o.filter(k % 4 === 3))
+      .unionByName(o.filter(k % 4 =!= 3 && k % 10 =!= 0 && k % 7 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0))
+      .unionByName(o.filter(k % 4 =!= 3 && k % 10 =!= 0 && k % 7 === 2))
+    Changelog.commitUpsert(commit2, path, 2L)
+    path
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // DELETE-AWARE TIME TRAVEL (the ops log's snapshot): tombstoned
+    // keys vanish, resurrected keys resolve by commit order, live
+    // rows carry their latest upsert — the lakehouse DELETE semantic
+    // the append-only LWW changelog (q129) cannot express. Same
+    // kernel cost as q129: partition-pruned scan + one max_by
+    // compaction; the liveness filter is one predicate AFTER the
+    // per-key reduction.
+    "q181_ops_snapshot" -> ((s, d) =>
+      Changelog.snapshotAtOps(s, opsLog(s, d), Seq("o_orderkey"), 2L)),
+
+    // FULL-LABEL CHANGE DATA FEED over the ops log: insert / update /
+    // DELETE (old values carried on the delete row — the downstream
+    // retraction needs them), NET semantics across the window (the
+    // delete+re-insert inside (0, 2] collapses to one update), no-op
+    // rewrites suppressed. O(delta) like q168: candidates only from
+    // the pruned (v0, v1] commits, endpoint states semi-joined to
+    // candidates before compaction.
+    "q182_ops_cdf" -> ((s, d) =>
+      Changelog.changesBetweenOps(s, opsLog(s, d), Seq("o_orderkey"),
+        0L, 2L, trackCols = Seq("o_totalprice"))),
 
     // STR — sliding (hopping) windows: each event in 2 overlapping
     // 2-hour windows on a 1-hour slide; update-mode changelog +
@@ -453,6 +510,46 @@ object AuditQueries {
   }
 
   val oracles: Map[String, String] = Map(
+
+    // the ops log's final live state, derived from the planted law:
+    // live = (base ∖ tombstoned) ∪ resurrected ∪ inserted tail;
+    // price = +1000 on resurrected, +500 on the mod-7 update branch,
+    // base elsewhere (incl. the no-op rewrite branch)
+    "q181_ops_snapshot" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |       WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |            AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 = 3
+        |   OR o_orderkey % 10 <> 0
+        |   OR o_orderkey % 20 = 0""".stripMargin,
+
+    // the full-label feed from the same law: deletes carry olds and a
+    // NULL new side; the delete+re-insert collapses to one update;
+    // the identical rewrite (mod-7 = 2 branch) must NOT appear
+    "q182_ops_cdf" ->
+      """SELECT o_orderkey, 'delete' AS change_type,
+        |  o_totalprice AS old_o_totalprice,
+        |  CAST(NULL AS DOUBLE) AS new_o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 <> 3 AND o_orderkey % 10 = 0
+        |  AND o_orderkey % 20 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, 'update', o_totalprice,
+        |  o_totalprice + 1000.0
+        |FROM orders WHERE o_orderkey % 20 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'update', o_totalprice,
+        |  o_totalprice + 500.0
+        |FROM orders
+        |WHERE o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |  AND o_orderkey % 7 = 1
+        |UNION ALL
+        |SELECT o_orderkey, 'insert', CAST(NULL AS DOUBLE),
+        |  o_totalprice
+        |FROM orders WHERE o_orderkey % 4 = 3""".stripMargin,
 
     "q106_bpe_merges" -> bpeMergesSql,
     "q108_bpe_encode" -> bpeEncodeSql,

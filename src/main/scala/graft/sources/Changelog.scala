@@ -171,6 +171,151 @@ object Changelog {
         .filter(col(CommitCol) <= v),
       keys, col(CommitCol)).drop(CommitCol)
 
+  // ---- Ops log: the DELETE path (tombstones) ------------------------
+  //
+  // The plain changelog above is append-only last-write-wins — deletes
+  // cannot occur (changesBetween's feed is insert/update only). The
+  // OPS log closes that hole the way every lakehouse format does:
+  // each row carries an operation column (`_op` = "u" upsert / "d"
+  // delete tombstone), a snapshot is the keyed LWW compaction with
+  // tombstoned keys filtered OUT, and the change feed gains the
+  // `delete` label. Tombstones are ordinary rows — a delete commit is
+  // still O(delta) appended metadata+keys, snapshots still partition-
+  // prune and compact with the same max_by kernel (the filter is one
+  // predicate AFTER the per-key reduction, so a key deleted then
+  // re-inserted resolves purely by commit order), and checkpointing
+  // PHYSICALLY ERASES tombstoned history: the fold keeps only live
+  // rows, so after `checkpointOps(v)` no file below the horizon holds
+  // the deleted rows' data — the right-to-be-forgotten guarantee a
+  // logical tombstone alone never gives.
+
+  val OpCol = "_op"
+
+  /** Append `delta` as UPSERT rows of ops-commit `commitId`. */
+  def commitUpsert(delta: DataFrame, path: String, commitId: Long): Unit = {
+    require(!delta.columns.contains(OpCol),
+      s"Changelog reserves column name $OpCol; rename it on the input")
+    commit(delta.withColumn(OpCol, lit("u")), path, commitId)
+  }
+
+  /** Append TOMBSTONES for `keys` as ops-commit `commitId`. The keys
+    * frame must hold exactly the key columns; every data column is
+    * null-filled from the log's OWN schema (footer-only planning — a
+    * delete can only target an existing log, and deriving the schema
+    * from the log means a caller cannot commit tombstones whose shape
+    * silently diverges from the table's).
+    */
+  def commitDelete(spark: SparkSession, keys: DataFrame, path: String,
+                   commitId: Long): Unit = {
+    val schema = spark.read.parquet(path).schema
+    require(schema.fieldNames.contains(OpCol),
+      s"$path is not an ops log (no $OpCol column) — deletes need " +
+        "commitUpsert/commitDelete from the start")
+    val keyCols = keys.columns.toSet
+    val full = schema.fields
+      .filter(f => f.name != CommitCol && f.name != OpCol)
+      .map { f =>
+        if (keyCols.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }
+    require(keyCols.subsetOf(schema.fieldNames.toSet),
+      s"tombstone keys [${keys.columns.mkString(", ")}] not all present " +
+        s"in the log schema [${schema.fieldNames.mkString(", ")}]")
+    commit(keys.select(full.toIndexedSeq: _*)
+      .withColumn(OpCol, lit("d")), path, commitId)
+  }
+
+  /** The ops table as of commit `v`: keyed LWW over pruned commits,
+    * tombstoned keys REMOVED. Data columns only.
+    */
+  def snapshotAtOps(spark: SparkSession, path: String, keys: Seq[String],
+                    v: Long): DataFrame =
+    Upsert.latestByKey(
+      spark.read.parquet(path).filter(col(CommitCol) <= v),
+      keys, col(CommitCol))
+      .filter(col(OpCol) === "u")
+      .drop(CommitCol, OpCol)
+
+  /** [[changesBetween]] for the ops log — the full CDC label set
+    * (insert / update / delete), NET semantics between the two
+    * snapshots (a key deleted AND re-inserted inside the window
+    * reports as one update/insert, the churn every CDC consumer
+    * wants collapsed):
+    *  - candidates only from commits in (v0, v1] (partition-pruned);
+    *  - old live → new live, tracked differ → `update` (equal →
+    *    suppressed);
+    *  - old absent-or-tombstoned → new live → `insert`;
+    *  - old live → new tombstoned → `delete` (old values carried,
+    *    new side null — the downstream retraction needs the olds);
+    *  - dead on both sides → suppressed.
+    */
+  def changesBetweenOps(spark: SparkSession, path: String,
+                        keys: Seq[String], v0: Long, v1: Long,
+                        trackCols: Seq[String]): DataFrame = {
+    require(v0 < v1, s"need v0 < v1, got $v0 >= $v1")
+    val generated = Set("change_type", "_old_live", "_new_live") ++
+      trackCols.flatMap(c => Seq(s"old_$c", s"new_$c"))
+    require(keys.forall(!generated.contains(_)),
+      s"key columns collide with generated feed columns: " +
+        keys.filter(generated.contains).mkString(", "))
+    val log = spark.read.parquet(path)
+    val touched = log
+      .filter(col(CommitCol) > v0 && col(CommitCol) <= v1)
+      .select(keys.map(col): _*).distinct()
+    def stateAt(v: Long) = Upsert.latestByKey(
+      log.filter(col(CommitCol) <= v).join(touched, keys, "left_semi"),
+      keys, col(CommitCol))
+    val newSide = stateAt(v1).select(
+      keys.map(col) ++ trackCols.map(c => col(c).as(s"new_$c")) :+
+        (col(OpCol) === "u").as("_new_live"): _*)
+    val oldSide = stateAt(v0).select(
+      keys.map(col) ++ trackCols.map(c => col(c).as(s"old_$c")) :+
+        (col(OpCol) === "u").as("_old_live"): _*)
+    val changed = trackCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    val oldLive = coalesce(col("_old_live"), lit(false))
+    val newLive = coalesce(col("_new_live"), lit(false))
+    newSide.join(oldSide, keys, "full_outer")
+      .withColumn("change_type",
+        when(oldLive && newLive && changed, lit("update"))
+          .when(!oldLive && newLive, lit("insert"))
+          .when(oldLive && !newLive, lit("delete")))
+      .filter(col("change_type").isNotNull)
+      .drop("_old_live", "_new_live")
+  }
+
+  /** [[checkpoint]] for the ops log: fold commits ≤ v into a base of
+    * ONLY THE LIVE ROWS (re-tagged `u`), then vacuum below — same
+    * crash-safety order (base lands before anything is destroyed).
+    * Because the fold drops tombstoned keys entirely, the checkpoint
+    * is also the PHYSICAL-ERASURE step: after it, no surviving file
+    * holds a deleted row's data, which is what a deletion-compliance
+    * clock actually measures (LayoutSpec-style byte proof in
+    * TopKChangelogSpec).
+    */
+  def checkpointOps(spark: SparkSession, path: String, keys: Seq[String],
+                    v: Long): Unit = {
+    val staging = s"${path.stripSuffix("/")}__ckpt_staging_v$v"
+    Sinks.deleteRecursively(staging)
+    Upsert.latestByKey(
+      spark.read.option("mergeSchema", "true").parquet(path)
+        .filter(col(CommitCol) <= v),
+      keys, col(CommitCol))
+      .filter(col(OpCol) === "u")
+      .drop(CommitCol)
+      .write.mode("overwrite").parquet(staging)
+    commitIdempotent(spark.read.parquet(staging), path, v)
+    val superseded = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter { f =>
+        val n = f.getName
+        n.startsWith(s"$CommitCol=") &&
+          n.stripPrefix(s"$CommitCol=").toLong < v
+      }
+    superseded.foreach(f => Sinks.deleteRecursively(f.getAbsolutePath))
+    Sinks.deleteRecursively(staging)
+  }
+
   /** Checkpoint the log at commit `v`: fold every commit ≤ v into ONE
     * base commit written as `v` itself, then VACUUM the superseded
     * commit directories — the bounded-history answer the class doc

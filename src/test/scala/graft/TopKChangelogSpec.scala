@@ -201,6 +201,77 @@ class TopKChangelogSpec extends SparkSpec {
       Changelog.changesBetween(spark, path, Seq("k"), 1L, 1L, Seq("v")))
   }
 
+  // ---- Ops log (round-12: the DELETE path) --------------------------
+
+  test("ops log: tombstones delete, re-inserts resurrect by commit " +
+       "order, and checkpointOps PHYSICALLY erases deleted history") {
+    val path = Sinks.tmpPath("changelog_spec_ops")
+    Sinks.deleteRecursively(path)
+    Changelog.commitUpsert(
+      Seq(("k1", "secret1"), ("k2", "b"), ("k3", "c")).toDF("k", "v"),
+      path, 0L)
+    Changelog.commitDelete(spark, Seq("k1", "k3").toDF("k"), path, 1L)
+    Changelog.commitUpsert(Seq(("k3", "c2"), ("k4", "d")).toDF("k", "v"),
+      path, 2L)
+    def snap(v: Long) =
+      Changelog.snapshotAtOps(spark, path, Seq("k"), v)
+        .as[(String, String)].collect().sorted.toSeq
+    assert(snap(0L) == Seq(("k1", "secret1"), ("k2", "b"), ("k3", "c")))
+    assert(snap(1L) == Seq(("k2", "b")))
+    // k3 resurrects (delete then re-insert resolves by commit order);
+    // k1 stays dead
+    assert(snap(2L) == Seq(("k2", "b"), ("k3", "c2"), ("k4", "d")))
+    // full-label feed: k1 delete (olds carried), k3 NET update
+    // (delete+re-insert collapses), k4 insert, k2 untouched → absent
+    val feed = Changelog.changesBetweenOps(spark, path, Seq("k"), 0L, 2L,
+        trackCols = Seq("v"))
+      .collect().map(r => r.getAs[String]("k") ->
+        ((r.getAs[String]("change_type"), r.getAs[Any]("old_v"),
+          r.getAs[Any]("new_v")))).toMap
+    assert(feed == Map(
+      "k1" -> (("delete", "secret1", null)),
+      "k3" -> (("update", "c", "c2")),
+      "k4" -> (("insert", null, "d"))))
+    // checkpoint at the head: snapshots ≥ v unchanged, and NO
+    // surviving parquet file holds the deleted row's data — the
+    // physical-erasure guarantee a logical tombstone never gives
+    Changelog.checkpointOps(spark, path, Seq("k"), 2L)
+    assert(snap(2L) == Seq(("k2", "b"), ("k3", "c2"), ("k4", "d")))
+    val survivors = spark.read.parquet(path)
+    assert(survivors.filter(col("k") === "k1" || col("v") === "secret1")
+      .isEmpty)
+    // byte-level: the secret is in no surviving file
+    def bytesUnder(dir: java.io.File): Iterator[Byte] =
+      Option(dir.listFiles()).toSeq.flatten.iterator.flatMap(f =>
+        if (f.isDirectory) bytesUnder(f)
+        else java.nio.file.Files.readAllBytes(f.toPath).iterator)
+    val hay = new String(
+      bytesUnder(new java.io.File(path)).toArray,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(!hay.contains("secret1"))
+  }
+
+  test("ops log: commitDelete derives the tombstone shape from the log " +
+       "schema and refuses a non-ops log or unknown key columns") {
+    val path = Sinks.tmpPath("changelog_spec_ops_guard")
+    Sinks.deleteRecursively(path)
+    // plain (non-ops) log: deletes must be refused
+    Changelog.commit(Seq(("k1", "a")).toDF("k", "v"), path, 0L)
+    val e = intercept[IllegalArgumentException](
+      Changelog.commitDelete(spark, Seq("k1").toDF("k"), path, 1L))
+    assert(e.getMessage.contains("_op"))
+    // ops log with an unknown key column name
+    val ops = Sinks.tmpPath("changelog_spec_ops_guard2")
+    Sinks.deleteRecursively(ops)
+    Changelog.commitUpsert(Seq(("k1", "a")).toDF("k", "v"), ops, 0L)
+    intercept[IllegalArgumentException](
+      Changelog.commitDelete(spark, Seq("k1").toDF("nope"), ops, 1L))
+    // reserved-column guard on upsert input
+    intercept[IllegalArgumentException](
+      Changelog.commitUpsert(
+        Seq(("k1", "a", "u")).toDF("k", "v", Changelog.OpCol), ops, 1L))
+  }
+
   // ---- Concurrency (round-12: pin the MVCC claims under racing
   // writers/readers, not just sequential crash-retry) ----------------
 
