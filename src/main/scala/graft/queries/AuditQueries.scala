@@ -84,24 +84,78 @@ object AuditQueries {
     * even, so they never hit % 4 = 3; the update/no-op branches
     * exclude mod-10 multiples), so no commit carries a duplicate key.
     */
-  private def opsLog(s: SparkSession, d: String): String = {
-    val path = Sinks.tmpPathFor("orders_ops_log", d)
-    Sinks.deleteRecursively(path)
-    val o = Tables.orders(s, d)
-      .select("o_orderkey", "o_custkey", "o_totalprice")
+  private def opsOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** Commit 2's content (shared by the batch log and the streaming
+    * landing): resurrections, the held-out insert tail, the mod-7
+    * update branch, and the identical no-op rewrite.
+    */
+  private def opsCommit2(o: DataFrame): DataFrame = {
     val k = col("o_orderkey")
-    Changelog.commitUpsert(o.filter(k % 4 =!= 3), path, 0L)
-    Changelog.commitDelete(s,
-      o.filter(k % 4 =!= 3 && k % 10 === 0).select("o_orderkey"), path, 1L)
-    val commit2 = o.filter(k % 20 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    o.filter(k % 20 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
       .unionByName(o.filter(k % 4 === 3))
       .unionByName(o.filter(k % 4 =!= 3 && k % 10 =!= 0 && k % 7 === 1)
         .withColumn("o_totalprice", col("o_totalprice") + 500.0))
       .unionByName(o.filter(k % 4 =!= 3 && k % 10 =!= 0 && k % 7 === 2))
-    Changelog.commitUpsert(commit2, path, 2L)
+  }
+
+  private def opsLog(s: SparkSession, d: String): String = {
+    val path = Sinks.tmpPathFor("orders_ops_log", d)
+    Sinks.deleteRecursively(path)
+    val o = opsOrders(s, d)
+    val k = col("o_orderkey")
+    Changelog.commitUpsert(o.filter(k % 4 =!= 3), path, 0L)
+    Changelog.commitDelete(s,
+      o.filter(k % 4 =!= 3 && k % 10 === 0).select("o_orderkey"), path, 1L)
+    Changelog.commitUpsert(opsCommit2(o), path, 2L)
     path
   }
+
+  /** The same three ops deliveries as landing FILES for the streaming
+    * leg (q184), mtimes spaced so the file source orders micro-batches
+    * day-by-day (the StreamIvm staging discipline); tombstone rows
+    * carry the uniform landing schema with null data columns and
+    * op = "d". Memoized per JVM per input dir.
+    */
+  private val OpsLandingSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("o_orderkey",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("o_custkey",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("o_totalprice",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("op",
+      org.apache.spark.sql.types.StringType)))
+
+  private val opsLandingStaged =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def stagedOpsLanding(s: SparkSession, d: String): String =
+    opsLandingStaged.getOrElseUpdate(d, {
+      val path = Sinks.tmpPathFor("orders_ops_landing", d)
+      Sinks.deleteRecursively(path)
+      val o = opsOrders(s, d)
+      val k = col("o_orderkey")
+      val days = Seq(
+        o.filter(k % 4 =!= 3).withColumn("op", lit("u")),
+        o.filter(k % 4 =!= 3 && k % 10 === 0).select(col("o_orderkey"),
+          lit(null).cast("bigint").as("o_custkey"),
+          lit(null).cast("double").as("o_totalprice"),
+          lit("d").as("op")),
+        opsCommit2(o).withColumn("op", lit("u")))
+      def files() = Option(new java.io.File(path).listFiles()).fold(
+        Set.empty[java.io.File])(
+        _.filter(_.getName.endsWith(".parquet")).toSet)
+      var mtime = System.currentTimeMillis() - (days.length + 2) * 2000L
+      days.foreach { day =>
+        val before = files()
+        day.coalesce(1).write.mode("append").parquet(path)
+        (files() -- before).foreach(_.setLastModified(mtime))
+        mtime += 2000L
+      }
+      path
+    })
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -125,6 +179,82 @@ object AuditQueries {
     "q182_ops_cdf" -> ((s, d) =>
       Changelog.changesBetweenOps(s, opsLog(s, d), Seq("o_orderkey"),
         0L, 2L, trackCols = Seq("o_totalprice"))),
+
+    // DELETE-AWARE CDF MAINTENANCE — the proof q182's feed is
+    // SUFFICIENT for a downstream consumer to maintain an exact
+    // aggregate across deletes (q169's contract, extended to the
+    // label CDC exists for): start from the per-customer rollup of
+    // the AS OF 0 state, apply the feed as signed deltas (insert →
+    // +1/+new; update → +new −old; DELETE → −1/−old — the retraction
+    // the carried olds make possible), drop groups whose count
+    // cancels to zero, and the result must equal the rollup of the
+    // AS OF 2 live state — the same oracle as recomputing from
+    // q181's snapshot. Integer cents keep the partials exact;
+    // suppressed no-op rows contribute zero by construction, so the
+    // suppression is proven maintenance-safe in the presence of
+    // deletes too. o_custkey rides as a tracked column (constant per
+    // key — never classifies) so delete rows can group by their OLD
+    // customer.
+    "q183_ops_cdf_maintenance" -> ((s, d) => {
+      val path = opsLog(s, d)
+      val cents = (c: org.apache.spark.sql.Column) =>
+        (round(c * 100)).cast("long")
+      val roll0 = Changelog.snapshotAtOps(s, path, Seq("o_orderkey"), 0L)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("_c"))
+      val ct = col("change_type")
+      val delta = Changelog.changesBetweenOps(s, path, Seq("o_orderkey"),
+          0L, 2L, trackCols = Seq("o_totalprice", "o_custkey"))
+        .groupBy(coalesce(col("new_o_custkey"), col("old_o_custkey"))
+          .as("o_custkey"))
+        .agg(
+          sum(when(ct === "insert", 1L).when(ct === "delete", -1L)
+            .otherwise(0L)).as("n_orders"),
+          sum(when(ct === "insert", cents(col("new_o_totalprice")))
+            .when(ct === "delete", -cents(col("old_o_totalprice")))
+            .otherwise(cents(col("new_o_totalprice")) -
+              cents(col("old_o_totalprice")))).as("_c"))
+      roll0.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(sum("n_orders").as("n_orders"), sum("_c").as("_c"))
+        .filter(col("n_orders") > 0)
+        .select(col("o_custkey"), col("n_orders"),
+          (col("_c").cast("double") / 100.0).as("sum_price"))
+    }),
+
+    // STREAMING CDC INGESTION into the ops log — the delete path's
+    // delivery leg: the three ops commits land as files (mtime-
+    // ordered, one per micro-batch), and foreachBatch commits each
+    // batch IDEMPOTENTLY under its batchId (the MVCC discipline —
+    // a redelivered batch dynamic-overwrites its own commit dir
+    // byte-identically; tombstone rows ride the same commit as their
+    // batch's upserts). The served snapshot must equal q181's — the
+    // same oracle, reached through at-least-once streaming delivery
+    // instead of batch commits.
+    "q184_stream_ops_ingest" -> ((s, d) => {
+      val landing = stagedOpsLanding(s, d)
+      val path = Sinks.tmpPathFor("orders_ops_stream", d)
+      val ckpt = Sinks.tmpPathFor("orders_ops_stream_ckpt", d)
+      Sinks.deleteRecursively(path)
+      Sinks.deleteRecursively(ckpt)
+      val q = s.readStream.schema(OpsLandingSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            Changelog.commitIdempotent(
+              batch.withColumnRenamed("op", Changelog.OpCol),
+              path, batchId)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Changelog.snapshotAtOps(s, path, Seq("o_orderkey"), Long.MaxValue)
+    }),
 
     // STR — sliding (hopping) windows: each event in 2 overlapping
     // 2-hour windows on a 1-hour slide; update-mode changelog +
@@ -550,6 +680,38 @@ object AuditQueries {
         |SELECT o_orderkey, 'insert', CAST(NULL AS DOUBLE),
         |  o_totalprice
         |FROM orders WHERE o_orderkey % 4 = 3""".stripMargin,
+
+    // rollup(AS OF 0) + signed full-label deltas ≡ rollup of the
+    // final live state (the q169 contract with DELETE retraction);
+    // integer-cents partials, HUGEINT→BIGINT cast (the sum trap)
+    "q183_ops_cdf_maintenance" ->
+      """WITH live AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |         WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |              AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 4 = 3
+        |     OR o_orderkey % 10 <> 0
+        |     OR o_orderkey % 20 = 0)
+        |SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |       AS BIGINT) AS DOUBLE) / 100.0 AS sum_price
+        |FROM live GROUP BY o_custkey""".stripMargin,
+
+    // the streaming delivery must converge to the SAME live state as
+    // the batch ops log (q181's oracle verbatim)
+    "q184_stream_ops_ingest" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |       WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |            AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 = 3
+        |   OR o_orderkey % 10 <> 0
+        |   OR o_orderkey % 20 = 0""".stripMargin,
 
     "q106_bpe_merges" -> bpeMergesSql,
     "q108_bpe_encode" -> bpeEncodeSql,
