@@ -69,6 +69,21 @@ object Changelog {
       .partitionBy(CommitCol +: alsoPartitionBy: _*).parquet(path)
   }
 
+  /** Plain-log reads must never run against an OPS log: the plain
+    * compaction would surface tombstones as ordinary rows (a delete
+    * silently becomes an update-to-null) and the plain feed would
+    * mislabel them. The schema is already on the lazy frame — the
+    * check costs nothing beyond the footer read the caller is about
+    * to do anyway.
+    */
+  private def requirePlainLog(df: DataFrame, path: String): DataFrame = {
+    require(!df.columns.contains(OpCol),
+      s"$path is an OPS log (has $OpCol) — use snapshotAtOps/" +
+        "changesBetweenOps/checkpointOps, or tombstones would read " +
+        "as ordinary rows")
+    df
+  }
+
   /** The table as of commit `v` (inclusive): keyed last-write-wins over
     * the partition-pruned commits ≤ v. Returns the data columns only —
     * `_commit` is the log's coordinate, not the table's.
@@ -76,13 +91,15 @@ object Changelog {
   def snapshotAt(spark: SparkSession, path: String, keys: Seq[String],
                  v: Long): DataFrame =
     Upsert.latestByKey(
-      spark.read.parquet(path).filter(col(CommitCol) <= v),
+      requirePlainLog(spark.read.parquet(path), path)
+        .filter(col(CommitCol) <= v),
       keys, col(CommitCol)).drop(CommitCol)
 
   /** Latest committed snapshot (AS OF the max commit id present). */
   def snapshotLatest(spark: SparkSession, path: String,
                      keys: Seq[String]): DataFrame =
-    Upsert.latestByKey(spark.read.parquet(path), keys, col(CommitCol))
+    Upsert.latestByKey(requirePlainLog(spark.read.parquet(path), path),
+        keys, col(CommitCol))
       .drop(CommitCol)
 
   /** CHANGE DATA FEED between two snapshots — every key whose tracked
@@ -129,7 +146,7 @@ object Changelog {
     require(keys.forall(!generated.contains(_)),
       s"key columns collide with generated feed columns: " +
         keys.filter(generated.contains).mkString(", "))
-    val log = spark.read.parquet(path)
+    val log = requirePlainLog(spark.read.parquet(path), path)
     val touched = log
       .filter(col(CommitCol) > v0 && col(CommitCol) <= v1)
       .select(keys.map(col): _*).distinct()
@@ -167,7 +184,8 @@ object Changelog {
   def snapshotAtEvolved(spark: SparkSession, path: String,
                         keys: Seq[String], v: Long): DataFrame =
     Upsert.latestByKey(
-      spark.read.option("mergeSchema", "true").parquet(path)
+      requirePlainLog(
+        spark.read.option("mergeSchema", "true").parquet(path), path)
         .filter(col(CommitCol) <= v),
       keys, col(CommitCol)).drop(CommitCol)
 
@@ -225,13 +243,25 @@ object Changelog {
       .withColumn(OpCol, lit("d")), path, commitId)
   }
 
+  /** The mirror guard: ops reads against a PLAIN log fail with the
+    * API pointer, not an unresolved-column error.
+    */
+  private def requireOpsLog(df: DataFrame, path: String): DataFrame = {
+    require(df.columns.contains(OpCol),
+      s"$path is not an ops log (no $OpCol column) — use snapshotAt/" +
+        "changesBetween/checkpoint, or build it with commitUpsert/" +
+        "commitDelete")
+    df
+  }
+
   /** The ops table as of commit `v`: keyed LWW over pruned commits,
     * tombstoned keys REMOVED. Data columns only.
     */
   def snapshotAtOps(spark: SparkSession, path: String, keys: Seq[String],
                     v: Long): DataFrame =
     Upsert.latestByKey(
-      spark.read.parquet(path).filter(col(CommitCol) <= v),
+      requireOpsLog(spark.read.parquet(path), path)
+        .filter(col(CommitCol) <= v),
       keys, col(CommitCol))
       .filter(col(OpCol) === "u")
       .drop(CommitCol, OpCol)
@@ -258,7 +288,7 @@ object Changelog {
     require(keys.forall(!generated.contains(_)),
       s"key columns collide with generated feed columns: " +
         keys.filter(generated.contains).mkString(", "))
-    val log = spark.read.parquet(path)
+    val log = requireOpsLog(spark.read.parquet(path), path)
     val touched = log
       .filter(col(CommitCol) > v0 && col(CommitCol) <= v1)
       .select(keys.map(col): _*).distinct()
@@ -299,7 +329,8 @@ object Changelog {
     val staging = s"${path.stripSuffix("/")}__ckpt_staging_v$v"
     Sinks.deleteRecursively(staging)
     Upsert.latestByKey(
-      spark.read.option("mergeSchema", "true").parquet(path)
+      requireOpsLog(
+        spark.read.option("mergeSchema", "true").parquet(path), path)
         .filter(col(CommitCol) <= v),
       keys, col(CommitCol))
       .filter(col(OpCol) === "u")
@@ -362,7 +393,8 @@ object Changelog {
     val staging = s"${path.stripSuffix("/")}__ckpt_staging_v$v"
     Sinks.deleteRecursively(staging)
     Upsert.latestByKey(
-      spark.read.option("mergeSchema", "true").parquet(path)
+      requirePlainLog(
+        spark.read.option("mergeSchema", "true").parquet(path), path)
         .filter(col(CommitCol) <= v),
       keys, col(CommitCol)).drop(CommitCol)
       .write.mode("overwrite").parquet(staging)

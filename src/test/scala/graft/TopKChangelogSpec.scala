@@ -272,6 +272,38 @@ class TopKChangelogSpec extends SparkSpec {
         Seq(("k1", "a", "u")).toDF("k", "v", Changelog.OpCol), ops, 1L))
   }
 
+  test("plain and ops APIs refuse each other's logs loudly — a plain " +
+       "read of an ops log would surface tombstones as rows") {
+    val plain = Sinks.tmpPath("changelog_spec_mutual_plain")
+    val ops = Sinks.tmpPath("changelog_spec_mutual_ops")
+    Sinks.deleteRecursively(plain); Sinks.deleteRecursively(ops)
+    Changelog.commit(Seq(("k1", "a")).toDF("k", "v"), plain, 0L)
+    Changelog.commitUpsert(Seq(("k1", "a")).toDF("k", "v"), ops, 0L)
+    // ops log through the plain API: refused (every entry point)
+    val e = intercept[IllegalArgumentException](
+      Changelog.snapshotAt(spark, ops, Seq("k"), 0L))
+    assert(e.getMessage.contains("snapshotAtOps"))
+    intercept[IllegalArgumentException](
+      Changelog.snapshotLatest(spark, ops, Seq("k")))
+    intercept[IllegalArgumentException](
+      Changelog.snapshotAtEvolved(spark, ops, Seq("k"), 0L))
+    intercept[IllegalArgumentException](
+      Changelog.changesBetween(spark, ops, Seq("k"), 0L, 1L, Seq("v")))
+    intercept[IllegalArgumentException](
+      Changelog.checkpoint(spark, ops, Seq("k"), 0L))
+    // plain log through the ops API: refused with the API pointer
+    val e2 = intercept[IllegalArgumentException](
+      Changelog.snapshotAtOps(spark, plain, Seq("k"), 0L))
+    assert(e2.getMessage.contains("commitUpsert"))
+    intercept[IllegalArgumentException](
+      Changelog.changesBetweenOps(spark, plain, Seq("k"), 0L, 1L, Seq("v")))
+    intercept[IllegalArgumentException](
+      Changelog.checkpointOps(spark, plain, Seq("k"), 0L))
+    // and the refused checkpoints deleted nothing
+    assert(Changelog.snapshotAtOps(spark, ops, Seq("k"), 0L).count() == 1L)
+    assert(Changelog.snapshotAt(spark, plain, Seq("k"), 0L).count() == 1L)
+  }
+
   // ---- Concurrency (round-12: pin the MVCC claims under racing
   // writers/readers, not just sequential crash-retry) ----------------
 
