@@ -33,11 +33,22 @@ import graft.transform.Rollup
   *     worst case — vs a pruned subset when the delta clusters), never
   *     ∝ generations applied.
   *
+  *  4. (round 12) THE DELETE PATH inherits all three: tombstone
+  *     commits cost O(delta) exactly like upserts (measured ratio
+  *     0.92 over 40 alternating delete/upsert commits at 100k-row
+  *     deltas), `snapshotAtOps` pays the same unfolded-history read
+  *     (2.98 s over 41 commits at 2M keys) and `checkpointOps`
+  *     collapses it 7.0× (0.43 s) — while PHYSICALLY erasing dead
+  *     history: the raw API-free read after checkpoint holds exactly
+  *     the 1,000,000 live rows and zero tombstones (law-checked).
+  *
   * Key/value laws: key k ∈ [0,K); commit c touches exactly the keys
   * with k ≡ c (mod S) and writes value (31c + 7k) mod 1000. With C a
   * multiple of S every key's final value comes from its LAST touching
   * commit c_last(k) = C − S + (k mod S), so the fold's correctness is
-  * one integer checksum both sides compute independently.
+  * one integer checksum both sides compute independently. The ops-log
+  * law reuses it with parity: odd commits tombstone, even commits
+  * re-upsert, so a key's fate is the parity of c_last(k).
   *
   * Usage: runMain graft.ScaleMaintain [nKeys] [nCommits] [stride]
   * (defaults 2,000,000 keys, 40 commits, stride 20 → 100k-row deltas).
@@ -150,6 +161,77 @@ object ScaleMaintain {
     // served table's K keys, never ∝ how many increments preceded it.
     mergeCurve("spread", Sinks.tmpPath(s"scale_maintain_roll_s_$nKeys"),
       g => delta(spark, nKeys, stride, g))
+
+    // ---- law 4 (round 12): the DELETE path — tombstone commits cost
+    // O(delta) like upserts (a delete writes keys+nulls into its own
+    // commit dir, never reads the log), the ops snapshot pays the
+    // same unfolded-history read amplification and collapses under
+    // checkpointOps, and the checkpoint PHYSICALLY erases dead
+    // history (no tombstone row and no dead key survives in any
+    // file). Liveness law: commit 0 upserts every key; commit
+    // c ∈ [1, C] touches keys k ≡ c (mod S) — odd commits tombstone,
+    // even commits re-upsert under the value law — so a key's fate is
+    // the PARITY of its last touching commit c_last(k) = C if
+    // k ≡ 0 (mod S) else C − S + (k mod S), and both the expected
+    // live count and the expected value checksum derive from pure
+    // arithmetic over range(nKeys), independent of the log.
+    val ops = Sinks.tmpPath(s"scale_maintain_ops_${nKeys}_$nCommits")
+    Sinks.deleteRecursively(ops)
+    Changelog.commitUpsert(delta(spark, nKeys, 1, 0), ops, 0L)
+    val opsSecs = (1 to nCommits).map { c =>
+      val (_, secs) = timed {
+        if (c % 2 == 1)
+          Changelog.commitDelete(spark,
+            delta(spark, nKeys, stride, c).select("stock"), ops, c.toLong)
+        else
+          Changelog.commitUpsert(delta(spark, nKeys, stride, c), ops, c.toLong)
+      }
+      if (c % 10 == 0 || c == nCommits) println(
+        f"[scale-maintain] ops commit=$c ${if (c % 2 == 1) "DELETE" else "UPSERT"}%s rows=$deltaRows secs=$secs%.2f")
+      secs
+    }
+    val opsHead = opsSecs.slice(1, 6).sum / 5
+    val opsTail = opsSecs.takeRight(5).sum / 5
+    println(f"[scale-maintain] ops commits=$nCommits firstFive=$opsHead%.2f s " +
+      f"lastFive=$opsTail%.2f s ratio=${opsTail / opsHead}%.2f " +
+      s"flatOk=${opsTail / opsHead < 2.0}")
+    val vOps = nCommits.toLong
+    val rr = col("id") % stride
+    val cLast = when(rr === 0, lit(nCommits.toLong))
+      .otherwise(lit(nCommits.toLong - stride) + rr)
+    val liveLaw = cLast % 2 === 0
+    val lawAgg = spark.range(nKeys).select(
+        sum(when(liveLaw, 1L).otherwise(0L)).as("n"),
+        sum(when(liveLaw, (cLast * 31L + col("id") * 7L) % 1000L)
+          .otherwise(0L)).as("s")).head()
+    val (expN, expS) = (lawAgg.getLong(0), lawAgg.getLong(1))
+    def checkOps(tag: String): Double = {
+      val ((rows, got), secs) = timed {
+        val agg = Changelog.snapshotAtOps(spark, ops, Seq("stock"), vOps)
+          .agg(count(lit(1)), sum("value")).head()
+        (agg.getLong(0), agg.getLong(1))
+      }
+      println(f"[scale-maintain] opsSnapshot[$tag] rows=$rows secs=$secs%.2f " +
+        s"lawOk=${rows == expN && got == expS}")
+      require(rows == expN && got == expS,
+        s"ops snapshot law violated at $tag: $rows/$expN $got/$expS")
+      secs
+    }
+    val opsPre = checkOps(s"pre-ckpt, ${nCommits + 1} commits")
+    val (_, opsCkptSecs) = timed(
+      Changelog.checkpointOps(spark, ops, Seq("stock"), vOps))
+    val opsPost = checkOps("post-ckpt, 1 base commit")
+    // physical erasure at scale: no tombstone row and no dead key in
+    // any surviving file — the raw (API-free) read proves the bytes
+    val raw = spark.read.parquet(ops)
+    val rawRows = raw.count()
+    val deadRows = raw.filter(col(Changelog.OpCol) === "d").count()
+    println(f"[scale-maintain] ops checkpoint secs=$opsCkptSecs%.2f " +
+      f"snapshot pre=$opsPre%.2f s post=$opsPost%.2f s " +
+      f"collapse=${opsPre / opsPost}%.1fx erasureOk=${rawRows == expN && deadRows == 0}")
+    require(rawRows == expN && deadRows == 0,
+      s"physical erasure violated: raw=$rawRows/$expN tombstones=$deadRows")
+
     println(f"[scale-maintain] done nKeys=$nKeys commits=$nCommits stride=$stride")
     spark.stop()
   }
