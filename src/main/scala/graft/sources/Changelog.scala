@@ -225,7 +225,10 @@ object Changelog {
     */
   def commitDelete(spark: SparkSession, keys: DataFrame, path: String,
                    commitId: Long): Unit = {
-    val schema = spark.read.parquet(path).schema
+    // union schema on purpose: after evolution a single-footer read
+    // could derive a pre-evolution tombstone shape; deletes are rare
+    // enough that the footer-merge planning cost is the right trade
+    val schema = spark.read.option("mergeSchema", "true").parquet(path).schema
     require(schema.fieldNames.contains(OpCol),
       s"$path is not an ops log (no $OpCol column) — deletes need " +
         "commitUpsert/commitDelete from the start")
@@ -261,6 +264,26 @@ object Changelog {
                     v: Long): DataFrame =
     Upsert.latestByKey(
       requireOpsLog(spark.read.parquet(path), path)
+        .filter(col(CommitCol) <= v),
+      keys, col(CommitCol))
+      .filter(col(OpCol) === "u")
+      .drop(CommitCol, OpCol)
+
+  /** [[snapshotAtEvolved]] for the ops log: same union-schema fold
+    * (columns only ever ADDED; pre-evolution rows null-fill), same
+    * separate-entry-point rule (footer-merge planning is opt-in), and
+    * the liveness filter works unchanged — `_op` is present in every
+    * commit by construction, so evolution can never strand a
+    * tombstone. Pairs with [[checkpointOps]], whose fold already
+    * reads mergeSchema for exactly this case (a single-footer fold
+    * would silently drop later-added columns, then vacuum the only
+    * copy).
+    */
+  def snapshotAtOpsEvolved(spark: SparkSession, path: String,
+                           keys: Seq[String], v: Long): DataFrame =
+    Upsert.latestByKey(
+      requireOpsLog(
+        spark.read.option("mergeSchema", "true").parquet(path), path)
         .filter(col(CommitCol) <= v),
       keys, col(CommitCol))
       .filter(col(OpCol) === "u")

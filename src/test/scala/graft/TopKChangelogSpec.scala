@@ -272,6 +272,32 @@ class TopKChangelogSpec extends SparkSpec {
         Seq(("k1", "a", "u")).toDF("k", "v", Changelog.OpCol), ops, 1L))
   }
 
+  test("ops log under schema evolution: snapshotAtOpsEvolved null-fills " +
+       "pre-evolution rows, tombstones placed after evolution still " +
+       "delete, and checkpointOps preserves the union schema") {
+    val path = Sinks.tmpPath("changelog_spec_ops_evo")
+    Sinks.deleteRecursively(path)
+    Changelog.commitUpsert(
+      Seq(("k1", "a"), ("k2", "b")).toDF("k", "v"), path, 0L)
+    // commit 1 EVOLVES: adds a tag column
+    Changelog.commitUpsert(
+      Seq(("k3", "c", "t1")).toDF("k", "v", "tag"), path, 1L)
+    // commit 2 deletes k1 AFTER evolution — the tombstone shape must
+    // come from the union schema, or the added column strands
+    Changelog.commitDelete(spark, Seq("k1").toDF("k"), path, 2L)
+    val got = Changelog.snapshotAtOpsEvolved(spark, path, Seq("k"), 2L)
+      .select("k", "v", "tag")
+      .as[(String, String, Option[String])].collect().sorted.toSeq
+    assert(got == Seq(("k2", "b", None), ("k3", "c", Some("t1"))))
+    // checkpoint folds the union schema and erases the dead key
+    Changelog.checkpointOps(spark, path, Seq("k"), 2L)
+    val after = Changelog.snapshotAtOpsEvolved(spark, path, Seq("k"), 2L)
+      .select("k", "v", "tag")
+      .as[(String, String, Option[String])].collect().sorted.toSeq
+    assert(after == got)
+    assert(spark.read.parquet(path).filter(col("k") === "k1").isEmpty)
+  }
+
   test("plain and ops APIs refuse each other's logs loudly — a plain " +
        "read of an ops log would surface tombstones as rows") {
     val plain = Sinks.tmpPath("changelog_spec_mutual_plain")
