@@ -113,6 +113,23 @@ object AuditQueries {
     path
   }
 
+  /** The SAME three deliveries with commit 2 EVOLVING the schema (an
+    * added `src` provenance column) — the q185 subject: deletes and
+    * evolution on one log, the long-lived-table reality.
+    */
+  private def opsLogEvolved(s: SparkSession, d: String): String = {
+    val path = Sinks.tmpPathFor("orders_ops_log_evo", d)
+    Sinks.deleteRecursively(path)
+    val o = opsOrders(s, d)
+    val k = col("o_orderkey")
+    Changelog.commitUpsert(o.filter(k % 4 =!= 3), path, 0L)
+    Changelog.commitDelete(s,
+      o.filter(k % 4 =!= 3 && k % 10 === 0).select("o_orderkey"), path, 1L)
+    Changelog.commitUpsert(opsCommit2(o).withColumn("src", lit("v2")),
+      path, 2L)
+    path
+  }
+
   /** The same three ops deliveries as landing FILES for the streaming
     * leg (q184), mtimes spaced so the file source orders micro-batches
     * day-by-day (the StreamIvm staging discipline); tombstone rows
@@ -222,6 +239,19 @@ object AuditQueries {
         .select(col("o_custkey"), col("n_orders"),
           (col("_c").cast("double") / 100.0).as("sum_price"))
     }),
+
+    // DELETES + SCHEMA EVOLUTION on one log — the long-lived-table
+    // reality (columns get added over years; deletion requests keep
+    // arriving): commit 2 carries an added `src` provenance column,
+    // the union-schema fold null-fills the pre-evolution survivors,
+    // the liveness filter works unchanged (`_op` is in every commit
+    // by construction — evolution can never strand a tombstone), and
+    // exactly the rows whose latest version is the evolved commit
+    // carry the new column — the q143 evolution law, now with the
+    // delete classes interleaved.
+    "q185_ops_evolved_snapshot" -> ((s, d) =>
+      Changelog.snapshotAtOpsEvolved(s, opsLogEvolved(s, d),
+        Seq("o_orderkey"), 2L)),
 
     // STREAMING CDC INGESTION into the ops log — the delete path's
     // delivery leg: the three ops commits land as files (mtime-
@@ -699,6 +729,25 @@ object AuditQueries {
         |  CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
         |       AS BIGINT) AS DOUBLE) / 100.0 AS sum_price
         |FROM live GROUP BY o_custkey""".stripMargin,
+
+    // q181's live state + the evolution law: exactly the rows whose
+    // latest version is the evolved commit-2 delivery carry src='v2'
+    // (resurrections, the insert tail, the update and no-op-rewrite
+    // branches); everything else null-fills
+    "q185_ops_evolved_snapshot" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |       WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |            AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderkey % 20 = 0 OR o_orderkey % 4 = 3
+        |         OR (o_orderkey % 10 <> 0
+        |             AND o_orderkey % 7 IN (1, 2)) THEN 'v2'
+        |  END AS src
+        |FROM orders
+        |WHERE o_orderkey % 4 = 3
+        |   OR o_orderkey % 10 <> 0
+        |   OR o_orderkey % 20 = 0""".stripMargin,
 
     // the streaming delivery must converge to the SAME live state as
     // the batch ops log (q181's oracle verbatim)
