@@ -73,6 +73,9 @@ object Bench {
     // Fragmented orders copy (q84 compaction subject).
     try graft.queries.MiningQueries.stageFixtures(spark, sfDir)
     catch { case _: Throwable => () }
+    // q184 streaming ops-CDC landing files (mtime-ordered micro-batches).
+    try graft.queries.AuditQueries.stageFixtures(spark, sfDir)
+    catch { case _: Throwable => () }
 
     val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt max 1
     // Opt-in subset filter (comma-separated names) for targeted

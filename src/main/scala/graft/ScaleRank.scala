@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.Interleave
+import graft.ext.{Encoding, Interleave}
 
 /** Scale-evidence harness for the bucketed prefix-sum rank kernel
   * (ext/Interleave.bucketedGroupRank, backing q139's interleave and
@@ -85,6 +85,33 @@ object ScaleRank {
           1L << 16, Seq(col("rid")), "r"))
       }
       require(wg == kg, s"global checksums diverge at G=$groups: $wg vs $kg")
+    }
+
+    // ---- huge-vocab STRING dictionary (ext/Encoding, the q162 scale
+    // path): sorted-distinct label ids over an embedding-table-scale
+    // vocabulary. The window form is ONE task sorting every term; the
+    // bucketed form (2-byte UTF-8 prefix buckets) is the global-rank
+    // kernel specialized to string order. Terms are base-36 renderings
+    // of a bijective odd-multiplier map — all distinct, prefixes spread
+    // over ~36² buckets (the shape a real token vocabulary has).
+    {
+      val v = math.min(n, 10000000L)
+      val vocab = spark.range(v).select(
+        conv(pmod(col("id") * 2654435761L, lit(1L << 30)).cast("string"),
+          10, 36).as("term"))
+        .localCheckpoint()
+      // order-free integer checksum over the (term, id) assignment —
+      // equal iff both forms produce the identical dictionary
+      def dictChecksum(df: org.apache.spark.sql.DataFrame): Long =
+        df.select(sum((col("term_id") + 1L) *
+          pmod(xxhash64(col("term")), lit(1009L))).as("c")).as[Long].head()
+      val dw = timed(s"window  dictionary V=$v") {
+        dictChecksum(Encoding.dictionary(vocab, "term", "term_id"))
+      }
+      val dk = timed(s"kernel  dictionary V=$v (dictionaryBucketed)") {
+        dictChecksum(Encoding.dictionaryBucketed(vocab, "term", "term_id"))
+      }
+      require(dw == dk, s"dictionary checksums diverge: $dw vs $dk")
     }
     spark.stop()
   }

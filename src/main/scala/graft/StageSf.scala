@@ -18,6 +18,12 @@ import graft.sources.Sinks
   *    remapped into disjoint ranges (cardinalities scale with the
   *    data; value/event_type/ts distributions are preserved exactly,
   *    so per-type quantile work scales 10× without changing shape);
+  *  - replicates orders.parquet `factor`× the same way (o_orderkey /
+  *    o_custkey into disjoint ranges — the round-13 input for the
+  *    delete/CDC family's sf1.0 row: q181–q186 build their ops logs
+  *    over orders, so orders must PHYSICALLY exist at 10×; the key
+  *    shift is a multiple of 2^20, preserving the small-modulus
+  *    planted-law class shapes each copy carries);
   *  - hard-links every other table unchanged (only non-flagship
   *    queries read them; linking keeps per-JVM fixture staging from
   *    aborting — the BASELINE.md row documents which tables are
@@ -44,8 +50,9 @@ object StageSf {
 
     Sinks.deleteRecursively(dst)
     new java.io.File(dst).mkdirs()
+    val scaled = Set("events.parquet", "orders.parquet")
     Option(new java.io.File(src).listFiles()).toSeq.flatten
-      .filter(f => f.getName.endsWith(".parquet") && f.getName != "events.parquet")
+      .filter(f => f.getName.endsWith(".parquet") && !scaled(f.getName))
       .foreach { f =>
         if (f.isDirectory) Sinks.hardlinkTree(f.getAbsolutePath, s"$dst/${f.getName}")
         else java.nio.file.Files.createLink(
@@ -63,8 +70,25 @@ object StageSf {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
     val n = spark.read.parquet(s"$dst/events.parquet").count()
+
+    // orders ×factor: key spans rounded up to a 2^20 multiple so each
+    // copy's shifted keys keep the base copy's residues mod the small
+    // planted-law divisors' power-of-two parts, and customer
+    // cardinality scales WITH the rows (per-customer group sizes stay
+    // realistic instead of deepening 10×)
+    val ord = Tables.orders(spark, src)
+    val ob = ord.agg(max("o_orderkey"), max("o_custkey")).collect().head
+    def spanUp(x: Long): Long = ((x + (1L << 20)) >> 20) << 20
+    val (okSpan, ocSpan) = (spanUp(ob.getLong(0)), spanUp(ob.getLong(1)))
+    (0 until factor).map { i =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * okSpan))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * ocSpan))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    val no = spark.read.parquet(s"$dst/orders.parquet").count()
     println(s"[stagesf] $dst staged: events x$factor = $n rows; " +
-      "other tables hard-linked from " + src)
+      s"orders x$factor = $no rows; other tables hard-linked from " + src)
     spark.stop()
   }
 }

@@ -101,8 +101,16 @@ object AuditQueries {
       .unionByName(o.filter(k % 4 =!= 3 && k % 10 =!= 0 && k % 7 === 2))
   }
 
-  private def opsLog(s: SparkSession, d: String): String = {
-    val path = Sinks.tmpPathFor("orders_ops_log", d)
+  /** `name` keeps each caller's rebuild in its own directory: the log
+    * is rebuilt per invocation (committing is the subject — the q129
+    * discipline) while the returned DataFrame stays lazy, so two
+    * queries sharing one path could race a rebuild against a read if
+    * the harness ever interleaved them. Sequential execution is the
+    * current contract, but per-query paths make the rebuild unable to
+    * cross-contaminate regardless.
+    */
+  private def opsLog(s: SparkSession, d: String, name: String): String = {
+    val path = Sinks.tmpPathFor(name, d)
     Sinks.deleteRecursively(path)
     val o = opsOrders(s, d)
     val k = col("o_orderkey")
@@ -168,11 +176,22 @@ object AuditQueries {
       days.foreach { day =>
         val before = files()
         day.coalesce(1).write.mode("append").parquet(path)
-        (files() -- before).foreach(_.setLastModified(mtime))
+        // micro-batch order (and therefore commit-id LWW order) rides
+        // on these mtimes — a filesystem that refuses the stamp must
+        // fail at staging time, not as a nondeterministic oracle miss
+        (files() -- before).foreach(f =>
+          require(f.setLastModified(mtime), s"setLastModified failed on $f"))
         mtime += 2000L
       }
       path
     })
+
+  /** Stage the q184 streaming landing outside the timed window (the
+    * ScaleQueries.stageFixtures discipline: trial 1 must never time
+    * fixture writes — the memo already makes trials 2+ free).
+    */
+  def stageFixtures(s: SparkSession, d: String): Unit =
+    stagedOpsLanding(s, d): Unit
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -184,7 +203,8 @@ object AuditQueries {
     // compaction; the liveness filter is one predicate AFTER the
     // per-key reduction.
     "q181_ops_snapshot" -> ((s, d) =>
-      Changelog.snapshotAtOps(s, opsLog(s, d), Seq("o_orderkey"), 2L)),
+      Changelog.snapshotAtOps(s, opsLog(s, d, "orders_ops_log_q181"),
+        Seq("o_orderkey"), 2L)),
 
     // FULL-LABEL CHANGE DATA FEED over the ops log: insert / update /
     // DELETE (old values carried on the delete row — the downstream
@@ -194,8 +214,8 @@ object AuditQueries {
     // the pruned (v0, v1] commits, endpoint states semi-joined to
     // candidates before compaction.
     "q182_ops_cdf" -> ((s, d) =>
-      Changelog.changesBetweenOps(s, opsLog(s, d), Seq("o_orderkey"),
-        0L, 2L, trackCols = Seq("o_totalprice"))),
+      Changelog.changesBetweenOps(s, opsLog(s, d, "orders_ops_log_q182"),
+        Seq("o_orderkey"), 0L, 2L, trackCols = Seq("o_totalprice"))),
 
     // DELETE-AWARE CDF MAINTENANCE — the proof q182's feed is
     // SUFFICIENT for a downstream consumer to maintain an exact
@@ -213,7 +233,7 @@ object AuditQueries {
     // key — never classifies) so delete rows can group by their OLD
     // customer.
     "q183_ops_cdf_maintenance" -> ((s, d) => {
-      val path = opsLog(s, d)
+      val path = opsLog(s, d, "orders_ops_log_q183")
       val cents = (c: org.apache.spark.sql.Column) =>
         (round(c * 100)).cast("long")
       val roll0 = Changelog.snapshotAtOps(s, path, Seq("o_orderkey"), 0L)
@@ -284,6 +304,44 @@ object AuditQueries {
         .start()
       q.awaitTermination()
       Changelog.snapshotAtOps(s, path, Seq("o_orderkey"), Long.MaxValue)
+    }),
+
+    // STREAMING CDC CONSUMER — the fifth IVM path: q183's signed-delta
+    // maintenance driven from the ops log's OWN change feed inside
+    // foreachBatch (per-micro-batch (b−1, b] windows over the q184
+    // ingestion), never the producer's frames. Each batch lands its
+    // upserts+tombstones as ops commit b, derives the full-label feed
+    // for exactly that window, and commits the signed delta additively
+    // — insert +1/+new, update +new−old, delete −1/−old. The served
+    // rollup must equal the recompute from the final live state —
+    // q183's oracle verbatim, reached through streaming delivery.
+    "q186_stream_cdc_maintenance" -> ((s, d) => {
+      val landing = stagedOpsLanding(s, d)
+      val opsPath = Sinks.tmpPathFor("orders_ops_cdcm_log", d)
+      val rollPath = Sinks.tmpPathFor("orders_ops_cdcm_roll", d)
+      val ckpt = Sinks.tmpPathFor("orders_ops_cdcm_ckpt", d)
+      Sinks.deleteRecursively(opsPath)
+      Sinks.deleteRecursively(rollPath)
+      Sinks.deleteRecursively(ckpt)
+      val q = s.readStream.schema(OpsLandingSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            graft.streaming.StreamIvm.applyBatchCdc(s,
+              batch.withColumnRenamed("op", Changelog.OpCol), batchId,
+              opsPath, rollPath, key = "o_orderkey",
+              groupCol = "o_custkey", measure = "o_totalprice")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.StreamIvm.servedCdcRollup(s, rollPath, "o_custkey")
+        .select(col("o_custkey"), col("n_rows").as("n_orders"),
+          col("sum_measure").as("sum_price"))
     }),
 
     // STR — sliding (hopping) windows: each event in 2 overlapping
@@ -748,6 +806,24 @@ object AuditQueries {
         |WHERE o_orderkey % 4 = 3
         |   OR o_orderkey % 10 <> 0
         |   OR o_orderkey % 20 = 0""".stripMargin,
+
+    // the CDC-consumer stream must converge to the same rollup as the
+    // recompute from the final live state (q183's oracle verbatim)
+    "q186_stream_cdc_maintenance" ->
+      """WITH live AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |         WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |              AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 4 = 3
+        |     OR o_orderkey % 10 <> 0
+        |     OR o_orderkey % 20 = 0)
+        |SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |       AS BIGINT) AS DOUBLE) / 100.0 AS sum_price
+        |FROM live GROUP BY o_custkey""".stripMargin,
 
     // the streaming delivery must converge to the SAME live state as
     // the batch ops log (q181's oracle verbatim)

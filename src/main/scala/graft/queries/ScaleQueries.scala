@@ -505,6 +505,58 @@ object ScaleQueries {
           col("loaded_at"))
     }),
 
+    // S4 hardening — connector FILTER pushdown (SupportsPushDownFilters):
+    // a symbol range + IN predicate must reach the scan (require()d in
+    // PushedFilters, the q160 discipline), prune the connector's
+    // partition PLAN to the matching indices, and — the part a plan
+    // string cannot show — non-matching payloads must never be BUILT:
+    // the payloadBuilds counter is sampled around a forced full
+    // materialization and must advance by exactly the matching count.
+    // This is details.py:139–153's per-symbol fetch shape: the
+    // connector fetches the symbols the query names, never the
+    // universe.
+    "q187_connector_filter_pushdown" -> ((s, _) => {
+      import org.apache.spark.sql.types.StructType
+      val scan = s.read
+        .format(classOf[graft.sources.ProfileConnector].getName)
+        .option("symbols", VerifyN).option("numPartitions", 8).load()
+        .filter(col("symbol") >= "S00005" && col("symbol") <= "S00017" &&
+          !col("symbol").isin("S00007", "S00011"))
+      val plan = scan.queryExecution.executedPlan.toString
+      require(plan.contains("PushedFilters: [") &&
+        plan.contains("GreaterThanOrEqual(symbol,S00005)") &&
+        plan.contains("LessThanOrEqual(symbol,S00017)"),
+        s"symbol range must reach the connector scan, plan was:\n$plan")
+      // isin-negation stays a residual (Not is not pushable here) —
+      // Spark evaluates it above the scan; the RANGE alone bounds the
+      // fetched/built set to 13 symbols, of which 13 match the range
+      val before = graft.sources.ProfileConnector.payloadBuilds.get()
+      // collect the lengths, not count() — count would prune the
+      // payload column away and the probe would prove nothing
+      val lens = scan.select(col("symbol"), length(col("payload")).as("l"))
+        .collect()
+      val built = graft.sources.ProfileConnector.payloadBuilds.get() - before
+      require(lens.length == 11 && lens.forall(_.getInt(1) > 10000),
+        s"expected 11 surviving symbols with real payloads, got " +
+          s"${lens.length}")
+      require(built == 13L,
+        s"pushdown must fetch only the 13 range-matching symbols " +
+          s"(never the $VerifyN universe); built $built payloads")
+      val infoSchema = new StructType().add("info", new StructType()
+        .add("currency", "string")
+        .add("fullTimeEmployees", "string")
+        .add("sector", "string"))
+      scan
+        .select(col("symbol"),
+          from_json(col("payload"), infoSchema).getField("info").as("_i"),
+          col("loaded_at"))
+        .select(col("symbol"),
+          col("_i.currency").as("currency"),
+          col("_i.fullTimeEmployees").cast("int").as("employees"),
+          col("_i.sector").as("sector"),
+          col("loaded_at"))
+    }),
+
     // JDBC warehouse round-trip (sources/JdbcStore) — the reference's
     // primary storage interface (MySQL append/point-read) exercised
     // through Spark's actual JDBC surface against the embedded Derby
@@ -1437,6 +1489,22 @@ object ScaleQueries {
          |  CASE WHEN i % 2 = 0 THEN TIMESTAMP '2025-08-15 00:00:00'
          |       ELSE TIMESTAMP '2025-08-16 00:00:00' END AS loaded_at
          |FROM syms""".stripMargin,
+
+    // the pushdown-pruned slice of the q67 law: range [5, 17] minus
+    // the two residual-filtered symbols (the require()s in the def
+    // pin that the pruning happened scan-side; the oracle pins that
+    // it pruned NOTHING it shouldn't have)
+    "q187_connector_filter_pushdown" ->
+      """WITH syms AS (SELECT range AS i FROM range(5, 18)
+        |             WHERE range NOT IN (7, 11))
+        |SELECT
+        |  'S' || lpad(CAST(i AS VARCHAR), 5, '0') AS symbol,
+        |  (LIST_VALUE('USD','EUR','JPY','GBP'))[CAST(i % 4 AS INT) + 1] AS currency,
+        |  CAST((i*37) % 90000 + 10 AS INT) AS employees,
+        |  (LIST_VALUE('Technology','Energy','Healthcare','Financials','Utilities'))[CAST(i % 5 AS INT) + 1] AS sector,
+        |  CASE WHEN i % 2 = 0 THEN TIMESTAMP '2025-08-15 00:00:00'
+        |       ELSE TIMESTAMP '2025-08-16 00:00:00' END AS loaded_at
+        |FROM syms""".stripMargin,
 
     "q40_upsert_roundtrip" ->
       """WITH g0 AS (

@@ -34,6 +34,98 @@ object Changelog {
 
   val CommitCol = "_commit"
 
+  // ---- Checkpoint horizon -------------------------------------------
+  //
+  // `checkpoint`/`checkpointOps` ERASE history below the fold version.
+  // A snapshot below the horizon would read empty, and — worse — a
+  // change feed whose v0 sits below the horizon would see stateAt(v0)
+  // as empty and label EVERY surviving key `insert` with null olds,
+  // silently double-counting in any CDF-driven maintenance consumer
+  // (the q169/q183 contract). The horizon is therefore recorded in a
+  // `_graft_horizon` marker file (underscore-prefixed: Spark's file
+  // index skips it) written AFTER the folded base lands and BEFORE the
+  // vacuum destroys anything, and every versioned read fails loudly
+  // below it. A marker — not the min commit-dir id — because a fresh
+  // log whose first commit id is c0 > 0 legitimately has empty state
+  // below c0 (nothing ever existed), while below a checkpoint horizon
+  // state DID exist and was folded away; only the marker can tell the
+  // two apart.
+
+  private val HorizonMarker = "_graft_horizon"
+
+  private def horizonFile(path: String): java.io.File =
+    new java.io.File(new java.io.File(path), HorizonMarker)
+
+  /** The log's checkpoint horizon: versioned reads below this fail
+    * loudly. `Long.MinValue` for a never-checkpointed log.
+    */
+  def horizonOf(path: String): Long = {
+    val f = horizonFile(path)
+    if (!f.exists()) Long.MinValue
+    else new String(java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+  }
+
+  /** Record horizon `v` (monotonic max; atomic rename so a torn write
+    * can never produce a silently-wrong horizon).
+    */
+  private def writeHorizon(path: String, v: Long): Unit = {
+    if (v > horizonOf(path)) {
+      val tmp = new java.io.File(new java.io.File(path), s".$HorizonMarker.tmp")
+      java.nio.file.Files.write(tmp.toPath,
+        v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp.toPath, horizonFile(path).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private def requireAboveHorizon(path: String, v: Long, what: String): Unit = {
+    val h = horizonOf(path)
+    require(v >= h,
+      s"$what $v is below the checkpoint horizon $h of $path — history " +
+        "below the horizon was folded away; a snapshot there would read " +
+        "empty and a change feed would mislabel every surviving key as " +
+        "insert. Re-base the reader at or above the horizon.")
+  }
+
+  // ---- Write-path shape guard ---------------------------------------
+
+  /** Commits must not silently flip a log between plain and ops shape:
+    * a plain delta appended into an ops log gets `_op` null and the
+    * liveness filter classifies every such row DEAD (a mis-routed
+    * upsert vanishes from every snapshot); an ops delta into a plain
+    * log would surface tombstones as data rows. Mirror of
+    * requirePlainLog/requireOpsLog on the write path — one driver-side
+    * footer read, only when the log already exists.
+    */
+  private def requireMatchingShape(delta: DataFrame, path: String): Unit = {
+    // ONE file's footer decides the shape (every commit carries _op or
+    // none does, by induction on this very guard) — never a listing of
+    // the whole log, whose cost would grow with history
+    def firstParquet(dir: java.io.File): Option[java.io.File] = {
+      val children = Option(dir.listFiles()).toSeq.flatten.sortBy(_.getName)
+      children.find(f => f.isFile && f.getName.endsWith(".parquet"))
+        .orElse(children.filter(_.isDirectory)
+          .flatMap(firstParquet(_).toSeq).headOption)
+    }
+    val probe = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith(s"$CommitCol=")).sortBy(_.getName)
+      .flatMap(firstParquet(_).toSeq).headOption
+    probe.foreach { f =>
+      val logHasOp = delta.sparkSession.read
+        .parquet(f.getAbsolutePath).columns.contains(OpCol)
+      val deltaHasOp = delta.columns.contains(OpCol)
+      require(!logHasOp || deltaHasOp,
+        s"$path is an OPS log but the delta carries no $OpCol — such rows " +
+          "would compact as DEAD (liveness filter is _op = 'u'); use " +
+          "commitUpsert/commitDelete, or carry _op explicitly")
+      require(logHasOp || !deltaHasOp,
+        s"$path is a PLAIN log but the delta carries $OpCol — tombstones " +
+          "would read as ordinary rows; start an ops log at a fresh path")
+    }
+  }
+
   /** Append `delta` as commit `commitId`. Commit ids must be issued
     * monotonically by the caller (they are the version order); row-level
     * semantics are last-write-wins per key at read time, so a commit may
@@ -43,6 +135,7 @@ object Changelog {
     require(commitId >= 0, s"commitId must be >= 0, got $commitId")
     require(!delta.columns.contains(CommitCol),
       s"Changelog reserves column name $CommitCol; rename it on the input")
+    requireMatchingShape(delta, path)
     delta.withColumn(CommitCol, lit(commitId))
       .write.partitionBy(CommitCol).mode("append").parquet(path)
   }
@@ -63,6 +156,7 @@ object Changelog {
     require(commitId >= 0, s"commitId must be >= 0, got $commitId")
     require(!delta.columns.contains(CommitCol),
       s"Changelog reserves column name $CommitCol; rename it on the input")
+    requireMatchingShape(delta, path)
     delta.withColumn(CommitCol, lit(commitId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -89,11 +183,13 @@ object Changelog {
     * `_commit` is the log's coordinate, not the table's.
     */
   def snapshotAt(spark: SparkSession, path: String, keys: Seq[String],
-                 v: Long): DataFrame =
+                 v: Long): DataFrame = {
+    requireAboveHorizon(path, v, "snapshot version")
     Upsert.latestByKey(
       requirePlainLog(spark.read.parquet(path), path)
         .filter(col(CommitCol) <= v),
       keys, col(CommitCol)).drop(CommitCol)
+  }
 
   /** Latest committed snapshot (AS OF the max commit id present). */
   def snapshotLatest(spark: SparkSession, path: String,
@@ -138,6 +234,7 @@ object Changelog {
                      keys: Seq[String], v0: Long, v1: Long,
                      trackCols: Seq[String]): DataFrame = {
     require(v0 < v1, s"need v0 < v1, got $v0 >= $v1")
+    requireAboveHorizon(path, v0, "change-feed start version v0")
     // loud contract on generated names (the strideOrder discipline):
     // a key named change_type / _had_old, or a tracked column whose
     // old_/new_ form collides with a key, would silently clobber
@@ -182,12 +279,14 @@ object Changelog {
     * enforces without column-mapping metadata.
     */
   def snapshotAtEvolved(spark: SparkSession, path: String,
-                        keys: Seq[String], v: Long): DataFrame =
+                        keys: Seq[String], v: Long): DataFrame = {
+    requireAboveHorizon(path, v, "snapshot version")
     Upsert.latestByKey(
       requirePlainLog(
         spark.read.option("mergeSchema", "true").parquet(path), path)
         .filter(col(CommitCol) <= v),
       keys, col(CommitCol)).drop(CommitCol)
+  }
 
   // ---- Ops log: the DELETE path (tombstones) ------------------------
   //
@@ -208,6 +307,21 @@ object Changelog {
   // logical tombstone alone never gives.
 
   val OpCol = "_op"
+
+  /** Ops-compaction version order: (commit id, op rank) with the
+    * TOMBSTONE ranked ABOVE the upsert at equal commit id. A single
+    * commit carrying both an upsert and a tombstone for one key is a
+    * realistic interleave (a streaming CDC micro-batch mixing an
+    * update and a later delete of the same key, landed under one
+    * batchId) and `max_by` alone would tie arbitrarily — whether the
+    * key survived would be nondeterministic. Precedence is DELETE
+    * WINS: deterministic, and the conservative reading of "the batch's
+    * last word on this key included a delete". Callers who need
+    * intra-commit ordering finer than that must split the commit.
+    */
+  private def opsVersion: org.apache.spark.sql.Column =
+    struct(col(CommitCol),
+      when(col(OpCol) === "d", lit(1)).otherwise(lit(0)))
 
   /** Append `delta` as UPSERT rows of ops-commit `commitId`. */
   def commitUpsert(delta: DataFrame, path: String, commitId: Long): Unit = {
@@ -233,15 +347,26 @@ object Changelog {
       s"$path is not an ops log (no $OpCol column) — deletes need " +
         "commitUpsert/commitDelete from the start")
     val keyCols = keys.columns.toSet
+    require(keyCols.subsetOf(schema.fieldNames.toSet),
+      s"tombstone keys [${keys.columns.mkString(", ")}] not all present " +
+        s"in the log schema [${schema.fieldNames.mkString(", ")}]")
+    // type equality is part of the contract: a diverging key type
+    // (IntegerType keys into a LongType log) would append a commit
+    // whose parquet physical type differs from the rest of the log,
+    // silently poisoning later single-footer reads — fail loudly, the
+    // caller casts
+    keys.schema.fields.foreach { kf =>
+      val logType = schema(kf.name).dataType
+      require(kf.dataType == logType,
+        s"tombstone key ${kf.name} has type ${kf.dataType} but the log " +
+          s"stores $logType — cast the keys frame to the log's type")
+    }
     val full = schema.fields
       .filter(f => f.name != CommitCol && f.name != OpCol)
       .map { f =>
         if (keyCols.contains(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }
-    require(keyCols.subsetOf(schema.fieldNames.toSet),
-      s"tombstone keys [${keys.columns.mkString(", ")}] not all present " +
-        s"in the log schema [${schema.fieldNames.mkString(", ")}]")
     commit(keys.select(full.toIndexedSeq: _*)
       .withColumn(OpCol, lit("d")), path, commitId)
   }
@@ -261,13 +386,15 @@ object Changelog {
     * tombstoned keys REMOVED. Data columns only.
     */
   def snapshotAtOps(spark: SparkSession, path: String, keys: Seq[String],
-                    v: Long): DataFrame =
+                    v: Long): DataFrame = {
+    requireAboveHorizon(path, v, "snapshot version")
     Upsert.latestByKey(
       requireOpsLog(spark.read.parquet(path), path)
         .filter(col(CommitCol) <= v),
-      keys, col(CommitCol))
+      keys, opsVersion)
       .filter(col(OpCol) === "u")
       .drop(CommitCol, OpCol)
+  }
 
   /** [[snapshotAtEvolved]] for the ops log: same union-schema fold
     * (columns only ever ADDED; pre-evolution rows null-fill), same
@@ -280,14 +407,16 @@ object Changelog {
     * copy).
     */
   def snapshotAtOpsEvolved(spark: SparkSession, path: String,
-                           keys: Seq[String], v: Long): DataFrame =
+                           keys: Seq[String], v: Long): DataFrame = {
+    requireAboveHorizon(path, v, "snapshot version")
     Upsert.latestByKey(
       requireOpsLog(
         spark.read.option("mergeSchema", "true").parquet(path), path)
         .filter(col(CommitCol) <= v),
-      keys, col(CommitCol))
+      keys, opsVersion)
       .filter(col(OpCol) === "u")
       .drop(CommitCol, OpCol)
+  }
 
   /** [[changesBetween]] for the ops log — the full CDC label set
     * (insert / update / delete), NET semantics between the two
@@ -306,6 +435,7 @@ object Changelog {
                         keys: Seq[String], v0: Long, v1: Long,
                         trackCols: Seq[String]): DataFrame = {
     require(v0 < v1, s"need v0 < v1, got $v0 >= $v1")
+    requireAboveHorizon(path, v0, "change-feed start version v0")
     val generated = Set("change_type", "_old_live", "_new_live") ++
       trackCols.flatMap(c => Seq(s"old_$c", s"new_$c"))
     require(keys.forall(!generated.contains(_)),
@@ -317,7 +447,7 @@ object Changelog {
       .select(keys.map(col): _*).distinct()
     def stateAt(v: Long) = Upsert.latestByKey(
       log.filter(col(CommitCol) <= v).join(touched, keys, "left_semi"),
-      keys, col(CommitCol))
+      keys, opsVersion)
     val newSide = stateAt(v1).select(
       keys.map(col) ++ trackCols.map(c => col(c).as(s"new_$c")) :+
         (col(OpCol) === "u").as("_new_live"): _*)
@@ -349,17 +479,22 @@ object Changelog {
     */
   def checkpointOps(spark: SparkSession, path: String, keys: Seq[String],
                     v: Long): Unit = {
+    requireAboveHorizon(path, v, "checkpoint version")
     val staging = s"${path.stripSuffix("/")}__ckpt_staging_v$v"
     Sinks.deleteRecursively(staging)
     Upsert.latestByKey(
       requireOpsLog(
         spark.read.option("mergeSchema", "true").parquet(path), path)
         .filter(col(CommitCol) <= v),
-      keys, col(CommitCol))
+      keys, opsVersion)
       .filter(col(OpCol) === "u")
       .drop(CommitCol)
       .write.mode("overwrite").parquet(staging)
     commitIdempotent(spark.read.parquet(staging), path, v)
+    // horizon lands AFTER the base and BEFORE the vacuum: a crash here
+    // leaves reads below v failing loudly over still-intact history
+    // (re-run to finish) — never erased history with a silent read path
+    writeHorizon(path, v)
     val superseded = Option(new java.io.File(path).listFiles()).toSeq.flatten
       .filter { f =>
         val n = f.getName
@@ -383,9 +518,12 @@ object Changelog {
     * Kafka compacted topics, lakehouse VACUUM):
     *  - `snapshotAt(w)` for any w ≥ v is byte-identical before and
     *    after (the base holds exactly the pre-checkpoint state at v);
-    *  - snapshots BELOW the horizon (w < v) become empty — the log no
-    *    longer distinguishes pre-v states; pick v to match the
-    *    time-travel retention you owe readers.
+    *  - reads BELOW the horizon (w < v, or a change feed whose v0 < v)
+    *    FAIL LOUDLY — the log no longer distinguishes pre-v states, a
+    *    silent empty read would be wrong, and a feed would mislabel
+    *    every surviving key `insert`; the horizon marker records v so
+    *    the guard survives restarts. Pick v to match the time-travel
+    *    retention you owe readers.
     *
     * Crash-safety law: the base LANDS before anything is destroyed.
     * The sequence is (1) fold into a staging dir that is a SIBLING of
@@ -413,6 +551,7 @@ object Changelog {
     */
   def checkpoint(spark: SparkSession, path: String, keys: Seq[String],
                  v: Long): Unit = {
+    requireAboveHorizon(path, v, "checkpoint version")
     val staging = s"${path.stripSuffix("/")}__ckpt_staging_v$v"
     Sinks.deleteRecursively(staging)
     Upsert.latestByKey(
@@ -422,6 +561,7 @@ object Changelog {
       keys, col(CommitCol)).drop(CommitCol)
       .write.mode("overwrite").parquet(staging)
     commitIdempotent(spark.read.parquet(staging), path, v)
+    writeHorizon(path, v)
     val superseded = Option(new java.io.File(path).listFiles()).toSeq.flatten
       .filter { f =>
         val n = f.getName

@@ -9,7 +9,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -33,7 +34,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - **column pruning** (`SupportsPushDownRequiredColumns`): a scan
   *    that only needs `symbol`/`loaded_at` never builds the payload —
   *    exactly the q54 touched-bucket probe pattern, where the key
-  *    universe is read without paying for the document body.
+  *    universe is read without paying for the document body;
+  *  - **filter pushdown** (`SupportsPushDownFilters`): symbol
+  *    equality/IN/range predicates prune the PARTITION PLAN — the
+  *    connector fetches only matching symbols, the way
+  *    details.py:139–153 fetches per symbol instead of crawling the
+  *    universe. The symbol key is strictly increasing in the index
+  *    (fixed-width zero pad), so range bounds binary-search to index
+  *    bounds exactly; non-matching symbols are never fetched AND
+  *    their payloads never built (q187 proves both). Spark still
+  *    re-evaluates every filter above the scan — pruning is an
+  *    optimization, never the correctness path.
   *
   * Usage:
   * {{{
@@ -87,46 +98,146 @@ object ProfileConnector {
 
   private class ProfileScanBuilder(symbols: Int, parts: Int,
                                    maxPerSecond: Double)
-      extends ScanBuilder with SupportsPushDownRequiredColumns {
+      extends ScanBuilder with SupportsPushDownRequiredColumns
+      with SupportsPushDownFilters {
     private var required: StructType = Schema
+    private var accepted: Array[Filter] = Array.empty
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
+    override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+      accepted = filters.filter(supportsPushdown)
+      // EVERY filter stays a residual: the connector uses the accepted
+      // ones to prune its partition plan, and Spark re-evaluates above
+      // the scan — pushdown is an optimization, never the correctness
+      // path (the q160 pushed-aggregate discipline)
+      filters
+    }
+    override def pushedFilters(): Array[Filter] = accepted
     override def build(): Scan =
-      new ProfileScan(symbols, parts, maxPerSecond, required)
+      new ProfileScan(symbols, parts, maxPerSecond, required, accepted)
   }
 
+  /** Pushable = symbol predicates the index law inverts exactly. The
+    * domain values are pure-ASCII fixed-width ("S%05d"), so Scala's
+    * UTF-16 compare and Spark's UTF8String byte compare agree on every
+    * (symbol, bound) pair — the first differing position pits an ASCII
+    * char against anything, and ASCII orders below every non-ASCII
+    * code unit in both encodings.
+    */
+  private def supportsPushdown(f: Filter): Boolean = f match {
+    case EqualTo("symbol", _: String)            => true
+    case In("symbol", _)                         => true
+    case GreaterThan("symbol", _: String)        => true
+    case GreaterThanOrEqual("symbol", _: String) => true
+    case LessThan("symbol", _: String)           => true
+    case LessThanOrEqual("symbol", _: String)    => true
+    case IsNotNull("symbol")                     => true // non-nullable: no-op
+    case _                                       => false
+  }
+
+  private val SymbolRe = "^S([0-9]{5})$".r
+
   private class ProfileScan(symbols: Int, parts: Int, maxPerSecond: Double,
-                            required: StructType) extends Scan with Batch {
+                            required: StructType,
+                            filters: Array[Filter]) extends Scan with Batch {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
+    // surfaces the accepted filters in EXPLAIN (BatchScan renders the
+    // scan description) — the q160 "prove it from the plan" discipline
+    override def description(): String =
+      s"graft_profiles PushedFilters: [${filters.mkString(", ")}]"
+
+    /** First index in [0, symbols] where the monotone predicate holds. */
+    private def firstIndexWhere(p: Int => Boolean): Int = {
+      var lo = 0
+      var hi = symbols
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (p(mid)) hi = mid else lo = mid + 1
+      }
+      lo
+    }
+
+    private def parseSymbol(v: String): Option[Int] = v match {
+      case SymbolRe(d) =>
+        val i = d.toInt
+        if (i < symbols) Some(i) else None
+      case _ => None
+    }
+
     override def planInputPartitions(): Array[InputPartition] = {
-      val n = math.max(1, math.min(parts, symbols))
-      // contiguous ranges, remainder spread over the first partitions
-      val base = symbols / n
-      val extra = symbols % n
-      val bounds = (0 to n).map(p => p * base + math.min(p, extra))
-      (0 until n).map(p => SymbolRange(bounds(p), bounds(p + 1)): InputPartition)
-        .toArray
+      // fold the accepted filters into index bounds (+ an explicit set
+      // for equality/IN) — exact because symbol(i) is strictly
+      // increasing in i
+      var lo = 0
+      var hi = symbols
+      var eq: Option[Set[Int]] = None
+      def intersectEq(s: Set[Int]): Unit =
+        eq = Some(eq.fold(s)(_ intersect s))
+      filters.foreach {
+        case EqualTo("symbol", v: String) =>
+          intersectEq(parseSymbol(v).toSet)
+        case In("symbol", vs) =>
+          intersectEq(vs.collect { case s: String => parseSymbol(s) }
+            .flatten.toSet)
+        case GreaterThan("symbol", v: String) =>
+          lo = math.max(lo, firstIndexWhere(Profiles.symbol(_) > v))
+        case GreaterThanOrEqual("symbol", v: String) =>
+          lo = math.max(lo, firstIndexWhere(Profiles.symbol(_) >= v))
+        case LessThan("symbol", v: String) =>
+          hi = math.min(hi, firstIndexWhere(Profiles.symbol(_) >= v))
+        case LessThanOrEqual("symbol", v: String) =>
+          hi = math.min(hi, firstIndexWhere(Profiles.symbol(_) > v))
+        case _ => ()
+      }
+      eq match {
+        case Some(set) =>
+          // point fetches: chunk the surviving sorted index list
+          val idx = set.filter(i => i >= lo && i < hi).toArray.sorted
+          if (idx.isEmpty) Array.empty
+          else {
+            val n = math.max(1, math.min(parts, idx.length))
+            idx.grouped((idx.length + n - 1) / n)
+              .map(g => SymbolList(g.toIndexedSeq): InputPartition).toArray
+          }
+        case None =>
+          if (hi <= lo) Array.empty
+          else {
+            val span = hi - lo
+            val n = math.max(1, math.min(parts, span))
+            // contiguous ranges, remainder spread over the first partitions
+            val base = span / n
+            val extra = span % n
+            val bounds = (0 to n).map(p => lo + p * base + math.min(p, extra))
+            (0 until n)
+              .map(p => SymbolRange(bounds(p), bounds(p + 1)): InputPartition)
+              .toArray
+          }
+      }
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new ProfileReaderFactory(maxPerSecond, required)
   }
 
   private case class SymbolRange(start: Int, end: Int) extends InputPartition
+  private case class SymbolList(indices: IndexedSeq[Int]) extends InputPartition
 
   private class ProfileReaderFactory(maxPerSecond: Double,
                                      required: StructType)
       extends PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-      new ProfileReader(partition.asInstanceOf[SymbolRange], maxPerSecond,
-        required)
+      partition match {
+        case r: SymbolRange =>
+          new ProfileReader(r.start until r.end, maxPerSecond, required)
+        case l: SymbolList =>
+          new ProfileReader(l.indices, maxPerSecond, required)
+      }
   }
 
-  private class ProfileReader(range: SymbolRange, maxPerSecond: Double,
+  private class ProfileReader(idxs: IndexedSeq[Int], maxPerSecond: Double,
                               required: StructType)
       extends PartitionReader[InternalRow] {
-    private var i = range.start - 1
-    private val wantPayload = required.fieldNames.contains("payload")
+    private var j = -1
     // token-interval pacing: one permit every 1/rate seconds, measured
     // against a monotonic clock — the same "sleep the remainder" shape
     // as the reference's per-call sleep, but per PARTITION, so total
@@ -136,8 +247,8 @@ object ProfileConnector {
     private var nextPermit = System.nanoTime()
 
     override def next(): Boolean = {
-      i += 1
-      if (i >= range.end) return false
+      j += 1
+      if (j >= idxs.length) return false
       if (intervalNanos > 0) {
         val wait = nextPermit - System.nanoTime()
         if (wait > 0) Thread.sleep(wait / 1000000L, (wait % 1000000L).toInt)
@@ -147,6 +258,7 @@ object ProfileConnector {
     }
 
     override def get(): InternalRow = {
+      val i = idxs(j)
       val values = required.fieldNames.map {
         case "symbol"    => UTF8String.fromString(Profiles.symbol(i))
         case "payload"   =>

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.spark.Partitioner
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.plans.ZOrderExpr
@@ -16,9 +17,15 @@ import graft.plans.ZOrderExpr
   * ~(selectivity_x × selectivity_y) of the table and scanning
   * min(selectivity_x, 1) of it.
   *
-  * The write is ONE exchange (range repartition on z) + in-partition
-  * sort — the same cost as any clustered write; z is computed, used for
-  * placement, and dropped (it is derivable, not schema).
+  * File placement is ARITHMETIC, not sampled: the z domain is known
+  * (2^(2·bits)), so file boundaries are `floor(z / ceil(domain/numFiles))`
+  * — every run of the same input produces byte-identical file ranges.
+  * `repartitionByRange` would instead sample with an RDD-id-dependent
+  * seed, making boundaries (and therefore which file a row lands in)
+  * depend on what ran earlier in the session; at 100 TB the sampling
+  * pass is also a full extra scan. One shuffle, sorted on z within each
+  * file; z is computed, used for placement, and dropped (it is
+  * derivable, not schema).
   */
 object ZOrderLayout {
 
@@ -34,12 +41,42 @@ object ZOrderLayout {
   def write(df: DataFrame, xCol: String, yCol: String, bits: Int,
             numFiles: Int, path: String): Unit = {
     require(!df.columns.contains(ZCol), s"$ZCol is reserved by ZOrderLayout")
-    df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+    val zdf = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
       .withColumn(ZCol,
         ZOrderExpr.zorder2(col(xCol).cast("long"), col(yCol).cast("long"), bits))
-      .repartitionByRange(numFiles, col(ZCol))
-      .sortWithinPartitions(ZCol)
-      .drop(ZCol)
-      .write.mode("overwrite").parquet(path)
+    writeRangeClustered(zdf, ZCol, 1L << (2 * bits), numFiles, path)
+  }
+
+  /** Deterministic range-clustered write: place rows into `numFiles`
+    * files by the arithmetic range of `keyCol` (a non-negative long in
+    * `[0, domain)`), sorted on the key within each file. File i holds
+    * keys `[i·w, (i+1)·w)` with `w = ceil(domain/numFiles)` — exact,
+    * seed-free placement (unlike `repartitionByRange`, which samples).
+    * The key column is dropped before the write when it is the reserved
+    * z column; other callers keep their key (it is real schema).
+    */
+  def writeRangeClustered(df: DataFrame, keyCol: String, domain: Long,
+                          numFiles: Int, path: String): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(domain >= 1, s"domain must be >= 1, got $domain")
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val width = math.max(1L, (domain + numFiles - 1) / numFiles)
+    val nFiles = numFiles
+    val part = new Partitioner {
+      override def numPartitions: Int = nFiles
+      override def getPartition(key: Any): Int = {
+        val k = key.asInstanceOf[Long]
+        require(k >= 0 && k < domain, s"clustering key $k out of [0, $domain)")
+        math.min((k / width).toInt, nFiles - 1)
+      }
+    }
+    val placed = df.rdd
+      .map(r => (r.getLong(keyIdx), r))
+      .repartitionAndSortWithinPartitions(part)
+      .map(_._2)
+    val out = df.sparkSession.createDataFrame(placed, schema)
+    val dropped = if (keyCol == ZCol) out.drop(ZCol) else out
+    dropped.write.mode("overwrite").parquet(path)
   }
 }

@@ -288,4 +288,76 @@ object StreamIvm {
       .start()
     q.awaitTermination()
   }
+
+  // ---- CDC-feed-driven maintenance (the FIFTH IVM path) --------------
+
+  /** One micro-batch of the FULL-LABEL CDC CONSUMER loop — q183's
+    * signed-delta maintenance driven from the ops log's OWN change feed
+    * instead of the producer's frames, which is the path a real CDC
+    * consumer runs (it never sees what the producer computed; it sees
+    * the feed the log serves):
+    *
+    *  1. the batch's ops rows (upserts AND tombstones, `_op` tagged)
+    *     land as ops-log commit `b` (idempotent dynamic overwrite —
+    *     the q184 ingestion discipline, verbatim);
+    *  2. the maintenance delta is derived from
+    *     `changesBetweenOps(b−1, b]` — exactly this batch's window;
+    *     insert → +1/+measure, update → +new−old, DELETE → −1/−old
+    *     (the retraction the carried olds make possible);
+    *  3. the delta commits ADDITIVELY as rollup-log commit `b`.
+    *
+    * Idempotent under redelivery by the applyBatchMvcc argument:
+    * attempt #2 re-lands commit `b` byte-identically BEFORE the feed
+    * is read, the feed's endpoint states read commits ≤ b−1 / ≤ b
+    * (partition-pruned — any partial attempt-#1 debris at `b` was just
+    * overwritten), so attempt #2's delta is byte-identical too. This
+    * leg also exercises the below-horizon guard: a consumer resumed at
+    * a window the log has checkpointed away fails loudly instead of
+    * double-counting (the guard's whole purpose).
+    *
+    * Amounts aggregate in integer cents (`round(x·100)` exact for the
+    * 2-decimal money domain) — the q183 exactness contract.
+    */
+  private[graft] def applyBatchCdc(s: SparkSession, batch: DataFrame,
+                                   b: Long, opsLog: String, rollLog: String,
+                                   key: String, groupCol: String,
+                                   measure: String): Unit = {
+    // horizon check BEFORE the commit lands: a redelivered batch whose
+    // feed window starts below the checkpoint horizon must be refused
+    // while the log is still untouched — committing first would
+    // overwrite the folded base at `b` and only THEN fail on the feed
+    val h = Changelog.horizonOf(opsLog)
+    require(b - 1 >= h,
+      s"batch $b's feed window (${b - 1}, $b] starts below the ops " +
+        s"log's checkpoint horizon $h — the consumer must re-base, not " +
+        "redeliver (a silent empty old-state would double-count)")
+    Changelog.commitIdempotent(batch, opsLog, b)
+    val cents = (c: org.apache.spark.sql.Column) => (round(c * 100)).cast("long")
+    val ct = col("change_type")
+    val delta = Changelog.changesBetweenOps(s, opsLog, Seq(key),
+        b - 1, b, trackCols = Seq(measure, groupCol))
+      .groupBy(coalesce(col(s"new_$groupCol"), col(s"old_$groupCol"))
+        .as(groupCol))
+      .agg(
+        sum(when(ct === "insert", 1L).when(ct === "delete", -1L)
+          .otherwise(0L)).as("n_rows"),
+        sum(when(ct === "insert", cents(col(s"new_$measure")))
+          .when(ct === "delete", -cents(col(s"old_$measure")))
+          .otherwise(cents(col(s"new_$measure")) -
+            cents(col(s"old_$measure")))).as("_c"))
+    Changelog.commitIdempotent(delta, rollLog, b)
+  }
+
+  /** The served rollup of the CDC-consumer loop: additive across all
+    * rollup commits, groups whose count cancelled to zero vanish,
+    * cents rendered back to currency.
+    */
+  private[graft] def servedCdcRollup(s: SparkSession, rollLog: String,
+                                     groupCol: String): DataFrame =
+    s.read.parquet(rollLog)
+      .groupBy(col(groupCol))
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("_c")).as("_c"))
+      .filter(col("n_rows") > 0)
+      .select(col(groupCol), col("n_rows"),
+        (col("_c").cast("double") / 100.0).as("sum_measure"))
 }

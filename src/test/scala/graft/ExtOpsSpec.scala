@@ -356,6 +356,34 @@ class ExtOpsSpec extends SparkSpec {
     assert(enc == Map(5L -> 0, 6L -> null, 7L -> null))
   }
 
+  test("Encoding.dictionaryBucketed: identical (value, id) law as the " +
+       "window form — byte-prefix buckets respect string order incl. " +
+       "multi-byte UTF-8, shared prefixes, and the empty string") {
+    // adversarial vocabulary for the 2-byte-prefix bucketing: empty
+    // string (bucket 0), 1-char values padding byte 2 with 0 ("b" must
+    // rank after every "a?" — the padding-order edge), long shared
+    // prefixes (same bucket, local sort decides), multi-byte UTF-8
+    // (é = 2 bytes, 中 = 3, 🚀 = 4 — buckets from BYTES, not chars),
+    // and near-boundary ASCII pairs
+    val vocab = Seq("", "a", "aa", "ab", "az", "b", "ba", "azz", "aab",
+      "é", "éa", "中", "中文", "🚀", "zz", "z", "~", " ", "  a", "0", "9a")
+    val corpus = (vocab ++ vocab).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "cat")
+    val win = graft.ext.Encoding.dictionary(corpus, "cat", "cat_id")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val bkt = graft.ext.Encoding
+      .dictionaryBucketed(corpus, "cat", "cat_id")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(bkt == win)
+    assert(bkt.values.toSeq.sorted == vocab.indices) // dense 0-based
+    // the dispatcher picks each form by vocabulary size and both obey
+    // the same law
+    val auto = graft.ext.Encoding
+      .dictionaryAuto(corpus, "cat", "cat_id", hugeThreshold = 5L)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(auto == win)
+  }
+
   test("Selection.weightedKths: cumulative-weight law and positive-weight guard") {
     // group a: W=10, K=⌈10/2⌉=5, cw(1)=5 ≥ 5 → weighted median 1
     // (the UNweighted median of {1,2,3} would be 2 — the weight matters)

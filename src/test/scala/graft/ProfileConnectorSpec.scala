@@ -53,6 +53,44 @@ class ProfileConnectorSpec extends SparkSpec {
     assert(ProfileConnector.payloadBuilds.get() === 5L)
   }
 
+  test("filter pushdown prunes the partition plan: equality, IN, range, " +
+       "and the empty slice — non-matching payloads are never built") {
+    // equality: ONE symbol fetched, one payload built
+    ProfileConnector.payloadBuilds.set(0L)
+    val one = read(50).filter(col("symbol") === "S00042")
+      .select(col("symbol"), length(col("payload")).as("l")).collect()
+    assert(one.map(_.getString(0)).toSeq == Seq("S00042"))
+    assert(ProfileConnector.payloadBuilds.get() === 1L,
+      "equality pushdown must fetch exactly the named symbol")
+    // IN: malformed member matches nothing, valid members fetch; the
+    // scan builds payloads ONLY for the surviving indices
+    ProfileConnector.payloadBuilds.set(0L)
+    val got = read(50)
+      .filter(col("symbol").isin("S00002", "S00005", "nope", "S99999"))
+      .select(col("symbol"), length(col("payload")).as("l"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("S00002", "S00005"))
+    assert(ProfileConnector.payloadBuilds.get() === 2L)
+    // range: bounds binary-search to index bounds exactly
+    ProfileConnector.payloadBuilds.set(0L)
+    val ranged = read(50)
+      .filter(col("symbol") > "S00044" && col("symbol") < "S00048")
+      .select(col("symbol"), length(col("payload")).as("l"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(ranged == Seq("S00045", "S00046", "S00047"))
+    assert(ProfileConnector.payloadBuilds.get() === 3L)
+    // empty slice: plans zero partitions, reads zero rows, builds none
+    ProfileConnector.payloadBuilds.set(0L)
+    assert(read(50).filter(col("symbol") > "S00049")
+      .select(col("symbol"), col("payload")).count() === 0L)
+    assert(ProfileConnector.payloadBuilds.get() === 0L)
+    // the pushed filters are visible in the plan (the q160 discipline)
+    val plan = read(50).filter(col("symbol") === "S00001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("EqualTo(symbol,S00001)"), plan)
+  }
+
   test("per-partition rate limit paces the fetch (lower time bound)") {
     val t0 = System.nanoTime()
     // 6 symbols, ONE partition, 20/s → 5 inter-arrival gaps of 50 ms

@@ -143,4 +143,71 @@ class StreamIvmSpec extends SparkSpec {
     assert(resumed.nonEmpty)
     assert(resumed === control)
   }
+
+  test("CDC-consumer maintenance (q186 kernel): converges to the live " +
+       "rollup across deletes, absorbs redelivery, and a window below " +
+       "the checkpoint horizon fails loudly instead of double-counting") {
+    import spark.implicits._
+    val opsLog = graft.sources.Sinks.tmpPath("stream_cdc_spec_ops")
+    val rollLog = graft.sources.Sinks.tmpPath("stream_cdc_spec_roll")
+    Seq(opsLog, rollLog).foreach(graft.sources.Sinks.deleteRecursively)
+    val op = graft.sources.Changelog.OpCol
+    def frame(rows: Seq[(Long, Option[Long], Option[Double], String)]) =
+      rows.toDF("o_orderkey", "o_custkey", "o_totalprice", op)
+    // b0: three inserts; b1: delete k1, update k2; b2: re-insert k1
+    // (resurrection through the feed), insert k4
+    val batches = Seq(
+      frame(Seq((1L, Some(10L), Some(10.0), "u"),
+        (2L, Some(10L), Some(20.0), "u"), (3L, Some(20L), Some(30.0), "u"))),
+      frame(Seq((1L, None, None, "d"), (2L, Some(10L), Some(25.0), "u"))),
+      frame(Seq((1L, Some(10L), Some(11.0), "u"),
+        (4L, Some(20L), Some(40.0), "u"))))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamIvm.applyBatchCdc(spark, b, i.toLong, opsLog, rollLog,
+        key = "o_orderkey", groupCol = "o_custkey",
+        measure = "o_totalprice")
+    }
+    def served = StreamIvm.servedCdcRollup(spark, rollLog, "o_custkey")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    // live state: k1 11.0/c10, k2 25.0/c10, k3 30.0/c20, k4 40.0/c20
+    val expected = Seq((10L, 2L, 36.0), (20L, 2L, 70.0))
+    assert(served == expected)
+    // the consumer's rollup equals the recompute from the log's own
+    // final snapshot — the feed-sufficiency contract
+    val recompute = graft.sources.Changelog
+      .snapshotAtOps(spark, opsLog, Seq("o_orderkey"), 2L)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        (sum((round(col("o_totalprice") * 100)).cast("long"))
+          .cast("double") / 100.0).as("s"))
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(recompute == expected)
+    // at-least-once redelivery of a middle and the last batch: both
+    // re-land byte-identically (ops commit overwritten, feed window
+    // re-read over identical endpoint states, delta overwritten)
+    Seq(1, 2).foreach { i =>
+      StreamIvm.applyBatchCdc(spark, batches(i), i.toLong, opsLog, rollLog,
+        key = "o_orderkey", groupCol = "o_custkey",
+        measure = "o_totalprice")
+      assert(served == expected, s"redelivery of batch $i changed the rollup")
+    }
+    // checkpoint the ops log at the head, then redeliver the last
+    // batch: its feed window (1, 2] now starts BELOW the horizon — the
+    // guard must refuse (a silent empty stateAt(1) would relabel the
+    // batch's updates as inserts and double-count downstream)
+    graft.sources.Changelog.checkpointOps(spark, opsLog,
+      Seq("o_orderkey"), 2L)
+    val e = intercept[IllegalArgumentException] {
+      StreamIvm.applyBatchCdc(spark, batches(2), 2L, opsLog, rollLog,
+        key = "o_orderkey", groupCol = "o_custkey",
+        measure = "o_totalprice")
+    }
+    assert(e.getMessage.contains("horizon"))
+    assert(served == expected) // the refused redelivery changed nothing
+    // and it was refused BEFORE landing: the folded base commit is
+    // intact (a commit-first ordering would have overwritten it with
+    // just the batch's two rows)
+    assert(graft.sources.Changelog
+      .snapshotAtOps(spark, opsLog, Seq("o_orderkey"), 2L).count() == 4L)
+  }
 }

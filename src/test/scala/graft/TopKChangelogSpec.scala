@@ -138,12 +138,30 @@ class TopKChangelogSpec extends SparkSpec {
     assert(snap(2L) == before2)
     assert(Changelog.snapshotLatest(spark, path, Seq("k"))
       .as[(String, String)].collect().toMap == before2)
-    // below the horizon the log no longer distinguishes states — the
-    // documented retention trade
-    assert(snap(0L) == Map.empty)
+    // below the horizon the log no longer distinguishes states — a
+    // silent empty read would be wrong, so the guard fails LOUDLY
+    val below = intercept[IllegalArgumentException](snap(0L))
+    assert(below.getMessage.contains("horizon"))
+    // the feed guard too: v0 below the horizon would mislabel every
+    // surviving key `insert` (null olds) and double-count downstream
+    val feedBelow = intercept[IllegalArgumentException](
+      Changelog.changesBetween(spark, path, Seq("k"), 0L, 2L, Seq("v")))
+    assert(feedBelow.getMessage.contains("horizon"))
+    // at v0 = horizon the feed is still exact: only commit 2's k1
+    // changed in (1, 2]
+    val atHorizon = Changelog.changesBetween(spark, path, Seq("k"),
+        1L, 2L, Seq("v"))
+      .select("k", "change_type", "old_v", "new_v")
+      .as[(String, String, String, String)].collect().toSeq
+    assert(atHorizon == Seq(("k1", "update", "a", "e")))
     // idempotent: re-checkpointing the same horizon is a no-op fold
     Changelog.checkpoint(spark, path, Seq("k"), 1L)
     assert(snap(2L) == before2)
+    // a checkpoint BELOW the recorded horizon is refused (its fold
+    // would read erased history)
+    val ckptBelow = intercept[IllegalArgumentException](
+      Changelog.checkpoint(spark, path, Seq("k"), 0L))
+    assert(ckptBelow.getMessage.contains("horizon"))
   }
 
   test("checkpoint folds evolved schemas losslessly and lands the base " +
@@ -459,5 +477,159 @@ class TopKChangelogSpec extends SparkSpec {
       .as[(String, String)].collect().sorted.toSeq
     assert(after == expected)
     intercept[Throwable](stalePlan.as[(String, String)].collect())
+  }
+
+  // ---- Round-13 hardening: the ops log's own races + loud guards ----
+
+  test("checkpointOps(v) racing snapshotAtOps(w >= v): completed reads " +
+       "correct, stale plans fail loudly, and post-race NO surviving " +
+       "file holds a deleted row's bytes") {
+    val path = Sinks.tmpPath("changelog_race_ckpt_ops")
+    Sinks.deleteRecursively(path)
+    // 4 upsert commits over 40 keys, then a tombstone commit deleting
+    // a subset whose values carry a recognizable secret — the erasure
+    // claim must hold even while readers race the checkpoint
+    for (c <- 0L to 3L)
+      Changelog.commitUpsert(
+        spark.range(c * 10, c * 10 + 20).select(
+          concat(lit("k"), col("id")).as("k"),
+          concat(lit("opssecret"), col("id"), lit("_c"), lit(c)).as("v")),
+        path, c)
+    Changelog.commitDelete(spark,
+      spark.range(0, 5).select(concat(lit("k"), col("id")).as("k")),
+      path, 4L)
+    val expected = Changelog.snapshotAtOps(spark, path, Seq("k"), 4L)
+      .as[(String, String)].collect().sorted.toSeq
+    val stalePlan = Changelog.snapshotAtOps(spark, path, Seq("k"), 4L)
+    stalePlan.count() // plan + list pre-race
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    @volatile var stop = false
+    val reader = Future {
+      var completed = 0
+      var failed = 0
+      val wrong = Seq.newBuilder[Seq[(String, String)]]
+      while (!stop) {
+        try {
+          val got = Changelog.snapshotAtOps(spark, path, Seq("k"), 4L)
+            .as[(String, String)].collect().sorted.toSeq
+          completed += 1
+          if (got != expected) wrong += got
+        } catch { case _: Throwable => failed += 1 }
+      }
+      (completed, failed, wrong.result())
+    }
+    try {
+      Changelog.checkpointOps(spark, path, Seq("k"), 4L)
+    } finally stop = true
+    val (completed, failed, wrong) = Await.result(reader, 3.minutes)
+    assert(wrong.isEmpty,
+      s"concurrent ops reader saw a WRONG state ($completed completed, " +
+        s"$failed loud failures): ${wrong.take(1)}")
+    assert(Changelog.snapshotAtOps(spark, path, Seq("k"), 4L)
+      .as[(String, String)].collect().sorted.toSeq == expected)
+    intercept[Throwable](stalePlan.as[(String, String)].collect())
+    // physical erasure survived the race: deleted keys' values (ids
+    // 0..4 in every pre-delete commit) are in no surviving file's bytes
+    def bytesUnder(dir: java.io.File): Iterator[Byte] =
+      Option(dir.listFiles()).toSeq.flatten.iterator.flatMap(f =>
+        if (f.isDirectory) bytesUnder(f)
+        else java.nio.file.Files.readAllBytes(f.toPath).iterator)
+    val hay = new String(bytesUnder(new java.io.File(path)).toArray,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    for (id <- 0 to 4; c <- 0 to 3)
+      assert(!hay.contains(s"opssecret${id}_c$c"), s"id=$id c=$c survived")
+    // and the horizon guard is now active below v
+    intercept[IllegalArgumentException](
+      Changelog.snapshotAtOps(spark, path, Seq("k"), 3L))
+  }
+
+  test("commitDelete racing commitUpsert under ONE commit id (the q184 " +
+       "redelivery interleave): the key resolves DETERMINISTICALLY — " +
+       "tombstone wins at equal commit id") {
+    val path = Sinks.tmpPath("changelog_race_mixedop")
+    for (_ <- 1 to 5) {
+      Sinks.deleteRecursively(path)
+      Changelog.commitUpsert(
+        Seq(("k1", "a"), ("k2", "a")).toDF("k", "v"), path, 0L)
+      // one delivery upserts k1+k3, the other tombstones k1 — both
+      // under commit id 1 (a micro-batch's two halves redelivered)
+      raceTwo {
+        Changelog.commitUpsert(Seq(("k1", "b"), ("k3", "b")).toDF("k", "v"),
+          path, 1L)
+        Changelog.commitDelete(spark, Seq("k1").toDF("k"), path, 1L)
+      }
+      val got = Changelog.snapshotAtOps(spark, path, Seq("k"), 1L)
+        .as[(String, String)].collect().sorted.toSeq
+      // delete wins the intra-commit tie EVERY trial: k1 dead, k2
+      // untouched, k3 inserted — never an arrival-order-dependent k1
+      assert(got == Seq(("k2", "a"), ("k3", "b")))
+    }
+  }
+
+  test("ops feed below a checkpointOps horizon fails loudly; at the " +
+       "horizon it is still exact") {
+    val path = Sinks.tmpPath("changelog_spec_ops_horizon")
+    Sinks.deleteRecursively(path)
+    Changelog.commitUpsert(
+      Seq(("k1", "a"), ("k2", "a")).toDF("k", "v"), path, 0L)
+    Changelog.commitUpsert(Seq(("k2", "b")).toDF("k", "v"), path, 1L)
+    Changelog.commitDelete(spark, Seq("k1").toDF("k"), path, 2L)
+    Changelog.checkpointOps(spark, path, Seq("k"), 1L)
+    // below the horizon: snapshot and feed both refuse — a silent feed
+    // would label every surviving key `insert` with null olds and a
+    // q183-style maintenance consumer would double-count
+    intercept[IllegalArgumentException](
+      Changelog.snapshotAtOps(spark, path, Seq("k"), 0L))
+    val e = intercept[IllegalArgumentException](
+      Changelog.changesBetweenOps(spark, path, Seq("k"), 0L, 2L, Seq("v")))
+    assert(e.getMessage.contains("horizon"))
+    // at v0 = horizon the feed is exact: only k1's delete sits in (1, 2]
+    val feed = Changelog.changesBetweenOps(spark, path, Seq("k"), 1L, 2L,
+        Seq("v"))
+      .select("k", "change_type", "old_v", "new_v")
+      .as[(String, String, Option[String], Option[String])]
+      .collect().sorted.toSeq
+    assert(feed == Seq(("k1", "delete", Some("a"), None)))
+  }
+
+  test("write-path shape guard: a plain delta cannot land in an ops log " +
+       "(it would compact as DEAD), nor an ops delta in a plain log") {
+    val ops = Sinks.tmpPath("changelog_spec_shape_ops")
+    val plain = Sinks.tmpPath("changelog_spec_shape_plain")
+    Sinks.deleteRecursively(ops); Sinks.deleteRecursively(plain)
+    Changelog.commitUpsert(Seq(("k1", "a")).toDF("k", "v"), ops, 0L)
+    Changelog.commit(Seq(("k1", "a")).toDF("k", "v"), plain, 0L)
+    // mis-routed plain upsert into the ops log: before this guard the
+    // row landed with _op null and silently vanished from snapshots
+    val e = intercept[IllegalArgumentException](
+      Changelog.commit(Seq(("k2", "b")).toDF("k", "v"), ops, 1L))
+    assert(e.getMessage.contains("OPS log"))
+    intercept[IllegalArgumentException](
+      Changelog.commitIdempotent(Seq(("k2", "b")).toDF("k", "v"), ops, 1L))
+    // ops rows into a plain log: tombstones would read as data rows
+    intercept[IllegalArgumentException](
+      Changelog.commit(
+        Seq(("k2", "b", "u")).toDF("k", "v", Changelog.OpCol), plain, 1L))
+    // neither refused write landed
+    assert(Changelog.snapshotAtOps(spark, ops, Seq("k"), 99L).count() == 1L)
+    assert(Changelog.snapshotAt(spark, plain, Seq("k"), 99L).count() == 1L)
+  }
+
+  test("commitDelete refuses a keys frame whose key TYPE diverges from " +
+       "the log schema — a silent parquet-type fork otherwise") {
+    val path = Sinks.tmpPath("changelog_spec_keytype")
+    Sinks.deleteRecursively(path)
+    Changelog.commitUpsert(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path, 0L)
+    val e = intercept[IllegalArgumentException](
+      Changelog.commitDelete(spark, Seq(1).toDF("k"), path, 1L))
+    assert(e.getMessage.contains("type"))
+    // the correctly-typed delete still works
+    Changelog.commitDelete(spark, Seq(1L).toDF("k"), path, 1L)
+    assert(Changelog.snapshotAtOps(spark, path, Seq("k"), 1L)
+      .as[(Long, String)].collect().toSeq == Seq((2L, "b")))
   }
 }

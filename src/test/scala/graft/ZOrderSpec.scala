@@ -68,9 +68,9 @@ class ZOrderSpec extends SparkSpec {
     val zPath = graft.sources.Sinks.tmpPath("zorder_spec_z")
     val linPath = graft.sources.Sinks.tmpPath("zorder_spec_lin")
     ZOrderLayout.write(grid, "x", "y", 8, files, zPath)
-    // 1-D control: same file count, sorted by x only
-    grid.repartitionByRange(files, col("x")).sortWithinPartitions("x")
-      .write.mode("overwrite").parquet(linPath)
+    // 1-D control: same file count, clustered by x only — placed by the
+    // same arithmetic (seed-free) partitioner so both layouts are exact.
+    ZOrderLayout.writeRangeClustered(grid, "x", n.toLong, files, linPath)
 
     def touched(path: String): (Long, Long) = {
       val df = spark.read.parquet(path)
@@ -80,10 +80,14 @@ class ZOrderSpec extends SparkSpec {
     val (zRows, zFiles) = touched(zPath)
     val (lRows, lFiles) = touched(linPath)
     assert(zRows == 256 && lRows == 256) // same answer from either layout
-    // x-sort: the 16-wide x-slice hits ~16/256 of the range = ~4 of 64
-    // files, and EVERY one of them must be opened; z-order confines the
-    // 16x16 box to O(1) curve segments. The claim under test is strictly
-    // fewer rows-bearing files, by a real margin.
+    // Placement is arithmetic, so the touched-file counts are EXACT, not
+    // margins: 64 files over the 2^16 z domain = one aligned 32x32 tile
+    // per file, and the box x[17,32]xy[100,115] crosses only the x=32
+    // tile boundary inside y-tile [96,127] -> exactly 2 z files. The
+    // x-sorted control holds 4 x-values per file, so the 16-wide slice
+    // x[17,32] spans files 4..8 -> exactly 5 files.
+    assert(zFiles == 2, s"z=$zFiles (expected exactly 2)")
+    assert(lFiles == 5, s"lin=$lFiles (expected exactly 5)")
     assert(zFiles * 2 <= lFiles, s"z=$zFiles lin=$lFiles")
   }
 
