@@ -173,6 +173,21 @@ object CurationQueries {
         .select("doc_id", "lang", "lang_id", "source", "source_id")
     }),
 
+    // OPEN-VOCABULARY token dictionary — q162's sorted-distinct law
+    // over the corpus' raw token vocabulary via the BUCKETED kernel
+    // (Encoding.dictionaryBucketed): ids assigned by 2-byte-UTF-8-
+    // prefix bucket + prefix-sum offset, never a single-task
+    // vocabulary sort. At this sf the vocabulary is small (the oracle
+    // proves the law); the kernel's 10M-term curve lives in ScaleRank
+    // — the point here is that the scale path and the window path are
+    // oracle-interchangeable.
+    "q188_token_dictionary" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(graft.ext.TextHash.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+      Encoding.dictionaryBucketed(toks, "term", "term_id")
+    }),
+
     // Model-based quality filter (CCNet-style): a trained linear model
     // over q27 profile features, applied as ONE shuffle-free projection
     // — weights fold into codegen, the dot product is the native
@@ -890,6 +905,18 @@ object CurationQueries {
         |FROM documents d
         |LEFT JOIN lv USING (lang)
         |LEFT JOIN sv USING (source)""".stripMargin,
+
+    // the same sorted-distinct dense-id law as q162, over the token
+    // vocabulary (DuckDB's default binary collation = Spark's
+    // UTF8String byte order on this corpus)
+    "q188_token_dictionary" ->
+      """WITH t AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |d AS (SELECT DISTINCT term FROM t WHERE length(term) > 0)
+        |SELECT term,
+        |  CAST(row_number() OVER (ORDER BY term) - 1 AS INT) AS term_id
+        |FROM d""".stripMargin,
 
     "q48_stratified_sample" -> stratifiedSampleSql,
     "q135_mixture_sample" -> mixtureSampleSql,

@@ -306,6 +306,83 @@ object AuditQueries {
       Changelog.snapshotAtOps(s, path, Seq("o_orderkey"), Long.MaxValue)
     }),
 
+    // OPS CHECKPOINT + VACUUM — q137's bounded-history story for the
+    // DELETE path: after the three ops commits, fold commits ≤ 1 into
+    // a live-rows-only base (physically erasing the tombstoned keys'
+    // data below the horizon), vacuum the superseded dirs, then read
+    // AS OF the untouched commit 2. The read must equal the full live
+    // state (q181's oracle verbatim) — proof the fold kept every live
+    // row, the liveness filter survived the re-tag, and commit 2's
+    // resurrections still LWW-beat the folded base. The below-horizon
+    // guard is active after this (spec-pinned; an oracle can't see a
+    // refusal).
+    "q189_ops_checkpoint" -> ((s, d) => {
+      val path = opsLog(s, d, "orders_ops_log_q189")
+      Changelog.checkpointOps(s, path, Seq("o_orderkey"), 1L)
+      Changelog.snapshotAtOps(s, path, Seq("o_orderkey"), 2L)
+    }),
+
+    // AS OF TIMESTAMP time travel — the clock addressing every
+    // lakehouse exposes beside version ids: each commit carries a
+    // caller-provided timestamp (the ingest's clock — stamps are
+    // marker files, immutable, loudly monotone), and "the table as of
+    // instant t" resolves to the LATEST commit stamped ≤ t, then
+    // reads that version. Commits at 1000/2000/3000; the read at 2500
+    // must see exactly the state after commit 1 — commit 2 is already
+    // in the log but stamped LATER than the instant, so it must not
+    // leak (the q129 invisibility property, addressed by clock
+    // instead of version). Guards (instant before the first commit,
+    // unstamped commits, non-monotone or mutated stamps) are
+    // spec-pinned — an oracle can't see a refusal.
+    "q190_time_travel_ts" -> ((s, d) => {
+      val path = Sinks.tmpPathFor("orders_ts_log", d)
+      Sinks.deleteRecursively(path)
+      val o = opsOrders(s, d)
+      val k = col("o_orderkey")
+      Changelog.commitStamped(o.filter(k % 4 =!= 3), path, 0L, 1000L)
+      Changelog.commitStamped(
+        o.filter(k % 4 =!= 3 && k % 7 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 500.0),
+        path, 1L, 2000L)
+      Changelog.commitStamped(o.filter(k % 4 === 3), path, 2L, 3000L)
+      Changelog.snapshotAsOf(s, path, Seq("o_orderkey"), 2500L)
+    }),
+
+    // OPS CHECKPOINT, CLUSTERED (OPTIMIZE fused into the fold) — the
+    // q189 checkpoint with the live base landed as arithmetic
+    // key-range files (ZOrderLayout.rangeClustered: seed-free
+    // placement, sorted within each file) so key-range reads over the
+    // base prune files instead of scanning all of them. Clustering
+    // moves rows between files and never changes them, so the read AS
+    // OF commit 2 must still equal the full live state — q189's
+    // oracle verbatim; the file-pruning claim itself is spec-pinned
+    // (touched-file counts are exact because placement is
+    // arithmetic).
+    "q191_ops_optimize" -> ((s, d) => {
+      val path = opsLog(s, d, "orders_ops_log_q191")
+      val dom = opsOrders(s, d)
+        .agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+      Changelog.checkpointOpsClustered(s, path, Seq("o_orderkey"), 1L,
+        "o_orderkey", dom, 8)
+      Changelog.snapshotAtOps(s, path, Seq("o_orderkey"), 2L)
+    }),
+
+    // CDC FEED BY TIMESTAMP WINDOW — how a real consumer addresses the
+    // feed ("every change between last night's run and tonight's"):
+    // both endpoints resolve through the commit clock (latest stamp
+    // ≤ t), then the full-label versioned feed runs unchanged. Stamps
+    // at 1000/2000/3000; the window (1000, 3000] resolves to
+    // (version 0, version 2] — q182's feed and oracle verbatim,
+    // reached through clock addressing.
+    "q192_cdc_by_timestamp" -> ((s, d) => {
+      val path = opsLog(s, d, "orders_ops_log_q192")
+      Changelog.stampCommit(path, 0L, 1000L)
+      Changelog.stampCommit(path, 1L, 2000L)
+      Changelog.stampCommit(path, 2L, 3000L)
+      Changelog.changesBetweenOpsTimestamps(s, path, Seq("o_orderkey"),
+        1000L, 3000L, trackCols = Seq("o_totalprice"))
+    }),
+
     // STREAMING CDC CONSUMER — the fifth IVM path: q183's signed-delta
     // maintenance driven from the ops log's OWN change feed inside
     // foreachBatch (per-micro-batch (b−1, b] windows over the q184
@@ -802,6 +879,67 @@ object AuditQueries {
         |         OR (o_orderkey % 10 <> 0
         |             AND o_orderkey % 7 IN (1, 2)) THEN 'v2'
         |  END AS src
+        |FROM orders
+        |WHERE o_orderkey % 4 = 3
+        |   OR o_orderkey % 10 <> 0
+        |   OR o_orderkey % 20 = 0""".stripMargin,
+
+    // checkpoint at 1 then AS OF 2 = the full live state (q181's
+    // oracle verbatim — the fold lost nothing, the vacuum dropped
+    // only superseded state)
+    "q189_ops_checkpoint" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |       WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |            AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 = 3
+        |   OR o_orderkey % 10 <> 0
+        |   OR o_orderkey % 20 = 0""".stripMargin,
+
+    // as of instant 2500 = the state after the commit stamped 2000:
+    // base subset with the mod-7 update applied; commit 2 (stamped
+    // 3000, already in the log) must not leak
+    "q190_time_travel_ts" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 <> 3""".stripMargin,
+
+    // the clock window (1000, 3000] resolves to (v0, v2] — q182's
+    // feed verbatim, addressed by timestamp
+    "q192_cdc_by_timestamp" ->
+      """SELECT o_orderkey, 'delete' AS change_type,
+        |  o_totalprice AS old_o_totalprice,
+        |  CAST(NULL AS DOUBLE) AS new_o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 <> 3 AND o_orderkey % 10 = 0
+        |  AND o_orderkey % 20 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, 'update', o_totalprice,
+        |  o_totalprice + 1000.0
+        |FROM orders WHERE o_orderkey % 20 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'update', o_totalprice,
+        |  o_totalprice + 500.0
+        |FROM orders
+        |WHERE o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |  AND o_orderkey % 7 = 1
+        |UNION ALL
+        |SELECT o_orderkey, 'insert', CAST(NULL AS DOUBLE),
+        |  o_totalprice
+        |FROM orders WHERE o_orderkey % 4 = 3""".stripMargin,
+
+    // clustering moves rows between files, never changes them — the
+    // optimize-fused checkpoint serves exactly q189's state
+    "q191_ops_optimize" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |       WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |            AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END AS o_totalprice
         |FROM orders
         |WHERE o_orderkey % 4 = 3
         |   OR o_orderkey % 10 <> 0

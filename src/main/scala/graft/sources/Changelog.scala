@@ -89,6 +89,152 @@ object Changelog {
         "insert. Re-base the reader at or above the horizon.")
   }
 
+  // ---- Commit timestamps: AS OF TIMESTAMP ---------------------------
+  //
+  // Commit ids order the log; TIMESTAMPS are how consumers address it
+  // ("the table as of last night 02:00"). Every lakehouse format maps
+  // AS OF TIMESTAMP onto the commit sequence the same way: resolve the
+  // LATEST commit whose timestamp is <= the requested instant, then
+  // read that version. Timestamps here are CALLER-PROVIDED (the
+  // ingest's own clock — reproducible and testable, where a wall-clock
+  // stamp would make every run a different table), recorded as one
+  // `_graft_ts_<commitId>` marker file per commit (underscore-prefixed
+  // so Spark's file index skips them; atomic rename so a torn write
+  // can never mis-resolve), and REQUIRED non-decreasing in commit-id
+  // order — an out-of-order stamp would make "as of t" ambiguous, so
+  // the write fails loudly instead. Stamps are immutable: re-stamping
+  // with the same value is an idempotent no-op (the retry contract),
+  // a different value is refused. Checkpoints keep stamps intact —
+  // the folded base at v still answers "as of" any instant in
+  // [ts(v), next stamp), and an instant that resolves BELOW the
+  // horizon fails through the same loud horizon guard as a versioned
+  // read (retention applies to clock addressing too, never silently).
+
+  private val TsPrefix = "_graft_ts_"
+
+  private def tsFile(path: String, commitId: Long): java.io.File =
+    new java.io.File(new java.io.File(path), s"$TsPrefix$commitId")
+
+  /** All recorded (commitId, tsMillis) stamps, commit-id ascending. */
+  def commitTimestamps(path: String): Seq[(Long, Long)] =
+    Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.startsWith(TsPrefix))
+      .map { f =>
+        (f.getName.stripPrefix(TsPrefix).toLong,
+          new String(java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      }.sortBy(_._1)
+
+  /** Record commit `commitId`'s timestamp. Must stamp an EXISTING
+    * commit (stamp after the commit lands — a stamp for data that
+    * never arrived would resolve reads onto nothing), must keep the
+    * stamp sequence monotone with commit ids, and is immutable once
+    * written (equal re-stamp = idempotent no-op).
+    */
+  def stampCommit(path: String, commitId: Long, tsMillis: Long): Unit = {
+    val dir = new java.io.File(new java.io.File(path), s"$CommitCol=$commitId")
+    require(dir.isDirectory,
+      s"cannot stamp commit $commitId of $path — no $CommitCol=$commitId " +
+        "directory exists; stamp AFTER the commit lands")
+    commitTimestamps(path).find(_._1 == commitId) match {
+      case Some((_, t)) =>
+        require(t == tsMillis,
+          s"commit $commitId of $path is already stamped $t and stamps " +
+            s"are immutable — got $tsMillis; a changed commit time would " +
+            "silently re-aim every AS OF TIMESTAMP read")
+      case None =>
+        commitTimestamps(path).foreach { case (cid, t) =>
+          require(cid > commitId || t <= tsMillis,
+            s"non-monotone stamp: commit $commitId at $tsMillis would " +
+              s"precede earlier commit $cid stamped $t — AS OF TIMESTAMP " +
+              "needs stamps non-decreasing in commit order")
+          require(cid < commitId || t >= tsMillis,
+            s"non-monotone stamp: commit $commitId at $tsMillis would " +
+              s"follow later commit $cid stamped $t — AS OF TIMESTAMP " +
+              "needs stamps non-decreasing in commit order")
+        }
+        val tmp = new java.io.File(new java.io.File(path),
+          s".$TsPrefix$commitId.tmp")
+        java.nio.file.Files.write(tmp.toPath,
+          tsMillis.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp.toPath, tsFile(path, commitId).toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** [[commit]] + [[stampCommit]] in the order the stamp contract
+    * requires (data first, then the clock entry that makes it
+    * addressable).
+    */
+  def commitStamped(delta: DataFrame, path: String, commitId: Long,
+                    tsMillis: Long): Unit = {
+    commit(delta, path, commitId)
+    stampCommit(path, commitId, tsMillis)
+  }
+
+  /** Resolve "as of `tsMillis`" to a commit id: the latest stamped
+    * commit at or before the instant. Loud on the three silent-wrong
+    * paths: a log with no stamps, a LIVE commit directory that was
+    * never stamped (resolution would silently skip it), and an
+    * instant before the first commit (nothing existed — an empty
+    * read would masquerade as an empty table).
+    */
+  def versionAtTimestamp(path: String, tsMillis: Long): Long = {
+    val stamps = commitTimestamps(path)
+    require(stamps.nonEmpty,
+      s"$path has no stamped commits — stampCommit each commit to " +
+        "enable AS OF TIMESTAMP reads")
+    val stamped = stamps.map(_._1).toSet
+    val unstamped = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.startsWith(s"$CommitCol="))
+      .map(_.stripPrefix(s"$CommitCol=").toLong)
+      .filterNot(stamped).sorted
+    require(unstamped.isEmpty,
+      s"commits [${unstamped.mkString(", ")}] of $path are unstamped — " +
+        "AS OF TIMESTAMP cannot place them on the clock; stamp them or " +
+        "use versioned reads")
+    require(tsMillis >= stamps.head._2,
+      s"timestamp $tsMillis predates the log's first commit " +
+        s"(${stamps.head._1} stamped ${stamps.head._2}) — nothing " +
+        "existed yet; an empty read here would masquerade as an " +
+        "empty table")
+    stamps.filter(_._2 <= tsMillis).map(_._1).max
+  }
+
+  /** The plain table AS OF TIMESTAMP — resolve, then [[snapshotAt]]
+    * (whose horizon guard keeps retention loud on the clock path too).
+    */
+  def snapshotAsOf(spark: SparkSession, path: String, keys: Seq[String],
+                   tsMillis: Long): DataFrame =
+    snapshotAt(spark, path, keys, versionAtTimestamp(path, tsMillis))
+
+  /** The ops table AS OF TIMESTAMP ([[snapshotAtOps]] after the same
+    * resolution).
+    */
+  def snapshotAsOfOps(spark: SparkSession, path: String, keys: Seq[String],
+                      tsMillis: Long): DataFrame =
+    snapshotAtOps(spark, path, keys, versionAtTimestamp(path, tsMillis))
+
+  /** [[changesBetweenOps]] addressed by the clock — "every change
+    * between last night's run and tonight's": both endpoints resolve
+    * through [[versionAtTimestamp]] (latest commit stamped ≤ t), then
+    * the versioned feed runs unchanged, so the window is
+    * `(version(t0), version(t1)]` — exactly the commits a consumer
+    * who last read at instant t0 has not seen. Inherits every guard:
+    * unresolvable instants, a start below the horizon, and t0/t1
+    * resolving to the same commit (an empty window is `v0 < v1`
+    * violated — loud, because a consumer polling faster than commits
+    * land should skip the cycle, not process a silently-empty feed).
+    */
+  def changesBetweenOpsTimestamps(spark: SparkSession, path: String,
+                                  keys: Seq[String], t0Millis: Long,
+                                  t1Millis: Long,
+                                  trackCols: Seq[String]): DataFrame =
+    changesBetweenOps(spark, path, keys,
+      versionAtTimestamp(path, t0Millis),
+      versionAtTimestamp(path, t1Millis), trackCols)
+
   // ---- Write-path shape guard ---------------------------------------
 
   /** Commits must not silently flip a log between plain and ops shape:
@@ -495,14 +641,70 @@ object Changelog {
     // leaves reads below v failing loudly over still-intact history
     // (re-run to finish) — never erased history with a silent read path
     writeHorizon(path, v)
-    val superseded = Option(new java.io.File(path).listFiles()).toSeq.flatten
+    vacuumBelow(path, v)
+    Sinks.deleteRecursively(staging)
+  }
+
+  /** [[checkpointOps]] with the folded base CLUSTERED on `clusterCol`
+    * — the lakehouse OPTIMIZE pass fused into the checkpoint: the
+    * live-rows fold lands as `numFiles` files placed by the arithmetic
+    * key range ([[ZOrderLayout.rangeClustered]] — seed-free, no
+    * sampling pass), sorted on the key within each file, so downstream
+    * key-range reads over the base prune to the files whose min/max
+    * span the range instead of touching every file. Content is
+    * byte-equal to [[checkpointOps]] (clustering moves rows between
+    * files, never changes them); crash-safety order is identical
+    * (durable staging copy → dynamic-overwrite landing that swaps at
+    * job commit → horizon → vacuum). `clusterCol` must be a
+    * non-negative long in `[0, domain)` and non-null on every live row
+    * (a key column always is). At 100 TB this is the difference
+    * between a maintenance job's point/range re-reads scanning the
+    * whole base and scanning range/width files of it — and because the
+    * placement is arithmetic, successive checkpoints put the same key
+    * ranges in the same file slots, so downstream caches stay warm
+    * across maintenance cycles.
+    */
+  def checkpointOpsClustered(spark: SparkSession, path: String,
+                             keys: Seq[String], v: Long, clusterCol: String,
+                             domain: Long, numFiles: Int): Unit = {
+    requireAboveHorizon(path, v, "checkpoint version")
+    val staging = s"${path.stripSuffix("/")}__ckpt_staging_v$v"
+    Sinks.deleteRecursively(staging)
+    Upsert.latestByKey(
+      requireOpsLog(
+        spark.read.option("mergeSchema", "true").parquet(path), path)
+        .filter(col(CommitCol) <= v),
+      keys, opsVersion)
+      .filter(col(OpCol) === "u")
+      .drop(CommitCol)
+      .write.mode("overwrite").parquet(staging)
+    // land clustered: one file per arithmetic key range inside the
+    // _commit=v directory; the dynamic overwrite swaps at job commit,
+    // and no shuffle sits between the placement and the write (the
+    // partition-column sort the writer inserts is on a constant)
+    ZOrderLayout.rangeClustered(
+        spark.read.parquet(staging), clusterCol, domain, numFiles)
+      .withColumn(CommitCol, lit(v))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(CommitCol).parquet(path)
+    writeHorizon(path, v)
+    vacuumBelow(path, v)
+    Sinks.deleteRecursively(staging)
+  }
+
+  /** Drop every `_commit=<id>` directory with id strictly below `v` —
+    * the vacuum step shared by all checkpoint flavors; callers must
+    * have landed the folded base and the horizon first.
+    */
+  private def vacuumBelow(path: String, v: Long): Unit = {
+    Option(new java.io.File(path).listFiles()).toSeq.flatten
       .filter { f =>
         val n = f.getName
         n.startsWith(s"$CommitCol=") &&
           n.stripPrefix(s"$CommitCol=").toLong < v
       }
-    superseded.foreach(f => Sinks.deleteRecursively(f.getAbsolutePath))
-    Sinks.deleteRecursively(staging)
+      .foreach(f => Sinks.deleteRecursively(f.getAbsolutePath))
   }
 
   /** Checkpoint the log at commit `v`: fold every commit ≤ v into ONE
@@ -562,13 +764,7 @@ object Changelog {
       .write.mode("overwrite").parquet(staging)
     commitIdempotent(spark.read.parquet(staging), path, v)
     writeHorizon(path, v)
-    val superseded = Option(new java.io.File(path).listFiles()).toSeq.flatten
-      .filter { f =>
-        val n = f.getName
-        n.startsWith(s"$CommitCol=") &&
-          n.stripPrefix(s"$CommitCol=").toLong < v
-      }
-    superseded.foreach(f => Sinks.deleteRecursively(f.getAbsolutePath))
+    vacuumBelow(path, v)
     Sinks.deleteRecursively(staging)
   }
 }

@@ -57,6 +57,26 @@ object ZOrderLayout {
     */
   def writeRangeClustered(df: DataFrame, keyCol: String, domain: Long,
                           numFiles: Int, path: String): Unit = {
+    val out = rangeClustered(df, keyCol, domain, numFiles)
+    val dropped = if (keyCol == ZCol) out.drop(ZCol) else out
+    dropped.write.mode("overwrite").parquet(path)
+  }
+
+  /** The clustering itself as a DataFrame transform: `numFiles`
+    * partitions placed by the arithmetic key range, sorted on the key
+    * within each — a plain write of the result produces one clustered
+    * file per partition, and callers that need a different landing
+    * (e.g. a changelog's dynamic-overwrite commit directory,
+    * [[Changelog.checkpointOpsClustered]]) compose their own write on
+    * top without losing the placement (no shuffle sits between this
+    * and the write). RDD usage is the justified kind: per-partition
+    * imperative placement with an arithmetic partitioner is exactly
+    * what `repartitionAndSortWithinPartitions` exists for, and the
+    * declarative alternative (`repartitionByRange`) samples with an
+    * RDD-id-dependent seed.
+    */
+  def rangeClustered(df: DataFrame, keyCol: String, domain: Long,
+                     numFiles: Int): DataFrame = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     require(domain >= 1, s"domain must be >= 1, got $domain")
     val schema = df.schema
@@ -75,8 +95,6 @@ object ZOrderLayout {
       .map(r => (r.getLong(keyIdx), r))
       .repartitionAndSortWithinPartitions(part)
       .map(_._2)
-    val out = df.sparkSession.createDataFrame(placed, schema)
-    val dropped = if (keyCol == ZCol) out.drop(ZCol) else out
-    dropped.write.mode("overwrite").parquet(path)
+    df.sparkSession.createDataFrame(placed, schema)
   }
 }

@@ -632,4 +632,121 @@ class TopKChangelogSpec extends SparkSpec {
     assert(Changelog.snapshotAtOps(spark, path, Seq("k"), 1L)
       .as[(Long, String)].collect().toSeq == Seq((2L, "b")))
   }
+
+  test("AS OF TIMESTAMP resolves to the latest stamp <= t (boundary " +
+       "inclusive); stamp guards are loud (q190)") {
+    val path = Sinks.tmpPath("changelog_spec_asof")
+    Sinks.deleteRecursively(path)
+    Changelog.commitStamped(
+      Seq(("k1", "a"), ("k2", "a")).toDF("k", "v"), path, 0L, 1000L)
+    Changelog.commitStamped(Seq(("k2", "b")).toDF("k", "v"), path, 1L, 2000L)
+    Changelog.commitStamped(Seq(("k3", "c")).toDF("k", "v"), path, 2L, 3000L)
+    def asOf(t: Long) = Changelog.snapshotAsOf(spark, path, Seq("k"), t)
+      .as[(String, String)].collect().toMap
+    assert(asOf(1000L) == Map("k1" -> "a", "k2" -> "a")) // boundary = commit 0
+    assert(asOf(2500L) == Map("k1" -> "a", "k2" -> "b")) // commit 2 in the
+    assert(asOf(3000L) == asOf(999999L))                 // log, not leaking
+    assert(asOf(3000L) == Map("k1" -> "a", "k2" -> "b", "k3" -> "c"))
+    // before the first commit: nothing existed — loud, never empty
+    val early = intercept[IllegalArgumentException](asOf(999L))
+    assert(early.getMessage.contains("predates"))
+    // a stamp needs its commit (data first, then the clock entry)
+    intercept[IllegalArgumentException](
+      Changelog.stampCommit(path, 9L, 5000L))
+    // stamps are immutable: equal re-stamp is the idempotent no-op,
+    // a different value is refused
+    Changelog.stampCommit(path, 1L, 2000L)
+    val mut = intercept[IllegalArgumentException](
+      Changelog.stampCommit(path, 1L, 2500L))
+    assert(mut.getMessage.contains("immutable"))
+    // a stamp breaking monotonicity with commit order is refused
+    Changelog.commit(Seq(("k4", "d")).toDF("k", "v"), path, 3L)
+    val mono = intercept[IllegalArgumentException](
+      Changelog.stampCommit(path, 3L, 2500L))
+    assert(mono.getMessage.contains("non-monotone"))
+    // an UNSTAMPED live commit makes clock resolution refuse — it
+    // would otherwise silently skip commit 3's data
+    val un = intercept[IllegalArgumentException](asOf(2500L))
+    assert(un.getMessage.contains("unstamped"))
+    Changelog.stampCommit(path, 3L, 4000L)
+    assert(asOf(4000L)("k4") == "d")
+  }
+
+  test("AS OF TIMESTAMP composes with checkpoint: stamps survive the " +
+       "fold, instants below the horizon fail loudly") {
+    val path = Sinks.tmpPath("changelog_spec_asof_ckpt")
+    Sinks.deleteRecursively(path)
+    Changelog.commitUpsert(
+      Seq(("k1", "a"), ("k2", "a")).toDF("k", "v"), path, 0L)
+    Changelog.stampCommit(path, 0L, 1000L)
+    Changelog.commitUpsert(Seq(("k2", "b")).toDF("k", "v"), path, 1L)
+    Changelog.stampCommit(path, 1L, 2000L)
+    Changelog.commitDelete(spark, Seq("k1").toDF("k"), path, 2L)
+    Changelog.stampCommit(path, 2L, 3000L)
+    Changelog.checkpointOps(spark, path, Seq("k"), 1L)
+    // instants at/after the horizon commit still resolve and read
+    assert(Changelog.snapshotAsOfOps(spark, path, Seq("k"), 2500L)
+      .as[(String, String)].collect().toMap == Map("k1" -> "a", "k2" -> "b"))
+    assert(Changelog.snapshotAsOfOps(spark, path, Seq("k"), 3000L)
+      .as[(String, String)].collect().toMap == Map("k2" -> "b"))
+    // an instant that RESOLVES below the horizon hits the same loud
+    // guard as a versioned read — retention applies to the clock too
+    val e = intercept[IllegalArgumentException](
+      Changelog.snapshotAsOfOps(spark, path, Seq("k"), 1500L))
+    assert(e.getMessage.contains("horizon"))
+    // the feed addressed by clock: (2000, 3000] resolves to (v1, v2]
+    // — exactly k1's delete with its old value carried
+    val feed = Changelog.changesBetweenOpsTimestamps(spark, path,
+        Seq("k"), 2000L, 3000L, Seq("v"))
+      .select("k", "change_type", "old_v", "new_v")
+      .as[(String, String, Option[String], Option[String])]
+      .collect().toSeq
+    assert(feed == Seq(("k1", "delete", Some("a"), None)))
+    // both instants resolving to ONE commit is an empty window — loud
+    // (a consumer polling faster than commits land should skip the
+    // cycle, not process a silently-empty feed)
+    intercept[IllegalArgumentException](
+      Changelog.changesBetweenOpsTimestamps(spark, path, Seq("k"),
+        2000L, 2500L, Seq("v")))
+  }
+
+  test("clustered ops checkpoint (OPTIMIZE): content identical, key " +
+       "ranges prune to EXACT file counts, horizon guard active (q191)") {
+    val path = Sinks.tmpPath("changelog_spec_optimize")
+    Sinks.deleteRecursively(path)
+    val base = spark.range(1000).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+    Changelog.commitUpsert(base, path, 0L)
+    Changelog.commitDelete(spark,
+      spark.range(100).select((col("id") * 10).as("k")), path, 1L)
+    Changelog.commitUpsert(
+      spark.range(50).select((col("id") * 20).as("k"),
+        concat(lit("r"), col("id") * 20).as("v")), path, 2L)
+    Changelog.checkpointOpsClustered(spark, path, Seq("k"), 1L,
+      "k", 1000L, 8)
+    // content: live-at-1 (k not a multiple of 10) ∪ commit-2
+    // resurrections/rewrites under LWW — exactly the Scala model
+    val expected = (0L until 1000L).flatMap { k =>
+      if (k % 20 == 0) Some(k -> s"r$k")
+      else if (k % 10 == 0) None
+      else Some(k -> s"v$k")
+    }.toMap
+    val got = Changelog.snapshotAtOps(spark, path, Seq("k"), 2L)
+      .as[(Long, String)].collect().toMap
+    assert(got == expected)
+    // layout: the folded base is exactly 8 arithmetic range files
+    // (width 125), so touched-file counts are EXACT, not margins
+    val baseDir = s"$path/${Changelog.CommitCol}=1"
+    val baseFiles = Option(new java.io.File(baseDir).listFiles()).toSeq
+      .flatten.filter(_.getName.endsWith(".parquet"))
+    assert(baseFiles.length == 8, s"base files: ${baseFiles.length}")
+    def touched(lo: Long, hi: Long): Long =
+      spark.read.parquet(baseDir).filter(col("k").between(lo, hi))
+        .select(input_file_name()).distinct().count()
+    assert(touched(0L, 124L) == 1L)   // one full range -> one file
+    assert(touched(100L, 374L) == 3L) // spans ranges 0,1,2 -> three files
+    // below the horizon the clustered checkpoint guards like the rest
+    intercept[IllegalArgumentException](
+      Changelog.snapshotAtOps(spark, path, Seq("k"), 0L))
+  }
 }
