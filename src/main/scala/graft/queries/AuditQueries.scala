@@ -367,6 +367,40 @@ object AuditQueries {
       Changelog.snapshotAtOps(s, path, Seq("o_orderkey"), 2L)
     }),
 
+    // ZERO-COPY SHALLOW CLONE (branching) — "CREATE TABLE ... CLONE
+    // ... AS OF v": the clone takes commits ≤ 1 as HARDLINKS (no data
+    // bytes copied), then DIVERGES — a branch commit resurrects every
+    // 20th key at +2000, which the origin never sees. The clone's
+    // latest state must be the v=1 live set plus the branch commit
+    // under LWW; physical independence (a checkpoint's vacuum on
+    // either side cannot destroy bytes the other still links) is
+    // spec-pinned — an oracle can't see inode refcounts.
+    "q193_ops_clone" -> ((s, d) => {
+      val path = opsLog(s, d, "orders_ops_log_q193")
+      val dest = Sinks.tmpPathFor("orders_ops_clone", d)
+      Sinks.deleteRecursively(dest)
+      Changelog.cloneAt(s, path, dest, 1L)
+      Changelog.commitUpsert(
+        opsOrders(s, d).filter(col("o_orderkey") % 20 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 2000.0),
+        dest, 2L)
+      Changelog.snapshotAtOps(s, dest, Seq("o_orderkey"), Long.MaxValue)
+    }),
+
+    // RESTORE to version v as a NEW commit — roll the DATA back
+    // without rolling the LOG back: after the three ops commits,
+    // restore to v=1 lands commit 3 as the MINIMAL diff (re-delete
+    // commit 2's resurrections and inserts, roll back its updates;
+    // keys untouched since v=1 contribute nothing), so the head now
+    // serves exactly the v=1 state while every historical snapshot
+    // stays readable (spec-pinned, along with the minimal-diff row
+    // count and the loud not-above-head guard).
+    "q194_ops_restore" -> ((s, d) => {
+      val path = opsLog(s, d, "orders_ops_log_q194")
+      Changelog.restoreOps(s, path, Seq("o_orderkey"), 1L, 3L)
+      Changelog.snapshotAtOps(s, path, Seq("o_orderkey"), Long.MaxValue)
+    }),
+
     // CDC FEED BY TIMESTAMP WINDOW — how a real consumer addresses the
     // feed ("every change between last night's run and tonight's"):
     // both endpoints resolve through the commit clock (latest stamp
@@ -907,6 +941,24 @@ object AuditQueries {
         |       ELSE o_totalprice END AS o_totalprice
         |FROM orders
         |WHERE o_orderkey % 4 <> 3""".stripMargin,
+
+    // clone at v=1 (live = base minus tombstones) + the divergent
+    // branch commit (every 20th key resurrected at +2000)
+    "q193_ops_clone" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 2000.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE (o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0)
+        |   OR o_orderkey % 20 = 0""".stripMargin,
+
+    // the restored head serves exactly the v=1 state: the base subset
+    // minus the tombstoned keys, original prices (commit 2's updates,
+    // inserts, and resurrections all rolled back)
+    "q194_ops_restore" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0""".stripMargin,
 
     // the clock window (1000, 3000] resolves to (v0, v2] — q182's
     // feed verbatim, addressed by timestamp

@@ -693,6 +693,114 @@ object Changelog {
     Sinks.deleteRecursively(staging)
   }
 
+  /** Zero-copy SHALLOW CLONE of the log at version `v` — the lakehouse
+    * "CREATE TABLE ... CLONE ... AS OF v" / branch primitive: `dest`
+    * becomes an independent log holding exactly the commits ≤ v,
+    * materialized as HARDLINKS (no data bytes copied or moved — cost
+    * is O(files ≤ v) directory entries, however large the table).
+    * Works for both shapes (the clone is directory-level; plain and
+    * ops logs clone identically), and independence is physical:
+    *  - new commits on either side land in new directories the other
+    *    never reads;
+    *  - a checkpoint's vacuum on either side only UNLINKS its own
+    *    references — the inode survives while the other side still
+    *    links it (hardlink refcounting IS the shallow-clone retention
+    *    contract: neither side can destroy bytes the other needs);
+    *  - `commitIdempotent`'s dynamic overwrite on the origin replaces
+    *    directory entries, never rewrites linked bytes in place, so a
+    *    clone can never observe a torn origin rewrite.
+    * The clone inherits the origin's horizon (history the origin
+    * folded away is as unreadable through the clone — the guard
+    * travels) and the commit stamps ≤ v (clock addressing keeps
+    * working on the branch). Loud when `dest` already exists —
+    * cloning over a live log would interleave two histories.
+    */
+  def cloneAt(spark: SparkSession, path: String, dest: String,
+              v: Long): Unit = {
+    requireAboveHorizon(path, v, "clone version")
+    val destDir = new java.io.File(dest)
+    require(!destDir.exists(),
+      s"clone destination $dest already exists — cloning over a live " +
+        "log would interleave two histories; pick a fresh path")
+    val src = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter { f =>
+        val n = f.getName
+        n.startsWith(s"$CommitCol=") &&
+          n.stripPrefix(s"$CommitCol=").toLong <= v
+      }
+    require(src.nonEmpty,
+      s"$path has no commits <= $v to clone")
+    destDir.mkdirs()
+    src.foreach(d =>
+      Sinks.hardlinkTree(d.getAbsolutePath, s"$dest/${d.getName}"))
+    val h = horizonOf(path)
+    if (h != Long.MinValue) writeHorizon(dest, h)
+    commitTimestamps(path).filter(_._1 <= v).foreach { case (cid, ts) =>
+      stampCommit(dest, cid, ts)
+    }
+  }
+
+  /** RESTORE the ops table to its state at version `v`, landed as NEW
+    * commit `newCommitId` — roll back the data without rolling back
+    * the log (Delta's RESTORE): history stays fully readable (every
+    * snapshot ≤ the old head is untouched; the restore is one more
+    * commit on top), and the commit is the MINIMAL diff between the
+    * current head and the target state — an upsert per key whose
+    * value changed or vanished after v, a tombstone per key created
+    * after v; keys untouched since v contribute NOTHING (the
+    * restore's write cost is O(changed keys), not O(table); the diff
+    * computation is one full-outer join of the two compacted states,
+    * the q88 snapshot-diff shape). Ops-log only by design: restoring
+    * past a later insert requires a DELETE, which the plain
+    * append-only log cannot express.
+    *
+    * Both states read through the EVOLVED (mergeSchema) path — like
+    * [[checkpointOps]]'s fold, a single-footer read on an evolved log
+    * would silently drop later-added columns from the restore commit;
+    * restore is rare maintenance, so it pays the footer-merge
+    * planning cost the hot snapshot path must not.
+    */
+  def restoreOps(spark: SparkSession, path: String, keys: Seq[String],
+                 v: Long, newCommitId: Long): Unit = {
+    requireAboveHorizon(path, v, "restore target version")
+    val ids = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.startsWith(s"$CommitCol="))
+      .map(_.stripPrefix(s"$CommitCol=").toLong)
+    require(ids.nonEmpty, s"$path has no commits to restore")
+    val head = ids.max
+    require(v <= head,
+      s"restore target $v is beyond the head commit $head of $path")
+    require(newCommitId > head,
+      s"restore must land as a NEW commit above the head $head of " +
+        s"$path, got $newCommitId — commit ids are the version order")
+    val target = snapshotAtOpsEvolved(spark, path, keys, v)
+    val current = snapshotAtOpsEvolved(spark, path, keys, head)
+    val dataCols = target.columns.filterNot(keys.contains).toSeq
+    val generated = Set("_in_t", "_in_c") ++
+      dataCols.flatMap(c => Seq(s"_t_$c", s"_c_$c"))
+    require((keys ++ dataCols).forall(!generated.contains(_)),
+      s"column names collide with restore's working columns: " +
+        (keys ++ dataCols).filter(generated.contains).mkString(", "))
+    val t = target.select(keys.map(col) ++
+      dataCols.map(c => col(c).as(s"_t_$c")) :+ lit(true).as("_in_t"): _*)
+    val c = current.select(keys.map(col) ++
+      dataCols.map(c2 => col(c2).as(s"_c_$c2")) :+ lit(true).as("_in_c"): _*)
+    val j = t.join(c, keys, "full_outer")
+    val differs = dataCols
+      .map(cc => !(col(s"_t_$cc") <=> col(s"_c_$cc")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val ups = j.filter(col("_in_t").isNotNull &&
+        (col("_in_c").isNull || differs))
+      .select(keys.map(col) ++ dataCols.map(cc => col(s"_t_$cc").as(cc)): _*)
+      .withColumn(OpCol, lit("u"))
+    val tombstoneShape = target.schema
+    val dels = j.filter(col("_in_t").isNull && col("_in_c").isNotNull)
+      .select(keys.map(col) ++ dataCols.map(cc =>
+        lit(null).cast(tombstoneShape(cc).dataType).as(cc)): _*)
+      .withColumn(OpCol, lit("d"))
+    commit(ups.unionByName(dels), path, newCommitId)
+  }
+
   /** Drop every `_commit=<id>` directory with id strictly below `v` —
     * the vacuum step shared by all checkpoint flavors; callers must
     * have landed the folded base and the horizon first.

@@ -749,4 +749,77 @@ class TopKChangelogSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Changelog.snapshotAtOps(spark, path, Seq("k"), 0L))
   }
+
+  test("shallow clone at v: branch diverges, origin untouched, and a " +
+       "checkpoint's vacuum on the ORIGIN cannot destroy the clone's " +
+       "bytes (q193)") {
+    val origin = Sinks.tmpPath("changelog_spec_clone_src")
+    val dest = Sinks.tmpPath("changelog_spec_clone_dst")
+    Sinks.deleteRecursively(origin); Sinks.deleteRecursively(dest)
+    Changelog.commitUpsert(
+      Seq(("k1", "a"), ("k2", "a"), ("k3", "a")).toDF("k", "v"), origin, 0L)
+    Changelog.commitUpsert(Seq(("k2", "b")).toDF("k", "v"), origin, 1L)
+    Changelog.commitDelete(spark, Seq("k1").toDF("k"), origin, 2L)
+    Changelog.cloneAt(spark, origin, dest, 1L)
+    // the clone is the v=1 state — commit 2 (the delete) not taken
+    def snap(p: String) = Changelog
+      .snapshotAtOps(spark, p, Seq("k"), Long.MaxValue)
+      .as[(String, String)].collect().toMap
+    assert(snap(dest) == Map("k1" -> "a", "k2" -> "b", "k3" -> "a"))
+    // branch commit on the clone; the origin never sees it
+    Changelog.commitUpsert(Seq(("k5", "z")).toDF("k", "v"), dest, 2L)
+    assert(snap(dest) ==
+      Map("k1" -> "a", "k2" -> "b", "k3" -> "a", "k5" -> "z"))
+    assert(snap(origin) == Map("k2" -> "b", "k3" -> "a"))
+    // cloning over an existing path is loud
+    val e = intercept[IllegalArgumentException](
+      Changelog.cloneAt(spark, origin, dest, 1L))
+    assert(e.getMessage.contains("exists"))
+    // the physical-independence law: checkpoint the ORIGIN (vacuums
+    // commits 0 and 1 — the very directories the clone hardlinked);
+    // the clone must still read every byte (inode refcounting)
+    Changelog.checkpointOps(spark, origin, Seq("k"), 2L)
+    assert(snap(origin) == Map("k2" -> "b", "k3" -> "a"))
+    assert(snap(dest) ==
+      Map("k1" -> "a", "k2" -> "b", "k3" -> "a", "k5" -> "z"))
+    // a clone of a CHECKPOINTED log inherits the horizon: pre-fold
+    // versions are as unreadable through the clone as the origin
+    val dest2 = Sinks.tmpPath("changelog_spec_clone_dst2")
+    Sinks.deleteRecursively(dest2)
+    Changelog.cloneAt(spark, origin, dest2, 2L)
+    assert(snap(dest2) == Map("k2" -> "b", "k3" -> "a"))
+    val h = intercept[IllegalArgumentException](
+      Changelog.snapshotAtOps(spark, dest2, Seq("k"), 1L))
+    assert(h.getMessage.contains("horizon"))
+  }
+
+  test("restoreOps lands the MINIMAL diff as a new commit: head serves " +
+       "the target state, history stays readable, untouched keys " +
+       "contribute nothing (q194)") {
+    val path = Sinks.tmpPath("changelog_spec_restore")
+    Sinks.deleteRecursively(path)
+    Changelog.commitUpsert(
+      Seq(("k1", "a"), ("k2", "a"), ("k3", "a")).toDF("k", "v"), path, 0L)
+    Changelog.commitUpsert(Seq(("k2", "b")).toDF("k", "v"), path, 1L)
+    Changelog.commitDelete(spark, Seq("k1").toDF("k"), path, 2L)
+    Changelog.commitUpsert(
+      Seq(("k3", "c"), ("k4", "c")).toDF("k", "v"), path, 3L)
+    // restore to v=1: {k1→a, k2→b, k3→a}; current head (3) is
+    // {k2→b, k3→c, k4→c} — diff = re-insert k1, roll back k3,
+    // tombstone k4; k2 is untouched and must NOT appear
+    Changelog.restoreOps(spark, path, Seq("k"), 1L, 4L)
+    def snap(v: Long) = Changelog.snapshotAtOps(spark, path, Seq("k"), v)
+      .as[(String, String)].collect().toMap
+    assert(snap(4L) == Map("k1" -> "a", "k2" -> "b", "k3" -> "a"))
+    // history intact: the pre-restore head still reads exactly
+    assert(snap(3L) == Map("k2" -> "b", "k3" -> "c", "k4" -> "c"))
+    // minimal diff: the restore commit holds exactly 3 rows
+    assert(spark.read
+      .parquet(s"$path/${Changelog.CommitCol}=4").count() == 3L)
+    // guards: restore must land ABOVE the head, target must exist
+    intercept[IllegalArgumentException](
+      Changelog.restoreOps(spark, path, Seq("k"), 1L, 3L))
+    intercept[IllegalArgumentException](
+      Changelog.restoreOps(spark, path, Seq("k"), 99L, 5L))
+  }
 }
