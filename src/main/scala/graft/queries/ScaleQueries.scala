@@ -528,8 +528,9 @@ object ScaleQueries {
         plan.contains("LessThanOrEqual(symbol,S00017)"),
         s"symbol range must reach the connector scan, plan was:\n$plan")
       // isin-negation stays a residual (Not is not pushable here) —
-      // Spark evaluates it above the scan; the RANGE alone bounds the
-      // fetched/built set to 13 symbols, of which 13 match the range
+      // Spark evaluates it above the scan; the accepted RANGE filters
+      // are CONSUMED by the scan (exact inversion — see the connector
+      // scaladoc) and alone bound the fetched/built set to 13 symbols
       val before = graft.sources.ProfileConnector.payloadBuilds.get()
       // collect the lengths, not count() — count would prune the
       // payload column away and the probe would prove nothing
@@ -555,6 +556,37 @@ object ScaleQueries {
           col("_i.fullTimeEmployees").cast("int").as("employees"),
           col("_i.sector").as("sector"),
           col("loaded_at"))
+    }),
+
+    // S4 hardening — connector AGGREGATE pushdown
+    // (SupportsPushDownAggregates, the DSv2 mirror of q160's JDBC
+    // pushed aggregates): a global count/min/max over a pushed symbol
+    // range must reach the scan (require()d in PushedAggregates) and
+    // fold into ARITHMETIC on the partition plan — the matching index
+    // set is closed-form, so the scan emits ONE pre-aggregated row
+    // and builds ZERO payloads (counter-proven around the collect;
+    // the spec additionally proves no rate-limit token is spent).
+    // Composes with filter pushdown: the range prunes first, the
+    // aggregate folds over what survived.
+    "q195_connector_agg_pushdown" -> ((s, _) => {
+      val agg = s.read
+        .format(classOf[graft.sources.ProfileConnector].getName)
+        .option("symbols", VerifyN).option("numPartitions", 8).load()
+        .filter(col("symbol") >= "S00005" && col("symbol") <= "S00017")
+        .groupBy()
+        .agg(count(col("symbol")).as("n_symbols"),
+          min(col("symbol")).as("first_symbol"),
+          max(col("symbol")).as("last_symbol"))
+      val plan = agg.queryExecution.executedPlan.toString
+      require(plan.contains("PushedAggregates: ["),
+        s"aggregate must reach the connector scan, plan was:\n$plan")
+      val before = graft.sources.ProfileConnector.payloadBuilds.get()
+      val rows = agg.collect()
+      val built = graft.sources.ProfileConnector.payloadBuilds.get() - before
+      require(rows.length == 1 && built == 0L,
+        s"pushed aggregate must emit one row and build NO payloads " +
+          s"(rows ${rows.length}, built $built)")
+      agg
     }),
 
     // JDBC warehouse round-trip (sources/JdbcStore) — the reference's
@@ -1505,6 +1537,14 @@ object ScaleQueries {
         |  CASE WHEN i % 2 = 0 THEN TIMESTAMP '2025-08-15 00:00:00'
         |       ELSE TIMESTAMP '2025-08-16 00:00:00' END AS loaded_at
         |FROM syms""".stripMargin,
+
+    // the pushed aggregate's answer over the same symbol law: 13
+    // symbols in the range, boundary symbols as min/max
+    "q195_connector_agg_pushdown" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_symbols,
+        |  min(symbol) AS first_symbol, max(symbol) AS last_symbol
+        |FROM (SELECT 'S' || lpad(CAST(range AS VARCHAR), 5, '0') AS symbol
+        |      FROM range(5, 18)) t""".stripMargin,
 
     "q40_upsert_roundtrip" ->
       """WITH g0 AS (

@@ -8,10 +8,11 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{StructType, TimestampType}
+import org.apache.spark.sql.types.{LongType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -41,10 +42,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *    details.py:139–153 fetches per symbol instead of crawling the
   *    universe. The symbol key is strictly increasing in the index
   *    (fixed-width zero pad), so range bounds binary-search to index
-  *    bounds exactly; non-matching symbols are never fetched AND
-  *    their payloads never built (q187 proves both). Spark still
-  *    re-evaluates every filter above the scan — pruning is an
-  *    optimization, never the correctness path.
+  *    bounds EXACTLY; non-matching symbols are never fetched AND
+  *    their payloads never built (q187 proves both). Because the
+  *    inversion is exact, accepted filters are CONSUMED (no residual
+  *    re-evaluation above the scan) — the precision that also
+  *    unlocks aggregate pushdown; shapes the law cannot invert stay
+  *    residuals and Spark evaluates them above;
+  *  - **aggregate pushdown** (`SupportsPushDownAggregates`): a global
+  *    COUNT / MIN(symbol) / MAX(symbol) — with or without pushed
+  *    symbol filters — folds into ARITHMETIC on the partition plan:
+  *    the matching index set is known in closed form, so its size and
+  *    boundary symbols are computed without visiting a single symbol,
+  *    building a payload, or spending a rate-limit token (q195). The
+  *    scan emits one pre-aggregated row under PARTIAL semantics
+  *    (Spark's final aggregate merges it — the JDBC-source contract,
+  *    safe under any future multi-partition split).
   *
   * Usage:
   * {{{
@@ -99,22 +111,64 @@ object ProfileConnector {
   private class ProfileScanBuilder(symbols: Int, parts: Int,
                                    maxPerSecond: Double)
       extends ScanBuilder with SupportsPushDownRequiredColumns
-      with SupportsPushDownFilters {
+      with SupportsPushDownFilters with SupportsPushDownAggregates {
     private var required: StructType = Schema
     private var accepted: Array[Filter] = Array.empty
+    private var aggregated: Option[Aggregation] = None
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
     override def pushFilters(filters: Array[Filter]): Array[Filter] = {
       accepted = filters.filter(supportsPushdown)
-      // EVERY filter stays a residual: the connector uses the accepted
-      // ones to prune its partition plan, and Spark re-evaluates above
-      // the scan — pushdown is an optimization, never the correctness
-      // path (the q160 pushed-aggregate discipline)
-      filters
+      // accepted filters are CONSUMED (not returned as residuals):
+      // the index-law inversion is EXACT for every pushable shape
+      // (strictly increasing fixed-width ASCII symbols — binary
+      // search on a monotone predicate, regex-validated point
+      // lookups), so the scan returns precisely the matching rows
+      // and re-evaluation above would be pure overhead. Consumption
+      // is also what unlocks aggregate pushdown: Spark only pushes
+      // an Aggregate whose child is the bare scan — a residual
+      // Filter in between vetoes it. Anything the law cannot invert
+      // stays a residual and Spark evaluates it above the scan.
+      filters.filterNot(supportsPushdown)
     }
     override def pushedFilters(): Array[Filter] = accepted
+    /** Aggregate pushdown (`SupportsPushDownAggregates`) — the DSv2
+      * mirror of q160's JDBC pushed aggregates: a global
+      * COUNT / MIN(symbol) / MAX(symbol) over the (filter-pruned)
+      * symbol universe folds into ARITHMETIC on the partition plan —
+      * the count is the size of the matching index set and the
+      * min/max are its boundary symbols, so the "fetch" costs O(1):
+      * no symbol is visited, no payload built, no rate-limit token
+      * spent (spec + q195 prove all three). PARTIAL-pushdown
+      * semantics on purpose (`supportCompletePushDown` stays false):
+      * the scan emits one pre-aggregated row and Spark's final
+      * aggregate merges it — the safe contract under any future
+      * multi-partition split, same rule as the JDBC source. Grouped
+      * or exotic aggregates stay un-pushed (return false) and run
+      * the ordinary scan.
+      */
+    override def pushAggregation(agg: Aggregation): Boolean = {
+      def isSymbol(e: org.apache.spark.sql.connector.expressions.Expression) =
+        e match {
+          case r: NamedReference =>
+            r.fieldNames.length == 1 && r.fieldNames()(0) == "symbol"
+          case _ => false
+        }
+      val ok = agg.groupByExpressions.isEmpty &&
+        agg.aggregateExpressions.nonEmpty &&
+        agg.aggregateExpressions.forall {
+          case _: CountStar => true
+          case c: Count     => !c.isDistinct && isSymbol(c.column)
+          case m: Min       => isSymbol(m.column)
+          case m: Max       => isSymbol(m.column)
+          case _            => false
+        }
+      if (ok) aggregated = Some(agg)
+      ok
+    }
     override def build(): Scan =
-      new ProfileScan(symbols, parts, maxPerSecond, required, accepted)
+      new ProfileScan(symbols, parts, maxPerSecond, required, accepted,
+        aggregated)
   }
 
   /** Pushable = symbol predicates the index law inverts exactly. The
@@ -139,13 +193,27 @@ object ProfileConnector {
 
   private class ProfileScan(symbols: Int, parts: Int, maxPerSecond: Double,
                             required: StructType,
-                            filters: Array[Filter]) extends Scan with Batch {
-    override def readSchema(): StructType = required
+                            filters: Array[Filter],
+                            aggregation: Option[Aggregation] = None)
+      extends Scan with Batch {
+    private def aggSchema(agg: Aggregation): StructType =
+      agg.aggregateExpressions.zipWithIndex.foldLeft(new StructType()) {
+        case (st, (f, i)) => f match {
+          case _: CountStar | _: Count =>
+            st.add(s"agg_$i", LongType, nullable = false)
+          case _ => st.add(s"agg_$i", StringType, nullable = true)
+        }
+      }
+    override def readSchema(): StructType =
+      aggregation.map(aggSchema).getOrElse(required)
     override def toBatch: Batch = this
-    // surfaces the accepted filters in EXPLAIN (BatchScan renders the
-    // scan description) — the q160 "prove it from the plan" discipline
+    // surfaces the accepted filters (and any pushed aggregation) in
+    // EXPLAIN (BatchScan renders the scan description) — the q160
+    // "prove it from the plan" discipline
     override def description(): String =
-      s"graft_profiles PushedFilters: [${filters.mkString(", ")}]"
+      s"graft_profiles PushedFilters: [${filters.mkString(", ")}]" +
+        aggregation.fold("")(a =>
+          s", PushedAggregates: [${a.aggregateExpressions.mkString(", ")}]")
 
     /** First index in [0, symbols] where the monotone predicate holds. */
     private def firstIndexWhere(p: Int => Boolean): Int = {
@@ -165,10 +233,11 @@ object ProfileConnector {
       case _ => None
     }
 
-    override def planInputPartitions(): Array[InputPartition] = {
-      // fold the accepted filters into index bounds (+ an explicit set
-      // for equality/IN) — exact because symbol(i) is strictly
-      // increasing in i
+    /** Fold the accepted filters into index bounds (+ an explicit set
+      * for equality/IN) — exact because symbol(i) is strictly
+      * increasing in i.
+      */
+    private def filterBounds(): (Int, Int, Option[Set[Int]]) = {
       var lo = 0
       var hi = symbols
       var eq: Option[Set[Int]] = None
@@ -190,6 +259,40 @@ object ProfileConnector {
           hi = math.min(hi, firstIndexWhere(Profiles.symbol(_) > v))
         case _ => ()
       }
+      (lo, hi, eq)
+    }
+
+    // a pushed aggregate needs no fetch at all: the matching index
+    // set is known arithmetically, so its count and boundary symbols
+    // ARE the answer — one pre-aggregated row, zero symbols visited,
+    // zero payloads built, zero rate-limit tokens
+    private def planAggregated(agg: Aggregation, lo: Int, hi: Int,
+                               eq: Option[Set[Int]]): Array[InputPartition] = {
+      val idx: IndexedSeq[Int] = eq match {
+        case Some(set) => set.filter(i => i >= lo && i < hi).toArray.sorted
+        case None      => if (hi <= lo) IndexedSeq.empty
+                          else lo until hi
+      }
+      Array(AggResult(idx.length.toLong,
+        idx.headOption.map(Profiles.symbol),
+        idx.lastOption.map(Profiles.symbol),
+        agg.aggregateExpressions.map {
+          case _: CountStar | _: Count => 'c'
+          case _: Min                  => 'n'
+          case _                       => 'x'
+        }.toIndexedSeq))
+    }
+
+    override def planInputPartitions(): Array[InputPartition] = {
+      val (lo, hi, eq) = filterBounds()
+      aggregation match {
+        case Some(agg) => planAggregated(agg, lo, hi, eq)
+        case None      => planRows(lo, hi, eq)
+      }
+    }
+
+    private def planRows(lo: Int, hi: Int,
+                         eq: Option[Set[Int]]): Array[InputPartition] = {
       eq match {
         case Some(set) =>
           // point fetches: chunk the surviving sorted index list
@@ -222,6 +325,15 @@ object ProfileConnector {
   private case class SymbolRange(start: Int, end: Int) extends InputPartition
   private case class SymbolList(indices: IndexedSeq[Int]) extends InputPartition
 
+  /** One pre-aggregated row: the count plus the boundary symbols of the
+    * matching index set, with `shape` recording (positionally) which
+    * pushed function each output column feeds — 'c' count, 'n' min,
+    * anything else max.
+    */
+  private case class AggResult(count: Long, min: Option[String],
+                               max: Option[String],
+                               shape: IndexedSeq[Char]) extends InputPartition
+
   private class ProfileReaderFactory(maxPerSecond: Double,
                                      required: StructType)
       extends PartitionReaderFactory {
@@ -231,6 +343,19 @@ object ProfileConnector {
           new ProfileReader(r.start until r.end, maxPerSecond, required)
         case l: SymbolList =>
           new ProfileReader(l.indices, maxPerSecond, required)
+        case a: AggResult =>
+          new PartitionReader[InternalRow] {
+            private var emitted = false
+            override def next(): Boolean =
+              if (emitted) false else { emitted = true; true }
+            override def get(): InternalRow = InternalRow.fromSeq(
+              a.shape.map {
+                case 'c' => a.count
+                case 'n' => a.min.map(UTF8String.fromString).orNull
+                case _   => a.max.map(UTF8String.fromString).orNull
+              })
+            override def close(): Unit = ()
+          }
       }
   }
 

@@ -93,9 +93,51 @@ class ProfileConnectorSpec extends SparkSpec {
 
   test("per-partition rate limit paces the fetch (lower time bound)") {
     val t0 = System.nanoTime()
-    // 6 symbols, ONE partition, 20/s → 5 inter-arrival gaps of 50 ms
-    assert(read(6, parts = 1, rate = 20.0).count() === 6L)
+    // 6 symbols, ONE partition, 20/s → 5 inter-arrival gaps of 50 ms.
+    // Collect ROWS, not count(): count() now pushes down to arithmetic
+    // and (correctly) never fetches — the pacing contract is about the
+    // row path.
+    assert(read(6, parts = 1, rate = 20.0)
+      .select("symbol").collect().length === 6)
     val elapsedMs = (System.nanoTime() - t0) / 1e6
     assert(elapsedMs >= 200.0, f"fetch finished in $elapsedMs%.0f ms — pacing not applied")
+  }
+
+  test("aggregate pushdown: global count/min/max fold into arithmetic " +
+       "on the partition plan — no symbol visited, no payload built, " +
+       "no rate-limit token spent (q195)") {
+    ProfileConnector.payloadBuilds.set(0L)
+    // a HEAVY throttle (1 fetch/s over 50 symbols = ~50 s if any row
+    // were fetched) — the aggregate must not spend a single token
+    val t0 = System.nanoTime()
+    val agg = read(50, parts = 4, rate = 1.0)
+      .filter(col("symbol") >= "S00005" && col("symbol") <= "S00017")
+      .groupBy()
+      .agg(count(col("symbol")).as("n"),
+        min(col("symbol")).as("first_symbol"),
+        max(col("symbol")).as("last_symbol"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: ["), plan.take(3000))
+    val row = agg.collect().head
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(row.getLong(0) === 13L)
+    assert(row.getString(1) === "S00005" && row.getString(2) === "S00017")
+    assert(ProfileConnector.payloadBuilds.get() === 0L,
+      "pushed aggregate built payloads")
+    assert(elapsedMs < 5000.0,
+      f"aggregate took $elapsedMs%.0f ms — it fetched rows through the throttle")
+    // the empty slice aggregates to count 0 / null bounds (one
+    // pre-aggregated row always lands — sum-of-partials semantics)
+    val empty = read(50).filter(col("symbol") > "S00049")
+      .groupBy().agg(count(col("symbol")).as("n"), min(col("symbol")).as("lo"))
+      .collect().head
+    assert(empty.getLong(0) === 0L && empty.isNullAt(1))
+    // a GROUPED aggregate is refused (stays un-pushed) and still
+    // answers exactly through the ordinary scan
+    val grouped = read(10)
+      .groupBy(col("loaded_at")).agg(count(col("symbol")).as("n"))
+    assert(!grouped.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    assert(grouped.collect().map(_.getLong(1)).sum === 10L)
   }
 }
