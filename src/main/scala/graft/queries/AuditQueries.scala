@@ -401,6 +401,24 @@ object AuditQueries {
       Changelog.snapshotAtOps(s, path, Seq("o_orderkey"), Long.MaxValue)
     }),
 
+    // MERGE INTO the ops log — the lakehouse three-clause merge as ONE
+    // commit: source = every 6th key at price +700, delete-when =
+    // key ≡ 0 (mod 12). Against the three-commit log's head state:
+    // matched ∧ %12=0 → tombstoned; matched otherwise → updated to the
+    // source row (all real updates — +700 never collides with the
+    // head's +0/+500/+1000 prices); UNMATCHED ∧ %12≠0 → inserted
+    // (resurrecting keys commit 1 tombstoned); unmatched ∧ %12=0 →
+    // ignored (deleting an absent key is a no-op). The commit is the
+    // minimal effective-change set (no-op suppression spec-pinned).
+    "q196_ops_merge_into" -> ((s, d) => {
+      val path = opsLog(s, d, "orders_ops_log_q196")
+      val src = opsOrders(s, d).filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 700.0)
+      Changelog.mergeIntoOps(s, path, Seq("o_orderkey"), src, 3L,
+        deleteWhen = Some(col("o_orderkey") % 12 === 0))
+      Changelog.snapshotAtOps(s, path, Seq("o_orderkey"), Long.MaxValue)
+    }),
+
     // CDC FEED BY TIMESTAMP WINDOW — how a real consumer addresses the
     // feed ("every change between last night's run and tonight's"):
     // both endpoints resolve through the commit clock (latest stamp
@@ -941,6 +959,22 @@ object AuditQueries {
         |       ELSE o_totalprice END AS o_totalprice
         |FROM orders
         |WHERE o_orderkey % 4 <> 3""".stripMargin,
+
+    // post-merge state: every 6th-but-not-12th key at orders price
+    // +700 (updates AND resurrections), every live 12th key gone, all
+    // other keys exactly the head state (q181's law)
+    "q196_ops_merge_into" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 700.0
+        |       WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |       WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |            AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE (o_orderkey % 6 = 0 AND o_orderkey % 12 <> 0)
+        |   OR (o_orderkey % 6 <> 0 AND
+        |       (o_orderkey % 4 = 3 OR o_orderkey % 10 <> 0
+        |        OR o_orderkey % 20 = 0))""".stripMargin,
 
     // clone at v=1 (live = base minus tombstones) + the divergent
     // branch commit (every 20th key resurrected at +2000)

@@ -717,6 +717,7 @@ object Changelog {
     */
   def cloneAt(spark: SparkSession, path: String, dest: String,
               v: Long): Unit = {
+    val h0 = horizonOf(path)
     requireAboveHorizon(path, v, "clone version")
     val destDir = new java.io.File(dest)
     require(!destDir.exists(),
@@ -731,10 +732,29 @@ object Changelog {
     require(src.nonEmpty,
       s"$path has no commits <= $v to clone")
     destDir.mkdirs()
-    src.foreach(d =>
+    // a concurrent checkpoint's vacuum racing this walk usually fails
+    // it loudly (a linked-from directory vanishes mid-walk), but one
+    // window is silent: a directory EMPTIED between our listing and
+    // its walk links zero files without error. The horizon re-check
+    // below closes it — every vacuum advances the horizon FIRST, so a
+    // changed horizon means some cloned directory may be torn; the
+    // partial clone is removed and the failure is loud (re-run: if the
+    // fold moved past v, the initial guard now refuses — correct, that
+    // history is gone).
+    try src.foreach(d =>
       Sinks.hardlinkTree(d.getAbsolutePath, s"$dest/${d.getName}"))
-    val h = horizonOf(path)
-    if (h != Long.MinValue) writeHorizon(dest, h)
+    catch { case t: Throwable =>
+      Sinks.deleteRecursively(dest)
+      throw t
+    }
+    if (horizonOf(path) != h0) {
+      Sinks.deleteRecursively(dest)
+      require(false,
+        s"a checkpoint raced this clone of $path (horizon moved $h0 -> " +
+          s"${horizonOf(path)}) — the linked commits may be torn; the " +
+          "partial clone was removed, re-run against the folded log")
+    }
+    if (h0 != Long.MinValue) writeHorizon(dest, h0)
     commitTimestamps(path).filter(_._1 <= v).foreach { case (cid, ts) =>
       stampCommit(dest, cid, ts)
     }
@@ -797,6 +817,66 @@ object Changelog {
     val dels = j.filter(col("_in_t").isNull && col("_in_c").isNotNull)
       .select(keys.map(col) ++ dataCols.map(cc =>
         lit(null).cast(tombstoneShape(cc).dataType).as(cc)): _*)
+      .withColumn(OpCol, lit("d"))
+    commit(ups.unionByName(dels), path, newCommitId)
+  }
+
+  /** MERGE INTO the ops log — the lakehouse three-clause merge,
+    * landed as ONE commit computed from a source frame joined against
+    * the current head state:
+    *  - WHEN MATCHED AND `deleteWhen` THEN DELETE (tombstone);
+    *  - WHEN MATCHED (otherwise) AND any column differs THEN UPDATE
+    *    (take the source row); a source row IDENTICAL to the current
+    *    state is SUPPRESSED (the no-op hygiene the CDC feed relies
+    *    on — and what keeps the commit minimal);
+    *  - WHEN NOT MATCHED THEN INSERT — unless `deleteWhen` selects
+    *    the row, in which case it is IGNORED (deleting an absent key
+    *    is a no-op, the idempotent-delete reading; callers who want
+    *    Delta's insert-even-when-delete-matches split their source).
+    * `deleteWhen` is evaluated against the SOURCE row's columns. The
+    * source must carry exactly the table's columns and be key-unique
+    * (two source rows for one key would land two rows in one commit
+    * and resolve by the intra-commit tie-break, not by merge
+    * semantics). Cost: one key-join of source against the
+    * candidate-pruned head compaction; the commit is O(effective
+    * changes), never O(table).
+    */
+  def mergeIntoOps(spark: SparkSession, path: String, keys: Seq[String],
+                   source: DataFrame, newCommitId: Long,
+                   deleteWhen: Option[org.apache.spark.sql.Column] = None)
+      : Unit = {
+    val ids = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.startsWith(s"$CommitCol="))
+      .map(_.stripPrefix(s"$CommitCol=").toLong)
+    require(ids.nonEmpty, s"$path has no commits to merge into")
+    val head = ids.max
+    require(newCommitId > head,
+      s"merge must land as a NEW commit above the head $head of $path, " +
+        s"got $newCommitId — commit ids are the version order")
+    val current = snapshotAtOpsEvolved(spark, path, keys, head)
+    require(source.columns.toSet == current.columns.toSet,
+      s"merge source columns [${source.columns.sorted.mkString(", ")}] " +
+        s"must equal the table's [${current.columns.sorted.mkString(", ")}]")
+    val dataCols = current.columns.filterNot(keys.contains).toSeq
+    val generated = Set("_in_c", "_del") ++ dataCols.map(c => s"_c_$c")
+    require((keys ++ dataCols).forall(!generated.contains(_)),
+      s"column names collide with merge's working columns: " +
+        (keys ++ dataCols).filter(generated.contains).mkString(", "))
+    val s = source.select((keys ++ dataCols).map(col) :+
+      deleteWhen.getOrElse(lit(false)).as("_del"): _*)
+    val c = current.select(keys.map(col) ++
+      dataCols.map(cc => col(cc).as(s"_c_$cc")) :+ lit(true).as("_in_c"): _*)
+    val j = s.join(c, keys, "left")
+    val matched = col("_in_c").isNotNull
+    val differs = dataCols
+      .map(cc => !(col(cc) <=> col(s"_c_$cc")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val ups = j.filter(!col("_del") && (!matched || differs))
+      .select((keys ++ dataCols).map(col): _*)
+      .withColumn(OpCol, lit("u"))
+    val dels = j.filter(col("_del") && matched)
+      .select(keys.map(col) ++ dataCols.map(cc =>
+        lit(null).cast(current.schema(cc).dataType).as(cc)): _*)
       .withColumn(OpCol, lit("d"))
     commit(ups.unionByName(dels), path, newCommitId)
   }

@@ -822,4 +822,93 @@ class TopKChangelogSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Changelog.restoreOps(spark, path, Seq("k"), 99L, 5L))
   }
+
+  test("mergeIntoOps: three-clause merge in one MINIMAL commit — " +
+       "identical source rows suppressed, absent-key deletes ignored " +
+       "(q196)") {
+    val path = Sinks.tmpPath("changelog_spec_merge")
+    Sinks.deleteRecursively(path)
+    Changelog.commitUpsert(
+      Seq(("k1", "a"), ("k2", "b"), ("k3", "c")).toDF("k", "v"), path, 0L)
+    // source: k1 identical (suppress), k2 changed (update), k3 marked
+    // (delete), k4 new (insert), k5 new but marked (ignore)
+    val src = Seq(("k1", "a"), ("k2", "B"), ("k3", "DEL"),
+      ("k4", "d"), ("k5", "DEL")).toDF("k", "v")
+    Changelog.mergeIntoOps(spark, path, Seq("k"), src, 1L,
+      deleteWhen = Some(col("v") === "DEL"))
+    assert(Changelog.snapshotAtOps(spark, path, Seq("k"), 1L)
+      .as[(String, String)].collect().toMap ==
+      Map("k1" -> "a", "k2" -> "B", "k4" -> "d"))
+    // minimal commit: exactly update + tombstone + insert = 3 rows
+    assert(spark.read
+      .parquet(s"$path/${Changelog.CommitCol}=1").count() == 3L)
+    // guards: column-set mismatch and not-above-head are loud
+    val e = intercept[IllegalArgumentException](
+      Changelog.mergeIntoOps(spark, path, Seq("k"),
+        Seq(("k9", "x", 1)).toDF("k", "v", "extra"), 2L))
+    assert(e.getMessage.contains("columns"))
+    intercept[IllegalArgumentException](
+      Changelog.mergeIntoOps(spark, path, Seq("k"), src, 1L))
+  }
+
+  test("cloneAt racing checkpointOps on the origin: a returned clone " +
+       "is EXACT, a raced clone fails loudly and removes its partial " +
+       "destination") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val origin = Sinks.tmpPath("changelog_race_clone_src")
+    var cloneWins = 0
+    var cloneLoses = 0
+    for (trial <- 1 to 5) {
+      Sinks.deleteRecursively(origin)
+      for (c <- 0L to 3L)
+        Changelog.commitUpsert(
+          spark.range(c * 10, c * 10 + 20).select(
+            concat(lit("k"), col("id")).as("k"),
+            concat(lit("v"), col("id"), lit("_"), lit(c)).as("v")),
+          origin, c)
+      val expected = Changelog.snapshotAtOps(spark, origin, Seq("k"), 2L)
+        .as[(String, String)].collect().toMap
+      val dest = Sinks.tmpPath(s"changelog_race_clone_dst$trial")
+      Sinks.deleteRecursively(dest)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val cloneF = Future {
+        try { Changelog.cloneAt(spark, origin, dest, 2L); true }
+        catch { case _: Throwable => false }
+      }
+      // the checkpoint's vacuum destroys the very directories the
+      // clone is linking (fold at 3 vacuums commits 0–2)
+      val ckptF = Future {
+        Changelog.checkpointOps(spark, origin, Seq("k"), 3L)
+      }
+      val cloned = Await.result(cloneF, 3.minutes)
+      Await.result(ckptF, 3.minutes)
+      pool.shutdown()
+      if (cloned) {
+        cloneWins += 1
+        // a clone that RETURNED must be exact — the vacuum only
+        // unlinked the origin's references, never the clone's bytes
+        assert(Changelog
+          .snapshotAtOps(spark, dest, Seq("k"), Long.MaxValue)
+          .as[(String, String)].collect().toMap == expected,
+          s"trial $trial: raced clone returned a WRONG state")
+      } else {
+        cloneLoses += 1
+        // a clone that failed must have failed LOUDLY and cleaned up
+        // (the retry contract: nothing blocks the re-run but the
+        // now-correct horizon guard)
+        assert(!new java.io.File(dest).exists(),
+          s"trial $trial: failed clone left a partial destination")
+      }
+    }
+    info(s"clone completed first in $cloneWins/5 trials, " +
+      s"refused/failed loudly in $cloneLoses/5")
+    // the deterministic losing path: after the last trial's checkpoint
+    // (horizon 3) a clone at v=2 refuses loudly up front
+    val eh = intercept[IllegalArgumentException](
+      Changelog.cloneAt(spark, origin,
+        Sinks.tmpPath("changelog_race_clone_dstx"), 2L))
+    assert(eh.getMessage.contains("horizon"))
+  }
 }
