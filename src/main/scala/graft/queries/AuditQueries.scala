@@ -401,6 +401,25 @@ object AuditQueries {
       Changelog.snapshotAtOps(s, path, Seq("o_orderkey"), Long.MaxValue)
     }),
 
+    // STATS-PRUNED POINT LOOKUP — per-commit key-range statistics (the
+    // lakehouse data-skipping story at the COMMIT level): markers
+    // record each commit's [min, max] o_orderkey, and the lookup skips
+    // — driver-side, before any footer opens — every commit whose
+    // range excludes the key. Key 20 exercises the full delete cycle
+    // through the stats path: upserted (commit 0), tombstoned (commit
+    // 1), resurrected at +1000 (commit 2) — LWW through tombstones
+    // must survive the pruned read. On this fixture every commit
+    // admits the key (ranges overlap); the SKIPPING itself is
+    // spec-pinned on a disjoint-range log, where an oracle can't see
+    // which directories were read.
+    "q197_ops_point_lookup" -> ((s, d) => {
+      val path = opsLog(s, d, "orders_ops_log_q197")
+      for (c <- 0L to 2L)
+        Changelog.writeCommitStats(s, path, c, "o_orderkey")
+      Changelog.pointLookupOps(s, path, Seq("o_orderkey"), 2L,
+        "o_orderkey", 20L)
+    }),
+
     // MERGE INTO the ops log — the lakehouse three-clause merge as ONE
     // commit: source = every 6th key at price +700, delete-when =
     // key ≡ 0 (mod 12). Against the three-commit log's head state:
@@ -959,6 +978,11 @@ object AuditQueries {
         |       ELSE o_totalprice END AS o_totalprice
         |FROM orders
         |WHERE o_orderkey % 4 <> 3""".stripMargin,
+
+    // the resurrected key's final state through the stats-pruned path
+    "q197_ops_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice
+        |FROM orders WHERE o_orderkey = 20""".stripMargin,
 
     // post-merge state: every 6th-but-not-12th key at orders price
     // +700 (updates AND resurrections), every live 12th key gone, all

@@ -758,6 +758,12 @@ object Changelog {
     commitTimestamps(path).filter(_._1 <= v).foreach { case (cid, ts) =>
       stampCommit(dest, cid, ts)
     }
+    // stats markers stay valid on the clone (the linked directories
+    // are immutable) — carry them so point lookups skip there too
+    commitStatsOf(path).filter(_._1 <= v).foreach { case (cid, (lo, hi)) =>
+      java.nio.file.Files.write(statsFile(dest, cid).toPath,
+        s"$lo,$hi".getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    }
   }
 
   /** RESTORE the ops table to its state at version `v`, landed as NEW
@@ -819,6 +825,105 @@ object Changelog {
         lit(null).cast(tombstoneShape(cc).dataType).as(cc)): _*)
       .withColumn(OpCol, lit("d"))
     commit(ups.unionByName(dels), path, newCommitId)
+  }
+
+  // ---- Commit statistics: data skipping at the log level ------------
+  //
+  // A long-lived log accumulates thousands of commits, and a point
+  // read through snapshotAt must consider every commit ≤ v because
+  // any of them COULD touch the key — at minimum one parquet footer
+  // per commit. Per-commit key-range statistics close that gap the
+  // way lakehouse file statistics do: an opt-in marker records each
+  // commit's [min, max] over one long key column, and the stats-aware
+  // point read skips — driver-side, before any footer is opened —
+  // every commit whose recorded range excludes the key. Commits
+  // WITHOUT a marker are conservatively INCLUDED: stats are an
+  // optimization, never the correctness path, so mixed logs stay
+  // exact. Markers are sound because commits are immutable once
+  // landed (the append-only discipline) and the stats are computed
+  // from the commit directory's own final content.
+
+  private val StatsPrefix = "_graft_stats_"
+
+  private def statsFile(path: String, commitId: Long): java.io.File =
+    new java.io.File(new java.io.File(path), s"$StatsPrefix$commitId")
+
+  /** Record commit `commitId`'s `[min, max]` over `statsCol` (a long
+    * column present in every row — a key column always is). One
+    * aggregate over the commit's own directory, written atomically;
+    * re-running recomputes the same values (the commit is immutable),
+    * so the overwrite is idempotent by construction.
+    */
+  def writeCommitStats(spark: SparkSession, path: String, commitId: Long,
+                       statsCol: String): Unit = {
+    val dir = new java.io.File(new java.io.File(path), s"$CommitCol=$commitId")
+    require(dir.isDirectory,
+      s"cannot write stats for commit $commitId of $path — no " +
+        s"$CommitCol=$commitId directory exists")
+    val mm = spark.read.parquet(dir.getAbsolutePath)
+      .agg(min(col(statsCol)).cast("long"), max(col(statsCol)).cast("long"))
+      .head()
+    require(!mm.isNullAt(0) && !mm.isNullAt(1),
+      s"commit $commitId of $path has no non-null $statsCol values — " +
+        "stats over an all-null column would skip everything")
+    val tmp = new java.io.File(new java.io.File(path),
+      s".$StatsPrefix$commitId.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      s"${mm.getLong(0)},${mm.getLong(1)}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, statsFile(path, commitId).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** All recorded commit stats: commitId → (min, max). */
+  def commitStatsOf(path: String): Map[Long, (Long, Long)] =
+    Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.startsWith(StatsPrefix))
+      .map { f =>
+        val Array(lo, hi) = new String(
+          java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.split(",")
+        (f.getName.stripPrefix(StatsPrefix).toLong, (lo.toLong, hi.toLong))
+      }.toMap
+
+  /** The state of the key(s) matching `statsCol == value` AS OF `v`,
+    * compacting ONLY the commits whose stats admit the value (plus
+    * every unstamped commit, conservatively). At a 10k-commit log
+    * where the key was touched in 3 commits, the lookup reads 3
+    * commit directories instead of opening 10k footers — the Delta
+    * data-skipping story at the commit level. Result is identical to
+    * `snapshotAtOps(...).filter(statsCol === value)` (spec-pinned,
+    * including through tombstones and resurrections).
+    */
+  def pointLookupOps(spark: SparkSession, path: String, keys: Seq[String],
+                     v: Long, statsCol: String, value: Long): DataFrame = {
+    requireAboveHorizon(path, v, "point-lookup version")
+    val stats = commitStatsOf(path)
+    val selected = Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter { f =>
+        val n = f.getName
+        n.startsWith(s"$CommitCol=") && {
+          val id = n.stripPrefix(s"$CommitCol=").toLong
+          id <= v && stats.get(id).forall {
+            case (lo, hi) => value >= lo && value <= hi
+          }
+        }
+      }
+    val log =
+      if (selected.isEmpty)
+        // nothing admits the key: any commit's schema gives the shape,
+        // the false filter gives the empty result without a scan
+        requireOpsLog(spark.read.parquet(path), path).filter(lit(false))
+      else
+        requireOpsLog(
+          spark.read.option("basePath", path)
+            .parquet(selected.map(_.getAbsolutePath): _*), path)
+    Upsert.latestByKey(
+      log.filter(col(CommitCol) <= v && col(statsCol) === value),
+      keys, opsVersion)
+      .filter(col(OpCol) === "u")
+      .drop(CommitCol, OpCol)
   }
 
   /** MERGE INTO the ops log — the lakehouse three-clause merge,
@@ -883,7 +988,15 @@ object Changelog {
 
   /** Drop every `_commit=<id>` directory with id strictly below `v` —
     * the vacuum step shared by all checkpoint flavors; callers must
-    * have landed the folded base and the horizon first.
+    * have landed the folded base and the horizon first. Also drops
+    * two marker classes the fold invalidates: stats markers BELOW v
+    * (their commits are gone) and the stats marker AT v — the fold
+    * REWROTE `_commit=v` with the full live state, so a pre-fold
+    * marker's range no longer bounds the directory's content and a
+    * stale one would make [[pointLookupOps]] silently wrong-skip
+    * (recompute with [[writeCommitStats]] after the checkpoint if the
+    * base should be skippable). Commit STAMPS survive on purpose —
+    * the folded base still answers "as of" its instant exactly.
     */
   private def vacuumBelow(path: String, v: Long): Unit = {
     Option(new java.io.File(path).listFiles()).toSeq.flatten
@@ -893,6 +1006,13 @@ object Changelog {
           n.stripPrefix(s"$CommitCol=").toLong < v
       }
       .foreach(f => Sinks.deleteRecursively(f.getAbsolutePath))
+    Option(new java.io.File(path).listFiles()).toSeq.flatten
+      .filter { f =>
+        val n = f.getName
+        f.isFile && n.startsWith(StatsPrefix) &&
+          n.stripPrefix(StatsPrefix).toLong <= v
+      }
+      .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath): Unit)
   }
 
   /** Checkpoint the log at commit `v`: fold every commit ≤ v into ONE

@@ -911,4 +911,64 @@ class TopKChangelogSpec extends SparkSpec {
         Sinks.tmpPath("changelog_race_clone_dstx"), 2L))
     assert(eh.getMessage.contains("horizon"))
   }
+
+  test("commit stats prune point lookups to the admitting commits; " +
+       "unstamped commits are conservatively included; a checkpoint " +
+       "sweeps the markers its fold invalidates (q197)") {
+    val path = Sinks.tmpPath("changelog_spec_stats")
+    Sinks.deleteRecursively(path)
+    // disjoint key ranges per commit: 0 → keys 0–99, 1 → keys 100–199,
+    // 2 → rewrites keys 0–99, 3 → tombstones 150–159
+    Changelog.commitUpsert(spark.range(0, 100).select(col("id").as("k"),
+      concat(lit("a"), col("id")).as("v")), path, 0L)
+    Changelog.commitUpsert(spark.range(100, 200).select(col("id").as("k"),
+      concat(lit("b"), col("id")).as("v")), path, 1L)
+    Changelog.commitUpsert(spark.range(0, 100).select(col("id").as("k"),
+      concat(lit("c"), col("id")).as("v")), path, 2L)
+    Changelog.commitDelete(spark,
+      spark.range(150, 160).select(col("id").as("k")), path, 3L)
+    for (c <- 0L to 3L) Changelog.writeCommitStats(spark, path, c, "k")
+    def lookup(k: Long) =
+      Changelog.pointLookupOps(spark, path, Seq("k"), 3L, "k", k)
+    // a key ONLY commit 1 admits (commit 3's range is 150–159): the
+    // scan's file index holds commit 1's directory and no other — the
+    // skipping happened at PLANNING time, before any footer opened
+    val plan149 = Changelog.pointLookupOps(spark, path, Seq("k"), 3L,
+        "k", 149L)
+      .queryExecution.executedPlan.toString
+    assert(plan149.contains("_commit=1") &&
+      !plan149.contains("_commit=0") && !plan149.contains("_commit=2") &&
+      !plan149.contains("_commit=3"),
+      s"lookup planned outside the admitting commits:\n${plan149.take(2000)}")
+    assert(lookup(149L).as[(Long, String)].collect().toSeq ==
+      Seq((149L, "b149")))
+    // LWW through the pruned read: commit 2 beats commit 0
+    assert(lookup(50L).as[(Long, String)].collect().toSeq ==
+      Seq((50L, "c50")))
+    // tombstone through the pruned read: deleted key is empty
+    assert(lookup(155L).isEmpty)
+    // out-of-universe key: every commit skipped, still exact (empty)
+    assert(lookup(5000L).isEmpty)
+    // pruned == unpruned on every class (the correctness law)
+    for (k <- Seq(0L, 50L, 99L, 100L, 149L, 155L, 199L))
+      assert(lookup(k).as[(Long, String)].collect().toSeq ==
+        Changelog.snapshotAtOps(spark, path, Seq("k"), 3L)
+          .filter(col("k") === k).as[(Long, String)].collect().toSeq, s"k=$k")
+    // a commit WITHOUT stats is conservatively included: drop commit
+    // 1's marker, the lookup still answers exactly
+    assert(new java.io.File(path, "_graft_stats_1").delete())
+    assert(lookup(149L).as[(Long, String)].collect().toSeq ==
+      Seq((149L, "b149")))
+    // the fold invalidates markers: checkpoint at 2 rewrites
+    // _commit=2 with ALL live keys — its pre-fold marker (range
+    // 0–99) must be swept, or a lookup for key 160 (live, held only
+    // by the folded base) would wrong-skip it. Stats below the
+    // horizon go with their commits.
+    Changelog.checkpointOps(spark, path, Seq("k"), 2L)
+    val left = Changelog.commitStatsOf(path).keySet
+    assert(!left.contains(2L) && !left.contains(0L),
+      s"stale markers survived the fold: $left")
+    assert(Changelog.pointLookupOps(spark, path, Seq("k"), 3L, "k", 160L)
+      .as[(Long, String)].collect().toSeq == Seq((160L, "b160")))
+  }
 }
