@@ -420,6 +420,21 @@ object AuditQueries {
         "o_orderkey", 20L)
     }),
 
+    // STATS-PRUNED RANGE LOOKUP — the range form of q197: a commit is
+    // compacted iff its recorded [min, max] INTERSECTS the probe
+    // window, and the window predicate also pushes into the scan so
+    // commit skipping and parquet row-group skipping COMPOSE. The
+    // window [15, 45] crosses every delete class: live originals,
+    // mod-7 updates (+500), a tombstoned-and-gone key (30), and
+    // resurrections (+1000: 20, 40).
+    "q198_ops_range_lookup" -> ((s, d) => {
+      val path = opsLog(s, d, "orders_ops_log_q198")
+      for (c <- 0L to 2L)
+        Changelog.writeCommitStats(s, path, c, "o_orderkey")
+      Changelog.rangeLookupOps(s, path, Seq("o_orderkey"), 2L,
+        "o_orderkey", 15L, 45L)
+    }),
+
     // MERGE INTO the ops log — the lakehouse three-clause merge as ONE
     // commit: source = every 6th key at price +700, delete-when =
     // key ≡ 0 (mod 12). Against the three-commit log's head state:
@@ -978,6 +993,18 @@ object AuditQueries {
         |       ELSE o_totalprice END AS o_totalprice
         |FROM orders
         |WHERE o_orderkey % 4 <> 3""".stripMargin,
+
+    // the live slice of [15, 45] under the head-state law
+    "q198_ops_range_lookup" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |       WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |            AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 15 AND 45
+        |  AND (o_orderkey % 4 = 3 OR o_orderkey % 10 <> 0
+        |       OR o_orderkey % 20 = 0)""".stripMargin,
 
     // the resurrected key's final state through the stats-pruned path
     "q197_ops_point_lookup" ->

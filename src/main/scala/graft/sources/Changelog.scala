@@ -897,8 +897,23 @@ object Changelog {
     * including through tombstones and resurrections).
     */
   def pointLookupOps(spark: SparkSession, path: String, keys: Seq[String],
-                     v: Long, statsCol: String, value: Long): DataFrame = {
-    requireAboveHorizon(path, v, "point-lookup version")
+                     v: Long, statsCol: String, value: Long): DataFrame =
+    rangeLookupOps(spark, path, keys, v, statsCol, value, value)
+
+  /** The state of every key with `statsCol` in `[valueLo, valueHi]`
+    * AS OF `v` — the range form of [[pointLookupOps]]: a commit is
+    * compacted iff its recorded [min, max] INTERSECTS the probe
+    * window (or it carries no stats). The window filter is also
+    * pushed into the scan, so within an admitted commit parquet
+    * row-group stats prune further — commit skipping and row-group
+    * skipping compose.
+    */
+  def rangeLookupOps(spark: SparkSession, path: String, keys: Seq[String],
+                     v: Long, statsCol: String, valueLo: Long,
+                     valueHi: Long): DataFrame = {
+    require(valueLo <= valueHi,
+      s"need valueLo <= valueHi, got $valueLo > $valueHi")
+    requireAboveHorizon(path, v, "range-lookup version")
     val stats = commitStatsOf(path)
     val selected = Option(new java.io.File(path).listFiles()).toSeq.flatten
       .filter { f =>
@@ -906,21 +921,22 @@ object Changelog {
         n.startsWith(s"$CommitCol=") && {
           val id = n.stripPrefix(s"$CommitCol=").toLong
           id <= v && stats.get(id).forall {
-            case (lo, hi) => value >= lo && value <= hi
+            case (lo, hi) => hi >= valueLo && lo <= valueHi
           }
         }
       }
     val log =
       if (selected.isEmpty)
-        // nothing admits the key: any commit's schema gives the shape,
-        // the false filter gives the empty result without a scan
+        // nothing admits the window: any commit's schema gives the
+        // shape, the false filter gives the empty result without a scan
         requireOpsLog(spark.read.parquet(path), path).filter(lit(false))
       else
         requireOpsLog(
           spark.read.option("basePath", path)
             .parquet(selected.map(_.getAbsolutePath): _*), path)
     Upsert.latestByKey(
-      log.filter(col(CommitCol) <= v && col(statsCol) === value),
+      log.filter(col(CommitCol) <= v &&
+        col(statsCol) >= valueLo && col(statsCol) <= valueHi),
       keys, opsVersion)
       .filter(col(OpCol) === "u")
       .drop(CommitCol, OpCol)

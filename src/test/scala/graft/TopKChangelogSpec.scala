@@ -954,6 +954,23 @@ class TopKChangelogSpec extends SparkSpec {
       assert(lookup(k).as[(Long, String)].collect().toSeq ==
         Changelog.snapshotAtOps(spark, path, Seq("k"), 3L)
           .filter(col("k") === k).as[(Long, String)].collect().toSeq, s"k=$k")
+    // the RANGE form (q198): [100, 149] intersects only commit 1's
+    // range; the window compacts exactly the unpruned slice
+    val planR = Changelog.rangeLookupOps(spark, path, Seq("k"), 3L,
+        "k", 100L, 149L)
+      .queryExecution.executedPlan.toString
+    assert(planR.contains("_commit=1") && !planR.contains("_commit=0") &&
+      !planR.contains("_commit=2") && !planR.contains("_commit=3"),
+      s"range lookup planned outside the admitting commits:\n" +
+        planR.take(2000))
+    assert(Changelog.rangeLookupOps(spark, path, Seq("k"), 3L,
+        "k", 90L, 160L)
+      .as[(Long, String)].collect().toMap ==
+      Changelog.snapshotAtOps(spark, path, Seq("k"), 3L)
+        .filter(col("k").between(90L, 160L))
+        .as[(Long, String)].collect().toMap)
+    intercept[IllegalArgumentException](
+      Changelog.rangeLookupOps(spark, path, Seq("k"), 3L, "k", 5L, 1L))
     // a commit WITHOUT stats is conservatively included: drop commit
     // 1's marker, the lookup still answers exactly
     assert(new java.io.File(path, "_graft_stats_1").delete())
