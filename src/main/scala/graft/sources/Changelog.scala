@@ -53,17 +53,22 @@ object Changelog {
 
   private val HorizonMarker = "_graft_horizon"
 
-  private def horizonFile(path: String): java.io.File =
-    new java.io.File(new java.io.File(path), HorizonMarker)
+  // All marker/listing side-effects go through the Hadoop FileSystem
+  // API (LogFs) — resolved from the path itself, so the time-travel /
+  // retention / skipping machinery works unchanged on file:/ URIs,
+  // HDFS, and S3-style stores, not just bare local paths. Spark's own
+  // parquet IO always did; the metadata now matches it.
+
+  private def horizonPath(path: String): String =
+    LogFs.child(path, HorizonMarker)
 
   /** The log's checkpoint horizon: versioned reads below this fail
     * loudly. `Long.MinValue` for a never-checkpointed log.
     */
   def horizonOf(path: String): Long = {
-    val f = horizonFile(path)
-    if (!f.exists()) Long.MinValue
-    else new String(java.nio.file.Files.readAllBytes(f.toPath),
-      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    val p = horizonPath(path)
+    if (!LogFs.exists(p)) Long.MinValue
+    else LogFs.readString(p).trim.toLong
   }
 
   /** Record horizon `v` (monotonic max; atomic rename so a torn write
@@ -71,12 +76,7 @@ object Changelog {
     */
   private def writeHorizon(path: String, v: Long): Unit = {
     if (v > horizonOf(path)) {
-      val tmp = new java.io.File(new java.io.File(path), s".$HorizonMarker.tmp")
-      java.nio.file.Files.write(tmp.toPath,
-        v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.move(tmp.toPath, horizonFile(path).toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      LogFs.writeAtomic(horizonPath(path), v.toString)
     }
   }
 
@@ -112,17 +112,13 @@ object Changelog {
 
   private val TsPrefix = "_graft_ts_"
 
-  private def tsFile(path: String, commitId: Long): java.io.File =
-    new java.io.File(new java.io.File(path), s"$TsPrefix$commitId")
-
   /** All recorded (commitId, tsMillis) stamps, commit-id ascending. */
   def commitTimestamps(path: String): Seq[(Long, Long)] =
-    Option(new java.io.File(path).listFiles()).toSeq.flatten
-      .filter(f => f.isFile && f.getName.startsWith(TsPrefix))
-      .map { f =>
-        (f.getName.stripPrefix(TsPrefix).toLong,
-          new String(java.nio.file.Files.readAllBytes(f.toPath),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+    LogFs.list(path)
+      .filter(s => s.isFile && s.getPath.getName.startsWith(TsPrefix))
+      .map { s =>
+        (s.getPath.getName.stripPrefix(TsPrefix).toLong,
+          LogFs.readString(s.getPath.toString).trim.toLong)
       }.sortBy(_._1)
 
   /** Record commit `commitId`'s timestamp. Must stamp an EXISTING
@@ -132,8 +128,7 @@ object Changelog {
     * written (equal re-stamp = idempotent no-op).
     */
   def stampCommit(path: String, commitId: Long, tsMillis: Long): Unit = {
-    val dir = new java.io.File(new java.io.File(path), s"$CommitCol=$commitId")
-    require(dir.isDirectory,
+    require(LogFs.isDirectory(LogFs.child(path, s"$CommitCol=$commitId")),
       s"cannot stamp commit $commitId of $path — no $CommitCol=$commitId " +
         "directory exists; stamp AFTER the commit lands")
     commitTimestamps(path).find(_._1 == commitId) match {
@@ -153,13 +148,8 @@ object Changelog {
               s"follow later commit $cid stamped $t — AS OF TIMESTAMP " +
               "needs stamps non-decreasing in commit order")
         }
-        val tmp = new java.io.File(new java.io.File(path),
-          s".$TsPrefix$commitId.tmp")
-        java.nio.file.Files.write(tmp.toPath,
-          tsMillis.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        java.nio.file.Files.move(tmp.toPath, tsFile(path, commitId).toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        LogFs.writeAtomic(LogFs.child(path, s"$TsPrefix$commitId"),
+          tsMillis.toString)
     }
   }
 
@@ -186,10 +176,7 @@ object Changelog {
       s"$path has no stamped commits — stampCommit each commit to " +
         "enable AS OF TIMESTAMP reads")
     val stamped = stamps.map(_._1).toSet
-    val unstamped = Option(new java.io.File(path).listFiles()).toSeq.flatten
-      .map(_.getName).filter(_.startsWith(s"$CommitCol="))
-      .map(_.stripPrefix(s"$CommitCol=").toLong)
-      .filterNot(stamped).sorted
+    val unstamped = commitIds(path).filterNot(stamped).sorted
     require(unstamped.isEmpty,
       s"commits [${unstamped.mkString(", ")}] of $path are unstamped — " +
         "AS OF TIMESTAMP cannot place them on the clock; stamp them or " +
@@ -235,6 +222,12 @@ object Changelog {
       versionAtTimestamp(path, t0Millis),
       versionAtTimestamp(path, t1Millis), trackCols)
 
+  /** All landed commit ids of the log (directory listing). */
+  private def commitIds(path: String): Seq[Long] =
+    LogFs.list(path)
+      .map(_.getPath.getName).filter(_.startsWith(s"$CommitCol="))
+      .map(_.stripPrefix(s"$CommitCol=").toLong)
+
   // ---- Write-path shape guard ---------------------------------------
 
   /** Commits must not silently flip a log between plain and ops shape:
@@ -249,18 +242,20 @@ object Changelog {
     // ONE file's footer decides the shape (every commit carries _op or
     // none does, by induction on this very guard) — never a listing of
     // the whole log, whose cost would grow with history
-    def firstParquet(dir: java.io.File): Option[java.io.File] = {
-      val children = Option(dir.listFiles()).toSeq.flatten.sortBy(_.getName)
-      children.find(f => f.isFile && f.getName.endsWith(".parquet"))
+    def firstParquet(dir: String): Option[String] = {
+      val children = LogFs.list(dir).sortBy(_.getPath.getName)
+      children.find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
         .orElse(children.filter(_.isDirectory)
-          .flatMap(firstParquet(_).toSeq).headOption)
+          .flatMap(d => firstParquet(d.getPath.toString).toSeq).headOption)
     }
-    val probe = Option(new java.io.File(path).listFiles()).toSeq.flatten
-      .filter(_.getName.startsWith(s"$CommitCol=")).sortBy(_.getName)
-      .flatMap(firstParquet(_).toSeq).headOption
+    val probe = LogFs.list(path)
+      .filter(_.getPath.getName.startsWith(s"$CommitCol="))
+      .sortBy(_.getPath.getName)
+      .flatMap(d => firstParquet(d.getPath.toString).toSeq).headOption
     probe.foreach { f =>
       val logHasOp = delta.sparkSession.read
-        .parquet(f.getAbsolutePath).columns.contains(OpCol)
+        .parquet(f).columns.contains(OpCol)
       val deltaHasOp = delta.columns.contains(OpCol)
       require(!logHasOp || deltaHasOp,
         s"$path is an OPS log but the delta carries no $OpCol — such rows " +
@@ -623,11 +618,32 @@ object Changelog {
     * clock actually measures (LayoutSpec-style byte proof in
     * TopKChangelogSpec).
     */
+  /** Land the staged fold as the `_commit=v` base. The EMPTY fold
+    * (every key dead at v — a legal ops-log state) needs an explicit
+    * branch: a dynamic partition overwrite of ZERO rows rewrites
+    * nothing, so the pre-fold `_commit=v` directory would survive the
+    * vacuum and the physical-erasure guarantee would be violated for
+    * exactly the data landed in commit v itself. Instead the old
+    * directory is removed and a schema-bearing empty commit is written
+    * in its place (the partition value rides on the directory name),
+    * so the log's shape stays readable and snapshots at ≥ v read
+    * empty — never a partition-discovery failure over a bare dir.
+    */
+  private def landFold(spark: SparkSession, staging: String, path: String,
+                       v: Long): Unit = {
+    val staged = spark.read.parquet(staging)
+    if (staged.isEmpty) {
+      val dir = LogFs.child(path, s"$CommitCol=$v")
+      LogFs.delete(dir)
+      staged.write.mode("overwrite").parquet(dir)
+    } else commitIdempotent(staged, path, v)
+  }
+
   def checkpointOps(spark: SparkSession, path: String, keys: Seq[String],
                     v: Long): Unit = {
     requireAboveHorizon(path, v, "checkpoint version")
     val staging = s"${path.stripSuffix("/")}__ckpt_staging_v$v"
-    Sinks.deleteRecursively(staging)
+    LogFs.delete(staging)
     Upsert.latestByKey(
       requireOpsLog(
         spark.read.option("mergeSchema", "true").parquet(path), path)
@@ -636,13 +652,13 @@ object Changelog {
       .filter(col(OpCol) === "u")
       .drop(CommitCol)
       .write.mode("overwrite").parquet(staging)
-    commitIdempotent(spark.read.parquet(staging), path, v)
+    landFold(spark, staging, path, v)
     // horizon lands AFTER the base and BEFORE the vacuum: a crash here
     // leaves reads below v failing loudly over still-intact history
     // (re-run to finish) — never erased history with a silent read path
     writeHorizon(path, v)
     vacuumBelow(path, v)
-    Sinks.deleteRecursively(staging)
+    LogFs.delete(staging)
   }
 
   /** [[checkpointOps]] with the folded base CLUSTERED on `clusterCol`
@@ -669,7 +685,7 @@ object Changelog {
                              domain: Long, numFiles: Int): Unit = {
     requireAboveHorizon(path, v, "checkpoint version")
     val staging = s"${path.stripSuffix("/")}__ckpt_staging_v$v"
-    Sinks.deleteRecursively(staging)
+    LogFs.delete(staging)
     Upsert.latestByKey(
       requireOpsLog(
         spark.read.option("mergeSchema", "true").parquet(path), path)
@@ -681,16 +697,20 @@ object Changelog {
     // land clustered: one file per arithmetic key range inside the
     // _commit=v directory; the dynamic overwrite swaps at job commit,
     // and no shuffle sits between the placement and the write (the
-    // partition-column sort the writer inserts is on a constant)
-    ZOrderLayout.rangeClustered(
-        spark.read.parquet(staging), clusterCol, domain, numFiles)
+    // partition-column sort the writer inserts is on a constant). The
+    // EMPTY fold takes the landFold branch — a zero-row dynamic
+    // overwrite would leave the pre-fold directory to survive the
+    // vacuum (and there is nothing to cluster).
+    val staged = spark.read.parquet(staging)
+    if (staged.isEmpty) landFold(spark, staging, path, v)
+    else ZOrderLayout.rangeClustered(staged, clusterCol, domain, numFiles)
       .withColumn(CommitCol, lit(v))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(CommitCol).parquet(path)
     writeHorizon(path, v)
     vacuumBelow(path, v)
-    Sinks.deleteRecursively(staging)
+    LogFs.delete(staging)
   }
 
   /** Zero-copy SHALLOW CLONE of the log at version `v` — the lakehouse
@@ -719,19 +739,27 @@ object Changelog {
               v: Long): Unit = {
     val h0 = horizonOf(path)
     requireAboveHorizon(path, v, "clone version")
-    val destDir = new java.io.File(dest)
-    require(!destDir.exists(),
+    require(!LogFs.exists(dest),
       s"clone destination $dest already exists — cloning over a live " +
         "log would interleave two histories; pick a fresh path")
-    val src = Option(new java.io.File(path).listFiles()).toSeq.flatten
-      .filter { f =>
-        val n = f.getName
+    val src = LogFs.list(path)
+      .filter { s =>
+        val n = s.getPath.getName
         n.startsWith(s"$CommitCol=") &&
           n.stripPrefix(s"$CommitCol=").toLong <= v
       }
     require(src.nonEmpty,
       s"$path has no commits <= $v to clone")
-    destDir.mkdirs()
+    LogFs.mkdirs(dest)
+    // ZERO-COPY only where the store can express it: hardlinks need
+    // local-inode semantics, so the fast path requires BOTH sides on a
+    // local filesystem. Anywhere else (HDFS, object stores — no
+    // hardlink primitive) the documented fallback is a recursive COPY
+    // of commits ≤ v: independence still holds (separate bytes on
+    // both sides), only the O(directory entries) cost profile becomes
+    // O(bytes) — the same trade Delta's CLONE makes between shallow
+    // (metadata-only) and deep (copied) clones.
+    val zeroCopy = LogFs.isLocal(path) && LogFs.isLocal(dest)
     // a concurrent checkpoint's vacuum racing this walk usually fails
     // it loudly (a linked-from directory vanishes mid-walk), but one
     // window is silent: a directory EMPTIED between our listing and
@@ -741,14 +769,19 @@ object Changelog {
     // partial clone is removed and the failure is loud (re-run: if the
     // fold moved past v, the initial guard now refuses — correct, that
     // history is gone).
-    try src.foreach(d =>
-      Sinks.hardlinkTree(d.getAbsolutePath, s"$dest/${d.getName}"))
+    try src.foreach { d =>
+      val name = d.getPath.getName
+      if (zeroCopy)
+        Sinks.hardlinkTree(LogFs.localPath(d.getPath.toString),
+          LogFs.localPath(LogFs.child(dest, name)))
+      else LogFs.copyTree(d.getPath.toString, LogFs.child(dest, name))
+    }
     catch { case t: Throwable =>
-      Sinks.deleteRecursively(dest)
+      LogFs.delete(dest)
       throw t
     }
     if (horizonOf(path) != h0) {
-      Sinks.deleteRecursively(dest)
+      LogFs.delete(dest)
       require(false,
         s"a checkpoint raced this clone of $path (horizon moved $h0 -> " +
           s"${horizonOf(path)}) — the linked commits may be torn; the " +
@@ -758,11 +791,11 @@ object Changelog {
     commitTimestamps(path).filter(_._1 <= v).foreach { case (cid, ts) =>
       stampCommit(dest, cid, ts)
     }
-    // stats markers stay valid on the clone (the linked directories
-    // are immutable) — carry them so point lookups skip there too
+    // stats markers stay valid on the clone (the cloned directories
+    // are immutable) — carry them so point lookups skip there too;
+    // writeAtomic keeps the no-torn-marker law on the clone
     commitStatsOf(path).filter(_._1 <= v).foreach { case (cid, (lo, hi)) =>
-      java.nio.file.Files.write(statsFile(dest, cid).toPath,
-        s"$lo,$hi".getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      LogFs.writeAtomic(LogFs.child(dest, s"$StatsPrefix$cid"), s"$lo,$hi")
     }
   }
 
@@ -789,9 +822,7 @@ object Changelog {
   def restoreOps(spark: SparkSession, path: String, keys: Seq[String],
                  v: Long, newCommitId: Long): Unit = {
     requireAboveHorizon(path, v, "restore target version")
-    val ids = Option(new java.io.File(path).listFiles()).toSeq.flatten
-      .map(_.getName).filter(_.startsWith(s"$CommitCol="))
-      .map(_.stripPrefix(s"$CommitCol=").toLong)
+    val ids = commitIds(path)
     require(ids.nonEmpty, s"$path has no commits to restore")
     val head = ids.max
     require(v <= head,
@@ -845,9 +876,6 @@ object Changelog {
 
   private val StatsPrefix = "_graft_stats_"
 
-  private def statsFile(path: String, commitId: Long): java.io.File =
-    new java.io.File(new java.io.File(path), s"$StatsPrefix$commitId")
-
   /** Record commit `commitId`'s `[min, max]` over `statsCol` (a long
     * column present in every row — a key column always is). One
     * aggregate over the commit's own directory, written atomically;
@@ -856,35 +884,29 @@ object Changelog {
     */
   def writeCommitStats(spark: SparkSession, path: String, commitId: Long,
                        statsCol: String): Unit = {
-    val dir = new java.io.File(new java.io.File(path), s"$CommitCol=$commitId")
-    require(dir.isDirectory,
+    val dir = LogFs.child(path, s"$CommitCol=$commitId")
+    require(LogFs.isDirectory(dir),
       s"cannot write stats for commit $commitId of $path — no " +
         s"$CommitCol=$commitId directory exists")
-    val mm = spark.read.parquet(dir.getAbsolutePath)
+    val mm = spark.read.parquet(dir)
       .agg(min(col(statsCol)).cast("long"), max(col(statsCol)).cast("long"))
       .head()
     require(!mm.isNullAt(0) && !mm.isNullAt(1),
       s"commit $commitId of $path has no non-null $statsCol values — " +
         "stats over an all-null column would skip everything")
-    val tmp = new java.io.File(new java.io.File(path),
-      s".$StatsPrefix$commitId.tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      s"${mm.getLong(0)},${mm.getLong(1)}"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath, statsFile(path, commitId).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    LogFs.writeAtomic(LogFs.child(path, s"$StatsPrefix$commitId"),
+      s"${mm.getLong(0)},${mm.getLong(1)}")
   }
 
   /** All recorded commit stats: commitId → (min, max). */
   def commitStatsOf(path: String): Map[Long, (Long, Long)] =
-    Option(new java.io.File(path).listFiles()).toSeq.flatten
-      .filter(f => f.isFile && f.getName.startsWith(StatsPrefix))
-      .map { f =>
-        val Array(lo, hi) = new String(
-          java.nio.file.Files.readAllBytes(f.toPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim.split(",")
-        (f.getName.stripPrefix(StatsPrefix).toLong, (lo.toLong, hi.toLong))
+    LogFs.list(path)
+      .filter(s => s.isFile && s.getPath.getName.startsWith(StatsPrefix))
+      .map { s =>
+        val Array(lo, hi) =
+          LogFs.readString(s.getPath.toString).trim.split(",")
+        (s.getPath.getName.stripPrefix(StatsPrefix).toLong,
+          (lo.toLong, hi.toLong))
       }.toMap
 
   /** The state of the key(s) matching `statsCol == value` AS OF `v`,
@@ -913,11 +935,23 @@ object Changelog {
                      valueHi: Long): DataFrame = {
     require(valueLo <= valueHi,
       s"need valueLo <= valueHi, got $valueLo > $valueHi")
+    // statsCol must be a KEY column (value constant across a key's
+    // versions): with a non-key statsCol, pushing the window predicate
+    // BEFORE the LWW compaction would resurrect a stale version
+    // whenever the key's latest value moved out of range in a
+    // stats-skipped commit, and tombstones (null data columns) would
+    // be filtered out, un-deleting keys — silently violating the
+    // "identical to snapshotAtOps(...).filter(...)" contract
+    require(keys.contains(statsCol),
+      s"statsCol $statsCol must be one of the key columns " +
+        s"[${keys.mkString(", ")}] — a non-key stats column changes " +
+        "across a key's versions, making the pre-compaction window " +
+        "filter (and the commit skipping) silently wrong")
     requireAboveHorizon(path, v, "range-lookup version")
     val stats = commitStatsOf(path)
-    val selected = Option(new java.io.File(path).listFiles()).toSeq.flatten
-      .filter { f =>
-        val n = f.getName
+    val selected = LogFs.list(path)
+      .filter { s =>
+        val n = s.getPath.getName
         n.startsWith(s"$CommitCol=") && {
           val id = n.stripPrefix(s"$CommitCol=").toLong
           id <= v && stats.get(id).forall {
@@ -933,7 +967,7 @@ object Changelog {
       else
         requireOpsLog(
           spark.read.option("basePath", path)
-            .parquet(selected.map(_.getAbsolutePath): _*), path)
+            .parquet(selected.map(_.getPath.toString): _*), path)
     Upsert.latestByKey(
       log.filter(col(CommitCol) <= v &&
         col(statsCol) >= valueLo && col(statsCol) <= valueHi),
@@ -966,9 +1000,7 @@ object Changelog {
                    source: DataFrame, newCommitId: Long,
                    deleteWhen: Option[org.apache.spark.sql.Column] = None)
       : Unit = {
-    val ids = Option(new java.io.File(path).listFiles()).toSeq.flatten
-      .map(_.getName).filter(_.startsWith(s"$CommitCol="))
-      .map(_.stripPrefix(s"$CommitCol=").toLong)
+    val ids = commitIds(path)
     require(ids.nonEmpty, s"$path has no commits to merge into")
     val head = ids.max
     require(newCommitId > head,
@@ -983,8 +1015,13 @@ object Changelog {
     require((keys ++ dataCols).forall(!generated.contains(_)),
       s"column names collide with merge's working columns: " +
         (keys ++ dataCols).filter(generated.contains).mkString(", "))
+    // null-hardened: under three-valued logic a predicate evaluating
+    // to NULL (e.g. col > 5 with null col) would fail BOTH the !_del
+    // and the (_del && matched) branches — the row silently vanishes
+    // from the merge (neither updated/inserted nor deleted). NULL
+    // reads as "the delete condition did not hold", i.e. false.
     val s = source.select((keys ++ dataCols).map(col) :+
-      deleteWhen.getOrElse(lit(false)).as("_del"): _*)
+      coalesce(deleteWhen.getOrElse(lit(false)), lit(false)).as("_del"): _*)
     val c = current.select(keys.map(col) ++
       dataCols.map(cc => col(cc).as(s"_c_$cc")) :+ lit(true).as("_in_c"): _*)
     val j = s.join(c, keys, "left")
@@ -1015,20 +1052,20 @@ object Changelog {
     * the folded base still answers "as of" its instant exactly.
     */
   private def vacuumBelow(path: String, v: Long): Unit = {
-    Option(new java.io.File(path).listFiles()).toSeq.flatten
-      .filter { f =>
-        val n = f.getName
+    LogFs.list(path)
+      .filter { s =>
+        val n = s.getPath.getName
         n.startsWith(s"$CommitCol=") &&
           n.stripPrefix(s"$CommitCol=").toLong < v
       }
-      .foreach(f => Sinks.deleteRecursively(f.getAbsolutePath))
-    Option(new java.io.File(path).listFiles()).toSeq.flatten
-      .filter { f =>
-        val n = f.getName
-        f.isFile && n.startsWith(StatsPrefix) &&
+      .foreach(s => LogFs.delete(s.getPath.toString))
+    LogFs.list(path)
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isFile && n.startsWith(StatsPrefix) &&
           n.stripPrefix(StatsPrefix).toLong <= v
       }
-      .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath): Unit)
+      .foreach(s => LogFs.delete(s.getPath.toString))
   }
 
   /** Checkpoint the log at commit `v`: fold every commit ≤ v into ONE
@@ -1079,16 +1116,16 @@ object Changelog {
                  v: Long): Unit = {
     requireAboveHorizon(path, v, "checkpoint version")
     val staging = s"${path.stripSuffix("/")}__ckpt_staging_v$v"
-    Sinks.deleteRecursively(staging)
+    LogFs.delete(staging)
     Upsert.latestByKey(
       requirePlainLog(
         spark.read.option("mergeSchema", "true").parquet(path), path)
         .filter(col(CommitCol) <= v),
       keys, col(CommitCol)).drop(CommitCol)
       .write.mode("overwrite").parquet(staging)
-    commitIdempotent(spark.read.parquet(staging), path, v)
+    landFold(spark, staging, path, v)
     writeHorizon(path, v)
     vacuumBelow(path, v)
-    Sinks.deleteRecursively(staging)
+    LogFs.delete(staging)
   }
 }

@@ -334,17 +334,33 @@ object StreamIvm {
     Changelog.commitIdempotent(batch, opsLog, b)
     val cents = (c: org.apache.spark.sql.Column) => (round(c * 100)).cast("long")
     val ct = col("change_type")
+    // per-SIDE contributions, exploded before the groupBy: an update
+    // that MOVES a key between groups (groupCol is tracked, so the
+    // feed reports it as one 'update' row) must retract from the old
+    // group AND contribute to the new one — a single coalesce'd group
+    // would land the whole delta on the new group and never retract
+    // the old group's count/measure, silently diverging from the
+    // recompute. Group-preserving updates keep the one-row net form
+    // (count delta 0, measure delta new−old) — identical arithmetic,
+    // fewer exploded rows.
+    val side = (g: org.apache.spark.sql.Column, dn: Long,
+                dc: org.apache.spark.sql.Column) =>
+      struct(g.as("g"), lit(dn).as("dn"), dc.as("dc"))
+    val contribs = when(ct === "insert",
+        array(side(col(s"new_$groupCol"), 1L, cents(col(s"new_$measure")))))
+      .when(ct === "delete",
+        array(side(col(s"old_$groupCol"), -1L, -cents(col(s"old_$measure")))))
+      .when(col(s"old_$groupCol") <=> col(s"new_$groupCol"),
+        array(side(col(s"new_$groupCol"), 0L,
+          cents(col(s"new_$measure")) - cents(col(s"old_$measure")))))
+      .otherwise(array(
+        side(col(s"old_$groupCol"), -1L, -cents(col(s"old_$measure"))),
+        side(col(s"new_$groupCol"), 1L, cents(col(s"new_$measure")))))
     val delta = Changelog.changesBetweenOps(s, opsLog, Seq(key),
         b - 1, b, trackCols = Seq(measure, groupCol))
-      .groupBy(coalesce(col(s"new_$groupCol"), col(s"old_$groupCol"))
-        .as(groupCol))
-      .agg(
-        sum(when(ct === "insert", 1L).when(ct === "delete", -1L)
-          .otherwise(0L)).as("n_rows"),
-        sum(when(ct === "insert", cents(col(s"new_$measure")))
-          .when(ct === "delete", -cents(col(s"old_$measure")))
-          .otherwise(cents(col(s"new_$measure")) -
-            cents(col(s"old_$measure")))).as("_c"))
+      .select(explode(contribs).as("_e"))
+      .groupBy(col("_e.g").as(groupCol))
+      .agg(sum(col("_e.dn")).as("n_rows"), sum(col("_e.dc")).as("_c"))
     Changelog.commitIdempotent(delta, rollLog, b)
   }
 

@@ -210,4 +210,49 @@ class StreamIvmSpec extends SparkSpec {
     assert(graft.sources.Changelog
       .snapshotAtOps(spark, opsLog, Seq("o_orderkey"), 2L).count() == 4L)
   }
+
+  test("CDC consumer: an update that MOVES a key between groups " +
+       "retracts from the old group and contributes to the new one") {
+    import spark.implicits._
+    val opsLog = graft.sources.Sinks.tmpPath("stream_cdc_spec_move_ops")
+    val rollLog = graft.sources.Sinks.tmpPath("stream_cdc_spec_move_roll")
+    Seq(opsLog, rollLog).foreach(graft.sources.Sinks.deleteRecursively)
+    val op = graft.sources.Changelog.OpCol
+    def frame(rows: Seq[(Long, Option[Long], Option[Double], String)]) =
+      rows.toDF("o_orderkey", "o_custkey", "o_totalprice", op)
+    // b0: k1/k2 in group 10, k3 in group 20;
+    // b1: k1 MOVES 10 → 20 (price also changes), k2 stays in 10
+    val batches = Seq(
+      frame(Seq((1L, Some(10L), Some(10.0), "u"),
+        (2L, Some(10L), Some(20.0), "u"), (3L, Some(20L), Some(30.0), "u"))),
+      frame(Seq((1L, Some(20L), Some(15.0), "u"),
+        (2L, Some(10L), Some(22.0), "u"))))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamIvm.applyBatchCdc(spark, b, i.toLong, opsLog, rollLog,
+        key = "o_orderkey", groupCol = "o_custkey",
+        measure = "o_totalprice")
+    }
+    val served = StreamIvm.servedCdcRollup(spark, rollLog, "o_custkey")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    // live: k2 22.0 in group 10; k1 15.0 + k3 30.0 in group 20 — the
+    // one-sided (coalesce'd) form would have served group 10 with
+    // count 2 and k1's stale 10.0 never retracted
+    assert(served == Seq((10L, 1L, 22.0), (20L, 2L, 45.0)))
+    // feed-sufficiency: equals the recompute from the final snapshot
+    val recompute = graft.sources.Changelog
+      .snapshotAtOps(spark, opsLog, Seq("o_orderkey"), 1L)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        (sum((round(col("o_totalprice") * 100)).cast("long"))
+          .cast("double") / 100.0).as("s"))
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(recompute == served)
+    // a group emptied BY a move vanishes: b2 moves k2 to 20 as well
+    StreamIvm.applyBatchCdc(spark,
+      frame(Seq((2L, Some(20L), Some(22.0), "u"))), 2L, opsLog, rollLog,
+      key = "o_orderkey", groupCol = "o_custkey", measure = "o_totalprice")
+    assert(StreamIvm.servedCdcRollup(spark, rollLog, "o_custkey")
+      .as[(Long, Long, Double)].collect().sorted.toSeq ==
+      Seq((20L, 3L, 67.0)))
+  }
 }

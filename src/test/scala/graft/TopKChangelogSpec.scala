@@ -987,5 +987,116 @@ class TopKChangelogSpec extends SparkSpec {
       s"stale markers survived the fold: $left")
     assert(Changelog.pointLookupOps(spark, path, Seq("k"), 3L, "k", 160L)
       .as[(Long, String)].collect().toSeq == Seq((160L, "b160")))
+    // statsCol must be a KEY column: a non-key column changes across a
+    // key's versions, making pre-compaction filtering silently wrong
+    val ek = intercept[IllegalArgumentException](
+      Changelog.rangeLookupOps(spark, path, Seq("k"), 3L, "v2", 0L, 1L))
+    assert(ek.getMessage.contains("key column"))
+  }
+
+  test("changelog metadata through the Hadoop FileSystem API: a file: " +
+       "URI log (a shape java.io.File mangles into './file:...') runs " +
+       "commit/stamp/stats/lookup/checkpoint/clone end to end") {
+    val base = Sinks.tmpPath("changelog_spec_hadoopfs")
+    Sinks.deleteRecursively(base)
+    val path = "file:" + base // the non-java.io.File path shape
+    Changelog.commitUpsert(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path, 0L)
+    Changelog.stampCommit(path, 0L, 1000L)
+    Changelog.commitDelete(spark, Seq(1L).toDF("k"), path, 1L)
+    Changelog.stampCommit(path, 1L, 2000L)
+    Changelog.commitUpsert(Seq((3L, "c")).toDF("k", "v"), path, 2L)
+    Changelog.stampCommit(path, 2L, 3000L)
+    // marker files must live INSIDE the log dir — the java.io.File
+    // binding would have written them to a literal './file:...' path
+    assert(new java.io.File(base, "_graft_ts_0").isFile)
+    // clock addressing resolves through the URI
+    assert(Changelog.snapshotAsOfOps(spark, path, Seq("k"), 2500L)
+      .as[(Long, String)].collect().toMap == Map(2L -> "b"))
+    // stats markers + pruned lookup through the URI
+    for (c <- 0L to 2L) Changelog.writeCommitStats(spark, path, c, "k")
+    assert(new java.io.File(base, "_graft_stats_2").isFile)
+    assert(Changelog.pointLookupOps(spark, path, Seq("k"), 2L, "k", 3L)
+      .as[(Long, String)].collect().toSeq == Seq((3L, "c")))
+    // shallow clone URI → URI (local fs on both sides: hardlinks)
+    val destBase = Sinks.tmpPath("changelog_spec_hadoopfs_clone")
+    Sinks.deleteRecursively(destBase)
+    Changelog.cloneAt(spark, path, "file:" + destBase, 2L)
+    assert(Changelog.snapshotAtOps(spark, "file:" + destBase,
+      Seq("k"), 2L).as[(Long, String)].collect().toMap ==
+      Map(2L -> "b", 3L -> "c"))
+    // checkpoint + vacuum + horizon through the URI
+    Changelog.checkpointOps(spark, path, Seq("k"), 2L)
+    assert(Changelog.horizonOf(path) == 2L)
+    assert(new java.io.File(base, "_graft_horizon").isFile)
+    assert(Changelog.snapshotAtOps(spark, path, Seq("k"), 2L)
+      .as[(Long, String)].collect().toMap == Map(2L -> "b", 3L -> "c"))
+    val eh = intercept[IllegalArgumentException](
+      Changelog.snapshotAtOps(spark, path, Seq("k"), 1L))
+    assert(eh.getMessage.contains("horizon"))
+  }
+
+  test("mergeIntoOps: a NULL deleteWhen verdict reads as 'not deleted' " +
+       "— the source row still merges (three-valued-logic hole)") {
+    val path = Sinks.tmpPath("changelog_spec_merge_null")
+    Sinks.deleteRecursively(path)
+    Changelog.commitUpsert(
+      Seq(("k1", Some(1L)), ("k2", Some(2L))).toDF("k", "x"), path, 0L)
+    // deleteWhen = x > 5: k1 → null x (predicate NULL — must UPDATE,
+    // not vanish), k2 → 9 (delete), k3 → null x unmatched (must INSERT)
+    val src = Seq(("k1", None), ("k2", Some(9L)), ("k3", None))
+      .toDF("k", "x")
+    Changelog.mergeIntoOps(spark, path, Seq("k"), src, 1L,
+      deleteWhen = Some(col("x") > 5))
+    assert(Changelog.snapshotAtOps(spark, path, Seq("k"), 1L)
+      .as[(String, Option[Long])].collect().toMap ==
+      Map("k1" -> None, "k3" -> None))
+  }
+
+  test("checkpoint with an EMPTY fold (every key dead at v) still " +
+       "erases the pre-fold commit physically and reads empty") {
+    val path = Sinks.tmpPath("changelog_spec_ckpt_empty")
+    Sinks.deleteRecursively(path)
+    Changelog.commitUpsert(
+      Seq(("k1", "SECRET1"), ("k2", "SECRET2")).toDF("k", "v"), path, 0L)
+    Changelog.commitDelete(spark,
+      Seq("k1", "k2").toDF("k"), path, 1L)
+    Changelog.checkpointOps(spark, path, Seq("k"), 1L)
+    // the folded state is empty — and NO surviving file below or at
+    // the horizon may hold the deleted rows' bytes (the zero-row
+    // dynamic overwrite was a silent no-op before the landFold branch:
+    // commit 1's own pre-fold directory survived the vacuum)
+    def survivingBytes: String = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(path)).map(f =>
+        new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.ISO_8859_1)).mkString
+    }
+    assert(!survivingBytes.contains("SECRET"),
+      "deleted rows' bytes survived the empty-fold checkpoint")
+    assert(Changelog.snapshotAtOps(spark, path, Seq("k"), 1L).isEmpty)
+    // the log stays writable and readable after the empty base: a new
+    // commit on top serves normally
+    Changelog.commitUpsert(Seq(("k3", "c")).toDF("k", "v"), path, 2L)
+    assert(Changelog.snapshotAtOps(spark, path, Seq("k"), 2L)
+      .as[(String, String)].collect().toSeq == Seq(("k3", "c")))
+    // same law for the PLAIN log's checkpoint: fold of an empty plain
+    // log state — plain logs cannot delete, so emptiness arises from
+    // a checkpoint at a version BEFORE the first commit's data... the
+    // realistic plain case is an ops log; here we pin the ops path
+    // above and the clustered flavor below.
+    val path2 = Sinks.tmpPath("changelog_spec_ckpt_empty_clustered")
+    Sinks.deleteRecursively(path2)
+    Changelog.commitUpsert(
+      spark.range(0, 50).select(col("id").as("k"),
+        concat(lit("S3CR3T"), col("id")).as("v")), path2, 0L)
+    Changelog.commitDelete(spark,
+      spark.range(0, 50).select(col("id").as("k")), path2, 1L)
+    Changelog.checkpointOpsClustered(spark, path2, Seq("k"), 1L,
+      "k", 50L, 4)
+    assert(Changelog.snapshotAtOps(spark, path2, Seq("k"), 1L).isEmpty)
   }
 }
