@@ -267,18 +267,96 @@ object Changelog {
     }
   }
 
+  // ---- Optimistic concurrency: commit claims ------------------------
+  //
+  // Commit ids are caller-assigned (they ARE the version order), and
+  // without arbitration two INDEPENDENT writers that both compute
+  // "head + 1" would land DIFFERENT deltas under one id — `commit`
+  // appends interleave silently, `commitIdempotent`'s dynamic
+  // overwrites can interleave to a mixed directory. The claim marker
+  // closes this the way Delta/Iceberg do, reduced to its primitive:
+  // landing commit id v first ATOMICALLY creates `_graft_claim_<v>`
+  // naming the WRITER (LogFs.claimExclusive — rename-without-
+  // overwrite, exactly one concurrent claimant wins). The same writer
+  // re-claiming its own id is a no-op — that is the at-least-once
+  // REDELIVERY contract (a retried foreachBatch, a re-appended
+  // mixed-op delivery under one batch id) and it must keep working —
+  // while a DIFFERENT writer gets a loud conflict naming the holder.
+  // Single-writer callers never see any of this: they share the
+  // default writer identity, so every existing call is unchanged.
+  // MULTI-writer deployments must give each writer a distinct id
+  // (Delta's txnAppId contract) and route contended appends through
+  // [[commitWithRetry]].
+
+  private val ClaimPrefix = "_graft_claim_"
+
+  /** The default writer identity: all claims by unnamed callers are
+    * one logical writer (the single-writer deployment), preserving
+    * every pre-OCC behavior including same-id redelivery.
+    */
+  val SoloWriter = "solo"
+
+  /** All claimed commit ids of the log (marker listing). */
+  private def claimIds(path: String): Seq[Long] =
+    LogFs.list(path)
+      .filter(s => s.isFile && s.getPath.getName.startsWith(ClaimPrefix))
+      .map(_.getPath.getName.stripPrefix(ClaimPrefix).toLong)
+
+  /** The writer holding commit `commitId`'s claim, if any. */
+  def claimHolder(path: String, commitId: Long): Option[String] = {
+    val p = LogFs.child(path, s"$ClaimPrefix$commitId")
+    if (LogFs.exists(p)) Some(LogFs.readString(p).trim) else None
+  }
+
+  /** Claim commit `commitId` for `writer`, or fail LOUDLY naming the
+    * holder. First-writer-wins is atomic (rename-without-overwrite);
+    * a writer re-claiming its own id succeeds (redelivery).
+    */
+  private def claimCommit(path: String, commitId: Long,
+                          writer: String): Unit = {
+    val p = LogFs.child(path, s"$ClaimPrefix$commitId")
+    if (!LogFs.claimExclusive(p, writer)) {
+      val holder = LogFs.readString(p).trim
+      require(holder == writer,
+        s"commit $commitId of $path is already claimed by writer " +
+          s"'$holder' — writer '$writer' lost the race for this id; " +
+          "re-read the head and retry at the next id (commitWithRetry " +
+          "automates exactly that)")
+    }
+  }
+
+  /** The append write itself, claim-free — the checkpoint fold lands
+    * through this (it REWRITES an id that is legitimately claimed by
+    * whoever committed it; its own guard is the horizon ordering).
+    */
+  private def appendCommit(delta: DataFrame, path: String,
+                           commitId: Long): Unit =
+    delta.withColumn(CommitCol, lit(commitId))
+      .write.partitionBy(CommitCol).mode("append").parquet(path)
+
+  private def overwriteCommit(delta: DataFrame, path: String, commitId: Long,
+                              alsoPartitionBy: Seq[String]): Unit =
+    delta.withColumn(CommitCol, lit(commitId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(CommitCol +: alsoPartitionBy: _*).parquet(path)
+
   /** Append `delta` as commit `commitId`. Commit ids must be issued
     * monotonically by the caller (they are the version order); row-level
     * semantics are last-write-wins per key at read time, so a commit may
-    * freely mix brand-new and replacing rows.
+    * freely mix brand-new and replacing rows. The id is CLAIMED for
+    * `writer` first — a different writer holding it fails loudly (see
+    * the claim contract above; unnamed callers all share [[SoloWriter]]
+    * and are unaffected).
     */
-  def commit(delta: DataFrame, path: String, commitId: Long): Unit = {
+  def commit(delta: DataFrame, path: String, commitId: Long,
+             writer: String = SoloWriter): Unit = {
     require(commitId >= 0, s"commitId must be >= 0, got $commitId")
     require(!delta.columns.contains(CommitCol),
       s"Changelog reserves column name $CommitCol; rename it on the input")
     requireMatchingShape(delta, path)
-    delta.withColumn(CommitCol, lit(commitId))
-      .write.partitionBy(CommitCol).mode("append").parquet(path)
+    claimCommit(path, commitId, writer)
+    appendCommit(delta, path, commitId)
   }
 
   /** Append-or-replace commit `commitId` IDEMPOTENTLY: a dynamic
@@ -290,18 +368,139 @@ object Changelog {
     * attempt, while every other commit's directory is untouched. This
     * is what makes a changelog the exactly-once substrate: the writer
     * keys physical placement by the commit id it was told, so the
-    * storage layer absorbs at-least-once delivery.
+    * storage layer absorbs at-least-once delivery. The claim makes the
+    * "same writer" premise of that contract EXPLICIT: redelivery is
+    * the same writer re-landing its own id (allowed, byte-identical);
+    * a DIFFERENT writer overwriting a held id is a conflict and fails
+    * loudly before touching any file.
     */
   def commitIdempotent(delta: DataFrame, path: String, commitId: Long,
-                       alsoPartitionBy: Seq[String] = Nil): Unit = {
+                       alsoPartitionBy: Seq[String] = Nil,
+                       writer: String = SoloWriter): Unit = {
     require(commitId >= 0, s"commitId must be >= 0, got $commitId")
     require(!delta.columns.contains(CommitCol),
       s"Changelog reserves column name $CommitCol; rename it on the input")
     requireMatchingShape(delta, path)
-    delta.withColumn(CommitCol, lit(commitId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(CommitCol +: alsoPartitionBy: _*).parquet(path)
+    claimCommit(path, commitId, writer)
+    overwriteCommit(delta, path, commitId, alsoPartitionBy)
+  }
+
+  /** OPTIMISTIC MULTI-WRITER COMMIT — the Delta/Iceberg commit loop on
+    * the claim primitive. The caller computed `delta` against the log
+    * state AS OF `readVersion` (pass the head it read; −1 for a fresh
+    * log) and wants it landed at the next free id:
+    *
+    *  1. target = max(current head, readVersion) + 1; atomically claim
+    *     it for `writer` — losing the claim means another writer is
+    *     landing that id: advance past it and try again (bounded by
+    *     `maxAttempts`);
+    *  2. holding the claim, run CONFLICT DETECTION: any commit landed
+    *     in (readVersion, target) whose keys intersect this delta's
+    *     keys means the state this delta was derived from has changed
+    *     underneath it — blind landing would silently lose that
+    *     writer's update (write skew). The claim is RELEASED and the
+    *     failure is loud: the caller must re-derive against the new
+    *     head (an automatic retry cannot — only the caller knows how
+    *     to recompute the delta). Key-DISJOINT concurrent commits
+    *     serialize cleanly in either order, so they simply land —
+    *     the same serializability contract Delta documents;
+    *  3. land the delta (plain append) and return the landed id.
+    *
+    * Scale: the claim is one marker create; conflict detection lists
+    * the (readVersion, target) window driver-side and key-joins ONLY
+    * those commit directories against the delta's keys — O(commits
+    * landed since the read), never O(table).
+    */
+  def commitWithRetry(spark: SparkSession, path: String, keys: Seq[String],
+                      delta: DataFrame, readVersion: Long, writer: String,
+                      maxAttempts: Int = 5): Long = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+    require(!delta.columns.contains(CommitCol),
+      s"Changelog reserves column name $CommitCol; rename it on the input")
+    requireMatchingShape(delta, path)
+    var floor = math.max(commitIds(path).foldLeft(-1L)(math.max),
+      readVersion)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val target = floor + 1
+      if (LogFs.claimExclusive(
+          LogFs.child(path, s"$ClaimPrefix$target"), writer)) {
+        // the conflict window is every id CLAIMED OR LANDED since the
+        // read: a claimed-but-still-writing commit's keys are
+        // unknowable, so each in-flight window id is awaited until its
+        // data lands (direct landings finish with _SUCCESS; append
+        // landings show their data files at job commit) or its claim
+        // is released (a refused writer deletes its claim). A claimant
+        // that crashed before landing blocks the window — bounded
+        // wait, then loud failure naming the id (the operator clears
+        // the orphaned claim; silently skipping it could lose a
+        // conflict).
+        // base commits are pure rewrites — they conflict with nothing
+        val bases = baseIds(path).toSet
+        val windowIds = (commitIds(path) ++ claimIds(path))
+          .filter(id => id > readVersion && id < target &&
+            !bases.contains(id))
+          .distinct.sorted
+        def landed(id: Long): Boolean = {
+          val dir = LogFs.child(path, s"$CommitCol=$id")
+          LogFs.exists(LogFs.child(dir, "_SUCCESS")) ||
+            LogFs.list(dir).exists(s =>
+              s.isFile && s.getPath.getName.endsWith(".parquet"))
+        }
+        val landedSince = windowIds.filter { id =>
+          val deadline = System.currentTimeMillis() + 60000L
+          var in = landed(id)
+          var claimed = claimHolder(path, id).isDefined
+          while (!in && claimed) {
+            require(System.currentTimeMillis() < deadline,
+              s"commit $id of $path has been claimed but unlanded for " +
+                "60s — its writer likely crashed mid-commit; clear the " +
+                s"orphaned ${ClaimPrefix}$id marker to unblock writers")
+            Thread.sleep(25L)
+            in = landed(id)
+            claimed = claimHolder(path, id).isDefined
+          }
+          in
+        }
+        if (landedSince.nonEmpty) {
+          val landedDf = spark.read.option("basePath", path).parquet(
+            landedSince.map(id =>
+              LogFs.child(path, s"$CommitCol=$id")): _*)
+          val clash = landedDf.select(keys.map(col): _*)
+            .join(delta.select(keys.map(col): _*), keys, "left_semi")
+          if (!clash.isEmpty) {
+            // release the claim — nothing landed under it, and leaving
+            // it would poison the id for every later writer
+            LogFs.delete(LogFs.child(path, s"$ClaimPrefix$target"))
+            require(false,
+              s"conflict: commits [${landedSince.mkString(", ")}] landed " +
+                s"since writer '$writer' read version $readVersion of " +
+                s"$path and touch this delta's keys — blind landing " +
+                "would lose those updates; re-derive the delta against " +
+                "the new head and commit again")
+          }
+        }
+        // land DIRECTLY into the claimed commit directory (partition
+        // value rides on the dir name, like every partitioned write):
+        // the claim guarantees this writer owns the dir, and a direct
+        // write gives each concurrent writer its OWN job-staging
+        // namespace — a shared-root append would collide in the
+        // committer's `_temporary/0` under exactly the concurrency
+        // this method exists for
+        delta.write.mode("overwrite")
+          .parquet(LogFs.child(path, s"$CommitCol=$target"))
+        return target
+      }
+      // claim lost: another writer is landing `target` — advance past
+      // it (the head listing may not show its directory yet)
+      floor = target
+      require(attempt < maxAttempts,
+        s"writer '$writer' lost the commit claim $maxAttempts times in " +
+          s"a row on $path — contention is pathological; back off and " +
+          "retry commitWithRetry from a fresh read")
+    }
+    -1L // unreachable
   }
 
   /** Plain-log reads must never run against an OPS log: the plain
@@ -465,10 +664,11 @@ object Changelog {
       when(col(OpCol) === "d", lit(1)).otherwise(lit(0)))
 
   /** Append `delta` as UPSERT rows of ops-commit `commitId`. */
-  def commitUpsert(delta: DataFrame, path: String, commitId: Long): Unit = {
+  def commitUpsert(delta: DataFrame, path: String, commitId: Long,
+                   writer: String = SoloWriter): Unit = {
     require(!delta.columns.contains(OpCol),
       s"Changelog reserves column name $OpCol; rename it on the input")
-    commit(delta.withColumn(OpCol, lit("u")), path, commitId)
+    commit(delta.withColumn(OpCol, lit("u")), path, commitId, writer)
   }
 
   /** Append TOMBSTONES for `keys` as ops-commit `commitId`. The keys
@@ -523,15 +723,116 @@ object Changelog {
     df
   }
 
+  // ---- Base commits: OPTIMIZE without losing history ----------------
+  //
+  // A `_graft_base_<id>` marker declares commit id a SELF-CONTAINED
+  // base: the commit holds the COMPLETE live state as of itself (a
+  // pure rewrite — zero logical changes, Delta's dataChange=false).
+  // Three read-path consequences, each sound because the base is
+  // complete and change-free:
+  //  - snapshots/lookups at w ≥ base need only commits in [base, w] —
+  //    every key untouched since the base has its row IN the base, and
+  //    a key dead at the base is absent from it and stays dead unless
+  //    re-inserted later (partition-pruned: at a 10k-commit log the
+  //    post-OPTIMIZE read cost is O(commits since the base));
+  //  - change feeds EXCLUDE base ids from the candidate scan — a pure
+  //    rewrite contains no changes, and without the exclusion a window
+  //    crossing the base would scan the whole table as "touched"
+  //    (every candidate then suppressed: correct, but O(table));
+  //  - commitWithRetry's conflict detection ignores base ids — a
+  //    rewrite conflicts with nothing.
+  // Markers are swept with their commits by the vacuum and travel with
+  // clones, like stats markers.
+
+  private val BasePrefix = "_graft_base_"
+
+  /** All base-commit ids of the log, ascending. */
+  def baseIds(path: String): Seq[Long] =
+    LogFs.list(path)
+      .filter(s => s.isFile && s.getPath.getName.startsWith(BasePrefix))
+      .map(_.getPath.getName.stripPrefix(BasePrefix).toLong).sorted
+
+  /** The newest base at or below `v` (reads at v start here). */
+  private def baseFloor(path: String, v: Long): Long =
+    baseIds(path).filter(_ <= v).foldLeft(Long.MinValue)(math.max)
+
+  /** OPTIMIZE AT HEAD WITHOUT LOSING HISTORY — the maintenance verb
+    * [[checkpointOpsClustered]] deliberately is not: recluster the
+    * current live state into ONE new commit `newCommitId` (landed via
+    * [[ZOrderLayout.rangeClustered]]: `numFiles` files placed by the
+    * arithmetic range of `clusterCol`, sorted within each), marked as
+    * a BASE, with its commit-stats marker written — while EVERY
+    * historical version stays readable (no horizon advance, no
+    * vacuum; a later [[checkpointOps]] reclaims the superseded
+    * history when retention allows). The base is a pure rewrite:
+    * snapshots at any w (before or after `newCommitId`) are
+    * value-identical to pre-OPTIMIZE reads, feeds skip it, and reads
+    * at the optimized head prune to `[newCommitId, head]` commits and
+    * then to the key-range files within the base — commit skipping,
+    * base pruning, and parquet row-group skipping compose.
+    *
+    * Lands under `writer`'s claim like any commit (the id is NEW —
+    * a concurrent writer racing it loses or wins the claim loudly).
+    * `clusterCol` must be a key column (the stats precondition) with
+    * non-negative long values in `[0, domain)` on every live row.
+    */
+  def optimizeOps(spark: SparkSession, path: String, keys: Seq[String],
+                  newCommitId: Long, clusterCol: String, domain: Long,
+                  numFiles: Int, writer: String = SoloWriter): Unit = {
+    require(keys.contains(clusterCol),
+      s"clusterCol $clusterCol must be one of the key columns " +
+        s"[${keys.mkString(", ")}] — the base's stats marker feeds " +
+        "rangeLookupOps, whose skipping is only sound on a key column")
+    val ids = commitIds(path)
+    require(ids.nonEmpty, s"$path has no commits to optimize")
+    val head = ids.max
+    require(newCommitId > head,
+      s"optimize must land as a NEW commit above the head $head of " +
+        s"$path, got $newCommitId — rewriting an existing commit would " +
+        "destroy the changes it carried")
+    claimCommit(path, newCommitId, writer)
+    val staging = s"${path.stripSuffix("/")}__opt_staging_v$newCommitId"
+    LogFs.delete(staging)
+    snapshotAtOpsEvolved(spark, path, keys, head)
+      .withColumn(OpCol, lit("u"))
+      .write.mode("overwrite").parquet(staging)
+    val staged = spark.read.parquet(staging)
+    val dir = LogFs.child(path, s"$CommitCol=$newCommitId")
+    if (staged.isEmpty) staged.write.mode("overwrite").parquet(dir)
+    else ZOrderLayout.rangeClustered(staged, clusterCol, domain, numFiles)
+      .write.mode("overwrite").parquet(dir)
+    // marker ORDER is the crash-safety law: stats before base. A crash
+    // after the data landed but before the markers leaves an ordinary
+    // (unmarked) commit — reads stay correct, only un-pruned; re-run
+    // under the same id to finish (the claim is held by this writer).
+    if (!staged.isEmpty) writeCommitStats(spark, path, newCommitId,
+      clusterCol)
+    LogFs.writeAtomic(LogFs.child(path, s"$BasePrefix$newCommitId"),
+      newCommitId.toString)
+    LogFs.delete(staging)
+  }
+
+  /** `df` pruned to the commits a read AS OF `v` must consider:
+    * `[newest base ≤ v, v]` — both partition filters, so pre-base
+    * commit directories are never opened.
+    */
+  private def opsWindow(df: DataFrame, path: String, v: Long): DataFrame = {
+    val floor = baseFloor(path, v)
+    val upTo = df.filter(col(CommitCol) <= v)
+    if (floor == Long.MinValue) upTo
+    else upTo.filter(col(CommitCol) >= floor)
+  }
+
   /** The ops table as of commit `v`: keyed LWW over pruned commits,
-    * tombstoned keys REMOVED. Data columns only.
+    * tombstoned keys REMOVED. Data columns only. Commits below the
+    * newest base ≤ v are pruned out (the base holds their surviving
+    * effect — see the base-commit contract above).
     */
   def snapshotAtOps(spark: SparkSession, path: String, keys: Seq[String],
                     v: Long): DataFrame = {
     requireAboveHorizon(path, v, "snapshot version")
     Upsert.latestByKey(
-      requireOpsLog(spark.read.parquet(path), path)
-        .filter(col(CommitCol) <= v),
+      opsWindow(requireOpsLog(spark.read.parquet(path), path), path, v),
       keys, opsVersion)
       .filter(col(OpCol) === "u")
       .drop(CommitCol, OpCol)
@@ -551,9 +852,9 @@ object Changelog {
                            keys: Seq[String], v: Long): DataFrame = {
     requireAboveHorizon(path, v, "snapshot version")
     Upsert.latestByKey(
-      requireOpsLog(
-        spark.read.option("mergeSchema", "true").parquet(path), path)
-        .filter(col(CommitCol) <= v),
+      opsWindow(requireOpsLog(
+        spark.read.option("mergeSchema", "true").parquet(path), path),
+        path, v),
       keys, opsVersion)
       .filter(col(OpCol) === "u")
       .drop(CommitCol, OpCol)
@@ -583,11 +884,21 @@ object Changelog {
       s"key columns collide with generated feed columns: " +
         keys.filter(generated.contains).mkString(", "))
     val log = requireOpsLog(spark.read.parquet(path), path)
-    val touched = log
-      .filter(col(CommitCol) > v0 && col(CommitCol) <= v1)
+    // base commits are pure rewrites (zero changes): excluding them
+    // from the candidate scan keeps the feed O(delta) across an
+    // OPTIMIZE — without it, a window containing a base would treat
+    // the whole table as touched (then suppress every no-op: correct
+    // but O(table))
+    val basesInWindow = baseIds(path).filter(id => id > v0 && id <= v1)
+    val candidateCommits = {
+      val window = col(CommitCol) > v0 && col(CommitCol) <= v1
+      if (basesInWindow.isEmpty) window
+      else window && !col(CommitCol).isin(basesInWindow: _*)
+    }
+    val touched = log.filter(candidateCommits)
       .select(keys.map(col): _*).distinct()
     def stateAt(v: Long) = Upsert.latestByKey(
-      log.filter(col(CommitCol) <= v).join(touched, keys, "left_semi"),
+      opsWindow(log, path, v).join(touched, keys, "left_semi"),
       keys, opsVersion)
     val newSide = stateAt(v1).select(
       keys.map(col) ++ trackCols.map(c => col(c).as(s"new_$c")) :+
@@ -636,7 +947,10 @@ object Changelog {
       val dir = LogFs.child(path, s"$CommitCol=$v")
       LogFs.delete(dir)
       staged.write.mode("overwrite").parquet(dir)
-    } else commitIdempotent(staged, path, v)
+    } else overwriteCommit(staged, path, v, Nil)
+    // claim-free on purpose: the fold REWRITES an id legitimately
+    // claimed by whoever committed it; the checkpoint's own guard is
+    // the horizon ordering (base lands → horizon → vacuum)
   }
 
   def checkpointOps(spark: SparkSession, path: String, keys: Seq[String],
@@ -645,9 +959,9 @@ object Changelog {
     val staging = s"${path.stripSuffix("/")}__ckpt_staging_v$v"
     LogFs.delete(staging)
     Upsert.latestByKey(
-      requireOpsLog(
-        spark.read.option("mergeSchema", "true").parquet(path), path)
-        .filter(col(CommitCol) <= v),
+      opsWindow(requireOpsLog(
+        spark.read.option("mergeSchema", "true").parquet(path), path),
+        path, v),
       keys, opsVersion)
       .filter(col(OpCol) === "u")
       .drop(CommitCol)
@@ -687,9 +1001,9 @@ object Changelog {
     val staging = s"${path.stripSuffix("/")}__ckpt_staging_v$v"
     LogFs.delete(staging)
     Upsert.latestByKey(
-      requireOpsLog(
-        spark.read.option("mergeSchema", "true").parquet(path), path)
-        .filter(col(CommitCol) <= v),
+      opsWindow(requireOpsLog(
+        spark.read.option("mergeSchema", "true").parquet(path), path),
+        path, v),
       keys, opsVersion)
       .filter(col(OpCol) === "u")
       .drop(CommitCol)
@@ -792,11 +1106,23 @@ object Changelog {
       stampCommit(dest, cid, ts)
     }
     // stats markers stay valid on the clone (the cloned directories
-    // are immutable) — carry them so point lookups skip there too;
-    // writeAtomic keeps the no-torn-marker law on the clone
-    commitStatsOf(path).filter(_._1 <= v).foreach { case (cid, (lo, hi)) =>
-      LogFs.writeAtomic(LogFs.child(dest, s"$StatsPrefix$cid"), s"$lo,$hi")
-    }
+    // are immutable) — carried verbatim so point lookups skip there
+    // too. Claims travel because the cloned commits are LANDED on the
+    // clone — without them a new writer could "win" an id that already
+    // holds data and interleave histories. Base markers ≤ v stay valid
+    // (the cloned base is byte-identical) and keep the clone's reads
+    // pruned. writeAtomic keeps the no-torn-marker law on the clone.
+    def markerId(n: String): Option[Long] =
+      Seq(StatsPrefix, ClaimPrefix, BasePrefix)
+        .collectFirst { case p if n.startsWith(p) =>
+          n.stripPrefix(p).toLong }
+    LogFs.list(path)
+      .filter(s => s.isFile &&
+        markerId(s.getPath.getName).exists(_ <= v))
+      .foreach { s =>
+        LogFs.writeAtomic(LogFs.child(dest, s.getPath.getName),
+          LogFs.readString(s.getPath.toString))
+      }
   }
 
   /** RESTORE the ops table to its state at version `v`, landed as NEW
@@ -876,37 +1202,125 @@ object Changelog {
 
   private val StatsPrefix = "_graft_stats_"
 
-  /** Record commit `commitId`'s `[min, max]` over `statsCol` (a long
-    * column present in every row — a key column always is). One
-    * aggregate over the commit's own directory, written atomically;
-    * re-running recomputes the same values (the commit is immutable),
-    * so the overwrite is idempotent by construction.
+  /** Per-column commit statistics: the null count plus `[min, max]`
+    * over the non-null values (absent when the column is all-null in
+    * the commit — which soundly SKIPS any non-null value probe).
+    * String order is UNSIGNED UTF-8 BYTE order — exactly Spark's
+    * min/max (UTF8String) ordering, and the driver-side probes
+    * compare the same way, so a skip decision can never disagree with
+    * the scan. Null counts make `IS NULL` probes skippable and feed
+    * quality audits without a scan.
     */
-  def writeCommitStats(spark: SparkSession, path: String, commitId: Long,
-                       statsCol: String): Unit = {
+  sealed trait ColStats { def nulls: Long }
+  final case class LongColStats(min: Long, max: Long,
+                                nulls: Long) extends ColStats
+  final case class StringColStats(min: String, max: String,
+                                  nulls: Long) extends ColStats
+  final case class AllNullColStats(nulls: Long) extends ColStats
+
+  /** Spark's string min/max order on the driver: unsigned UTF-8 byte
+    * compare (UTF8String.compareTo). Java's String.compareTo differs
+    * on supplementary characters — using it here could wrong-skip.
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Record commit `commitId`'s per-column statistics over `cols` —
+    * min/max/null-count per column, ONE aggregate scan over the
+    * commit's own directory however many columns are asked, written
+    * atomically as one marker. Long/int and string columns supported
+    * (string min/max base64-wrapped in the marker: values may carry
+    * tabs/newlines). Re-running recomputes identical values (the
+    * commit is immutable), so the overwrite is idempotent.
+    */
+  def writeCommitStatsMulti(spark: SparkSession, path: String,
+                            commitId: Long, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "writeCommitStatsMulti needs at least one column")
     val dir = LogFs.child(path, s"$CommitCol=$commitId")
     require(LogFs.isDirectory(dir),
       s"cannot write stats for commit $commitId of $path — no " +
         s"$CommitCol=$commitId directory exists")
-    val mm = spark.read.parquet(dir)
-      .agg(min(col(statsCol)).cast("long"), max(col(statsCol)).cast("long"))
-      .head()
-    require(!mm.isNullAt(0) && !mm.isNullAt(1),
-      s"commit $commitId of $path has no non-null $statsCol values — " +
-        "stats over an all-null column would skip everything")
+    val df = spark.read.parquet(dir)
+    val schema = df.schema
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    cols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"stats column $c not in commit $commitId's schema " +
+          s"[${schema.fieldNames.mkString(", ")}]")
+      val dt = schema(c).dataType
+      require(dt == LongType || dt == IntegerType || dt == StringType,
+        s"stats column $c has type $dt — only long/int/string columns " +
+          "have a total order the skipping contract covers")
+    }
+    val aggs = cols.flatMap { c =>
+      val (mn, mx) = schema(c).dataType match {
+        case StringType => (min(col(c)), max(col(c)))
+        case _ => (min(col(c)).cast("long"), max(col(c)).cast("long"))
+      }
+      Seq(mn, mx, sum(when(col(c).isNull, 1L).otherwise(0L)))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val lines = cols.zipWithIndex.map { case (c, i) =>
+      val (mi, ma, nu) = (i * 3, i * 3 + 1, i * 3 + 2)
+      val nulls = if (row.isNullAt(nu)) 0L else row.getLong(nu)
+      if (row.isNullAt(mi)) s"$c\tallnull\t$nulls"
+      else schema(c).dataType match {
+        case StringType =>
+          s"$c\tstring\t$nulls\t${b64(row.getString(mi))}\t" +
+            b64(row.getString(ma))
+        case _ => s"$c\tlong\t$nulls\t${row.getLong(mi)}\t${row.getLong(ma)}"
+      }
+    }
     LogFs.writeAtomic(LogFs.child(path, s"$StatsPrefix$commitId"),
-      s"${mm.getLong(0)},${mm.getLong(1)}")
+      ("v2" +: lines).mkString("\n"))
   }
 
-  /** All recorded commit stats: commitId → (min, max). */
-  def commitStatsOf(path: String): Map[Long, (Long, Long)] =
+  /** Single-column convenience form of [[writeCommitStatsMulti]]. */
+  def writeCommitStats(spark: SparkSession, path: String, commitId: Long,
+                       statsCol: String): Unit =
+    writeCommitStatsMulti(spark, path, commitId, Seq(statsCol))
+
+  /** All recorded commit statistics: commitId → column → stats. */
+  def commitColumnStats(path: String): Map[Long, Map[String, ColStats]] =
     LogFs.list(path)
       .filter(s => s.isFile && s.getPath.getName.startsWith(StatsPrefix))
       .map { s =>
-        val Array(lo, hi) =
-          LogFs.readString(s.getPath.toString).trim.split(",")
-        (s.getPath.getName.stripPrefix(StatsPrefix).toLong,
-          (lo.toLong, hi.toLong))
+        val lines = LogFs.readString(s.getPath.toString).split("\n").toSeq
+        require(lines.headOption.contains("v2"),
+          s"unrecognized stats marker format in ${s.getPath} — " +
+            s"expected a v2 header, got '${lines.headOption.getOrElse("")}'")
+        val byCol = lines.tail.filter(_.nonEmpty).map { ln =>
+          val p = ln.split("\t")
+          p(1) match {
+            case "long" =>
+              p(0) -> (LongColStats(p(3).toLong, p(4).toLong,
+                p(2).toLong): ColStats)
+            case "string" =>
+              p(0) -> (StringColStats(unb64(p(3)), unb64(p(4)),
+                p(2).toLong): ColStats)
+            case "allnull" => p(0) -> (AllNullColStats(p(2).toLong): ColStats)
+            case other => throw new IllegalArgumentException(
+              s"unrecognized stats kind '$other' in ${s.getPath}")
+          }
+        }.toMap
+        (s.getPath.getName.stripPrefix(StatsPrefix).toLong, byCol)
       }.toMap
 
   /** The state of the key(s) matching `statsCol == value` AS OF `v`,
@@ -935,6 +1349,52 @@ object Changelog {
                      valueHi: Long): DataFrame = {
     require(valueLo <= valueHi,
       s"need valueLo <= valueHi, got $valueLo > $valueHi")
+    rangeLookupImpl(spark, path, keys, v, statsCol,
+      admits = {
+        case LongColStats(lo, hi, _) => hi >= valueLo && lo <= valueHi
+        case _: AllNullColStats      => false // no non-null values at all
+        case _                       => true  // type mismatch: be exact, not clever
+      },
+      probe = col(statsCol) >= valueLo && col(statsCol) <= valueHi)
+  }
+
+  /** [[pointLookupOps]] for a STRING key column — same skipping
+    * contract; the driver's admit decision compares in unsigned UTF-8
+    * byte order, exactly the order the recorded min/max were computed
+    * in (Spark's UTF8String), so skip and scan can never disagree.
+    */
+  def pointLookupOpsString(spark: SparkSession, path: String,
+                           keys: Seq[String], v: Long, statsCol: String,
+                           value: String): DataFrame =
+    rangeLookupOpsString(spark, path, keys, v, statsCol, value, value)
+
+  /** [[rangeLookupOps]] for a STRING key column. */
+  def rangeLookupOpsString(spark: SparkSession, path: String,
+                           keys: Seq[String], v: Long, statsCol: String,
+                           valueLo: String, valueHi: String): DataFrame = {
+    require(utf8Compare(valueLo, valueHi) <= 0,
+      s"need valueLo <= valueHi (UTF-8 order), got '$valueLo' > '$valueHi'")
+    rangeLookupImpl(spark, path, keys, v, statsCol,
+      admits = {
+        case StringColStats(lo, hi, _) =>
+          utf8Compare(hi, valueLo) >= 0 && utf8Compare(lo, valueHi) <= 0
+        case _: AllNullColStats => false
+        case _                  => true
+      },
+      probe = col(statsCol) >= valueLo && col(statsCol) <= valueHi)
+  }
+
+  /** Shared lookup kernel: select the commit directories ≤ v (and ≥
+    * the base floor) whose recorded stats ADMIT the probe — commits
+    * without a marker, or whose marker lacks `statsCol`, are
+    * conservatively included — then compact only those under the
+    * probe predicate (which also pushes into the scan, composing with
+    * parquet row-group skipping).
+    */
+  private def rangeLookupImpl(spark: SparkSession, path: String,
+                              keys: Seq[String], v: Long, statsCol: String,
+                              admits: ColStats => Boolean,
+                              probe: org.apache.spark.sql.Column): DataFrame = {
     // statsCol must be a KEY column (value constant across a key's
     // versions): with a non-key statsCol, pushing the window predicate
     // BEFORE the LWW compaction would resurrect a stale version
@@ -948,15 +1408,15 @@ object Changelog {
         "across a key's versions, making the pre-compaction window " +
         "filter (and the commit skipping) silently wrong")
     requireAboveHorizon(path, v, "range-lookup version")
-    val stats = commitStatsOf(path)
+    val stats = commitColumnStats(path)
+    val floor = baseFloor(path, v)
     val selected = LogFs.list(path)
       .filter { s =>
         val n = s.getPath.getName
         n.startsWith(s"$CommitCol=") && {
           val id = n.stripPrefix(s"$CommitCol=").toLong
-          id <= v && stats.get(id).forall {
-            case (lo, hi) => hi >= valueLo && lo <= valueHi
-          }
+          id <= v && id >= floor &&
+            stats.get(id).forall(_.get(statsCol).forall(admits))
         }
       }
     val log =
@@ -969,8 +1429,7 @@ object Changelog {
           spark.read.option("basePath", path)
             .parquet(selected.map(_.getPath.toString): _*), path)
     Upsert.latestByKey(
-      log.filter(col(CommitCol) <= v &&
-        col(statsCol) >= valueLo && col(statsCol) <= valueHi),
+      log.filter(col(CommitCol) <= v && probe),
       keys, opsVersion)
       .filter(col(OpCol) === "u")
       .drop(CommitCol, OpCol)
@@ -1064,6 +1523,21 @@ object Changelog {
         val n = s.getPath.getName
         s.isFile && n.startsWith(StatsPrefix) &&
           n.stripPrefix(StatsPrefix).toLong <= v
+      }
+      .foreach(s => LogFs.delete(s.getPath.toString))
+    // claim markers below the horizon are stale (their commit dirs are
+    // gone and no writer may land below the horizon again); the claim
+    // AT v stays — the folded base is still commit v. Base markers
+    // below v go with their vacuumed commits; a base AT v stays valid
+    // (the fold is itself a complete base).
+    LogFs.list(path)
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isFile &&
+          ((n.startsWith(ClaimPrefix) &&
+            n.stripPrefix(ClaimPrefix).toLong < v) ||
+           (n.startsWith(BasePrefix) &&
+            n.stripPrefix(BasePrefix).toLong < v))
       }
       .foreach(s => LogFs.delete(s.getPath.toString))
   }

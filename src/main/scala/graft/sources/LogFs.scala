@@ -29,7 +29,7 @@ import org.apache.spark.sql.SparkSession
   *    reads the winner's complete content (a bare create-exclusive +
   *    write would expose an empty-claim window).
   */
-private[sources] object LogFs {
+private[graft] object LogFs {
 
   private def conf: Configuration =
     SparkSession.getActiveSession

@@ -982,7 +982,7 @@ class TopKChangelogSpec extends SparkSpec {
     // by the folded base) would wrong-skip it. Stats below the
     // horizon go with their commits.
     Changelog.checkpointOps(spark, path, Seq("k"), 2L)
-    val left = Changelog.commitStatsOf(path).keySet
+    val left = Changelog.commitColumnStats(path).keySet
     assert(!left.contains(2L) && !left.contains(0L),
       s"stale markers survived the fold: $left")
     assert(Changelog.pointLookupOps(spark, path, Seq("k"), 3L, "k", 160L)
@@ -992,6 +992,299 @@ class TopKChangelogSpec extends SparkSpec {
     val ek = intercept[IllegalArgumentException](
       Changelog.rangeLookupOps(spark, path, Seq("k"), 3L, "v2", 0L, 1L))
     assert(ek.getMessage.contains("key column"))
+  }
+
+  test("generalized commit stats: STRING key min/max prune lookups in " +
+       "UTF-8 order, multi-column markers carry null counts, all-null " +
+       "columns soundly skip value probes (q202/q203)") {
+    val path = Sinks.tmpPath("changelog_spec_stats_str")
+    Sinks.deleteRecursively(path)
+    // disjoint STRING key ranges per commit: 0 → a000–a099,
+    // 1 → b000–b099, 2 → rewrites a-range, 3 → tombstones b050–b059.
+    // c1 also carries an all-null aux column (null-count evidence).
+    def keyed(prefix: String, from: Int, until: Int) =
+      spark.range(from, until).select(
+        concat(lit(prefix), lpad(col("id").cast("string"), 3, "0")).as("k"),
+        concat(lit("v"), col("id")).as("v"),
+        lit(null).cast("string").as("aux"))
+    Changelog.commitUpsert(keyed("a", 0, 100)
+      .withColumn("aux", concat(lit("x"), col("k"))), path, 0L)
+    Changelog.commitUpsert(keyed("b", 0, 100), path, 1L)
+    Changelog.commitUpsert(keyed("a", 0, 100)
+      .withColumn("v", concat(lit("w"), col("k"))), path, 2L)
+    Changelog.commitDelete(spark,
+      spark.range(50, 60).select(
+        concat(lit("b"), lpad(col("id").cast("string"), 3, "0")).as("k")),
+      path, 3L)
+    for (c <- 0L to 3L)
+      Changelog.writeCommitStatsMulti(spark, path, c, Seq("k", "aux"))
+    // the marker records per-column stats incl. null counts; c1's aux
+    // is all-null and says so
+    val st = Changelog.commitColumnStats(path)
+    assert(st(0L)("k") ==
+      Changelog.StringColStats("a000", "a099", 0L))
+    assert(st(1L)("aux") == Changelog.AllNullColStats(100L))
+    assert(st(3L)("aux") == Changelog.AllNullColStats(10L))
+    // a lookup in the b-range plans ONLY commits 1 and 3 (the a-range
+    // commits 0/2 excluded by their string stats)
+    val plan = Changelog.rangeLookupOpsString(spark, path, Seq("k"), 3L,
+        "k", "b040", "b070")
+      .queryExecution.executedPlan.toString
+    // exactly two directories in the scan's file index (1 and 3; the
+    // rendered path list truncates, so count + exclusions carry the
+    // proof)
+    assert(plan.contains("InMemoryFileIndex(2 paths)") &&
+      !plan.contains("_commit=0") && !plan.contains("_commit=2"),
+      s"string lookup planned outside the admitting commits:\n" +
+        plan.take(2000))
+    // exactness across every delete class, vs the unpruned snapshot
+    val got = Changelog.rangeLookupOpsString(spark, path, Seq("k"), 3L,
+        "k", "b040", "b070")
+      .select("k", "v").as[(String, String)].collect().toMap
+    val want = Changelog.snapshotAtOps(spark, path, Seq("k"), 3L)
+      .filter(col("k") >= "b040" && col("k") <= "b070")
+      .select("k", "v").as[(String, String)].collect().toMap
+    assert(got == want && got.size == 21 && !got.contains("b055"))
+    // point form: a rewritten key resolves to its LATEST version
+    // through the pruned read
+    assert(Changelog.pointLookupOpsString(spark, path, Seq("k"), 3L,
+        "k", "a042")
+      .select("k", "v").as[(String, String)].collect().toSeq ==
+      Seq(("a042", "wa042")))
+    // out-of-universe probe: every commit skipped, exact empty
+    assert(Changelog.pointLookupOpsString(spark, path, Seq("k"), 3L,
+      "k", "zzz").isEmpty)
+    // an ALL-NULL column as the probe target would wrong-skip only if
+    // the admit logic were wrong — prove the skip is sound: aux is a
+    // non-key column, so the guard refuses it loudly instead
+    intercept[IllegalArgumentException](
+      Changelog.pointLookupOpsString(spark, path, Seq("k"), 3L,
+        "k2", "x"))
+    // UTF-8 vs UTF-16 order: a supplementary-plane key sorts ABOVE
+    // 0xFFFF-class chars in UTF-8 byte order (Spark's order) while
+    // Java's compareTo would sort it below — the driver must agree
+    // with Spark or wrong-skip. Commit 4 holds one BMP key U+FFFD and
+    // commit 5 one supplementary key U+10400; a probe for U+10400
+    // must NOT skip commit 5.
+    val bmp = "�"
+    val supp = new String(Character.toChars(0x10400))
+    assert(bmp.compareTo(supp) > 0) // Java UTF-16 order: bmp AFTER supp
+    Changelog.commitUpsert(Seq((bmp, "vb", "x")).toDF("k", "v", "aux"),
+      path, 4L)
+    Changelog.commitUpsert(Seq((supp, "vs", "x")).toDF("k", "v", "aux"),
+      path, 5L)
+    for (c <- 4L to 5L)
+      Changelog.writeCommitStatsMulti(spark, path, c, Seq("k"))
+    assert(Changelog.pointLookupOpsString(spark, path, Seq("k"), 5L,
+        "k", supp)
+      .select("k", "v").as[(String, String)].collect().toSeq ==
+      Seq((supp, "vs")))
+  }
+
+  test("optimizeOps: OPTIMIZE at head WITHOUT losing history — every " +
+       "historical snapshot unchanged, head reads prune to the base, " +
+       "feeds skip the pure rewrite, range reads hit exact file " +
+       "counts (q199)") {
+    val path = Sinks.tmpPath("changelog_spec_optimize_head")
+    Sinks.deleteRecursively(path)
+    val base = spark.range(1000).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+    Changelog.commitUpsert(base, path, 0L)
+    Changelog.commitDelete(spark,
+      spark.range(100).select((col("id") * 10).as("k")), path, 1L)
+    Changelog.commitUpsert(
+      spark.range(50).select((col("id") * 20).as("k"),
+        concat(lit("r"), col("id") * 20).as("v")), path, 2L)
+    def snap(v: Long) = Changelog.snapshotAtOps(spark, path, Seq("k"), v)
+      .as[(Long, String)].collect().toMap
+    val pre = (0L to 3L).map(v => v -> snap(math.min(v, 2L))).toMap
+    val feedPre = Changelog.changesBetweenOps(spark, path, Seq("k"),
+      0L, 2L, trackCols = Seq("v"))
+      .collect().map(_.toSeq).toSet
+    // guards: not-above-head and non-key cluster column are loud
+    intercept[IllegalArgumentException](
+      Changelog.optimizeOps(spark, path, Seq("k"), 2L, "k", 1000L, 8))
+    intercept[IllegalArgumentException](
+      Changelog.optimizeOps(spark, path, Seq("k"), 3L, "v", 1000L, 8))
+    Changelog.optimizeOps(spark, path, Seq("k"), 3L, "k", 1000L, 8)
+    // every snapshot — strictly below, at, and above the base — is
+    // value-identical to the pre-OPTIMIZE reads
+    for (v <- 0L to 3L)
+      assert(snap(v) == pre(v), s"snapshot at $v changed under OPTIMIZE")
+    // head reads PRUNE to the base: the scan carries the base floor as
+    // a PARTITION filter (>= 3 alongside <= 3 — directories below the
+    // base are pruned before any footer opens)
+    val plan = Changelog.snapshotAtOps(spark, path, Seq("k"), 3L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("<= 3") &&
+      plan.contains(">= 3"),
+      s"head read missing the base-floor partition filter:\n" +
+        plan.take(2000))
+    // the base is 8 arithmetic range files; key-range reads touch
+    // EXACT counts, and the stats marker was written for the base
+    val baseDir = s"$path/${Changelog.CommitCol}=3"
+    assert(Option(new java.io.File(baseDir).listFiles()).toSeq.flatten
+      .count(_.getName.endsWith(".parquet")) == 8)
+    assert(Changelog.commitColumnStats(path).contains(3L))
+    def touched(lo: Long, hi: Long): Long =
+      spark.read.parquet(baseDir).filter(col("k").between(lo, hi))
+        .select(input_file_name()).distinct().count()
+    assert(touched(0L, 124L) == 1L)
+    assert(touched(100L, 374L) == 3L)
+    // the feed SKIPS the pure rewrite: a window crossing the base
+    // reports exactly the pre-OPTIMIZE changes (and the base id is
+    // not scanned for candidates — zero feed rows from it)
+    assert(Changelog.changesBetweenOps(spark, path, Seq("k"),
+      0L, 3L, trackCols = Seq("v"))
+      .collect().map(_.toSeq).toSet == feedPre)
+    // commitWithRetry ignores the base in conflict detection: a delta
+    // derived at version 2 (before the base landed) commits cleanly —
+    // the base "touched" every key but changed none
+    val id = Changelog.commitWithRetry(spark, path, Seq("k"),
+      Seq((1L, "post")).toDF("k", "v")
+        .withColumn(Changelog.OpCol, lit("u")),
+      readVersion = 2L, writer = "wPost")
+    assert(id == 4L)
+    assert(snap(4L)(1L) == "post")
+    // a later checkpoint reclaims superseded history as usual
+    Changelog.checkpointOps(spark, path, Seq("k"), 3L)
+    assert(snap(4L)(1L) == "post" && snap(3L) == pre(3L))
+    intercept[IllegalArgumentException](snap(2L))
+  }
+
+  test("OCC: two INDEPENDENT writers racing the SAME commit id — " +
+       "exactly one lands, the loser's conflict names the winner " +
+       "(5-trial discipline)") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val path = Sinks.tmpPath("changelog_occ_sameid")
+    for (trial <- 1 to 5) {
+      Sinks.deleteRecursively(path)
+      Changelog.commit(Seq(("k0", "base")).toDF("k", "v"), path, 0L,
+        writer = "w0")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      // both writers independently computed "head + 1 = 1" and carry
+      // DIFFERENT deltas — the exact silent-interleave hole
+      def attempt(writer: String, value: String) = Future {
+        try {
+          Changelog.commit(Seq(("k1", value)).toDF("k", "v"), path, 1L,
+            writer = writer)
+          None
+        } catch { case e: IllegalArgumentException => Some(e.getMessage) }
+      }
+      val (ra, rb) = (attempt("wA", "fromA"), attempt("wB", "fromB"))
+      val (a, b) = (Await.result(ra, 2.minutes), Await.result(rb, 2.minutes))
+      pool.shutdown()
+      assert(a.isDefined != b.isDefined,
+        s"trial $trial: expected exactly one winner, got a=$a b=$b")
+      val loserMsg = a.orElse(b).get
+      val winner = if (a.isEmpty) "wA" else "wB"
+      val winVal = if (a.isEmpty) "fromA" else "fromB"
+      assert(loserMsg.contains(s"claimed by writer '$winner'"),
+        s"trial $trial: conflict must name the winner: $loserMsg")
+      assert(Changelog.claimHolder(path, 1L).contains(winner))
+      // commit 1 holds EXACTLY the winner's delta — never an interleave
+      assert(Changelog.snapshotAt(spark, path, Seq("k"), 1L)
+        .as[(String, String)].collect().toMap ==
+        Map("k0" -> "base", "k1" -> winVal),
+        s"trial $trial: loser's rows leaked into the claimed commit")
+      // the loser's retry path: re-read head, land at the next id
+      val loser = if (winner == "wA") "wB" else "wA"
+      val id = Changelog.commitWithRetry(spark, path, Seq("k"),
+        Seq(("k2", "retried")).toDF("k", "v"), readVersion = 1L,
+        writer = loser)
+      assert(id == 2L)
+    }
+  }
+
+  test("OCC commitWithRetry: key-DISJOINT concurrent writers both " +
+       "land (one retries to the next id); key-INTERSECTING writers — " +
+       "the second fails loudly with the conflict, claim released") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val path = Sinks.tmpPath("changelog_occ_retry")
+    for (trial <- 1 to 5) {
+      Sinks.deleteRecursively(path)
+      Changelog.commit(
+        Seq(("k1", "a"), ("k2", "b")).toDF("k", "v"), path, 0L)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      // DISJOINT keys: both read head 0, race commitWithRetry — both
+      // must land (ids 1 and 2 in some order), state = both deltas
+      val fa = Future(Changelog.commitWithRetry(spark, path, Seq("k"),
+        Seq(("k1", "a2")).toDF("k", "v"), readVersion = 0L, writer = "wA"))
+      val fb = Future(Changelog.commitWithRetry(spark, path, Seq("k"),
+        Seq(("k3", "c")).toDF("k", "v"), readVersion = 0L, writer = "wB"))
+      val (ia, ib) = (Await.result(fa, 2.minutes), Await.result(fb, 2.minutes))
+      pool.shutdown()
+      assert(Set(ia, ib) == Set(1L, 2L),
+        s"trial $trial: disjoint writers landed at $ia/$ib")
+      assert(Changelog.snapshotAt(spark, path, Seq("k"), 2L)
+        .as[(String, String)].collect().toMap ==
+        Map("k1" -> "a2", "k2" -> "b", "k3" -> "c"),
+        s"trial $trial: a disjoint delta was lost")
+    }
+    // INTERSECTING keys, sequential shape (deterministic): writer A
+    // lands k1 at id 3; writer B derived its k1 delta from version 2
+    // and must be REFUSED — blind landing would lose A's update
+    Changelog.commitWithRetry(spark, path, Seq("k"),
+      Seq(("k1", "a3")).toDF("k", "v"), readVersion = 2L, writer = "wA")
+    val e = intercept[IllegalArgumentException] {
+      Changelog.commitWithRetry(spark, path, Seq("k"),
+        Seq(("k1", "STALE")).toDF("k", "v"), readVersion = 2L,
+        writer = "wB")
+    }
+    assert(e.getMessage.contains("conflict") &&
+      e.getMessage.contains("re-derive"), e.getMessage)
+    // the refused attempt released its claim: a fresh re-derived
+    // commit from the NEW head lands at the id the failure probed
+    assert(Changelog.claimHolder(path, 4L).isEmpty,
+      "a refused commitWithRetry left its claim behind")
+    val id = Changelog.commitWithRetry(spark, path, Seq("k"),
+      Seq(("k1", "rederived")).toDF("k", "v"), readVersion = 3L,
+      writer = "wB")
+    assert(id == 4L)
+    assert(Changelog.snapshotAt(spark, path, Seq("k"), 4L)
+      .as[(String, String)].collect().toMap ==
+      Map("k1" -> "rederived", "k2" -> "b", "k3" -> "c"))
+  }
+
+  test("OCC preserves redelivery: the SAME writer re-lands its own id " +
+       "idempotently; claims survive on a clone and are swept below a " +
+       "checkpoint horizon") {
+    val path = Sinks.tmpPath("changelog_occ_redelivery")
+    Sinks.deleteRecursively(path)
+    Changelog.commitUpsert(Seq(("k1", "a")).toDF("k", "v"), path, 0L)
+    Changelog.commitUpsert(Seq(("k2", "b")).toDF("k", "v"), path, 1L)
+    // redelivery: same (default) writer overwrites its own commit —
+    // allowed, byte-identical semantics
+    Changelog.commitIdempotent(
+      Seq(("k2", "b")).toDF("k", "v")
+        .withColumn(Changelog.OpCol, lit("u")), path, 1L)
+    assert(Changelog.snapshotAtOps(spark, path, Seq("k"), 1L).count() == 2L)
+    // a different writer may NOT overwrite the held id
+    val e = intercept[IllegalArgumentException](
+      Changelog.commitIdempotent(
+        Seq(("k2", "EVIL")).toDF("k", "v")
+          .withColumn(Changelog.OpCol, lit("u")),
+        path, 1L, writer = "intruder"))
+    assert(e.getMessage.contains("claimed by writer"))
+    // clone carries claims: the cloned ids stay arbitrated on the branch
+    val dest = Sinks.tmpPath("changelog_occ_redelivery_clone")
+    Sinks.deleteRecursively(dest)
+    Changelog.cloneAt(spark, path, dest, 1L)
+    assert(Changelog.claimHolder(dest, 1L).contains(Changelog.SoloWriter))
+    val ec2 = intercept[IllegalArgumentException](
+      Changelog.commitUpsert(Seq(("kX", "x")).toDF("k", "v"), dest, 1L,
+        writer = "intruder"))
+    assert(ec2.getMessage.contains("claimed by writer"))
+    // checkpoint sweeps claims below the horizon with their commits
+    Changelog.commitUpsert(Seq(("k3", "c")).toDF("k", "v"), path, 2L)
+    Changelog.checkpointOps(spark, path, Seq("k"), 2L)
+    assert(Changelog.claimHolder(path, 0L).isEmpty &&
+      Changelog.claimHolder(path, 1L).isEmpty &&
+      Changelog.claimHolder(path, 2L).isDefined)
   }
 
   test("changelog metadata through the Hadoop FileSystem API: a file: " +
