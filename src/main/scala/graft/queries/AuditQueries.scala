@@ -193,6 +193,37 @@ object AuditQueries {
   def stageFixtures(s: SparkSession, d: String): Unit =
     stagedOpsLanding(s, d): Unit
 
+  /** Ops log over DOCUMENTS keyed by a derived STRING key
+    * (`D<doc_id zero-padded to 8>` — order-preserving for numeric
+    * ids) — the q202/q203 subject: the q197/q198 commit-skipping
+    * story on a string key, with per-commit string min/max (+ null
+    * counts) recorded by writeCommitStatsMulti. Same delete-class
+    * law as the orders ops log: base upsert, every 10th tombstoned,
+    * every 20th resurrected at n_chars+1000, mod-7 updates at +500.
+    */
+  private def docsOpsLog(s: SparkSession, d: String, name: String): String = {
+    val path = Sinks.tmpPathFor(name, d)
+    Sinks.deleteRecursively(path)
+    val base = Tables.documents(s, d)
+    val k = col("doc_id")
+    def keyed(df: DataFrame) = df.select(
+      concat(lit("D"), lpad(col("doc_id").cast("string"), 8, "0"))
+        .as("doc_key"),
+      col("lang"), col("n_chars"))
+    Changelog.commitUpsert(keyed(base), path, 0L)
+    Changelog.commitDelete(s,
+      keyed(base.filter(k % 10 === 0)).select("doc_key"), path, 1L)
+    Changelog.commitUpsert(
+      keyed(base.filter(k % 20 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L))
+        .unionByName(keyed(base.filter(k % 10 =!= 0 && k % 7 === 1)
+          .withColumn("n_chars", col("n_chars") + 500L))),
+      path, 2L)
+    for (c <- 0L to 2L)
+      Changelog.writeCommitStatsMulti(s, path, c, Seq("doc_key"))
+    path
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // DELETE-AWARE TIME TRAVEL (the ops log's snapshot): tombstoned
@@ -451,6 +482,95 @@ object AuditQueries {
       Changelog.mergeIntoOps(s, path, Seq("o_orderkey"), src, 3L,
         deleteWhen = Some(col("o_orderkey") % 12 === 0))
       Changelog.snapshotAtOps(s, path, Seq("o_orderkey"), Long.MaxValue)
+    }),
+
+    // THE CDC FEED AS A STREAMING SOURCE (DSv2 MicroBatchStream) —
+    // q186's consumer re-expressed the Delta way: `readStream.format
+    // (CdcSource)` serves the full-label feed itself, offsets are
+    // commit ids, one commit per micro-batch (admission control), and
+    // the consumer's foreachBatch only does its OWN work (derive the
+    // signed delta, land it additively) — no hand-rolled feed windows,
+    // no ops-log writes. The served rollup must equal the recompute
+    // from the final live state — the SIXTH IVM path converging on the
+    // q183 oracle. Restart-from-checkpoint and the loud below-horizon
+    // window are spec-pinned (CdcSourceSpec).
+    "q200_stream_cdc_source" -> ((s, d) => {
+      val path = opsLog(s, d, "orders_ops_log_q200")
+      val rollPath = Sinks.tmpPathFor("orders_cdc_src_roll", d)
+      val ckpt = Sinks.tmpPathFor("orders_cdc_src_ckpt", d)
+      Sinks.deleteRecursively(rollPath)
+      Sinks.deleteRecursively(ckpt)
+      val feed = s.readStream
+        .format(classOf[graft.streaming.CdcSource].getName)
+        .option("path", path)
+        .option("keys", "o_orderkey")
+        .option("trackCols", "o_totalprice,o_custkey")
+        .load()
+      val q = feed.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            Changelog.commitIdempotent(
+              graft.streaming.StreamIvm.cdcDelta(batch,
+                groupCol = "o_custkey", measure = "o_totalprice"),
+              rollPath, batchId)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.StreamIvm.servedCdcRollup(s, rollPath, "o_custkey")
+        .select(col("o_custkey"), col("n_rows").as("n_orders"),
+          col("sum_measure").as("sum_price"))
+    }),
+
+    // STATS-PRUNED POINT LOOKUP ON A STRING KEY — q197 generalized:
+    // per-commit markers now record min/max/null-count per COLUMN
+    // (writeCommitStatsMulti), string order is unsigned UTF-8 bytes
+    // on both the driver's skip decision and Spark's scan, and the
+    // lookup runs the documents ops log through the same full delete
+    // cycle (upsert → tombstone → resurrection at +1000). The
+    // skipping itself is spec-pinned on disjoint string ranges.
+    "q202_ops_point_lookup_str" -> ((s, d) => {
+      val path = docsOpsLog(s, d, "docs_ops_log_q202")
+      Changelog.pointLookupOpsString(s, path, Seq("doc_key"), 2L,
+        "doc_key", "D00000020")
+    }),
+
+    // STATS-PRUNED RANGE LOOKUP ON A STRING KEY — q198's range form
+    // for the string-keyed log: the window crosses every delete
+    // class (live originals, +500 updates, tombstoned-and-gone keys,
+    // +1000 resurrections) and the window predicate pushes into the
+    // scan, so commit skipping and parquet row-group skipping still
+    // compose on the string column.
+    "q203_ops_range_lookup_str" -> ((s, d) => {
+      val path = docsOpsLog(s, d, "docs_ops_log_q203")
+      Changelog.rangeLookupOpsString(s, path, Seq("doc_key"), 2L,
+        "doc_key", "D00000015", "D00000045")
+    }),
+
+    // OPTIMIZE AT HEAD WITHOUT LOSING HISTORY — the maintenance verb
+    // q191's fused checkpoint is not: after the three ops commits,
+    // optimizeOps lands the full live state as ONE new clustered BASE
+    // commit (id 3, arithmetic key-range files + commit-stats marker)
+    // while commits 0–2 stay readable — no horizon advance, no
+    // vacuum. The query returns the snapshots AS OF 1, 2 AND 3
+    // side by side (version-tagged): 1 and 2 prove history below the
+    // base is untouched, 3 proves the base is a pure rewrite (the
+    // head state, value-identical). Head reads prune to the base via
+    // its marker, feeds skip it as change-free, and key-range reads
+    // prune to exact file counts — all spec-pinned (an oracle cannot
+    // see which directories were planned).
+    "q199_ops_optimize_head" -> ((s, d) => {
+      val path = opsLog(s, d, "orders_ops_log_q199")
+      val dom = opsOrders(s, d)
+        .agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+      Changelog.optimizeOps(s, path, Seq("o_orderkey"), 3L,
+        "o_orderkey", dom, 8)
+      Seq(1L, 2L, 3L).map(v =>
+        Changelog.snapshotAtOps(s, path, Seq("o_orderkey"), v)
+          .withColumn("asof", lit(v)))
+        .reduce(_ unionByName _)
     }),
 
     // CDC FEED BY TIMESTAMP WINDOW — how a real consumer addresses the
@@ -1026,6 +1146,63 @@ object AuditQueries {
         |   OR (o_orderkey % 6 <> 0 AND
         |       (o_orderkey % 4 = 3 OR o_orderkey % 10 <> 0
         |        OR o_orderkey % 20 = 0))""".stripMargin,
+
+    // the streamed feed-consumer must converge to the same rollup as
+    // the recompute from the final live state (q183's oracle verbatim
+    // — the sixth path onto it)
+    "q200_stream_cdc_source" ->
+      """WITH live AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |         WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |              AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 4 = 3
+        |     OR o_orderkey % 10 <> 0
+        |     OR o_orderkey % 20 = 0)
+        |SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |       AS BIGINT) AS DOUBLE) / 100.0 AS sum_price
+        |FROM live GROUP BY o_custkey""".stripMargin,
+
+    // the resurrected doc's final state through the string-pruned path
+    "q202_ops_point_lookup_str" ->
+      """SELECT 'D' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_key,
+        |  lang, n_chars + 1000 AS n_chars
+        |FROM documents WHERE doc_id = 20""".stripMargin,
+
+    // the live slice of the string window under the head-state law
+    "q203_ops_range_lookup_str" ->
+      """SELECT 'D' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_key,
+        |  lang,
+        |  CASE WHEN doc_id % 20 = 0 THEN n_chars + 1000
+        |       WHEN doc_id % 10 <> 0 AND doc_id % 7 = 1
+        |         THEN n_chars + 500
+        |       ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE doc_id BETWEEN 15 AND 45
+        |  AND (doc_id % 10 <> 0 OR doc_id % 20 = 0)""".stripMargin,
+
+    // snapshots at 1 (base minus tombstones, original prices), 2 and
+    // 3 (the live head law — the base at 3 is a pure rewrite) must
+    // all read exactly as before the OPTIMIZE
+    "q199_ops_optimize_head" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(1 AS BIGINT) AS asof
+        |FROM orders
+        |WHERE o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |       WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |            AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CAST(v.asof AS BIGINT) AS asof
+        |FROM orders CROSS JOIN (SELECT unnest([2, 3]) AS asof) v
+        |WHERE o_orderkey % 4 = 3
+        |   OR o_orderkey % 10 <> 0
+        |   OR o_orderkey % 20 = 0""".stripMargin,
 
     // clone at v=1 (live = base minus tombstones) + the divergent
     // branch commit (every 20th key resurrected at +2000)

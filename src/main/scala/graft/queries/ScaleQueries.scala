@@ -589,6 +589,62 @@ object ScaleQueries {
       agg
     }),
 
+    // S4 hardening — connector LIMIT / TOP-N pushdown
+    // (SupportsPushDownLimit / SupportsPushDownTopN, the last two
+    // DSv2 pushdown interfaces after columns/filters/aggregates): a
+    // LIMIT k after the pushed symbol range must CHUNK the partition
+    // plan to k symbols (the reference's own LIMIT 1 point-fetch
+    // shape, Financilas.py:142–144 — require()d via PushedLimit in
+    // the plan and the payload counter), and ORDER BY symbol DESC
+    // LIMIT k must slice the LAST k of the range (PushedTopN). The
+    // oracle-checked output is the top-4-descending slice of the
+    // [5, 17] range under the profile law — proof the slicing pruned
+    // nothing it shouldn't have; Spark's own Sort/Limit stay above
+    // (partial push), so correctness never rides on the connector's
+    // arithmetic.
+    "q201_connector_limit_pushdown" -> ((s, _) => {
+      import org.apache.spark.sql.types.StructType
+      def ranged = s.read
+        .format(classOf[graft.sources.ProfileConnector].getName)
+        .option("symbols", VerifyN).option("numPartitions", 8).load()
+        .filter(col("symbol") >= "S00005" && col("symbol") <= "S00017")
+      // the LIMIT-only shape: one symbol planned, one payload built
+      val lim1 = ranged.limit(1)
+      require(lim1.queryExecution.executedPlan.toString
+        .contains("PushedLimit: 1"),
+        "LIMIT 1 must reach the connector scan")
+      val b0 = graft.sources.ProfileConnector.payloadBuilds.get()
+      val one = lim1.select(col("symbol"), length(col("payload"))).collect()
+      val built1 = graft.sources.ProfileConnector.payloadBuilds.get() - b0
+      require(one.length == 1 && built1 == 1L,
+        s"LIMIT 1 must fetch exactly one symbol (got ${one.length} " +
+          s"rows, $built1 payloads built)")
+      // the top-N shape: the last 4 of the 13-symbol range
+      val top = ranged.orderBy(col("symbol").desc).limit(4)
+      require(top.queryExecution.executedPlan.toString
+        .contains("PushedTopN: [symbol DESC, 4]"),
+        "ORDER BY symbol DESC LIMIT 4 must reach the connector scan")
+      val b1 = graft.sources.ProfileConnector.payloadBuilds.get()
+      val four = top.select(col("symbol")).collect()
+      val built4 = graft.sources.ProfileConnector.payloadBuilds.get() - b1
+      require(four.length == 4 && built4 == 0L,
+        s"top-N over a symbol-only projection must build NO payloads " +
+          s"(built $built4)") // column pruning composes with the slice
+      val infoSchema = new StructType().add("info", new StructType()
+        .add("currency", "string")
+        .add("fullTimeEmployees", "string")
+        .add("sector", "string"))
+      top
+        .select(col("symbol"),
+          from_json(col("payload"), infoSchema).getField("info").as("_i"),
+          col("loaded_at"))
+        .select(col("symbol"),
+          col("_i.currency").as("currency"),
+          col("_i.fullTimeEmployees").cast("int").as("employees"),
+          col("_i.sector").as("sector"),
+          col("loaded_at"))
+    }),
+
     // JDBC warehouse round-trip (sources/JdbcStore) — the reference's
     // primary storage interface (MySQL append/point-read) exercised
     // through Spark's actual JDBC surface against the embedded Derby
@@ -1529,6 +1585,21 @@ object ScaleQueries {
     "q187_connector_filter_pushdown" ->
       """WITH syms AS (SELECT range AS i FROM range(5, 18)
         |             WHERE range NOT IN (7, 11))
+        |SELECT
+        |  'S' || lpad(CAST(i AS VARCHAR), 5, '0') AS symbol,
+        |  (LIST_VALUE('USD','EUR','JPY','GBP'))[CAST(i % 4 AS INT) + 1] AS currency,
+        |  CAST((i*37) % 90000 + 10 AS INT) AS employees,
+        |  (LIST_VALUE('Technology','Energy','Healthcare','Financials','Utilities'))[CAST(i % 5 AS INT) + 1] AS sector,
+        |  CASE WHEN i % 2 = 0 THEN TIMESTAMP '2025-08-15 00:00:00'
+        |       ELSE TIMESTAMP '2025-08-16 00:00:00' END AS loaded_at
+        |FROM syms""".stripMargin,
+
+    // the top-4-descending slice of the [5, 17] range under the
+    // profile law (ids 17, 16, 15, 14) — the def's require()s pin
+    // that the slice was planned scan-side; the oracle pins that it
+    // dropped nothing it shouldn't have
+    "q201_connector_limit_pushdown" ->
+      """WITH syms AS (SELECT range AS i FROM range(14, 18))
         |SELECT
         |  'S' || lpad(CAST(i AS VARCHAR), 5, '0') AS symbol,
         |  (LIST_VALUE('USD','EUR','JPY','GBP'))[CAST(i % 4 AS INT) + 1] AS currency,

@@ -10,7 +10,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -56,7 +57,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    building a payload, or spending a rate-limit token (q195). The
   *    scan emits one pre-aggregated row under PARTIAL semantics
   *    (Spark's final aggregate merges it — the JDBC-source contract,
-  *    safe under any future multi-partition split).
+  *    safe under any future multi-partition split);
+  *  - **limit / top-N pushdown** (`SupportsPushDownLimit` /
+  *    `SupportsPushDownTopN`): a `LIMIT k` — the reference's own
+  *    point-fetch shape, `Financilas.py:142–144` — chunks the
+  *    partition plan to k symbols after the pushed filters, and
+  *    `ORDER BY symbol [DESC] LIMIT k` slices the first/last k of the
+  *    matching index range (exact: the index order IS the symbol
+  *    order). Partial semantics again: Spark keeps its Limit/Sort
+  *    above, the connector only stops fetching what the query will
+  *    drop (q201).
   *
   * Usage:
   * {{{
@@ -111,12 +121,48 @@ object ProfileConnector {
   private class ProfileScanBuilder(symbols: Int, parts: Int,
                                    maxPerSecond: Double)
       extends ScanBuilder with SupportsPushDownRequiredColumns
-      with SupportsPushDownFilters with SupportsPushDownAggregates {
+      with SupportsPushDownFilters with SupportsPushDownAggregates
+      with SupportsPushDownLimit with SupportsPushDownTopN {
     private var required: StructType = Schema
     private var accepted: Array[Filter] = Array.empty
     private var aggregated: Option[Aggregation] = None
+    private var pushedLimit: Option[Int] = None
+    private var limitDesc: Boolean = false
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
+    /** Limit pushdown (`SupportsPushDownLimit`) — the reference's own
+      * point-fetch shape (`LIMIT 1` after a key predicate,
+      * Financilas.py:142–144): a pushed LIMIT k CHUNKS the partition
+      * plan to the first k matching indices, so the connector plans —
+      * and fetches — at most k symbols however wide the filtered range
+      * is. PARTIAL semantics on purpose (`isPartiallyPushed` stays
+      * true): Spark keeps its own Limit above the scan, so correctness
+      * never rides on the connector's row arithmetic — the same
+      * contract as the partial aggregate push.
+      */
+    override def pushLimit(l: Int): Boolean = {
+      pushedLimit = Some(l)
+      true
+    }
+    // both pushdown traits default this true; Scala wants the diamond
+    // resolved explicitly — and true IS the contract here (partial)
+    override def isPartiallyPushed(): Boolean = true
+    /** Top-N pushdown (`SupportsPushDownTopN`) — ORDER BY symbol
+      * LIMIT k: the index law emits symbols in strictly increasing
+      * order, so the top-k ascending is the FIRST k matching indices
+      * and the top-k descending the LAST k — both closed-form slices
+      * of the partition plan, no symbol outside the slice ever
+      * planned. Only the bare `symbol` ordering is invertible; any
+      * other sort expression returns false and runs unpushed.
+      */
+    override def pushTopN(orders: Array[SortOrder], l: Int): Boolean = {
+      val ok = orders.length == 1 && isSymbolRef(orders(0).expression())
+      if (ok) {
+        pushedLimit = Some(l)
+        limitDesc = orders(0).direction() == SortDirection.DESCENDING
+      }
+      ok
+    }
     override def pushFilters(filters: Array[Filter]): Array[Filter] = {
       accepted = filters.filter(supportsPushdown)
       // accepted filters are CONSUMED (not returned as residuals):
@@ -148,19 +194,13 @@ object ProfileConnector {
       * the ordinary scan.
       */
     override def pushAggregation(agg: Aggregation): Boolean = {
-      def isSymbol(e: org.apache.spark.sql.connector.expressions.Expression) =
-        e match {
-          case r: NamedReference =>
-            r.fieldNames.length == 1 && r.fieldNames()(0) == "symbol"
-          case _ => false
-        }
       val ok = agg.groupByExpressions.isEmpty &&
         agg.aggregateExpressions.nonEmpty &&
         agg.aggregateExpressions.forall {
           case _: CountStar => true
-          case c: Count     => !c.isDistinct && isSymbol(c.column)
-          case m: Min       => isSymbol(m.column)
-          case m: Max       => isSymbol(m.column)
+          case c: Count     => !c.isDistinct && isSymbolRef(c.column)
+          case m: Min       => isSymbolRef(m.column)
+          case m: Max       => isSymbolRef(m.column)
           case _            => false
         }
       if (ok) aggregated = Some(agg)
@@ -168,8 +208,16 @@ object ProfileConnector {
     }
     override def build(): Scan =
       new ProfileScan(symbols, parts, maxPerSecond, required, accepted,
-        aggregated)
+        aggregated, pushedLimit, limitDesc)
   }
+
+  private def isSymbolRef(
+      e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case r: NamedReference =>
+        r.fieldNames.length == 1 && r.fieldNames()(0) == "symbol"
+      case _ => false
+    }
 
   /** Pushable = symbol predicates the index law inverts exactly. The
     * domain values are pure-ASCII fixed-width ("S%05d"), so Scala's
@@ -194,7 +242,9 @@ object ProfileConnector {
   private class ProfileScan(symbols: Int, parts: Int, maxPerSecond: Double,
                             required: StructType,
                             filters: Array[Filter],
-                            aggregation: Option[Aggregation] = None)
+                            aggregation: Option[Aggregation] = None,
+                            limit: Option[Int] = None,
+                            limitDesc: Boolean = false)
       extends Scan with Batch {
     private def aggSchema(agg: Aggregation): StructType =
       agg.aggregateExpressions.zipWithIndex.foldLeft(new StructType()) {
@@ -213,7 +263,10 @@ object ProfileConnector {
     override def description(): String =
       s"graft_profiles PushedFilters: [${filters.mkString(", ")}]" +
         aggregation.fold("")(a =>
-          s", PushedAggregates: [${a.aggregateExpressions.mkString(", ")}]")
+          s", PushedAggregates: [${a.aggregateExpressions.mkString(", ")}]") +
+        limit.fold("")(l =>
+          if (limitDesc) s", PushedTopN: [symbol DESC, $l]"
+          else s", PushedLimit: $l")
 
     /** First index in [0, symbols] where the monotone predicate holds. */
     private def firstIndexWhere(p: Int => Boolean): Int = {
@@ -291,12 +344,17 @@ object ProfileConnector {
       }
     }
 
-    private def planRows(lo: Int, hi: Int,
+    private def planRows(lo0: Int, hi0: Int,
                          eq: Option[Set[Int]]): Array[InputPartition] = {
       eq match {
         case Some(set) =>
-          // point fetches: chunk the surviving sorted index list
-          val idx = set.filter(i => i >= lo && i < hi).toArray.sorted
+          // point fetches: chunk the surviving sorted index list —
+          // sliced to the pushed limit first (top-k asc = first k,
+          // desc = last k; exact because the index order IS the
+          // symbol order)
+          val all = set.filter(i => i >= lo0 && i < hi0).toArray.sorted
+          val idx = limit.fold(all)(l =>
+            if (limitDesc) all.takeRight(l) else all.take(l))
           if (idx.isEmpty) Array.empty
           else {
             val n = math.max(1, math.min(parts, idx.length))
@@ -304,6 +362,11 @@ object ProfileConnector {
               .map(g => SymbolList(g.toIndexedSeq): InputPartition).toArray
           }
         case None =>
+          // a pushed limit shrinks the RANGE itself before partitioning
+          val lo = limit.fold(lo0)(l =>
+            if (limitDesc) math.max(lo0, hi0 - l) else lo0)
+          val hi = limit.fold(hi0)(l =>
+            if (limitDesc) hi0 else math.min(hi0, lo0 + l))
           if (hi <= lo) Array.empty
           else {
             val span = hi - lo

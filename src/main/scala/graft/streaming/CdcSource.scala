@@ -1,0 +1,308 @@
+package graft.streaming
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.sources.{Changelog, LogFs}
+
+/** The ops log's CHANGE DATA FEED as a Structured Streaming SOURCE —
+  * the Delta-style `readStream ... option("readChangeFeed", true)`
+  * ergonomics for [[graft.sources.Changelog]]: ANY streaming query can
+  * consume the full-label feed (insert / update / delete with old/new
+  * values) with a plain `readStream.format(...).load()`, instead of
+  * hand-orchestrating per-batch `changesBetweenOps(b−1, b]` windows
+  * inside `foreachBatch` (the q186 consumer's burden — q200
+  * re-expresses it on this source).
+  *
+  * Mechanics (a DSv2 `MicroBatchStream`):
+  *  - OFFSETS ARE COMMIT IDS. The initial offset is the log's
+  *    checkpoint horizon (or `startVersion`); `latestOffset` is the
+  *    head commit the directory listing shows. Admission control
+  *    advances at most `maxCommitsPerTrigger` commits per micro-batch
+  *    (default 1 — each batch is exactly one commit's feed, the shape
+  *    an IVM consumer wants), so a burst of commits never lands as one
+  *    giant batch.
+  *  - A batch (start, end] is the engine's own
+  *    [[Changelog.changesBetweenOps]] over exactly that window —
+  *    computed DISTRIBUTED (the same pruned candidate/endpoint plan as
+  *    the batch API), SPOOLED as parquet under the query's own
+  *    checkpoint location, and served to executors one file per
+  *    partition. The spool is the price of serving a DERIVED feed
+  *    through a source interface: the feed is a diff of two compacted
+  *    states, which no per-partition reader can derive alone. (The
+  *    alternative — persisting change files AT COMMIT TIME, as Delta's
+  *    CDF does — trades write-path cost for read-path cost; this
+  *    engine's commits stay O(delta) and the feed pays its own way,
+  *    only when consumed.) Spooling is deterministic per window, so a
+  *    replayed batch re-lands byte-identically — the at-least-once
+  *    retry contract holds end to end.
+  *  - RESTART comes free from the offset log: Structured Streaming
+  *    re-plans only uncommitted windows; committed spool batches are
+  *    swept on `commit`. A window whose start fell below the log's
+  *    checkpoint horizon fails LOUDLY through the batch API's guard —
+  *    never a silent empty old-state (the q186 double-count hazard).
+  *
+  * Options: `path` (the ops log), `keys` (csv), `trackCols` (csv),
+  * `startVersion` (default: the horizon, else min commit − 1),
+  * `maxCommitsPerTrigger` (default 1).
+  *
+  * Feed column types are limited to long/int/double/string/boolean —
+  * loudly checked at load() — because the spool readers decode parquet
+  * directly (no Spark row codec on the read side).
+  */
+class CdcSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CdcSource.feedSchema(CdcSource.Opts(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new CdcSource.CdcTable(schema,
+      CdcSource.Opts(new CaseInsensitiveStringMap(properties)))
+}
+
+object CdcSource {
+
+  private[streaming] case class Opts(path: String, keys: Seq[String],
+                                     trackCols: Seq[String],
+                                     startVersion: Option[Long],
+                                     maxCommitsPerTrigger: Long)
+  private object Opts {
+    def apply(o: CaseInsensitiveStringMap): Opts = {
+      val path = o.get("path")
+      require(path != null, "CdcSource needs option 'path' (the ops log)")
+      def csv(k: String): Seq[String] = {
+        val v = o.get(k)
+        require(v != null && v.trim.nonEmpty,
+          s"CdcSource needs option '$k' (comma-separated column names)")
+        v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      }
+      Opts(path, csv("keys"), csv("trackCols"),
+        Option(o.get("startVersion")).map(_.toLong),
+        o.getLong("maxCommitsPerTrigger", 1L))
+    }
+  }
+
+  /** The feed's schema, derived from the engine's own lazy plan over
+    * the log (analysis only — nothing executes). Exactly
+    * [[Changelog.changesBetweenOps]]'s shape: keys ++ new_* ++ old_*
+    * ++ change_type.
+    */
+  private[streaming] def feedSchema(opts: Opts): StructType = {
+    val spark = SparkSession.active
+    val head = commitHead(opts.path).getOrElse(
+      throw new IllegalArgumentException(
+        s"${opts.path} has no commits — the CDC source needs an " +
+          "existing ops log to derive the feed schema"))
+    val schema = Changelog.changesBetweenOps(spark, opts.path, opts.keys,
+      head, head + 1, opts.trackCols).schema
+    schema.fields.foreach { f =>
+      require(Seq(LongType, IntegerType, DoubleType, StringType,
+        BooleanType).contains(f.dataType),
+        s"feed column ${f.name} has type ${f.dataType} — the CDC " +
+          "source's spool readers decode long/int/double/string/" +
+          "boolean only")
+    }
+    schema
+  }
+
+  private def commitHead(path: String): Option[Long] = {
+    val ids = LogFs.list(path)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(s"${Changelog.CommitCol}="))
+      .map(_.stripPrefix(s"${Changelog.CommitCol}=").toLong)
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  private def commitFloor(path: String): Option[Long] = {
+    val ids = LogFs.list(path)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(s"${Changelog.CommitCol}="))
+      .map(_.stripPrefix(s"${Changelog.CommitCol}=").toLong)
+    if (ids.isEmpty) None else Some(ids.min)
+  }
+
+  private[streaming] case class CdcOffset(version: Long) extends Offset {
+    override def json(): String = version.toString
+  }
+
+  private[streaming] class CdcTable(schema: StructType, opts: Opts)
+      extends Table with SupportsRead {
+    override def name(): String = s"graft_cdc(${opts.path})"
+    override def schema(): StructType = schema
+    override def capabilities(): util.Set[TableCapability] =
+      Set(TableCapability.MICRO_BATCH_READ).asJava
+    override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): Scan = new CdcScan(schema, opts)
+      }
+  }
+
+  private class CdcScan(schema: StructType, opts: Opts) extends Scan {
+    override def readSchema(): StructType = schema
+    override def description(): String =
+      s"graft_cdc feed over ${opts.path} " +
+        s"(keys ${opts.keys.mkString(",")}; " +
+        s"track ${opts.trackCols.mkString(",")})"
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new CdcStream(schema, opts, checkpointLocation)
+  }
+
+  private class CdcStream(schema: StructType, opts: Opts,
+                          checkpointLocation: String)
+      extends MicroBatchStream with SupportsAdmissionControl
+      with SupportsTriggerAvailableNow {
+
+    // Trigger.AvailableNow pins the run's goalpost at start — commits
+    // landing DURING the run wait for the next one (the file-source
+    // contract); admission control still slices the way there into
+    // one-commit batches
+    private var availableNowCap: Option[Long] = None
+
+    override def prepareForTriggerAvailableNow(): Unit =
+      availableNowCap = commitHead(opts.path)
+
+    private def spoolDir(start: Long, end: Long): String =
+      LogFs.child(LogFs.child(checkpointLocation, "graft_cdc_spool"),
+        s"batch_${start}_$end")
+
+    override def initialOffset(): Offset = CdcOffset(
+      opts.startVersion.getOrElse {
+        val h = Changelog.horizonOf(opts.path)
+        if (h != Long.MinValue) h
+        else commitFloor(opts.path).getOrElse(0L) - 1L
+      })
+
+    override def deserializeOffset(json: String): Offset =
+      CdcOffset(json.toLong)
+
+    override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+    override def latestOffset(): Offset =
+      throw new UnsupportedOperationException(
+        "latestOffset(Offset, ReadLimit) is the admission-control entry")
+
+    override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+      val s = start.asInstanceOf[CdcOffset].version
+      val listed = commitHead(opts.path).getOrElse(s)
+      val head = availableNowCap.fold(listed)(math.min(listed, _))
+      CdcOffset(math.min(head, s + opts.maxCommitsPerTrigger))
+    }
+
+    override def reportLatestOffset(): Offset = {
+      val listed = commitHead(opts.path)
+      val capped = availableNowCap.fold(listed)(c =>
+        listed.map(math.min(_, c)))
+      capped.map(CdcOffset(_): Offset).orNull
+    }
+
+    override def planInputPartitions(start: Offset,
+                                     end: Offset): Array[InputPartition] = {
+      val s = start.asInstanceOf[CdcOffset].version
+      val e = end.asInstanceOf[CdcOffset].version
+      if (e <= s) return Array.empty
+      val spark = SparkSession.active
+      // the feed for exactly this window, computed by the engine's own
+      // distributed plan and spooled ONCE: a complete spool (_SUCCESS
+      // present) is reused as-is — the feed is deterministic per
+      // window, planInputPartitions can be invoked more than once per
+      // batch (engine planning + the consumer's own action), and a
+      // rewrite would orphan the earlier invocation's file list (part
+      // file names are not deterministic). A partial spool (crash
+      // mid-write) has no _SUCCESS and is rebuilt. The horizon guard
+      // inside changesBetweenOps keeps a below-horizon window LOUD.
+      val dir = spoolDir(s, e)
+      if (!LogFs.exists(LogFs.child(dir, "_SUCCESS"))) {
+        LogFs.delete(dir)
+        Changelog.changesBetweenOps(spark, opts.path, opts.keys, s, e,
+            opts.trackCols)
+          .write.mode("overwrite").parquet(dir)
+      }
+      LogFs.list(dir)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+        .map(st => SpoolFile(st.getPath.toString): InputPartition)
+        .toArray
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new SpoolReaderFactory(schema)
+
+    override def commit(end: Offset): Unit = {
+      // committed windows are never re-planned: sweep their spools
+      val e = end.asInstanceOf[CdcOffset].version
+      val root = LogFs.child(checkpointLocation, "graft_cdc_spool")
+      LogFs.list(root).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch_")) {
+          val endOf = n.stripPrefix("batch_").split("_")(1).toLong
+          if (endOf <= e) LogFs.delete(st.getPath.toString)
+        }
+      }
+    }
+
+    override def stop(): Unit = ()
+  }
+
+  private case class SpoolFile(file: String) extends InputPartition
+
+  /** Decodes one spooled parquet file into the feed's rows via the
+    * parquet-hadoop example API — executor-side, no Spark codec, no
+    * driver materialization; the feed's types were loudly bounded at
+    * load().
+    */
+  private class SpoolReaderFactory(schema: StructType)
+      extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+      new SpoolReader(p.asInstanceOf[SpoolFile].file, schema)
+  }
+
+  private class SpoolReader(file: String, schema: StructType)
+      extends PartitionReader[InternalRow] {
+    import org.apache.parquet.example.data.Group
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+
+    private val reader: ParquetReader[Group] =
+      ParquetReader.builder(new GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(file))
+        .withConf(new Configuration())
+        .build()
+    private var current: Group = _
+
+    override def next(): Boolean = {
+      current = reader.read()
+      current != null
+    }
+
+    override def get(): InternalRow = {
+      val g = current
+      val gt = g.getType
+      InternalRow.fromSeq(schema.fields.toIndexedSeq.map { f =>
+        val idx = gt.getFieldIndex(f.name)
+        if (g.getFieldRepetitionCount(idx) == 0) null
+        else f.dataType match {
+          case LongType    => g.getLong(idx, 0)
+          case IntegerType => g.getInteger(idx, 0)
+          case DoubleType  => g.getDouble(idx, 0)
+          case BooleanType => g.getBoolean(idx, 0)
+          case StringType  => UTF8String.fromString(g.getString(idx, 0))
+          case dt => throw new IllegalStateException(
+            s"unreachable: type $dt passed the load() bound")
+        }
+      })
+    }
+
+    override def close(): Unit = reader.close()
+  }
+}

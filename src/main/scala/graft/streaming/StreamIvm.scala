@@ -332,17 +332,34 @@ object StreamIvm {
         s"log's checkpoint horizon $h — the consumer must re-base, not " +
         "redeliver (a silent empty old-state would double-count)")
     Changelog.commitIdempotent(batch, opsLog, b)
-    val cents = (c: org.apache.spark.sql.Column) => (round(c * 100)).cast("long")
+    val delta = cdcDelta(
+      Changelog.changesBetweenOps(s, opsLog, Seq(key), b - 1, b,
+        trackCols = Seq(measure, groupCol)),
+      groupCol, measure)
+    Changelog.commitIdempotent(delta, rollLog, b)
+  }
+
+  /** The signed per-group maintenance delta of a FULL-LABEL feed
+    * frame (`changesBetweenOps` shape — or a [[CdcSource]] micro-
+    * batch, which is the same frame delivered by `readStream`):
+    * insert → (+1, +new), delete → (−1, −old), update → per-SIDE
+    * contributions exploded before the groupBy. The explode is what
+    * makes group MOVES exact: an update that moves a key between
+    * groups (groupCol is tracked, so the feed reports one 'update'
+    * row) must retract (−1, −old) from the OLD group AND contribute
+    * (+1, +new) to the new one — a single coalesce'd group would land
+    * the whole delta on the new group and never retract the old
+    * group's count/measure, silently diverging from the recompute.
+    * Group-preserving updates keep the one-row net form (count delta
+    * 0, measure delta new−old) — identical arithmetic, fewer exploded
+    * rows. Amounts aggregate in integer cents (`round(x·100)`, exact
+    * for the 2-decimal money domain).
+    */
+  private[graft] def cdcDelta(feed: DataFrame, groupCol: String,
+                              measure: String): DataFrame = {
+    val cents = (c: org.apache.spark.sql.Column) =>
+      (round(c * 100)).cast("long")
     val ct = col("change_type")
-    // per-SIDE contributions, exploded before the groupBy: an update
-    // that MOVES a key between groups (groupCol is tracked, so the
-    // feed reports it as one 'update' row) must retract from the old
-    // group AND contribute to the new one — a single coalesce'd group
-    // would land the whole delta on the new group and never retract
-    // the old group's count/measure, silently diverging from the
-    // recompute. Group-preserving updates keep the one-row net form
-    // (count delta 0, measure delta new−old) — identical arithmetic,
-    // fewer exploded rows.
     val side = (g: org.apache.spark.sql.Column, dn: Long,
                 dc: org.apache.spark.sql.Column) =>
       struct(g.as("g"), lit(dn).as("dn"), dc.as("dc"))
@@ -356,12 +373,9 @@ object StreamIvm {
       .otherwise(array(
         side(col(s"old_$groupCol"), -1L, -cents(col(s"old_$measure"))),
         side(col(s"new_$groupCol"), 1L, cents(col(s"new_$measure")))))
-    val delta = Changelog.changesBetweenOps(s, opsLog, Seq(key),
-        b - 1, b, trackCols = Seq(measure, groupCol))
-      .select(explode(contribs).as("_e"))
+    feed.select(explode(contribs).as("_e"))
       .groupBy(col("_e.g").as(groupCol))
       .agg(sum(col("_e.dn")).as("n_rows"), sum(col("_e.dc")).as("_c"))
-    Changelog.commitIdempotent(delta, rollLog, b)
   }
 
   /** The served rollup of the CDC-consumer loop: additive across all

@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.sources.{Changelog, Sinks}
+import graft.streaming.{CdcSource, StreamIvm}
+
+/** The CDC feed as a DSv2 streaming source (q200): offsets are commit
+  * ids, each micro-batch is the engine's own full-label feed for
+  * exactly one commit window, restart resumes from the offset log, and
+  * a below-horizon window fails loudly.
+  */
+class CdcSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val op = Changelog.OpCol
+
+  private def frame(rows: Seq[(Long, Option[Long], Option[Double], String)]) =
+    rows.toDF("o_orderkey", "o_custkey", "o_totalprice", op)
+
+  // b0: three inserts; b1: delete k1, update k2; b2: re-insert k1
+  // (resurrection through the feed), insert k4 — the StreamIvmSpec
+  // CDC fixture, delivered here through readStream
+  private def commits = Seq(
+    frame(Seq((1L, Some(10L), Some(10.0), "u"),
+      (2L, Some(10L), Some(20.0), "u"), (3L, Some(20L), Some(30.0), "u"))),
+    frame(Seq((1L, None, None, "d"), (2L, Some(10L), Some(25.0), "u"))),
+    frame(Seq((1L, Some(10L), Some(11.0), "u"),
+      (4L, Some(20L), Some(40.0), "u"))))
+
+  private def runConsumer(opsLog: String, rollLog: String,
+                          ckpt: String): Unit = {
+    val q = spark.readStream.format(classOf[CdcSource].getName)
+      .option("path", opsLog)
+      .option("keys", "o_orderkey")
+      .option("trackCols", "o_totalprice,o_custkey")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          Changelog.commitIdempotent(
+            StreamIvm.cdcDelta(batch, groupCol = "o_custkey",
+              measure = "o_totalprice"),
+            rollLog, batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  private def served(rollLog: String) =
+    StreamIvm.servedCdcRollup(spark, rollLog, "o_custkey")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+
+  test("readStream over the ops log: one commit per micro-batch, the " +
+       "consumer's rollup converges to the recompute (q200)") {
+    val opsLog = Sinks.tmpPath("cdc_source_spec_ops")
+    val rollLog = Sinks.tmpPath("cdc_source_spec_roll")
+    val ckpt = Sinks.tmpPath("cdc_source_spec_ckpt")
+    Seq(opsLog, rollLog, ckpt).foreach(Sinks.deleteRecursively)
+    commits.zipWithIndex.foreach { case (c, i) =>
+      Changelog.commit(c, opsLog, i.toLong)
+    }
+    runConsumer(opsLog, rollLog, ckpt)
+    // admission control: one ops commit per micro-batch → exactly
+    // three rollup commits landed under batch ids 0..2
+    assert(spark.read.parquet(rollLog)
+      .select(Changelog.CommitCol).distinct()
+      .as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
+    // live: k1 11.0/c10, k2 25.0/c10, k3 30.0/c20, k4 40.0/c20
+    assert(served(rollLog) == Seq((10L, 2L, 36.0), (20L, 2L, 70.0)))
+    // feed-sufficiency: equals the recompute from the log's snapshot
+    val recompute = Changelog
+      .snapshotAtOps(spark, opsLog, Seq("o_orderkey"), 2L)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        (sum((round(col("o_totalprice") * 100)).cast("long"))
+          .cast("double") / 100.0).as("s"))
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(recompute == served(rollLog))
+    // committed spools are swept — the checkpoint dir does not
+    // accumulate one spool per batch forever
+    val spoolRoot = new java.io.File(ckpt, "graft_cdc_spool")
+    assert(Option(spoolRoot.listFiles()).toSeq.flatten.isEmpty,
+      "committed spool batches were not swept")
+  }
+
+  test("restart from checkpoint: only commits landed since the stop " +
+       "are processed; the resumed rollup equals the uninterrupted one") {
+    val opsLog = Sinks.tmpPath("cdc_source_spec_restart_ops")
+    val rollLog = Sinks.tmpPath("cdc_source_spec_restart_roll")
+    val ckpt = Sinks.tmpPath("cdc_source_spec_restart_ckpt")
+    Seq(opsLog, rollLog, ckpt).foreach(Sinks.deleteRecursively)
+    // land only the first two commits, consume them
+    commits.take(2).zipWithIndex.foreach { case (c, i) =>
+      Changelog.commit(c, opsLog, i.toLong)
+    }
+    runConsumer(opsLog, rollLog, ckpt)
+    assert(spark.read.parquet(rollLog)
+      .select(Changelog.CommitCol).distinct()
+      .as[Long].collect().sorted.toSeq == Seq(0L, 1L))
+    // the third commit arrives; the SAME checkpoint resumes — exactly
+    // one more batch (the new commit's window), batch ids continue
+    Changelog.commit(commits(2), opsLog, 2L)
+    runConsumer(opsLog, rollLog, ckpt)
+    assert(spark.read.parquet(rollLog)
+      .select(Changelog.CommitCol).distinct()
+      .as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
+    assert(served(rollLog) == Seq((10L, 2L, 36.0), (20L, 2L, 70.0)))
+  }
+
+  test("a feed window below the log's checkpoint horizon fails LOUDLY " +
+       "on restart — never a silent empty old-state") {
+    val opsLog = Sinks.tmpPath("cdc_source_spec_horizon_ops")
+    val rollLog = Sinks.tmpPath("cdc_source_spec_horizon_roll")
+    val ckpt = Sinks.tmpPath("cdc_source_spec_horizon_ckpt")
+    Seq(opsLog, rollLog, ckpt).foreach(Sinks.deleteRecursively)
+    commits.take(2).zipWithIndex.foreach { case (c, i) =>
+      Changelog.commit(c, opsLog, i.toLong)
+    }
+    runConsumer(opsLog, rollLog, ckpt)
+    // the log checkpoints PAST the consumer's committed offset (1):
+    // land one more commit and fold everything — the consumer's next
+    // window (1, 2] now starts below horizon 2
+    Changelog.commit(commits(2), opsLog, 2L)
+    Changelog.checkpointOps(spark, opsLog, Seq("o_orderkey"), 2L)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runConsumer(opsLog, rollLog, ckpt)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("horizon"))),
+      s"expected the loud horizon guard, got: ${e.getMessage}")
+    // nothing landed for the refused window
+    assert(spark.read.parquet(rollLog)
+      .select(Changelog.CommitCol).distinct()
+      .as[Long].collect().sorted.toSeq == Seq(0L, 1L))
+  }
+
+  test("a fresh consumer on a checkpointed log starts AT the horizon " +
+       "(never below), and startVersion overrides explicitly") {
+    val opsLog = Sinks.tmpPath("cdc_source_spec_fresh_ops")
+    val rollLog = Sinks.tmpPath("cdc_source_spec_fresh_roll")
+    val ckpt = Sinks.tmpPath("cdc_source_spec_fresh_ckpt")
+    Seq(opsLog, rollLog, ckpt).foreach(Sinks.deleteRecursively)
+    commits.zipWithIndex.foreach { case (c, i) =>
+      Changelog.commit(c, opsLog, i.toLong)
+    }
+    Changelog.checkpointOps(spark, opsLog, Seq("o_orderkey"), 1L)
+    // horizon is 1: a fresh consumer's first window is (1, 2] — only
+    // commit 2's changes flow; the folded history is not replayed
+    runConsumer(opsLog, rollLog, ckpt)
+    assert(spark.read.parquet(rollLog)
+      .select(Changelog.CommitCol).distinct()
+      .as[Long].collect().sorted.toSeq == Seq(0L))
+    // commit 2 inserts k1(11.0, c10) and k4(40.0, c20) vs state at 1
+    assert(served(rollLog) == Seq((10L, 1L, 11.0), (20L, 1L, 40.0)))
+  }
+}

@@ -140,4 +140,57 @@ class ProfileConnectorSpec extends SparkSpec {
       .contains("PushedAggregates"))
     assert(grouped.collect().map(_.getLong(1)).sum === 10L)
   }
+
+  test("limit pushdown chunks the partition plan to k symbols; top-N " +
+       "on the symbol order slices the first/last k of the range — " +
+       "payloads outside the slice are never built") {
+    // LIMIT 1 after a pushed range — the reference's point-fetch
+    // shape: one symbol planned, one payload built
+    ProfileConnector.payloadBuilds.set(0L)
+    val lim1 = read(50).filter(col("symbol") >= "S00005" &&
+        col("symbol") <= "S00017")
+      .limit(1)
+    assert(lim1.queryExecution.executedPlan.toString
+      .contains("PushedLimit: 1"))
+    val got1 = lim1.select(col("symbol"), length(col("payload"))).collect()
+    assert(got1.length === 1 && got1.head.getString(0) === "S00005")
+    assert(ProfileConnector.payloadBuilds.get() === 1L,
+      "LIMIT 1 fetched more than one symbol")
+    // top-N DESCENDING: the LAST k of the matching range, re-sorted
+    // above by Spark (partial push) — order and content both exact
+    ProfileConnector.payloadBuilds.set(0L)
+    val top = read(50).filter(col("symbol") >= "S00005" &&
+        col("symbol") <= "S00017")
+      .orderBy(col("symbol").desc).limit(4)
+    assert(top.queryExecution.executedPlan.toString
+      .contains("PushedTopN: [symbol DESC, 4]"))
+    val gotTop = top.select(col("symbol"), length(col("payload"))).collect()
+    assert(gotTop.map(_.getString(0)).toSeq ===
+      Seq("S00017", "S00016", "S00015", "S00014"))
+    assert(ProfileConnector.payloadBuilds.get() === 4L,
+      "top-N fetched outside its slice")
+    // ascending top-N takes the FIRST k
+    val asc = read(50).filter(col("symbol") >= "S00005")
+      .orderBy(col("symbol")).limit(2)
+      .select("symbol").collect().map(_.getString(0)).toSeq
+    assert(asc === Seq("S00005", "S00006"))
+    // a limit wider than the match set returns everything, exactly
+    assert(read(50).filter(col("symbol") >= "S00048").limit(10)
+      .select("symbol").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("S00048", "S00049"))
+    // a sort the index law cannot invert is REFUSED (no TopN push)
+    // and still answers exactly through the ordinary scan
+    val byLoaded = read(10).orderBy(col("loaded_at").desc).limit(3)
+    assert(!byLoaded.queryExecution.executedPlan.toString
+      .contains("PushedTopN"))
+    assert(byLoaded.count() === 3L)
+    // limit + IN point-set: slices the sorted surviving list
+    ProfileConnector.payloadBuilds.set(0L)
+    val inLim = read(50)
+      .filter(col("symbol").isin("S00031", "S00007", "S00019"))
+      .orderBy(col("symbol").desc).limit(2)
+      .select(col("symbol"), length(col("payload"))).collect()
+    assert(inLim.map(_.getString(0)).toSeq === Seq("S00031", "S00019"))
+    assert(ProfileConnector.payloadBuilds.get() === 2L)
+  }
 }
