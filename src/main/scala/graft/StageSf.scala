@@ -50,7 +50,8 @@ object StageSf {
 
     Sinks.deleteRecursively(dst)
     new java.io.File(dst).mkdirs()
-    val scaled = Set("events.parquet", "orders.parquet")
+    val scaled = Set("events.parquet", "orders.parquet",
+      "documents.parquet")
     Option(new java.io.File(src).listFiles()).toSeq.flatten
       .filter(f => f.getName.endsWith(".parquet") && !scaled(f.getName))
       .foreach { f =>
@@ -87,8 +88,24 @@ object StageSf {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/orders.parquet")
     val no = spark.read.parquet(s"$dst/orders.parquet").count()
+
+    // documents ×factor (round-14: the string-keyed ops-log family
+    // q202/q203 builds over documents, so documents must physically
+    // exist at scale too) — same disjoint-range doc_id shift; text
+    // and metadata replicate unchanged, so per-doc size distribution
+    // is preserved exactly
+    val docs = Tables.documents(spark, src)
+    val db = docs.agg(max("doc_id")).collect().head
+    val docSpan = spanUp(db.getLong(0))
+    (0 until factor).map { i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * docSpan))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    val nd = spark.read.parquet(s"$dst/documents.parquet").count()
     println(s"[stagesf] $dst staged: events x$factor = $n rows; " +
-      s"orders x$factor = $no rows; other tables hard-linked from " + src)
+      s"orders x$factor = $no rows; documents x$factor = $nd rows; " +
+      "other tables hard-linked from " + src)
     spark.stop()
   }
 }
