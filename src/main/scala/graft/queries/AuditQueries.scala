@@ -484,6 +484,34 @@ object AuditQueries {
       Changelog.snapshotAtOps(s, path, Seq("o_orderkey"), Long.MaxValue)
     }),
 
+    // THE OPS LOG AS A STREAMING SINK (DSv2 StreamingWrite) — q184's
+    // ingestion re-expressed as an engine surface: the landing stream
+    // writes STRAIGHT INTO the changelog with `writeStream.format
+    // (LogSink)` — no foreachBatch, no hand-rolled commit calls.
+    // Epoch ids land as claimed commit ids (OCC-arbitrated), staged
+    // parquet renames give replace-don't-append epoch idempotence,
+    // and the served snapshot must equal the batch-committed log —
+    // q181's oracle verbatim, reached through a pure writeStream.
+    // Restart/shape/foreign-claim legs are spec-pinned (LogSinkSpec).
+    "q204_stream_sink_ingest" -> ((s, d) => {
+      val landing = stagedOpsLanding(s, d)
+      val path = Sinks.tmpPathFor("orders_ops_sink_log", d)
+      val ckpt = Sinks.tmpPathFor("orders_ops_sink_ckpt", d)
+      Sinks.deleteRecursively(path)
+      Sinks.deleteRecursively(ckpt)
+      val q = s.readStream.schema(OpsLandingSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .withColumnRenamed("op", Changelog.OpCol)
+        .writeStream.format(classOf[graft.streaming.LogSink].getName)
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Changelog.snapshotAtOps(s, path, Seq("o_orderkey"), Long.MaxValue)
+    }),
+
     // THE CDC FEED AS A STREAMING SOURCE (DSv2 MicroBatchStream) —
     // q186's consumer re-expressed the Delta way: `readStream.format
     // (CdcSource)` serves the full-label feed itself, offsets are
@@ -1146,6 +1174,19 @@ object AuditQueries {
         |   OR (o_orderkey % 6 <> 0 AND
         |       (o_orderkey % 4 = 3 OR o_orderkey % 10 <> 0
         |        OR o_orderkey % 20 = 0))""".stripMargin,
+
+    // the writeStream-ingested log must serve the SAME live state as
+    // the batch ops log (q181's oracle verbatim)
+    "q204_stream_sink_ingest" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |       WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |            AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 = 3
+        |   OR o_orderkey % 10 <> 0
+        |   OR o_orderkey % 20 = 0""".stripMargin,
 
     // the streamed feed-consumer must converge to the same rollup as
     // the recompute from the final live state (q183's oracle verbatim

@@ -238,7 +238,7 @@ object Changelog {
     * requirePlainLog/requireOpsLog on the write path — one driver-side
     * footer read, only when the log already exists.
     */
-  private def requireMatchingShape(delta: DataFrame, path: String): Unit = {
+  private[graft] def requireMatchingShape(delta: DataFrame, path: String): Unit = {
     // ONE file's footer decides the shape (every commit carries _op or
     // none does, by induction on this very guard) — never a listing of
     // the whole log, whose cost would grow with history
@@ -312,7 +312,7 @@ object Changelog {
     * holder. First-writer-wins is atomic (rename-without-overwrite);
     * a writer re-claiming its own id succeeds (redelivery).
     */
-  private def claimCommit(path: String, commitId: Long,
+  private[graft] def claimCommit(path: String, commitId: Long,
                           writer: String): Unit = {
     val p = LogFs.child(path, s"$ClaimPrefix$commitId")
     if (!LogFs.claimExclusive(p, writer)) {

@@ -1,0 +1,237 @@
+package graft.streaming
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.sources.{Changelog, LogFs}
+
+/** The ops log as a STREAMING SINK (DSv2 `StreamingWrite`) — the write
+  * side of [[CdcSource]]'s read side: ANY streaming query lands its
+  * micro-batches as changelog commits with a plain
+  * `writeStream.format(classOf[LogSink].getName).option("path", ...)`,
+  * instead of hand-rolling `Changelog.commitIdempotent` inside
+  * `foreachBatch` (the q184 ingestion shape, now an engine surface —
+  * q204 re-expresses q184 on it). Together the pair make the changelog
+  * a full streaming TABLE FORMAT: streams write it, streams read its
+  * change feed, batch reads time-travel it.
+  *
+  * Exactly-once = the changelog's own discipline, mapped onto the DSv2
+  * epoch protocol:
+  *  - EPOCH IDS ARE COMMIT IDS (the q184/StreamIvm batchId contract);
+  *  - executors stage one parquet file per non-empty task under
+  *    `__stream_staging/epoch=<e>/` (written directly with
+  *    parquet-hadoop — no second Spark job inside the sink), and the
+  *    task's commit message names the staged file;
+  *  - the DRIVER commit claims the epoch's commit id (the OCC
+  *    arbitration — a FOREIGN writer holding the id fails loudly;
+  *    this query re-delivering its own epoch passes), REPLACES
+  *    `_commit=<epoch>` with the staged files via rename, and sweeps
+  *    the epoch's staging — so a redelivered epoch lands
+  *    byte-equivalently on top of any complete or partial earlier
+  *    attempt, and a crash between staging and commit leaves only
+  *    staging debris the next attempt replaces;
+  *  - abort drops the epoch's staged files.
+  *
+  * The input schema must match the target log's shape (the
+  * plain-vs-ops write guard runs at planning time, BEFORE any epoch
+  * starts) and is bounded to long/int/double/string/boolean columns —
+  * the staged files are written by the sink itself, not Spark's
+  * parquet writer, so the type surface is explicit. Writer identity
+  * comes from option `writer` (default [[Changelog.SoloWriter]]) —
+  * give concurrent producers distinct ids, the claim arbitration does
+  * the rest.
+  */
+class LogSink extends TableProvider {
+  // the sink's "schema" is whatever the query writes; Spark requires
+  // an inferSchema for the provider interface but streaming writes
+  // carry their own schema through LogicalWriteInfo
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new LogSink.LogTable(schema,
+      new CaseInsensitiveStringMap(properties))
+}
+
+object LogSink {
+
+  private[streaming] class LogTable(schema: StructType,
+                                    options: CaseInsensitiveStringMap)
+      extends Table with SupportsWrite {
+    override def name(): String =
+      s"graft_log_sink(${options.get("path")})"
+    override def schema(): StructType = schema
+    override def capabilities(): util.Set[TableCapability] =
+      Set(TableCapability.STREAMING_WRITE).asJava
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+      val path = info.options().get("path")
+      require(path != null, "LogSink needs option 'path' (the log dir)")
+      val writer = Option(info.options().get("writer"))
+        .getOrElse(Changelog.SoloWriter)
+      val s = info.schema()
+      require(!s.fieldNames.contains(Changelog.CommitCol),
+        s"LogSink input carries the reserved ${Changelog.CommitCol} " +
+          "column — the epoch id IS the commit coordinate")
+      s.fields.foreach { f =>
+        require(Seq(LongType, IntegerType, DoubleType, StringType,
+          BooleanType).contains(f.dataType),
+          s"LogSink input column ${f.name} has type ${f.dataType} — " +
+            "the staged parquet writer covers long/int/double/string/" +
+            "boolean only")
+      }
+      // the plain-vs-ops shape guard, BEFORE any epoch runs: a plain
+      // stream into an ops log would land rows that compact as DEAD
+      Changelog.requireMatchingShape(
+        org.apache.spark.sql.SparkSession.active
+          .createDataFrame(new util.ArrayList[org.apache.spark.sql.Row](),
+            s),
+        path)
+      new WriteBuilder {
+        override def build(): Write = new Write {
+          override def toStreaming: StreamingWrite =
+            new LogStreamingWrite(path, writer, s)
+        }
+      }
+    }
+  }
+
+  private case class StagedFile(file: String) extends WriterCommitMessage
+  private case object NoRows extends WriterCommitMessage
+
+  private class LogStreamingWrite(path: String, writer: String,
+                                  schema: StructType)
+      extends StreamingWrite {
+
+    private def stagingDir(epochId: Long): String =
+      LogFs.child(LogFs.child(path, "__stream_staging"), s"epoch=$epochId")
+
+    override def createStreamingWriterFactory(
+        info: PhysicalWriteInfo): StreamingDataWriterFactory =
+      new LogWriterFactory(path, schema)
+
+    override def commit(epochId: Long,
+                        messages: Array[WriterCommitMessage]): Unit = {
+      // OCC arbitration first: a foreign writer holding this id is a
+      // loud conflict; our own redelivery passes (the claim names us)
+      Changelog.claimCommit(path, epochId, writer)
+      val staged = messages.collect { case StagedFile(f) => f }
+      val dir = LogFs.child(path, s"${Changelog.CommitCol}=$epochId")
+      // replace-don't-append: a redelivered epoch overwrites any
+      // complete or partial earlier attempt (the commitIdempotent
+      // discipline, file-level)
+      LogFs.delete(dir)
+      if (staged.nonEmpty) {
+        LogFs.mkdirs(dir)
+        staged.zipWithIndex.foreach { case (f, i) =>
+          val fs = LogFs.fs(path)
+          val ok = fs.rename(new org.apache.hadoop.fs.Path(f),
+            new org.apache.hadoop.fs.Path(dir, f"part-$i%05d.parquet"))
+          require(ok, s"failed to land staged epoch file $f into $dir")
+        }
+      }
+      LogFs.delete(stagingDir(epochId))
+    }
+
+    override def abort(epochId: Long,
+                       messages: Array[WriterCommitMessage]): Unit =
+      LogFs.delete(stagingDir(epochId))
+  }
+
+  private class LogWriterFactory(path: String, schema: StructType)
+      extends StreamingDataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long,
+                              epochId: Long): DataWriter[InternalRow] =
+      new StagingWriter(path, schema, partitionId, taskId, epochId)
+  }
+
+  /** Writes the task's rows to ONE staged parquet file with the
+    * parquet-hadoop example API (the [[CdcSource]] spool reader's
+    * mirror image). The file name carries partition, task, and a UUID:
+    * speculative or retried attempts of one partition stage distinct
+    * files and only the attempt whose message reaches the driver
+    * lands.
+    */
+  private class StagingWriter(path: String, schema: StructType,
+                              partitionId: Int, taskId: Long,
+                              epochId: Long)
+      extends DataWriter[InternalRow] {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.ParquetWriter
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{MessageType, Types}
+    import org.apache.parquet.schema.LogicalTypeAnnotation.stringType
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+    private val messageType: MessageType = {
+      val b = Types.buildMessage()
+      schema.fields.foreach { f =>
+        val fb = f.dataType match {
+          case LongType    => Types.optional(INT64)
+          case IntegerType => Types.optional(INT32)
+          case DoubleType  => Types.optional(DOUBLE)
+          case BooleanType => Types.optional(BOOLEAN)
+          case StringType  => Types.optional(BINARY).as(stringType())
+          case dt => throw new IllegalStateException(
+            s"unreachable: type $dt passed the planning bound")
+        }
+        b.addField(fb.named(f.name))
+      }
+      b.named("graft_log_epoch")
+    }
+
+    private val file = LogFs.child(
+      LogFs.child(LogFs.child(path, "__stream_staging"), s"epoch=$epochId"),
+      s"stage-$partitionId-$taskId-${java.util.UUID.randomUUID()}.parquet")
+
+    private lazy val out: ParquetWriter[
+        org.apache.parquet.example.data.Group] =
+      ExampleParquetWriter.builder(new org.apache.hadoop.fs.Path(file))
+        .withType(messageType)
+        .withConf(new Configuration())
+        .build()
+    private val factory = new SimpleGroupFactory(messageType)
+    private var wrote = false
+
+    override def write(row: InternalRow): Unit = {
+      val g = factory.newGroup()
+      var i = 0
+      while (i < schema.length) {
+        if (!row.isNullAt(i)) {
+          val name = schema.fields(i).name
+          schema.fields(i).dataType match {
+            case LongType    => g.append(name, row.getLong(i))
+            case IntegerType => g.append(name, row.getInt(i))
+            case DoubleType  => g.append(name, row.getDouble(i))
+            case BooleanType => g.append(name, row.getBoolean(i))
+            case StringType  => g.append(name, row.getUTF8String(i).toString)
+            case _           => ()
+          }
+        }
+        i += 1
+      }
+      out.write(g)
+      wrote = true
+    }
+
+    override def commit(): WriterCommitMessage = {
+      if (wrote) { out.close(); StagedFile(file) }
+      else NoRows // empty task: nothing staged
+    }
+
+    override def abort(): Unit = {
+      if (wrote) { out.close(); LogFs.delete(file) }
+    }
+
+    override def close(): Unit = ()
+  }
+}

@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.sources.{Changelog, Sinks}
+import graft.streaming.LogSink
+
+/** The ops log as a DSv2 streaming SINK (q204): epochs land as commits
+  * under the claim arbitration, restart continues the epoch sequence,
+  * shape and foreign-writer conflicts are loud at the right times.
+  */
+class LogSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val op = Changelog.OpCol
+
+  private val landingSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_totalprice", DoubleType),
+    StructField(op, StringType)))
+
+  private def frame(rows: Seq[(Long, Option[Long], Option[Double], String)]) =
+    rows.toDF("o_orderkey", "o_custkey", "o_totalprice", op)
+
+  private def commits = Seq(
+    frame(Seq((1L, Some(10L), Some(10.0), "u"),
+      (2L, Some(10L), Some(20.0), "u"), (3L, Some(20L), Some(30.0), "u"))),
+    frame(Seq((1L, None, None, "d"), (2L, Some(10L), Some(25.0), "u"))),
+    frame(Seq((1L, Some(10L), Some(11.0), "u"),
+      (4L, Some(20L), Some(40.0), "u"))))
+
+  /** Land `dfs` as mtime-ordered files (one micro-batch each). */
+  private def stage(landing: String,
+                    dfs: Seq[org.apache.spark.sql.DataFrame]): Unit = {
+    def files() = Option(new java.io.File(landing).listFiles()).fold(
+      Set.empty[java.io.File])(_.filter(_.getName.endsWith(".parquet")).toSet)
+    var mtime = System.currentTimeMillis() - (dfs.length + 2) * 2000L
+    dfs.foreach { df =>
+      val before = files()
+      df.coalesce(1).write.mode("append").parquet(landing)
+      (files() -- before).foreach(f =>
+        require(f.setLastModified(mtime), s"setLastModified failed on $f"))
+      mtime += 2000L
+    }
+  }
+
+  private def runSink(landing: String, log: String, ckpt: String): Unit = {
+    val q = spark.readStream.schema(landingSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.format(classOf[LogSink].getName)
+      .option("path", log)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("writeStream into the ops log: epochs land as claimed commits " +
+       "and the snapshot equals the batch-committed log (q204)") {
+    val landing = Sinks.tmpPath("log_sink_spec_landing")
+    val log = Sinks.tmpPath("log_sink_spec_log")
+    val ckpt = Sinks.tmpPath("log_sink_spec_ckpt")
+    Seq(landing, log, ckpt).foreach(Sinks.deleteRecursively)
+    stage(landing, commits)
+    runSink(landing, log, ckpt)
+    // three epochs = three commits, each claimed for the default writer
+    for (c <- 0L to 2L)
+      assert(Changelog.claimHolder(log, c).contains(Changelog.SoloWriter))
+    val got = Changelog.snapshotAtOps(spark, log, Seq("o_orderkey"),
+        Long.MaxValue)
+      .select("o_orderkey", "o_totalprice")
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 11.0, 2L -> 25.0, 3L -> 30.0, 4L -> 40.0))
+    // the control: the same frames batch-committed read identically
+    val ctl = Sinks.tmpPath("log_sink_spec_ctl")
+    Sinks.deleteRecursively(ctl)
+    commits.zipWithIndex.foreach { case (c, i) =>
+      Changelog.commit(c, ctl, i.toLong)
+    }
+    assert(Changelog.snapshotAtOps(spark, ctl, Seq("o_orderkey"),
+        Long.MaxValue)
+      .select("o_orderkey", "o_totalprice")
+      .as[(Long, Double)].collect().toMap == got)
+    // no staging debris survives the committed epochs
+    assert(Option(new java.io.File(log, "__stream_staging").listFiles())
+      .toSeq.flatten.isEmpty)
+    // the feed over the sunk log serves the usual labels — the sink
+    // and CdcSource compose into stream-in/stream-out
+    assert(Changelog.changesBetweenOps(spark, log, Seq("o_orderkey"),
+        0L, 2L, trackCols = Seq("o_totalprice"))
+      .filter(col("change_type") === "update").count() == 2L)
+  }
+
+  test("restart continues the epoch sequence: a new landing file lands " +
+       "as the NEXT commit; earlier commits untouched") {
+    val landing = Sinks.tmpPath("log_sink_spec_restart_landing")
+    val log = Sinks.tmpPath("log_sink_spec_restart_log")
+    val ckpt = Sinks.tmpPath("log_sink_spec_restart_ckpt")
+    Seq(landing, log, ckpt).foreach(Sinks.deleteRecursively)
+    stage(landing, commits.take(2))
+    runSink(landing, log, ckpt)
+    assert(Changelog.snapshotAtOps(spark, log, Seq("o_orderkey"), 1L)
+      .count() == 2L) // k1 deleted, k2+k3 live
+    val before = Option(new java.io.File(log,
+      s"${Changelog.CommitCol}=0").listFiles()).toSeq.flatten
+      .map(f => f.getName -> f.lastModified()).toMap
+    stage(landing, Seq(commits(2)))
+    runSink(landing, log, ckpt)
+    // epoch 2 landed; commit 0's files untouched byte-for-byte
+    assert(Changelog.snapshotAtOps(spark, log, Seq("o_orderkey"), 2L)
+      .count() == 4L)
+    val after = Option(new java.io.File(log,
+      s"${Changelog.CommitCol}=0").listFiles()).toSeq.flatten
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(after == before, "restart rewrote an already-landed commit")
+  }
+
+  test("planning-time guards: a plain stream into an ops log is " +
+       "refused before any epoch runs; a foreign writer's claim on " +
+       "the epoch id fails the stream loudly") {
+    val landing = Sinks.tmpPath("log_sink_spec_guard_landing")
+    val log = Sinks.tmpPath("log_sink_spec_guard_log")
+    Seq(landing, log).foreach(Sinks.deleteRecursively)
+    Changelog.commitUpsert(Seq((9L, 1.0)).toDF("o_orderkey", "p"), log, 0L)
+    stage(landing, Seq(frame(Seq((1L, Some(1L), Some(1.0), "u")))
+      .drop(op))) // plain-shaped landing
+    val plainSchema = StructType(landingSchema.filterNot(_.name == op))
+    val e = intercept[Exception] {
+      val q = spark.readStream.schema(plainSchema)
+        .parquet(landing)
+        .writeStream.format(classOf[LogSink].getName)
+        .option("path", log)
+        .option("checkpointLocation",
+          Sinks.tmpPath("log_sink_spec_guard_ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("OPS log"))), e.getMessage)
+    // nothing landed
+    assert(Changelog.snapshotAtOps(spark, log, Seq("o_orderkey"),
+      Long.MaxValue).count() == 1L)
+    // foreign claim: epoch 0 of a FRESH log pre-claimed by another
+    // writer — the stream's first commit must fail loudly
+    val log2 = Sinks.tmpPath("log_sink_spec_guard_log2")
+    val landing2 = Sinks.tmpPath("log_sink_spec_guard_landing2")
+    Seq(log2, landing2).foreach(Sinks.deleteRecursively)
+    stage(landing2, Seq(commits(0)))
+    new java.io.File(log2).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(log2, "_graft_claim_0"),
+      "someoneElse".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e2 = intercept[Exception] {
+      runSink(landing2, log2,
+        Sinks.tmpPath("log_sink_spec_guard_ckpt2"))
+    }
+    assert(causes(e2).exists(c => Option(c.getMessage)
+      .exists(_.contains("claimed by writer 'someoneElse'"))),
+      e2.getMessage)
+  }
+}
