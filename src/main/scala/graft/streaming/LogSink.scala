@@ -96,10 +96,11 @@ object LogSink {
           .createDataFrame(new util.ArrayList[org.apache.spark.sql.Row](),
             s),
         path)
+      val queryId = info.queryId()
       new WriteBuilder {
         override def build(): Write = new Write {
           override def toStreaming: StreamingWrite =
-            new LogStreamingWrite(path, writer, s)
+            new LogStreamingWrite(path, writer, s, queryId)
         }
       }
     }
@@ -109,11 +110,43 @@ object LogSink {
   private case object NoRows extends WriterCommitMessage
 
   private class LogStreamingWrite(path: String, writer: String,
-                                  schema: StructType)
+                                  schema: StructType, queryId: String)
       extends StreamingWrite {
 
     private def stagingDir(epochId: Long): String =
       LogFs.child(LogFs.child(path, "__stream_staging"), s"epoch=$epochId")
+
+    // ---- epoch → commit mapping -------------------------------------
+    //
+    // Epoch ids restart at 0 for every FRESH checkpoint, so "epoch id
+    // IS the commit id" would let a brand-new query silently OVERWRITE
+    // commit 0 of an existing log (its own writer identity passes the
+    // claim). Instead each query records a per-query BASE marker
+    // (`_graft_sinkbase_<queryId>` — the stable streaming query id,
+    // persisted in the checkpoint) the first time it commits:
+    // base = head + 1 − firstEpoch, and every epoch lands at
+    // base + epochId. A fresh query therefore APPENDS after the
+    // existing head (Delta's txnAppId/txnVersion discipline), while a
+    // redelivered epoch of the SAME query reads the same marker and
+    // overwrites its own commit idempotently. Marker lands BEFORE the
+    // claim/rename, so a crash anywhere in the sequence replays onto
+    // the same commit id.
+
+    private def baseMarker: String =
+      LogFs.child(path, s"_graft_sinkbase_$queryId")
+
+    private def resolveBase(epochId: Long): Long =
+      if (LogFs.exists(baseMarker)) LogFs.readString(baseMarker).trim.toLong
+      else {
+        val head = LogFs.list(path)
+          .map(_.getPath.getName)
+          .filter(_.startsWith(s"${Changelog.CommitCol}="))
+          .map(_.stripPrefix(s"${Changelog.CommitCol}=").toLong)
+          .foldLeft(-1L)(math.max)
+        val b = head + 1 - epochId
+        LogFs.writeAtomic(baseMarker, b.toString)
+        b
+      }
 
     override def createStreamingWriterFactory(
         info: PhysicalWriteInfo): StreamingDataWriterFactory =
@@ -121,11 +154,12 @@ object LogSink {
 
     override def commit(epochId: Long,
                         messages: Array[WriterCommitMessage]): Unit = {
-      // OCC arbitration first: a foreign writer holding this id is a
-      // loud conflict; our own redelivery passes (the claim names us)
-      Changelog.claimCommit(path, epochId, writer)
+      val commitId = resolveBase(epochId) + epochId
+      // OCC arbitration: a foreign writer holding this id is a loud
+      // conflict; our own redelivery passes (the claim names us)
+      Changelog.claimCommit(path, commitId, writer)
       val staged = messages.collect { case StagedFile(f) => f }
-      val dir = LogFs.child(path, s"${Changelog.CommitCol}=$epochId")
+      val dir = LogFs.child(path, s"${Changelog.CommitCol}=$commitId")
       // replace-don't-append: a redelivered epoch overwrites any
       // complete or partial earlier attempt (the commitIdempotent
       // discipline, file-level)

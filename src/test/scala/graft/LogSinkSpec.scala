@@ -118,6 +118,39 @@ class LogSinkSpec extends SparkSpec {
     assert(after == before, "restart rewrote an already-landed commit")
   }
 
+  test("a FRESH query (new checkpoint, epochs restarting at 0) on an " +
+       "EXISTING log APPENDS after the head — never overwrites " +
+       "commit 0 (the per-query base marker)") {
+    val landing = Sinks.tmpPath("log_sink_spec_fresh_landing")
+    val log = Sinks.tmpPath("log_sink_spec_fresh_log")
+    Seq(landing, log).foreach(Sinks.deleteRecursively)
+    // an existing log with two landed commits
+    commits.take(2).zipWithIndex.foreach { case (c, i) =>
+      Changelog.commit(c, log, i.toLong)
+    }
+    val snap1 = Changelog.snapshotAtOps(spark, log, Seq("o_orderkey"), 1L)
+      .select("o_orderkey", "o_totalprice")
+      .as[(Long, Double)].collect().toMap
+    // a brand-new sink query delivers one batch — its epoch 0 must
+    // land as commit 2, not clobber commit 0
+    stage(landing, Seq(commits(2)))
+    runSink(landing, log, Sinks.tmpPath("log_sink_spec_fresh_ckpt1"))
+    assert(Changelog.snapshotAtOps(spark, log, Seq("o_orderkey"), 1L)
+      .select("o_orderkey", "o_totalprice")
+      .as[(Long, Double)].collect().toMap == snap1,
+      "a fresh sink query rewrote existing history")
+    assert(Changelog.snapshotAtOps(spark, log, Seq("o_orderkey"), 2L)
+      .count() == 4L)
+    // a SECOND fresh query appends again — at commit 3
+    val landing2 = Sinks.tmpPath("log_sink_spec_fresh_landing2")
+    Sinks.deleteRecursively(landing2)
+    stage(landing2, Seq(frame(Seq((9L, Some(30L), Some(90.0), "u")))))
+    runSink(landing2, log, Sinks.tmpPath("log_sink_spec_fresh_ckpt2"))
+    assert(new java.io.File(log, s"${Changelog.CommitCol}=3").isDirectory)
+    assert(Changelog.snapshotAtOps(spark, log, Seq("o_orderkey"), 3L)
+      .count() == 5L)
+  }
+
   test("planning-time guards: a plain stream into an ops log is " +
        "refused before any epoch runs; a foreign writer's claim on " +
        "the epoch id fails the stream loudly") {
