@@ -484,6 +484,37 @@ object AuditQueries {
       Changelog.snapshotAtOps(s, path, Seq("o_orderkey"), Long.MaxValue)
     }),
 
+    // MULTI-WRITER OPTIMISTIC COMMITS — the OCC layer on the
+    // oracle-backed surface: two INDEPENDENT writers each derive a
+    // delta against the SAME read version (the head after the three
+    // ops commits) and land through commitWithRetry — ids are
+    // auto-assigned (head+1, head+2), the claim arbitrates, and the
+    // key-disjoint deltas serialize cleanly in either order (writer A
+    // bumps keys ≡ 1 (mod 5) by +9000, writer B keys ≡ 2 (mod 5) by
+    // +80000 — both against live head-state rows). The final snapshot
+    // must equal the head law with both adjustments applied — proof
+    // the conflict detection admitted exactly the serializable pair.
+    // The contended legs (same target id, intersecting keys, claim
+    // release) are race-specced in TopKChangelogSpec.
+    "q205_occ_two_writers" -> ((s, d) => {
+      val path = opsLog(s, d, "orders_ops_log_q205")
+      val head = Changelog.snapshotAtOps(s, path, Seq("o_orderkey"), 2L)
+      val k = col("o_orderkey")
+      val deltaA = head.filter(k % 5 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 9000.0)
+        .withColumn(Changelog.OpCol, lit("u"))
+      val deltaB = head.filter(k % 5 === 2)
+        .withColumn("o_totalprice", col("o_totalprice") + 80000.0)
+        .withColumn(Changelog.OpCol, lit("u"))
+      val idA = Changelog.commitWithRetry(s, path, Seq("o_orderkey"),
+        deltaA, readVersion = 2L, writer = "wA")
+      val idB = Changelog.commitWithRetry(s, path, Seq("o_orderkey"),
+        deltaB, readVersion = 2L, writer = "wB")
+      require(idA == 3L && idB == 4L,
+        s"retry loop mis-assigned ids: A=$idA B=$idB")
+      Changelog.snapshotAtOps(s, path, Seq("o_orderkey"), Long.MaxValue)
+    }),
+
     // THE OPS LOG AS A STREAMING SINK (DSv2 StreamingWrite) — q184's
     // ingestion re-expressed as an engine surface: the landing stream
     // writes STRAIGHT INTO the changelog with `writeStream.format
@@ -1174,6 +1205,22 @@ object AuditQueries {
         |   OR (o_orderkey % 6 <> 0 AND
         |       (o_orderkey % 4 = 3 OR o_orderkey % 10 <> 0
         |        OR o_orderkey % 20 = 0))""".stripMargin,
+
+    // the head law with both writers' disjoint adjustments applied —
+    // +9000 on live keys ≡ 1 (mod 5), +80000 on live keys ≡ 2 (mod 5)
+    "q205_occ_two_writers" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |       WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |            AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END
+        |  + CASE WHEN o_orderkey % 5 = 1 THEN 9000.0
+        |         WHEN o_orderkey % 5 = 2 THEN 80000.0
+        |         ELSE 0.0 END AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 = 3
+        |   OR o_orderkey % 10 <> 0
+        |   OR o_orderkey % 20 = 0""".stripMargin,
 
     // the writeStream-ingested log must serve the SAME live state as
     // the batch ops log (q181's oracle verbatim)
