@@ -543,6 +543,102 @@ object AuditQueries {
       Changelog.snapshotAtOps(s, path, Seq("o_orderkey"), Long.MaxValue)
     }),
 
+    // LOG-TO-LOG INCREMENTAL REPLICATION — the composition the two
+    // round-14 streaming halves exist for: `readStream(CdcSource)` off
+    // the upstream ops log, a pure projection mapping feed labels to
+    // ops verbs (insert/update → upsert of the new values, delete →
+    // tombstone), `writeStream(LogSink)` into a DOWNSTREAM ops log.
+    // One commit per upstream commit (admission control ↔ epoch ids),
+    // each replicated atomically and exactly-once (spool determinism
+    // upstream, claim+rename idempotence downstream), O(delta) per
+    // commit — never a full-table copy. The replica's snapshot must
+    // equal the upstream head state (q181's oracle verbatim); the
+    // incremental catch-up and restart legs are spec-pinned
+    // (ReplicationSpec).
+    "q206_log_replication" -> ((s, d) => {
+      val upstream = opsLog(s, d, "orders_ops_log_q206")
+      val replica = Sinks.tmpPathFor("orders_ops_replica", d)
+      val ckpt = Sinks.tmpPathFor("orders_ops_replica_ckpt", d)
+      Sinks.deleteRecursively(replica)
+      Sinks.deleteRecursively(ckpt)
+      val feed = s.readStream
+        .format(classOf[graft.streaming.CdcSource].getName)
+        .option("path", upstream)
+        .option("keys", "o_orderkey")
+        .option("trackCols", "o_custkey,o_totalprice")
+        .load()
+      val del = col("change_type") === "delete"
+      val q = feed.select(
+          col("o_orderkey"),
+          when(del, lit(null).cast("bigint"))
+            .otherwise(col("new_o_custkey")).as("o_custkey"),
+          when(del, lit(null).cast("double"))
+            .otherwise(col("new_o_totalprice")).as("o_totalprice"),
+          when(del, lit("d")).otherwise(lit("u")).as(Changelog.OpCol))
+        .writeStream.format(classOf[graft.streaming.LogSink].getName)
+        .option("path", replica)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Changelog.snapshotAtOps(s, replica, Seq("o_orderkey"), Long.MaxValue)
+    }),
+
+    // THE FULLY DECLARATIVE MATERIALIZED VIEW — the SEVENTH IVM path
+    // onto the q183 rollup oracle, and the first with NO foreachBatch
+    // anywhere: `readStream(CdcSource)` serves the feed, a projection
+    // explodes each change into signed contributions (update = retract
+    // old + contribute new, so group-MOVING updates are exact — the
+    // r13 ADVICE semantics, here by construction), a plain streaming
+    // `groupBy().agg()` in UPDATE mode keeps the running totals in
+    // query state, and LogSink (SupportsStreamingUpdateAsAppend —
+    // the Kafka-sink discipline) lands each batch's changed groups as
+    // upserts. The served view is the replica log's LWW snapshot:
+    // latest running total per group, groups at zero live rows
+    // filtered on read. State is O(groups), each batch O(delta) —
+    // the whole pipeline is three declarative operators.
+    "q207_stream_materialized_view" -> ((s, d) => {
+      val upstream = opsLog(s, d, "orders_ops_log_q207")
+      val viewLog = Sinks.tmpPathFor("orders_ops_mview", d)
+      val ckpt = Sinks.tmpPathFor("orders_ops_mview_ckpt", d)
+      Sinks.deleteRecursively(viewLog)
+      Sinks.deleteRecursively(ckpt)
+      val feed = s.readStream
+        .format(classOf[graft.streaming.CdcSource].getName)
+        .option("path", upstream)
+        .option("keys", "o_orderkey")
+        .option("trackCols", "o_custkey,o_totalprice")
+        .load()
+      val contrib = feed.select(explode(array(
+          struct(col("old_o_custkey").as("o_custkey"),
+            lit(-1L).as("sgn"),
+            (-round(col("old_o_totalprice") * 100)).cast("long")
+              .as("cents"),
+            col("change_type").isin("update", "delete").as("live")),
+          struct(col("new_o_custkey").as("o_custkey"),
+            lit(1L).as("sgn"),
+            round(col("new_o_totalprice") * 100).cast("long").as("cents"),
+            col("change_type").isin("update", "insert").as("live"))))
+          .as("c"))
+        .filter(col("c.live"))
+        .select(col("c.o_custkey").as("o_custkey"), col("c.sgn").as("sgn"),
+          col("c.cents").as("cents"))
+      val q = contrib.groupBy("o_custkey")
+        .agg(sum(col("sgn")).as("n_orders"), sum(col("cents")).as("cents"))
+        .withColumn(Changelog.OpCol, lit("u"))
+        .writeStream.format(classOf[graft.streaming.LogSink].getName)
+        .outputMode("update")
+        .option("path", viewLog)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Changelog.snapshotAtOps(s, viewLog, Seq("o_custkey"), Long.MaxValue)
+        .filter(col("n_orders") > 0)
+        .select(col("o_custkey"), col("n_orders"),
+          (col("cents").cast("double") / 100.0).as("sum_price"))
+    }),
+
     // THE CDC FEED AS A STREAMING SOURCE (DSv2 MicroBatchStream) —
     // q186's consumer re-expressed the Delta way: `readStream.format
     // (CdcSource)` serves the full-label feed itself, offsets are
@@ -1234,6 +1330,38 @@ object AuditQueries {
         |WHERE o_orderkey % 4 = 3
         |   OR o_orderkey % 10 <> 0
         |   OR o_orderkey % 20 = 0""".stripMargin,
+
+    // the replica served through readStream(CDC) → writeStream(log)
+    // must equal the upstream head state (q181's oracle verbatim)
+    "q206_log_replication" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |       WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |            AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 = 3
+        |   OR o_orderkey % 10 <> 0
+        |   OR o_orderkey % 20 = 0""".stripMargin,
+
+    // the declarative streaming materialized view must converge to the
+    // recompute from the final live state (q183's oracle verbatim —
+    // the seventh path onto it)
+    "q207_stream_materialized_view" ->
+      """WITH live AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |         WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |              AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 4 = 3
+        |     OR o_orderkey % 10 <> 0
+        |     OR o_orderkey % 20 = 0)
+        |SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |       AS BIGINT) AS DOUBLE) / 100.0 AS sum_price
+        |FROM live GROUP BY o_custkey""".stripMargin,
 
     // the streamed feed-consumer must converge to the same rollup as
     // the recompute from the final live state (q183's oracle verbatim

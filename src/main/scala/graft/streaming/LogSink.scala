@@ -97,7 +97,17 @@ object LogSink {
             s),
         path)
       val queryId = info.queryId()
-      new WriteBuilder {
+      // SupportsStreamingUpdateAsAppend (the Kafka-sink discipline):
+      // an UPDATE-mode streaming aggregation's per-batch output — the
+      // groups whose state changed — lands as ordinary appended rows.
+      // For a changelog target that is exactly right: each changed
+      // group's row is an upsert carrying its new running total, and
+      // the snapshot's per-key LWW compaction serves the latest one —
+      // the sink-side half of a fully declarative materialized view
+      // (q207: readStream(CDC) → groupBy.agg → writeStream(LogSink),
+      // no foreachBatch anywhere).
+      new WriteBuilder
+          with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
         override def build(): Write = new Write {
           override def toStreaming: StreamingWrite =
             new LogStreamingWrite(path, writer, s, queryId)
