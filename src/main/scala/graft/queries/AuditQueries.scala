@@ -639,6 +639,44 @@ object AuditQueries {
           (col("cents").cast("double") / 100.0).as("sum_price"))
     }),
 
+    // MULTI-PRODUCER STREAMING INGESTION — the OCC layer under the
+    // streaming sink: TWO producers run CONCURRENTLY into ONE ops log
+    // (`multiWriter=true` — each new epoch claims the next free commit
+    // id through the claim arbitration and records its assignment in a
+    // per-(query, epoch) map marker; redelivered epochs re-land their
+    // recorded id; blind appends never conflict, Delta's rule). Here
+    // the landing is split by key parity, so the producers' commits
+    // interleave arbitrarily yet compose deterministically — each
+    // key's LWW order is its own producer's epoch order. The final
+    // snapshot must equal the single-producer law (q204's oracle
+    // verbatim); the contended legs (concurrent 3-trial interleave,
+    // static-mapping collision, marker sweep) are spec-pinned
+    // (LogSinkSpec).
+    "q208_multi_producer_ingest" -> ((s, d) => {
+      val landing = stagedOpsLanding(s, d)
+      val path = Sinks.tmpPathFor("orders_ops_multi_log", d)
+      val ckptA = Sinks.tmpPathFor("orders_ops_multi_ckpt_a", d)
+      val ckptB = Sinks.tmpPathFor("orders_ops_multi_ckpt_b", d)
+      Seq(path, ckptA, ckptB).foreach(Sinks.deleteRecursively)
+      def producer(parity: Int, ckpt: String) =
+        s.readStream.schema(OpsLandingSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing)
+          .filter(col("o_orderkey") % 2 === parity)
+          .withColumnRenamed("op", Changelog.OpCol)
+          .writeStream.format(classOf[graft.streaming.LogSink].getName)
+          .option("path", path)
+          .option("multiWriter", "true")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      val qa = producer(1, ckptA)
+      val qb = producer(0, ckptB)
+      qa.awaitTermination()
+      qb.awaitTermination()
+      Changelog.snapshotAtOps(s, path, Seq("o_orderkey"), Long.MaxValue)
+    }),
+
     // THE CDC FEED AS A STREAMING SOURCE (DSv2 MicroBatchStream) —
     // q186's consumer re-expressed the Delta way: `readStream.format
     // (CdcSource)` serves the full-label feed itself, offsets are
@@ -1321,6 +1359,19 @@ object AuditQueries {
     // the writeStream-ingested log must serve the SAME live state as
     // the batch ops log (q181's oracle verbatim)
     "q204_stream_sink_ingest" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |       WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |            AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 = 3
+        |   OR o_orderkey % 10 <> 0
+        |   OR o_orderkey % 20 = 0""".stripMargin,
+
+    // two concurrent parity-split producers must compose to the
+    // single-producer law (q204's oracle verbatim)
+    "q208_multi_producer_ingest" ->
       """SELECT o_orderkey, o_custkey,
         |  CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
         |       WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0

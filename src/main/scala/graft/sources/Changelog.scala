@@ -325,6 +325,41 @@ object Changelog {
     }
   }
 
+  /** Claim the NEXT free commit id for `writer` — the blind-append leg
+    * of the OCC loop: [[commitWithRetry]] minus conflict detection,
+    * because a pure APPEND to an LWW log serializes cleanly in any
+    * order (Delta's "blind append never conflicts" rule — the reader's
+    * per-key compaction orders by commit id, and the appender by
+    * definition derived nothing from a read version). Scans
+    * commits ∪ claims for the head, claims head+1 atomically, retries
+    * past lost claims. The caller MUST land data into the returned id;
+    * a crash between claim and landing leaves an orphaned claim — the
+    * same operator-visible state as any writer crashing mid-commit
+    * (cleared manually, exactly the [[commitWithRetry]] contract).
+    */
+  private[graft] def claimNextId(path: String, writer: String,
+                                 maxAttempts: Int = 50): Long = {
+    var floor = (commitIds(path) ++ claimIds(path)).foldLeft(-1L)(math.max)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val target = floor + 1
+      if (LogFs.claimExclusive(
+          LogFs.child(path, s"$ClaimPrefix$target"), writer)) return target
+      floor = target
+    }
+    throw new IllegalStateException(
+      s"writer '$writer' lost the commit claim $maxAttempts times in a " +
+        s"row on $path — contention is pathological; back off and retry")
+  }
+
+  /** Streaming-sink epoch→commit map markers (multi-writer mode):
+    * `_graft_sinkmap_<queryId>_<epoch>`, content = the commit id the
+    * epoch landed at. One tiny file per commit — the claim markers'
+    * asymptotics — swept below checkpoint horizons like claims.
+    */
+  private[graft] val SinkMapPrefix = "_graft_sinkmap_"
+
   /** The append write itself, claim-free — the checkpoint fold lands
     * through this (it REWRITES an id that is legitimately claimed by
     * whoever committed it; its own guard is the horizon ordering).
@@ -1538,6 +1573,18 @@ object Changelog {
             n.stripPrefix(ClaimPrefix).toLong < v) ||
            (n.startsWith(BasePrefix) &&
             n.stripPrefix(BasePrefix).toLong < v))
+      }
+      .foreach(s => LogFs.delete(s.getPath.toString))
+    // sink epoch→commit map markers point at a commit id in their
+    // CONTENT; one below the horizon maps a folded commit — a replayed
+    // epoch can never legally re-land there (Spark only redelivers the
+    // last uncommitted epoch, which is above any sane horizon), so the
+    // marker is stale metadata and goes with the claims
+    LogFs.list(path)
+      .filter { s =>
+        s.isFile && s.getPath.getName.startsWith(SinkMapPrefix) &&
+          scala.util.Try(LogFs.readString(s.getPath.toString).trim.toLong)
+            .toOption.exists(_ < v)
       }
       .foreach(s => LogFs.delete(s.getPath.toString))
   }

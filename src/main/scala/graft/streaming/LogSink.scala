@@ -49,6 +49,15 @@ import graft.sources.{Changelog, LogFs}
   * comes from option `writer` (default [[Changelog.SoloWriter]]) —
   * give concurrent producers distinct ids, the claim arbitration does
   * the rest.
+  *
+  * Option `multiWriter=true` lets SEVERAL streaming producers ingest
+  * into ONE log concurrently: instead of the static base+epoch
+  * mapping (under which a second producer's ids collide and fail
+  * loudly on the foreign claim), each new epoch claims the next free
+  * commit id through the OCC layer and records the assignment in a
+  * per-(query, epoch) map marker — redelivered epochs re-land their
+  * recorded id idempotently, blind appends never conflict, and the
+  * default writer identity becomes the stable streaming query id.
   */
 class LogSink extends TableProvider {
   // the sink's "schema" is whatever the query writes; Spark requires
@@ -76,8 +85,15 @@ object LogSink {
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
       val path = info.options().get("path")
       require(path != null, "LogSink needs option 'path' (the log dir)")
+      val multiWriter = Option(info.options().get("multiWriter"))
+        .exists(_.toBoolean)
+      // multi-writer identity defaults to the stable streaming query id
+      // (persisted in the checkpoint) — distinct per producer with zero
+      // configuration, constant across restarts so redelivery stays
+      // "the same writer re-landing its own id"
       val writer = Option(info.options().get("writer"))
-        .getOrElse(Changelog.SoloWriter)
+        .getOrElse(if (multiWriter) s"q_${info.queryId()}"
+                   else Changelog.SoloWriter)
       val s = info.schema()
       require(!s.fieldNames.contains(Changelog.CommitCol),
         s"LogSink input carries the reserved ${Changelog.CommitCol} " +
@@ -110,7 +126,7 @@ object LogSink {
           with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
         override def build(): Write = new Write {
           override def toStreaming: StreamingWrite =
-            new LogStreamingWrite(path, writer, s, queryId)
+            new LogStreamingWrite(path, writer, s, queryId, multiWriter)
         }
       }
     }
@@ -120,11 +136,27 @@ object LogSink {
   private case object NoRows extends WriterCommitMessage
 
   private class LogStreamingWrite(path: String, writer: String,
-                                  schema: StructType, queryId: String)
+                                  schema: StructType, queryId: String,
+                                  multiWriter: Boolean)
       extends StreamingWrite {
 
+    // staging is namespaced by QUERY, not just epoch: two concurrent
+    // producers both run epochs 0,1,2…, and a shared epoch dir would
+    // let one query's commit sweep the other's in-flight staged files
     private def stagingDir(epochId: Long): String =
-      LogFs.child(LogFs.child(path, "__stream_staging"), s"epoch=$epochId")
+      LogFs.child(LogFs.child(LogFs.child(path, "__stream_staging"),
+        s"query=$queryId"), s"epoch=$epochId")
+
+    /** Sweep the epoch's staging and prune the per-query parent once
+      * its last epoch is gone — "no staging debris after committed
+      * epochs" stays true at the `__stream_staging` root.
+      */
+    private def sweepStaging(epochId: Long): Unit = {
+      LogFs.delete(stagingDir(epochId))
+      val qdir = LogFs.child(LogFs.child(path, "__stream_staging"),
+        s"query=$queryId")
+      if (LogFs.list(qdir).isEmpty) LogFs.delete(qdir)
+    }
 
     // ---- epoch → commit mapping -------------------------------------
     //
@@ -141,6 +173,45 @@ object LogSink {
     // overwrites its own commit idempotently. Marker lands BEFORE the
     // claim/rename, so a crash anywhere in the sequence replays onto
     // the same commit id.
+
+    // ---- multi-writer mode: epoch → commit via claim-next-free ------
+    //
+    // The base mapping above assumes this query is the log's ONLY
+    // producer: epoch e lands at base + e, so a SECOND concurrent
+    // producer's commits would collide with ids this query considers
+    // its own — the claim arbitration turns that into a loud foreign-
+    // claim failure (safe, but unavailable). With `multiWriter=true`
+    // the mapping is dynamic instead: each NEW epoch claims the next
+    // free id through the OCC layer (Changelog.claimNextId — blind
+    // appends never conflict, so no key-intersection check is needed)
+    // and records the assignment in a `_graft_sinkmap_<queryId>_<e>`
+    // marker BEFORE landing; a redelivered epoch reads its marker back
+    // and re-lands the SAME id idempotently. Producers interleave
+    // arbitrarily, but each query's epochs claim in commit order
+    // (Spark commits epochs sequentially per query), so per-key LWW
+    // order within one producer is preserved — concurrent producers
+    // writing DISJOINT keys compose deterministically, overlapping
+    // keys serialize by claim order (exactly Delta's concurrent blind-
+    // append semantics). A crash between claim and marker leaves an
+    // orphaned claim — the documented commitWithRetry operator state.
+
+    private def epochMarker(epochId: Long): String =
+      LogFs.child(path, s"${Changelog.SinkMapPrefix}${queryId}_$epochId")
+
+    private def resolveEpochCommit(epochId: Long): Long = {
+      val marker = epochMarker(epochId)
+      if (LogFs.exists(marker)) {
+        val id = LogFs.readString(marker).trim.toLong
+        // redelivery: the claim names us and passes; a foreign holder
+        // (impossible unless the marker was tampered with) stays loud
+        Changelog.claimCommit(path, id, writer)
+        id
+      } else {
+        val id = Changelog.claimNextId(path, writer)
+        LogFs.writeAtomic(marker, id.toString)
+        id
+      }
+    }
 
     private def baseMarker: String =
       LogFs.child(path, s"_graft_sinkbase_$queryId")
@@ -160,14 +231,19 @@ object LogSink {
 
     override def createStreamingWriterFactory(
         info: PhysicalWriteInfo): StreamingDataWriterFactory =
-      new LogWriterFactory(path, schema)
+      new LogWriterFactory(path, schema, queryId)
 
     override def commit(epochId: Long,
                         messages: Array[WriterCommitMessage]): Unit = {
-      val commitId = resolveBase(epochId) + epochId
-      // OCC arbitration: a foreign writer holding this id is a loud
-      // conflict; our own redelivery passes (the claim names us)
-      Changelog.claimCommit(path, commitId, writer)
+      val commitId =
+        if (multiWriter) resolveEpochCommit(epochId)
+        else {
+          val id = resolveBase(epochId) + epochId
+          // OCC arbitration: a foreign writer holding this id is a loud
+          // conflict; our own redelivery passes (the claim names us)
+          Changelog.claimCommit(path, id, writer)
+          id
+        }
       val staged = messages.collect { case StagedFile(f) => f }
       val dir = LogFs.child(path, s"${Changelog.CommitCol}=$commitId")
       // replace-don't-append: a redelivered epoch overwrites any
@@ -183,19 +259,20 @@ object LogSink {
           require(ok, s"failed to land staged epoch file $f into $dir")
         }
       }
-      LogFs.delete(stagingDir(epochId))
+      sweepStaging(epochId)
     }
 
     override def abort(epochId: Long,
                        messages: Array[WriterCommitMessage]): Unit =
-      LogFs.delete(stagingDir(epochId))
+      sweepStaging(epochId)
   }
 
-  private class LogWriterFactory(path: String, schema: StructType)
+  private class LogWriterFactory(path: String, schema: StructType,
+                                 queryId: String)
       extends StreamingDataWriterFactory {
     override def createWriter(partitionId: Int, taskId: Long,
                               epochId: Long): DataWriter[InternalRow] =
-      new StagingWriter(path, schema, partitionId, taskId, epochId)
+      new StagingWriter(path, schema, queryId, partitionId, taskId, epochId)
   }
 
   /** Writes the task's rows to ONE staged parquet file with the
@@ -206,8 +283,8 @@ object LogSink {
     * lands.
     */
   private class StagingWriter(path: String, schema: StructType,
-                              partitionId: Int, taskId: Long,
-                              epochId: Long)
+                              queryId: String, partitionId: Int,
+                              taskId: Long, epochId: Long)
       extends DataWriter[InternalRow] {
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
     import org.apache.parquet.hadoop.ParquetWriter
@@ -234,7 +311,8 @@ object LogSink {
     }
 
     private val file = LogFs.child(
-      LogFs.child(LogFs.child(path, "__stream_staging"), s"epoch=$epochId"),
+      LogFs.child(LogFs.child(LogFs.child(path, "__stream_staging"),
+        s"query=$queryId"), s"epoch=$epochId"),
       s"stage-$partitionId-$taskId-${java.util.UUID.randomUUID()}.parquet")
 
     private lazy val out: ParquetWriter[

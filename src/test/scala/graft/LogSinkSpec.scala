@@ -151,6 +151,128 @@ class LogSinkSpec extends SparkSpec {
       .count() == 5L)
   }
 
+  test("multiWriter: two CONCURRENT producers interleave into one log " +
+       "— disjoint keys compose deterministically (q208; 3 trials)") {
+    for (trial <- 1 to 3) {
+      val landingA = Sinks.tmpPath(s"log_sink_spec_mw_la_$trial")
+      val landingB = Sinks.tmpPath(s"log_sink_spec_mw_lb_$trial")
+      val log = Sinks.tmpPath(s"log_sink_spec_mw_log_$trial")
+      val ckptA = Sinks.tmpPath(s"log_sink_spec_mw_ca_$trial")
+      val ckptB = Sinks.tmpPath(s"log_sink_spec_mw_cb_$trial")
+      Seq(landingA, landingB, log, ckptA, ckptB)
+        .foreach(Sinks.deleteRecursively)
+      def half(df: org.apache.spark.sql.DataFrame, parity: Int) =
+        df.filter(col("o_orderkey") % 2 === parity)
+      stage(landingA, commits.map(half(_, 1))) // k1, k3
+      stage(landingB, commits.map(half(_, 0))) // k2, k4
+      def sink(landing: String, ckpt: String) =
+        spark.readStream.schema(landingSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing)
+          .writeStream.format(classOf[LogSink].getName)
+          .option("path", log)
+          .option("multiWriter", "true")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      val qa = sink(landingA, ckptA)
+      val qb = sink(landingB, ckptB)
+      qa.awaitTermination()
+      qb.awaitTermination()
+      // six epochs claimed six CONTIGUOUS ids in some interleave
+      assert(spark.read.parquet(log).select(Changelog.CommitCol)
+        .distinct().as[Long].collect().sorted.toSeq ==
+        (0L to 5L), s"trial $trial")
+      // one epoch→commit map marker per epoch
+      assert(Option(new java.io.File(log).listFiles()).toSeq.flatten
+        .count(_.getName.startsWith("_graft_sinkmap_")) == 6,
+        s"trial $trial")
+      // the final state is interleave-independent (keys disjoint,
+      // per-producer epoch order monotone in commit id)
+      assert(Changelog.snapshotAtOps(spark, log, Seq("o_orderkey"),
+          Long.MaxValue)
+        .select("o_orderkey", "o_totalprice")
+        .as[(Long, Double)].collect().toMap ==
+        Map(1L -> 11.0, 2L -> 25.0, 3L -> 30.0, 4L -> 40.0),
+        s"trial $trial")
+    }
+  }
+
+  test("multiWriter is WHY: under the static base mapping a resumed " +
+       "producer collides with a second producer's commit (loud " +
+       "foreign claim); with multiWriter the continuation claims past " +
+       "it, and a checkpoint sweeps the stale map markers") {
+    // --- the failure the mode exists for (default static mapping) ---
+    val landingA = Sinks.tmpPath("log_sink_spec_mwwhy_la")
+    val landingB = Sinks.tmpPath("log_sink_spec_mwwhy_lb")
+    val log = Sinks.tmpPath("log_sink_spec_mwwhy_log")
+    val ckptA = Sinks.tmpPath("log_sink_spec_mwwhy_ca")
+    Seq(landingA, landingB, log, ckptA).foreach(Sinks.deleteRecursively)
+    def sinkOpts(landing: String, ckpt: String, opts: Map[String, String]) = {
+      val w = spark.readStream.schema(landingSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream.format(classOf[LogSink].getName)
+        .option("path", log)
+        .option("checkpointLocation", ckpt)
+      val q = opts.foldLeft(w) { case (b, (k, v)) => b.option(k, v) }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    stage(landingA, commits.take(2))
+    sinkOpts(landingA, ckptA, Map("writer" -> "wA")) // commits 0, 1
+    stage(landingB, Seq(frame(Seq((8L, Some(30L), Some(80.0), "u")))))
+    sinkOpts(landingB, Sinks.tmpPath("log_sink_spec_mwwhy_cb"),
+      Map("writer" -> "wB")) // fresh query: base marker → commit 2
+    stage(landingA, Seq(commits(2)))
+    val e = intercept[Exception] {
+      sinkOpts(landingA, ckptA, Map("writer" -> "wA")) // epoch 2 → id 2
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("claimed by writer 'wB'"))), e.getMessage)
+
+    // --- the same sequence under multiWriter lands cleanly ---
+    val landingC = Sinks.tmpPath("log_sink_spec_mwok_lc")
+    val landingD = Sinks.tmpPath("log_sink_spec_mwok_ld")
+    val log2 = Sinks.tmpPath("log_sink_spec_mwok_log")
+    val ckptC = Sinks.tmpPath("log_sink_spec_mwok_cc")
+    Seq(landingC, landingD, log2, ckptC).foreach(Sinks.deleteRecursively)
+    def sink2(landing: String, ckpt: String): Unit = {
+      val q = spark.readStream.schema(landingSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream.format(classOf[LogSink].getName)
+        .option("path", log2)
+        .option("multiWriter", "true")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    stage(landingC, commits.take(2))
+    sink2(landingC, ckptC) // commits 0, 1
+    stage(landingD, Seq(frame(Seq((8L, Some(30L), Some(80.0), "u")))))
+    sink2(landingD, Sinks.tmpPath("log_sink_spec_mwok_cd")) // commit 2
+    stage(landingC, Seq(commits(2)))
+    sink2(landingC, ckptC) // epoch 2 claims PAST the foreign id → 3
+    assert(new java.io.File(log2, s"${Changelog.CommitCol}=3").isDirectory)
+    assert(Changelog.snapshotAtOps(spark, log2, Seq("o_orderkey"),
+        Long.MaxValue)
+      .select("o_orderkey", "o_totalprice")
+      .as[(Long, Double)].collect().toMap ==
+      Map(1L -> 11.0, 2L -> 25.0, 3L -> 30.0, 4L -> 40.0, 8L -> 80.0))
+    // the checkpoint sweeps map markers whose commit folded below the
+    // horizon; the at-horizon marker survives
+    Changelog.checkpointOps(spark, log2, Seq("o_orderkey"), 3L)
+    val left = Option(new java.io.File(log2).listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("_graft_sinkmap_"))
+    assert(left.length == 1 &&
+      scala.io.Source.fromFile(left.head).mkString.trim == "3",
+      s"expected only the at-horizon map marker, got " +
+        left.map(_.getName).mkString(", "))
+  }
+
   test("planning-time guards: a plain stream into an ops log is " +
        "refused before any epoch runs; a foreign writer's claim on " +
        "the epoch id fails the stream loudly") {
