@@ -87,6 +87,43 @@ class CdcSourceSpec extends SparkSpec {
       "committed spool batches were not swept")
   }
 
+  test("maxCommitsPerTrigger > 1: a multi-commit window serves the NET " +
+       "feed (intermediate states collapse) and the consumer still " +
+       "converges") {
+    val opsLog = Sinks.tmpPath("cdc_source_spec_net_ops")
+    val rollLog = Sinks.tmpPath("cdc_source_spec_net_roll")
+    val ckpt = Sinks.tmpPath("cdc_source_spec_net_ckpt")
+    Seq(opsLog, rollLog, ckpt).foreach(Sinks.deleteRecursively)
+    commits.zipWithIndex.foreach { case (c, i) =>
+      Changelog.commit(c, opsLog, i.toLong)
+    }
+    val q = spark.readStream.format(classOf[CdcSource].getName)
+      .option("path", opsLog)
+      .option("keys", "o_orderkey")
+      .option("trackCols", "o_totalprice,o_custkey")
+      .option("maxCommitsPerTrigger", 3)
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          Changelog.commitIdempotent(
+            StreamIvm.cdcDelta(batch, groupCol = "o_custkey",
+              measure = "o_totalprice"),
+            rollLog, batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // ONE batch covered (−1, 2]: k1's insert→delete→re-insert collapses
+    // to a single net insert at 11.0 — exactly one rollup commit landed
+    assert(spark.read.parquet(rollLog)
+      .select(Changelog.CommitCol).distinct()
+      .as[Long].collect().sorted.toSeq == Seq(0L))
+    assert(served(rollLog) == Seq((10L, 2L, 36.0), (20L, 2L, 70.0)))
+  }
+
   test("restart from checkpoint: only commits landed since the stop " +
        "are processed; the resumed rollup equals the uninterrupted one") {
     val opsLog = Sinks.tmpPath("cdc_source_spec_restart_ops")
