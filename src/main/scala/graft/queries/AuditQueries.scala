@@ -186,12 +186,70 @@ object AuditQueries {
       path
     })
 
-  /** Stage the q184 streaming landing outside the timed window (the
-    * ScaleQueries.stageFixtures discipline: trial 1 must never time
-    * fixture writes — the memo already makes trials 2+ free).
+  /** Events-shaped landing for the TIMESTAMP-typed sink leg (q209):
+    * three mtime-ordered deliveries over the events table keyed by
+    * event_id — full upsert, every-7th tombstone, every-10th re-upsert
+    * with ts shifted +1 hour and value +5 (resurrecting multiples of
+    * 70). The ts column stays TimestampType end to end. Memoized per
+    * JVM per input dir, like [[stagedOpsLanding]].
     */
-  def stageFixtures(s: SparkSession, d: String): Unit =
+  private val EventsLandingSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("event_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("op",
+      org.apache.spark.sql.types.StringType)))
+
+  private val eventsLandingStaged =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def stagedEventsLanding(s: SparkSession, d: String): String =
+    eventsLandingStaged.getOrElseUpdate(d, {
+      val path = Sinks.tmpPathFor("events_ops_landing", d)
+      Sinks.deleteRecursively(path)
+      val ev = Tables.events(s, d)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+      val k = col("event_id")
+      val days = Seq(
+        ev.withColumn("op", lit("u")),
+        ev.filter(k % 7 === 0).select(col("event_id"),
+          lit(null).cast("bigint").as("user_id"),
+          lit(null).cast("timestamp").as("ts"),
+          lit(null).cast("string").as("event_type"),
+          lit(null).cast("double").as("value"),
+          lit("d").as("op")),
+        ev.filter(k % 10 === 0)
+          .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+          .withColumn("value", col("value") + 5.0)
+          .withColumn("op", lit("u")))
+      def files() = Option(new java.io.File(path).listFiles()).fold(
+        Set.empty[java.io.File])(
+        _.filter(_.getName.endsWith(".parquet")).toSet)
+      var mtime = System.currentTimeMillis() - (days.length + 2) * 2000L
+      days.foreach { day =>
+        val before = files()
+        day.coalesce(1).write.mode("append").parquet(path)
+        (files() -- before).foreach(f =>
+          require(f.setLastModified(mtime), s"setLastModified failed on $f"))
+        mtime += 2000L
+      }
+      path
+    })
+
+  /** Stage the q184/q209 streaming landings outside the timed window
+    * (the ScaleQueries.stageFixtures discipline: trial 1 must never
+    * time fixture writes — the memo already makes trials 2+ free).
+    */
+  def stageFixtures(s: SparkSession, d: String): Unit = {
     stagedOpsLanding(s, d): Unit
+    stagedEventsLanding(s, d): Unit
+  }
 
   /** Ops log over DOCUMENTS keyed by a derived STRING key
     * (`D<doc_id zero-padded to 8>` — order-preserving for numeric
@@ -637,6 +695,35 @@ object AuditQueries {
         .filter(col("n_orders") > 0)
         .select(col("o_custkey"), col("n_orders"),
           (col("cents").cast("double") / 100.0).as("sum_price"))
+    }),
+
+    // TIMESTAMP COLUMNS THROUGH THE STREAMING TABLE FORMAT — the sink's
+    // type surface widened to the events shape: a writeStream carrying
+    // a real TimestampType column lands as claimed epoch commits
+    // (staged as UTC-micros-annotated INT64 — Spark's own internal
+    // representation — so the log reads back as TimestampType exactly),
+    // tombstones null the timestamp, the every-10th re-upsert SHIFTS it
+    // by +1 hour, and the served snapshot must equal the recompute —
+    // timestamp arithmetic crossing the engine boundary bit-exactly.
+    // The feed-side spool (epoch-micros round-trip) is spec-pinned in
+    // ReplicationSpec.
+    "q209_stream_sink_timestamps" -> ((s, d) => {
+      val landing = stagedEventsLanding(s, d)
+      val path = Sinks.tmpPathFor("events_ops_sink_log", d)
+      val ckpt = Sinks.tmpPathFor("events_ops_sink_ckpt", d)
+      Sinks.deleteRecursively(path)
+      Sinks.deleteRecursively(ckpt)
+      val q = s.readStream.schema(EventsLandingSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .withColumnRenamed("op", Changelog.OpCol)
+        .writeStream.format(classOf[graft.streaming.LogSink].getName)
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Changelog.snapshotAtOps(s, path, Seq("event_id"), Long.MaxValue)
     }),
 
     // MULTI-PRODUCER STREAMING INGESTION — the OCC layer under the
@@ -1368,6 +1455,20 @@ object AuditQueries {
         |WHERE o_orderkey % 4 = 3
         |   OR o_orderkey % 10 <> 0
         |   OR o_orderkey % 20 = 0""".stripMargin,
+
+    // the timestamp-carrying snapshot must equal the recompute: every
+    // 7th event gone unless resurrected as an every-10th re-upsert,
+    // whose ts shifted +1 hour and value +5
+    "q209_stream_sink_timestamps" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id % 10 = 0
+        |       THEN CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR
+        |       ELSE CAST(ts AS TIMESTAMP) END AS ts,
+        |  event_type,
+        |  CASE WHEN event_id % 10 = 0 THEN value + 5.0
+        |       ELSE value END AS value
+        |FROM events
+        |WHERE event_id % 7 <> 0 OR event_id % 10 = 0""".stripMargin,
 
     // two concurrent parity-split producers must compose to the
     // single-producer law (q204's oracle verbatim)

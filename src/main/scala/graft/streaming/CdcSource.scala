@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import graft.sources.{Changelog, LogFs}
@@ -57,9 +57,11 @@ import graft.sources.{Changelog, LogFs}
   * `startVersion` (default: the horizon, else min commit − 1),
   * `maxCommitsPerTrigger` (default 1).
   *
-  * Feed column types are limited to long/int/double/string/boolean —
-  * loudly checked at load() — because the spool readers decode parquet
-  * directly (no Spark row codec on the read side).
+  * Feed column types are limited to long/int/double/string/boolean/
+  * timestamp — loudly checked at load() — because the spool readers
+  * decode parquet directly (no Spark row codec on the read side;
+  * timestamps spool as epoch-micros INT64, Spark's own internal
+  * representation).
   */
 class CdcSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -108,10 +110,10 @@ object CdcSource {
       head, head + 1, opts.trackCols).schema
     schema.fields.foreach { f =>
       require(Seq(LongType, IntegerType, DoubleType, StringType,
-        BooleanType).contains(f.dataType),
+        BooleanType, TimestampType).contains(f.dataType),
         s"feed column ${f.name} has type ${f.dataType} — the CDC " +
           "source's spool readers decode long/int/double/string/" +
-          "boolean only")
+          "boolean/timestamp only")
     }
     schema
   }
@@ -224,9 +226,21 @@ object CdcSource {
       val dir = spoolDir(s, e)
       if (!LogFs.exists(LogFs.child(dir, "_SUCCESS"))) {
         LogFs.delete(dir)
-        Changelog.changesBetweenOps(spark, opts.path, opts.keys, s, e,
-            opts.trackCols)
-          .write.mode("overwrite").parquet(dir)
+        val feed = Changelog.changesBetweenOps(spark, opts.path,
+          opts.keys, s, e, opts.trackCols)
+        // timestamp columns spool as plain epoch-micros INT64 (Spark's
+        // internal representation) — the spool reader hands the long
+        // straight back as the TimestampType value, independent of
+        // whatever physical timestamp encoding Spark's parquet writer
+        // would pick
+        val spooled = schema.fields.foldLeft(feed) { (df, f) =>
+          if (f.dataType == TimestampType)
+            df.withColumn(f.name,
+              org.apache.spark.sql.functions.unix_micros(
+                org.apache.spark.sql.functions.col(f.name)))
+          else df
+        }
+        spooled.write.mode("overwrite").parquet(dir)
       }
       LogFs.list(dir)
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
@@ -292,11 +306,12 @@ object CdcSource {
         val idx = gt.getFieldIndex(f.name)
         if (g.getFieldRepetitionCount(idx) == 0) null
         else f.dataType match {
-          case LongType    => g.getLong(idx, 0)
-          case IntegerType => g.getInteger(idx, 0)
-          case DoubleType  => g.getDouble(idx, 0)
-          case BooleanType => g.getBoolean(idx, 0)
-          case StringType  => UTF8String.fromString(g.getString(idx, 0))
+          case LongType      => g.getLong(idx, 0)
+          case IntegerType   => g.getInteger(idx, 0)
+          case DoubleType    => g.getDouble(idx, 0)
+          case BooleanType   => g.getBoolean(idx, 0)
+          case StringType    => UTF8String.fromString(g.getString(idx, 0))
+          case TimestampType => g.getLong(idx, 0) // spooled epoch micros
           case dt => throw new IllegalStateException(
             s"unreachable: type $dt passed the load() bound")
         }

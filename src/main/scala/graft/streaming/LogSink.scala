@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapabi
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.sources.{Changelog, LogFs}
 
@@ -43,9 +43,11 @@ import graft.sources.{Changelog, LogFs}
   *
   * The input schema must match the target log's shape (the
   * plain-vs-ops write guard runs at planning time, BEFORE any epoch
-  * starts) and is bounded to long/int/double/string/boolean columns —
-  * the staged files are written by the sink itself, not Spark's
-  * parquet writer, so the type surface is explicit. Writer identity
+  * starts) and is bounded to long/int/double/string/boolean/timestamp
+  * columns — the staged files are written by the sink itself, not
+  * Spark's parquet writer, so the type surface is explicit
+  * (timestamps stage as UTC-micros-annotated INT64, Spark's own
+  * internal representation, and read back as TimestampType exactly). Writer identity
   * comes from option `writer` (default [[Changelog.SoloWriter]]) —
   * give concurrent producers distinct ids, the claim arbitration does
   * the rest.
@@ -100,10 +102,10 @@ object LogSink {
           "column — the epoch id IS the commit coordinate")
       s.fields.foreach { f =>
         require(Seq(LongType, IntegerType, DoubleType, StringType,
-          BooleanType).contains(f.dataType),
+          BooleanType, TimestampType).contains(f.dataType),
           s"LogSink input column ${f.name} has type ${f.dataType} — " +
             "the staged parquet writer covers long/int/double/string/" +
-            "boolean only")
+            "boolean/timestamp only")
       }
       // the plain-vs-ops shape guard, BEFORE any epoch runs: a plain
       // stream into an ops log would land rows that compact as DEAD
@@ -289,7 +291,7 @@ object LogSink {
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
     import org.apache.parquet.hadoop.ParquetWriter
     import org.apache.parquet.hadoop.example.ExampleParquetWriter
-    import org.apache.parquet.schema.{MessageType, Types}
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
     import org.apache.parquet.schema.LogicalTypeAnnotation.stringType
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
@@ -302,6 +304,11 @@ object LogSink {
           case DoubleType  => Types.optional(DOUBLE)
           case BooleanType => Types.optional(BOOLEAN)
           case StringType  => Types.optional(BINARY).as(stringType())
+          // Spark's internal timestamp IS epoch micros (UTC-adjusted):
+          // the annotated INT64 reads back as TimestampType exactly
+          case TimestampType => Types.optional(INT64).as(
+            LogicalTypeAnnotation.timestampType(true,
+              LogicalTypeAnnotation.TimeUnit.MICROS))
           case dt => throw new IllegalStateException(
             s"unreachable: type $dt passed the planning bound")
         }
@@ -331,12 +338,13 @@ object LogSink {
         if (!row.isNullAt(i)) {
           val name = schema.fields(i).name
           schema.fields(i).dataType match {
-            case LongType    => g.append(name, row.getLong(i))
-            case IntegerType => g.append(name, row.getInt(i))
-            case DoubleType  => g.append(name, row.getDouble(i))
-            case BooleanType => g.append(name, row.getBoolean(i))
-            case StringType  => g.append(name, row.getUTF8String(i).toString)
-            case _           => ()
+            case LongType      => g.append(name, row.getLong(i))
+            case IntegerType   => g.append(name, row.getInt(i))
+            case DoubleType    => g.append(name, row.getDouble(i))
+            case BooleanType   => g.append(name, row.getBoolean(i))
+            case StringType    => g.append(name, row.getUTF8String(i).toString)
+            case TimestampType => g.append(name, row.getLong(i))
+            case _             => ()
           }
         }
         i += 1

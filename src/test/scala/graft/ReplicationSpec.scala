@@ -208,6 +208,72 @@ class ReplicationSpec extends SparkSpec {
     assert(servedView(viewLog) == recompute)
   }
 
+  test("TimestampType rides the full streaming round-trip: the sink " +
+       "stages micros-annotated INT64, the feed spools epoch micros, " +
+       "and a ts-only change labels an update (q209's substrate)") {
+    val log = Sinks.tmpPath("repl_spec_ts_log")
+    val ckpt = Sinks.tmpPath("repl_spec_ts_ckpt")
+    val landing = Sinks.tmpPath("repl_spec_ts_landing")
+    Seq(log, ckpt, landing).foreach(Sinks.deleteRecursively)
+    val t0 = java.sql.Timestamp.valueOf("2024-03-01 10:15:30.123456")
+    val t1 = java.sql.Timestamp.valueOf("2024-03-01 11:15:30.123456")
+    // two mtime-ordered deliveries: insert k1@t0, then shift k1 to t1
+    val d0 = Seq((1L, Some(t0), "u")).toDF("k", "ts", op)
+    val d1 = Seq((1L, Some(t1), "u")).toDF("k", "ts", op)
+    def files() = Option(new java.io.File(landing).listFiles()).fold(
+      Set.empty[java.io.File])(_.filter(_.getName.endsWith(".parquet")).toSet)
+    var mtime = System.currentTimeMillis() - 8000L
+    Seq(d0, d1).foreach { day =>
+      val before = files()
+      day.coalesce(1).write.mode("append").parquet(landing)
+      (files() -- before).foreach(f => require(f.setLastModified(mtime)))
+      mtime += 2000L
+    }
+    val q = spark.readStream.schema(d0.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.format(classOf[LogSink].getName)
+      .option("path", log)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the log reads back as TimestampType with MICROSECOND precision
+    val snap = Changelog.snapshotAtOps(spark, log, Seq("k"), Long.MaxValue)
+    assert(snap.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(snap.select("ts").as[java.sql.Timestamp].head() == t1)
+    // the feed over the ts trackCol labels the micros-exact shift as
+    // an update, old/new both timestamps — through the micros spool
+    val feedCkpt = Sinks.tmpPath("repl_spec_ts_feed_ckpt")
+    val out = Sinks.tmpPath("repl_spec_ts_feed_out")
+    Seq(feedCkpt, out).foreach(Sinks.deleteRecursively)
+    val fq = spark.readStream.format(classOf[CdcSource].getName)
+      .option("path", log)
+      .option("keys", "k")
+      .option("trackCols", "ts")
+      .load()
+      .writeStream
+      .option("checkpointLocation", feedCkpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          batch.write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    fq.awaitTermination()
+    val rows = spark.read.parquet(out)
+      .select("k", "change_type", "old_ts", "new_ts")
+      .as[(Long, String, Option[java.sql.Timestamp],
+        Option[java.sql.Timestamp])].collect().toSet
+    assert(rows == Set(
+      (1L, "insert", None, Some(t0)),
+      (1L, "update", Some(t0), Some(t1))),
+      s"expected the insert@t0 then the micros-exact ts-only update; " +
+        s"got $rows")
+  }
+
   test("a group-MOVING update retracts from the old group and lands in " +
        "the new one — exact by construction in the signed explode") {
     val upstream = Sinks.tmpPath("repl_spec_mv_move_up")
