@@ -624,6 +624,10 @@ object AuditQueries {
         .option("path", upstream)
         .option("keys", "o_orderkey")
         .option("trackCols", "o_custkey,o_totalprice")
+        // replication never reads the old_* side: the declared
+        // projection halves the per-window spool width (spec-pinned)
+        .option("columns",
+          "o_orderkey,new_o_custkey,new_o_totalprice,change_type")
         .load()
       val del = col("change_type") === "delete"
       val q = feed.select(

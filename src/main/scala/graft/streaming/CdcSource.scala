@@ -55,7 +55,13 @@ import graft.sources.{Changelog, LogFs}
   *
   * Options: `path` (the ops log), `keys` (csv), `trackCols` (csv),
   * `startVersion` (default: the horizon, else min commit − 1),
-  * `maxCommitsPerTrigger` (default 1).
+  * `maxCommitsPerTrigger` (default 1), `columns` (csv, optional — an
+  * explicit projection of the feed: the spool writes ONLY these
+  * columns, so a replication consumer that never reads the old_* side
+  * halves its per-window write amplification; an option rather than
+  * `SupportsPushDownRequiredColumns` because streaming DSv2 scan
+  * builders are constructed before the optimizer runs, so plan-driven
+  * pruning cannot reach a MicroBatchStream).
   *
   * Feed column types are limited to long/int/double/string/boolean/
   * timestamp — loudly checked at load() — because the spool readers
@@ -78,7 +84,8 @@ object CdcSource {
   private[streaming] case class Opts(path: String, keys: Seq[String],
                                      trackCols: Seq[String],
                                      startVersion: Option[Long],
-                                     maxCommitsPerTrigger: Long)
+                                     maxCommitsPerTrigger: Long,
+                                     columns: Option[Seq[String]])
   private object Opts {
     def apply(o: CaseInsensitiveStringMap): Opts = {
       val path = o.get("path")
@@ -91,7 +98,9 @@ object CdcSource {
       }
       Opts(path, csv("keys"), csv("trackCols"),
         Option(o.get("startVersion")).map(_.toLong),
-        o.getLong("maxCommitsPerTrigger", 1L))
+        o.getLong("maxCommitsPerTrigger", 1L),
+        Option(o.get("columns")).map(_.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq))
     }
   }
 
@@ -115,7 +124,18 @@ object CdcSource {
           "source's spool readers decode long/int/double/string/" +
           "boolean/timestamp only")
     }
-    schema
+    // explicit projection: the spool (the window's write amplification)
+    // is as narrow as the consumer declares, not as wide as the feed.
+    // An OPTION rather than SupportsPushDownRequiredColumns because
+    // streaming DSv2 scan builders are constructed BEFORE the optimizer
+    // runs — plan-driven pruning never reaches a MicroBatchStream.
+    opts.columns.fold(schema) { cs =>
+      val missing = cs.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"option 'columns' names [${missing.mkString(", ")}] not in the " +
+          s"feed schema [${schema.fieldNames.mkString(", ")}]")
+      StructType(cs.map(schema(_)))
+    }
   }
 
   private def commitHead(path: String): Option[Long] = {
@@ -137,6 +157,14 @@ object CdcSource {
   private[streaming] case class CdcOffset(version: Long) extends Offset {
     override def json(): String = version.toString
   }
+
+  /** The last window's spooled column list — observability for the
+    * pruning proof (the ProfileConnector `payloadBuilds` discipline:
+    * an oracle cannot see which columns were written to disk, a spec
+    * can). Driver-side only; set by every `planInputPartitions`.
+    */
+  private[graft] val lastSpooledColumns =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
 
   private[streaming] class CdcTable(schema: StructType, opts: Opts)
       extends Table with SupportsRead {
@@ -174,9 +202,20 @@ object CdcSource {
     override def prepareForTriggerAvailableNow(): Unit =
       availableNowCap = commitHead(opts.path)
 
+    // the spool dir carries a token of the COLUMN SET it holds: a
+    // restart whose plan projects differently (wider after a narrower
+    // run) must never reuse a _SUCCESS-complete spool that lacks its
+    // columns — a different projection simply spools into a sibling
+    // dir, and commit's sweep (which parses only start/end) reclaims
+    // both. The token rides AFTER start/end so the sweep's split
+    // stays valid.
+    private def colsToken: String =
+      java.lang.Integer.toHexString(
+        schema.fieldNames.mkString(",").hashCode)
+
     private def spoolDir(start: Long, end: Long): String =
       LogFs.child(LogFs.child(checkpointLocation, "graft_cdc_spool"),
-        s"batch_${start}_$end")
+        s"batch_${start}_${end}_c$colsToken")
 
     override def initialOffset(): Offset = CdcOffset(
       opts.startVersion.getOrElse {
@@ -227,7 +266,12 @@ object CdcSource {
       if (!LogFs.exists(LogFs.child(dir, "_SUCCESS"))) {
         LogFs.delete(dir)
         val feed = Changelog.changesBetweenOps(spark, opts.path,
-          opts.keys, s, e, opts.trackCols)
+            opts.keys, s, e, opts.trackCols)
+          // pruned to the consumer's required columns — the spool (and
+          // therefore the window's write amplification) is as narrow as
+          // the plan, not as wide as the feed
+          .select(schema.fieldNames.map(
+            org.apache.spark.sql.functions.col).toIndexedSeq: _*)
         // timestamp columns spool as plain epoch-micros INT64 (Spark's
         // internal representation) — the spool reader hands the long
         // straight back as the TimestampType value, independent of
@@ -242,6 +286,7 @@ object CdcSource {
         }
         spooled.write.mode("overwrite").parquet(dir)
       }
+      lastSpooledColumns.set(schema.fieldNames.toSeq)
       LogFs.list(dir)
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .sortBy(_.getPath.getName)

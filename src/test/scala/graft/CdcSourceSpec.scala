@@ -87,6 +87,53 @@ class CdcSourceSpec extends SparkSpec {
       "committed spool batches were not swept")
   }
 
+  test("the 'columns' projection reaches the SPOOL: a consumer " +
+       "declaring keys + change_type never spools the old_*/new_* " +
+       "sides; an undeclared consumer spools the full feed") {
+    val opsLog = Sinks.tmpPath("cdc_source_spec_prune_ops")
+    val out = Sinks.tmpPath("cdc_source_spec_prune_out")
+    val ckpt = Sinks.tmpPath("cdc_source_spec_prune_ckpt")
+    Seq(opsLog, out, ckpt).foreach(Sinks.deleteRecursively)
+    commits.zipWithIndex.foreach { case (c, i) =>
+      Changelog.commit(c, opsLog, i.toLong)
+    }
+    val q = spark.readStream.format(classOf[CdcSource].getName)
+      .option("path", opsLog)
+      .option("keys", "o_orderkey")
+      .option("trackCols", "o_totalprice,o_custkey")
+      .option("columns", "o_orderkey,change_type")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          batch.write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(CdcSource.lastSpooledColumns.get().toSet ==
+      Set("o_orderkey", "change_type"),
+      s"spool not pruned: ${CdcSource.lastSpooledColumns.get()}")
+    // labels across the three windows: 3 inserts, then 1 delete +
+    // 1 update, then 2 inserts (the resurrection reads as insert in
+    // its own window)
+    assert(spark.read.parquet(out).groupBy("change_type").count()
+      .as[(String, Long)].collect().toMap ==
+      Map("insert" -> 5L, "delete" -> 1L, "update" -> 1L))
+    // the undeclared consumer (cdcDelta reads both sides) spools the
+    // full feed — the projection is opt-in, never a silent narrowing
+    val rollLog = Sinks.tmpPath("cdc_source_spec_prune_roll")
+    val ckpt2 = Sinks.tmpPath("cdc_source_spec_prune_ckpt2")
+    Seq(rollLog, ckpt2).foreach(Sinks.deleteRecursively)
+    runConsumer(opsLog, rollLog, ckpt2)
+    assert(CdcSource.lastSpooledColumns.get().toSet ==
+      Set("o_orderkey", "new_o_totalprice", "new_o_custkey",
+        "old_o_totalprice", "old_o_custkey", "change_type"))
+    assert(served(rollLog) == Seq((10L, 2L, 36.0), (20L, 2L, 70.0)))
+  }
+
   test("maxCommitsPerTrigger > 1: a multi-commit window serves the NET " +
        "feed (intermediate states collapse) and the consumer still " +
        "converges") {

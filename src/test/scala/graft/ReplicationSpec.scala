@@ -43,6 +43,8 @@ class ReplicationSpec extends SparkSpec {
       .option("path", upstream)
       .option("keys", "o_orderkey")
       .option("trackCols", "o_custkey,o_totalprice")
+      .option("columns",
+        "o_orderkey,new_o_custkey,new_o_totalprice,change_type")
       .load()
     val del = col("change_type") === "delete"
     val q = feed.select(
