@@ -646,6 +646,48 @@ object AuditQueries {
       Changelog.snapshotAtOps(s, replica, Seq("o_orderkey"), Long.MaxValue)
     }),
 
+    // SELECTIVE (TENANT-SLICE) REPLICATION — q206 with the feed's
+    // `keyFilter` knob: the replica subscribes to ONE slice of a
+    // shared log (keys ≡ 1 mod 3) and the predicate prunes the
+    // touched-key set BEFORE the endpoint compactions, so the slice
+    // consumer pays O(slice · delta) per window — never the full feed
+    // then a filter. Composed with the `columns` projection, the spool
+    // carries exactly the slice's rows and exactly the verbs' columns.
+    // The replica must equal the upstream head law restricted to the
+    // slice; feed-equivalence (filtered feed ≡ full feed filtered) is
+    // spec-pinned.
+    "q210_selective_replication" -> ((s, d) => {
+      val upstream = opsLog(s, d, "orders_ops_log_q210")
+      val replica = Sinks.tmpPathFor("orders_ops_tenant_replica", d)
+      val ckpt = Sinks.tmpPathFor("orders_ops_tenant_ckpt", d)
+      Sinks.deleteRecursively(replica)
+      Sinks.deleteRecursively(ckpt)
+      val feed = s.readStream
+        .format(classOf[graft.streaming.CdcSource].getName)
+        .option("path", upstream)
+        .option("keys", "o_orderkey")
+        .option("trackCols", "o_custkey,o_totalprice")
+        .option("keyFilter", "o_orderkey % 3 = 1")
+        .option("columns",
+          "o_orderkey,new_o_custkey,new_o_totalprice,change_type")
+        .load()
+      val del = col("change_type") === "delete"
+      val q = feed.select(
+          col("o_orderkey"),
+          when(del, lit(null).cast("bigint"))
+            .otherwise(col("new_o_custkey")).as("o_custkey"),
+          when(del, lit(null).cast("double"))
+            .otherwise(col("new_o_totalprice")).as("o_totalprice"),
+          when(del, lit("d")).otherwise(lit("u")).as(Changelog.OpCol))
+        .writeStream.format(classOf[graft.streaming.LogSink].getName)
+        .option("path", replica)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Changelog.snapshotAtOps(s, replica, Seq("o_orderkey"), Long.MaxValue)
+    }),
+
     // THE FULLY DECLARATIVE MATERIALIZED VIEW — the SEVENTH IVM path
     // onto the q183 rollup oracle, and the first with NO foreachBatch
     // anywhere: `readStream(CdcSource)` serves the feed, a projection
@@ -1499,6 +1541,20 @@ object AuditQueries {
         |WHERE o_orderkey % 4 = 3
         |   OR o_orderkey % 10 <> 0
         |   OR o_orderkey % 20 = 0""".stripMargin,
+
+    // the tenant replica must equal the upstream head law RESTRICTED
+    // to the subscribed slice (keys ≡ 1 mod 3)
+    "q210_selective_replication" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |       WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |            AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 3 = 1
+        |  AND (o_orderkey % 4 = 3
+        |       OR o_orderkey % 10 <> 0
+        |       OR o_orderkey % 20 = 0)""".stripMargin,
 
     // the declarative streaming materialized view must converge to the
     // recompute from the final live state (q183's oracle verbatim —

@@ -910,7 +910,8 @@ object Changelog {
     */
   def changesBetweenOps(spark: SparkSession, path: String,
                         keys: Seq[String], v0: Long, v1: Long,
-                        trackCols: Seq[String]): DataFrame = {
+                        trackCols: Seq[String],
+                        keyFilter: Option[String] = None): DataFrame = {
     require(v0 < v1, s"need v0 < v1, got $v0 >= $v1")
     requireAboveHorizon(path, v0, "change-feed start version v0")
     val generated = Set("change_type", "_old_live", "_new_live") ++
@@ -930,8 +931,33 @@ object Changelog {
       if (basesInWindow.isEmpty) window
       else window && !col(CommitCol).isin(basesInWindow: _*)
     }
-    val touched = log.filter(candidateCommits)
+    // keyFilter is the SELECTIVE-feed knob (one tenant's keys out of a
+    // shared log): a boolean SQL expression over the KEY columns,
+    // applied to the touched-key set BEFORE the two endpoint
+    // compactions — both left_semi joins then carry only matching
+    // keys, so a consumer of an f-fraction slice pays O(f · delta),
+    // not O(delta)-then-filter. Equivalent to filtering the full feed
+    // (each key's labels are independent of other keys) — spec-pinned.
+    // The key-columns-only precondition is checked by PARSING the
+    // expression's references, not by trusting analysis: Spark's
+    // ResolveMissingReferences would happily resolve a non-key column
+    // back THROUGH the projection and filter by pre-compaction row
+    // values — silently wrong (which version of the key's value?).
+    keyFilter.foreach { f =>
+      val refs = spark.sessionState.sqlParser.parseExpression(f)
+        .collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.name
+        }
+      require(refs.nonEmpty && refs.forall(keys.contains),
+        s"keyFilter may reference only the key columns " +
+          s"[${keys.mkString(", ")}]; got [${refs.mkString(", ")}] — a " +
+          "non-key column has no single value per key before the " +
+          "compaction, so pruning by it would be silently wrong")
+    }
+    val touchedAll = log.filter(candidateCommits)
       .select(keys.map(col): _*).distinct()
+    val touched = keyFilter.fold(touchedAll)(f => touchedAll.filter(expr(f)))
     def stateAt(v: Long) = Upsert.latestByKey(
       opsWindow(log, path, v).join(touched, keys, "left_semi"),
       keys, opsVersion)

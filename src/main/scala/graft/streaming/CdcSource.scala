@@ -61,7 +61,12 @@ import graft.sources.{Changelog, LogFs}
   * halves its per-window write amplification; an option rather than
   * `SupportsPushDownRequiredColumns` because streaming DSv2 scan
   * builders are constructed before the optimizer runs, so plan-driven
-  * pruning cannot reach a MicroBatchStream).
+  * pruning cannot reach a MicroBatchStream), and `keyFilter` (a
+  * boolean SQL expression over the KEY columns, optional — the
+  * SELECTIVE-feed knob: the predicate prunes the touched-key set
+  * before the endpoint compactions, so a tenant consuming an
+  * f-fraction slice of a shared log pays O(f · delta) per window,
+  * not O(delta)-then-filter).
   *
   * Feed column types are limited to long/int/double/string/boolean/
   * timestamp — loudly checked at load() — because the spool readers
@@ -85,7 +90,8 @@ object CdcSource {
                                      trackCols: Seq[String],
                                      startVersion: Option[Long],
                                      maxCommitsPerTrigger: Long,
-                                     columns: Option[Seq[String]])
+                                     columns: Option[Seq[String]],
+                                     keyFilter: Option[String])
   private object Opts {
     def apply(o: CaseInsensitiveStringMap): Opts = {
       val path = o.get("path")
@@ -100,7 +106,8 @@ object CdcSource {
         Option(o.get("startVersion")).map(_.toLong),
         o.getLong("maxCommitsPerTrigger", 1L),
         Option(o.get("columns")).map(_.split(",").map(_.trim)
-          .filter(_.nonEmpty).toSeq))
+          .filter(_.nonEmpty).toSeq),
+        Option(o.get("keyFilter")).map(_.trim).filter(_.nonEmpty))
     }
   }
 
@@ -202,16 +209,17 @@ object CdcSource {
     override def prepareForTriggerAvailableNow(): Unit =
       availableNowCap = commitHead(opts.path)
 
-    // the spool dir carries a token of the COLUMN SET it holds: a
-    // restart whose plan projects differently (wider after a narrower
-    // run) must never reuse a _SUCCESS-complete spool that lacks its
-    // columns — a different projection simply spools into a sibling
-    // dir, and commit's sweep (which parses only start/end) reclaims
-    // both. The token rides AFTER start/end so the sweep's split
-    // stays valid.
+    // the spool dir carries a token of the COLUMN SET and KEY FILTER
+    // it was computed under: a restart whose options differ (wider
+    // projection after a narrower run, a different tenant slice) must
+    // never reuse a _SUCCESS-complete spool that lacks its columns or
+    // rows — changed options simply spool into a sibling dir, and
+    // commit's sweep (which parses only start/end) reclaims both. The
+    // token rides AFTER start/end so the sweep's split stays valid.
     private def colsToken: String =
       java.lang.Integer.toHexString(
-        schema.fieldNames.mkString(",").hashCode)
+        (schema.fieldNames.mkString(",") + "|" +
+          opts.keyFilter.getOrElse("")).hashCode)
 
     private def spoolDir(start: Long, end: Long): String =
       LogFs.child(LogFs.child(checkpointLocation, "graft_cdc_spool"),
@@ -266,7 +274,7 @@ object CdcSource {
       if (!LogFs.exists(LogFs.child(dir, "_SUCCESS"))) {
         LogFs.delete(dir)
         val feed = Changelog.changesBetweenOps(spark, opts.path,
-            opts.keys, s, e, opts.trackCols)
+            opts.keys, s, e, opts.trackCols, opts.keyFilter)
           // pruned to the consumer's required columns — the spool (and
           // therefore the window's write amplification) is as narrow as
           // the plan, not as wide as the feed

@@ -134,6 +134,41 @@ class CdcSourceSpec extends SparkSpec {
     assert(served(rollLog) == Seq((10L, 2L, 36.0), (20L, 2L, 70.0)))
   }
 
+  test("keyFilter serves the SLICE: the filtered feed equals the full " +
+       "feed filtered, and a non-key column in the predicate fails " +
+       "loudly (q210's substrate)") {
+    val opsLog = Sinks.tmpPath("cdc_source_spec_slice_ops")
+    Sinks.deleteRecursively(opsLog)
+    commits.zipWithIndex.foreach { case (c, i) =>
+      Changelog.commit(c, opsLog, i.toLong)
+    }
+    // batch-API equivalence over the full window (the streaming path
+    // feeds through the identical call)
+    val full = Changelog.changesBetweenOps(spark, opsLog,
+        Seq("o_orderkey"), -1L, 2L, Seq("o_totalprice"))
+      .filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "change_type", "old_o_totalprice",
+        "new_o_totalprice")
+      .as[(Long, String, Option[Double], Option[Double])].collect().toSet
+    val sliced = Changelog.changesBetweenOps(spark, opsLog,
+        Seq("o_orderkey"), -1L, 2L, Seq("o_totalprice"),
+        keyFilter = Some("o_orderkey % 2 = 0"))
+      .select("o_orderkey", "change_type", "old_o_totalprice",
+        "new_o_totalprice")
+      .as[(Long, String, Option[Double], Option[Double])].collect().toSet
+    assert(sliced == full && sliced.nonEmpty)
+    // a predicate over a non-key column cannot be pruned soundly: the
+    // reference check fails LOUDLY (trusting analysis would let
+    // ResolveMissingReferences resolve it through the projection and
+    // filter by pre-compaction row values — silently wrong)
+    val e = intercept[IllegalArgumentException] {
+      Changelog.changesBetweenOps(spark, opsLog, Seq("o_orderkey"),
+        -1L, 2L, Seq("o_totalprice"),
+        keyFilter = Some("o_totalprice > 0"))
+    }
+    assert(e.getMessage.contains("only the key columns"), e.getMessage)
+  }
+
   test("maxCommitsPerTrigger > 1: a multi-commit window serves the NET " +
        "feed (intermediate states collapse) and the consumer still " +
        "converges") {
