@@ -24,11 +24,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ ReferenceQueries.defs ++ ExtQueries.defs ++
       PipelineQueries.defs ++ ScaleQueries.defs ++ CurationQueries.defs ++
-      AnalyticsQueries.defs ++ MiningQueries.defs ++ AuditQueries.defs
+      AnalyticsQueries.defs ++ MiningQueries.defs ++ AuditQueries.defs ++
+      TableFormatQueries.defs
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ ReferenceQueries.oracles ++
       ExtQueries.oracles ++ PipelineQueries.oracles ++ ScaleQueries.oracles ++
       CurationQueries.oracles ++ AnalyticsQueries.oracles ++
-      MiningQueries.oracles ++ AuditQueries.oracles
+      MiningQueries.oracles ++ AuditQueries.oracles ++
+      TableFormatQueries.oracles
 }

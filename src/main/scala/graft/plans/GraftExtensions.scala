@@ -75,8 +75,18 @@ object GraftSqlFunctions {
     }
 }
 
-/** Opt-in `spark.sql.extensions` entry point. */
+/** Opt-in `spark.sql.extensions` entry point. Besides the SQL scalar
+  * functions, installs [[ResolveGraftLog]] — the pre-CBO rule that
+  * resolves [[graft.sources.GraftLog]] batch table relations into the
+  * changelog's own plans (see that rule's scaladoc for why pre-CBO is
+  * the one correct slot). Sessions built without this extension can
+  * still use every Changelog library call; only the DSv2/SQL table
+  * surface needs the rule, and reaching its scan without it fails
+  * loudly with this class's name.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftSqlFunctions.entries.foreach(e => ext.injectFunction(e))
+    ext.injectPreCBORule(ResolveGraftLog.apply)
+  }
 }

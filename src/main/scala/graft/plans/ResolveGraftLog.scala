@@ -1,0 +1,210 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import graft.sources.{Changelog, GraftLog}
+
+/** Resolves [[graft.sources.GraftLog]] relations into the engine's own
+  * changelog plans — the rule half of the batch table surface (see the
+  * GraftLog scaladoc for why a merge-on-read table format resolves
+  * through a rule rather than a row-serving scan: a snapshot is a keyed
+  * LWW compaction no per-partition reader can produce alone).
+  *
+  * Injected as a PRE-CBO rule (not resolution, not the operator
+  * fixedpoint) deliberately:
+  *  - by pre-CBO the operator-optimization batch has finished, so the
+  *    user's filters are FULLY PUSHED and sit directly above the
+  *    relation — the one place a filter-driven rewrite can see them
+  *    without racing `PushDownPredicates` (an analysis-time rewrite
+  *    runs at `load()`, before the user's `.filter` even exists);
+  *  - pre-CBO runs BEFORE `V2ScanRelationPushDown`, so the relation is
+  *    replaced before Spark ever asks it for a scan;
+  *  - the spliced subtree is the library's analyzed plan; the
+  *    still-to-run batches (early scan push-down: SchemaPruning,
+  *    PruneFileSourcePartitions) then prune its parquet scans exactly
+  *    as they do for direct library calls.
+  *
+  * The filter-driven leg is the COMMIT-STATS SKIPPING surface: when the
+  * pushed condition carries eq/range conjuncts on a key column of an
+  * ops-shaped snapshot read, the relation resolves through
+  * [[Changelog.rangeLookupOps]] / [[Changelog.rangeLookupOpsString]]
+  * with the widest window the conjuncts imply — commits whose recorded
+  * stats exclude the window are dropped DRIVER-SIDE, before any footer
+  * opens. Soundness: the lookup equals `snapshot.filter(window)` by the
+  * library's own spec-pinned contract, the extracted window is a
+  * SUPERSET of the condition (strict bounds widen to inclusive; unknown
+  * shapes contribute nothing), and the ORIGINAL filter stays on top —
+  * so the rewrite can only remove rows the filter would drop anyway.
+  * The condition may mix arbitrary other conjuncts; only deterministic
+  * comparisons against literals feed the window.
+  */
+case class ResolveGraftLog(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transformDown {
+    // filter sits on the relation (optionally through the column-prune
+    // projection ColumnPruning inserts): route through stats skipping
+    case f @ Filter(cond, child) if graftUnder(child).isDefined =>
+      val rel = graftUnder(child).get
+      val resolved = withSkipping(rel.table.asInstanceOf[GraftLog.LogTable],
+        cond)
+      f.copy(child = replaceIn(child, rel, resolved))
+    case rel: DataSourceV2Relation
+        if rel.table.isInstanceOf[GraftLog.LogTable] =>
+      aligned(rel, rel.table.asInstanceOf[GraftLog.LogTable].resolved
+        .queryExecution.optimizedPlan)
+  }
+
+  /** The GraftLog relation directly under `plan`, looking through at
+    * most one attribute-only Project (the shape ColumnPruning leaves).
+    */
+  private def graftUnder(plan: LogicalPlan): Option[DataSourceV2Relation] =
+    plan match {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftLog.LogTable] => Some(r)
+      case Project(projList, r: DataSourceV2Relation)
+          if r.table.isInstanceOf[GraftLog.LogTable] &&
+            projList.forall(_.isInstanceOf[AttributeReference]) => Some(r)
+      case _ => None
+    }
+
+  private def replaceIn(child: LogicalPlan, rel: DataSourceV2Relation,
+                        resolved: LogicalPlan): LogicalPlan = child match {
+    case r: DataSourceV2Relation if r eq rel => aligned(rel, resolved)
+    case p @ Project(_, r: DataSourceV2Relation) if r eq rel =>
+      p.copy(child = aligned(rel, resolved))
+    case other => other // unreachable by construction of graftUnder
+  }
+
+  /** Splice: the replacement plan's output re-aliased onto the
+    * relation's attribute ids, so every reference above keeps
+    * resolving (the standard view-substitution discipline).
+    */
+  private def aligned(rel: DataSourceV2Relation,
+                      plan: LogicalPlan): LogicalPlan = {
+    val clean = EliminateSubqueryAliases(plan)
+    val byName = clean.output.map(a => a.name -> a).toMap
+    val projs: Seq[NamedExpression] = rel.output.map { o =>
+      val src = byName.getOrElse(o.name, throw new IllegalStateException(
+        s"graft log resolution lost column ${o.name} — table schema " +
+          s"and plan output diverged: [${clean.output.map(_.name).mkString(", ")}]"))
+      Alias(src, o.name)(exprId = o.exprId)
+    }
+    Project(projs, clean)
+  }
+
+  /** The snapshot plan for `table` under pushed condition `cond` —
+    * stats-skipping lookup when a key-column window is extractable,
+    * the plain snapshot otherwise. Feed reads and mergeSchema reads
+    * never skip (the feed's candidates are already commit-pruned; the
+    * evolved read's union-schema fold is a different plan).
+    */
+  private def withSkipping(table: GraftLog.LogTable,
+                           cond: Expression): LogicalPlan = {
+    val opts = table.opts
+    val plan: org.apache.spark.sql.DataFrame =
+      if (opts.readChangeFeed || !table.opsShape || opts.mergeSchema)
+        table.resolved
+      else {
+        val conjuncts = splitConjuncts(cond).filter(_.deterministic)
+        val window = opts.keys.iterator.map(k => k -> boundsFor(k, conjuncts))
+          .collectFirst { case (k, Some(b)) => k -> b }
+        window match {
+          case Some((k, LongBounds(lo, hi))) =>
+            Changelog.rangeLookupOps(spark, opts.path, opts.keys,
+              table.pinnedVersion, k, lo, hi)
+          case Some((k, StringBounds(lo, hi))) =>
+            Changelog.rangeLookupOpsString(spark, opts.path, opts.keys,
+              table.pinnedVersion, k, lo, hi)
+          case None => table.resolved
+        }
+      }
+    // splice the OPTIMIZED subtree: the operator batches (Replace
+    // Operators — Deduplicate→Aggregate —, constant folding, the
+    // subtree's own filter pushdown) already ran for the outer tree,
+    // so an analyzed splice would reach the planner with logical-only
+    // operators. Running the sub-optimization here is the same nested
+    // QueryExecution discipline Delta's scan preparation uses; the
+    // outer pipeline's remaining batches (early scan push-down) are
+    // idempotent over it.
+    plan.queryExecution.optimizedPlan
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other     => Seq(other)
+  }
+
+  private sealed trait Bounds
+  private case class LongBounds(lo: Long, hi: Long) extends Bounds
+  private case class StringBounds(lo: String, hi: String) extends Bounds
+
+  /** The widest [lo, hi] window the conjuncts imply for key column
+    * `key` — inclusive (strict bounds widen: the window need only be a
+    * superset, the original filter stays on top). Long/int keys take
+    * open sides at Long.Min/Max; string keys need an equality (no
+    * greatest string exists to close an open side).
+    */
+  private def boundsFor(key: String,
+                        conjuncts: Seq[Expression]): Option[Bounds] = {
+    def keyed(a: Expression): Boolean = a match {
+      case ar: AttributeReference => ar.name == key
+      case _ => false
+    }
+    def longLit(l: Literal): Option[Long] = l.dataType match {
+      case LongType    => Option(l.value).map(_.asInstanceOf[Long])
+      case IntegerType => Option(l.value).map(_.asInstanceOf[Int].toLong)
+      case _ => None
+    }
+    def strLit(l: Literal): Option[String] = l.dataType match {
+      case StringType => Option(l.value).map(_.toString)
+      case _ => None
+    }
+    var lo: Option[Long] = None
+    var hi: Option[Long] = None
+    var seq: Option[String] = None
+    conjuncts.foreach {
+      case EqualTo(a, l: Literal) if keyed(a) =>
+        longLit(l).foreach { v => lo = Some(lo.fold(v)(math.max(_, v)))
+          hi = Some(hi.fold(v)(math.min(_, v))) }
+        strLit(l).foreach(v => seq = Some(v))
+      case EqualTo(l: Literal, a) if keyed(a) =>
+        longLit(l).foreach { v => lo = Some(lo.fold(v)(math.max(_, v)))
+          hi = Some(hi.fold(v)(math.min(_, v))) }
+        strLit(l).foreach(v => seq = Some(v))
+      case GreaterThanOrEqual(a, l: Literal) if keyed(a) =>
+        longLit(l).foreach(v => lo = Some(lo.fold(v)(math.max(_, v))))
+      case GreaterThan(a, l: Literal) if keyed(a) =>
+        longLit(l).foreach(v => lo = Some(lo.fold(v)(math.max(_, v))))
+      case LessThanOrEqual(a, l: Literal) if keyed(a) =>
+        longLit(l).foreach(v => hi = Some(hi.fold(v)(math.min(_, v))))
+      case LessThan(a, l: Literal) if keyed(a) =>
+        longLit(l).foreach(v => hi = Some(hi.fold(v)(math.min(_, v))))
+      // literal-first range forms mirror
+      case GreaterThanOrEqual(l: Literal, a) if keyed(a) =>
+        longLit(l).foreach(v => hi = Some(hi.fold(v)(math.min(_, v))))
+      case GreaterThan(l: Literal, a) if keyed(a) =>
+        longLit(l).foreach(v => hi = Some(hi.fold(v)(math.min(_, v))))
+      case LessThanOrEqual(l: Literal, a) if keyed(a) =>
+        longLit(l).foreach(v => lo = Some(lo.fold(v)(math.max(_, v))))
+      case LessThan(l: Literal, a) if keyed(a) =>
+        longLit(l).foreach(v => lo = Some(lo.fold(v)(math.max(_, v))))
+      case _ => ()
+    }
+    seq match {
+      case Some(v) => Some(StringBounds(v, v))
+      case None if lo.isDefined || hi.isDefined =>
+        val l = lo.getOrElse(Long.MinValue)
+        val h = hi.getOrElse(Long.MaxValue)
+        // contradictory conjuncts (k = 5 AND k = 9): an inverted window
+        // is legal for rangeLookupOps only if lo <= hi, so hand the
+        // empty case back to the plain plan (the filter yields empty)
+        if (l <= h) Some(LongBounds(l, h)) else None
+      case None => None
+    }
+  }
+}

@@ -84,7 +84,7 @@ object AuditQueries {
     * even, so they never hit % 4 = 3; the update/no-op branches
     * exclude mod-10 multiples), so no commit carries a duplicate key.
     */
-  private def opsOrders(s: SparkSession, d: String): DataFrame =
+  private[queries] def opsOrders(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
 
   /** Commit 2's content (shared by the batch log and the streaming
@@ -109,7 +109,7 @@ object AuditQueries {
     * current contract, but per-query paths make the rebuild unable to
     * cross-contaminate regardless.
     */
-  private def opsLog(s: SparkSession, d: String, name: String): String = {
+  private[queries] def opsLog(s: SparkSession, d: String, name: String): String = {
     val path = Sinks.tmpPathFor(name, d)
     Sinks.deleteRecursively(path)
     val o = opsOrders(s, d)

@@ -228,6 +228,38 @@ object Changelog {
       .map(_.getPath.getName).filter(_.startsWith(s"$CommitCol="))
       .map(_.stripPrefix(s"$CommitCol=").toLong)
 
+  /** The head commit id of the log, if any commits have landed — the
+    * version a "latest" read pins itself to ([[GraftLog]] resolves its
+    * default `versionAsOf` here ONCE at load, so a query planned
+    * against the head stays on that head even if commits land before
+    * the action runs).
+    */
+  def headVersion(path: String): Option[Long] = {
+    val ids = commitIds(path)
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** Whether the log is OPS-shaped (rows carry [[OpCol]]) — ONE
+    * footer read, the same probe [[requireMatchingShape]] uses on the
+    * write path; loud on an empty log (shape is undefined there).
+    */
+  private[graft] def isOpsLog(spark: SparkSession, path: String): Boolean = {
+    def firstParquet(dir: String): Option[String] = {
+      val children = LogFs.list(dir).sortBy(_.getPath.getName)
+      children.find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+        .orElse(children.filter(_.isDirectory)
+          .flatMap(d => firstParquet(d.getPath.toString).toSeq).headOption)
+    }
+    val probe = LogFs.list(path)
+      .filter(_.getPath.getName.startsWith(s"$CommitCol="))
+      .sortBy(_.getPath.getName)
+      .flatMap(d => firstParquet(d.getPath.toString).toSeq).headOption
+    require(probe.nonEmpty,
+      s"$path has no landed commit data — the log's shape is undefined")
+    spark.read.parquet(probe.get).columns.contains(OpCol)
+  }
+
   // ---- Write-path shape guard ---------------------------------------
 
   /** Commits must not silently flip a log between plain and ops shape:

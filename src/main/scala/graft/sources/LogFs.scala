@@ -31,10 +31,29 @@ import org.apache.spark.sql.SparkSession
   */
 private[graft] object LogFs {
 
+  // `newHadoopConf()` CLONES the full session conf per call, and the
+  // marker-heavy verbs (claim listings, stamp walks, conflict windows)
+  // call through here once per marker — measured as the r14 FS-port's
+  // residual drag on the changelog family (q129/q143 sat ~1.2× above
+  // band on a quiet host). The clone is cached per session: the keys a
+  // FileSystem resolution reads (fs.defaultFS, fs.<scheme>.impl,
+  // security bits) are fixed at session build, so reusing one snapshot
+  // is behavior-identical; a NEW session (tests build several) gets its
+  // own entry, and sessions are weakly keyed so the cache can never
+  // outlive them.
+  private val confCache =
+    new java.util.WeakHashMap[SparkSession, Configuration]()
+
   private def conf: Configuration =
-    SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+    SparkSession.getActiveSession match {
+      case Some(s) => confCache.synchronized {
+        var c = confCache.get(s)
+        if (c == null) { c = s.sessionState.newHadoopConf()
+          confCache.put(s, c) }
+        c
+      }
+      case None => new Configuration()
+    }
 
   def fs(path: String): FileSystem = new Path(path).getFileSystem(conf)
 

@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Changelog, GraftLog, GraftLogCatalog, Sinks}
+
+/** The changelog's BATCH DSv2 table surface (GraftLog + GraftLogCatalog
+  * + the ResolveGraftLog pre-CBO rule): format reads, SQL time travel,
+  * change-feed reads, and the filter-driven commit-stats skipping with
+  * its structural pruning proof (inputFiles lists only admitted commit
+  * directories — the plan-level fact an oracle cannot see).
+  */
+class GraftLogTableSpec extends SparkSpec {
+
+  private def fmt = classOf[GraftLog].getName
+
+  private def freshDir(name: String): String = {
+    val p = Sinks.tmpPath(s"graftlog_spec_$name")
+    Sinks.deleteRecursively(p)
+    p
+  }
+
+  /** Three-commit ops log over a tiny keyed frame: base, tombstone,
+    * update+resurrect — every delete class the snapshot must resolve.
+    */
+  private def opsFixture(name: String): String = {
+    import spark.implicits._
+    val path = freshDir(name)
+    val base = (0L until 40L).map(k => (k, k * 10.0)).toDF("k", "v")
+    Changelog.commitUpsert(base, path, 0L)
+    Changelog.commitDelete(spark,
+      base.filter($"k" % 10 === 0).select("k"), path, 1L)
+    Changelog.commitUpsert(
+      base.filter($"k" % 20 === 0).withColumn("v", $"v" + 1000.0)
+        .unionByName(
+          base.filter($"k" % 10 =!= 0 && $"k" % 7 === 1)
+            .withColumn("v", $"v" + 500.0)),
+      path, 2L)
+    path
+  }
+
+  private def expectedHead(path: String) =
+    Changelog.snapshotAtOps(spark, path, Seq("k"), 2L)
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("k").collect().toSeq
+
+  test("format read versionAsOf equals the library snapshot") {
+    val path = opsFixture("vread")
+    val df = spark.read.format(fmt)
+      .option("path", path).option("keys", "k")
+      .option("versionAsOf", 2).load()
+    assert(df.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(sortedRows(df) == sortedRows(expectedHead(path)))
+    // earlier version: tombstones applied, no resurrect yet
+    val v1 = spark.read.format(fmt)
+      .option("path", path).option("keys", "k")
+      .option("versionAsOf", 1).load()
+    assert(sortedRows(v1) ==
+      sortedRows(Changelog.snapshotAtOps(spark, path, Seq("k"), 1L)))
+  }
+
+  test("latest read pins the head at load") {
+    val path = opsFixture("latest")
+    val df = spark.read.format(fmt)
+      .option("path", path).option("keys", "k").load()
+    // a commit landing AFTER load must not leak into this frame
+    import spark.implicits._
+    Changelog.commitUpsert(Seq((999L, -1.0)).toDF("k", "v"), path, 3L)
+    assert(sortedRows(df) == sortedRows(expectedHead(path)))
+  }
+
+  test("plain-shape logs route through the plain snapshot") {
+    import spark.implicits._
+    val path = freshDir("plain")
+    Changelog.commit((0L until 10L).map(k => (k, k.toString)).toDF("k", "s"),
+      path, 0L)
+    Changelog.commit(Seq((3L, "three")).toDF("k", "s"), path, 1L)
+    val df = spark.read.format(fmt)
+      .option("path", path).option("keys", "k").load()
+    assert(sortedRows(df) ==
+      sortedRows(Changelog.snapshotLatest(spark, path, Seq("k"))))
+  }
+
+  test("readChangeFeed equals the library feed") {
+    val path = opsFixture("feed")
+    val df = spark.read.format(fmt)
+      .option("path", path).option("keys", "k")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 0).option("endingVersion", 2)
+      .option("trackCols", "v").load()
+    val lib = Changelog.changesBetweenOps(spark, path, Seq("k"), 0L, 2L,
+      Seq("v"))
+    assert(df.schema == lib.schema)
+    assert(df.orderBy("k").collect().toSeq ==
+      lib.orderBy("k").collect().toSeq)
+  }
+
+  test("filtered read routes through commit-stats skipping: " +
+      "inputFiles lists only admitted commit dirs, values exact") {
+    import spark.implicits._
+    // DISJOINT key ranges per commit — the skipping fixture: commit 0
+    // holds keys [0, 100), commit 1 [100, 200), commit 2 updates [0, 50)
+    val path = freshDir("skip")
+    def rows(lo: Long, hi: Long, bump: Double) =
+      (lo until hi).map(k => (k, k + bump)).toDF("k", "v")
+    Changelog.commitUpsert(rows(0, 100, 0.5), path, 0L)
+    Changelog.commitUpsert(rows(100, 200, 0.5), path, 1L)
+    Changelog.commitUpsert(rows(0, 50, 1000.5), path, 2L)
+    for (c <- 0L to 2L) Changelog.writeCommitStats(spark, path, c, "k")
+    val table = spark.read.format(fmt)
+      .option("path", path).option("keys", "k").option("versionAsOf", 2)
+    // point probe in [100, 200): ONLY commit 1 admits
+    val point = table.load().filter($"k" === 150L)
+    assert(point.inputFiles.nonEmpty &&
+      point.inputFiles.forall(_.contains("_commit=1")),
+      s"expected all input under _commit=1, got ${point.inputFiles.toSeq}")
+    assert(point.collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+      == Seq((150L, 150.5)))
+    // range probe [40, 60]: commits 0 (keys 40..60) and 2 (40..49) admit
+    val range = table.load().filter($"k" >= 40L && $"k" <= 60L)
+    val dirs = range.inputFiles.map(f =>
+      f.split("/").find(_.startsWith("_commit=")).get).distinct.sorted
+    assert(dirs.toSeq == Seq("_commit=0", "_commit=2"),
+      s"expected commits 0 and 2, got ${dirs.toSeq}")
+    val got = range.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = (40L to 60L).map(k =>
+      (k, if (k < 50) k + 1000.5 else k + 0.5))
+    assert(got == want)
+    // strict / one-sided bounds widen soundly: k > 150 admits commit 1
+    val open = table.load().filter($"k" > 150L)
+    assert(open.inputFiles.forall(_.contains("_commit=1")))
+    assert(open.count() == 49L)
+    // a non-key conjunct rides along; the key window still prunes
+    val mixed = table.load().filter($"k" === 150L && $"v" > 0.0)
+    assert(mixed.inputFiles.forall(_.contains("_commit=1")))
+    assert(mixed.count() == 1L)
+  }
+
+  test("projection between filter and relation still prunes") {
+    import spark.implicits._
+    val path = freshDir("skipproj")
+    def rows(lo: Long, hi: Long) = (lo until hi).map(k => (k, k * 2.0))
+      .toDF("k", "v")
+    Changelog.commitUpsert(rows(0, 100), path, 0L)
+    Changelog.commitUpsert(rows(100, 200), path, 1L)
+    for (c <- 0L to 1L) Changelog.writeCommitStats(spark, path, c, "k")
+    val df = spark.read.format(fmt)
+      .option("path", path).option("keys", "k").option("versionAsOf", 1)
+      .load().filter($"k" === 7L).select("v")
+    assert(df.inputFiles.forall(_.contains("_commit=0")))
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(14.0))
+  }
+
+  test("SQL VERSION AS OF and TIMESTAMP AS OF through the catalog") {
+    import spark.implicits._
+    val path = freshDir("sqltt")
+    val base = (0L until 30L).map(k => (k, k * 10.0)).toDF("k", "v")
+    Changelog.commitUpsert(base, path, 0L)
+    Changelog.stampCommit(path, 0L, 1000L)
+    Changelog.commitUpsert(
+      base.filter($"k" % 3 === 0).withColumn("v", $"v" + 7.0), path, 1L)
+    Changelog.stampCommit(path, 1L, 2000L)
+    Changelog.commitDelete(spark, base.filter($"k" % 5 === 0).select("k"),
+      path, 2L)
+    Changelog.stampCommit(path, 2L, 3000L)
+    GraftLogCatalog.register(spark, "glogspec", "t", path, Seq("k"))
+    // VERSION AS OF 1: updates applied, deletes not yet
+    val v1 = spark.sql("SELECT * FROM glogspec.t VERSION AS OF 1")
+    assert(sortedRows(v1) ==
+      sortedRows(Changelog.snapshotAtOps(spark, path, Seq("k"), 1L)))
+    // TIMESTAMP AS OF 2.5s epoch: resolves to the commit stamped 2000
+    val t = spark.sql(
+      "SELECT * FROM glogspec.t TIMESTAMP AS OF '1970-01-01 00:00:02.5'")
+    assert(sortedRows(t) == sortedRows(v1))
+    // bare name reads the head
+    val head = spark.sql("SELECT * FROM glogspec.t")
+    assert(sortedRows(head) ==
+      sortedRows(Changelog.snapshotAtOps(spark, path, Seq("k"), 2L)))
+    // SQL aggregation over a time-travel clause composes
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM glogspec.t VERSION AS OF 0")
+      .head().getLong(0)
+    assert(n == 30L)
+  }
+
+  test("loud contracts: options, DDL, writes") {
+    val path = opsFixture("loud")
+    intercept[IllegalArgumentException] {
+      spark.read.format(fmt).option("path", path).load()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format(fmt).option("path", path).option("keys", "k")
+        .option("versionAsOf", 1).option("timestampAsOf", 1000).load()
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format(fmt).option("path", path).option("keys", "k")
+        .option("readChangeFeed", "true").option("trackCols", "v").load()
+    }
+    intercept[IllegalArgumentException] {
+      // keyFilter is a feed-only option
+      spark.read.format(fmt).option("path", path).option("keys", "k")
+        .option("keyFilter", "k % 2 = 0").load()
+    }
+    GraftLogCatalog.register(spark, "glogspec2", "t", path, Seq("k"))
+    val ddl = intercept[Exception] {
+      spark.sql("DROP TABLE glogspec2.t")
+    }
+    assert(ddl.getMessage.contains("read-only") ||
+      ddl.getMessage.toLowerCase.contains("not supported"))
+    // unregistered name: loud table-not-found, not a silent empty
+    intercept[Exception] {
+      spark.sql("SELECT * FROM glogspec2.absent").collect()
+    }
+  }
+}
