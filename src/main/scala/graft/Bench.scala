@@ -77,6 +77,9 @@ object Bench {
     // q184 streaming ops-CDC landing files (mtime-ordered micro-batches).
     try graft.queries.AuditQueries.stageFixtures(spark, sfDir)
     catch { case _: Throwable => () }
+    // q216 typed-docs landing (mtime-ordered micro-batches).
+    try graft.queries.TableFormatQueries.stageFixtures(spark, sfDir)
+    catch { case _: Throwable => () }
 
     val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt max 1
     // Opt-in subset filter (comma-separated names) for targeted

@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import graft.sources.{Changelog, LogFs}
@@ -68,11 +68,15 @@ import graft.sources.{Changelog, LogFs}
   * f-fraction slice of a shared log pays O(f · delta) per window,
   * not O(delta)-then-filter).
   *
-  * Feed column types are limited to long/int/double/string/boolean/
-  * timestamp — loudly checked at load() — because the spool readers
-  * decode parquet directly (no Spark row codec on the read side;
-  * timestamps spool as epoch-micros INT64, Spark's own internal
-  * representation).
+  * Feed column types are long/int/double/string/boolean/timestamp/
+  * date/binary/decimal/array&lt;float&gt; — loudly checked at load() —
+  * because the spool readers decode parquet directly (no Spark row
+  * codec on the read side; timestamps spool as epoch-micros INT64 and
+  * dates as epoch-days INT32, Spark's own internal representations;
+  * decimals dispatch on the spool file's physical layout; float arrays
+  * decode the standard 3-level LIST group). The widening means the
+  * documents (binary media) and embeddings (array&lt;float&gt;) shapes
+  * ride the feed (q217).
   */
 class CdcSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -125,11 +129,17 @@ object CdcSource {
     val schema = Changelog.changesBetweenOps(spark, opts.path, opts.keys,
       head, head + 1, opts.trackCols).schema
     schema.fields.foreach { f =>
-      require(Seq(LongType, IntegerType, DoubleType, StringType,
-        BooleanType, TimestampType).contains(f.dataType),
+      val ok = f.dataType match {
+        case LongType | IntegerType | DoubleType | StringType |
+             BooleanType | TimestampType | DateType | BinaryType => true
+        case _: DecimalType => true
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+      require(ok,
         s"feed column ${f.name} has type ${f.dataType} — the CDC " +
           "source's spool readers decode long/int/double/string/" +
-          "boolean/timestamp only")
+          "boolean/timestamp/date/binary/decimal/array<float> only")
     }
     // explicit projection: the spool (the window's write amplification)
     // is as narrow as the consumer declares, not as wide as the feed.
@@ -365,6 +375,43 @@ object CdcSource {
           case BooleanType   => g.getBoolean(idx, 0)
           case StringType    => UTF8String.fromString(g.getString(idx, 0))
           case TimestampType => g.getLong(idx, 0) // spooled epoch micros
+          case DateType      => g.getInteger(idx, 0) // epoch days
+          case BinaryType    => g.getBinary(idx, 0).getBytes
+          case d: DecimalType =>
+            // dispatch on the SPOOL FILE's physical layout: Spark's
+            // writer picks INT32 (p<=9) / INT64 (p<=18) / fixed binary
+            // (wider) — the annotation's unscaled value either way
+            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+            gt.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+              case INT32 =>
+                org.apache.spark.sql.types.Decimal(
+                  BigDecimal(BigInt(g.getInteger(idx, 0)), d.scale),
+                  d.precision, d.scale)
+              case INT64 =>
+                org.apache.spark.sql.types.Decimal(
+                  BigDecimal(BigInt(g.getLong(idx, 0)), d.scale),
+                  d.precision, d.scale)
+              case _ =>
+                org.apache.spark.sql.types.Decimal(
+                  BigDecimal(BigInt(new java.math.BigInteger(
+                    g.getBinary(idx, 0).getBytes)), d.scale),
+                  d.precision, d.scale)
+            }
+          case ArrayType(FloatType, _) =>
+            // Spark spools the standard 3-level LIST group:
+            // <name> (LIST) { repeated group list { optional element } }
+            val listGroup = g.getGroup(idx, 0)
+            val n = listGroup.getFieldRepetitionCount(0)
+            val out = new Array[Any](n)
+            var j = 0
+            while (j < n) {
+              val elt = listGroup.getGroup(0, j)
+              out(j) =
+                if (elt.getFieldRepetitionCount(0) == 0) null
+                else elt.getFloat(0, 0)
+              j += 1
+            }
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
           case dt => throw new IllegalStateException(
             s"unreachable: type $dt passed the load() bound")
         }

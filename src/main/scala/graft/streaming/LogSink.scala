@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapabi
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.sources.{Changelog, LogFs}
 
@@ -43,11 +43,14 @@ import graft.sources.{Changelog, LogFs}
   *
   * The input schema must match the target log's shape (the
   * plain-vs-ops write guard runs at planning time, BEFORE any epoch
-  * starts) and is bounded to long/int/double/string/boolean/timestamp
-  * columns — the staged files are written by the sink itself, not
-  * Spark's parquet writer, so the type surface is explicit
-  * (timestamps stage as UTC-micros-annotated INT64, Spark's own
-  * internal representation, and read back as TimestampType exactly). Writer identity
+  * starts) and is bounded to long/int/double/string/boolean/timestamp/
+  * date/binary/decimal(precision ≤ 18)/array&lt;float&gt; columns — the
+  * staged files are written by the sink itself, not Spark's parquet
+  * writer, so the type surface is explicit (see [[LogSink.supportedType]];
+  * timestamps stage as UTC-micros INT64 and dates as epoch-days INT32,
+  * Spark's own internal representations, and read back exactly; the
+  * widening lets the documents/embeddings shapes — binary media,
+  * float embeddings — ride the streaming table format). Writer identity
   * comes from option `writer` (default [[Changelog.SoloWriter]]) —
   * give concurrent producers distinct ids, the claim arbitration does
   * the rest.
@@ -76,6 +79,26 @@ class LogSink extends TableProvider {
 
 object LogSink {
 
+  /** The staged-parquet type surface (round 15 widening): the original
+    * six scalar types plus DATE (annotated INT32 — Spark's internal
+    * date IS epoch days), DECIMAL up to precision 18 (annotated INT64
+    * of the unscaled value — the physical layout Spark itself writes
+    * for 10 < p ≤ 18; wider decimals need FIXED_LEN_BYTE_ARRAY and are
+    * refused loudly), BINARY (the documents media shape, q42), and
+    * ARRAY<FLOAT> (the embeddings shape) written as the standard
+    * 3-level LIST group. Everything stages byte-faithfully: what the
+    * snapshot read returns is value-identical to what the stream wrote
+    * (q216 oracle + LogSinkSpec byte pins).
+    */
+  private[streaming] def supportedType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | StringType | BooleanType |
+         TimestampType | DateType | BinaryType => true
+    case d: DecimalType => d.precision <= 18
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   private[streaming] class LogTable(schema: StructType,
                                     options: CaseInsensitiveStringMap)
       extends Table with SupportsWrite {
@@ -101,11 +124,11 @@ object LogSink {
         s"LogSink input carries the reserved ${Changelog.CommitCol} " +
           "column — the epoch id IS the commit coordinate")
       s.fields.foreach { f =>
-        require(Seq(LongType, IntegerType, DoubleType, StringType,
-          BooleanType, TimestampType).contains(f.dataType),
+        require(LogSink.supportedType(f.dataType),
           s"LogSink input column ${f.name} has type ${f.dataType} — " +
             "the staged parquet writer covers long/int/double/string/" +
-            "boolean/timestamp only")
+            "boolean/timestamp/date/binary/decimal(<=18)/array<float> " +
+            "only")
       }
       // the plain-vs-ops shape guard, BEFORE any epoch runs: a plain
       // stream into an ops log would land rows that compact as DEAD
@@ -298,21 +321,34 @@ object LogSink {
     private val messageType: MessageType = {
       val b = Types.buildMessage()
       schema.fields.foreach { f =>
-        val fb = f.dataType match {
-          case LongType    => Types.optional(INT64)
-          case IntegerType => Types.optional(INT32)
-          case DoubleType  => Types.optional(DOUBLE)
-          case BooleanType => Types.optional(BOOLEAN)
+        val built = f.dataType match {
+          case LongType    => Types.optional(INT64).named(f.name)
+          case IntegerType => Types.optional(INT32).named(f.name)
+          case DoubleType  => Types.optional(DOUBLE).named(f.name)
+          case BooleanType => Types.optional(BOOLEAN).named(f.name)
           case StringType  => Types.optional(BINARY).as(stringType())
+            .named(f.name)
           // Spark's internal timestamp IS epoch micros (UTC-adjusted):
           // the annotated INT64 reads back as TimestampType exactly
           case TimestampType => Types.optional(INT64).as(
             LogicalTypeAnnotation.timestampType(true,
-              LogicalTypeAnnotation.TimeUnit.MICROS))
+              LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
+          // Spark's internal date IS epoch days: annotated INT32
+          case DateType => Types.optional(INT32)
+            .as(LogicalTypeAnnotation.dateType()).named(f.name)
+          // unscaled long + decimal annotation — the layout Spark's own
+          // writer uses for 10 < p <= 18 (reads back exactly)
+          case d: DecimalType => Types.optional(INT64)
+            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+            .named(f.name)
+          case BinaryType => Types.optional(BINARY).named(f.name)
+          // standard 3-level LIST group (what Spark writes and reads)
+          case ArrayType(FloatType, _) =>
+            Types.optionalList().optionalElement(FLOAT).named(f.name)
           case dt => throw new IllegalStateException(
             s"unreachable: type $dt passed the planning bound")
         }
-        b.addField(fb.named(f.name))
+        b.addField(built)
       }
       b.named("graft_log_epoch")
     }
@@ -344,7 +380,25 @@ object LogSink {
             case BooleanType   => g.append(name, row.getBoolean(i))
             case StringType    => g.append(name, row.getUTF8String(i).toString)
             case TimestampType => g.append(name, row.getLong(i))
-            case _             => ()
+            case DateType      => g.append(name, row.getInt(i))
+            case d: DecimalType =>
+              g.append(name,
+                row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+            case BinaryType =>
+              g.append(name,
+                org.apache.parquet.io.api.Binary.fromReusedByteArray(
+                  row.getBinary(i)))
+            case ArrayType(FloatType, _) =>
+              // standard 3-level list: <name> { repeated list { element } }
+              val arr = row.getArray(i)
+              val listGroup = g.addGroup(name)
+              var j = 0
+              while (j < arr.numElements()) {
+                val elt = listGroup.addGroup("list")
+                if (!arr.isNullAt(j)) elt.append("element", arr.getFloat(j))
+                j += 1
+              }
+            case _ => ()
           }
         }
         i += 1

@@ -1,0 +1,190 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.sources.{Changelog, Sinks}
+import graft.streaming.{CdcSource, LogSink}
+
+/** Round-15 type widening of the streaming table format: DATE, DECIMAL,
+  * BINARY, and ARRAY<FLOAT> through BOTH halves — LogSink's staged
+  * parquet writer (read back by Spark's own reader) and CdcSource's
+  * spool decoder (reading Spark-written parquet) — byte-/value-exact,
+  * including nulls, empty arrays, and null array elements. This is what
+  * lets the documents (binary media) and embeddings shapes ride the
+  * streaming surface (q216/q217's laws, pinned here at the byte level
+  * where an oracle cannot look).
+  */
+class StreamTypesSpec extends SparkSpec {
+
+  private val op = Changelog.OpCol
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("added", DateType),
+    StructField("score", DecimalType(12, 2)),
+    StructField("payload", BinaryType),
+    StructField("emb", ArrayType(FloatType)),
+    StructField(op, StringType)))
+
+  private def dec(s: String): java.math.BigDecimal =
+    new java.math.BigDecimal(s).setScale(2)
+
+  private def row(k: Long, d: String, sc: String, p: Array[Byte],
+                  e: Seq[java.lang.Float], o: String): Row =
+    Row(k, if (d == null) null else Date.valueOf(d),
+      if (sc == null) null else dec(sc), p,
+      if (e == null) null else e, o)
+
+  private def df(rows: Seq[Row]) =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+
+  private val b0 = df(Seq(
+    row(1L, "2024-01-01", "10.25", Array[Byte](1, 2, -128),
+      Seq(1.5f, -2.25f, 0.0f), "u"),
+    row(2L, "2024-02-15", "20.50", "ascii".getBytes("UTF-8"),
+      Seq(3.75f), "u"),
+    // the null battery: every widened column null, plus empty array
+    row(3L, null, null, null, null, "u"),
+    row(4L, "2024-03-01", "0.01", Array.empty[Byte],
+      Seq.empty[java.lang.Float], "u")))
+
+  private val b1 = df(Seq(
+    row(1L, null, null, null, null, "d"),
+    // null ELEMENT inside the array + a byte-identical payload update
+    row(2L, "2024-02-16", "21.75", Array[Byte](0, 127, -1),
+      Seq(9.5f, null, 1.25f), "u")))
+
+  private def stage(landing: String,
+                    dfs: Seq[org.apache.spark.sql.DataFrame]): Unit = {
+    def files() = Option(new java.io.File(landing).listFiles()).fold(
+      Set.empty[java.io.File])(_.filter(_.getName.endsWith(".parquet")).toSet)
+    var mtime = System.currentTimeMillis() - (dfs.length + 2) * 2000L
+    dfs.foreach { d =>
+      val before = files()
+      d.coalesce(1).write.mode("append").parquet(landing)
+      (files() -- before).foreach(f =>
+        require(f.setLastModified(mtime), s"setLastModified failed on $f"))
+      mtime += 2000L
+    }
+  }
+
+  /** Canonical comparable form: bytes → vector, floats kept exact. */
+  private def canon(r: Row): (Long, Any, Any, Any, Any) =
+    (r.getLong(0), r.get(1),
+      r.get(2),
+      Option(r.get(3)).map(_.asInstanceOf[Array[Byte]].toVector).orNull,
+      Option(r.get(4)).map(_.asInstanceOf[scala.collection.Seq[Any]]
+        .toVector).orNull)
+
+  test("LogSink stages date/decimal/binary/array<float> byte-exactly " +
+       "(nulls, empty array, null element included)") {
+    val landing = Sinks.tmpPath("types_sink_landing")
+    val log = Sinks.tmpPath("types_sink_log")
+    val ckpt = Sinks.tmpPath("types_sink_ckpt")
+    Seq(landing, log, ckpt).foreach(Sinks.deleteRecursively)
+    stage(landing, Seq(b0, b1))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.format(classOf[LogSink].getName)
+      .option("path", log)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = Changelog.snapshotAtOps(spark, log, Seq("k"), Long.MaxValue)
+      .orderBy("k").collect().toSeq.map(canon)
+    // the control: the same frames batch-committed (Spark's own writer)
+    val ctl = Sinks.tmpPath("types_sink_ctl")
+    Sinks.deleteRecursively(ctl)
+    Seq(b0, b1).zipWithIndex.foreach { case (d, i) =>
+      Changelog.commit(d, ctl, i.toLong) }
+    val want = Changelog.snapshotAtOps(spark, ctl, Seq("k"), Long.MaxValue)
+      .orderBy("k").collect().toSeq.map(canon)
+    assert(got == want)
+    // value pins (independent of the control path): the update's bytes,
+    // the tombstone's absence, the empty shapes surviving
+    val byK = got.map(r => r._1 -> r).toMap
+    assert(!byK.contains(1L), "tombstoned key must be gone")
+    assert(byK(2L)._4 == Vector[Byte](0, 127, -1))
+    assert(byK(2L)._5 == Vector(9.5f, null, 1.25f))
+    assert(byK(2L)._2 == Date.valueOf("2024-02-16"))
+    assert(byK(2L)._3 == dec("21.75"))
+    assert(byK(3L) == ((3L, null, null, null, null)))
+    assert(byK(4L)._4 == Vector.empty[Byte])
+    assert(byK(4L)._5 == Vector.empty)
+  }
+
+  test("decimal precision > 18 is refused loudly at planning") {
+    val wide = StructType(Seq(StructField("k", LongType),
+      StructField("v", DecimalType(20, 2)), StructField(op, StringType)))
+    val landing = Sinks.tmpPath("types_sink_wide_landing")
+    val log = Sinks.tmpPath("types_sink_wide_log")
+    val ckpt = Sinks.tmpPath("types_sink_wide_ckpt")
+    Seq(landing, log, ckpt).foreach(Sinks.deleteRecursively)
+    df(b0.collect().toSeq.take(1)).selectExpr("k",
+        s"CAST(score AS DECIMAL(20,2)) AS v", s"`$op`")
+      .write.parquet(landing)
+    val e = intercept[Exception] {
+      val q = spark.readStream.schema(wide).parquet(landing)
+        .writeStream.format(classOf[LogSink].getName)
+        .option("path", log).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("CdcSource spools and decodes the widened types: the streamed " +
+       "feed equals the batch feed value-for-value") {
+    val log = Sinks.tmpPath("types_cdc_log")
+    val out = Sinks.tmpPath("types_cdc_out")
+    val ckpt = Sinks.tmpPath("types_cdc_ckpt")
+    Seq(log, out, ckpt).foreach(Sinks.deleteRecursively)
+    Changelog.commit(b0, log, 0L)
+    Changelog.commit(b1, log, 1L)
+    val q = spark.readStream.format(classOf[CdcSource].getName)
+      .option("path", log)
+      .option("keys", "k")
+      .option("trackCols", "added,score,payload,emb")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+          batch.write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def canonFeed(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("k", "change_type").collect().toSeq.map { r =>
+        r.toSeq.map {
+          case b: Array[Byte] => b.toVector
+          case s: scala.collection.Seq[_] => s.toVector
+          case other => other
+        }
+      }
+    val streamed = canonFeed(spark.read.parquet(out)
+      .select(b0.columns.filter(_ != op).flatMap(c =>
+        if (c == "k") Seq(col("k")) else Seq(col(s"new_$c"), col(s"old_$c")))
+        :+ col("change_type"): _*))
+    // the stream serves ONE window per commit from the initial offset
+    // (-1): batch 0 = (-1, 0] (the inserts), batch 1 = (0, 1]
+    val batchFeed = canonFeed(
+      Changelog.changesBetweenOps(spark, log, Seq("k"), -1L, 0L,
+          Seq("added", "score", "payload", "emb"))
+        .unionByName(Changelog.changesBetweenOps(spark, log, Seq("k"),
+          0L, 1L, Seq("added", "score", "payload", "emb")))
+      .select(b0.columns.filter(_ != op).flatMap(c =>
+        if (c == "k") Seq(col("k")) else Seq(col(s"new_$c"), col(s"old_$c")))
+        :+ col("change_type"): _*))
+    assert(streamed.nonEmpty && streamed == batchFeed)
+  }
+}
