@@ -259,7 +259,8 @@ object AuditQueries {
     * law as the orders ops log: base upsert, every 10th tombstoned,
     * every 20th resurrected at n_chars+1000, mod-7 updates at +500.
     */
-  private def docsOpsLog(s: SparkSession, d: String, name: String): String = {
+  private[queries] def docsOpsLog(s: SparkSession, d: String,
+                                  name: String): String = {
     val path = Sinks.tmpPathFor(name, d)
     Sinks.deleteRecursively(path)
     val base = Tables.documents(s, d)

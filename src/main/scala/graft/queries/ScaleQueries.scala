@@ -1110,13 +1110,26 @@ object ScaleQueries {
     // evens, day 3 = odds, 1,440 facts/symbol) — so a commit that
     // leaked rows into a neighbor, double-wrote, or dropped a pane
     // breaks the audit line exactly where an operator would look.
-    "q180_changelog_history" -> ((s, d) =>
-      s.read.parquet(stagedCdfLog(s, n(d)))
+    // Extended (round 15) with OPERATION METADATA — the commitInfo
+    // marker each verb records at land time: the VERB, the WRITER
+    // identity, and the footer-derived row count. The oracle pins all
+    // three against the closed form, so info_rows cross-checks the
+    // footer metadata against the data-derived count line by line —
+    // a torn commit or a mis-recorded marker breaks the audit exactly
+    // where an operator would look.
+    "q180_changelog_history" -> ((s, d) => {
+      val path = stagedCdfLog(s, n(d))
+      val data = s.read.parquet(path)
         .groupBy(col(Changelog.CommitCol).cast("int").as("commit"))
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("stock")).as("n_stocks"),
           min(col("date")).as("first_date"),
-          max(col("date")).as("last_date"))))
+          max(col("date")).as("last_date"))
+      val hist = Changelog.describeHistory(s, path)
+        .select(col("commit").cast("int").as("commit"), col("verb"),
+          col("writer"), col("info_rows"))
+      data.join(hist, Seq("commit"))
+    }))
 
   /** q179's retention horizon — mid-span at every scale factor. */
   private val RetentionFrom = "2024-01-16"
@@ -1448,7 +1461,10 @@ object ScaleQueries {
          |  CAST(n.n_stocks * b.nd * 3 * ${RawZoneGen.MetricsPerStatement}
          |    AS BIGINT) AS n_rows,
          |  CAST(n.n_stocks AS BIGINT) AS n_stocks,
-         |  b.fd AS first_date, b.ld AS last_date
+         |  b.fd AS first_date, b.ld AS last_date,
+         |  'append' AS verb, 'solo' AS writer,
+         |  CAST(n.n_stocks * b.nd * 3 * ${RawZoneGen.MetricsPerStatement}
+         |    AS BIGINT) AS info_rows
          |FROM n, b""".stripMargin,
 
     // survivors = rows at-or-after the horizon; an expired day's row

@@ -320,6 +320,23 @@ object TableFormatQueries {
         col("old_payload").cast("string").as("old_payload_str"),
         emb_ppm(col("new_emb")).as("new_emb_ppm"),
         emb_ppm(col("old_emb")).as("old_emb_ppm"))
+    }),
+
+    // OPTIMIZE ON A STRING CLUSTER KEY — q191/q199's recluster verb on
+    // the DOCUMENTS log (string doc_key): the live state lands as one
+    // base of exact equal-depth files in UTF-8 key order via the q188
+    // bucketed-prefix rank kernel (no single-task sort, no sampling),
+    // with the string min/max stats marker recorded for commit-level
+    // skipping. A pure rewrite: the read at the optimized head must
+    // equal the live-state law exactly (this oracle); the exact
+    // touched-file counts and the history-intact property are
+    // spec-pinned (TopKChangelogSpec) where an oracle cannot see file
+    // boundaries.
+    "q218_ops_optimize_string" -> ((s, d) => {
+      val path = AuditQueries.docsOpsLog(s, d, "docs_ops_log_q218")
+      Changelog.optimizeOpsString(s, path, Seq("doc_key"), 3L,
+        "doc_key", numFiles = 8)
+      Changelog.snapshotAtOps(s, path, Seq("doc_key"), Long.MaxValue)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -464,5 +481,19 @@ object TableFormatQueries {
         |  array_to_string(list_transform(old_e,
         |    x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
         |              AS VARCHAR)), ',') AS old_emb_ppm
-        |FROM f""".stripMargin)
+        |FROM f""".stripMargin,
+
+    // the documents live-state law (base; every-10th tombstoned;
+    // every-20th resurrected at +1000; mod-7 non-tombstoned updated at
+    // +500) — OPTIMIZE is a pure rewrite, so the post-optimize read
+    // must reproduce it exactly
+    "q218_ops_optimize_string" ->
+      """SELECT 'D' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_key,
+        |  lang,
+        |  CASE WHEN doc_id % 20 = 0 THEN n_chars + 1000
+        |       WHEN doc_id % 10 <> 0 AND doc_id % 7 = 1
+        |         THEN n_chars + 500
+        |       ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE doc_id % 10 <> 0 OR doc_id % 20 = 0""".stripMargin)
 }

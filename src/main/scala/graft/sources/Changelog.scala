@@ -385,12 +385,124 @@ object Changelog {
         s"row on $path — contention is pathological; back off and retry")
   }
 
+  // ---- Maintenance mutex: ONE maintenance actor per log -------------
+  //
+  // checkpoint/checkpointOps/checkpointOpsClustered/optimizeOps rewrite
+  // shared state (the staging dir, the folded base, the horizon, the
+  // vacuum) that the claim-per-commit protocol does not arbitrate —
+  // before round 15 "one maintenance actor" was an ASSUMPTION. It is
+  // now an enforced contract: every maintenance verb atomically
+  // acquires `_graft_mx_maintenance` (rename-without-overwrite, the
+  // claim primitive) and releases it on completion; a second concurrent
+  // actor fails LOUDLY naming the holder instead of interleaving folds.
+  // Ordinary writers (commit*/commitWithRetry) and readers never touch
+  // it — writer-vs-maintenance safety is the horizon ordering, raced in
+  // TopKChangelogSpec. A crash mid-maintenance leaves the marker
+  // orphaned — the same operator-visible state as a crashed writer's
+  // claim (clear it, re-run; every maintenance verb is re-runnable).
+
+  private val MaintenanceMutex = "_graft_mx_maintenance"
+
+  private def withMaintenanceMutex[T](path: String, actor: String)
+      (body: => T): T = {
+    val p = LogFs.child(path, MaintenanceMutex)
+    require(LogFs.claimExclusive(p, actor), {
+      val holder = scala.util.Try(LogFs.readString(p).trim)
+        .getOrElse("<unknown>")
+      s"maintenance mutex of $path is held by '$holder' — checkpoint/" +
+        "OPTIMIZE are one-actor-at-a-time verbs; wait for it to finish, " +
+        s"or clear the orphaned $MaintenanceMutex marker if its actor " +
+        "crashed (every maintenance verb is safely re-runnable)"
+    })
+    try body finally LogFs.delete(p)
+  }
+
   /** Streaming-sink epoch→commit map markers (multi-writer mode):
     * `_graft_sinkmap_<queryId>_<epoch>`, content = the commit id the
     * epoch landed at. One tiny file per commit — the claim markers'
     * asymptotics — swept below checkpoint horizons like claims.
     */
   private[graft] val SinkMapPrefix = "_graft_sinkmap_"
+
+  // ---- Operation metadata: commitInfo --------------------------------
+  //
+  // Commits record stats/stamps/claims but — before round 15 — not the
+  // VERB or the writer: an operator could not ask "was commit 7 a
+  // restore or a merge, and who wrote it?" (Delta's commitInfo). One
+  // more marker closes it: `_graft_info_<id>`, content = verb, writer,
+  // and the commit's ROW COUNT — the count read from the landed
+  // directory's parquet FOOTERS (metadata-only, no data scan, and
+  // derived from the final on-disk content so a torn write can never
+  // record a count its files don't hold). Written AFTER the data lands
+  // by every verb; re-landing a deterministic delta recomputes the
+  // identical marker (the redelivery contract). Markers are
+  // OBSERVABILITY, never the read path: a commit without one reads
+  // fine and surfaces null verb/writer in DESCRIBE HISTORY.
+
+  private val InfoPrefix = "_graft_info_"
+
+  /** The landed commit directory's exact row count, from parquet
+    * footer metadata only (one open per file, no column IO).
+    */
+  def commitDirRowCount(path: String, commitId: Long): Long = {
+    val dir = LogFs.child(path, s"$CommitCol=$commitId")
+    LogFs.list(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            s.getPath, LogFs.hadoopConf))
+        try rd.getRecordCount finally rd.close()
+      }.sum
+  }
+
+  /** Record commit `commitId`'s operation metadata (verb, writer, and
+    * the footer-derived row count). Public so custom landing paths
+    * (the streaming sink) record their epochs too.
+    */
+  def writeCommitInfo(path: String, commitId: Long, verb: String,
+                      writer: String): Unit =
+    LogFs.writeAtomic(LogFs.child(path, s"$InfoPrefix$commitId"),
+      s"v1\n$verb\t$writer\t${commitDirRowCount(path, commitId)}")
+
+  /** All recorded operation metadata: commitId → (verb, writer, rows). */
+  def commitInfos(path: String): Map[Long, (String, String, Long)] =
+    LogFs.list(path)
+      .filter(s => s.isFile && s.getPath.getName.startsWith(InfoPrefix))
+      .map { s =>
+        val lines = LogFs.readString(s.getPath.toString).split("\n")
+        require(lines.headOption.contains("v1"),
+          s"unrecognized info marker format in ${s.getPath}")
+        val p = lines(1).split("\t")
+        (s.getPath.getName.stripPrefix(InfoPrefix).toLong,
+          (p(0), p(1), p(2).toLong))
+      }.toMap
+
+  /** DESCRIBE HISTORY — one row per landed commit: id, the recorded
+    * verb/writer/row-count (null where a commit predates the info
+    * markers), and the commit's stamp when the log is clock-addressed.
+    * Driver-side metadata assembly, O(commits) — the same asymptotics
+    * as the marker listings every read already does.
+    */
+  def describeHistory(spark: SparkSession, path: String): DataFrame = {
+    val stamps = commitTimestamps(path).toMap
+    val infos = commitInfos(path)
+    val rows = commitIds(path).sorted.map { id =>
+      org.apache.spark.sql.Row(id,
+        infos.get(id).map(_._1).orNull,
+        infos.get(id).map(_._2).orNull,
+        infos.get(id).map(i => java.lang.Long.valueOf(i._3)).orNull,
+        stamps.get(id).map(java.lang.Long.valueOf).orNull)
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(StructField("commit", LongType, nullable = false),
+        StructField("verb", StringType), StructField("writer", StringType),
+        StructField("info_rows", LongType),
+        StructField("ts_millis", LongType))))
+  }
 
   /** The append write itself, claim-free — the checkpoint fold lands
     * through this (it REWRITES an id that is legitimately claimed by
@@ -417,13 +529,22 @@ object Changelog {
     * and are unaffected).
     */
   def commit(delta: DataFrame, path: String, commitId: Long,
-             writer: String = SoloWriter): Unit = {
+             writer: String = SoloWriter): Unit =
+    commitVerbed(delta, path, commitId, writer, "append")
+
+  /** [[commit]] with the verb the info marker records — the internal
+    * entry every higher verb (upsert/delete/merge/restore) routes
+    * through so DESCRIBE HISTORY names the operation, not the plumbing.
+    */
+  private def commitVerbed(delta: DataFrame, path: String, commitId: Long,
+                           writer: String, verb: String): Unit = {
     require(commitId >= 0, s"commitId must be >= 0, got $commitId")
     require(!delta.columns.contains(CommitCol),
       s"Changelog reserves column name $CommitCol; rename it on the input")
     requireMatchingShape(delta, path)
     claimCommit(path, commitId, writer)
     appendCommit(delta, path, commitId)
+    writeCommitInfo(path, commitId, verb, writer)
   }
 
   /** Append-or-replace commit `commitId` IDEMPOTENTLY: a dynamic
@@ -450,6 +571,7 @@ object Changelog {
     requireMatchingShape(delta, path)
     claimCommit(path, commitId, writer)
     overwriteCommit(delta, path, commitId, alsoPartitionBy)
+    writeCommitInfo(path, commitId, "append", writer)
   }
 
   /** OPTIMISTIC MULTI-WRITER COMMIT — the Delta/Iceberg commit loop on
@@ -557,6 +679,7 @@ object Changelog {
         // this method exists for
         delta.write.mode("overwrite")
           .parquet(LogFs.child(path, s"$CommitCol=$target"))
+        writeCommitInfo(path, target, "occ-append", writer)
         return target
       }
       // claim lost: another writer is landing `target` — advance past
@@ -735,7 +858,8 @@ object Changelog {
                    writer: String = SoloWriter): Unit = {
     require(!delta.columns.contains(OpCol),
       s"Changelog reserves column name $OpCol; rename it on the input")
-    commit(delta.withColumn(OpCol, lit("u")), path, commitId, writer)
+    commitVerbed(delta.withColumn(OpCol, lit("u")), path, commitId, writer,
+      "upsert")
   }
 
   /** Append TOMBSTONES for `keys` as ops-commit `commitId`. The keys
@@ -775,8 +899,8 @@ object Changelog {
         if (keyCols.contains(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }
-    commit(keys.select(full.toIndexedSeq: _*)
-      .withColumn(OpCol, lit("d")), path, commitId)
+    commitVerbed(keys.select(full.toIndexedSeq: _*)
+      .withColumn(OpCol, lit("d")), path, commitId, SoloWriter, "delete")
   }
 
   /** The mirror guard: ops reads against a PLAIN log fail with the
@@ -850,6 +974,76 @@ object Changelog {
       s"clusterCol $clusterCol must be one of the key columns " +
         s"[${keys.mkString(", ")}] — the base's stats marker feeds " +
         "rangeLookupOps, whose skipping is only sound on a key column")
+    optimizeLanding(spark, path, keys, newCommitId, writer,
+      statsCols = Seq(clusterCol))(
+      ZOrderLayout.rangeClustered(_, clusterCol, domain, numFiles))
+  }
+
+  /** [[optimizeOps]] for a STRING cluster key — the documents-log shape
+    * (q218): placement is exact equal-depth in UTF-8 key order via the
+    * q188 bucketed-prefix rank kernel
+    * ([[ZOrderLayout.rankClusteredString]] — no single-task sort, no
+    * sampling), the remaining key columns break ties so the order is
+    * total, and the base's multi-column stats marker records the
+    * string min/max that [[rangeLookupOpsString]] skips by. Same
+    * contract as the numeric form: a pure rewrite under the
+    * maintenance mutex, history intact, snapshots value-identical.
+    */
+  def optimizeOpsString(spark: SparkSession, path: String,
+                        keys: Seq[String], newCommitId: Long,
+                        clusterCol: String, numFiles: Int,
+                        writer: String = SoloWriter): Unit = {
+    require(keys.contains(clusterCol),
+      s"clusterCol $clusterCol must be one of the key columns " +
+        s"[${keys.mkString(", ")}] — the base's stats marker feeds " +
+        "rangeLookupOpsString, whose skipping is only sound on a key " +
+        "column")
+    optimizeLanding(spark, path, keys, newCommitId, writer,
+      statsCols = Seq(clusterCol))(
+      ZOrderLayout.rankClusteredString(_, clusterCol, numFiles,
+        tieBreakCols = keys.filterNot(_ == clusterCol)))
+  }
+
+  /** [[optimizeOps]] on TWO cluster dimensions — the 2-D
+    * [[ZOrderLayout]] placement wired into the ops-log base fold: the
+    * live state lands as `numFiles` files placed by the arithmetic
+    * range of the Morton interleave of (xCol, yCol), so box predicates
+    * over BOTH dimensions prune files (the q73 slice law, now on the
+    * table format's base), and the base's stats marker records BOTH
+    * columns' min/max (the q202 multi-column form) so commit-level
+    * skipping works on either dimension. Both columns must be key
+    * columns (non-null by construction; the skipping soundness rule)
+    * with values in `[0, 2^bits)`.
+    */
+  def optimizeOpsZOrder(spark: SparkSession, path: String,
+                        keys: Seq[String], newCommitId: Long,
+                        xCol: String, yCol: String, bits: Int,
+                        numFiles: Int, writer: String = SoloWriter): Unit = {
+    Seq(xCol, yCol).foreach { c =>
+      require(keys.contains(c),
+        s"z-order column $c must be one of the key columns " +
+          s"[${keys.mkString(", ")}] — the base's stats marker feeds " +
+          "the range lookups, whose skipping is only sound on key " +
+          "columns")
+    }
+    optimizeLanding(spark, path, keys, newCommitId, writer,
+      statsCols = Seq(xCol, yCol))(
+      ZOrderLayout.zClustered(_, xCol, yCol, bits, numFiles))
+  }
+
+  /** The shared OPTIMIZE landing: fold the live head state, place it
+    * with `place`, land under the claim + maintenance mutex, record
+    * the stats/base/info markers. Marker ORDER is the crash-safety
+    * law: stats before base. A crash after the data landed but before
+    * the markers leaves an ordinary (unmarked) commit — reads stay
+    * correct, only un-pruned; re-run under the same id to finish (the
+    * claim is held by this writer).
+    */
+  private def optimizeLanding(spark: SparkSession, path: String,
+                              keys: Seq[String], newCommitId: Long,
+                              writer: String, statsCols: Seq[String])
+                             (place: DataFrame => DataFrame): Unit =
+      withMaintenanceMutex(path, s"optimize@$newCommitId:$writer") {
     val ids = commitIds(path)
     require(ids.nonEmpty, s"$path has no commits to optimize")
     val head = ids.max
@@ -866,16 +1060,12 @@ object Changelog {
     val staged = spark.read.parquet(staging)
     val dir = LogFs.child(path, s"$CommitCol=$newCommitId")
     if (staged.isEmpty) staged.write.mode("overwrite").parquet(dir)
-    else ZOrderLayout.rangeClustered(staged, clusterCol, domain, numFiles)
-      .write.mode("overwrite").parquet(dir)
-    // marker ORDER is the crash-safety law: stats before base. A crash
-    // after the data landed but before the markers leaves an ordinary
-    // (unmarked) commit — reads stay correct, only un-pruned; re-run
-    // under the same id to finish (the claim is held by this writer).
-    if (!staged.isEmpty) writeCommitStats(spark, path, newCommitId,
-      clusterCol)
+    else place(staged).write.mode("overwrite").parquet(dir)
+    if (!staged.isEmpty) writeCommitStatsMulti(spark, path, newCommitId,
+      statsCols)
     LogFs.writeAtomic(LogFs.child(path, s"$BasePrefix$newCommitId"),
       newCommitId.toString)
+    writeCommitInfo(path, newCommitId, "optimize", writer)
     LogFs.delete(staging)
   }
 
@@ -1047,7 +1237,8 @@ object Changelog {
   }
 
   def checkpointOps(spark: SparkSession, path: String, keys: Seq[String],
-                    v: Long): Unit = {
+                    v: Long): Unit =
+      withMaintenanceMutex(path, s"checkpointOps@$v") {
     requireAboveHorizon(path, v, "checkpoint version")
     val staging = s"${path.stripSuffix("/")}__ckpt_staging_v$v"
     LogFs.delete(staging)
@@ -1060,6 +1251,9 @@ object Changelog {
       .drop(CommitCol)
       .write.mode("overwrite").parquet(staging)
     landFold(spark, staging, path, v)
+    // the fold REWROTE _commit=v: its pre-fold info marker no longer
+    // describes the directory — re-record as the checkpoint's own verb
+    writeCommitInfo(path, v, "checkpoint", SoloWriter)
     // horizon lands AFTER the base and BEFORE the vacuum: a crash here
     // leaves reads below v failing loudly over still-intact history
     // (re-run to finish) — never erased history with a silent read path
@@ -1089,7 +1283,8 @@ object Changelog {
     */
   def checkpointOpsClustered(spark: SparkSession, path: String,
                              keys: Seq[String], v: Long, clusterCol: String,
-                             domain: Long, numFiles: Int): Unit = {
+                             domain: Long, numFiles: Int): Unit =
+      withMaintenanceMutex(path, s"checkpointOpsClustered@$v") {
     requireAboveHorizon(path, v, "checkpoint version")
     val staging = s"${path.stripSuffix("/")}__ckpt_staging_v$v"
     LogFs.delete(staging)
@@ -1115,6 +1310,7 @@ object Changelog {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(CommitCol).parquet(path)
+    writeCommitInfo(path, v, "checkpoint", SoloWriter)
     writeHorizon(path, v)
     vacuumBelow(path, v)
     LogFs.delete(staging)
@@ -1206,7 +1402,7 @@ object Changelog {
     // (the cloned base is byte-identical) and keep the clone's reads
     // pruned. writeAtomic keeps the no-torn-marker law on the clone.
     def markerId(n: String): Option[Long] =
-      Seq(StatsPrefix, ClaimPrefix, BasePrefix)
+      Seq(StatsPrefix, ClaimPrefix, BasePrefix, InfoPrefix)
         .collectFirst { case p if n.startsWith(p) =>
           n.stripPrefix(p).toLong }
     LogFs.list(path)
@@ -1274,7 +1470,8 @@ object Changelog {
       .select(keys.map(col) ++ dataCols.map(cc =>
         lit(null).cast(tombstoneShape(cc).dataType).as(cc)): _*)
       .withColumn(OpCol, lit("d"))
-    commit(ups.unionByName(dels), path, newCommitId)
+    commitVerbed(ups.unionByName(dels), path, newCommitId, SoloWriter,
+      "restore")
   }
 
   // ---- Commit statistics: data skipping at the log level ------------
@@ -1588,7 +1785,8 @@ object Changelog {
       .select(keys.map(col) ++ dataCols.map(cc =>
         lit(null).cast(current.schema(cc).dataType).as(cc)): _*)
       .withColumn(OpCol, lit("d"))
-    commit(ups.unionByName(dels), path, newCommitId)
+    commitVerbed(ups.unionByName(dels), path, newCommitId, SoloWriter,
+      "merge")
   }
 
   /** Drop every `_commit=<id>` directory with id strictly below `v` —
@@ -1630,7 +1828,12 @@ object Changelog {
           ((n.startsWith(ClaimPrefix) &&
             n.stripPrefix(ClaimPrefix).toLong < v) ||
            (n.startsWith(BasePrefix) &&
-            n.stripPrefix(BasePrefix).toLong < v))
+            n.stripPrefix(BasePrefix).toLong < v) ||
+           // info markers go with their vacuumed commits; the marker AT
+           // v was re-recorded as 'checkpoint' by the fold, so only
+           // strictly-below entries are stale
+           (n.startsWith(InfoPrefix) &&
+            n.stripPrefix(InfoPrefix).toLong < v))
       }
       .foreach(s => LogFs.delete(s.getPath.toString))
     // sink epoch→commit map markers point at a commit id in their
@@ -1692,7 +1895,8 @@ object Changelog {
     * the hot read path ([[snapshotAt]]) still never pays it.
     */
   def checkpoint(spark: SparkSession, path: String, keys: Seq[String],
-                 v: Long): Unit = {
+                 v: Long): Unit =
+      withMaintenanceMutex(path, s"checkpoint@$v") {
     requireAboveHorizon(path, v, "checkpoint version")
     val staging = s"${path.stripSuffix("/")}__ckpt_staging_v$v"
     LogFs.delete(staging)
@@ -1703,6 +1907,7 @@ object Changelog {
       keys, col(CommitCol)).drop(CommitCol)
       .write.mode("overwrite").parquet(staging)
     landFold(spark, staging, path, v)
+    writeCommitInfo(path, v, "checkpoint", SoloWriter)
     writeHorizon(path, v)
     vacuumBelow(path, v)
     LogFs.delete(staging)

@@ -57,6 +57,11 @@ private[graft] object LogFs {
 
   def fs(path: String): FileSystem = new Path(path).getFileSystem(conf)
 
+  /** The session-cached Hadoop conf, for metadata readers (parquet
+    * footer opens) that need one alongside the FileSystem.
+    */
+  private[graft] def hadoopConf: Configuration = conf
+
   /** `dir/name` in the path algebra of the dir's own filesystem. */
   def child(dir: String, name: String): String =
     new Path(dir, name).toString

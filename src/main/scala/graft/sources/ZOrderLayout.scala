@@ -75,6 +75,59 @@ object ZOrderLayout {
     * declarative alternative (`repartitionByRange`) samples with an
     * RDD-id-dependent seed.
     */
+  /** Equal-depth clustering for a STRING key — the q188 bucketed-prefix
+    * kernel repurposed as a file placer: each row's GLOBAL RANK in
+    * UTF-8 key order is computed without a single-task sort
+    * ([[graft.ext.Interleave.bucketedGroupRank]] with the bucket = the
+    * key's first two UTF-8 bytes — a prefix of Spark's string order —
+    * and a broadcast prefix-sum over the ≤65,536-row counts table),
+    * then file i holds ranks `[i·N/numFiles, (i+1)·N/numFiles)` via the
+    * same arithmetic [[rangeClustered]] placement on the rank. Exact
+    * equal-depth boundaries, deterministic (ties broken by
+    * `tieBreakCols` — pass the remaining key columns so the order is
+    * total), seed-free, and the max per-task sort is one shared-prefix
+    * slice. String min/max file statistics then prune key-range reads
+    * exactly like the numeric layout's.
+    */
+  def rankClusteredString(df: DataFrame, keyCol: String, numFiles: Int,
+                          tieBreakCols: Seq[String] = Nil): DataFrame = {
+    val internal = Seq("_graft_rank", "_graft_pos")
+    require(!df.columns.exists(internal.contains),
+      s"${internal.mkString("/")} are reserved by rankClusteredString")
+    val n = df.count()
+    require(n > 0, "rankClusteredString needs a non-empty input")
+    val bin = encode(col(keyCol), "UTF-8")
+    def byteAt(i: Int) =
+      when(length(substring(bin, i, 1)) === 1,
+        conv(hex(substring(bin, i, 1)), 16, 10).cast("long"))
+        .otherwise(lit(0L))
+    val bucket = byteAt(1) * 256L + byteAt(2)
+    val ranked = graft.ext.Interleave.bucketedGroupRank(df, Nil, bucket,
+      1L, col(keyCol) +: tieBreakCols.map(col), "_graft_rank")
+    rangeClustered(
+      ranked.withColumn("_graft_pos", col("_graft_rank") - 1)
+        .drop("_graft_rank"),
+      "_graft_pos", n, numFiles).drop("_graft_pos")
+  }
+
+  /** 2-D z-order clustering as a transform (the [[write]] placement
+    * without the write): rows placed into `numFiles` files by the
+    * arithmetic range of the Morton interleave of (xCol, yCol), sorted
+    * on z within each file, the z column derived and dropped.
+    * Coordinates must be non-null non-negative longs < 2^bits (the
+    * caller's key contract — [[graft.sources.Changelog.optimizeOpsZOrder]]
+    * requires both to be key columns, which are non-null by
+    * construction).
+    */
+  def zClustered(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                 numFiles: Int): DataFrame = {
+    require(!df.columns.contains(ZCol), s"$ZCol is reserved by ZOrderLayout")
+    val zdf = df.withColumn(ZCol,
+      ZOrderExpr.zorder2(col(xCol).cast("long"), col(yCol).cast("long"),
+        bits))
+    rangeClustered(zdf, ZCol, 1L << (2 * bits), numFiles).drop(ZCol)
+  }
+
   def rangeClustered(df: DataFrame, keyCol: String, domain: Long,
                      numFiles: Int): DataFrame = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")

@@ -284,6 +284,9 @@ object LogSink {
           require(ok, s"failed to land staged epoch file $f into $dir")
         }
       }
+      // operation metadata like every batch verb (a redelivered epoch
+      // re-records the identical marker)
+      Changelog.writeCommitInfo(path, commitId, "stream-epoch", writer)
       sweepStaging(epochId)
     }
 

@@ -1392,4 +1392,322 @@ class TopKChangelogSpec extends SparkSpec {
       "k", 50L, 4)
     assert(Changelog.snapshotAtOps(spark, path2, Seq("k"), 1L).isEmpty)
   }
+
+  test("commitInfo: every verb records (verb, writer, footer rows); " +
+       "DESCRIBE HISTORY surfaces them; a checkpoint re-records its " +
+       "fold and the vacuum sweeps the superseded markers (q180)") {
+    val path = Sinks.tmpPath("changelog_spec_info")
+    Sinks.deleteRecursively(path)
+    def rows(lo: Long, hi: Long, tag: String) =
+      spark.range(lo, hi).select(col("id").as("k"),
+        concat(lit(tag), col("id")).as("v"))
+    Changelog.commitUpsert(rows(0, 20, "a"), path, 0L)                // 20
+    Changelog.commitDelete(spark,
+      spark.range(0, 5).select(col("id").as("k")), path, 1L)         // 5
+    Changelog.mergeIntoOps(spark, path, Seq("k"),
+      rows(10, 25, "m"), 2L)                                         // 15
+    val occId = Changelog.commitWithRetry(spark, path, Seq("k"),
+      rows(100, 104, "o").withColumn(Changelog.OpCol, lit("u")),
+      readVersion = 2L, writer = "wI")                               // 4
+    assert(occId == 3L)
+    Changelog.restoreOps(spark, path, Seq("k"), 2L, 4L)
+    val infos = Changelog.commitInfos(path)
+    assert(infos(0L) == (("upsert", Changelog.SoloWriter, 20L)))
+    assert(infos(1L) == (("delete", Changelog.SoloWriter, 5L)))
+    assert(infos(2L)._1 == "merge" && infos(2L)._2 == Changelog.SoloWriter)
+    assert(infos(3L) == (("occ-append", "wI", 4L)))
+    assert(infos(4L)._1 == "restore")
+    // every recorded count equals the commit dir's data count
+    val dataCounts = spark.read.parquet(path)
+      .groupBy(Changelog.CommitCol).count()
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    infos.foreach { case (id, (_, _, n)) => assert(dataCounts(id) == n) }
+    // DESCRIBE HISTORY: one row per landed commit, metadata joined
+    val hist = Changelog.describeHistory(spark, path)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    assert(hist.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(hist(3L) == (("occ-append", "wI", 4L)))
+    // checkpoint at 2: the fold re-records commit 2 as 'checkpoint'
+    // (the pre-fold 'merge' marker no longer describes the directory)
+    // and sweeps the markers of the vacuumed commits 0/1
+    Changelog.checkpointOps(spark, path, Seq("k"), 2L)
+    val after = Changelog.commitInfos(path)
+    assert(after.keySet == Set(2L, 3L, 4L))
+    assert(after(2L)._1 == "checkpoint")
+    assert(after(2L)._3 == Changelog.commitDirRowCount(path, 2L))
+    // optimize records its base commit; the clone carries the markers
+    Changelog.optimizeOps(spark, path, Seq("k"), 5L, "k", 200L, 2)
+    assert(Changelog.commitInfos(path)(5L)._1 == "optimize")
+    val dest = Sinks.tmpPath("changelog_spec_info_clone")
+    Sinks.deleteRecursively(dest)
+    Changelog.cloneAt(spark, path, dest, 5L)
+    assert(Changelog.commitInfos(dest) == Changelog.commitInfos(path))
+  }
+
+  test("optimizeOpsString: the base lands as exact equal-depth files " +
+       "in UTF-8 key order (q188 rank kernel), history intact, string " +
+       "stats recorded, touched-file counts exact (q218)") {
+    val path = Sinks.tmpPath("changelog_spec_opt_string")
+    Sinks.deleteRecursively(path)
+    def key(id: Long) = f"K$id%04d"
+    val base = spark.range(400).select(
+      format_string("K%04d", col("id")).as("k"),
+      concat(lit("v"), col("id")).as("v"))
+    Changelog.commitUpsert(base, path, 0L)
+    Changelog.commitDelete(spark,
+      spark.range(40).select(format_string("K%04d", col("id") * 10).as("k")),
+      path, 1L)
+    Changelog.commitUpsert(
+      spark.range(20).select(format_string("K%04d", col("id") * 20).as("k"),
+        concat(lit("r"), col("id") * 20).as("v")), path, 2L)
+    val preV1 = Changelog.snapshotAtOps(spark, path, Seq("k"), 1L)
+      .as[(String, String)].collect().toMap
+    Changelog.optimizeOpsString(spark, path, Seq("k"), 3L, "k",
+      numFiles = 4)
+    // content: the live-state model, byte-identical through the rewrite
+    val model = (0L until 400L).flatMap { id =>
+      if (id % 20 == 0) Some(key(id) -> s"r$id")
+      else if (id % 10 == 0) None
+      else Some(key(id) -> s"v$id")
+    }.toMap
+    assert(Changelog.snapshotAtOps(spark, path, Seq("k"), Long.MaxValue)
+      .as[(String, String)].collect().toMap == model)
+    // history intact: the pre-optimize version still serves exactly
+    assert(Changelog.snapshotAtOps(spark, path, Seq("k"), 1L)
+      .as[(String, String)].collect().toMap == preV1)
+    // layout: 380 live keys into 4 files of EXACTLY 95, string-ordered
+    // and disjoint across files — equal depth by rank, not by value
+    val baseDir = s"$path/${Changelog.CommitCol}=3"
+    val files = Option(new java.io.File(baseDir).listFiles()).toSeq
+      .flatten.filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length == 4, s"base files: ${files.length}")
+    val perFile = files.map { f =>
+      val rows = spark.read.parquet(f.getPath)
+        .select("k").as[String].collect().sorted
+      (rows.length, rows.head, rows.last)
+    }
+    assert(perFile.map(_._1) == Seq(95, 95, 95, 95),
+      s"equal depth violated: ${perFile.map(_._1)}")
+    val ordered = perFile.sortBy(_._2)
+    ordered.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._3 < b._2, s"file ranges overlap: $a vs $b")
+    case _ => () }
+    // touched-file exactness from the model: the probe range's ranks
+    // map to files rank/95 — count distinct files that serve it
+    val sortedLive = model.keys.toSeq.sorted
+    def expectTouched(lo: String, hi: String): Long = {
+      val ranks = sortedLive.zipWithIndex
+        .filter { case (k, _) => k >= lo && k <= hi }.map(_._2)
+      ranks.map(_ / 95).distinct.length.toLong
+    }
+    def touched(lo: String, hi: String): Long =
+      spark.read.parquet(baseDir).filter(col("k").between(lo, hi))
+        .select(input_file_name()).distinct().count()
+    for ((lo, hi) <- Seq(("K0000", "K0099"), ("K0150", "K0349"),
+        ("K0390", "K0399")))
+      assert(touched(lo, hi) == expectTouched(lo, hi),
+        s"touched($lo, $hi): got ${touched(lo, hi)}, " +
+          s"want ${expectTouched(lo, hi)}")
+    // the string stats marker feeds the skipping lookup exactly
+    assert(Changelog.commitColumnStats(path)(3L).contains("k"))
+    assert(Changelog.pointLookupOpsString(spark, path, Seq("k"),
+        Long.MaxValue, "k", key(20)).as[(String, String)]
+      .collect().toSeq == Seq((key(20), "r20")))
+  }
+
+  test("optimizeOpsZOrder: the base lands 2-D z-clustered — box slices " +
+       "prune to exact file counts, the stats marker carries BOTH key " +
+       "columns, snapshots unchanged") {
+    val path = Sinks.tmpPath("changelog_spec_opt_zorder")
+    Sinks.deleteRecursively(path)
+    // 32×32 grid keyed (x, y): commit 0 the full grid, commit 1
+    // rewrites a diagonal stripe
+    val grid = spark.range(1024).select(
+      (col("id") % 32).as("x"),
+      floor(col("id") / 32).cast("long").as("y"),
+      concat(lit("v"), col("id")).as("v"))
+    Changelog.commitUpsert(grid, path, 0L)
+    Changelog.commitUpsert(
+      spark.range(32).select(col("id").as("x"), col("id").as("y"),
+        concat(lit("d"), col("id")).as("v")), path, 1L)
+    val pre = Changelog
+      .snapshotAtOps(spark, path, Seq("x", "y"), Long.MaxValue)
+      .as[(Long, Long, String)].collect().toSet
+    Changelog.optimizeOpsZOrder(spark, path, Seq("x", "y"), 2L,
+      "x", "y", bits = 5, numFiles = 4)
+    val got = Changelog
+      .snapshotAtOps(spark, path, Seq("x", "y"), Long.MaxValue)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == pre, "OPTIMIZE must be a pure rewrite")
+    // layout: z domain 2^10 into 4 files of width 256; the box
+    // x<16 ∧ y<16 has all interleaved bits below 2^8, so it lives in
+    // file 0 alone — ONE touched file out of four
+    val baseDir = s"$path/${Changelog.CommitCol}=2"
+    val files = Option(new java.io.File(baseDir).listFiles()).toSeq
+      .flatten.filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4, s"base files: ${files.length}")
+    def touched(c: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(baseDir).filter(c)
+        .select(input_file_name()).distinct().count()
+    assert(touched(col("x") < 16 && col("y") < 16) == 1L)
+    // the complementary quadrant (x,y >= 16): top bits of both set →
+    // z >= 3·256 — again exactly one file
+    assert(touched(col("x") >= 16 && col("y") >= 16) == 1L)
+    // the stats marker records BOTH dimensions (the q202 multi form)
+    val stats = Changelog.commitColumnStats(path)(2L)
+    assert(stats.contains("x") && stats.contains("y"))
+    // commit-level skipping composes on either dimension
+    assert(Changelog.rangeLookupOps(spark, path, Seq("x", "y"),
+        Long.MaxValue, "y", 5L, 5L)
+      .count() == 32L)
+  }
+
+  // ---- Round-15 maintenance-vs-OCC races -----------------------------
+  //
+  // The writer-vs-writer interleavings were race-specced in r14; these
+  // pin the MAINTENANCE surface: a fold racing an OCC append, two
+  // concurrent folds (now arbitrated by the maintenance mutex), and
+  // OPTIMIZE racing a writer for the next commit id. The discipline is
+  // the clone-race test's: 5 trials, every outcome must be either
+  // correct or LOUD — never silently wrong.
+
+  test("checkpointOps(v) racing commitWithRetry above v: both land, " +
+       "the fold loses nothing, the OCC delta survives, horizon exact") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val path = Sinks.tmpPath("changelog_race_ckpt_occ")
+    for (trial <- 1 to 5) {
+      Sinks.deleteRecursively(path)
+      for (c <- 0L to 2L)
+        Changelog.commitUpsert(
+          spark.range(c * 20, c * 20 + 40).select(col("id").as("k"),
+            concat(lit("v"), col("id"), lit("_"), lit(c)).as("v")),
+          path, c)
+      val expectedBase = Changelog
+        .snapshotAtOps(spark, path, Seq("k"), 2L)
+        .as[(Long, String)].collect().toMap
+      val delta = spark.range(1000, 1010).select(col("id").as("k"),
+          concat(lit("occ"), col("id")).as("v"))
+        .withColumn(Changelog.OpCol, lit("u"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val ckptF = Future(Changelog.checkpointOps(spark, path, Seq("k"), 2L))
+      val occF = Future(Changelog.commitWithRetry(spark, path, Seq("k"),
+        delta, readVersion = 2L, writer = "wR"))
+      Await.result(ckptF, 3.minutes)
+      val occId = Await.result(occF, 3.minutes)
+      pool.shutdown()
+      assert(occId == 3L, s"trial $trial: OCC landed at $occId")
+      assert(Changelog.horizonOf(path) == 2L)
+      val got = Changelog
+        .snapshotAtOps(spark, path, Seq("k"), Long.MaxValue)
+        .as[(Long, String)].collect().toMap
+      val want = expectedBase ++
+        (1000L until 1010L).map(k => k -> s"occ$k").toMap
+      assert(got == want, s"trial $trial: fold+OCC state diverged")
+      val eh = intercept[IllegalArgumentException](
+        Changelog.snapshotAtOps(spark, path, Seq("k"), 1L))
+      assert(eh.getMessage.contains("horizon"))
+    }
+  }
+
+  test("two concurrent checkpointOps: the maintenance mutex admits " +
+       "exactly one; the loser is loud and a re-run converges") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val path = Sinks.tmpPath("changelog_race_ckpt_ckpt")
+    var lostLoudly = 0
+    for (trial <- 1 to 5) {
+      Sinks.deleteRecursively(path)
+      for (c <- 0L to 2L)
+        Changelog.commitUpsert(
+          spark.range(c * 10, c * 10 + 20).select(col("id").as("k"),
+            concat(lit("v"), col("id"), lit("_"), lit(c)).as("v")),
+          path, c)
+      val expected = Changelog
+        .snapshotAtOps(spark, path, Seq("k"), 2L)
+        .as[(Long, String)].collect().toMap
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val fs = (1 to 2).map(_ => Future {
+        try { Changelog.checkpointOps(spark, path, Seq("k"), 2L); None }
+        catch { case t: Throwable => Some(t) }
+      })
+      val outcomes = Await.result(Future.sequence(fs), 3.minutes)
+      pool.shutdown()
+      val failures = outcomes.flatten
+      // the mutex admits at most one concurrently; a loser must be
+      // loud ABOUT THE MUTEX (never a torn staging dir failure), and a
+      // sequential re-run must converge on the same state
+      failures.foreach { t =>
+        assert(t.getMessage != null &&
+          t.getMessage.contains("maintenance mutex"),
+          s"trial $trial: loser failed for the wrong reason: $t")
+        lostLoudly += 1
+        Changelog.checkpointOps(spark, path, Seq("k"), 2L)
+      }
+      assert(Changelog.horizonOf(path) == 2L)
+      val got = Changelog
+        .snapshotAtOps(spark, path, Seq("k"), Long.MaxValue)
+        .as[(Long, String)].collect().toMap
+      assert(got == expected, s"trial $trial: concurrent folds diverged")
+    }
+    info(s"mutex refused a concurrent fold in $lostLoudly/5 trials")
+  }
+
+  test("optimizeOps racing commitWithRetry for the next id: the claim " +
+       "arbitrates — each outcome is correct or loud, the final state " +
+       "is always live-base + delta") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val path = Sinks.tmpPath("changelog_race_opt_occ")
+    var optimizeLost = 0
+    for (trial <- 1 to 5) {
+      Sinks.deleteRecursively(path)
+      for (c <- 0L to 2L)
+        Changelog.commitUpsert(
+          spark.range(c * 15, c * 15 + 30).select(col("id").as("k"),
+            concat(lit("v"), col("id"), lit("_"), lit(c)).as("v")),
+          path, c)
+      val expectedBase = Changelog
+        .snapshotAtOps(spark, path, Seq("k"), 2L)
+        .as[(Long, String)].collect().toMap
+      // NEW keys only: a blind append serializes against the rewrite
+      // in either order (an intersecting delta would be refused loudly
+      // while the base's marker is in flight — conservative, not wrong)
+      val delta = spark.range(2000, 2008).select(col("id").as("k"),
+          concat(lit("w"), col("id")).as("v"))
+        .withColumn(Changelog.OpCol, lit("u"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val optF = Future {
+        try { Changelog.optimizeOps(spark, path, Seq("k"), 3L, "k",
+          3000L, 2, writer = "maint"); None }
+        catch { case t: Throwable => Some(t) }
+      }
+      val occF = Future(Changelog.commitWithRetry(spark, path, Seq("k"),
+        delta, readVersion = 2L, writer = "wO"))
+      val optOutcome = Await.result(optF, 3.minutes)
+      val occId = Await.result(occF, 3.minutes)
+      pool.shutdown()
+      optOutcome.foreach { t =>
+        // optimize lost the id-3 claim to the writer: loud, names it
+        assert(t.getMessage != null && t.getMessage.contains("claim"),
+          s"trial $trial: optimize failed for the wrong reason: $t")
+        optimizeLost += 1
+        assert(occId == 3L)
+      }
+      if (optOutcome.isEmpty)
+        assert(occId == 4L,
+          s"trial $trial: optimize held id 3, writer must land at 4")
+      val got = Changelog
+        .snapshotAtOps(spark, path, Seq("k"), Long.MaxValue)
+        .as[(Long, String)].collect().toMap
+      val want = expectedBase ++
+        (2000L until 2008L).map(k => k -> s"w$k").toMap
+      assert(got == want, s"trial $trial: optimize+OCC state diverged")
+    }
+    info(s"optimize lost the id claim in $optimizeLost/5 trials")
+  }
 }
