@@ -55,7 +55,14 @@ import graft.sources.{Changelog, LogFs}
   *
   * Options: `path` (the ops log), `keys` (csv), `trackCols` (csv),
   * `startVersion` (default: the horizon, else min commit − 1),
-  * `maxCommitsPerTrigger` (default 1), `columns` (csv, optional — an
+  * `maxCommitsPerTrigger` (default 1), `maxRowsPerTrigger` (optional —
+  * ROW-budget admission: a commit whose footer row count exceeds the
+  * budget is served as ⌈rows/budget⌉ micro-batches, split at KEY
+  * boundaries — slice = hash(key) mod n, computed on the spool so each
+  * key's whole feed row lands in exactly one batch and replays re-slice
+  * identically; the slice count rides in the offset so a restart
+  * mid-commit honors the slicing it was checkpointed under), `columns`
+  * (csv, optional — an
   * explicit projection of the feed: the spool writes ONLY these
   * columns, so a replication consumer that never reads the old_* side
   * halves its per-window write amplification; an option rather than
@@ -95,7 +102,8 @@ object CdcSource {
                                      startVersion: Option[Long],
                                      maxCommitsPerTrigger: Long,
                                      columns: Option[Seq[String]],
-                                     keyFilter: Option[String])
+                                     keyFilter: Option[String],
+                                     maxRowsPerTrigger: Option[Long])
   private object Opts {
     def apply(o: CaseInsensitiveStringMap): Opts = {
       val path = o.get("path")
@@ -106,12 +114,16 @@ object CdcSource {
           s"CdcSource needs option '$k' (comma-separated column names)")
         v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       }
+      val maxRows = Option(o.get("maxRowsPerTrigger")).map(_.toLong)
+      maxRows.foreach(r => require(r >= 1,
+        s"maxRowsPerTrigger must be >= 1, got $r"))
       Opts(path, csv("keys"), csv("trackCols"),
         Option(o.get("startVersion")).map(_.toLong),
         o.getLong("maxCommitsPerTrigger", 1L),
         Option(o.get("columns")).map(_.split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq),
-        Option(o.get("keyFilter")).map(_.trim).filter(_.nonEmpty))
+        Option(o.get("keyFilter")).map(_.trim).filter(_.nonEmpty),
+        maxRows)
     }
   }
 
@@ -171,8 +183,38 @@ object CdcSource {
     if (ids.isEmpty) None else Some(ids.min)
   }
 
-  private[streaming] case class CdcOffset(version: Long) extends Offset {
-    override def json(): String = version.toString
+  /** Source offset: `version` = every commit ≤ it fully consumed, PLUS
+    * the first `slice` key-hash slices of commit `version + 1` (the
+    * row-budget admission path — see `maxRowsPerTrigger` below). The
+    * json keeps the bare-number form when no slice is in flight, so
+    * offset logs written before the row-budget option existed replay
+    * unchanged.
+    */
+  /** Source offset: `version` = every commit ≤ it fully consumed, PLUS
+    * the first `slice` of the `nSlices` key-hash slices of commit
+    * `version + 1` (the row-budget admission path — `maxRowsPerTrigger`
+    * below). `nSlices` rides IN the offset so a restart mid-commit
+    * replays the slicing it was checkpointed under, even if the budget
+    * option changed across the restart — slicing is then deterministic
+    * per logged window, never a function of current configuration. The
+    * json keeps the bare-number form when no slice is in flight, so
+    * offset logs written before the row-budget option existed replay
+    * unchanged.
+    */
+  private[streaming] case class CdcOffset(version: Long, slice: Int = 0,
+                                          nSlices: Int = 1) extends Offset {
+    require(slice == 0 || nSlices > slice,
+      s"inconsistent offset: slice $slice of $nSlices")
+    override def json(): String =
+      if (slice == 0) version.toString else s"$version:$slice:$nSlices"
+  }
+  private[streaming] object CdcOffset {
+    def parse(json: String): CdcOffset = json.split(":") match {
+      case Array(v)        => CdcOffset(v.toLong)
+      case Array(v, s, ns) => CdcOffset(v.toLong, s.toInt, ns.toInt)
+      case _ => throw new IllegalArgumentException(
+        s"unrecognized CdcSource offset '$json'")
+    }
   }
 
   /** The last window's spooled column list — observability for the
@@ -231,9 +273,21 @@ object CdcSource {
         (schema.fieldNames.mkString(",") + "|" +
           opts.keyFilter.getOrElse("")).hashCode)
 
-    private def spoolDir(start: Long, end: Long): String =
+    private def spoolDir(start: Long, end: Long, ns: Int): String =
       LogFs.child(LogFs.child(checkpointLocation, "graft_cdc_spool"),
-        s"batch_${start}_${end}_c$colsToken")
+        s"batch_${start}_${end}_c${colsToken}_n$ns")
+
+    /** Commit `c`'s slice count under the row budget — from the commit
+      * directory's parquet FOOTERS (metadata-only; immutable once
+      * landed, so the count is deterministic per commit). The budget
+      * bounds the batch by the commit's OWN row count — the feed's
+      * rows are at most that (suppression only shrinks it).
+      */
+    private def slicesFor(c: Long): Int =
+      opts.maxRowsPerTrigger.fold(1) { budget =>
+        val n = Changelog.commitDirRowCount(opts.path, c)
+        math.max(1L, (n + budget - 1) / budget).toInt
+      }
 
     override def initialOffset(): Offset = CdcOffset(
       opts.startVersion.getOrElse {
@@ -243,7 +297,7 @@ object CdcSource {
       })
 
     override def deserializeOffset(json: String): Offset =
-      CdcOffset(json.toLong)
+      CdcOffset.parse(json)
 
     override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -252,10 +306,26 @@ object CdcSource {
         "latestOffset(Offset, ReadLimit) is the admission-control entry")
 
     override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-      val s = start.asInstanceOf[CdcOffset].version
-      val listed = commitHead(opts.path).getOrElse(s)
+      val st = start.asInstanceOf[CdcOffset]
+      val listed = commitHead(opts.path).getOrElse(st.version)
       val head = availableNowCap.fold(listed)(math.min(listed, _))
-      CdcOffset(math.min(head, s + opts.maxCommitsPerTrigger))
+      if (opts.maxRowsPerTrigger.isEmpty) {
+        require(st.slice == 0,
+          s"the checkpointed offset ${st.json()} is mid-commit (slice " +
+            s"${st.slice} of ${st.nSlices}) but maxRowsPerTrigger is no " +
+            "longer set — restore the option until the in-flight commit " +
+            "drains, then remove it at a commit boundary")
+        CdcOffset(math.min(head, st.version + opts.maxCommitsPerTrigger))
+      } else if (st.version >= head) st
+      else {
+        // row-budget admission: one SLICE per micro-batch. A commit
+        // already in flight keeps the slicing its offset recorded; a
+        // fresh commit derives its slice count from its footers.
+        val next = st.version + 1
+        val ns = if (st.slice > 0) st.nSlices else slicesFor(next)
+        if (st.slice + 1 >= ns) CdcOffset(next)
+        else CdcOffset(st.version, st.slice + 1, ns)
+      }
     }
 
     override def reportLatestOffset(): Offset = {
@@ -267,24 +337,44 @@ object CdcSource {
 
     override def planInputPartitions(start: Offset,
                                      end: Offset): Array[InputPartition] = {
-      val s = start.asInstanceOf[CdcOffset].version
-      val e = end.asInstanceOf[CdcOffset].version
-      if (e <= s) return Array.empty
+      val so = start.asInstanceOf[CdcOffset]
+      val eo = end.asInstanceOf[CdcOffset]
+      if (eo == so) return Array.empty
       val spark = SparkSession.active
+      // window shape: whole commits ((v,0) → (w,0), the commit-granular
+      // path) or ONE key-hash slice of commit v+1 (the row-budget
+      // path: (v,s) → (v,s+1) or (v,ns−1) → (v+1,0) — always produced
+      // by this source's own latestOffset, so anything else is loud)
+      val sliced = so.slice > 0 || eo.slice > 0
+      val (winStart, winEnd, ns, serveSlice) =
+        if (!sliced) (so.version, eo.version, 1, -1)
+        else {
+          val commit = if (eo.slice > 0) so.version + 1 else eo.version
+          val n = if (so.slice > 0) so.nSlices else eo.nSlices
+          require(so.slice < n &&
+            ((eo.slice == so.slice + 1 && eo.version == so.version) ||
+              (eo.slice == 0 && so.slice == n - 1 &&
+                eo.version == so.version + 1)),
+            s"offset log's slice boundaries ${so.json()} -> ${eo.json()} " +
+              "do not form one slice — mixed admission configurations; " +
+              "drain the in-flight commit under the original settings")
+          (commit - 1, commit, n, so.slice)
+        }
       // the feed for exactly this window, computed by the engine's own
       // distributed plan and spooled ONCE: a complete spool (_SUCCESS
       // present) is reused as-is — the feed is deterministic per
       // window, planInputPartitions can be invoked more than once per
-      // batch (engine planning + the consumer's own action), and a
-      // rewrite would orphan the earlier invocation's file list (part
-      // file names are not deterministic). A partial spool (crash
-      // mid-write) has no _SUCCESS and is rebuilt. The horizon guard
-      // inside changesBetweenOps keeps a below-horizon window LOUD.
-      val dir = spoolDir(s, e)
+      // batch (engine planning + the consumer's own action; under the
+      // row budget, once per SLICE), and a rewrite would orphan the
+      // earlier invocation's file list (part file names are not
+      // deterministic). A partial spool (crash mid-write) has no
+      // _SUCCESS and is rebuilt. The horizon guard inside
+      // changesBetweenOps keeps a below-horizon window LOUD.
+      val dir = spoolDir(winStart, winEnd, ns)
       if (!LogFs.exists(LogFs.child(dir, "_SUCCESS"))) {
         LogFs.delete(dir)
         val feed = Changelog.changesBetweenOps(spark, opts.path,
-            opts.keys, s, e, opts.trackCols, opts.keyFilter)
+            opts.keys, winStart, winEnd, opts.trackCols, opts.keyFilter)
           // pruned to the consumer's required columns — the spool (and
           // therefore the window's write amplification) is as narrow as
           // the plan, not as wide as the feed
@@ -302,10 +392,28 @@ object CdcSource {
                 org.apache.spark.sql.functions.col(f.name)))
           else df
         }
-        spooled.write.mode("overwrite").parquet(dir)
+        if (ns == 1) spooled.write.mode("overwrite").parquet(dir)
+        else {
+          // row-budget slicing at KEY boundaries: slice = hash(keys)
+          // mod ns, a partition column of the spool — each slice is a
+          // subdirectory, each key's whole feed row (old AND new side)
+          // lives in exactly one slice, and the assignment is a pure
+          // function of the key so replays re-slice identically
+          require(!schema.fieldNames.contains("_slice"),
+            "CdcSource reserves the column name _slice for the " +
+              "row-budget spool")
+          spooled.withColumn("_slice",
+              org.apache.spark.sql.functions.pmod(
+                org.apache.spark.sql.functions.hash(
+                  opts.keys.map(org.apache.spark.sql.functions.col): _*),
+                org.apache.spark.sql.functions.lit(ns)))
+            .write.mode("overwrite").partitionBy("_slice").parquet(dir)
+        }
       }
       lastSpooledColumns.set(schema.fieldNames.toSeq)
-      LogFs.list(dir)
+      val serveDir =
+        if (ns == 1) dir else LogFs.child(dir, s"_slice=$serveSlice")
+      LogFs.list(serveDir)
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .sortBy(_.getPath.getName)
         .map(st => SpoolFile(st.getPath.toString): InputPartition)

@@ -206,6 +206,81 @@ class CdcSourceSpec extends SparkSpec {
     assert(served(rollLog) == Seq((10L, 2L, 36.0), (20L, 2L, 70.0)))
   }
 
+  test("maxRowsPerTrigger splits a giant commit at KEY boundaries: a " +
+       "3-commit burst lands in MORE than 3 batches, every key's feed " +
+       "row in exactly one batch, final state identical") {
+    val opsLog = Sinks.tmpPath("cdc_source_spec_rows_ops")
+    val out = Sinks.tmpPath("cdc_source_spec_rows_out")
+    val ckpt = Sinks.tmpPath("cdc_source_spec_rows_ckpt")
+    Seq(opsLog, out, ckpt).foreach(Sinks.deleteRecursively)
+    // commit 0 is the GIANT (300 rows, budget 100 → 3 slices);
+    // commits 1 and 2 are small (one slice each) → 5 batches total
+    Changelog.commitUpsert(
+      spark.range(300).select(col("id").as("o_orderkey"),
+        (col("id") % 7).as("o_custkey"),
+        (col("id") * 1.5).as("o_totalprice")), opsLog, 0L)
+    Changelog.commitUpsert(
+      spark.range(10).select(col("id").as("o_orderkey"),
+        (col("id") % 7).as("o_custkey"),
+        lit(9999.0).as("o_totalprice")), opsLog, 1L)
+    Changelog.commitDelete(spark,
+      spark.range(290, 300).select(col("id").as("o_orderkey")), opsLog, 2L)
+    val q = spark.readStream.format(classOf[CdcSource].getName)
+      .option("path", opsLog)
+      .option("keys", "o_orderkey")
+      .option("trackCols", "o_totalprice")
+      .option("maxRowsPerTrigger", 100)
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          batch.withColumn("_batch", lit(batchId))
+            .write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+    // the burst landed in 5 batches (3 slices + 1 + 1), never 3
+    val batches = got.select("_batch").distinct().as[Long]
+      .collect().sorted.toSeq
+    assert(batches == Seq(0L, 1L, 2L, 3L, 4L),
+      s"expected 5 batches, got $batches")
+    // each of the giant commit's batches respects the row budget
+    val sliceSizes = got.filter(col("_batch") < 3)
+      .groupBy("_batch").count().as[(Long, Long)].collect().toMap
+    assert(sliceSizes.values.sum == 300L)
+    sliceSizes.foreach { case (b, n) =>
+      assert(n <= 100L + 60L, // hash-uniform ±tolerance, never ~300
+        s"batch $b holds $n rows — the budget did not split")
+    }
+    // key boundaries: every (key, change) appears in EXACTLY one batch
+    val dup = got.groupBy("o_orderkey", "change_type").count()
+      .filter(col("count") > 1).count()
+    assert(dup == 0L, "a key's feed row landed in more than one batch")
+    // the union of all batches IS the per-commit feed (same final
+    // state as the unsplit consumer)
+    val want =
+      Changelog.changesBetweenOps(spark, opsLog, Seq("o_orderkey"),
+          -1L, 0L, Seq("o_totalprice"))
+        .unionByName(Changelog.changesBetweenOps(spark, opsLog,
+          Seq("o_orderkey"), 0L, 1L, Seq("o_totalprice")))
+        .unionByName(Changelog.changesBetweenOps(spark, opsLog,
+          Seq("o_orderkey"), 1L, 2L, Seq("o_totalprice")))
+        .select("o_orderkey", "change_type", "old_o_totalprice",
+          "new_o_totalprice")
+        .as[(Long, String, Option[Double], Option[Double])]
+        .collect().sorted.toSeq
+    val gotAll = got
+      .select("o_orderkey", "change_type", "old_o_totalprice",
+        "new_o_totalprice")
+      .as[(Long, String, Option[Double], Option[Double])]
+      .collect().sorted.toSeq
+    assert(gotAll == want)
+  }
+
   test("restart from checkpoint: only commits landed since the stop " +
        "are processed; the resumed rollup equals the uninterrupted one") {
     val opsLog = Sinks.tmpPath("cdc_source_spec_restart_ops")
