@@ -184,6 +184,26 @@ class GraftLogTableSpec extends SparkSpec {
     assert(n == 30L)
   }
 
+  test("two relations of one log in a single query rewrite " +
+       "independently (self-join across versions)") {
+    import spark.implicits._
+    val path = opsFixture("selfjoin")
+    def at(v: Int) = spark.read.format(fmt)
+      .option("path", path).option("keys", "k")
+      .option("versionAsOf", v).load()
+    // price drift between v0 and head, through two rewritten relations
+    val drift = at(2).as("n").join(at(0).as("o"), "k")
+      .select(col("k"), ($"n.v" - $"o.v").as("dv"))
+      .filter($"dv" =!= 0.0)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val lib = Changelog.snapshotAtOps(spark, path, Seq("k"), 2L).as("n")
+      .join(Changelog.snapshotAtOps(spark, path, Seq("k"), 0L).as("o"), "k")
+      .select(col("k"), ($"n.v" - $"o.v").as("dv"))
+      .filter($"dv" =!= 0.0)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(drift.nonEmpty && drift.toSeq == lib.toSeq)
+  }
+
   test("loud contracts: options, DDL, writes") {
     val path = opsFixture("loud")
     intercept[IllegalArgumentException] {
