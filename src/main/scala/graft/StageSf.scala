@@ -51,7 +51,7 @@ object StageSf {
     Sinks.deleteRecursively(dst)
     new java.io.File(dst).mkdirs()
     val scaled = Set("events.parquet", "orders.parquet",
-      "documents.parquet")
+      "documents.parquet", "embeddings.parquet")
     Option(new java.io.File(src).listFiles()).toSeq.flatten
       .filter(f => f.getName.endsWith(".parquet") && !scaled(f.getName))
       .foreach { f =>
@@ -103,8 +103,22 @@ object StageSf {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
     val nd = spark.read.parquet(s"$dst/documents.parquet").count()
+
+    // embeddings ×factor (round-15: the widened-type streaming family
+    // q216/q217 joins embeddings to documents ON vec_id = doc_id, so
+    // the vector side must shift by the SAME span as documents or the
+    // scaled copies would silently drop out of the join) — vectors
+    // replicate unchanged, preserving the similarity structure per copy
+    val emb = Tables.embeddings(spark, src)
+    (0 until factor).map { i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i * docSpan))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    val ne = spark.read.parquet(s"$dst/embeddings.parquet").count()
     println(s"[stagesf] $dst staged: events x$factor = $n rows; " +
       s"orders x$factor = $no rows; documents x$factor = $nd rows; " +
+      s"embeddings x$factor = $ne rows; " +
       "other tables hard-linked from " + src)
     spark.stop()
   }

@@ -45,7 +45,20 @@ import graft.sources.{Changelog, GraftLog}
   */
 case class ResolveGraftLog(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan transformDown {
+  override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
+
+  /** Manual recursion instead of transformDown: WRITE positions must
+    * keep their relation (the write exec resolves the TABLE, not a
+    * read plan) while read positions — including the write command's
+    * own source QUERY and subquery expressions — rewrite as usual.
+    * `V2WriteCommand.table` is a field, not a child, so recursion
+    * through `query` never touches it; `DeleteFromTable`'s child IS
+    * the target relation, so it is left whole (its condition runs
+    * inside `deleteWhere`, not as a plan).
+    */
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
+    case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable =>
+      d
     // filter sits on the relation (optionally through the column-prune
     // projection ColumnPruning inserts): route through stats skipping
     case f @ Filter(cond, child) if graftUnder(child).isDefined =>
@@ -57,6 +70,14 @@ case class ResolveGraftLog(spark: SparkSession) extends Rule[LogicalPlan] {
         if rel.table.isInstanceOf[GraftLog.LogTable] =>
       aligned(rel, rel.table.asInstanceOf[GraftLog.LogTable].resolved
         .queryExecution.optimizedPlan)
+    case other =>
+      // descend into children AND into subquery-expression plans (a
+      // log read inside `WHERE x > (SELECT … FROM log)` rewrites too)
+      other.withNewChildren(other.children.map(rewrite))
+        .transformExpressions {
+          case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+            se.withNewPlan(rewrite(se.plan))
+        }
   }
 
   /** The GraftLog relation directly under `plan`, looking through at

@@ -337,6 +337,43 @@ object TableFormatQueries {
       Changelog.optimizeOpsString(s, path, Seq("doc_key"), 3L,
         "doc_key", numFiles = 8)
       Changelog.snapshotAtOps(s, path, Seq("doc_key"), Long.MaxValue)
+    }),
+
+    // SQL INSERT INTO THE TABLE FORMAT — the write half of the q212
+    // catalog surface: `INSERT INTO glog.t SELECT …` stages parquet on
+    // the executors (the streaming sink's writer, epoch pinned), the
+    // driver claims the next free commit id through the OCC layer, and
+    // the insert lands as ONE upsert commit (`_op = 'u'` staged
+    // alongside — an INSERT into a keyed LWW table IS an upsert).
+    // The inserted slice shifts keys by 2e9 (disjoint from every
+    // existing key) and bumps prices +42, so the head snapshot is
+    // q181's law ∪ the inserted law — pure SQL strings end to end.
+    "q219_log_table_sql_insert" -> ((s, d) => {
+      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q219")
+      GraftLogCatalog.register(s, "glog", "orders_ops_q219", path,
+        Seq("o_orderkey"))
+      AuditQueries.opsOrders(s, d).createOrReplaceTempView("orders_q219")
+      s.sql("""INSERT INTO glog.orders_ops_q219
+              |SELECT o_orderkey + 2000000000L, o_custkey,
+              |  o_totalprice + 42.0
+              |FROM orders_q219 WHERE o_orderkey % 13 = 0""".stripMargin)
+      s.sql("SELECT * FROM glog.orders_ops_q219")
+    }),
+
+    // SQL DELETE FROM THE TABLE FORMAT — one tombstone commit for
+    // exactly the keys whose CURRENT row satisfies the predicate,
+    // non-key columns included (the key set derives from the head
+    // snapshot, so `WHERE o_totalprice > …` means what SQL says): a
+    // mixed key/measure predicate against the three-commit log, read
+    // back through pure SQL. The no-op (zero matching rows → no
+    // commit) and plain-log refusal legs are spec-pinned.
+    "q220_log_table_sql_delete" -> ((s, d) => {
+      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q220")
+      GraftLogCatalog.register(s, "glog", "orders_ops_q220", path,
+        Seq("o_orderkey"))
+      s.sql("DELETE FROM glog.orders_ops_q220 " +
+        "WHERE o_totalprice > 150000.0 OR o_orderkey % 5 = 0")
+      s.sql("SELECT * FROM glog.orders_ops_q220")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -495,5 +532,37 @@ object TableFormatQueries {
         |         THEN n_chars + 500
         |       ELSE n_chars END AS n_chars
         |FROM documents
-        |WHERE doc_id % 10 <> 0 OR doc_id % 20 = 0""".stripMargin)
+        |WHERE doc_id % 10 <> 0 OR doc_id % 20 = 0""".stripMargin,
+
+    // q181's live law ∪ the inserted slice (keys shifted 2e9, +42)
+    "q219_log_table_sql_insert" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |       WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |            AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 = 3
+        |   OR o_orderkey % 10 <> 0
+        |   OR o_orderkey % 20 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 2000000000, o_custkey, o_totalprice + 42.0
+        |FROM orders WHERE o_orderkey % 13 = 0""".stripMargin,
+
+    // q181's live law minus every CURRENT row the predicate selects
+    "q220_log_table_sql_delete" ->
+      """WITH live AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |         WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |              AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 4 = 3
+        |     OR o_orderkey % 10 <> 0
+        |     OR o_orderkey % 20 = 0)
+        |SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM live
+        |WHERE NOT (o_totalprice > 150000.0 OR o_orderkey % 5 = 0)"""
+        .stripMargin)
 }

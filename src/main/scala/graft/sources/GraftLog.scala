@@ -4,10 +4,12 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -135,7 +137,7 @@ object GraftLog {
     * installed, and the error says exactly that.
     */
   private[graft] class LogTable(val opts: Opts) extends Table
-      with SupportsRead {
+      with SupportsRead with SupportsWrite with SupportsDelete {
 
     private val spark = SparkSession.active
 
@@ -200,13 +202,284 @@ object GraftLog {
     override def schema(): StructType = resolved.schema
 
     override def capabilities(): util.Set[TableCapability] =
-      Set(TableCapability.BATCH_READ).asJava
+      Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
 
+    // A STUB scan: read positions never reach it (the pre-CBO rule
+    // replaces the relation before scan planning), but SQL DELETE's
+    // planner pattern-matches a ScanRelation around the TARGET table
+    // even though only deleteWhere ever runs — so scan CONSTRUCTION
+    // must succeed and scan EXECUTION is the loud path (a read on a
+    // session without the extension fails here, naming the fix).
     override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-      throw new IllegalStateException(
-        "GraftLog relations are resolved by the graft extension rule " +
-          "(the snapshot is a keyed merge-on-read plan, not a " +
-          "row-serving scan) — build the session with " +
-          "spark.sql.extensions=graft.plans.GraftExtensions")
+      new ScanBuilder {
+        override def build(): org.apache.spark.sql.connector.read.Scan =
+          new org.apache.spark.sql.connector.read.Scan {
+            override def readSchema(): StructType = LogTable.this.schema()
+            override def description(): String =
+              s"graft_log stub scan over ${opts.path} (resolved by the " +
+                "extension rule; never executed)"
+            override def toBatch:
+                org.apache.spark.sql.connector.read.Batch =
+              throw new IllegalStateException(
+                "GraftLog relations are resolved by the graft extension " +
+                  "rule (the snapshot is a keyed merge-on-read plan, " +
+                  "not a row-serving scan) — build the session with " +
+                  "spark.sql.extensions=graft.plans.GraftExtensions")
+          }
+      }
+
+    // ---- SQL DML: INSERT INTO ----------------------------------------
+    //
+    // An INSERT into a keyed LWW table IS an upsert: the appended rows
+    // carry the table's (snapshot) schema, land as ONE new commit at
+    // the next free id (OCC-claimed, so concurrent writers arbitrate),
+    // and the per-key compaction serves the latest version — Delta's
+    // append semantics on this log's discipline. Ops logs get the
+    // constant `_op = 'u'` staged alongside (the table schema has no op
+    // column to carry); executors stage files exactly like the
+    // streaming sink, and the driver commit renames them into the
+    // claimed `_commit=<id>` directory. INSERT OVERWRITE / truncate are
+    // NOT write paths here — rollback is `restoreOps`, erasure is the
+    // checkpoint (truncateTable below is the tombstone-everything verb,
+    // which is append-shaped and keeps history readable).
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+      require(!opts.readChangeFeed,
+        "the change feed is a derived read surface — INSERT into the " +
+          "log's table, not its feed")
+      val writer = Option(info.options().get("writer"))
+        .getOrElse(Changelog.SoloWriter)
+      new WriteBuilder {
+        override def build(): Write = new Write {
+          override def toBatch: BatchWrite =
+            new AppendBatchWrite(opts.path, writer, info.schema(),
+              opsShape, s"insert_${info.queryId()}")
+        }
+      }
+    }
+
+    // ---- SQL DML: DELETE FROM ----------------------------------------
+    //
+    // `DELETE FROM t WHERE <cond>` lands as ONE tombstone commit for
+    // exactly the keys whose CURRENT (head-snapshot) row satisfies the
+    // condition — fully general predicates, not just key lookups: the
+    // key set is derived by filtering the head compaction (a delete is
+    // maintenance; one snapshot read is its honest cost, and deriving
+    // from the snapshot is what makes a non-key predicate like
+    // `WHERE price > 100` mean what SQL says it means). Ops logs only —
+    // the plain append-only log cannot express a delete, and
+    // canDeleteWhere says so to the planner instead of failing
+    // downstream.
+
+    // The planner hands the condition as V2 PREDICATES. The inherited
+    // SupportsDelete default bridges V2→V1 filters UNSOUNDLY for this
+    // purpose: `(v > 500) OR (k % 5 = 0)` bridges to `v > 500` alone
+    // (the un-bridgeable disjunct is dropped — measured, not guessed),
+    // and an under-scoped DELETE is silently wrong data. Both V2
+    // overloads are therefore overridden to translate the predicates
+    // DIRECTLY (v2ToColumn below — arithmetic included, so modulo and
+    // friends delete exactly what SQL says), refusing loudly on any
+    // shape the translator does not know.
+    override def canDeleteWhere(
+        preds: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+        : Boolean =
+      opsShape && !opts.readChangeFeed &&
+        preds.forall(v2ToColumn(_).isDefined)
+
+    override def deleteWhere(
+        preds: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+        : Unit =
+      deleteWhereCond(preds.map(p => v2ToColumn(p).getOrElse(
+          throw new IllegalArgumentException(
+            s"DELETE predicate $p is not translatable — unsupported " +
+              "expression shape")))
+        .reduceOption(_ && _).getOrElse(lit(true)))
+
+    // V1 leg of the SupportsDelete contract (abstract — some callers
+    // still hand sources.Filter): same core.
+    override def canDeleteWhere(
+        filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+      opsShape && !opts.readChangeFeed &&
+        filters.forall(filterColumn(_).isDefined)
+
+    override def deleteWhere(
+        filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+      deleteWhereCond(filters.map(f => filterColumn(f).getOrElse(
+          throw new IllegalArgumentException(
+            s"DELETE predicate $f is not translatable — unsupported " +
+              "filter shape")))
+        .reduceOption(_ && _).getOrElse(lit(true)))
+
+    private def deleteWhereCond(cond: Column): Unit = {
+      require(opsShape,
+        s"${opts.path} is a PLAIN (append-only) log — deletes need an " +
+          "ops log (commitUpsert/commitDelete from the start)")
+      val head = Changelog.headVersion(opts.path).getOrElse(
+        throw new IllegalArgumentException(
+          s"${opts.path} has no commits — nothing to delete"))
+      val keysDf = Changelog.snapshotAtOps(spark, opts.path, opts.keys,
+          head).filter(cond)
+        .select(opts.keys.map(col): _*)
+      if (!keysDf.isEmpty) {
+        val id = Changelog.claimNextId(opts.path, Changelog.SoloWriter)
+        Changelog.commitDelete(spark, keysDf, opts.path, id)
+      }
+      // zero matching rows: deleting nothing is a no-op, never an
+      // empty commit (an unclaimed id stays free for real writers)
+    }
+
+    /** V2 connector expression → Column for the standard scalar
+      * algebra (comparisons, boolean connectives, +−*\/%, IN, null
+      * tests, string predicates); None = untranslatable, which the
+      * caller turns into a loud refusal — never a narrowed predicate.
+      */
+    private def v2ToColumn(
+        e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Column] = {
+      import org.apache.spark.sql.connector.expressions.{GeneralScalarExpression, NamedReference}
+      e match {
+        case ref: NamedReference =>
+          Some(col(ref.fieldNames.mkString(".")))
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          Some(lit(org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToScala(l.value, l.dataType)).cast(l.dataType))
+        case g: GeneralScalarExpression =>
+          def kids: Option[Seq[Column]] = {
+            val ks = g.children().toSeq.map(v2ToColumn)
+            if (ks.forall(_.isDefined)) Some(ks.map(_.get)) else None
+          }
+          def bin(f: (Column, Column) => Column): Option[Column] =
+            kids.collect { case Seq(a, b) => f(a, b) }
+          def un(f: Column => Column): Option[Column] =
+            kids.collect { case Seq(a) => f(a) }
+          g.name match {
+            case "="    => bin(_ === _)
+            case "<>" | "!=" => bin(_ =!= _)
+            case "<=>"  => bin(_ <=> _)
+            case ">"    => bin(_ > _)
+            case ">="   => bin(_ >= _)
+            case "<"    => bin(_ < _)
+            case "<="   => bin(_ <= _)
+            case "+"    => bin(_ + _)
+            case "-"    => kids.collect {
+              case Seq(a, b) => a - b
+              case Seq(a)    => -a
+            }
+            case "*"    => bin(_ * _)
+            case "/"    => bin(_ / _)
+            case "%"    => bin(_ % _)
+            case "AND"  => bin(_ && _)
+            case "OR"   => bin(_ || _)
+            case "NOT"  => un(!_)
+            case "IS_NULL"     => un(_.isNull)
+            case "IS_NOT_NULL" => un(_.isNotNull)
+            case "IN" => kids.collect {
+              case cs if cs.length >= 2 => cs.head.isin(cs.tail: _*)
+            }
+            case "STARTS_WITH" => bin(_ startsWith _)
+            case "ENDS_WITH"   => bin(_ endsWith _)
+            case "CONTAINS"    => bin(_ contains _)
+            case "ALWAYS_TRUE"  => Some(lit(true))
+            case "ALWAYS_FALSE" => Some(lit(false))
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+
+    /** `sources.Filter` → Column, the standard pushable subset; None =
+      * untranslatable (the planner then refuses the DELETE loudly).
+      */
+    private def filterColumn(
+        f: org.apache.spark.sql.sources.Filter): Option[Column] = {
+      import org.apache.spark.sql.sources._
+      f match {
+        case EqualTo(a, v)            => Some(col(a) === lit(v))
+        case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+        case GreaterThan(a, v)        => Some(col(a) > lit(v))
+        case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+        case LessThan(a, v)           => Some(col(a) < lit(v))
+        case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+        case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+        case IsNull(a)                => Some(col(a).isNull)
+        case IsNotNull(a)             => Some(col(a).isNotNull)
+        case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+        case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+        case StringContains(a, v)     => Some(col(a).contains(v))
+        case And(l, r) =>
+          for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc && rc
+        case Or(l, r) =>
+          for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc || rc
+        case Not(c) => filterColumn(c).map(!_)
+        case AlwaysTrue() => Some(lit(true))
+        case AlwaysFalse() => Some(lit(false))
+        case _ => None
+      }
+    }
+  }
+
+  /** The batch append: executors stage parquet files (the streaming
+    * sink's writer with the epoch pinned at 0 under a per-write
+    * staging id), the driver claims the next free commit id and
+    * renames the staged files in — one INSERT, one commit, OCC-safe
+    * against concurrent writers by the claim. A zero-row insert is a
+    * no-op (no claim, no commit).
+    */
+  private class AppendBatchWrite(path: String, writer: String,
+                                 schema: StructType, opsShape: Boolean,
+                                 stagingId: String) extends BatchWrite {
+
+    // planning-time guards, BEFORE any task runs: the write schema must
+    // be the staged-file type surface, and its shape must match the log
+    {
+      require(!schema.fieldNames.contains(Changelog.CommitCol),
+        s"INSERT input carries the reserved ${Changelog.CommitCol} " +
+          "column — the commit id is assigned by the claim")
+      require(!schema.fieldNames.contains(Changelog.OpCol),
+        s"INSERT input carries ${Changelog.OpCol} — the table's schema " +
+          "is the snapshot shape; ops verbs ride the library calls")
+      schema.fields.foreach { f =>
+        require(graft.streaming.LogSink.supportedType(f.dataType),
+          s"INSERT column ${f.name} has type ${f.dataType} — the " +
+            "staged parquet writer covers long/int/double/string/" +
+            "boolean/timestamp/date/binary/decimal(<=18)/array<float> " +
+            "only")
+      }
+    }
+
+    override def createBatchWriterFactory(
+        info: PhysicalWriteInfo): DataWriterFactory =
+      new graft.streaming.LogSink.BatchStagingFactory(path, schema,
+        stagingId, if (opsShape) Some("u") else None)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val staged = messages.flatMap(graft.streaming.LogSink.stagedFileOf)
+      if (staged.nonEmpty) {
+        val id = Changelog.claimNextId(path, writer)
+        val dir = LogFs.child(path, s"${Changelog.CommitCol}=$id")
+        LogFs.delete(dir)
+        LogFs.mkdirs(dir)
+        staged.zipWithIndex.foreach { case (f, i) =>
+          val ok = LogFs.fs(path).rename(
+            new org.apache.hadoop.fs.Path(f),
+            new org.apache.hadoop.fs.Path(dir, f"part-$i%05d.parquet"))
+          require(ok, s"failed to land staged insert file $f into $dir")
+        }
+        Changelog.writeCommitInfo(path, id,
+          if (opsShape) "upsert" else "append", writer)
+      }
+      sweepStaging()
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      sweepStaging()
+
+    private def sweepStaging(): Unit = {
+      LogFs.delete(LogFs.child(LogFs.child(LogFs.child(path,
+        "__stream_staging"), s"query=$stagingId"), "epoch=0"))
+      val qdir = LogFs.child(LogFs.child(path, "__stream_staging"),
+        s"query=$stagingId")
+      if (LogFs.list(qdir).isEmpty) LogFs.delete(qdir)
+    }
   }
 }

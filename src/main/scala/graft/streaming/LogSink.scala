@@ -90,7 +90,7 @@ object LogSink {
     * snapshot read returns is value-identical to what the stream wrote
     * (q216 oracle + LogSinkSpec byte pins).
     */
-  private[streaming] def supportedType(
+  private[graft] def supportedType(
       dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | StringType | BooleanType |
          TimestampType | DateType | BinaryType => true
@@ -303,6 +303,30 @@ object LogSink {
       new StagingWriter(path, schema, queryId, partitionId, taskId, epochId)
   }
 
+  /** The batch-write half of the staging discipline (GraftLog's
+    * `INSERT INTO` / `writeTo(...).append()`): same staged files, same
+    * message protocol, epoch pinned to 0 under a per-write staging id.
+    * `constantOp` appends a constant `_op` column to every staged row —
+    * an INSERT into an OPS log is an upsert by definition, and the
+    * writer's input schema is the TABLE's (snapshot) schema, which has
+    * no op column to carry.
+    */
+  private[graft] class BatchStagingFactory(path: String, schema: StructType,
+                                           stagingId: String,
+                                           constantOp: Option[String])
+      extends org.apache.spark.sql.connector.write.DataWriterFactory {
+    override def createWriter(partitionId: Int,
+                              taskId: Long): DataWriter[InternalRow] =
+      new StagingWriter(path, schema, stagingId, partitionId, taskId, 0L,
+        constantOp)
+  }
+
+  private[graft] def stagedFileOf(
+      m: WriterCommitMessage): Option[String] = m match {
+    case StagedFile(f) => Some(f)
+    case _ => None
+  }
+
   /** Writes the task's rows to ONE staged parquet file with the
     * parquet-hadoop example API (the [[CdcSource]] spool reader's
     * mirror image). The file name carries partition, task, and a UUID:
@@ -312,7 +336,8 @@ object LogSink {
     */
   private class StagingWriter(path: String, schema: StructType,
                               queryId: String, partitionId: Int,
-                              taskId: Long, epochId: Long)
+                              taskId: Long, epochId: Long,
+                              constantOp: Option[String] = None)
       extends DataWriter[InternalRow] {
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
     import org.apache.parquet.hadoop.ParquetWriter
@@ -353,6 +378,8 @@ object LogSink {
         }
         b.addField(built)
       }
+      constantOp.foreach(_ => b.addField(
+        Types.optional(BINARY).as(stringType()).named(Changelog.OpCol)))
       b.named("graft_log_epoch")
     }
 
@@ -406,6 +433,7 @@ object LogSink {
         }
         i += 1
       }
+      constantOp.foreach(op => g.append(Changelog.OpCol, op))
       out.write(g)
       wrote = true
     }

@@ -204,6 +204,68 @@ class GraftLogTableSpec extends SparkSpec {
     assert(drift.nonEmpty && drift.toSeq == lib.toSeq)
   }
 
+  test("SQL INSERT INTO appends one OCC-claimed upsert commit; " +
+       "DataFrame writeTo(...).append() is the same verb") {
+    import spark.implicits._
+    val path = opsFixture("dml_insert")
+    GraftLogCatalog.register(spark, "glogspec3", "t", path, Seq("k"))
+    // SQL insert: new key + an update of an existing one — one commit
+    spark.sql("INSERT INTO glogspec3.t VALUES (500, 1.5), (2, 999.0)")
+    val hist1 = Changelog.commitInfos(path)
+    assert(hist1(3L)._1 == "upsert", s"info: ${hist1.get(3L)}")
+    assert(hist1(3L)._3 == 2L)
+    val snap1 = Changelog.snapshotAtOps(spark, path, Seq("k"), 3L)
+      .as[(Long, Double)].collect().toMap
+    assert(snap1(500L) == 1.5 && snap1(2L) == 999.0)
+    // DataFrame API append lands the NEXT claimed commit
+    Seq((501L, 2.5)).toDF("k", "v").writeTo("glogspec3.t").append()
+    val snap2 = Changelog
+      .snapshotAtOps(spark, path, Seq("k"), Long.MaxValue)
+      .as[(Long, Double)].collect().toMap
+    assert(snap2(501L) == 2.5 && snap2(500L) == 1.5)
+    assert(Changelog.commitInfos(path)(4L) ==
+      (("upsert", Changelog.SoloWriter, 1L)))
+    // a zero-row insert is a NO-OP: no claim, no commit
+    spark.sql("INSERT INTO glogspec3.t SELECT * FROM glogspec3.t WHERE 1=0")
+    assert(Changelog.headVersion(path).contains(4L))
+    // reserved/op columns and the feed surface refuse loudly
+    intercept[Exception] {
+      spark.sql("INSERT INTO glogspec3.t VALUES (1)")
+    }
+  }
+
+  test("SQL DELETE FROM tombstones by the CURRENT state — non-key " +
+       "predicates included — as one commit; plain logs refuse") {
+    import spark.implicits._
+    val path = opsFixture("dml_delete")
+    GraftLogCatalog.register(spark, "glogspec4", "t", path, Seq("k"))
+    val before = Changelog
+      .snapshotAtOps(spark, path, Seq("k"), Long.MaxValue)
+      .as[(Long, Double)].collect().toMap
+    // non-key predicate: every CURRENT row with v > 900 dies — the
+    // key set derives from the head snapshot, so SQL semantics hold
+    spark.sql("DELETE FROM glogspec4.t WHERE v > 900.0")
+    val after = Changelog
+      .snapshotAtOps(spark, path, Seq("k"), Long.MaxValue)
+      .as[(Long, Double)].collect().toMap
+    assert(after == before.filter(_._2 <= 900.0))
+    assert(Changelog.commitInfos(path)(3L)._1 == "delete")
+    // key predicate too; deleting nothing is a no-op (no new commit)
+    spark.sql("DELETE FROM glogspec4.t WHERE k = -42")
+    assert(Changelog.headVersion(path).contains(3L))
+    spark.sql("DELETE FROM glogspec4.t WHERE k IN (1, 2)")
+    assert(!Changelog
+      .snapshotAtOps(spark, path, Seq("k"), Long.MaxValue)
+      .as[(Long, Double)].collect().toMap.keySet.exists(Set(1L, 2L)))
+    // a PLAIN log cannot delete — the planner is told via canDeleteWhere
+    val plain = freshDir("dml_delete_plain")
+    Changelog.commit(Seq((1L, "a")).toDF("k", "s"), plain, 0L)
+    GraftLogCatalog.register(spark, "glogspec4", "p", plain, Seq("k"))
+    intercept[Exception] {
+      spark.sql("DELETE FROM glogspec4.p WHERE k = 1")
+    }
+  }
+
   test("loud contracts: options, DDL, writes") {
     val path = opsFixture("loud")
     intercept[IllegalArgumentException] {
