@@ -374,6 +374,76 @@ object TableFormatQueries {
       s.sql("DELETE FROM glog.orders_ops_q220 " +
         "WHERE o_totalprice > 150000.0 OR o_orderkey % 5 = 0")
       s.sql("SELECT * FROM glog.orders_ops_q220")
+    }),
+
+    // ROW-BUDGET ADMISSION ON THE ORACLE SURFACE — q200's CDC-consumer
+    // IVM with `maxRowsPerTrigger` forcing the GIANT first commit
+    // (the full base upsert) to be served as key-hash slices: the
+    // burst lands in MORE micro-batches than commits, each batch is a
+    // key-disjoint piece of one commit's feed (so the consumer's
+    // signed-delta math needs no change — a key's old/new pair never
+    // splits), and the converged rollup must equal q200's oracle
+    // exactly. The >3-batches and per-slice row-budget facts are
+    // spec-pinned (CdcSourceSpec); this query pins that the SPLIT
+    // path reaches the same fixed point the unsplit one does.
+    "q222_cdc_row_budget" -> ((s, d) => {
+      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q222")
+      val rollPath = Sinks.tmpPathFor("orders_cdc_budget_roll", d)
+      val ckpt = Sinks.tmpPathFor("orders_cdc_budget_ckpt", d)
+      Sinks.deleteRecursively(rollPath)
+      Sinks.deleteRecursively(ckpt)
+      val feed = s.readStream
+        .format(classOf[graft.streaming.CdcSource].getName)
+        .option("path", path)
+        .option("keys", "o_orderkey")
+        .option("trackCols", "o_totalprice,o_custkey")
+        // a third of the base commit per batch: the burst serves as
+        // 3 slices + 1 + 1 = five micro-batches, never three
+        .option("maxRowsPerTrigger",
+          math.max(1L, AuditQueries.opsOrders(s, d).count() * 3 / 4 / 3))
+        .load()
+      val q = feed.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            Changelog.commitIdempotent(
+              graft.streaming.StreamIvm.cdcDelta(batch,
+                groupCol = "o_custkey", measure = "o_totalprice"),
+              rollPath, batchId)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val nBatches = graft.sources.Changelog.headVersion(rollPath)
+        .getOrElse(-1L) + 1
+      require(nBatches > 3,
+        s"the row budget must split the 3-commit burst into more than " +
+          s"3 batches, got $nBatches")
+      graft.streaming.StreamIvm.servedCdcRollup(s, rollPath, "o_custkey")
+        .select(col("o_custkey"), col("n_rows").as("n_orders"),
+          col("sum_measure").as("sum_price"))
+    }),
+
+    // TIME TRAVEL COMPOSES IN ONE SQL STATEMENT — two VERSION AS OF
+    // clauses of ONE table, joined: the price drift every key gained
+    // between v0 and the head, written exactly the way a SQL user
+    // would ask it. Each clause loads its own pinned table and the
+    // rule rewrites both relations independently (exprId-aliased
+    // splices — the self-join independence leg of GraftLogTableSpec,
+    // here oracle-backed); inserts (absent at v0) and deletes (absent
+    // at head) fall out of the inner join, drift arithmetic is the
+    // same IEEE ops in both engines.
+    "q221_log_table_sql_drift" -> ((s, d) => {
+      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q221")
+      GraftLogCatalog.register(s, "glog", "orders_ops_q221", path,
+        Seq("o_orderkey"))
+      s.sql("""SELECT o_orderkey,
+              |  n.o_totalprice - o.o_totalprice AS drift
+              |FROM glog.orders_ops_q221 VERSION AS OF 2 n
+              |JOIN glog.orders_ops_q221 VERSION AS OF 0 o
+              |USING (o_orderkey)
+              |WHERE n.o_totalprice <> o.o_totalprice""".stripMargin)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -564,5 +634,37 @@ object TableFormatQueries {
         |SELECT o_orderkey, o_custkey, o_totalprice
         |FROM live
         |WHERE NOT (o_totalprice > 150000.0 OR o_orderkey % 5 = 0)"""
-        .stripMargin)
+        .stripMargin,
+
+    // q200's converged-rollup oracle verbatim — the split path must
+    // reach the same fixed point (integer cents, HUGEINT→BIGINT cast)
+    "q222_cdc_row_budget" ->
+      """WITH live AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |         WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |              AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 4 = 3
+        |     OR o_orderkey % 10 <> 0
+        |     OR o_orderkey % 20 = 0)
+        |SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |       AS BIGINT) AS DOUBLE) / 100.0 AS sum_price
+        |FROM live GROUP BY o_custkey""".stripMargin,
+
+    // the drift law: +1000 for resurrected 20ths (present at v0 —
+    // every 20th is % 4 = 0), +500 for the mod-7 update branch; the
+    // same IEEE (p + delta) − p both engines compute
+    "q221_log_table_sql_drift" ->
+      """SELECT o_orderkey,
+        |  (o_totalprice + 1000.0) - o_totalprice AS drift
+        |FROM orders WHERE o_orderkey % 20 = 0
+        |UNION ALL
+        |SELECT o_orderkey,
+        |  (o_totalprice + 500.0) - o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |  AND o_orderkey % 7 = 1""".stripMargin)
 }
