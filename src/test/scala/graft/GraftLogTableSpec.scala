@@ -204,6 +204,16 @@ class GraftLogTableSpec extends SparkSpec {
     assert(drift.nonEmpty && drift.toSeq == lib.toSeq)
   }
 
+  test("SHOW TABLES lists the registered logs (conf-backed listTables)") {
+    val p1 = opsFixture("show_a")
+    val p2 = opsFixture("show_b")
+    GraftLogCatalog.register(spark, "glogshow", "alpha", p1, Seq("k"))
+    GraftLogCatalog.register(spark, "glogshow", "beta", p2, Seq("k"))
+    val names = spark.sql("SHOW TABLES IN glogshow")
+      .select("tableName").collect().map(_.getString(0)).sorted.toSeq
+    assert(names == Seq("alpha", "beta"))
+  }
+
   test("SQL INSERT INTO appends one OCC-claimed upsert commit; " +
        "DataFrame writeTo(...).append() is the same verb") {
     import spark.implicits._
