@@ -109,10 +109,24 @@ object Bench {
     val failed = results.filter(_._2 < 0).keys
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","trials":$trials,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","trials":$trials,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val summaryLine = s"""{"metric":"total_summary","value":$total,"unit":"sec","trials":$trials,"nqueries":${results.size},"nfailed":${results.count(_._2 < 0)},"sf":"$sfDir"}"""
+    println(fullLine)
     // Short headline line AFTER the full line: survives head-truncation of
     // the capture (BENCH_r07 lost the front of the long line).
-    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","trials":$trials,"nqueries":${results.size},"nfailed":${results.count(_._2 < 0)},"sf":"$sfDir"}""")
+    println(summaryLine)
+    // Sidecar copy BEFORE stop(): a capture window that loses the stdout
+    // tail (BENCH_r15: the state-store shutdown stack trace swamped the
+    // tail and the summary fell out) still has the full result on disk.
+    try {
+      val w = new java.io.PrintWriter("bench_summary.json", "UTF-8")
+      try { w.println(fullLine); w.println(summaryLine) } finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
+    // Re-print AFTER stop(): whatever shutdown noise the streaming state
+    // stores emit during stop() lands BETWEEN the two prints, so at least
+    // one summary line sits in any tail-window of the capture.
+    println(fullLine)
+    println(summaryLine)
   }
 }

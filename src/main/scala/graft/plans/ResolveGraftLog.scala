@@ -45,7 +45,28 @@ import graft.sources.{Changelog, GraftLog}
   */
 case class ResolveGraftLog(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
+  /** Splice sites already served the MEMOIZED library plan this apply:
+    * one LogTable instance appearing at TWO read positions of one query
+    * (df.join(df, ...), a union of a filtered and unfiltered read of
+    * one loaded df) must not receive the identical subtree twice —
+    * duplicate attribute ids across sibling legs are something nothing
+    * after analysis deduplicates. First site gets the memoized tree;
+    * every later site re-analyzes the library call (fresh exprIds, same
+    * pinned coordinates). Identity set: two separately-LOADED tables
+    * are distinct instances and each keeps its own memoized first use.
+    */
+  private type Seen = java.util.Set[GraftLog.LogTable]
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    rewrite(plan, java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[GraftLog.LogTable, java.lang.Boolean]()))
+
+  /** The table's snapshot/feed plan for one SPLICE SITE — memoized tree
+    * first, fresh analysis for repeat sites of the same instance.
+    */
+  private def sitePlan(table: GraftLog.LogTable, seen: Seen): LogicalPlan =
+    (if (seen.add(table)) table.resolved else table.freshResolved)
+      .queryExecution.optimizedPlan
 
   /** Manual recursion instead of transformDown: WRITE positions must
     * keep their relation (the write exec resolves the TABLE, not a
@@ -56,7 +77,7 @@ case class ResolveGraftLog(spark: SparkSession) extends Rule[LogicalPlan] {
     * the target relation, so it is left whole (its condition runs
     * inside `deleteWhere`, not as a plan).
     */
-  private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
+  private def rewrite(plan: LogicalPlan, seen: Seen): LogicalPlan = plan match {
     case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable =>
       d
     // filter sits on the relation (optionally through the column-prune
@@ -64,19 +85,18 @@ case class ResolveGraftLog(spark: SparkSession) extends Rule[LogicalPlan] {
     case f @ Filter(cond, child) if graftUnder(child).isDefined =>
       val rel = graftUnder(child).get
       val resolved = withSkipping(rel.table.asInstanceOf[GraftLog.LogTable],
-        cond)
+        cond, seen)
       f.copy(child = replaceIn(child, rel, resolved))
     case rel: DataSourceV2Relation
         if rel.table.isInstanceOf[GraftLog.LogTable] =>
-      aligned(rel, rel.table.asInstanceOf[GraftLog.LogTable].resolved
-        .queryExecution.optimizedPlan)
+      aligned(rel, sitePlan(rel.table.asInstanceOf[GraftLog.LogTable], seen))
     case other =>
       // descend into children AND into subquery-expression plans (a
       // log read inside `WHERE x > (SELECT … FROM log)` rewrites too)
-      other.withNewChildren(other.children.map(rewrite))
+      other.withNewChildren(other.children.map(rewrite(_, seen)))
         .transformExpressions {
           case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
-            se.withNewPlan(rewrite(se.plan))
+            se.withNewPlan(rewrite(se.plan, seen))
         }
   }
 
@@ -125,25 +145,8 @@ case class ResolveGraftLog(spark: SparkSession) extends Rule[LogicalPlan] {
     * evolved read's union-schema fold is a different plan).
     */
   private def withSkipping(table: GraftLog.LogTable,
-                           cond: Expression): LogicalPlan = {
+                           cond: Expression, seen: Seen): LogicalPlan = {
     val opts = table.opts
-    val plan: org.apache.spark.sql.DataFrame =
-      if (opts.readChangeFeed || !table.opsShape || opts.mergeSchema)
-        table.resolved
-      else {
-        val conjuncts = splitConjuncts(cond).filter(_.deterministic)
-        val window = opts.keys.iterator.map(k => k -> boundsFor(k, conjuncts))
-          .collectFirst { case (k, Some(b)) => k -> b }
-        window match {
-          case Some((k, LongBounds(lo, hi))) =>
-            Changelog.rangeLookupOps(spark, opts.path, opts.keys,
-              table.pinnedVersion, k, lo, hi)
-          case Some((k, StringBounds(lo, hi))) =>
-            Changelog.rangeLookupOpsString(spark, opts.path, opts.keys,
-              table.pinnedVersion, k, lo, hi)
-          case None => table.resolved
-        }
-      }
     // splice the OPTIMIZED subtree: the operator batches (Replace
     // Operators — Deduplicate→Aggregate —, constant folding, the
     // subtree's own filter pushdown) already ran for the outer tree,
@@ -152,7 +155,24 @@ case class ResolveGraftLog(spark: SparkSession) extends Rule[LogicalPlan] {
     // QueryExecution discipline Delta's scan preparation uses; the
     // outer pipeline's remaining batches (early scan push-down) are
     // idempotent over it.
-    plan.queryExecution.optimizedPlan
+    if (opts.readChangeFeed || !table.opsShape || opts.mergeSchema)
+      sitePlan(table, seen)
+    else {
+      val conjuncts = splitConjuncts(cond).filter(_.deterministic)
+      val window = opts.keys.iterator.map(k => k -> boundsFor(k, conjuncts))
+        .collectFirst { case (k, Some(b)) => k -> b }
+      window match {
+        case Some((k, LongBounds(lo, hi))) =>
+          Changelog.rangeLookupOps(spark, opts.path, opts.keys,
+            table.pinnedVersion, k, lo, hi)
+            .queryExecution.optimizedPlan
+        case Some((k, StringBounds(lo, hi))) =>
+          Changelog.rangeLookupOpsString(spark, opts.path, opts.keys,
+            table.pinnedVersion, k, lo, hi)
+            .queryExecution.optimizedPlan
+        case None => sitePlan(table, seen)
+      }
+    }
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

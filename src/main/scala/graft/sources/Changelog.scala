@@ -456,14 +456,44 @@ object Changelog {
       }.sum
   }
 
+  /** The landed commit directory's total UNCOMPRESSED byte size, from
+    * parquet footer metadata only (the row groups' total_byte_size —
+    * the number that bounds a consumer's in-memory batch, which is why
+    * the CDC byte-budget admission reads this and not the file sizes).
+    */
+  def commitDirByteSize(path: String, commitId: Long): Long = {
+    val dir = LogFs.child(path, s"$CommitCol=$commitId")
+    LogFs.list(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            s.getPath, LogFs.hadoopConf))
+        try {
+          import scala.jdk.CollectionConverters._
+          rd.getFooter.getBlocks.asScala.map(_.getTotalByteSize).sum
+        } finally rd.close()
+      }.sum
+  }
+
   /** Record commit `commitId`'s operation metadata (verb, writer, and
     * the footer-derived row count). Public so custom landing paths
     * (the streaming sink) record their epochs too.
     */
   def writeCommitInfo(path: String, commitId: Long, verb: String,
-                      writer: String): Unit =
+                      writer: String): Unit = {
+    // the marker is tab-delimited and line-oriented; a writer id is a
+    // FREE-FORM caller option (LogSink / INSERT), so a tab or newline
+    // in it would corrupt the marker and break commitInfos/DESCRIBE
+    // HISTORY for the whole log — refuse at write time, loudly
+    Seq("verb" -> verb, "writer" -> writer).foreach { case (what, v) =>
+      require(!v.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"commitInfo $what '$v' contains a tab/newline — the info " +
+          "marker is tab-delimited; use a flat identifier")
+    }
     LogFs.writeAtomic(LogFs.child(path, s"$InfoPrefix$commitId"),
       s"v1\n$verb\t$writer\t${commitDirRowCount(path, commitId)}")
+  }
 
   /** All recorded operation metadata: commitId → (verb, writer, rows). */
   def commitInfos(path: String): Map[Long, (String, String, Long)] =
@@ -473,7 +503,9 @@ object Changelog {
         val lines = LogFs.readString(s.getPath.toString).split("\n")
         require(lines.headOption.contains("v1"),
           s"unrecognized info marker format in ${s.getPath}")
-        val p = lines(1).split("\t")
+        // bounded split: exactly (verb, writer, rows) — a malformed
+        // marker (too few fields) still fails loudly on p(2)
+        val p = lines(1).split("\t", 3)
         (s.getPath.getName.stripPrefix(InfoPrefix).toLong,
           (p(0), p(1), p(2).toLong))
       }.toMap

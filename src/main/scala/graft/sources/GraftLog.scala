@@ -66,13 +66,32 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * fail loudly.
   */
 class GraftLog extends TableProvider {
+
+  // ONE LogTable per load(): inferSchema and getTable are called back to
+  // back on the same provider instance with the same options, and each
+  // LogTable construction sniffs a footer, lists the head, and resolves
+  // the full library plan — but more importantly, a commit landing
+  // BETWEEN two constructions would let the inferred schema and the
+  // pinned version come from DIFFERENT heads, weakening the
+  // pinned-at-load contract. Cache keyed by the parsed options.
+  @volatile private var cached: Option[(GraftLog.Opts, GraftLog.LogTable)] =
+    None
+
+  private def tableFor(opts: GraftLog.Opts): GraftLog.LogTable =
+    cached match {
+      case Some((o, t)) if o == opts => t
+      case _ =>
+        val t = new GraftLog.LogTable(opts)
+        cached = Some((opts, t))
+        t
+    }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    new GraftLog.LogTable(GraftLog.Opts(options)).schema()
+    tableFor(GraftLog.Opts(options)).schema()
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new GraftLog.LogTable(
-      GraftLog.Opts(new CaseInsensitiveStringMap(properties)))
+    tableFor(GraftLog.Opts(new CaseInsensitiveStringMap(properties)))
 }
 
 object GraftLog {
@@ -162,9 +181,22 @@ object GraftLog {
 
     /** The library plan this table IS — what ResolveGraftLog splices
       * into the query (lazy: schema needs it at load; the rule reuses
-      * the same analyzed tree).
+      * the same analyzed tree for the FIRST splice site).
       */
-    lazy val resolved: DataFrame =
+    lazy val resolved: DataFrame = buildResolved
+
+    /** Re-derive the library plan with a FRESH analysis — fresh exprIds
+      * throughout. The rule uses this for the second and later splice
+      * sites of ONE LogTable instance in one query (df.join(df, ...), a
+      * union of two reads of the same loaded df): splicing the memoized
+      * tree twice would put duplicate attribute ids on sibling legs,
+      * which nothing after analysis ever deduplicates. Deterministic:
+      * the version coordinates are pinned vals, so every rebuild plans
+      * the same snapshot/feed window.
+      */
+    private[graft] def freshResolved: DataFrame = buildResolved
+
+    private def buildResolved: DataFrame =
       if (opts.readChangeFeed) {
         if (opsShape)
           Changelog.changesBetweenOps(spark, opts.path, opts.keys,

@@ -41,8 +41,25 @@ private[graft] object LogFs {
   // is behavior-identical; a NEW session (tests build several) gets its
   // own entry, and sessions are weakly keyed so the cache can never
   // outlive them.
+  //
+  // DOCUMENTED LIMIT: the snapshot is taken at the session's FIRST log
+  // operation, so `spark.conf.set("spark.hadoop.fs.s3a...")` made
+  // AFTER that is not seen by later marker/footer access (the previous
+  // per-call clone would have picked it up). Hadoop-level conf is
+  // session-build configuration; a caller who must re-point mid-session
+  // calls [[invalidateConfCache]] after the conf change.
   private val confCache =
     new java.util.WeakHashMap[SparkSession, Configuration]()
+
+  /** Drop the active session's cached Hadoop conf snapshot — the next
+    * log operation re-derives it from the CURRENT session conf. For the
+    * rare mid-session `spark.conf.set("spark.hadoop.*", ...)` re-point;
+    * see the cache comment above.
+    */
+  def invalidateConfCache(): Unit =
+    SparkSession.getActiveSession.foreach { s =>
+      confCache.synchronized { confCache.remove(s): Unit }
+    }
 
   private def conf: Configuration =
     SparkSession.getActiveSession match {

@@ -55,13 +55,19 @@ import graft.sources.{Changelog, LogFs}
   *
   * Options: `path` (the ops log), `keys` (csv), `trackCols` (csv),
   * `startVersion` (default: the horizon, else min commit − 1),
-  * `maxCommitsPerTrigger` (default 1), `maxRowsPerTrigger` (optional —
-  * ROW-budget admission: a commit whose footer row count exceeds the
-  * budget is served as ⌈rows/budget⌉ micro-batches, split at KEY
-  * boundaries — slice = hash(key) mod n, computed on the spool so each
-  * key's whole feed row lands in exactly one batch and replays re-slice
-  * identically; the slice count rides in the offset so a restart
-  * mid-commit honors the slicing it was checkpointed under), `columns`
+  * `maxCommitsPerTrigger` (default 1 — unbounded when a row/byte
+  * budget is set, which then does the bounding), `maxRowsPerTrigger` /
+  * `maxBytesPerTrigger` (optional —
+  * BUDGET admission, composable: a commit whose footer row count /
+  * uncompressed byte size exceeds a budget is served as
+  * max(⌈rows/rowBudget⌉, ⌈bytes/byteBudget⌉) micro-batches, split at
+  * KEY boundaries — slice = hash(key) mod n, computed on the spool so
+  * each key's whole feed row lands in exactly one batch and replays
+  * re-slice identically; the slice count rides in the offset so a
+  * restart mid-commit honors the slicing it was checkpointed under;
+  * conversely several WITHIN-budget commits batch into one trigger
+  * while their cumulative footer sizes fit every set budget, so many
+  * small commits never degrade to one-commit-per-trigger), `columns`
   * (csv, optional — an
   * explicit projection of the feed: the spool writes ONLY these
   * columns, so a replication consumer that never reads the old_* side
@@ -100,11 +106,18 @@ object CdcSource {
   private[streaming] case class Opts(path: String, keys: Seq[String],
                                      trackCols: Seq[String],
                                      startVersion: Option[Long],
-                                     maxCommitsPerTrigger: Long,
+                                     maxCommitsPerTrigger: Option[Long],
                                      columns: Option[Seq[String]],
                                      keyFilter: Option[String],
-                                     maxRowsPerTrigger: Option[Long])
-  private object Opts {
+                                     maxRowsPerTrigger: Option[Long],
+                                     maxBytesPerTrigger: Option[Long]) {
+    /** True when any admission budget (rows or bytes) is set — the
+      * sliced-offset machinery is live.
+      */
+    def budgeted: Boolean =
+      maxRowsPerTrigger.isDefined || maxBytesPerTrigger.isDefined
+  }
+  private[streaming] object Opts {
     def apply(o: CaseInsensitiveStringMap): Opts = {
       val path = o.get("path")
       require(path != null, "CdcSource needs option 'path' (the ops log)")
@@ -114,16 +127,19 @@ object CdcSource {
           s"CdcSource needs option '$k' (comma-separated column names)")
         v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       }
-      val maxRows = Option(o.get("maxRowsPerTrigger")).map(_.toLong)
-      maxRows.foreach(r => require(r >= 1,
-        s"maxRowsPerTrigger must be >= 1, got $r"))
+      def positive(k: String): Option[Long] = {
+        val v = Option(o.get(k)).map(_.toLong)
+        v.foreach(r => require(r >= 1, s"$k must be >= 1, got $r"))
+        v
+      }
       Opts(path, csv("keys"), csv("trackCols"),
         Option(o.get("startVersion")).map(_.toLong),
-        o.getLong("maxCommitsPerTrigger", 1L),
+        positive("maxCommitsPerTrigger"),
         Option(o.get("columns")).map(_.split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq),
         Option(o.get("keyFilter")).map(_.trim).filter(_.nonEmpty),
-        maxRows)
+        positive("maxRowsPerTrigger"),
+        positive("maxBytesPerTrigger"))
     }
   }
 
@@ -183,13 +199,6 @@ object CdcSource {
     if (ids.isEmpty) None else Some(ids.min)
   }
 
-  /** Source offset: `version` = every commit ≤ it fully consumed, PLUS
-    * the first `slice` key-hash slices of commit `version + 1` (the
-    * row-budget admission path — see `maxRowsPerTrigger` below). The
-    * json keeps the bare-number form when no slice is in flight, so
-    * offset logs written before the row-budget option existed replay
-    * unchanged.
-    */
   /** Source offset: `version` = every commit ≤ it fully consumed, PLUS
     * the first `slice` of the `nSlices` key-hash slices of commit
     * `version + 1` (the row-budget admission path — `maxRowsPerTrigger`
@@ -277,17 +286,37 @@ object CdcSource {
       LogFs.child(LogFs.child(checkpointLocation, "graft_cdc_spool"),
         s"batch_${start}_${end}_c${colsToken}_n$ns")
 
-    /** Commit `c`'s slice count under the row budget — from the commit
-      * directory's parquet FOOTERS (metadata-only; immutable once
-      * landed, so the count is deterministic per commit). The budget
-      * bounds the batch by the commit's OWN row count — the feed's
-      * rows are at most that (suppression only shrinks it).
+    /** Commit `c`'s slice count under the row AND byte budgets — from
+      * the commit directory's parquet FOOTERS (metadata-only; immutable
+      * once landed, so the count is deterministic per commit). The
+      * budgets bound the batch by the commit's OWN row count /
+      * uncompressed byte size — the feed's rows are at most that
+      * (suppression only shrinks it). When both budgets are set the
+      * slice count is the MAX of the two ceilings: every slice then
+      * satisfies both.
       */
-    private def slicesFor(c: Long): Int =
-      opts.maxRowsPerTrigger.fold(1) { budget =>
+    private def slicesFor(c: Long): Int = {
+      val byRows = opts.maxRowsPerTrigger.fold(1L) { budget =>
         val n = Changelog.commitDirRowCount(opts.path, c)
-        math.max(1L, (n + budget - 1) / budget).toInt
+        math.max(1L, (n + budget - 1) / budget)
       }
+      val byBytes = opts.maxBytesPerTrigger.fold(1L) { budget =>
+        val b = Changelog.commitDirByteSize(opts.path, c)
+        math.max(1L, (b + budget - 1) / budget)
+      }
+      math.max(byRows, byBytes).toInt
+    }
+
+    /** Whole commit `c` still fits a batch that already admitted
+      * `rows`/`bytes` — the multi-commit leg of budget admission: a
+      * feed of many SMALL commits batches several per trigger instead
+      * of degrading to one-commit-per-trigger (each far below budget).
+      */
+    private def fitsBudgets(c: Long, rows: Long, bytes: Long): Boolean =
+      opts.maxRowsPerTrigger.forall(b =>
+        rows + Changelog.commitDirRowCount(opts.path, c) <= b) &&
+        opts.maxBytesPerTrigger.forall(b =>
+          bytes + Changelog.commitDirByteSize(opts.path, c) <= b)
 
     override def initialOffset(): Offset = CdcOffset(
       opts.startVersion.getOrElse {
@@ -309,22 +338,49 @@ object CdcSource {
       val st = start.asInstanceOf[CdcOffset]
       val listed = commitHead(opts.path).getOrElse(st.version)
       val head = availableNowCap.fold(listed)(math.min(listed, _))
-      if (opts.maxRowsPerTrigger.isEmpty) {
+      if (!opts.budgeted) {
         require(st.slice == 0,
           s"the checkpointed offset ${st.json()} is mid-commit (slice " +
-            s"${st.slice} of ${st.nSlices}) but maxRowsPerTrigger is no " +
-            "longer set — restore the option until the in-flight commit " +
-            "drains, then remove it at a commit boundary")
-        CdcOffset(math.min(head, st.version + opts.maxCommitsPerTrigger))
+            s"${st.slice} of ${st.nSlices}) but no row/byte budget is " +
+            "set any more — restore the option until the in-flight " +
+            "commit drains, then remove it at a commit boundary")
+        CdcOffset(math.min(head,
+          st.version + opts.maxCommitsPerTrigger.getOrElse(1L)))
       } else if (st.version >= head) st
-      else {
-        // row-budget admission: one SLICE per micro-batch. A commit
-        // already in flight keeps the slicing its offset recorded; a
-        // fresh commit derives its slice count from its footers.
+      else if (st.slice > 0) {
+        // a commit already in flight drains at the slicing its offset
+        // recorded — never at the current configuration's
+        if (st.slice + 1 >= st.nSlices) CdcOffset(st.version + 1)
+        else CdcOffset(st.version, st.slice + 1, st.nSlices)
+      } else {
+        // budget admission on a fresh commit: slice count from its
+        // footers. An over-budget commit serves as ⌈size/budget⌉
+        // key-hash slices, one per micro-batch; a WITHIN-budget commit
+        // admits as a whole, and subsequent whole commits keep
+        // admitting while the CUMULATIVE footer rows/bytes stay within
+        // every set budget (and under maxCommitsPerTrigger when set) —
+        // many small commits batch instead of degrading to
+        // one-commit-per-trigger.
         val next = st.version + 1
-        val ns = if (st.slice > 0) st.nSlices else slicesFor(next)
-        if (st.slice + 1 >= ns) CdcOffset(next)
-        else CdcOffset(st.version, st.slice + 1, ns)
+        val ns = slicesFor(next)
+        if (ns > 1) CdcOffset(st.version, 1, ns)
+        else {
+          val maxCommits = opts.maxCommitsPerTrigger.getOrElse(Long.MaxValue)
+          var end = next
+          var rows = opts.maxRowsPerTrigger.fold(0L)(_ =>
+            Changelog.commitDirRowCount(opts.path, next))
+          var bytes = opts.maxBytesPerTrigger.fold(0L)(_ =>
+            Changelog.commitDirByteSize(opts.path, next))
+          while (end < head && (end - st.version) < maxCommits &&
+              fitsBudgets(end + 1, rows, bytes)) {
+            end += 1
+            rows += opts.maxRowsPerTrigger.fold(0L)(_ =>
+              Changelog.commitDirRowCount(opts.path, end))
+            bytes += opts.maxBytesPerTrigger.fold(0L)(_ =>
+              Changelog.commitDirByteSize(opts.path, end))
+          }
+          CdcOffset(end)
+        }
       }
     }
 

@@ -214,7 +214,9 @@ class CdcSourceSpec extends SparkSpec {
     val ckpt = Sinks.tmpPath("cdc_source_spec_rows_ckpt")
     Seq(opsLog, out, ckpt).foreach(Sinks.deleteRecursively)
     // commit 0 is the GIANT (300 rows, budget 100 → 3 slices);
-    // commits 1 and 2 are small (one slice each) → 5 batches total
+    // commits 1 and 2 are small (10 rows each, 20 cumulative ≤ 100)
+    // so the multi-commit admission batches them into ONE trigger →
+    // 4 batches total (3 slices + 1), never one-commit-per-trigger
     Changelog.commitUpsert(
       spark.range(300).select(col("id").as("o_orderkey"),
         (col("id") % 7).as("o_custkey"),
@@ -243,11 +245,12 @@ class CdcSourceSpec extends SparkSpec {
       .start()
     q.awaitTermination()
     val got = spark.read.parquet(out)
-    // the burst landed in 5 batches (3 slices + 1 + 1), never 3
+    // the burst landed in 4 batches: 3 slices of the giant, then the
+    // two small commits BATCHED into one trigger (cumulative 20 ≤ 100)
     val batches = got.select("_batch").distinct().as[Long]
       .collect().sorted.toSeq
-    assert(batches == Seq(0L, 1L, 2L, 3L, 4L),
-      s"expected 5 batches, got $batches")
+    assert(batches == Seq(0L, 1L, 2L, 3L),
+      s"expected 4 batches (3 slices + 1 batched window), got $batches")
     // each of the giant commit's batches respects the row budget
     val sliceSizes = got.filter(col("_batch") < 3)
       .groupBy("_batch").count().as[(Long, Long)].collect().toMap
@@ -279,6 +282,85 @@ class CdcSourceSpec extends SparkSpec {
       .as[(Long, String, Option[Double], Option[Double])]
       .collect().sorted.toSeq
     assert(gotAll == want)
+  }
+
+  test("maxBytesPerTrigger splits a WIDE-row commit by its footer byte " +
+       "size: more batches than commits, same converged feed") {
+    val opsLog = Sinks.tmpPath("cdc_source_spec_bytes_ops")
+    val out = Sinks.tmpPath("cdc_source_spec_bytes_out")
+    val ckpt = Sinks.tmpPath("cdc_source_spec_bytes_ckpt")
+    Seq(opsLog, out, ckpt).foreach(Sinks.deleteRecursively)
+    // 60 rows × ~10 KB payload ≈ 600 KB uncompressed (row-unique md5
+    // repeated, so the footer's total_byte_size stays honest);
+    // budget 150 KB → at least 3 slices even though only 60 ROWS
+    Changelog.commitUpsert(
+      spark.range(60).select(col("id").as("o_orderkey"),
+        repeat(md5(concat(col("id"), lit("x"))), 320).as("payload")),
+      opsLog, 0L)
+    val q = spark.readStream.format(classOf[CdcSource].getName)
+      .option("path", opsLog)
+      .option("keys", "o_orderkey")
+      .option("trackCols", "payload")
+      .option("maxBytesPerTrigger", 150L * 1024)
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          batch.withColumn("_batch", lit(batchId))
+            .write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+    val nBatches = got.select("_batch").distinct().count()
+    assert(nBatches >= 3,
+      s"a ~600KB commit under a 150KB byte budget must split into >= 3 " +
+        s"slices, got $nBatches batches")
+    // the union of the slices is the whole commit's feed, once each
+    assert(got.count() == 60L)
+    assert(got.groupBy("o_orderkey").count()
+      .filter(col("count") > 1).count() == 0L)
+  }
+
+  test("maxCommitsPerTrigger still CAPS multi-commit admission when " +
+       "set alongside a row budget") {
+    val opsLog = Sinks.tmpPath("cdc_source_spec_cap_ops")
+    val out = Sinks.tmpPath("cdc_source_spec_cap_out")
+    val ckpt = Sinks.tmpPath("cdc_source_spec_cap_ckpt")
+    Seq(opsLog, out, ckpt).foreach(Sinks.deleteRecursively)
+    // three tiny commits, all far below the row budget: without the
+    // cap they would batch into one trigger; with cap 1 each commit
+    // is its own batch
+    for (i <- 0L to 2L)
+      Changelog.commitUpsert(
+        spark.range(i * 10, i * 10 + 10).select(
+          col("id").as("o_orderkey"), (col("id") * 2.0).as("o_totalprice")),
+        opsLog, i)
+    val q = spark.readStream.format(classOf[CdcSource].getName)
+      .option("path", opsLog)
+      .option("keys", "o_orderkey")
+      .option("trackCols", "o_totalprice")
+      .option("maxRowsPerTrigger", 1000)
+      .option("maxCommitsPerTrigger", 1)
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          batch.withColumn("_batch", lit(batchId))
+            .write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = spark.read.parquet(out).select("_batch").distinct()
+      .as[Long].collect().sorted.toSeq
+    assert(batches == Seq(0L, 1L, 2L),
+      s"cap 1 must serve one commit per trigger, got $batches")
   }
 
   test("restart from checkpoint: only commits landed since the stop " +

@@ -204,6 +204,42 @@ class GraftLogTableSpec extends SparkSpec {
     assert(drift.nonEmpty && drift.toSeq == lib.toSeq)
   }
 
+  test("ONE loaded DataFrame appearing twice in a query splices fresh " +
+       "exprIds per site (self-join of the same df; filtered-union)") {
+    import spark.implicits._
+    val path = opsFixture("samedf")
+    // a SINGLE load — one LogTable instance at two read positions: the
+    // memoized subtree may serve only one site, the other must be a
+    // fresh analysis or sibling legs share attribute ids
+    val df = spark.read.format(fmt)
+      .option("path", path).option("keys", "k")
+      .option("versionAsOf", 2).load()
+    val joined = df.as("a").join(df.as("b"),
+      col("a.k") === col("b.k") + 1)
+      .select(col("a.k").as("k"), ($"a.v" + $"b.v").as("vv"))
+    // no duplicate exprIds across the two spliced legs
+    val dup = {
+      val ids = scala.collection.mutable.ArrayBuffer[Long]()
+      joined.queryExecution.optimizedPlan.foreach(p =>
+        p.output.foreach(a => ids += a.exprId.id))
+      ids.groupBy(identity).filter(_._2.size > 1)
+    }
+    val lib = Changelog.snapshotAtOps(spark, path, Seq("k"), 2L)
+    val want = lib.as("a").join(lib.as("b"), col("a.k") === col("b.k") + 1)
+      .select(col("a.k").as("k"), ($"a.v" + $"b.v").as("vv"))
+      .orderBy("k").collect().toSeq
+    val got = joined.orderBy("k").collect().toSeq
+    assert(got.nonEmpty && got == want,
+      s"same-df self-join wrong (dup exprIds across legs: $dup)")
+    // filtered + unfiltered union of one df — the other shape the
+    // advice called out
+    val u = df.filter($"k" < 5).unionByName(df).groupBy()
+      .agg(count(lit(1)).as("n"), sum($"v").as("s")).collect().head
+    val wantU = lib.filter($"k" < 5).unionByName(lib).groupBy()
+      .agg(count(lit(1)).as("n"), sum($"v").as("s")).collect().head
+    assert(u == wantU)
+  }
+
   test("SHOW TABLES lists the registered logs (conf-backed listTables)") {
     val p1 = opsFixture("show_a")
     val p2 = opsFixture("show_b")
