@@ -123,7 +123,14 @@ case class ResolveGraftLog(spark: SparkSession) extends Rule[LogicalPlan] {
 
   /** Splice: the replacement plan's output re-aliased onto the
     * relation's attribute ids, so every reference above keeps
-    * resolving (the standard view-substitution discipline).
+    * resolving (the standard view-substitution discipline). Columns
+    * the table declares NON-NULLABLE (the key columns — the log's row
+    * identity, required non-null by the row-level-operation contract)
+    * splice through [[KnownNotNull]]: the parquet-read subtree types
+    * everything nullable, but a key is never null by the log's own
+    * verbs (every commit groups/joins by it), and without the wrapper
+    * `UpdateAttributeNullability` would retro-nullify references the
+    * analyzer already resolved as non-null — invalidating the plan.
     */
   private def aligned(rel: DataSourceV2Relation,
                       plan: LogicalPlan): LogicalPlan = {
@@ -133,7 +140,9 @@ case class ResolveGraftLog(spark: SparkSession) extends Rule[LogicalPlan] {
       val src = byName.getOrElse(o.name, throw new IllegalStateException(
         s"graft log resolution lost column ${o.name} — table schema " +
           s"and plan output diverged: [${clean.output.map(_.name).mkString(", ")}]"))
-      Alias(src, o.name)(exprId = o.exprId)
+      val expr: Expression =
+        if (!o.nullable && src.nullable) KnownNotNull(src) else src
+      Alias(expr, o.name)(exprId = o.exprId)
     }
     Project(projs, clean)
   }

@@ -425,6 +425,147 @@ object TableFormatQueries {
           col("sum_measure").as("sum_price"))
     }),
 
+    // SQL UPDATE ON THE TABLE FORMAT — the DSv2 row-level-operation
+    // contract (SupportsRowLevelOperations, delta-based): Spark's own
+    // RewriteUpdateTable derives the matched rows by reading the head
+    // snapshot through the operation's spooled scan, and the updated
+    // rows land as ONE OCC-claimed upsert commit (the q219 INSERT
+    // discipline on the reference's own ON-DUPLICATE-KEY-UPDATE verb,
+    // now in its SQL spelling). Predicate on a NON-key measure, so the
+    // statement exercises the full-snapshot read; the key-window
+    // pruned spool, key-immutability refusal, zero-match no-op, and
+    // metadata-only DELETE legs are spec-pinned (GraftLogTableSpec).
+    "q223_log_table_sql_update" -> ((s, d) => {
+      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q223")
+      GraftLogCatalog.register(s, "glog", "orders_ops_q223", path,
+        Seq("o_orderkey"))
+      s.sql("UPDATE glog.orders_ops_q223 " +
+        "SET o_totalprice = o_totalprice + 250.0 WHERE o_custkey % 3 = 0")
+      s.sql("SELECT * FROM glog.orders_ops_q223")
+    }),
+
+    // SQL MERGE INTO THE TABLE FORMAT — q196's merge law through pure
+    // SQL strings: the same +700 source slice (keys ≡ 0 mod 6), the
+    // matched ∧ ≡ 0 (mod 12) rows tombstoned, other matches updated,
+    // unmatched non-delete rows inserted (resurrections), unmatched
+    // delete-clause rows ignored (the NOT MATCHED guard — deleting an
+    // absent key is a no-op). Spark's RewriteMergeIntoTable plans the
+    // source join and clause alignment; the per-row verbs land as ONE
+    // commit. Final state must hash-match q196's library-merge oracle
+    // verbatim — the SQL spelling and the library verb converge.
+    "q224_log_table_sql_merge" -> ((s, d) => {
+      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q224")
+      GraftLogCatalog.register(s, "glog", "orders_ops_q224", path,
+        Seq("o_orderkey"))
+      AuditQueries.opsOrders(s, d)
+        .filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 700.0)
+        .createOrReplaceTempView("merge_src_q224")
+      s.sql("""MERGE INTO glog.orders_ops_q224 t
+              |USING merge_src_q224 s
+              |ON t.o_orderkey = s.o_orderkey
+              |WHEN MATCHED AND s.o_orderkey % 12 = 0 THEN DELETE
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED AND s.o_orderkey % 12 <> 0 THEN INSERT *
+              |""".stripMargin)
+      s.sql("SELECT * FROM glog.orders_ops_q224")
+    }),
+
+    // STREAMING READ THROUGH THE TABLE IDENTITY — q200's CDC-consumer
+    // IVM with the stream addressed BY NAME: a registered feed table
+    // (`registerFeed`) serves `spark.readStream.table("glog.t")` via
+    // MICRO_BATCH_READ delegating to the CDC source — one table
+    // identity for the batch window read AND the live stream (Delta's
+    // one-name-both-surfaces ergonomics). Same offsets, same admission
+    // control, same converged rollup: q200's oracle verbatim. The
+    // restart-from-checkpoint and batch/stream-equality legs are
+    // spec-pinned (GraftLogTableSpec).
+    "q225_stream_table_read" -> ((s, d) => {
+      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q225")
+      val rollPath = Sinks.tmpPathFor("orders_tbl_stream_roll", d)
+      val ckpt = Sinks.tmpPathFor("orders_tbl_stream_ckpt", d)
+      Sinks.deleteRecursively(rollPath)
+      Sinks.deleteRecursively(ckpt)
+      GraftLogCatalog.registerFeed(s, "glog", "orders_changes_q225",
+        path, Seq("o_orderkey"), Seq("o_totalprice", "o_custkey"))
+      val q = s.readStream.table("glog.orders_changes_q225")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            Changelog.commitIdempotent(
+              graft.streaming.StreamIvm.cdcDelta(batch,
+                groupCol = "o_custkey", measure = "o_totalprice"),
+              rollPath, batchId)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.StreamIvm.servedCdcRollup(s, rollPath, "o_custkey")
+        .select(col("o_custkey"), col("n_rows").as("n_orders"),
+          col("sum_measure").as("sum_price"))
+    }),
+
+    // DESCRIBE HISTORY AT THE SQL PROMPT — the commit log addressed as
+    // a METADATA CHILD TABLE (`SELECT * FROM glog.t.history`, Delta's
+    // ergonomics): one row per landed commit with the recorded verb /
+    // writer / footer-derived row count, served through a LocalScan
+    // (the history IS driver-listable metadata — the same O(commits)
+    // marker listing describeHistory does, never a distributed scan
+    // pretending otherwise). The oracle derives every line from the
+    // three-commit fixture's closed form, so a mis-recorded verb or a
+    // torn count breaks the audit exactly where an operator would look
+    // — q180's discipline, reached through a pure SQL string.
+    "q226_log_table_sql_history" -> ((s, d) => {
+      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q226")
+      GraftLogCatalog.register(s, "glog", "orders_ops_q226", path,
+        Seq("o_orderkey"))
+      s.sql("SELECT * FROM glog.orders_ops_q226.history")
+    }),
+
+    // MAINTENANCE AS A DSv2 PROCEDURE — `CALL glog.system.checkpoint
+    // ('t', 1)` runs the engine's checkpoint verb (fold commits ≤ 1
+    // into a live base, advance the horizon, vacuum) through Spark 4's
+    // procedure contract, under the SAME maintenance mutex the library
+    // call holds (second-actor refusal spec-pinned at the SQL surface).
+    // The read AS OF 2 afterwards must still serve the full live state
+    // — q189's oracle verbatim, the whole cycle in SQL strings.
+    "q227_sql_call_checkpoint" -> ((s, d) => {
+      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q227")
+      GraftLogCatalog.register(s, "glog", "orders_ops_q227", path,
+        Seq("o_orderkey"))
+      val r = s.sql("CALL glog.system.checkpoint('orders_ops_q227', 1)")
+        .collect()
+      require(r.length == 1 && r(0).getString(1) == "checkpoint",
+        s"CALL must return its summary row, got ${r.mkString(", ")}")
+      s.sql("SELECT * FROM glog.orders_ops_q227 VERSION AS OF 2")
+    }),
+
+    // OPTIMIZE AS A DSv2 PROCEDURE — q199's head-rewrite verb through
+    // CALL: the full live state lands as ONE clustered base commit
+    // (id 3, arithmetic key-range files + stats marker) while commits
+    // 0–2 stay readable. The three AS OF reads — all SQL — must
+    // reproduce q199's oracle verbatim: history below the base
+    // untouched, the base a pure rewrite.
+    "q228_sql_call_optimize" -> ((s, d) => {
+      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q228")
+      GraftLogCatalog.register(s, "glog", "orders_ops_q228", path,
+        Seq("o_orderkey"))
+      val dom = AuditQueries.opsOrders(s, d)
+        .agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+      s.sql("CALL glog.system.optimize('orders_ops_q228', 3, " +
+        s"'o_orderkey', ${dom}L, 8)").collect()
+      s.sql("""SELECT *, CAST(1 AS BIGINT) AS asof
+              |FROM glog.orders_ops_q228 VERSION AS OF 1
+              |UNION ALL
+              |SELECT *, CAST(2 AS BIGINT)
+              |FROM glog.orders_ops_q228 VERSION AS OF 2
+              |UNION ALL
+              |SELECT *, CAST(3 AS BIGINT)
+              |FROM glog.orders_ops_q228 VERSION AS OF 3""".stripMargin)
+    }),
+
     // TIME TRAVEL COMPOSES IN ONE SQL STATEMENT — two VERSION AS OF
     // clauses of ONE table, joined: the price drift every key gained
     // between v0 and the head, written exactly the way a SQL user
@@ -653,6 +794,112 @@ object TableFormatQueries {
         |  CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
         |       AS BIGINT) AS DOUBLE) / 100.0 AS sum_price
         |FROM live GROUP BY o_custkey""".stripMargin,
+
+    // q181's live law with +250 wherever the CURRENT row's custkey is
+    // divisible by 3 — the UPDATE reads the head state, so the bump
+    // applies on top of whatever price the head law assigned
+    "q223_log_table_sql_update" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |       WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |            AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END
+        |  + CASE WHEN o_custkey % 3 = 0 THEN 250.0 ELSE 0.0 END
+        |    AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 = 3
+        |   OR o_orderkey % 10 <> 0
+        |   OR o_orderkey % 20 = 0""".stripMargin,
+
+    // q196's post-merge law verbatim — the SQL MERGE and the library
+    // mergeIntoOps land the same fixed point
+    "q224_log_table_sql_merge" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 700.0
+        |       WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |       WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |            AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE (o_orderkey % 6 = 0 AND o_orderkey % 12 <> 0)
+        |   OR (o_orderkey % 6 <> 0 AND
+        |       (o_orderkey % 4 = 3 OR o_orderkey % 10 <> 0
+        |        OR o_orderkey % 20 = 0))""".stripMargin,
+
+    // q200's converged-rollup oracle verbatim — the table-identity
+    // stream must reach the same fixed point the by-path stream does
+    "q225_stream_table_read" ->
+      """WITH live AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |         WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |              AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 4 = 3
+        |     OR o_orderkey % 10 <> 0
+        |     OR o_orderkey % 20 = 0)
+        |SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |       AS BIGINT) AS DOUBLE) / 100.0 AS sum_price
+        |FROM live GROUP BY o_custkey""".stripMargin,
+
+    // every audit line from the fixture's closed form: c0 = the base
+    // upsert (non-mod-4-3 keys), c1 = the tombstone slice, c2 = the
+    // resurrections + held-out tail + both mod-7 branches; writer is
+    // the solo default, stamps were never written
+    "q226_log_table_sql_history" ->
+      """SELECT CAST(0 AS BIGINT) AS commit, 'upsert' AS verb,
+        |  'solo' AS writer,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 4 <> 3)
+        |    AS info_rows,
+        |  CAST(NULL AS BIGINT) AS ts_millis
+        |UNION ALL
+        |SELECT 1, 'delete', 'solo',
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderkey % 4 <> 3 AND o_orderkey % 10 = 0),
+        |  NULL
+        |UNION ALL
+        |SELECT 2, 'upsert', 'solo',
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 20 = 0)
+        |  + (SELECT count(*) FROM orders WHERE o_orderkey % 4 = 3)
+        |  + (SELECT count(*) FROM orders
+        |     WHERE o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |       AND o_orderkey % 7 IN (1, 2)),
+        |  NULL""".stripMargin,
+
+    // q189's post-checkpoint law verbatim: the read AS OF 2 serves the
+    // full live state (the fold kept every live row; commit 2's
+    // resurrections still LWW-beat the folded base)
+    "q227_sql_call_checkpoint" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |       WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |            AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 = 3
+        |   OR o_orderkey % 10 <> 0
+        |   OR o_orderkey % 20 = 0""".stripMargin,
+
+    // q199's three-snapshot law verbatim — OPTIMIZE through CALL is
+    // the same pure rewrite
+    "q228_sql_call_optimize" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(1 AS BIGINT) AS asof
+        |FROM orders
+        |WHERE o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |       WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |            AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CAST(v.asof AS BIGINT) AS asof
+        |FROM orders CROSS JOIN (SELECT unnest([2, 3]) AS asof) v
+        |WHERE o_orderkey % 4 = 3
+        |   OR o_orderkey % 10 <> 0
+        |   OR o_orderkey % 20 = 0""".stripMargin,
 
     // the drift law: +1000 for resurrected 20ths (present at v0 —
     // every 20th is % 4 = 0), +500 for the mod-7 update branch; the

@@ -510,6 +510,17 @@ object Changelog {
           (p(0), p(1), p(2).toLong))
       }.toMap
 
+  /** [[describeHistory]]'s schema — shared with the SQL-addressable
+    * history child table ([[GraftLogCatalog]]'s `cat.t.history`).
+    */
+  val HistorySchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("commit", LongType, nullable = false),
+      StructField("verb", StringType), StructField("writer", StringType),
+      StructField("info_rows", LongType),
+      StructField("ts_millis", LongType)))
+  }
+
   /** DESCRIBE HISTORY — one row per landed commit: id, the recorded
     * verb/writer/row-count (null where a commit predates the info
     * markers), and the commit's stamp when the log is clock-addressed.
@@ -526,14 +537,10 @@ object Changelog {
         infos.get(id).map(i => java.lang.Long.valueOf(i._3)).orNull,
         stamps.get(id).map(java.lang.Long.valueOf).orNull)
     }
-    import org.apache.spark.sql.types._
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-      StructType(Seq(StructField("commit", LongType, nullable = false),
-        StructField("verb", StringType), StructField("writer", StringType),
-        StructField("info_rows", LongType),
-        StructField("ts_millis", LongType))))
+      HistorySchema)
   }
 
   /** The append write itself, claim-free — the checkpoint fold lands

@@ -5,13 +5,14 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.streaming.CdcSource
 
 /** The changelog as a BATCH DSv2 TABLE — the read-side ergonomics every
   * lakehouse format ships: a plain-SQL or DataFrame user addresses the
@@ -156,7 +157,8 @@ object GraftLog {
     * installed, and the error says exactly that.
     */
   private[graft] class LogTable(val opts: Opts) extends Table
-      with SupportsRead with SupportsWrite with SupportsDelete {
+      with SupportsRead with SupportsWrite with SupportsDelete
+      with SupportsRowLevelOperations {
 
     private val spark = SparkSession.active
 
@@ -231,25 +233,53 @@ object GraftLog {
       s"graft_log(${opts.path} @ $coord)"
     }
 
-    override def schema(): StructType = resolved.schema
+    /** The table schema — the resolved plan's, with KEY columns marked
+      * non-nullable on snapshot reads: a key is the log's row identity
+      * (the LWW compaction groups by it; a null key has no meaning in
+      * any verb), and the row-level-operation contract requires a
+      * non-nullable row id (`RewriteRowLevelCommand.resolveRowIdAttrs`
+      * refuses nullable ids — correctly, since a delta op must name
+      * the row it rewrites). Feed reads keep the plan's nullability
+      * as-is (the feed is a derived projection, not a write target).
+      */
+    override def schema(): StructType =
+      if (opts.readChangeFeed) resolved.schema
+      else StructType(resolved.schema.fields.map(f =>
+        if (opts.keys.contains(f.name)) f.copy(nullable = false) else f))
 
+    /** Feed-mode tables additionally stream: `spark.readStream
+      * .table("glog.t_changes")` (or `readStream.format(GraftLog)`)
+      * serves the SAME change feed the batch window read serves — one
+      * table identity, both surfaces, delegating to [[graft.streaming
+      * .CdcSource]]'s micro-batch stream (offsets are commit ids,
+      * admission budgets included). Snapshot-mode tables are
+      * batch-only: Spark's own capability check then refuses a
+      * readStream early instead of a deep failure.
+      */
     override def capabilities(): util.Set[TableCapability] =
-      Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
+      (if (opts.readChangeFeed)
+        Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+      else Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE))
+        .asJava
 
-    // A STUB scan: read positions never reach it (the pre-CBO rule
-    // replaces the relation before scan planning), but SQL DELETE's
-    // planner pattern-matches a ScanRelation around the TARGET table
-    // even though only deleteWhere ever runs — so scan CONSTRUCTION
-    // must succeed and scan EXECUTION is the loud path (a read on a
-    // session without the extension fails here, naming the fix).
+    // A scan whose BATCH side is a stub: batch read positions never
+    // reach it (the pre-CBO rule replaces the relation before scan
+    // planning), but SQL DELETE's planner pattern-matches a
+    // ScanRelation around the TARGET table even though only
+    // deleteWhere ever runs — so scan CONSTRUCTION must succeed and
+    // batch EXECUTION is the loud path (a read on a session without
+    // the extension fails here, naming the fix). The STREAMING side is
+    // real: feed-mode tables serve the CDC micro-batch stream, with
+    // per-query knobs (admission budgets, tenant slice) taken from the
+    // READER options handed to this builder.
     override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
       new ScanBuilder {
         override def build(): org.apache.spark.sql.connector.read.Scan =
           new org.apache.spark.sql.connector.read.Scan {
             override def readSchema(): StructType = LogTable.this.schema()
             override def description(): String =
-              s"graft_log stub scan over ${opts.path} (resolved by the " +
-                "extension rule; never executed)"
+              s"graft_log scan over ${opts.path} (batch: resolved by " +
+                "the extension rule; streaming: the CDC feed)"
             override def toBatch:
                 org.apache.spark.sql.connector.read.Batch =
               throw new IllegalStateException(
@@ -257,6 +287,28 @@ object GraftLog {
                   "rule (the snapshot is a keyed merge-on-read plan, " +
                   "not a row-serving scan) — build the session with " +
                   "spark.sql.extensions=graft.plans.GraftExtensions")
+            override def toMicroBatchStream(checkpointLocation: String)
+                : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+              require(opts.readChangeFeed,
+                s"${name()} is a snapshot table — streaming reads serve " +
+                  "the CHANGE FEED; register the table with " +
+                  "readChangeFeed=true (GraftLogCatalog.registerFeed) " +
+                  "or read the feed by path")
+              require(opts.endingVersion.isEmpty,
+                "a stream is unbounded — endingVersion is a " +
+                  "batch-window option")
+              def num(k: String): Option[Long] =
+                Option(o.get(k)).map(_.toLong)
+              CdcSource.microBatchStream(LogTable.this.schema(),
+                CdcSource.Opts(opts.path, opts.keys, opts.trackCols,
+                  startVersion = opts.startingVersion,
+                  maxCommitsPerTrigger = num("maxCommitsPerTrigger"),
+                  columns = None,
+                  keyFilter = opts.keyFilter,
+                  maxRowsPerTrigger = num("maxRowsPerTrigger"),
+                  maxBytesPerTrigger = num("maxBytesPerTrigger")),
+                checkpointLocation)
+            }
           }
       }
 
@@ -289,6 +341,21 @@ object GraftLog {
         }
       }
     }
+
+    // ---- SQL DML: UPDATE / MERGE INTO (and the row-level DELETE leg) --
+    //
+    // The DSv2 row-level-operation contract, delta-based: Spark's own
+    // analysis rewrites derive the matched rows (reading the head
+    // snapshot through the operation's spooled scan) and this table
+    // lands the per-row verbs as ONE OCC-claimed changelog commit —
+    // upserts for UPDATE/INSERT clauses, tombstones for DELETE. See
+    // GraftRowLevel for the full contract (key immutability, ops-only,
+    // zero-delta no-op, pruned spool).
+
+    override def newRowLevelOperationBuilder(
+        info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+        : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      new GraftRowLevel.LogRowLevelOperationBuilder(this, info)
 
     // ---- SQL DML: DELETE FROM ----------------------------------------
     //

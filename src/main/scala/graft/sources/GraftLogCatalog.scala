@@ -3,12 +3,16 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.Scan
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataTypes, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Catalog half of the batch table surface: changelog tables addressed
   * by NAME through Spark's own SQL resolution, including the time-travel
@@ -38,7 +42,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * catalog is read-only by design: tables are created by COMMITTING to
   * the log, not by DDL — every mutating verb refuses loudly.
   */
-class GraftLogCatalog extends TableCatalog {
+class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catName: String = _
 
@@ -64,13 +68,63 @@ class GraftLogCatalog extends TableCatalog {
       .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
     require(keys.nonEmpty,
       s"${confKey(ident, "keys")} must name the log's key columns")
-    GraftLog.Opts(path, keys, None, None, readChangeFeed = false,
-      None, None, Seq.empty, None,
-      mergeSchema = opt(ident, "mergeSchema").exists(_.toBoolean))
+    val feed = opt(ident, "readChangeFeed").exists(_.toBoolean)
+    val trackCols = opt(ident, "trackCols").map(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    if (feed) {
+      require(trackCols.nonEmpty,
+        s"${confKey(ident, "trackCols")} must name the feed's tracked " +
+          "columns for a readChangeFeed table")
+      // the feed window's default start: everything above the horizon
+      // (else everything in the log) — resolved at loadTable so a
+      // batch read of the feed table has a pinned window, while a
+      // STREAMING read offsets from the same coordinate
+      // (a log whose first commit id is not 0 — e.g. a partial clone —
+      // wants an explicit startVersion)
+      val start = opt(ident, "startVersion").map(_.toLong).getOrElse {
+        val h = Changelog.horizonOf(path)
+        if (h != Long.MinValue) h else -1L
+      }
+      GraftLog.Opts(path, keys, None, None, readChangeFeed = true,
+        Some(start), None, trackCols,
+        opt(ident, "keyFilter").filter(_.nonEmpty),
+        mergeSchema = false)
+    } else
+      GraftLog.Opts(path, keys, None, None, readChangeFeed = false,
+        None, None, Seq.empty, None,
+        mergeSchema = opt(ident, "mergeSchema").exists(_.toBoolean))
   }
 
+  /** Registered name → the changelog table; `<name>.history` → the
+    * commit-log METADATA child table (`SELECT * FROM cat.t.history` is
+    * DESCRIBE HISTORY at the SQL prompt — Delta's ergonomics): one row
+    * per landed commit with the recorded verb/writer/row-count/stamp,
+    * served through a [[org.apache.spark.sql.connector.read.LocalScan]]
+    * because the history IS driver-listable metadata (the same
+    * O(commits) marker listing [[Changelog.describeHistory]] does —
+    * never a distributed scan pretending otherwise). The child is
+    * virtual: only a registered PARENT exposes it, and it never
+    * appears in SHOW TABLES.
+    */
   override def loadTable(ident: Identifier): Table =
-    new GraftLog.LogTable(baseOpts(ident))
+    historyParent(ident) match {
+      case Some(parent) =>
+        new GraftLogCatalog.HistoryTable(baseOpts(parent).path,
+          s"$catName.${(parent.namespace() :+ parent.name()).mkString(".")}")
+      case None => new GraftLog.LogTable(baseOpts(ident))
+    }
+
+  /** `Some(parent)` iff `ident` is `<registered-table>.history` and is
+    * not itself a registered table (a real table named `history`
+    * shadows the child).
+    */
+  private def historyParent(ident: Identifier): Option[Identifier] =
+    if (ident.name() == "history" && ident.namespace().nonEmpty &&
+        opt(ident, "path").isEmpty) {
+      val parent = Identifier.of(ident.namespace().dropRight(1),
+        ident.namespace().last)
+      if (opt(parent, "path").isDefined) Some(parent) else None
+    } else None
 
   /** `VERSION AS OF v` — the SQL clause's landing point. */
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -104,6 +158,127 @@ class GraftLogCatalog extends TableCatalog {
       .toArray
   }
 
+  // ---- Maintenance verbs as DSv2 PROCEDURES --------------------------
+  //
+  // `CALL glog.system.checkpoint('t', 1)` / `.optimize('t', 3, 'k',
+  // dom, 8)` / `.optimize_string('t', 3, 'k', 8)` / `.restore('t', 1,
+  // 3)` — Spark 4's procedure contract over the library's maintenance
+  // verbs, resolving the table NAME through the same conf-backed
+  // registration the table reads use. Every verb runs under the
+  // engine's MAINTENANCE MUTEX (acquired inside the library call): a
+  // second concurrent actor fails loudly naming the holder, at the SQL
+  // surface exactly as at the library surface. Each CALL returns one
+  // summary row (table, verb, version) through a LocalScan.
+
+  private def tableIdent(table: String): Identifier = {
+    val parts = table.split("\\.")
+    Identifier.of(parts.dropRight(1), parts.last)
+  }
+
+  private val ProcedureResult = StructType(Seq(
+    org.apache.spark.sql.types.StructField("table", DataTypes.StringType),
+    org.apache.spark.sql.types.StructField("verb", DataTypes.StringType),
+    org.apache.spark.sql.types.StructField("version", DataTypes.LongType)))
+
+  private def resultScan(table: String, verb: String,
+                         version: Long): java.util.Iterator[Scan] =
+    java.util.List.of[Scan](new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = ProcedureResult
+      override def rows(): Array[InternalRow] = Array(
+        InternalRow(UTF8String.fromString(table),
+          UTF8String.fromString(verb), version))
+    }).iterator()
+
+  /** One maintenance procedure: `name`, its IN parameters, and a body
+    * over (sparkSession, resolved opts, argument row). Bound and
+    * unbound are the same object — binding is positional/by-name
+    * argument alignment, which Spark performs against `parameters()`.
+    */
+  private class MaintenanceProcedure(procName: String,
+                                     params: Seq[ProcedureParameter],
+                                     body: (SparkSession, GraftLog.Opts,
+                                       InternalRow) => Long)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String =
+      s"graft changelog maintenance: $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val opts = baseOpts(tableIdent(table))
+      require(!opts.readChangeFeed,
+        s"$procName maintains the LOG — call it on the table, not a " +
+          "registered feed")
+      val v = body(SparkSession.active, opts, input)
+      resultScan(table, procName, v)
+    }
+  }
+
+  private def inParam(name: String,
+                      dt: org.apache.spark.sql.types.DataType) =
+    ProcedureParameter.in(name, dt).build()
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live in the 'system' namespace — CALL $catName" +
+        s".system.<proc>(...), got ${ident.namespace().mkString(".")}")
+    ident.name() match {
+      case "checkpoint" => new MaintenanceProcedure("checkpoint",
+        Seq(inParam("table", DataTypes.StringType),
+          inParam("version", DataTypes.LongType)),
+        (s, o, in) => {
+          val v = in.getLong(1)
+          if (Changelog.isOpsLog(s, o.path))
+            Changelog.checkpointOps(s, o.path, o.keys, v)
+          else Changelog.checkpoint(s, o.path, o.keys, v)
+          v
+        })
+      case "optimize" => new MaintenanceProcedure("optimize",
+        Seq(inParam("table", DataTypes.StringType),
+          inParam("version", DataTypes.LongType),
+          inParam("cluster_col", DataTypes.StringType),
+          inParam("domain", DataTypes.LongType),
+          inParam("num_files", DataTypes.IntegerType)),
+        (s, o, in) => {
+          val v = in.getLong(1)
+          Changelog.optimizeOps(s, o.path, o.keys, v,
+            in.getUTF8String(2).toString, in.getLong(3), in.getInt(4))
+          v
+        })
+      case "optimize_string" => new MaintenanceProcedure("optimize_string",
+        Seq(inParam("table", DataTypes.StringType),
+          inParam("version", DataTypes.LongType),
+          inParam("cluster_col", DataTypes.StringType),
+          inParam("num_files", DataTypes.IntegerType)),
+        (s, o, in) => {
+          val v = in.getLong(1)
+          Changelog.optimizeOpsString(s, o.path, o.keys, v,
+            in.getUTF8String(2).toString, in.getInt(3))
+          v
+        })
+      case "restore" => new MaintenanceProcedure("restore",
+        Seq(inParam("table", DataTypes.StringType),
+          inParam("as_of_version", DataTypes.LongType),
+          inParam("new_version", DataTypes.LongType)),
+        (s, o, in) => {
+          val v = in.getLong(2)
+          Changelog.restoreOps(s, o.path, o.keys, in.getLong(1), v)
+          v
+        })
+      case other => throw new IllegalArgumentException(
+        s"unknown procedure $catName.system.$other — available: " +
+          "checkpoint, optimize, optimize_string, restore")
+    }
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Array("checkpoint", "optimize", "optimize_string", "restore")
+        .map(Identifier.of(Array("system"), _))
+    else Array.empty
+
   private def readOnly(verb: String): Nothing =
     throw new UnsupportedOperationException(
       s"GraftLogCatalog is read-only: $verb is not supported — tables " +
@@ -129,6 +304,40 @@ class GraftLogCatalog extends TableCatalog {
 
 object GraftLogCatalog {
 
+  /** The commit-log metadata child (`cat.t.history`): schema =
+    * [[Changelog.HistorySchema]]; rows recomputed at every scan build
+    * from the markers, so the history a query reads is current AT THE
+    * QUERY, not at registration.
+    */
+  private[graft] class HistoryTable(path: String, parentName: String)
+      extends Table
+      with org.apache.spark.sql.connector.catalog.SupportsRead {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.connector.catalog.TableCapability
+    import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+
+    override def name(): String = s"$parentName.history"
+    override def schema(): StructType = Changelog.HistorySchema
+    override def capabilities(): util.Set[TableCapability] =
+      Set(TableCapability.BATCH_READ).asJava
+
+    override def newScanBuilder(
+        options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): Scan = new LocalScan {
+          override def readSchema(): StructType = Changelog.HistorySchema
+          override def description(): String =
+            s"graft_log history over $path (driver-side metadata)"
+          // executeCollect gives the InternalRow form of the exact
+          // describeHistory frame — one metadata listing, no job
+          override def rows()
+              : Array[org.apache.spark.sql.catalyst.InternalRow] =
+            Changelog.describeHistory(SparkSession.active, path)
+              .queryExecution.executedPlan.executeCollect()
+        }
+      }
+  }
+
   /** Session-conf registration of catalog `cat` and table `name` over
     * the log at `path` — after this, `SELECT … FROM cat.name [VERSION
     * AS OF v | TIMESTAMP AS OF t]` resolves through the engine.
@@ -144,5 +353,34 @@ object GraftLogCatalog {
       keys.mkString(","))
     if (mergeSchema)
       spark.conf.set(s"spark.sql.catalog.$cat.log.$name.mergeSchema", "true")
+  }
+
+  /** Register `name` as a CHANGE FEED table over the ops log at
+    * `path`: `SELECT … FROM cat.name` serves the batch feed window
+    * (`startVersion`, head], and `spark.readStream.table("cat.name")`
+    * serves the live CDC stream from the same coordinate — one table
+    * identity, both surfaces (admission knobs ride as READER options:
+    * maxCommitsPerTrigger / maxRowsPerTrigger / maxBytesPerTrigger).
+    * `startVersion` defaults to the log's checkpoint horizon (else
+    * the full history); `keyFilter` carves a tenant slice.
+    */
+  def registerFeed(spark: SparkSession, cat: String, name: String,
+                   path: String, keys: Seq[String],
+                   trackCols: Seq[String],
+                   startVersion: Option[Long] = None,
+                   keyFilter: Option[String] = None): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftLogCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.log.$name.path", path)
+    spark.conf.set(s"spark.sql.catalog.$cat.log.$name.keys",
+      keys.mkString(","))
+    spark.conf.set(s"spark.sql.catalog.$cat.log.$name.readChangeFeed",
+      "true")
+    spark.conf.set(s"spark.sql.catalog.$cat.log.$name.trackCols",
+      trackCols.mkString(","))
+    startVersion.foreach(v => spark.conf.set(
+      s"spark.sql.catalog.$cat.log.$name.startVersion", v.toString))
+    keyFilter.foreach(f => spark.conf.set(
+      s"spark.sql.catalog.$cat.log.$name.keyFilter", f))
   }
 }

@@ -103,21 +103,21 @@ class CdcSource extends TableProvider {
 
 object CdcSource {
 
-  private[streaming] case class Opts(path: String, keys: Seq[String],
-                                     trackCols: Seq[String],
-                                     startVersion: Option[Long],
-                                     maxCommitsPerTrigger: Option[Long],
-                                     columns: Option[Seq[String]],
-                                     keyFilter: Option[String],
-                                     maxRowsPerTrigger: Option[Long],
-                                     maxBytesPerTrigger: Option[Long]) {
+  private[graft] case class Opts(path: String, keys: Seq[String],
+                                 trackCols: Seq[String],
+                                 startVersion: Option[Long],
+                                 maxCommitsPerTrigger: Option[Long],
+                                 columns: Option[Seq[String]],
+                                 keyFilter: Option[String],
+                                 maxRowsPerTrigger: Option[Long],
+                                 maxBytesPerTrigger: Option[Long]) {
     /** True when any admission budget (rows or bytes) is set — the
       * sliced-offset machinery is live.
       */
     def budgeted: Boolean =
       maxRowsPerTrigger.isDefined || maxBytesPerTrigger.isDefined
   }
-  private[streaming] object Opts {
+  private[graft] object Opts {
     def apply(o: CaseInsensitiveStringMap): Opts = {
       val path = o.get("path")
       require(path != null, "CdcSource needs option 'path' (the ops log)")
@@ -226,6 +226,22 @@ object CdcSource {
     }
   }
 
+  /** Rewrite `df` into the spool readers' on-disk representation:
+    * timestamp columns as plain epoch-micros INT64 (Spark's internal
+    * value — the reader hands the long straight back, independent of
+    * whatever physical timestamp encoding Spark's parquet writer would
+    * pick). Shared with the row-level-operation snapshot spool.
+    */
+  private[graft] def spoolRepresentation(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.dataType == TimestampType)
+        d.withColumn(f.name,
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col(f.name)))
+      else d
+    }
+
   /** The last window's spooled column list — observability for the
     * pruning proof (the ProfileConnector `payloadBuilds` discipline:
     * an oracle cannot see which columns were written to disk, a spec
@@ -255,6 +271,18 @@ object CdcSource {
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
       new CdcStream(schema, opts, checkpointLocation)
   }
+
+  /** The feed's micro-batch stream for a caller that already holds the
+    * feed schema and parsed options — the changelog TABLE's streaming
+    * read ([[graft.sources.GraftLog.LogTable]] with MICRO_BATCH_READ)
+    * delegates here, so `spark.readStream.table("glog.t_changes")`
+    * serves the same stream, offsets and admission control included,
+    * that `readStream.format(CdcSource)` serves by path.
+    */
+  private[graft] def microBatchStream(schema: StructType, opts: Opts,
+                                      checkpointLocation: String)
+      : MicroBatchStream =
+    new CdcStream(schema, opts, checkpointLocation)
 
   private class CdcStream(schema: StructType, opts: Opts,
                           checkpointLocation: String)
@@ -436,18 +464,9 @@ object CdcSource {
           // the plan, not as wide as the feed
           .select(schema.fieldNames.map(
             org.apache.spark.sql.functions.col).toIndexedSeq: _*)
-        // timestamp columns spool as plain epoch-micros INT64 (Spark's
-        // internal representation) — the spool reader hands the long
-        // straight back as the TimestampType value, independent of
-        // whatever physical timestamp encoding Spark's parquet writer
-        // would pick
-        val spooled = schema.fields.foldLeft(feed) { (df, f) =>
-          if (f.dataType == TimestampType)
-            df.withColumn(f.name,
-              org.apache.spark.sql.functions.unix_micros(
-                org.apache.spark.sql.functions.col(f.name)))
-          else df
-        }
+        // timestamp columns spool as plain epoch-micros INT64 — see
+        // spoolRepresentation
+        val spooled = spoolRepresentation(feed)
         if (ns == 1) spooled.write.mode("overwrite").parquet(dir)
         else {
           // row-budget slicing at KEY boundaries: slice = hash(keys)
@@ -495,14 +514,16 @@ object CdcSource {
     override def stop(): Unit = ()
   }
 
-  private case class SpoolFile(file: String) extends InputPartition
+  private[graft] case class SpoolFile(file: String) extends InputPartition
 
   /** Decodes one spooled parquet file into the feed's rows via the
     * parquet-hadoop example API — executor-side, no Spark codec, no
     * driver materialization; the feed's types were loudly bounded at
-    * load().
+    * load(). Shared with the row-level-operation scan
+    * ([[graft.sources.GraftRowLevel]]), whose spooled snapshot is the
+    * same discipline: a derived read served file-per-partition.
     */
-  private class SpoolReaderFactory(schema: StructType)
+  private[graft] class SpoolReaderFactory(schema: StructType)
       extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] =
       new SpoolReader(p.asInstanceOf[SpoolFile].file, schema)

@@ -332,12 +332,16 @@ object LogSink {
     * mirror image). The file name carries partition, task, and a UUID:
     * speculative or retried attempts of one partition stage distinct
     * files and only the attempt whose message reaches the driver
-    * lands.
+    * lands. `constantOp` stamps every row with one `_op` (the INSERT
+    * path); `perRowOp` reserves the `_op` field for the caller to set
+    * per row via [[writeWithOp]] (the row-level-operation delta path,
+    * where one task mixes upserts and tombstones).
     */
-  private class StagingWriter(path: String, schema: StructType,
+  private[graft] class StagingWriter(path: String, schema: StructType,
                               queryId: String, partitionId: Int,
                               taskId: Long, epochId: Long,
-                              constantOp: Option[String] = None)
+                              constantOp: Option[String] = None,
+                              perRowOp: Boolean = false)
       extends DataWriter[InternalRow] {
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
     import org.apache.parquet.hadoop.ParquetWriter
@@ -378,8 +382,8 @@ object LogSink {
         }
         b.addField(built)
       }
-      constantOp.foreach(_ => b.addField(
-        Types.optional(BINARY).as(stringType()).named(Changelog.OpCol)))
+      if (constantOp.isDefined || perRowOp) b.addField(
+        Types.optional(BINARY).as(stringType()).named(Changelog.OpCol))
       b.named("graft_log_epoch")
     }
 
@@ -397,7 +401,14 @@ object LogSink {
     private val factory = new SimpleGroupFactory(messageType)
     private var wrote = false
 
-    override def write(row: InternalRow): Unit = {
+    override def write(row: InternalRow): Unit = writeWithOp(row, constantOp)
+
+    /** One row with an explicit op — the delta writers' entry. Null
+      * fields are simply absent from the group (including a delete's
+      * tombstone row, where every non-key column is null).
+      */
+    private[graft] def writeWithOp(row: InternalRow,
+                                   op: Option[String]): Unit = {
       val g = factory.newGroup()
       var i = 0
       while (i < schema.length) {
@@ -433,7 +444,7 @@ object LogSink {
         }
         i += 1
       }
-      constantOp.foreach(op => g.append(Changelog.OpCol, op))
+      op.foreach(o => g.append(Changelog.OpCol, o))
       out.write(g)
       wrote = true
     }

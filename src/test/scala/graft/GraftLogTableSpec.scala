@@ -312,6 +312,231 @@ class GraftLogTableSpec extends SparkSpec {
     }
   }
 
+  test("SQL UPDATE lands one upsert commit; a key-window predicate " +
+       "prunes the snapshot spool; zero matches land no commit") {
+    import spark.implicits._
+    import graft.sources.GraftRowLevel
+    val path = opsFixture("dml_update")
+    for (c <- 0L to 2L) Changelog.writeCommitStats(spark, path, c, "k")
+    GraftLogCatalog.register(spark, "glogspec5", "t", path, Seq("k"))
+    val before = Changelog
+      .snapshotAtOps(spark, path, Seq("k"), Long.MaxValue)
+      .as[(Long, Double)].collect().toMap
+    val spools0 = GraftRowLevel.spoolsPlanned.get()
+    // key-window predicate: the spool routes through rangeLookupOps
+    spark.sql("UPDATE glogspec5.t SET v = v + 7.0 WHERE k >= 30 AND k < 35")
+    assert(GraftRowLevel.spoolsPlanned.get() == spools0 + 1,
+      "UPDATE must pay exactly one snapshot spool")
+    assert(GraftRowLevel.lastWindow.get().exists(_.contains("k in")),
+      s"the pushed key conjuncts must extract a window, got " +
+        s"${GraftRowLevel.lastWindow.get()}")
+    val after = Changelog
+      .snapshotAtOps(spark, path, Seq("k"), Long.MaxValue)
+      .as[(Long, Double)].collect().toMap
+    assert(after == before.map { case (k, v) =>
+      k -> (if (k >= 30 && k < 35) v + 7.0 else v) })
+    assert(Changelog.commitInfos(path)(3L)._1 == "update")
+    // zero matching rows: no claim, no commit
+    spark.sql("UPDATE glogspec5.t SET v = 0.0 WHERE k = -1")
+    assert(Changelog.headVersion(path).contains(3L))
+  }
+
+  test("SQL UPDATE refuses key-column rewrites and plain logs; SQL " +
+       "DELETE stays metadata-only (no snapshot spool)") {
+    import spark.implicits._
+    import graft.sources.GraftRowLevel
+    val path = opsFixture("dml_update_loud")
+    GraftLogCatalog.register(spark, "glogspec6", "t", path, Seq("k"))
+    // a delta op's row id is immutable — rewriting the key is loud
+    val e = intercept[Exception] {
+      spark.sql("UPDATE glogspec6.t SET k = k + 100 WHERE k = 1")
+    }
+    assert(e.getMessage.contains("row id") ||
+      e.getMessage.contains("key column") ||
+      Option(e.getCause).exists(_.getMessage.contains("key column")))
+    // plain (append-only) logs cannot express row-level DML
+    val plain = freshDir("dml_update_plain")
+    Changelog.commit(Seq((1L, 1.0)).toDF("k", "v"), plain, 0L)
+    GraftLogCatalog.register(spark, "glogspec6", "p", plain, Seq("k"))
+    val p = intercept[Exception] {
+      spark.sql("UPDATE glogspec6.p SET v = 0.0 WHERE k = 1")
+    }
+    assert(p.getMessage.contains("PLAIN") ||
+      Option(p.getCause).exists(_.getMessage.contains("PLAIN")))
+    // DELETE with a translatable predicate rides the metadata-only
+    // path: OptimizeMetadataOnlyDeleteFromTable converts the row-level
+    // plan back to deleteWhere — structurally proven by the spool
+    // counter, which an oracle (and a result check) can never see
+    val spools0 = GraftRowLevel.spoolsPlanned.get()
+    spark.sql("DELETE FROM glogspec6.t WHERE v > 900.0 OR k % 5 = 0")
+    assert(GraftRowLevel.spoolsPlanned.get() == spools0,
+      "a translatable DELETE must not pay a snapshot spool")
+    assert(Changelog.commitInfos(path)(3L)._1 == "delete")
+  }
+
+  test("SQL MERGE: all-miss lands no commit; absent-key delete clause " +
+       "is a no-op; identical re-upsert leaves the snapshot law fixed") {
+    import spark.implicits._
+    val path = opsFixture("dml_merge")
+    GraftLogCatalog.register(spark, "glogspec7", "t", path, Seq("k"))
+    val before = Changelog
+      .snapshotAtOps(spark, path, Seq("k"), Long.MaxValue)
+      .as[(Long, Double)].collect().toMap
+    // every clause misses: matched-delete guard selects nothing,
+    // not-matched guard excludes the only unmatched row
+    Seq((-5L, 1.0)).toDF("k", "v").createOrReplaceTempView("miss_src")
+    spark.sql("""MERGE INTO glogspec7.t t USING miss_src s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED AND s.k >= 0 THEN INSERT *""".stripMargin)
+    assert(Changelog.headVersion(path).contains(2L),
+      "a merge whose clauses all miss must land NO commit")
+    // absent-key delete clause: deleting an unmatched key is a no-op
+    // (nothing inserted, nothing tombstoned); an identical matched
+    // re-upsert IS emitted (SQL semantics — unlike the library verb's
+    // no-op suppression) but leaves the snapshot law unchanged
+    val kLive = before.keySet.min
+    Seq((kLive, before(kLive)), (-6L, 2.0)).toDF("k", "v")
+      .createOrReplaceTempView("noop_src")
+    spark.sql("""MERGE INTO glogspec7.t t USING noop_src s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED AND s.k >= 0 THEN INSERT *""".stripMargin)
+    assert(Changelog.headVersion(path).contains(3L))
+    assert(Changelog.commitInfos(path)(3L)._3 == 1L,
+      "the commit carries only the re-emitted matched row")
+    val after = Changelog
+      .snapshotAtOps(spark, path, Seq("k"), Long.MaxValue)
+      .as[(Long, Double)].collect().toMap
+    assert(after == before, "value-identical re-upsert is idempotent")
+  }
+
+  test("a registered feed table serves BOTH surfaces: batch SELECT is " +
+       "the pinned window, readStream.table is the live CDC stream " +
+       "(one commit per batch), and restart resumes from the offsets") {
+    import spark.implicits._
+    val path = opsFixture("feed_table")
+    val out = freshDir("feed_table_out")
+    val ckpt = freshDir("feed_table_ckpt")
+    GraftLogCatalog.registerFeed(spark, "glogspec8", "tc", path,
+      Seq("k"), Seq("v"))
+    // batch surface: the full-window feed by NAME equals the library
+    val viaSql = spark.sql("SELECT * FROM glogspec8.tc")
+    val viaLib = Changelog.changesBetweenOps(spark, path, Seq("k"),
+      -1L, 2L, Seq("v"))
+    assert(viaSql.collect().toSet == viaLib.collect().toSet)
+    // streaming surface: same name, the live stream, one commit per
+    // micro-batch (default admission)
+    def run(): Unit = {
+      val q = spark.readStream.table("glogspec8.tc")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            b.withColumn("batch", org.apache.spark.sql.functions.lit(id))
+              .write.mode("append").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    val streamed = spark.read.parquet(out)
+    assert(streamed.select("batch").distinct().as[Long]
+      .collect().sorted.toSeq == Seq(0L, 1L, 2L),
+      "three commits must serve as three micro-batches")
+    // the stream is PER-COMMIT diffs (the IVM consumer's shape), not
+    // the net window: batch i must equal changesBetweenOps(i-1, i]
+    (0L to 2L).foreach { i =>
+      assert(streamed.filter($"batch" === i).drop("batch")
+        .collect().toSet ==
+        Changelog.changesBetweenOps(spark, path, Seq("k"),
+          i - 1, i, Seq("v")).collect().toSet,
+        s"batch $i must be commit $i's own feed window")
+    }
+    // restart: a new commit lands; only IT is processed
+    Changelog.commitUpsert(
+      Seq((100L, 1.0)).toDF("k", "v"), path, 3L)
+    run()
+    val after = spark.read.parquet(out)
+    assert(after.select("batch").distinct().as[Long]
+      .collect().sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(after.filter($"batch" === 3L).select("k").as[Long]
+      .collect().toSeq == Seq(100L),
+      "the resumed stream must process only the new commit")
+    // a SNAPSHOT table refuses readStream early (no MICRO_BATCH_READ)
+    GraftLogCatalog.register(spark, "glogspec8", "ts", path, Seq("k"))
+    intercept[Exception] {
+      spark.readStream.table("glogspec8.ts")
+        .writeStream.format("noop")
+        .option("checkpointLocation", freshDir("feed_table_ckpt2"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+  }
+
+  test("glog.t.history serves DESCRIBE HISTORY at the SQL prompt, " +
+       "current at query time; a real table named 'history' shadows it") {
+    import spark.implicits._
+    val path = opsFixture("hist_table")
+    GraftLogCatalog.register(spark, "glogspec9", "t", path, Seq("k"))
+    val viaSql = spark.sql("SELECT * FROM glogspec9.t.history")
+    assert(viaSql.schema == Changelog.HistorySchema)
+    assert(viaSql.collect().toSet ==
+      Changelog.describeHistory(spark, path).collect().toSet)
+    // the child recomputes per query — a commit landed AFTER the first
+    // read appears in the next one
+    Changelog.commitUpsert(Seq((7L, 7.0)).toDF("k", "v"), path, 3L)
+    assert(spark.sql(
+      "SELECT commit FROM glogspec9.t.history").as[Long]
+      .collect().sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    // a REGISTERED table named 'history' shadows the metadata child
+    val other = opsFixture("hist_shadow")
+    GraftLogCatalog.register(spark, "glogspec9", "t.history", other,
+      Seq("k"))
+    assert(spark.sql("SELECT * FROM glogspec9.t.history").columns
+      .contains("v"), "a real registration must win over the child")
+  }
+
+  test("CALL runs maintenance through the procedure surface, under " +
+       "the maintenance mutex (second actor refused loudly)") {
+    import spark.implicits._
+    import graft.sources.LogFs
+    val path = opsFixture("proc_ckpt")
+    GraftLogCatalog.register(spark, "glogspec10", "t", path, Seq("k"))
+    // a held mutex refuses the CALL naming the holder — the library
+    // contract, surfaced through SQL
+    LogFs.writeAtomic(LogFs.child(path, "_graft_mx_maintenance"), "rogue")
+    val e = intercept[Exception] {
+      spark.sql("CALL glogspec10.system.checkpoint('t', 1)").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("maintenance mutex") &&
+      m.contains("rogue")), s"got: ${msgs(e).mkString(" | ")}")
+    LogFs.delete(LogFs.child(path, "_graft_mx_maintenance"))
+    // the CALL itself: fold ≤ 1, horizon advances, reads above intact
+    val before = Changelog
+      .snapshotAtOps(spark, path, Seq("k"), 2L).collect().toSet
+    val r = spark.sql("CALL glogspec10.system.checkpoint('t', 1)")
+      .collect()
+    assert(r.length == 1 && r(0).getString(1) == "checkpoint" &&
+      r(0).getLong(2) == 1L)
+    assert(Changelog.horizonOf(path) == 1L)
+    assert(Changelog.snapshotAtOps(spark, path, Seq("k"), 2L)
+      .collect().toSet == before)
+    // restore through CALL: back to the post-checkpoint v1 state as a
+    // NEW commit
+    val v1 = Changelog.snapshotAtOps(spark, path, Seq("k"), 1L)
+      .collect().toSet
+    spark.sql("CALL glogspec10.system.restore('t', 1, 3)").collect()
+    assert(Changelog.snapshotAtOps(spark, path, Seq("k"), Long.MaxValue)
+      .collect().toSet == v1)
+    // unknown procedure: loud, names the available ones
+    val u = intercept[Exception] {
+      spark.sql("CALL glogspec10.system.nope('t')").collect()
+    }
+    assert(msgs(u).exists(_.contains("checkpoint, optimize")))
+  }
+
   test("loud contracts: options, DDL, writes") {
     val path = opsFixture("loud")
     intercept[IllegalArgumentException] {
