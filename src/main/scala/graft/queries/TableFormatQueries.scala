@@ -100,9 +100,11 @@ object TableFormatQueries {
       path
     })
 
-  /** Stage q216's landing outside the bench's timed window. */
-  def stageFixtures(s: SparkSession, d: String): Unit =
+  /** Stage q216's and q229's landings outside the bench's timed window. */
+  def stageFixtures(s: SparkSession, d: String): Unit = {
     stagedTypedLanding(s, d): Unit
+    stagedWideLanding(s, d): Unit
+  }
 
   /** Scalar verify form shared by q216/q217: binary → its (ASCII)
     * string + byte length, float arrays → exact-ppm flattening with
@@ -114,6 +116,77 @@ object TableFormatQueries {
     array_join(transform(c,
       x => round(x.cast("double") * 1000000L).cast("long").cast("string")),
       ",")
+
+  /** q229's subject rows: documents with a STRUCT payload (lang +
+    * n_chars) and a DECIMAL(38,10) built from a STRING law — every
+    * digit is concatenated, never computed, so both engines parse the
+    * identical literal and no arithmetic rounding can ride the oracle.
+    * The unscaled value always exceeds 10^18 (11 appended digits), so
+    * the sink's FIXED_LEN_BYTE_ARRAY decimal path is the one under
+    * test; every-3rd value is negative (sign extension under test).
+    */
+  private def wideDocs(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val bigStr = concat(
+      when(col("doc_id") % 3 === 0, lit("-")).otherwise(lit("")),
+      col("doc_id").cast("string"), lit("12345678901"), lit("."),
+      lpad((col("doc_id") % 997).cast("string"), 10, "0"))
+    base.select(col("doc_id"),
+      struct(col("lang"), col("n_chars").cast("long").as("n")).as("meta"),
+      bigStr.cast("decimal(38,10)").as("big"))
+  }
+
+  private val WideLandingSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("meta",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType)))),
+    org.apache.spark.sql.types.StructField("big",
+      org.apache.spark.sql.types.DecimalType(38, 10)),
+    org.apache.spark.sql.types.StructField("op",
+      org.apache.spark.sql.types.StringType)))
+
+  /** q229's three mtime-ordered deliveries: full upsert; every-6th
+    * tombstone; every-8th re-upsert with lang || '!x', n + 9, and the
+    * decimal NEGATED (exact — no rounding).
+    */
+  private val wideLandingStaged =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def stagedWideLanding(s: SparkSession, d: String): String =
+    wideLandingStaged.getOrElseUpdate(d, {
+      val path = Sinks.tmpPathFor("wide_docs_landing", d)
+      Sinks.deleteRecursively(path)
+      val base = wideDocs(s, d)
+      val k = col("doc_id")
+      val days = Seq(
+        base.withColumn("op", lit("u")),
+        base.filter(k % 6 === 0).select(col("doc_id"),
+            lit(null).cast(WideLandingSchema("meta").dataType).as("meta"),
+            lit(null).cast("decimal(38,10)").as("big"))
+          .withColumn("op", lit("d")),
+        base.filter(k % 8 === 0).select(col("doc_id"),
+            struct(concat(col("meta.lang"), lit("!x")).as("lang"),
+              (col("meta.n") + 9).as("n")).as("meta"),
+            (-col("big")).cast("decimal(38,10)").as("big"))
+          .withColumn("op", lit("u")))
+      def files() = Option(new java.io.File(path).listFiles()).fold(
+        Set.empty[java.io.File])(
+        _.filter(_.getName.endsWith(".parquet")).toSet)
+      var mtime = System.currentTimeMillis() - (days.length + 2) * 2000L
+      days.foreach { day =>
+        val before = files()
+        day.coalesce(1).write.mode("append").parquet(path)
+        (files() -- before).foreach(f =>
+          require(f.setLastModified(mtime), s"setLastModified failed on $f"))
+        mtime += 2000L
+      }
+      path
+    })
 
   /** q215's skipping subject: an ops log whose commits hold DISJOINT
     * o_orderkey ranges — commit 0 the lower half, commit 1 the upper
@@ -566,6 +639,78 @@ object TableFormatQueries {
               |FROM glog.orders_ops_q228 VERSION AS OF 3""".stripMargin)
     }),
 
+    // STRUCT AND DECIMAL(38,10) THROUGH THE STREAMING TABLE FORMAT —
+    // the round-16 type widening on the oracle-backed surface: a
+    // struct payload (the q121 CDC shape) and a 38-digit decimal whose
+    // unscaled value exceeds any long (the FIXED_LEN_BYTE_ARRAY money
+    // shape, negatives included) ride writeStream(LogSink) as three
+    // mtime-ordered deliveries (full upsert; every-6th tombstone;
+    // every-8th re-upsert with lang || '!x', n + 9, and the decimal
+    // NEGATED — exact, no rounding anywhere). Verify form flattens the
+    // struct and renders the decimal as its full-scale string (the
+    // exactness proof: one wrong unscaled bit breaks the hash);
+    // byte-level pins incl. null structs, null fields, and the
+    // sign-extension boundary live in StreamTypesSpec.
+    "q229_stream_sink_struct_dec38" -> ((s, d) => {
+      val landing = stagedWideLanding(s, d)
+      val path = Sinks.tmpPathFor("wide_docs_sink_log", d)
+      val ckpt = Sinks.tmpPathFor("wide_docs_sink_ckpt", d)
+      Sinks.deleteRecursively(path)
+      Sinks.deleteRecursively(ckpt)
+      val q = s.readStream.schema(WideLandingSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .withColumnRenamed("op", Changelog.OpCol)
+        .writeStream.format(classOf[graft.streaming.LogSink].getName)
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Changelog.snapshotAtOps(s, path, Seq("doc_id"), Long.MaxValue)
+        .select(col("doc_id"), col("meta.lang").as("lang"),
+          col("meta.n").as("n"), col("big").cast("string").as("big_str"))
+    }),
+
+    // CBO THROUGH THE SPLICE — statistics must FLOW from the spliced
+    // snapshot plan's parquet relations up through the exprId-aliased
+    // Project, or every join against a changelog table degrades to
+    // sort-merge at scale: a NATION-sized glog dim (25 rows, two
+    // commits — base + an even-key rename) joined to the customer fact
+    // must plan a BroadcastHashJoin with the DIM as the build side.
+    // The require() is the plan proof (an oracle sees rows, never join
+    // strategies); the values then hash against the closed-form law —
+    // the dim at its HEAD state, names rewritten by commit 1.
+    "q230_log_table_broadcast_cbo" -> ((s, d) => {
+      val path = Sinks.tmpPathFor("nation_ops_log_q230", d)
+      Sinks.deleteRecursively(path)
+      val nation = Tables.nation(s, d).select("n_nationkey", "n_name")
+      Changelog.commitUpsert(nation, path, 0L)
+      Changelog.commitUpsert(
+        nation.filter(col("n_nationkey") % 2 === 0)
+          .withColumn("n_name", concat(col("n_name"), lit("_v2"))),
+        path, 1L)
+      val dim = s.read.format(fmt)
+        .option("path", path).option("keys", "n_nationkey")
+        .load()
+      val fact = Tables.customer(s, d)
+        .select("c_nationkey", "c_acctbal")
+      val joined = fact
+        .join(dim, fact("c_nationkey") === dim("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_cust"),
+          (sum(round(col("c_acctbal") * 100).cast("long"))
+            .cast("double") / 100.0).as("sum_bal"))
+      val physical = joined.queryExecution.executedPlan.toString
+      require(physical.contains("BroadcastHashJoin") ||
+        physical.contains("BroadcastNestedLoopJoin"),
+        s"the glog dim must broadcast (stats flow through the " +
+          s"splice) — planned:\n$physical")
+      require(!physical.contains("SortMergeJoin"),
+        "the 25-row dim must never sort-merge against the fact")
+      joined
+    }),
+
     // TIME TRAVEL COMPOSES IN ONE SQL STATEMENT — two VERSION AS OF
     // clauses of ONE table, joined: the price drift every key gained
     // between v0 and the head, written exactly the way a SQL user
@@ -900,6 +1045,41 @@ object TableFormatQueries {
         |WHERE o_orderkey % 4 = 3
         |   OR o_orderkey % 10 <> 0
         |   OR o_orderkey % 20 = 0""".stripMargin,
+
+    // the wide live state: every-6th key dead unless resurrected by
+    // the every-8th re-upsert; the decimal is the same concatenated
+    // STRING literal both engines parse (negated on re-upserts),
+    // rendered at full scale — character-exact or the hash breaks
+    "q229_stream_sink_struct_dec38" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST((CASE WHEN doc_id % 3 = 0 THEN '-' ELSE '' END
+        |      || CAST(doc_id AS VARCHAR) || '12345678901' || '.'
+        |      || lpad(CAST(doc_id % 997 AS VARCHAR), 10, '0'))
+        |      AS DECIMAL(38,10)) AS big
+        |  FROM documents),
+        |live AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 8 = 0 THEN lang || '!x' ELSE lang END
+        |      AS lang,
+        |    CAST(CASE WHEN doc_id % 8 = 0 THEN n_chars + 9
+        |         ELSE n_chars END AS BIGINT) AS n,
+        |    CASE WHEN doc_id % 8 = 0 THEN -big ELSE big END AS big
+        |  FROM b
+        |  WHERE doc_id % 6 <> 0 OR doc_id % 8 = 0)
+        |SELECT doc_id, lang, n, CAST(big AS VARCHAR) AS big_str
+        |FROM live""".stripMargin,
+
+    // the head-state dim law: commit 1 renamed the even keys; the
+    // aggregate sums integer cents (order-free cross-engine)
+    "q230_log_table_broadcast_cbo" ->
+      """SELECT CASE WHEN n.n_nationkey % 2 = 0 THEN n.n_name || '_v2'
+        |       ELSE n.n_name END AS nation,
+        |  count(*) AS n_cust,
+        |  CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS sum_bal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1""".stripMargin,
 
     // the drift law: +1000 for resurrected 20ths (present at v0 —
     // every 20th is % 4 = 0), +500 for the mod-7 update branch; the

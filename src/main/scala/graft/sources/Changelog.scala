@@ -639,6 +639,71 @@ object Changelog {
     * those commit directories against the delta's keys — O(commits
     * landed since the read), never O(table).
     */
+  /** The OCC conflict window shared by [[commitWithRetry]] and the
+    * row-level DML writes: the landed commits in `(readVersion,
+    * target)` whose rows intersect `deltaKeys` — empty means the
+    * claimed `target` serializes cleanly after the read. The window is
+    * every id CLAIMED OR LANDED since the read: a claimed-but-still-
+    * writing commit's keys are unknowable, so each in-flight window id
+    * is awaited until its data lands (direct landings finish with
+    * `_SUCCESS`; append landings show their data files at job commit)
+    * or its claim is released (a refused writer deletes its claim). A
+    * claimant that crashed before landing blocks the window — bounded
+    * wait, then loud failure naming the id (the operator clears the
+    * orphaned claim; silently skipping it could lose a conflict).
+    * Base commits are pure rewrites — they conflict with nothing.
+    * Driver-side listing + ONE key-semi-join over only the window's
+    * directories: O(commits landed since the read), never O(table).
+    */
+  private[graft] def conflictingCommits(spark: SparkSession, path: String,
+                                        keys: Seq[String],
+                                        deltaKeys: DataFrame,
+                                        readVersion: Long,
+                                        target: Long): Seq[Long] = {
+    val bases = baseIds(path).toSet
+    val windowIds = (commitIds(path) ++ claimIds(path))
+      .filter(id => id > readVersion && id < target &&
+        !bases.contains(id))
+      .distinct.sorted
+    def landed(id: Long): Boolean = {
+      val dir = LogFs.child(path, s"$CommitCol=$id")
+      LogFs.exists(LogFs.child(dir, "_SUCCESS")) ||
+        LogFs.list(dir).exists(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+    val landedSince = windowIds.filter { id =>
+      val deadline = System.currentTimeMillis() + 60000L
+      var in = landed(id)
+      var claimed = claimHolder(path, id).isDefined
+      while (!in && claimed) {
+        require(System.currentTimeMillis() < deadline,
+          s"commit $id of $path has been claimed but unlanded for " +
+            "60s — its writer likely crashed mid-commit; clear the " +
+            s"orphaned ${ClaimPrefix}$id marker to unblock writers")
+        Thread.sleep(25L)
+        in = landed(id)
+        claimed = claimHolder(path, id).isDefined
+      }
+      in
+    }
+    if (landedSince.isEmpty) Nil
+    else {
+      val landedDf = spark.read.option("basePath", path).parquet(
+        landedSince.map(id =>
+          LogFs.child(path, s"$CommitCol=$id")): _*)
+      val clash = landedDf.select(keys.map(col): _*)
+        .join(deltaKeys.select(keys.map(col): _*), keys, "left_semi")
+      if (clash.isEmpty) Nil else landedSince
+    }
+  }
+
+  /** Release a claim marker whose id was never landed — the refused
+    * writer's cleanup (leaving it would poison the id for every later
+    * writer).
+    */
+  private[graft] def releaseClaim(path: String, commitId: Long): Unit =
+    LogFs.delete(LogFs.child(path, s"$ClaimPrefix$commitId"))
+
   def commitWithRetry(spark: SparkSession, path: String, keys: Seq[String],
                       delta: DataFrame, readVersion: Long, writer: String,
                       maxAttempts: Int = 5): Long = {
@@ -654,60 +719,16 @@ object Changelog {
       val target = floor + 1
       if (LogFs.claimExclusive(
           LogFs.child(path, s"$ClaimPrefix$target"), writer)) {
-        // the conflict window is every id CLAIMED OR LANDED since the
-        // read: a claimed-but-still-writing commit's keys are
-        // unknowable, so each in-flight window id is awaited until its
-        // data lands (direct landings finish with _SUCCESS; append
-        // landings show their data files at job commit) or its claim
-        // is released (a refused writer deletes its claim). A claimant
-        // that crashed before landing blocks the window — bounded
-        // wait, then loud failure naming the id (the operator clears
-        // the orphaned claim; silently skipping it could lose a
-        // conflict).
-        // base commits are pure rewrites — they conflict with nothing
-        val bases = baseIds(path).toSet
-        val windowIds = (commitIds(path) ++ claimIds(path))
-          .filter(id => id > readVersion && id < target &&
-            !bases.contains(id))
-          .distinct.sorted
-        def landed(id: Long): Boolean = {
-          val dir = LogFs.child(path, s"$CommitCol=$id")
-          LogFs.exists(LogFs.child(dir, "_SUCCESS")) ||
-            LogFs.list(dir).exists(s =>
-              s.isFile && s.getPath.getName.endsWith(".parquet"))
-        }
-        val landedSince = windowIds.filter { id =>
-          val deadline = System.currentTimeMillis() + 60000L
-          var in = landed(id)
-          var claimed = claimHolder(path, id).isDefined
-          while (!in && claimed) {
-            require(System.currentTimeMillis() < deadline,
-              s"commit $id of $path has been claimed but unlanded for " +
-                "60s — its writer likely crashed mid-commit; clear the " +
-                s"orphaned ${ClaimPrefix}$id marker to unblock writers")
-            Thread.sleep(25L)
-            in = landed(id)
-            claimed = claimHolder(path, id).isDefined
-          }
-          in
-        }
-        if (landedSince.nonEmpty) {
-          val landedDf = spark.read.option("basePath", path).parquet(
-            landedSince.map(id =>
-              LogFs.child(path, s"$CommitCol=$id")): _*)
-          val clash = landedDf.select(keys.map(col): _*)
-            .join(delta.select(keys.map(col): _*), keys, "left_semi")
-          if (!clash.isEmpty) {
-            // release the claim — nothing landed under it, and leaving
-            // it would poison the id for every later writer
-            LogFs.delete(LogFs.child(path, s"$ClaimPrefix$target"))
-            require(false,
-              s"conflict: commits [${landedSince.mkString(", ")}] landed " +
-                s"since writer '$writer' read version $readVersion of " +
-                s"$path and touch this delta's keys — blind landing " +
-                "would lose those updates; re-derive the delta against " +
-                "the new head and commit again")
-          }
+        val clashIds = conflictingCommits(spark, path, keys,
+          delta.select(keys.map(col): _*), readVersion, target)
+        if (clashIds.nonEmpty) {
+          releaseClaim(path, target)
+          require(false,
+            s"conflict: commits [${clashIds.mkString(", ")}] landed " +
+              s"since writer '$writer' read version $readVersion of " +
+              s"$path and touch this delta's keys — blind landing " +
+              "would lose those updates; re-derive the delta against " +
+              "the new head and commit again")
         }
         // land DIRECTLY into the claimed commit directory (partition
         // value rides on the dir name, like every partitioned write):

@@ -541,8 +541,8 @@ object GraftLog {
         require(graft.streaming.LogSink.supportedType(f.dataType),
           s"INSERT column ${f.name} has type ${f.dataType} — the " +
             "staged parquet writer covers long/int/double/string/" +
-            "boolean/timestamp/date/binary/decimal(<=18)/array<float> " +
-            "only")
+            "boolean/timestamp/date/binary/decimal/array<float>/" +
+            "struct only (timestamps top-level only)")
       }
     }
 

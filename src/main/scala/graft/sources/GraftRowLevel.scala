@@ -48,11 +48,16 @@ import graft.streaming.{CdcSource, LogSink}
   * never a torn table.
   *
   * Concurrency: the statement reads the head pinned when the
-  * operation is BUILT (analysis time) and lands at [[Changelog.claimNextId]]
-  * — the blind-append OCC leg. Two concurrent row-level statements
-  * serialize by claim order exactly like two [[Changelog.commitWithRetry]]
-  * writers; a zero-row delta (UPDATE matching nothing, MERGE whose
-  * clauses all miss) lands NO commit and claims no id.
+  * operation is BUILT (analysis time), lands at
+  * [[Changelog.claimNextId]], and is SERIALIZABLE, not blind — the
+  * claimed id's conflict window is checked with
+  * [[Changelog.conflictingCommits]] before landing: a concurrent
+  * commit that landed since the read and touches this delta's keys
+  * refuses the statement loudly (first-committer-wins — re-run
+  * re-derives against the new head), while key-disjoint concurrent
+  * commits serialize cleanly. A zero-row delta (UPDATE matching
+  * nothing, MERGE whose clauses all miss) lands NO commit and claims
+  * no id.
   *
   * Contract notes (spec-pinned in GraftLogTableSpec):
   *  - key-column updates are REFUSED loudly: with delta writes the
@@ -85,6 +90,14 @@ object GraftRowLevel {
     */
   private[graft] val lastWindow =
     new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
+
+  /** Test-only interleave point, invoked at the top of the delta
+    * write's driver commit: a spec lands a CONCURRENT commit here to
+    * race the statement deterministically (the conflict-detection
+    * legs). No-op in production.
+    */
+  private[graft] val testInterleave =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](() => ())
 
   private[graft] class LogRowLevelOperationBuilder(
       table: GraftLog.LogTable, info: RowLevelOperationInfo)
@@ -147,7 +160,7 @@ object GraftRowLevel {
           override def toBatch: DeltaBatchWrite =
             new LogDeltaBatchWrite(opts.path, opts.keys, writer,
               info.schema(), cmd.name.toLowerCase, spoolDir,
-              s"rowlevel_${info.queryId()}")
+              s"rowlevel_${info.queryId()}", head)
         }
       }
   }
@@ -307,11 +320,21 @@ object GraftRowLevel {
     * files in — one statement, one commit, OCC-arbitrated by the
     * claim. A zero-row delta is a no-op (no claim, no commit). Sweeps
     * the operation's snapshot spool either way.
+    *
+    * SERIALIZABLE, not blind: the statement's delta was derived from
+    * the head pinned at operation build (`readVersion`), so before
+    * landing, the claimed id's conflict window is checked with
+    * [[Changelog.conflictingCommits]] — a concurrent commit that
+    * landed since the read AND touches this delta's keys refuses the
+    * statement loudly (first-committer-wins; re-run it against the
+    * new head), exactly [[Changelog.commitWithRetry]]'s law.
+    * Key-DISJOINT concurrent commits serialize cleanly and the
+    * statement lands at the next free id.
     */
   private class LogDeltaBatchWrite(path: String, keys: Seq[String],
                                    writer: String, rowSchema: StructType,
                                    verb: String, spoolDir: String,
-                                   stagingId: String)
+                                   stagingId: String, readVersion: Long)
       extends DeltaBatchWrite {
 
     {
@@ -335,9 +358,24 @@ object GraftRowLevel {
       new LogDeltaWriterFactory(path, rowSchema, keys, stagingId)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      GraftRowLevel.testInterleave.get()()
       val staged = messages.flatMap(LogSink.stagedFileOf)
       if (staged.nonEmpty) {
+        val spark = SparkSession.active
         val id = Changelog.claimNextId(path, writer)
+        val clash = Changelog.conflictingCommits(spark, path, keys,
+          spark.read.parquet(staged.toIndexedSeq: _*)
+            .select(keys.map(org.apache.spark.sql.functions.col): _*),
+          readVersion, id)
+        if (clash.nonEmpty) {
+          Changelog.releaseClaim(path, id)
+          sweep()
+          require(false,
+            s"conflict: commits [${clash.mkString(", ")}] landed since " +
+              s"this $verb read version $readVersion of $path and touch " +
+              "its keys — landing would lose those updates; re-run the " +
+              "statement (it will re-derive against the new head)")
+        }
         val dir = LogFs.child(path, s"${Changelog.CommitCol}=$id")
         LogFs.delete(dir)
         LogFs.mkdirs(dir)

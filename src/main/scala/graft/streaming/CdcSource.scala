@@ -157,17 +157,11 @@ object CdcSource {
     val schema = Changelog.changesBetweenOps(spark, opts.path, opts.keys,
       head, head + 1, opts.trackCols).schema
     schema.fields.foreach { f =>
-      val ok = f.dataType match {
-        case LongType | IntegerType | DoubleType | StringType |
-             BooleanType | TimestampType | DateType | BinaryType => true
-        case _: DecimalType => true
-        case ArrayType(FloatType, _) => true
-        case _ => false
-      }
-      require(ok,
+      require(LogSink.supportedType(f.dataType),
         s"feed column ${f.name} has type ${f.dataType} — the CDC " +
           "source's spool readers decode long/int/double/string/" +
-          "boolean/timestamp/date/binary/decimal/array<float> only")
+          "boolean/timestamp/date/binary/decimal/array<float>/struct " +
+          "only (timestamps top-level only)")
     }
     // explicit projection: the spool (the window's write amplification)
     // is as narrow as the consumer declares, not as wide as the feed.
@@ -547,61 +541,73 @@ object CdcSource {
       current != null
     }
 
-    override def get(): InternalRow = {
-      val g = current
+    /** One field of `g` at `idx` (known present), decoded to the Spark
+      * internal value for `dt` — recursive for STRUCT, dispatching
+      * nested decimals on each level's own physical layout.
+      */
+    private def readField(g: Group, idx: Int,
+                          dt: org.apache.spark.sql.types.DataType): Any = {
       val gt = g.getType
-      InternalRow.fromSeq(schema.fields.toIndexedSeq.map { f =>
-        val idx = gt.getFieldIndex(f.name)
-        if (g.getFieldRepetitionCount(idx) == 0) null
-        else f.dataType match {
-          case LongType      => g.getLong(idx, 0)
-          case IntegerType   => g.getInteger(idx, 0)
-          case DoubleType    => g.getDouble(idx, 0)
-          case BooleanType   => g.getBoolean(idx, 0)
-          case StringType    => UTF8String.fromString(g.getString(idx, 0))
-          case TimestampType => g.getLong(idx, 0) // spooled epoch micros
-          case DateType      => g.getInteger(idx, 0) // epoch days
-          case BinaryType    => g.getBinary(idx, 0).getBytes
-          case d: DecimalType =>
-            // dispatch on the SPOOL FILE's physical layout: Spark's
-            // writer picks INT32 (p<=9) / INT64 (p<=18) / fixed binary
-            // (wider) — the annotation's unscaled value either way
-            import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-            gt.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
-              case INT32 =>
-                org.apache.spark.sql.types.Decimal(
-                  BigDecimal(BigInt(g.getInteger(idx, 0)), d.scale),
-                  d.precision, d.scale)
-              case INT64 =>
-                org.apache.spark.sql.types.Decimal(
-                  BigDecimal(BigInt(g.getLong(idx, 0)), d.scale),
-                  d.precision, d.scale)
-              case _ =>
-                org.apache.spark.sql.types.Decimal(
-                  BigDecimal(BigInt(new java.math.BigInteger(
-                    g.getBinary(idx, 0).getBytes)), d.scale),
-                  d.precision, d.scale)
-            }
-          case ArrayType(FloatType, _) =>
-            // Spark spools the standard 3-level LIST group:
-            // <name> (LIST) { repeated group list { optional element } }
-            val listGroup = g.getGroup(idx, 0)
-            val n = listGroup.getFieldRepetitionCount(0)
-            val out = new Array[Any](n)
-            var j = 0
-            while (j < n) {
-              val elt = listGroup.getGroup(0, j)
-              out(j) =
-                if (elt.getFieldRepetitionCount(0) == 0) null
-                else elt.getFloat(0, 0)
-              j += 1
-            }
-            new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-          case dt => throw new IllegalStateException(
-            s"unreachable: type $dt passed the load() bound")
-        }
-      })
+      dt match {
+        case LongType      => g.getLong(idx, 0)
+        case IntegerType   => g.getInteger(idx, 0)
+        case DoubleType    => g.getDouble(idx, 0)
+        case BooleanType   => g.getBoolean(idx, 0)
+        case StringType    => UTF8String.fromString(g.getString(idx, 0))
+        case TimestampType => g.getLong(idx, 0) // spooled epoch micros
+        case DateType      => g.getInteger(idx, 0) // epoch days
+        case BinaryType    => g.getBinary(idx, 0).getBytes
+        case d: DecimalType =>
+          // dispatch on the SPOOL FILE's physical layout: Spark's
+          // writer picks INT32 (p<=9) / INT64 (p<=18) / fixed binary
+          // (wider; the sink's own stager writes INT64 / fixed) — the
+          // annotation's unscaled value either way
+          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+          gt.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+            case INT32 =>
+              org.apache.spark.sql.types.Decimal(
+                BigDecimal(BigInt(g.getInteger(idx, 0)), d.scale),
+                d.precision, d.scale)
+            case INT64 =>
+              org.apache.spark.sql.types.Decimal(
+                BigDecimal(BigInt(g.getLong(idx, 0)), d.scale),
+                d.precision, d.scale)
+            case _ =>
+              org.apache.spark.sql.types.Decimal(
+                BigDecimal(BigInt(new java.math.BigInteger(
+                  g.getBinary(idx, 0).getBytes)), d.scale),
+                d.precision, d.scale)
+          }
+        case ArrayType(FloatType, _) =>
+          // the standard 3-level LIST group:
+          // <name> (LIST) { repeated group list { optional element } }
+          val listGroup = g.getGroup(idx, 0)
+          val n = listGroup.getFieldRepetitionCount(0)
+          val out = new Array[Any](n)
+          var j = 0
+          while (j < n) {
+            val elt = listGroup.getGroup(0, j)
+            out(j) =
+              if (elt.getFieldRepetitionCount(0) == 0) null
+              else elt.getFloat(0, 0)
+            j += 1
+          }
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+        case s: StructType =>
+          readGroup(g.getGroup(idx, 0), s)
+        case other => throw new IllegalStateException(
+          s"unreachable: type $other passed the load() bound")
+      }
     }
+
+    private def readGroup(g: Group, s: StructType): InternalRow =
+      InternalRow.fromSeq(s.fields.toIndexedSeq.map { f =>
+        val idx = g.getType.getFieldIndex(f.name)
+        if (g.getFieldRepetitionCount(idx) == 0) null
+        else readField(g, idx, f.dataType)
+      })
+
+    override def get(): InternalRow = readGroup(current, schema)
 
     override def close(): Unit = reader.close()
   }

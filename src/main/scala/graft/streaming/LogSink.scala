@@ -79,25 +79,48 @@ class LogSink extends TableProvider {
 
 object LogSink {
 
-  /** The staged-parquet type surface (round 15 widening): the original
-    * six scalar types plus DATE (annotated INT32 — Spark's internal
-    * date IS epoch days), DECIMAL up to precision 18 (annotated INT64
-    * of the unscaled value — the physical layout Spark itself writes
-    * for 10 < p ≤ 18; wider decimals need FIXED_LEN_BYTE_ARRAY and are
-    * refused loudly), BINARY (the documents media shape, q42), and
-    * ARRAY<FLOAT> (the embeddings shape) written as the standard
-    * 3-level LIST group. Everything stages byte-faithfully: what the
-    * snapshot read returns is value-identical to what the stream wrote
-    * (q216 oracle + LogSinkSpec byte pins).
+  /** The staged-parquet type surface (widened round 15, again round
+    * 16): the original six scalar types plus DATE (annotated INT32 —
+    * Spark's internal date IS epoch days), DECIMAL at ANY precision
+    * (annotated INT64 of the unscaled value for p ≤ 18 — the physical
+    * layout Spark itself writes there — and FIXED_LEN_BYTE_ARRAY of
+    * the two's-complement unscaled value for wider, the DECIMAL(38)
+    * money shape), BINARY (the documents media shape, q42),
+    * ARRAY<FLOAT> (the embeddings shape) as the standard 3-level LIST
+    * group, and STRUCT with recursively-supported fields (the q121
+    * CDC payload shape). Everything stages byte-faithfully: what the
+    * snapshot read returns is value-identical to what the stream
+    * wrote (q216/q229 oracles + StreamTypesSpec byte pins).
+    *
+    * TIMESTAMP is top-level only: the CDC/row-level spool readers
+    * decode Spark-written parquet directly and rely on the spool
+    * rewriting timestamps to plain epoch-micros INT64
+    * ([[CdcSource.spoolRepresentation]]), which only reaches top-level
+    * columns — a nested timestamp's physical encoding would depend on
+    * session configuration, and ONE type surface shared by every
+    * staged/spooled path beats three subtly different ones.
     */
   private[graft] def supportedType(
-      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      dt: org.apache.spark.sql.types.DataType,
+      topLevel: Boolean = true): Boolean = dt match {
     case LongType | IntegerType | DoubleType | StringType | BooleanType |
-         TimestampType | DateType | BinaryType => true
-    case d: DecimalType => d.precision <= 18
+         DateType | BinaryType => true
+    case TimestampType => topLevel
+    case _: DecimalType => true
     case ArrayType(FloatType, _) => true
+    case s: StructType =>
+      s.fields.forall(f => supportedType(f.dataType, topLevel = false))
     case _ => false
   }
+
+  /** Smallest FIXED_LEN_BYTE_ARRAY length whose two's-complement range
+    * covers `precision` decimal digits — parquet's standard
+    * precision→bytes mapping (what Spark's own writer uses).
+    */
+  private[graft] def minBytesForPrecision(precision: Int): Int =
+    (1 to 17).find(n =>
+      BigInt(2).pow(8 * n - 1) - 1 >= BigInt(10).pow(precision) - 1)
+      .getOrElse(((precision * 3.32193 + 1) / 8 + 1).toInt)
 
   private[streaming] class LogTable(schema: StructType,
                                     options: CaseInsensitiveStringMap)
@@ -127,8 +150,8 @@ object LogSink {
         require(LogSink.supportedType(f.dataType),
           s"LogSink input column ${f.name} has type ${f.dataType} — " +
             "the staged parquet writer covers long/int/double/string/" +
-            "boolean/timestamp/date/binary/decimal(<=18)/array<float> " +
-            "only")
+            "boolean/timestamp/date/binary/decimal/array<float>/" +
+            "struct only (timestamps top-level only)")
       }
       // the plain-vs-ops shape guard, BEFORE any epoch runs: a plain
       // stream into an ops log would land rows that compact as DEAD
@@ -350,38 +373,49 @@ object LogSink {
     import org.apache.parquet.schema.LogicalTypeAnnotation.stringType
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
+    /** One parquet field per Spark type — recursive for STRUCT. */
+    private def parquetField(
+        name: String,
+        dt: org.apache.spark.sql.types.DataType)
+        : org.apache.parquet.schema.Type = dt match {
+      case LongType    => Types.optional(INT64).named(name)
+      case IntegerType => Types.optional(INT32).named(name)
+      case DoubleType  => Types.optional(DOUBLE).named(name)
+      case BooleanType => Types.optional(BOOLEAN).named(name)
+      case StringType  => Types.optional(BINARY).as(stringType())
+        .named(name)
+      // Spark's internal timestamp IS epoch micros (UTC-adjusted):
+      // the annotated INT64 reads back as TimestampType exactly
+      case TimestampType => Types.optional(INT64).as(
+        LogicalTypeAnnotation.timestampType(true,
+          LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+      // Spark's internal date IS epoch days: annotated INT32
+      case DateType => Types.optional(INT32)
+        .as(LogicalTypeAnnotation.dateType()).named(name)
+      // unscaled long + decimal annotation for p <= 18 (the layout
+      // Spark's own writer uses there); two's-complement fixed bytes
+      // for wider — the DECIMAL(38) shape
+      case d: DecimalType if d.precision <= 18 => Types.optional(INT64)
+        .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+        .named(name)
+      case d: DecimalType => Types.optional(FIXED_LEN_BYTE_ARRAY)
+        .length(minBytesForPrecision(d.precision))
+        .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+        .named(name)
+      case BinaryType => Types.optional(BINARY).named(name)
+      // standard 3-level LIST group (what Spark writes and reads)
+      case ArrayType(FloatType, _) =>
+        Types.optionalList().optionalElement(FLOAT).named(name)
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.foldLeft(Types.optionalGroup())((g, f) =>
+          g.addField(parquetField(f.name, f.dataType))).named(name)
+      case other => throw new IllegalStateException(
+        s"unreachable: type $other passed the planning bound")
+    }
+
     private val messageType: MessageType = {
       val b = Types.buildMessage()
-      schema.fields.foreach { f =>
-        val built = f.dataType match {
-          case LongType    => Types.optional(INT64).named(f.name)
-          case IntegerType => Types.optional(INT32).named(f.name)
-          case DoubleType  => Types.optional(DOUBLE).named(f.name)
-          case BooleanType => Types.optional(BOOLEAN).named(f.name)
-          case StringType  => Types.optional(BINARY).as(stringType())
-            .named(f.name)
-          // Spark's internal timestamp IS epoch micros (UTC-adjusted):
-          // the annotated INT64 reads back as TimestampType exactly
-          case TimestampType => Types.optional(INT64).as(
-            LogicalTypeAnnotation.timestampType(true,
-              LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
-          // Spark's internal date IS epoch days: annotated INT32
-          case DateType => Types.optional(INT32)
-            .as(LogicalTypeAnnotation.dateType()).named(f.name)
-          // unscaled long + decimal annotation — the layout Spark's own
-          // writer uses for 10 < p <= 18 (reads back exactly)
-          case d: DecimalType => Types.optional(INT64)
-            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
-            .named(f.name)
-          case BinaryType => Types.optional(BINARY).named(f.name)
-          // standard 3-level LIST group (what Spark writes and reads)
-          case ArrayType(FloatType, _) =>
-            Types.optionalList().optionalElement(FLOAT).named(f.name)
-          case dt => throw new IllegalStateException(
-            s"unreachable: type $dt passed the planning bound")
-        }
-        b.addField(built)
-      }
+      schema.fields.foreach(f => b.addField(parquetField(f.name, f.dataType)))
       if (constantOp.isDefined || perRowOp) b.addField(
         Types.optional(BINARY).as(stringType()).named(Changelog.OpCol))
       b.named("graft_log_epoch")
@@ -407,41 +441,73 @@ object LogSink {
       * fields are simply absent from the group (including a delete's
       * tombstone row, where every non-key column is null).
       */
+    /** Append field `i` of `src` (typed `dt`, known non-null) into
+      * `g` under `name` — recursive for STRUCT, so nested payloads
+      * stage with the same per-type encodings as top-level columns.
+      */
+    private def appendField(g: org.apache.parquet.example.data.Group,
+                            name: String,
+                            dt: org.apache.spark.sql.types.DataType,
+                            src: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+                            i: Int): Unit = dt match {
+      case LongType      => g.append(name, src.getLong(i))
+      case IntegerType   => g.append(name, src.getInt(i))
+      case DoubleType    => g.append(name, src.getDouble(i))
+      case BooleanType   => g.append(name, src.getBoolean(i))
+      case StringType    => g.append(name, src.getUTF8String(i).toString)
+      case TimestampType => g.append(name, src.getLong(i))
+      case DateType      => g.append(name, src.getInt(i))
+      case d: DecimalType if d.precision <= 18 =>
+        g.append(name,
+          src.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+      case d: DecimalType =>
+        // two's-complement unscaled value, sign-extended to the fixed
+        // width (the parquet DECIMAL fixed-binary contract)
+        val un = src.getDecimal(i, d.precision, d.scale)
+          .toJavaBigDecimal.unscaledValue()
+        val n = minBytesForPrecision(d.precision)
+        val minimal = un.toByteArray
+        val buf = new Array[Byte](n)
+        if (un.signum() < 0) java.util.Arrays.fill(buf, -1: Byte)
+        System.arraycopy(minimal, 0, buf, n - minimal.length,
+          minimal.length)
+        g.append(name,
+          org.apache.parquet.io.api.Binary.fromConstantByteArray(buf))
+      case BinaryType =>
+        g.append(name,
+          org.apache.parquet.io.api.Binary.fromReusedByteArray(
+            src.getBinary(i)))
+      case ArrayType(FloatType, _) =>
+        // standard 3-level list: <name> { repeated list { element } }
+        val arr = src.getArray(i)
+        val listGroup = g.addGroup(name)
+        var j = 0
+        while (j < arr.numElements()) {
+          val elt = listGroup.addGroup("list")
+          if (!arr.isNullAt(j)) elt.append("element", arr.getFloat(j))
+          j += 1
+        }
+      case s: org.apache.spark.sql.types.StructType =>
+        val child = src.getStruct(i, s.length)
+        val childGroup = g.addGroup(name)
+        var j = 0
+        while (j < s.length) {
+          if (!child.isNullAt(j))
+            appendField(childGroup, s.fields(j).name, s.fields(j).dataType,
+              child, j)
+          j += 1
+        }
+      case _ => ()
+    }
+
     private[graft] def writeWithOp(row: InternalRow,
                                    op: Option[String]): Unit = {
       val g = factory.newGroup()
       var i = 0
       while (i < schema.length) {
-        if (!row.isNullAt(i)) {
-          val name = schema.fields(i).name
-          schema.fields(i).dataType match {
-            case LongType      => g.append(name, row.getLong(i))
-            case IntegerType   => g.append(name, row.getInt(i))
-            case DoubleType    => g.append(name, row.getDouble(i))
-            case BooleanType   => g.append(name, row.getBoolean(i))
-            case StringType    => g.append(name, row.getUTF8String(i).toString)
-            case TimestampType => g.append(name, row.getLong(i))
-            case DateType      => g.append(name, row.getInt(i))
-            case d: DecimalType =>
-              g.append(name,
-                row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
-            case BinaryType =>
-              g.append(name,
-                org.apache.parquet.io.api.Binary.fromReusedByteArray(
-                  row.getBinary(i)))
-            case ArrayType(FloatType, _) =>
-              // standard 3-level list: <name> { repeated list { element } }
-              val arr = row.getArray(i)
-              val listGroup = g.addGroup(name)
-              var j = 0
-              while (j < arr.numElements()) {
-                val elt = listGroup.addGroup("list")
-                if (!arr.isNullAt(j)) elt.append("element", arr.getFloat(j))
-                j += 1
-              }
-            case _ => ()
-          }
-        }
+        if (!row.isNullAt(i))
+          appendField(g, schema.fields(i).name, schema.fields(i).dataType,
+            row, i)
         i += 1
       }
       op.foreach(o => g.append(Changelog.OpCol, o))

@@ -537,6 +537,56 @@ class GraftLogTableSpec extends SparkSpec {
     assert(msgs(u).exists(_.contains("checkpoint, optimize")))
   }
 
+  test("row-level DML is SERIALIZABLE: a concurrent key-intersecting " +
+       "commit refuses the statement loudly (first-committer-wins); a " +
+       "key-disjoint one serializes cleanly") {
+    import spark.implicits._
+    import graft.sources.GraftRowLevel
+    val path = opsFixture("dml_occ")
+    GraftLogCatalog.register(spark, "glogspec11", "t", path, Seq("k"))
+    // the interleave hook lands a commit between the statement's read
+    // (head pinned at analysis) and its driver commit — the race,
+    // deterministically
+    try {
+      // leg 1: INTERSECTING — the concurrent commit touches k=2, the
+      // UPDATE touches k % 2 = 0; the statement must refuse, land
+      // nothing, and release its claim
+      GraftRowLevel.testInterleave.set(() => {
+        Changelog.commitUpsert(
+          Seq((2L, 9999.0)).toDF("k", "v"), path, 3L)
+        GraftRowLevel.testInterleave.set(() => ())
+      })
+      val e = intercept[Exception] {
+        spark.sql("UPDATE glogspec11.t SET v = v + 1.0 WHERE k % 2 = 0")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("conflict")),
+        s"got: ${msgs(e).mkString(" | ")}")
+      assert(Changelog.headVersion(path).contains(3L),
+        "the refused statement must land nothing")
+      assert(Changelog.claimHolder(path, 4L).isEmpty,
+        "the refused statement must release its claim")
+      // the concurrent write survives untouched
+      assert(Changelog.snapshotAtOps(spark, path, Seq("k"), Long.MaxValue)
+        .filter($"k" === 2L).as[(Long, Double)].head()._2 == 9999.0)
+      // leg 2: DISJOINT — a concurrent commit on keys the statement
+      // never touches serializes cleanly; the statement lands after it
+      GraftRowLevel.testInterleave.set(() => {
+        Changelog.commitUpsert(
+          Seq((1001L, 1.0)).toDF("k", "v"), path, 4L)
+        GraftRowLevel.testInterleave.set(() => ())
+      })
+      spark.sql("UPDATE glogspec11.t SET v = v + 1.0 WHERE k = 3")
+      assert(Changelog.headVersion(path).contains(5L))
+      val live = Changelog
+        .snapshotAtOps(spark, path, Seq("k"), Long.MaxValue)
+        .as[(Long, Double)].collect().toMap
+      assert(live(3L) == 31.0 && live(1001L) == 1.0 && live(2L) == 9999.0)
+    } finally GraftRowLevel.testInterleave.set(() => ())
+  }
+
   test("loud contracts: options, DDL, writes") {
     val path = opsFixture("loud")
     intercept[IllegalArgumentException] {

@@ -121,24 +121,124 @@ class StreamTypesSpec extends SparkSpec {
     assert(byK(4L)._5 == Vector.empty)
   }
 
-  test("decimal precision > 18 is refused loudly at planning") {
-    val wide = StructType(Seq(StructField("k", LongType),
-      StructField("v", DecimalType(20, 2)), StructField(op, StringType)))
-    val landing = Sinks.tmpPath("types_sink_wide_landing")
-    val log = Sinks.tmpPath("types_sink_wide_log")
-    val ckpt = Sinks.tmpPath("types_sink_wide_ckpt")
+  // ---- round-16 widening: STRUCT and DECIMAL(p > 18) -----------------
+
+  private val wideSchema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("meta", StructType(Seq(
+      StructField("lang", StringType), StructField("n", LongType)))),
+    StructField("big", DecimalType(38, 10)),
+    StructField(op, StringType)))
+
+  private def dec38(s: String): java.math.BigDecimal =
+    new java.math.BigDecimal(s).setScale(10)
+
+  private def wideDf(rows: Seq[Row]) =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), wideSchema)
+
+  // boundary battery: unscaled > Long.Max (forces the fixed-binary
+  // layout), negative with sign extension, ±10^27 magnitudes, a null
+  // struct, a struct with a null FIELD, and a null decimal
+  private val w0 = wideDf(Seq(
+    Row(1L, Row("en", 10L), dec38("123456789012345678901234567.8901234567"), "u"),
+    Row(2L, Row("de", 20L), dec38("-123456789012345678901234567.8901234567"), "u"),
+    Row(3L, null, dec38("-0.0000000001"), "u"),
+    Row(4L, Row(null, 40L), null, "u"),
+    Row(5L, Row("fr", null), dec38("9999999999999999999999999999.9999999999"), "u")))
+
+  private val w1 = wideDf(Seq(
+    Row(1L, null, null, "d"),
+    Row(2L, Row("dk", 21L), dec38("0.0000000001"), "u")))
+
+  test("STRUCT and DECIMAL(38,10) ride the streaming sink byte-exactly " +
+       "(null struct, null field, sign-extended fixed decimals)") {
+    val landing = Sinks.tmpPath("types_wide_landing")
+    val log = Sinks.tmpPath("types_wide_log")
+    val ckpt = Sinks.tmpPath("types_wide_ckpt")
     Seq(landing, log, ckpt).foreach(Sinks.deleteRecursively)
-    df(b0.collect().toSeq.take(1)).selectExpr("k",
-        s"CAST(score AS DECIMAL(20,2)) AS v", s"`$op`")
-      .write.parquet(landing)
-    val e = intercept[Exception] {
-      val q = spark.readStream.schema(wide).parquet(landing)
-        .writeStream.format(classOf[LogSink].getName)
-        .option("path", log).option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+    stage(landing, Seq(w0, w1))
+    val q = spark.readStream.schema(wideSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.format(classOf[LogSink].getName)
+      .option("path", log)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = Changelog.snapshotAtOps(spark, log, Seq("k"), Long.MaxValue)
+      .orderBy("k").collect().toSeq
+    // the control: the same frames batch-committed (Spark's writer)
+    val ctl = Sinks.tmpPath("types_wide_ctl")
+    Sinks.deleteRecursively(ctl)
+    Seq(w0, w1).zipWithIndex.foreach { case (d, i) =>
+      Changelog.commit(d, ctl, i.toLong) }
+    val want = Changelog.snapshotAtOps(spark, ctl, Seq("k"), Long.MaxValue)
+      .orderBy("k").collect().toSeq
+    assert(got == want)
+    val byK = got.map(r => r.getLong(0) -> r).toMap
+    assert(!byK.contains(1L), "tombstoned key must be gone")
+    assert(byK(2L).getStruct(1) == Row("dk", 21L))
+    assert(byK(2L).getDecimal(2) == dec38("0.0000000001"))
+    assert(byK(3L).getStruct(1) == null)
+    assert(byK(3L).getDecimal(2) == dec38("-0.0000000001"))
+    assert(byK(4L).getStruct(1) == Row(null, 40L))
+    assert(byK(4L).getDecimal(2) == null)
+    assert(byK(5L).getDecimal(2) ==
+      dec38("9999999999999999999999999999.9999999999"))
+  }
+
+  test("STRUCT and DECIMAL(38,10) ride the CDC feed: the spool decoder " +
+       "reproduces the batch feed value-for-value") {
+    val log = Sinks.tmpPath("types_wide_cdc_log")
+    val out = Sinks.tmpPath("types_wide_cdc_out")
+    val ckpt = Sinks.tmpPath("types_wide_cdc_ckpt")
+    Seq(log, out, ckpt).foreach(Sinks.deleteRecursively)
+    Changelog.commit(w0, log, 0L)
+    Changelog.commit(w1, log, 1L)
+    val q = spark.readStream.format(classOf[CdcSource].getName)
+      .option("path", log)
+      .option("keys", "k")
+      .option("trackCols", "meta,big")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+          batch.write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val cols = Seq(col("k"), col("new_meta"), col("old_meta"),
+      col("new_big"), col("old_big"), col("change_type"))
+    val streamed = spark.read.parquet(out).select(cols: _*)
+      .orderBy("k", "change_type").collect().toSeq
+    val batchFeed =
+      Changelog.changesBetweenOps(spark, log, Seq("k"), -1L, 0L,
+          Seq("meta", "big"))
+        .unionByName(Changelog.changesBetweenOps(spark, log, Seq("k"),
+          0L, 1L, Seq("meta", "big")))
+        .select(cols: _*).orderBy("k", "change_type").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batchFeed)
+    // a NESTED timestamp stays out, loudly, at load(): the spool
+    // cannot bound its physical encoding (spoolRepresentation only
+    // rewrites top-level timestamp columns)
+    val tsLog = Sinks.tmpPath("types_wide_cdc_tslog")
+    Sinks.deleteRecursively(tsLog)
+    Changelog.commit(
+      spark.sql("SELECT 1L AS k, " +
+        "named_struct('at', current_timestamp()) AS meta, 'u' AS " +
+        s"`$op`"),
+      tsLog, 0L)
+    val e = intercept[IllegalArgumentException] {
+      spark.readStream.format(classOf[CdcSource].getName)
+        .option("path", tsLog).option("keys", "k")
+        .option("trackCols", "meta").load()
     }
-    assert(e.getMessage != null)
+    assert(e.getMessage.contains("top-level"))
   }
 
   test("CdcSource spools and decodes the widened types: the streamed " +
