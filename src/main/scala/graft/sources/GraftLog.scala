@@ -322,10 +322,12 @@ object GraftLog {
     // constant `_op = 'u'` staged alongside (the table schema has no op
     // column to carry); executors stage files exactly like the
     // streaming sink, and the driver commit renames them into the
-    // claimed `_commit=<id>` directory. INSERT OVERWRITE / truncate are
-    // NOT write paths here — rollback is `restoreOps`, erasure is the
-    // checkpoint (truncateTable below is the tombstone-everything verb,
-    // which is append-shaped and keeps history readable).
+    // claimed `_commit=<id>` directory. INSERT OVERWRITE is NOT a
+    // write path here — rollback is `restoreOps`, erasure is the
+    // checkpoint. SQL TRUNCATE TABLE rides SupportsDelete's inherited
+    // truncateTable() default → deleteWhere(always-true) → ONE
+    // tombstone-everything commit: append-shaped, so history below it
+    // stays readable (spec-pinned in GraftLogTableSpec).
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
       require(!opts.readChangeFeed,

@@ -587,6 +587,25 @@ class GraftLogTableSpec extends SparkSpec {
     } finally GraftRowLevel.testInterleave.set(() => ())
   }
 
+  test("TRUNCATE TABLE tombstones every live key as ONE append-shaped " +
+       "commit — history below stays readable") {
+    import spark.implicits._
+    val path = opsFixture("dml_truncate")
+    GraftLogCatalog.register(spark, "glogspec12", "t", path, Seq("k"))
+    val preHead = Changelog
+      .snapshotAtOps(spark, path, Seq("k"), 2L).collect().toSet
+    spark.sql("TRUNCATE TABLE glogspec12.t")
+    assert(Changelog.headVersion(path).contains(3L),
+      "truncate lands exactly one commit")
+    assert(Changelog
+      .snapshotAtOps(spark, path, Seq("k"), Long.MaxValue).isEmpty,
+      "the head state is empty after TRUNCATE")
+    assert(Changelog.snapshotAtOps(spark, path, Seq("k"), 2L)
+      .collect().toSet == preHead,
+      "history below the truncate commit stays readable")
+    assert(Changelog.commitInfos(path)(3L)._1 == "delete")
+  }
+
   test("loud contracts: options, DDL, writes") {
     val path = opsFixture("loud")
     intercept[IllegalArgumentException] {
