@@ -14,9 +14,8 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.streaming.CdcSource
 
-/** The changelog as a BATCH DSv2 TABLE — the read-side ergonomics every
-  * lakehouse format ships: a plain-SQL or DataFrame user addresses the
-  * ops log with
+/** The changelog as a FULL DSv2 TABLE — the ergonomics every lakehouse
+  * format ships, batch and streaming, read and write:
   *
   * {{{
   * spark.read.format(classOf[GraftLog].getName)
@@ -30,11 +29,17 @@ import graft.streaming.CdcSource
   * }}}
   *
   * instead of calling [[Changelog.snapshotAtOps]] / [[Changelog.snapshotAsOf]]
-  * / [[Changelog.changesBetweenOps]] as a library ([[GraftLogCatalog]]
-  * adds the catalog half: `SELECT … FROM cat.log VERSION AS OF v` /
-  * `TIMESTAMP AS OF t` through Spark's own SQL time-travel clauses).
-  * Round 14 built exactly this surface for STREAMING (CdcSource /
-  * LogSink); this is the batch read half.
+  * / [[Changelog.changesBetweenOps]] as a library. [[GraftLogCatalog]]
+  * adds the catalog half — `SELECT … FROM cat.t VERSION AS OF v` /
+  * `TIMESTAMP AS OF t`, the `cat.t.history` metadata child, feed
+  * tables that also serve `spark.readStream.table` (MICRO_BATCH_READ
+  * delegating to [[graft.streaming.CdcSource]]), and maintenance as
+  * `CALL cat.system.<verb>` procedures. The SQL DML verb set is
+  * complete on this class: INSERT INTO (AppendBatchWrite below),
+  * DELETE FROM (SupportsDelete with a sound V2 translator), TRUNCATE
+  * (the inherited tombstone-everything default), and UPDATE / MERGE
+  * INTO through the delta-based row-level-operation contract
+  * ([[GraftRowLevel]] — serializable, first-committer-wins).
   *
   * Resolution is THE ENGINE'S OWN PLANS, not a reimplementation: the
   * relation this provider returns is replaced at optimization time

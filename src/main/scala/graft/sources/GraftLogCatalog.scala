@@ -14,15 +14,20 @@ import org.apache.spark.sql.types.{DataTypes, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Catalog half of the batch table surface: changelog tables addressed
-  * by NAME through Spark's own SQL resolution, including the time-travel
-  * clauses —
+/** Catalog half of the table surface: changelog tables addressed by
+  * NAME through Spark's own SQL resolution — time travel, the history
+  * child, streaming feed tables, and maintenance procedures —
   *
   * {{{
   * GraftLogCatalog.register(spark, "glog", "orders_ops",
   *   path, keys = Seq("o_orderkey"))
   * spark.sql("SELECT * FROM glog.orders_ops VERSION AS OF 2")
   * spark.sql("SELECT * FROM glog.orders_ops TIMESTAMP AS OF '1970-01-01 00:00:02.5'")
+  * spark.sql("SELECT * FROM glog.orders_ops.history")  // DESCRIBE HISTORY
+  * spark.sql("CALL glog.system.checkpoint('orders_ops', 1)")
+  * GraftLogCatalog.registerFeed(spark, "glog", "orders_changes",
+  *   path, keys = Seq("o_orderkey"), trackCols = Seq("o_totalprice"))
+  * spark.readStream.table("glog.orders_changes")       // the live feed
   * }}}
   *
   * `VERSION AS OF` / `TIMESTAMP AS OF` arrive through the DSv2
@@ -36,11 +41,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Table definitions live in SESSION CONF (the q156 catalog-DDL
   * discipline — configuration, not a metastore):
   * `spark.sql.catalog.<cat> = graft.sources.GraftLogCatalog` activates
-  * the catalog, and each table is three keys under it:
+  * the catalog, and each table is a few keys under it:
   * `spark.sql.catalog.<cat>.log.<name>.path` (+ `.keys`, and optional
-  * `.trackCols` / `.mergeSchema`). [[register]] writes them. The
-  * catalog is read-only by design: tables are created by COMMITTING to
-  * the log, not by DDL — every mutating verb refuses loudly.
+  * `.mergeSchema`, or for feed tables `.readChangeFeed`/`.trackCols`/
+  * `.startVersion`/`.keyFilter`). [[register]]/[[registerFeed]] write
+  * them. DDL stays refused by design — tables are created by
+  * COMMITTING to the log, never by CREATE TABLE — while DML
+  * (INSERT/DELETE/UPDATE/MERGE/TRUNCATE, on [[GraftLog.LogTable]]) and
+  * maintenance (the `system` procedures) are first-class.
   */
 class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
 
