@@ -587,6 +587,43 @@ class GraftLogTableSpec extends SparkSpec {
     } finally GraftRowLevel.testInterleave.set(() => ())
   }
 
+  test("admission knobs ride as READER options on readStream.table: " +
+       "a row budget splits the big commit into key-hash slices") {
+    import spark.implicits._
+    val path = opsFixture("feed_table_budget")
+    val out = freshDir("feed_table_budget_out")
+    val ckpt = freshDir("feed_table_budget_ckpt")
+    GraftLogCatalog.registerFeed(spark, "glogspec13", "tc", path,
+      Seq("k"), Seq("v"))
+    val q = spark.readStream
+      .option("maxRowsPerTrigger", 15) // commit 0 has 40 rows → 3 slices
+      .table("glogspec13.tc")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) =>
+          b.withColumn("batch", org.apache.spark.sql.functions.lit(id))
+            .write.mode("append").parquet(out)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+    val nBatches = streamed.select("batch").distinct().count()
+    // commit 0 (40 rows) splits into 3 key-hash slices; commits 1+2
+    // (4 + 6 rows ≤ 15) then BATCH into one net window — both halves
+    // of budget admission, driven purely by the reader option
+    assert(nBatches == 4,
+      s"40-row c0 at budget 15 → 3 slices, then c1+c2 batch: expected " +
+        s"4 batches, got $nBatches")
+    val want = Changelog.changesBetweenOps(spark, path, Seq("k"),
+        -1L, 0L, Seq("v"))
+      .unionByName(Changelog.changesBetweenOps(spark, path, Seq("k"),
+        0L, 2L, Seq("v")))
+    assert(streamed.drop("batch").collect().toSet ==
+      want.collect().toSet)
+  }
+
   test("TRUNCATE TABLE tombstones every live key as ONE append-shaped " +
        "commit — history below stays readable") {
     import spark.implicits._
