@@ -444,8 +444,13 @@ object Changelog {
   /** The landed commit directory's exact row count, from parquet
     * footer metadata only (one open per file, no column IO).
     */
-  def commitDirRowCount(path: String, commitId: Long): Long = {
-    val dir = LogFs.child(path, s"$CommitCol=$commitId")
+  def commitDirRowCount(path: String, commitId: Long): Long =
+    dirRowCount(LogFs.child(path, s"$CommitCol=$commitId"))
+
+  /** Footer-metadata row count of any parquet directory (no column
+    * IO) — shared with the row-level spool's observability.
+    */
+  private[graft] def dirRowCount(dir: String): Long =
     LogFs.list(dir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map { s =>
@@ -454,7 +459,6 @@ object Changelog {
             s.getPath, LogFs.hadoopConf))
         try rd.getRecordCount finally rd.close()
       }.sum
-  }
 
   /** The landed commit directory's total UNCOMPRESSED byte size, from
     * parquet footer metadata only (the row groups' total_byte_size —

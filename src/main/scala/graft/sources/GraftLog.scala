@@ -493,34 +493,42 @@ object GraftLog {
       }
     }
 
-    /** `sources.Filter` → Column, the standard pushable subset; None =
-      * untranslatable (the planner then refuses the DELETE loudly).
-      */
+    /** V1 leg shim — see [[GraftLog.filterToColumn]]. */
     private def filterColumn(
-        f: org.apache.spark.sql.sources.Filter): Option[Column] = {
-      import org.apache.spark.sql.sources._
-      f match {
-        case EqualTo(a, v)            => Some(col(a) === lit(v))
-        case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
-        case GreaterThan(a, v)        => Some(col(a) > lit(v))
-        case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-        case LessThan(a, v)           => Some(col(a) < lit(v))
-        case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
-        case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
-        case IsNull(a)                => Some(col(a).isNull)
-        case IsNotNull(a)             => Some(col(a).isNotNull)
-        case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
-        case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
-        case StringContains(a, v)     => Some(col(a).contains(v))
-        case And(l, r) =>
-          for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc && rc
-        case Or(l, r) =>
-          for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc || rc
-        case Not(c) => filterColumn(c).map(!_)
-        case AlwaysTrue() => Some(lit(true))
-        case AlwaysFalse() => Some(lit(false))
-        case _ => None
-      }
+        f: org.apache.spark.sql.sources.Filter): Option[Column] =
+      GraftLog.filterToColumn(f)
+  }
+
+  /** `sources.Filter` → Column, the standard pushable subset; None =
+    * untranslatable. Shared by the V1 DELETE leg (where None makes the
+    * planner refuse loudly) and the row-level snapshot spool (where
+    * translatable filters merely SHRINK the spool — Spark re-applies
+    * the full condition above, so a None there just means no pruning).
+    */
+  private[graft] def filterToColumn(
+      f: org.apache.spark.sql.sources.Filter): Option[Column] = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v)            => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v)        => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v)           => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+      case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a)                => Some(col(a).isNull)
+      case IsNotNull(a)             => Some(col(a).isNotNull)
+      case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+      case StringContains(a, v)     => Some(col(a).contains(v))
+      case And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case Not(c) => filterToColumn(c).map(!_)
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
     }
   }
 

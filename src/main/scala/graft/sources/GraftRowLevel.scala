@@ -91,6 +91,14 @@ object GraftRowLevel {
   private[graft] val lastWindow =
     new java.util.concurrent.atomic.AtomicReference[Option[String]](None)
 
+  /** Rows the last spool materialized (footer metadata — spec
+    * observability for the filter-pruned spool: an oracle sees the
+    * statement's result, never how many rows were staged to derive
+    * it).
+    */
+  private[graft] val lastSpoolRows =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
   /** Test-only interleave point, invoked at the top of the delta
     * write's driver commit: a spec lands a CONCURRENT commit here to
     * race the statement deterministically (the conflict-detection
@@ -169,10 +177,18 @@ object GraftRowLevel {
 
   /** Scan builder for the operation's target read. Filter pushdown is
     * PRUNING-ONLY: every filter is reported back as post-scan (Spark
-    * re-applies the full condition above), and eq/range conjuncts on a
-    * key column merely narrow the spool source to the stats-skipping
-    * lookup — a provable superset of the condition, so the rewrite can
-    * only drop rows the condition would drop anyway.
+    * re-applies the full condition above), and the pushed conjuncts
+    * only SHRINK the spool, twice over —
+    *  - eq/range conjuncts on a KEY column narrow the spool SOURCE to
+    *    the stats-skipping lookup (whole commit directories dropped
+    *    driver-side — a provable superset of the condition);
+    *  - every TRANSLATABLE filter then applies to the snapshot before
+    *    it spools, so the materialized spool is O(matched rows), not
+    *    O(snapshot) — at scale, `UPDATE … WHERE <selective>` stages
+    *    only what the statement can touch.
+    * Both are sound by the same argument: the spool may only lose rows
+    * the condition would drop anyway, and the condition still runs in
+    * full above the scan.
     */
   private class SnapshotSpoolScanBuilder(spark: SparkSession,
                                          opts: GraftLog.Opts, head: Long,
@@ -180,16 +196,18 @@ object GraftRowLevel {
       extends ScanBuilder with SupportsPushDownFilters {
 
     private var window: Option[KeyWindow] = None
+    private var pruning: Array[Filter] = Array.empty
 
     override def pushFilters(filters: Array[Filter]): Array[Filter] = {
       window = extractWindow(opts.keys, filters)
+      pruning = filters
       filters // all of them re-evaluate above the scan — pruning only
     }
 
     override def pushedFilters(): Array[Filter] = Array.empty
 
     override def build(): Scan =
-      new SnapshotSpoolScan(spark, opts, head, spoolDir, window)
+      new SnapshotSpoolScan(spark, opts, head, spoolDir, window, pruning)
   }
 
   private sealed trait KeyWindow { def key: String }
@@ -251,7 +269,8 @@ object GraftRowLevel {
 
   private class SnapshotSpoolScan(spark: SparkSession, opts: GraftLog.Opts,
                                   head: Long, spoolDir: String,
-                                  window: Option[KeyWindow])
+                                  window: Option[KeyWindow],
+                                  pruning: Array[Filter])
       extends Scan with Batch {
 
     GraftRowLevel.lastWindow.set(window.map {
@@ -259,15 +278,22 @@ object GraftRowLevel {
       case StringWindow(k, v)    => s"$k = '$v'"
     })
 
-    private val snapshot: DataFrame = window match {
-      case Some(LongWindow(k, lo, hi)) =>
-        Changelog.rangeLookupOps(spark, opts.path, opts.keys, head,
-          k, lo, hi)
-      case Some(StringWindow(k, v)) =>
-        Changelog.pointLookupOpsString(spark, opts.path, opts.keys, head,
-          k, v)
-      case None =>
-        Changelog.snapshotAtOps(spark, opts.path, opts.keys, head)
+    private val snapshot: DataFrame = {
+      val source = window match {
+        case Some(LongWindow(k, lo, hi)) =>
+          Changelog.rangeLookupOps(spark, opts.path, opts.keys, head,
+            k, lo, hi)
+        case Some(StringWindow(k, v)) =>
+          Changelog.pointLookupOpsString(spark, opts.path, opts.keys,
+            head, k, v)
+        case None =>
+          Changelog.snapshotAtOps(spark, opts.path, opts.keys, head)
+      }
+      // every fully-translatable pushed filter shrinks the spool to
+      // O(matched rows); untranslatable ones contribute nothing (Spark
+      // re-applies the complete condition above the scan either way)
+      pruning.flatMap(GraftLog.filterToColumn)
+        .foldLeft(source)(_ filter _)
     }
 
     {
@@ -299,6 +325,7 @@ object GraftRowLevel {
         CdcSource.spoolRepresentation(snapshot)
           .write.mode("overwrite").parquet(spoolDir)
         spoolsPlanned.incrementAndGet()
+        lastSpoolRows.set(Changelog.dirRowCount(spoolDir))
       }
       LogFs.list(spoolDir)
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))

@@ -624,6 +624,31 @@ class GraftLogTableSpec extends SparkSpec {
       want.collect().toSet)
   }
 
+  test("a selective UPDATE spools only the matched rows: translatable " +
+       "non-key filters shrink the staged snapshot (O(matched), not " +
+       "O(snapshot))") {
+    import spark.implicits._
+    import graft.sources.GraftRowLevel
+    val path = opsFixture("dml_pruned_spool")
+    GraftLogCatalog.register(spark, "glogspec14", "t", path, Seq("k"))
+    val live = Changelog
+      .snapshotAtOps(spark, path, Seq("k"), Long.MaxValue)
+      .as[(Long, Double)].collect().toMap
+    val matched = live.count(_._2 > 900.0)
+    require(matched > 0 && matched < live.size / 2,
+      s"fixture must make the predicate selective, got $matched/${live.size}")
+    GraftRowLevel.lastSpoolRows.set(-1L)
+    spark.sql("UPDATE glogspec14.t SET v = v - 1000.0 WHERE v > 900.0")
+    assert(GraftRowLevel.lastSpoolRows.get() == matched.toLong,
+      s"the spool must hold exactly the ${matched} matched rows, " +
+        s"got ${GraftRowLevel.lastSpoolRows.get()}")
+    val after = Changelog
+      .snapshotAtOps(spark, path, Seq("k"), Long.MaxValue)
+      .as[(Long, Double)].collect().toMap
+    assert(after == live.map { case (k, v) =>
+      k -> (if (v > 900.0) v - 1000.0 else v) })
+  }
+
   test("TRUNCATE TABLE tombstones every live key as ONE append-shaped " +
        "commit — history below stays readable") {
     import spark.implicits._
