@@ -134,20 +134,39 @@ class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
       if (opt(parent, "path").isDefined) Some(parent) else None
     } else None
 
-  /** `VERSION AS OF v` — the SQL clause's landing point. */
+  /** `VERSION AS OF v` — the SQL clause's landing point. On a
+    * snapshot table it pins the read version; on a FEED table it pins
+    * the window's END — `SELECT * FROM cat.changes VERSION AS OF 5`
+    * is the feed (startVersion, 5], the natural reading of "the feed
+    * as of commit 5" (leaving it to silently ignore the clause would
+    * hand back the head window under a version the user named).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val v = try version.toLong catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"VERSION AS OF '$version' on $catName.$ident — changelog " +
           "versions are the numeric commit ids")
     }
-    new GraftLog.LogTable(baseOpts(ident).copy(versionAsOf = Some(v)))
+    val base = baseOpts(ident)
+    new GraftLog.LogTable(
+      if (base.readChangeFeed) base.copy(endingVersion = Some(v))
+      else base.copy(versionAsOf = Some(v)))
   }
 
-  /** `TIMESTAMP AS OF t` — Spark hands epoch micros; stamps are millis. */
-  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
-    new GraftLog.LogTable(baseOpts(ident).copy(
+  /** `TIMESTAMP AS OF t` — Spark hands epoch micros; stamps are
+    * millis. Feed tables refuse the clock clause loudly (the feed's
+    * clock addressing is [[Changelog.changesBetweenOpsTimestamps]] —
+    * a WINDOW of two instants, which one AS OF literal cannot name).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val base = baseOpts(ident)
+    require(!base.readChangeFeed,
+      s"TIMESTAMP AS OF on feed table $catName.$ident — a feed is a " +
+        "window of TWO coordinates; use VERSION AS OF for the end, or " +
+        "the library's changesBetweenOpsTimestamps for a clock window")
+    new GraftLog.LogTable(base.copy(
       timestampAsOfMillis = Some(Math.floorDiv(timestampMicros, 1000L))))
+  }
 
   override def tableExists(ident: Identifier): Boolean =
     opt(ident, "path").isDefined

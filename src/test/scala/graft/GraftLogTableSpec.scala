@@ -649,6 +649,26 @@ class GraftLogTableSpec extends SparkSpec {
       k -> (if (v > 900.0) v - 1000.0 else v) })
   }
 
+  test("VERSION AS OF on a feed table pins the window's END; " +
+       "TIMESTAMP AS OF on a feed refuses loudly") {
+    val path = opsFixture("feed_asof")
+    GraftLogCatalog.registerFeed(spark, "glogspec15", "tc", path,
+      Seq("k"), Seq("v"))
+    // the feed as of commit 1 = changes (-1, 1]: no commit-2 rows
+    val asof1 = spark.sql(
+      "SELECT * FROM glogspec15.tc VERSION AS OF 1")
+    assert(asof1.collect().toSet ==
+      Changelog.changesBetweenOps(spark, path, Seq("k"), -1L, 1L,
+        Seq("v")).collect().toSet)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM glogspec15.tc " +
+        "TIMESTAMP AS OF '1970-01-01 00:00:02.5'").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("window of TWO coordinates")))
+  }
+
   test("TRUNCATE TABLE tombstones every live key as ONE append-shaped " +
        "commit — history below stays readable") {
     import spark.implicits._
