@@ -194,8 +194,9 @@ object TableFormatQueries {
     * markers on every commit, so a high-key probe admits exactly one
     * directory. Returns (path, maxKey).
     */
-  private def disjointOpsLog(s: SparkSession, d: String): (String, Long) = {
-    val path = Sinks.tmpPathFor("orders_ops_log_q215", d)
+  private def disjointOpsLog(s: SparkSession, d: String,
+                             name: String): (String, Long) = {
+    val path = Sinks.tmpPathFor(name, d)
     Sinks.deleteRecursively(path)
     val o = AuditQueries.opsOrders(s, d)
     val m = o.agg(max(col("o_orderkey"))).head().getLong(0)
@@ -286,7 +287,7 @@ object TableFormatQueries {
     // were opened. The require() is the plan proof the q201 payload
     // counter established as the discipline.
     "q215_log_table_skipping" -> ((s, d) => {
-      val (path, m) = disjointOpsLog(s, d)
+      val (path, m) = disjointOpsLog(s, d, "orders_ops_log_q215")
       val t = 3L * m / 4L
       val df = s.read.format(fmt)
         .option("path", path).option("keys", "o_orderkey")
@@ -711,6 +712,37 @@ object TableFormatQueries {
       joined
     }),
 
+    // COMMIT SKIPPING UNDER UPDATE — the q215 discipline on the WRITE
+    // path: on the disjoint-range log (commit 0 the lower half, 1 the
+    // upper, 2 a +100 rewrite of the lowest quarter, stats markers on
+    // all three), `UPDATE … WHERE o_orderkey > 3m/4` must (a) extract
+    // the key window and route the snapshot spool through the
+    // stats-skipping lookup — commits whose ranges exclude the probe
+    // never open — and (b) stage EXACTLY the matched rows (the pushed
+    // filter prunes the spool). Both proven structurally in-query
+    // (window + footer row count — an oracle sees the final state,
+    // never what was staged); the final state then hashes against the
+    // closed form.
+    "q231_log_table_update_skipping" -> ((s, d) => {
+      val (path, m) = disjointOpsLog(s, d, "orders_ops_log_q231")
+      GraftLogCatalog.register(s, "glog", "orders_ops_q231", path,
+        Seq("o_orderkey"))
+      val t = 3L * m / 4L
+      val matched = AuditQueries.opsOrders(s, d)
+        .filter(col("o_orderkey") > t).count()
+      graft.sources.GraftRowLevel.lastSpoolRows.set(-1L)
+      graft.sources.GraftRowLevel.lastWindow.set(None)
+      s.sql("UPDATE glog.orders_ops_q231 " +
+        s"SET o_totalprice = o_totalprice + 77.0 WHERE o_orderkey > $t")
+      require(graft.sources.GraftRowLevel.lastWindow.get().isDefined,
+        "the UPDATE's key conjunct must extract a spool window")
+      val spooled = graft.sources.GraftRowLevel.lastSpoolRows.get()
+      require(spooled == matched,
+        s"the spool must stage exactly the $matched matched rows, " +
+          s"staged $spooled")
+      s.sql("SELECT * FROM glog.orders_ops_q231")
+    }),
+
     // TIME TRAVEL COMPOSES IN ONE SQL STATEMENT — two VERSION AS OF
     // clauses of ONE table, joined: the price drift every key gained
     // between v0 and the head, written exactly the way a SQL user
@@ -1080,6 +1112,20 @@ object TableFormatQueries {
         |    / 100.0 AS sum_bal
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY 1""".stripMargin,
+
+    // the disjoint-range live law with the UPDATE applied: +100 on the
+    // lowest quarter (commit 2), +77 on the probed top quarter — each
+    // a single IEEE add, ranges disjoint so nothing composes
+    "q231_log_table_update_skipping" ->
+      """SELECT o_orderkey, o_custkey,
+        |  o_totalprice
+        |  + CASE WHEN o_orderkey <=
+        |      (SELECT max(o_orderkey) // 4 FROM orders)
+        |    THEN 100.0 ELSE 0.0 END
+        |  + CASE WHEN o_orderkey >
+        |      (SELECT 3 * max(o_orderkey) // 4 FROM orders)
+        |    THEN 77.0 ELSE 0.0 END AS o_totalprice
+        |FROM orders""".stripMargin,
 
     // the drift law: +1000 for resurrected 20ths (present at v0 —
     // every 20th is % 4 = 0), +500 for the mod-7 update branch; the
