@@ -743,6 +743,40 @@ object TableFormatQueries {
       s.sql("SELECT * FROM glog.orders_ops_q231")
     }),
 
+    // THE SNAPSHOT TABLE'S OWN STREAM — `readStream.table("glog.t")`
+    // on the MAIN table (the first thing a lakehouse user types):
+    // each micro-batch is one commit's EFFECTIVE UPSERTS in the
+    // table's shape — new row values, tombstones and no-op rewrites
+    // excluded (deletes are not row-shaped; the FEED serves them).
+    // Strictly better than Delta's ignoreChanges (which replays whole
+    // rewritten files, duplicating untouched rows): the per-commit
+    // diff is exact. The materialized union must equal the closed
+    // form: base inserts ∪ resurrections at +1000 ∪ the held-out tail
+    // ∪ the mod-7 updates at +500 — the delete-only commit contributes
+    // NOTHING (its batch is empty, spec-pinned), and the no-op rewrite
+    // branch is suppressed by the feed's own hygiene.
+    "q232_stream_table_upserts" -> ((s, d) => {
+      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q232")
+      val out = Sinks.tmpPathFor("orders_tbl_upserts_out", d)
+      val ckpt = Sinks.tmpPathFor("orders_tbl_upserts_ckpt", d)
+      Sinks.deleteRecursively(out)
+      Sinks.deleteRecursively(ckpt)
+      GraftLogCatalog.register(s, "glog", "orders_ops_q232", path,
+        Seq("o_orderkey"))
+      val q = s.readStream.table("glog.orders_ops_q232")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            batch.write.mode("append").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+    }),
+
     // TIME TRAVEL COMPOSES IN ONE SQL STATEMENT — two VERSION AS OF
     // clauses of ONE table, joined: the price drift every key gained
     // between v0 and the head, written exactly the way a SQL user
@@ -1126,6 +1160,25 @@ object TableFormatQueries {
         |      (SELECT 3 * max(o_orderkey) // 4 FROM orders)
         |    THEN 77.0 ELSE 0.0 END AS o_totalprice
         |FROM orders""".stripMargin,
+
+    // the three commits' effective upserts, new values only: the base
+    // insert set; then (commit 1 streams nothing — deletes only);
+    // then commit 2's resurrections, held-out inserts, and the real
+    // mod-7 updates (the identical rewrite branch suppressed)
+    "q232_stream_table_upserts" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 4 <> 3
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice + 1000.0
+        |FROM orders WHERE o_orderkey % 20 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 4 = 3
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice + 500.0
+        |FROM orders
+        |WHERE o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |  AND o_orderkey % 7 = 1""".stripMargin,
 
     // the drift law: +1000 for resurrected 20ths (present at v0 —
     // every 20th is % 4 = 0), +500 for the mod-7 update branch; the

@@ -252,19 +252,22 @@ object GraftLog {
       else StructType(resolved.schema.fields.map(f =>
         if (opts.keys.contains(f.name)) f.copy(nullable = false) else f))
 
-    /** Feed-mode tables additionally stream: `spark.readStream
-      * .table("glog.t_changes")` (or `readStream.format(GraftLog)`)
-      * serves the SAME change feed the batch window read serves — one
-      * table identity, both surfaces, delegating to [[graft.streaming
-      * .CdcSource]]'s micro-batch stream (offsets are commit ids,
-      * admission budgets included). Snapshot-mode tables are
-      * batch-only: Spark's own capability check then refuses a
-      * readStream early instead of a deep failure.
+    /** Every table streams: `spark.readStream.table("glog.t")` (or
+      * `readStream.format(GraftLog)`) delegates to [[graft.streaming
+      * .CdcSource]]'s micro-batch stream — one table identity, both
+      * surfaces, offsets are commit ids, admission budgets ride as
+      * reader options. A FEED table streams the full-label change
+      * feed; a SNAPSHOT table streams its own UPSERTED ROW VALUES
+      * (each commit's effective inserts/updates in the table's shape —
+      * the stream a downstream materializer consumes; tombstones are
+      * not row-shaped, so deletes ride the feed, never the table
+      * stream — stated here, enforced in the scan, spec-pinned).
       */
     override def capabilities(): util.Set[TableCapability] =
       (if (opts.readChangeFeed)
         Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
-      else Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE))
+      else Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.MICRO_BATCH_READ))
         .asJava
 
     // A scan whose BATCH side is a stub: batch read positions never
@@ -294,25 +297,43 @@ object GraftLog {
                   "spark.sql.extensions=graft.plans.GraftExtensions")
             override def toMicroBatchStream(checkpointLocation: String)
                 : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-              require(opts.readChangeFeed,
-                s"${name()} is a snapshot table — streaming reads serve " +
-                  "the CHANGE FEED; register the table with " +
-                  "readChangeFeed=true (GraftLogCatalog.registerFeed) " +
-                  "or read the feed by path")
               require(opts.endingVersion.isEmpty,
                 "a stream is unbounded — endingVersion is a " +
                   "batch-window option")
+              require(opsShape,
+                s"${opts.path} is a PLAIN (append-only) log — the " +
+                  "streaming surfaces ride the ops shape (the " +
+                  "per-commit diff the CDC source computes is keyed)")
               def num(k: String): Option[Long] =
                 Option(o.get(k)).map(_.toLong)
+              val base = CdcSource.Opts(opts.path, opts.keys,
+                trackCols = opts.trackCols,
+                startVersion = opts.startingVersion,
+                maxCommitsPerTrigger = num("maxCommitsPerTrigger"),
+                columns = None,
+                keyFilter = opts.keyFilter,
+                maxRowsPerTrigger = num("maxRowsPerTrigger"),
+                maxBytesPerTrigger = num("maxBytesPerTrigger"))
+              val streamOpts =
+                if (opts.readChangeFeed) base
+                else {
+                  // the SNAPSHOT table's own stream: upserted row
+                  // values, table-shaped — every non-key column is a
+                  // tracked column, and the types must ride the spool
+                  val schemaHere = LogTable.this.schema()
+                  schemaHere.fields.foreach { f =>
+                    require(graft.streaming.LogSink.supportedType(
+                      f.dataType),
+                      s"table column ${f.name} has type ${f.dataType} " +
+                        "— outside the streaming spool's type surface")
+                  }
+                  base.copy(
+                    trackCols = schemaHere.fieldNames.toSeq
+                      .filterNot(opts.keys.contains),
+                    tableShape = true)
+                }
               CdcSource.microBatchStream(LogTable.this.schema(),
-                CdcSource.Opts(opts.path, opts.keys, opts.trackCols,
-                  startVersion = opts.startingVersion,
-                  maxCommitsPerTrigger = num("maxCommitsPerTrigger"),
-                  columns = None,
-                  keyFilter = opts.keyFilter,
-                  maxRowsPerTrigger = num("maxRowsPerTrigger"),
-                  maxBytesPerTrigger = num("maxBytesPerTrigger")),
-                checkpointLocation)
+                streamOpts, checkpointLocation)
             }
           }
       }

@@ -110,7 +110,8 @@ object CdcSource {
                                  columns: Option[Seq[String]],
                                  keyFilter: Option[String],
                                  maxRowsPerTrigger: Option[Long],
-                                 maxBytesPerTrigger: Option[Long]) {
+                                 maxBytesPerTrigger: Option[Long],
+                                 tableShape: Boolean = false) {
     /** True when any admission budget (rows or bytes) is set — the
       * sliced-offset machinery is live.
       */
@@ -451,11 +452,22 @@ object CdcSource {
       val dir = spoolDir(winStart, winEnd, ns)
       if (!LogFs.exists(LogFs.child(dir, "_SUCCESS"))) {
         LogFs.delete(dir)
-        val feed = Changelog.changesBetweenOps(spark, opts.path,
-            opts.keys, winStart, winEnd, opts.trackCols, opts.keyFilter)
-          // pruned to the consumer's required columns — the spool (and
-          // therefore the window's write amplification) is as narrow as
-          // the plan, not as wide as the feed
+        val raw = Changelog.changesBetweenOps(spark, opts.path,
+          opts.keys, winStart, winEnd, opts.trackCols, opts.keyFilter)
+        // tableShape (the snapshot table's own stream): the window's
+        // UPSERTED ROW VALUES in the table's shape — the feed's new
+        // side, tombstones excluded (they are not row-shaped; the
+        // FEED serves deletes). Otherwise the full-label feed, pruned
+        // to the consumer's required columns — the spool (and
+        // therefore the window's write amplification) is as narrow as
+        // the plan, not as wide as the feed.
+        val feed = (if (opts.tableShape)
+          raw.filter(org.apache.spark.sql.functions
+              .col("change_type") =!= "delete")
+            .select(opts.keys.map(org.apache.spark.sql.functions.col) ++
+              opts.trackCols.map(c => org.apache.spark.sql.functions
+                .col(s"new_$c").as(c)): _*)
+        else raw)
           .select(schema.fieldNames.map(
             org.apache.spark.sql.functions.col).toIndexedSeq: _*)
         // timestamp columns spool as plain epoch-micros INT64 — see

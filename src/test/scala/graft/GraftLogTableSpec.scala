@@ -462,15 +462,55 @@ class GraftLogTableSpec extends SparkSpec {
     assert(after.filter($"batch" === 3L).select("k").as[Long]
       .collect().toSeq == Seq(100L),
       "the resumed stream must process only the new commit")
-    // a SNAPSHOT table refuses readStream early (no MICRO_BATCH_READ)
-    GraftLogCatalog.register(spark, "glogspec8", "ts", path, Seq("k"))
-    intercept[Exception] {
-      spark.readStream.table("glogspec8.ts")
-        .writeStream.format("noop")
-        .option("checkpointLocation", freshDir("feed_table_ckpt2"))
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
+  }
+
+  test("readStream.table on the SNAPSHOT table streams its upserted " +
+       "row values (table-shaped, per commit; tombstones ride the " +
+       "feed, not the table stream)") {
+    import spark.implicits._
+    val path = opsFixture("snap_stream")
+    val out = freshDir("snap_stream_out")
+    val ckpt = freshDir("snap_stream_ckpt")
+    GraftLogCatalog.register(spark, "glogspec16", "t", path, Seq("k"))
+    val q = spark.readStream.table("glogspec16.t")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) =>
+          b.withColumn("batch", org.apache.spark.sql.functions.lit(id))
+            .write.mode("append").parquet(out)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+    assert(streamed.columns.sorted.toSeq == Seq("batch", "k", "v"),
+      "the table stream carries the TABLE schema")
+    // batch i = commit i's effective upserts (new values; deletes and
+    // no-op rewrites excluded) — commit 1 is delete-only, so empty
+    def upserts(i: Long) =
+      Changelog.changesBetweenOps(spark, path, Seq("k"), i - 1, i,
+          Seq("v"))
+        .filter($"change_type" =!= "delete")
+        .select($"k", $"new_v".as("v")).collect().toSet
+    (0L to 2L).foreach { i =>
+      assert(streamed.filter($"batch" === i).drop("batch")
+        .collect().toSet == upserts(i),
+        s"batch $i must be commit $i's upserted values")
     }
+    assert(streamed.filter($"batch" === 1L).isEmpty,
+      "the delete-only commit streams an empty batch on the table")
+    // a LWW fold of the streamed values + the feed's deletes would
+    // rebuild the head — here the simpler pin: streamed keys at their
+    // LAST batch equal the head values for keys alive at head
+    val live = Changelog
+      .snapshotAtOps(spark, path, Seq("k"), Long.MaxValue)
+      .as[(Long, Double)].collect().toMap
+    val lastSeen = streamed.as[(Long, Double, Long)].collect()
+      .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._3)._2 }
+    live.foreach { case (k, v) =>
+      assert(lastSeen.get(k).contains(v),
+        s"live key $k must be last streamed at its head value") }
   }
 
   test("glog.t.history serves DESCRIBE HISTORY at the SQL prompt, " +
