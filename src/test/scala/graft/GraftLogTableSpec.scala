@@ -728,6 +728,23 @@ class GraftLogTableSpec extends SparkSpec {
     assert(Changelog.commitInfos(path)(3L)._1 == "delete")
   }
 
+  test("standard SQL tooling works against the catalog table: " +
+       "DESCRIBE shows the schema with the non-null key") {
+    val path = opsFixture("describe")
+    GraftLogCatalog.register(spark, "glogspec17", "t", path, Seq("k"))
+    val desc = spark.sql("DESCRIBE TABLE glogspec17.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("k").contains("bigint") &&
+      desc.get("v").contains("double"),
+      s"DESCRIBE must render the snapshot schema, got $desc")
+    // the key is the row identity — declared NOT NULL for the
+    // row-level-operation contract, visible to SQL tooling
+    val full = spark.sql("DESCRIBE TABLE EXTENDED glogspec17.t")
+      .collect().map(_.toString).mkString("\n")
+    assert(full.contains("k") && full.contains("graft_log"),
+      s"EXTENDED output must name the table implementation:\n$full")
+  }
+
   test("loud contracts: options, DDL, writes") {
     val path = opsFixture("loud")
     intercept[IllegalArgumentException] {
