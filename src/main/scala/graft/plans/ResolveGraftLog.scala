@@ -194,10 +194,17 @@ case class ResolveGraftLog(spark: SparkSession) extends Rule[LogicalPlan] {
   private case class StringBounds(lo: String, hi: String) extends Bounds
 
   /** The widest [lo, hi] window the conjuncts imply for key column
-    * `key` — inclusive (strict bounds widen: the window need only be a
-    * superset, the original filter stays on top). Long/int keys take
-    * open sides at Long.Min/Max; string keys need an equality (no
-    * greatest string exists to close an open side).
+    * `key` — inclusive. STRICT bounds on integral keys TIGHTEN to the
+    * adjacent integer (`k > 5` → lo 6, `k < 5` → hi 4): integer
+    * semantics make the tightened window still a superset of the
+    * satisfying set, and a one-sided strict probe at a commit's
+    * recorded boundary (`k > max_of_commit`) then skips the commit
+    * instead of admitting it on the shared endpoint. Saturating at
+    * Long.Min/Max (a `k > Long.MaxValue` conjunct is unsatisfiable —
+    * the kept original filter yields empty either way, so the
+    * saturated window is merely conservative, never wrong). Long/int
+    * keys take open sides at Long.Min/Max; string keys need an
+    * equality (no greatest string exists to close an open side).
     */
   private def boundsFor(key: String,
                         conjuncts: Seq[Expression]): Option[Bounds] = {
@@ -214,6 +221,9 @@ case class ResolveGraftLog(spark: SparkSession) extends Rule[LogicalPlan] {
       case StringType => Option(l.value).map(_.toString)
       case _ => None
     }
+    // strict-bound tightening, saturating at the long extremes
+    def nextUp(v: Long): Long = if (v == Long.MaxValue) v else v + 1
+    def nextDown(v: Long): Long = if (v == Long.MinValue) v else v - 1
     var lo: Option[Long] = None
     var hi: Option[Long] = None
     var seq: Option[String] = None
@@ -229,20 +239,24 @@ case class ResolveGraftLog(spark: SparkSession) extends Rule[LogicalPlan] {
       case GreaterThanOrEqual(a, l: Literal) if keyed(a) =>
         longLit(l).foreach(v => lo = Some(lo.fold(v)(math.max(_, v))))
       case GreaterThan(a, l: Literal) if keyed(a) =>
-        longLit(l).foreach(v => lo = Some(lo.fold(v)(math.max(_, v))))
+        longLit(l).map(nextUp).foreach(v =>
+          lo = Some(lo.fold(v)(math.max(_, v))))
       case LessThanOrEqual(a, l: Literal) if keyed(a) =>
         longLit(l).foreach(v => hi = Some(hi.fold(v)(math.min(_, v))))
       case LessThan(a, l: Literal) if keyed(a) =>
-        longLit(l).foreach(v => hi = Some(hi.fold(v)(math.min(_, v))))
+        longLit(l).map(nextDown).foreach(v =>
+          hi = Some(hi.fold(v)(math.min(_, v))))
       // literal-first range forms mirror
       case GreaterThanOrEqual(l: Literal, a) if keyed(a) =>
         longLit(l).foreach(v => hi = Some(hi.fold(v)(math.min(_, v))))
       case GreaterThan(l: Literal, a) if keyed(a) =>
-        longLit(l).foreach(v => hi = Some(hi.fold(v)(math.min(_, v))))
+        longLit(l).map(nextDown).foreach(v =>
+          hi = Some(hi.fold(v)(math.min(_, v))))
       case LessThanOrEqual(l: Literal, a) if keyed(a) =>
         longLit(l).foreach(v => lo = Some(lo.fold(v)(math.max(_, v))))
       case LessThan(l: Literal, a) if keyed(a) =>
-        longLit(l).foreach(v => lo = Some(lo.fold(v)(math.max(_, v))))
+        longLit(l).map(nextUp).foreach(v =>
+          lo = Some(lo.fold(v)(math.max(_, v))))
       case _ => ()
     }
     seq match {

@@ -100,11 +100,95 @@ object TableFormatQueries {
       path
     })
 
-  /** Stage q216's and q229's landings outside the bench's timed window. */
+  /** Stage q216's, q229's, and q233's landings outside the bench's
+    * timed window.
+    */
   def stageFixtures(s: SparkSession, d: String): Unit = {
     stagedTypedLanding(s, d): Unit
     stagedWideLanding(s, d): Unit
+    stagedGenLanding(s, d): Unit
   }
+
+  /** q233's subject rows: documents with generic ARRAY and MAP columns
+    * — a token list (array&lt;string&gt;), an id list (array&lt;long&gt;),
+    * a feature map (map&lt;string,double&gt;, quarter-precision values so
+    * the ×4 render is integral), and a FLOAT ratio. Deterministic
+    * closed form over documents alone.
+    */
+  private def genDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      array(col("lang"),
+        concat(lit("t"), (col("doc_id") % 5).cast("string"))).as("toks"),
+      array(col("doc_id"), col("doc_id") % 97).as("ids"),
+      map(lit("len"), col("n_chars").cast("double"),
+        lit("mod"), (col("doc_id") % 7).cast("double") + 0.25).as("feats"),
+      ((col("doc_id") % 128).cast("double") * 0.25).cast("float")
+        .as("ratio"))
+
+  private val GenLandingSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("toks",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)),
+    org.apache.spark.sql.types.StructField("ids",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)),
+    org.apache.spark.sql.types.StructField("feats",
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.DoubleType)),
+    org.apache.spark.sql.types.StructField("ratio",
+      org.apache.spark.sql.types.FloatType),
+    org.apache.spark.sql.types.StructField("op",
+      org.apache.spark.sql.types.StringType)))
+
+  /** q233's three mtime-ordered deliveries: full upsert; every-6th
+    * tombstone; every-9th re-upsert with '!x' appended to the token
+    * list, doc_id+1 appended to the id list, the feature map's KEY SET
+    * changed ({len,mod} → {len+100, upd=1.25} — map equality under a
+    * different key set is part of what's under test), and the ratio
+    * negated (exact in float).
+    */
+  private val genLandingStaged =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private def stagedGenLanding(s: SparkSession, d: String): String =
+    genLandingStaged.getOrElseUpdate(d, {
+      val path = Sinks.tmpPathFor("gen_docs_landing", d)
+      Sinks.deleteRecursively(path)
+      val base = genDocs(s, d)
+      val k = col("doc_id")
+      val nulls = Seq(
+        lit(null).cast("array<string>").as("toks"),
+        lit(null).cast("array<bigint>").as("ids"),
+        lit(null).cast("map<string,double>").as("feats"),
+        lit(null).cast("float").as("ratio"))
+      val days = Seq(
+        base.withColumn("op", lit("u")),
+        base.filter(k % 6 === 0).select(col("doc_id") +: nulls: _*)
+          .withColumn("op", lit("d")),
+        base.filter(k % 9 === 0).select(
+            col("doc_id"),
+            concat(col("toks"), array(lit("!x"))).as("toks"),
+            concat(col("ids"), array(col("doc_id") + 1)).as("ids"),
+            map(lit("len"), element_at(col("feats"), "len") + 100,
+              lit("upd"), lit(1.25)).as("feats"),
+            (-col("ratio")).cast("float").as("ratio"))
+          .withColumn("op", lit("u")))
+      def files() = Option(new java.io.File(path).listFiles()).fold(
+        Set.empty[java.io.File])(
+        _.filter(_.getName.endsWith(".parquet")).toSet)
+      var mtime = System.currentTimeMillis() - (days.length + 2) * 2000L
+      days.foreach { day =>
+        val before = files()
+        day.coalesce(1).write.mode("append").parquet(path)
+        (files() -- before).foreach(f =>
+          require(f.setLastModified(mtime), s"setLastModified failed on $f"))
+        mtime += 2000L
+      }
+      path
+    })
 
   /** Scalar verify form shared by q216/q217: binary → its (ASCII)
     * string + byte length, float arrays → exact-ppm flattening with
@@ -796,6 +880,222 @@ object TableFormatQueries {
               |JOIN glog.orders_ops_q221 VERSION AS OF 0 o
               |USING (o_orderkey)
               |WHERE n.o_totalprice <> o.o_totalprice""".stripMargin)
+    }),
+
+    // GENERIC ARRAY / MAP / FLOAT THROUGH THE STREAMING TABLE FORMAT —
+    // the second round-16 type widening on the oracle surface: a token
+    // list (array<string>), an id list (array<long>), a feature map
+    // (map<string,double>) and a FLOAT ratio ride writeStream(LogSink)
+    // as three mtime-ordered deliveries (full upsert; every-6th
+    // tombstone; every-9th re-upsert that APPENDS to both arrays,
+    // CHANGES THE MAP'S KEY SET — {len,mod} → {len,upd}, the no-op
+    // detector now canonicalizes maps to sorted entries because SQL
+    // cannot order maps — and negates the ratio). Verify form renders
+    // arrays joined and the map as sorted key=4×value pairs
+    // (quarter-precision values, so ×4 is integral — one wrong entry
+    // breaks the hash); null/empty/nested-element byte pins live in
+    // StreamTypesSpec.
+    "q233_stream_sink_array_map" -> ((s, d) => {
+      val landing = stagedGenLanding(s, d)
+      val path = Sinks.tmpPathFor("gen_docs_sink_log", d)
+      val ckpt = Sinks.tmpPathFor("gen_docs_sink_ckpt", d)
+      Sinks.deleteRecursively(path)
+      Sinks.deleteRecursively(ckpt)
+      val q = s.readStream.schema(GenLandingSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .withColumnRenamed("op", Changelog.OpCol)
+        .writeStream.format(classOf[graft.streaming.LogSink].getName)
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Changelog.snapshotAtOps(s, path, Seq("doc_id"), Long.MaxValue)
+        .select(col("doc_id"),
+          array_join(col("toks"), "|").as("toks_str"),
+          array_join(transform(col("ids"), _.cast("string")), ",")
+            .as("ids_str"),
+          array_join(transform(sort_array(map_entries(col("feats"))),
+            e => concat(e.getField("key"), lit("="),
+              round(e.getField("value") * 4).cast("long").cast("string"))),
+            ";").as("feats_str"),
+          round(col("ratio").cast("double") * 4).cast("long")
+            .as("ratio_q"))
+    }),
+
+    // STREAMING WRITE THROUGH THE TABLE IDENTITY — `writeStream
+    // .toTable("glog.t")`: the last surface the one-table-name story
+    // needed (batch read/write, SQL DML, streaming READ all resolve by
+    // name; now the streaming WRITE does too). Every epoch lands as
+    // ONE table-shaped upsert commit appended after the head (the
+    // sink's base-marker exactly-once discipline, reached through the
+    // catalog), here two mtime-ordered deliveries — the held-out
+    // insert tail, then the mod-7 price updates — landed onto a seeded
+    // base; the SELECT through the SAME name must serve the closed
+    // form. In-query structural require: the two epochs recorded as
+    // stream-epoch commits 1 and 2.
+    "q234_stream_write_table" -> ((s, d) => {
+      val path = Sinks.tmpPathFor("orders_tbl_write_log", d)
+      val landing = Sinks.tmpPathFor("orders_tbl_write_landing", d)
+      val ckpt = Sinks.tmpPathFor("orders_tbl_write_ckpt", d)
+      Seq(path, landing, ckpt).foreach(Sinks.deleteRecursively)
+      val o = AuditQueries.opsOrders(s, d)
+      val k = col("o_orderkey")
+      Changelog.commitUpsert(o.filter(k % 4 =!= 3), path, 0L)
+      GraftLogCatalog.register(s, "glog", "orders_tblw_q234", path,
+        Seq("o_orderkey"))
+      val days = Seq(
+        o.filter(k % 4 === 3),
+        o.filter(k % 4 =!= 3 && k % 7 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 500.0))
+      def files() = Option(new java.io.File(landing).listFiles()).fold(
+        Set.empty[java.io.File])(
+        _.filter(_.getName.endsWith(".parquet")).toSet)
+      var mtime = System.currentTimeMillis() - (days.length + 2) * 2000L
+      days.foreach { day =>
+        val before = files()
+        day.coalesce(1).write.mode("append").parquet(landing)
+        (files() -- before).foreach(f =>
+          require(f.setLastModified(mtime), s"setLastModified failed on $f"))
+        mtime += 2000L
+      }
+      val q = s.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("glog.orders_tblw_q234")
+      q.awaitTermination()
+      val infos = Changelog.commitInfos(path)
+      require(infos.get(1L).exists(_._1 == "stream-epoch") &&
+        infos.get(2L).exists(_._1 == "stream-epoch"),
+        s"the two epochs must land as stream-epoch commits 1 and 2, " +
+          s"got $infos")
+      s.sql("SELECT * FROM glog.orders_tblw_q234")
+    }),
+
+    // CLONE AS A DSv2 PROCEDURE — `CALL glog.system.clone(t, 1, dest)`
+    // branches the log at version 1 into a fresh path (zero-copy where
+    // the filesystem allows), the branch is registered and read BY
+    // NAME like any table, and a post-clone commit on the ORIGIN must
+    // not leak into it (in-query require: the branch's head stays 1).
+    // The branch at 1 is commit 0 minus commit 1's tombstones — the
+    // as-of-1 law through a SQL CALL + a second registration.
+    "q235_sql_call_clone" -> ((s, d) => {
+      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q235")
+      val dest = Sinks.tmpPathFor("orders_ops_clone_q235", d)
+      Sinks.deleteRecursively(dest)
+      GraftLogCatalog.register(s, "glog", "orders_ops_q235", path,
+        Seq("o_orderkey"))
+      val r = s.sql(
+        s"CALL glog.system.clone('orders_ops_q235', 1, '$dest')").collect()
+      require(r.length == 1 && r(0).getString(1) == "clone",
+        s"CALL must return its summary row, got ${r.mkString(", ")}")
+      // a post-clone commit on the ORIGIN: the branch must not see it
+      Changelog.commitUpsert(
+        AuditQueries.opsOrders(s, d)
+          .withColumn("o_totalprice", lit(0.0)), path, 3L)
+      require(Changelog.headVersion(dest).contains(1L),
+        s"the branch's head must stay 1, got ${Changelog.headVersion(dest)}")
+      GraftLogCatalog.register(s, "glog", "orders_clone_q235", dest,
+        Seq("o_orderkey"))
+      s.sql("SELECT * FROM glog.orders_clone_q235")
+    }),
+
+    // ANALYZE AS A DSv2 PROCEDURE — the checkpoint fold REWRITES
+    // `_commit=1` with the full live state, so its pre-fold stats
+    // marker is dropped (a stale range would wrong-skip); `CALL
+    // glog.system.analyze(t, 1, 'o_orderkey')` re-records min/max on
+    // the folded base and RE-ARMS the skipping: an out-of-range probe
+    // then opens NOTHING (in-query require: zero inputFiles), and the
+    // in-range probe admits exactly the base while commit 2's
+    // surviving marker skips it (q215's discipline on a folded log).
+    "q236_sql_call_analyze" -> ((s, d) => {
+      val (path, m) = disjointOpsLog(s, d, "orders_ops_log_q236")
+      GraftLogCatalog.register(s, "glog", "orders_ops_q236", path,
+        Seq("o_orderkey"))
+      s.sql("CALL glog.system.checkpoint('orders_ops_q236', 1)").collect()
+      s.sql("CALL glog.system.analyze('orders_ops_q236', 1, " +
+        "'o_orderkey')").collect()
+      def dirsOf(df: DataFrame) = df.inputFiles.map(f =>
+        f.split("/").find(_.startsWith(s"${Changelog.CommitCol}="))
+          .getOrElse("?")).distinct.sorted.toSeq
+      // a probe beyond the recorded max admits NO commit: the kernel
+      // serves the empty shape through filter(false), which the
+      // optimizer prunes to a LocalTableScan — no parquet scan plans
+      // at all (inputFiles inspects the pre-pruned relation, so the
+      // proof reads the EXECUTED plan)
+      val none = s.sql(
+        s"SELECT * FROM glog.orders_ops_q236 WHERE o_orderkey > $m")
+      val nonePlan = none.queryExecution.executedPlan.toString
+      require(!nonePlan.toLowerCase.contains("parquet"),
+        s"the re-armed marker must skip the folded base for a probe " +
+          s"beyond its max — no parquet scan may plan, got:\n$nonePlan")
+      require(none.isEmpty, "the beyond-max probe must be empty")
+      val t = 3L * m / 4L
+      val df = s.sql(
+        s"SELECT * FROM glog.orders_ops_q236 WHERE o_orderkey > $t")
+      require(dirsOf(df) == Seq(s"${Changelog.CommitCol}=1"),
+        s"the probe must admit exactly the folded base " +
+          s"(commit 2's marker skips it), got ${dirsOf(df)}")
+      df
+    }),
+
+    // THE FULL SQL LIFECYCLE — `CREATE TABLE … LOCATION … TBLPROPERTIES
+    // ('keys'='…')` initializes a fresh log (one empty genesis commit,
+    // verb `create` — in-query require on the history) and registers
+    // the name; then pure SQL drives the whole DML story against it:
+    // INSERT the non-tail keys, UPDATE the mod-7 branch, DELETE the
+    // mod-10 keys, SELECT the result. Nothing but SQL strings touches
+    // the table after the fixture view lands.
+    "q237_sql_create_table" -> ((s, d) => {
+      val loc = Sinks.tmpPathFor("orders_ddl_q237", d)
+      s.conf.set("spark.sql.catalog.glog",
+        classOf[GraftLogCatalog].getName)
+      s.sql("DROP TABLE IF EXISTS glog.orders_ddl_q237")
+      Sinks.deleteRecursively(loc)
+      AuditQueries.opsOrders(s, d).createOrReplaceTempView("orders_src_q237")
+      s.sql(s"""CREATE TABLE glog.orders_ddl_q237 (
+               |  o_orderkey BIGINT, o_custkey BIGINT,
+               |  o_totalprice DOUBLE)
+               |LOCATION '$loc'
+               |TBLPROPERTIES ('keys' = 'o_orderkey')""".stripMargin)
+      require(Changelog.commitInfos(loc).get(0L).exists(_._1 == "create"),
+        "the genesis commit must record verb 'create'")
+      require(s.sql("SELECT * FROM glog.orders_ddl_q237").isEmpty,
+        "a freshly created table reads empty")
+      s.sql("INSERT INTO glog.orders_ddl_q237 " +
+        "SELECT * FROM orders_src_q237 WHERE o_orderkey % 4 <> 3")
+      s.sql("UPDATE glog.orders_ddl_q237 " +
+        "SET o_totalprice = o_totalprice + 500.0 WHERE o_orderkey % 7 = 1")
+      s.sql("DELETE FROM glog.orders_ddl_q237 WHERE o_orderkey % 10 = 0")
+      s.sql("SELECT * FROM glog.orders_ddl_q237")
+    }),
+
+    // CTAS — `CREATE TABLE … LOCATION … TBLPROPERTIES(…) AS SELECT …`
+    // composes from the DDL and the batch append with no extra code:
+    // Spark creates the table (genesis commit 0) and drives the
+    // ordinary OCC-claimed upsert append (commit 1). One SQL statement,
+    // a fully-populated changelog table.
+    "q238_sql_ctas" -> ((s, d) => {
+      val loc = Sinks.tmpPathFor("orders_ctas_q238", d)
+      s.conf.set("spark.sql.catalog.glog",
+        classOf[GraftLogCatalog].getName)
+      s.sql("DROP TABLE IF EXISTS glog.orders_ctas_q238")
+      Sinks.deleteRecursively(loc)
+      AuditQueries.opsOrders(s, d).createOrReplaceTempView("orders_src_q238")
+      s.sql(s"""CREATE TABLE glog.orders_ctas_q238
+               |LOCATION '$loc'
+               |TBLPROPERTIES ('keys' = 'o_orderkey')
+               |AS SELECT * FROM orders_src_q238
+               |WHERE o_orderkey % 3 = 0""".stripMargin)
+      val infos = Changelog.commitInfos(loc)
+      require(infos.get(0L).exists(_._1 == "create") &&
+        infos.get(1L).exists(_._1 == "upsert"),
+        s"CTAS = genesis + one appended upsert commit, got $infos")
+      s.sql("SELECT * FROM glog.orders_ctas_q238")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1192,5 +1492,75 @@ object TableFormatQueries {
         |  (o_totalprice + 500.0) - o_totalprice
         |FROM orders
         |WHERE o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
-        |  AND o_orderkey % 7 = 1""".stripMargin)
+        |  AND o_orderkey % 7 = 1""".stripMargin,
+
+    // the generic-collections live state: every-6th key dead unless
+    // resurrected by the every-9th re-upsert; arrays rendered joined,
+    // the map as sorted key=4×value pairs computed directly from the
+    // base columns (the oracle never needs map support — the law IS
+    // scalar), ratio as its exact ×4 integer
+    "q233_stream_sink_array_map" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0
+        |       THEN lang || '|t' || CAST(doc_id % 5 AS VARCHAR) || '|!x'
+        |       ELSE lang || '|t' || CAST(doc_id % 5 AS VARCHAR)
+        |  END AS toks_str,
+        |  CASE WHEN doc_id % 9 = 0
+        |       THEN CAST(doc_id AS VARCHAR) || ','
+        |            || CAST(doc_id % 97 AS VARCHAR) || ','
+        |            || CAST(doc_id + 1 AS VARCHAR)
+        |       ELSE CAST(doc_id AS VARCHAR) || ','
+        |            || CAST(doc_id % 97 AS VARCHAR)
+        |  END AS ids_str,
+        |  CASE WHEN doc_id % 9 = 0
+        |       THEN 'len=' || CAST((n_chars + 100) * 4 AS VARCHAR)
+        |            || ';upd=5'
+        |       ELSE 'len=' || CAST(n_chars * 4 AS VARCHAR)
+        |            || ';mod=' || CAST((doc_id % 7) * 4 + 1 AS VARCHAR)
+        |  END AS feats_str,
+        |  CASE WHEN doc_id % 9 = 0 THEN -(doc_id % 128)
+        |       ELSE doc_id % 128 END AS ratio_q
+        |FROM documents
+        |WHERE doc_id % 6 <> 0 OR doc_id % 9 = 0""".stripMargin,
+
+    // the streamed-table live state: every key present (the tail was
+    // streamed in), the mod-7 non-tail branch at +500 (the later
+    // epoch's upsert wins)
+    "q234_stream_write_table" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 4 <> 3 AND o_orderkey % 7 = 1
+        |       THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders""".stripMargin,
+
+    // the branch at version 1: commit 0's keys minus commit 1's
+    // tombstones, at base prices — the post-clone origin commit
+    // invisible by construction
+    "q235_sql_call_clone" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0""".stripMargin,
+
+    // q215's upper-quarter law on the folded log: the base serves the
+    // full live state, the probe slices the quarter commit 2 never
+    // touched
+    "q236_sql_call_analyze" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey > (SELECT 3 * max(o_orderkey) // 4 FROM orders)"""
+        .stripMargin,
+
+    // the lifecycle's closed form: inserted non-tail keys, the mod-7
+    // update, the mod-10 delete
+    "q237_sql_create_table" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0""".stripMargin,
+
+    // CTAS: exactly the selected slice
+    "q238_sql_ctas" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin)
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.transform.Upsert
 
@@ -575,6 +575,40 @@ object Changelog {
              writer: String = SoloWriter): Unit =
     commitVerbed(delta, path, commitId, writer, "append")
 
+  /** Create a FRESH log at `path` with `tableSchema` and no rows: one
+    * empty genesis commit (id 0, verb `create`) whose parquet footer
+    * carries the declared schema — the first commit IS the schema
+    * declaration, by the same induction [[requireMatchingShape]] runs
+    * on. `ops = true` (the default, the table format's real shape)
+    * appends the `_op` column; plain logs take the schema as-is. The
+    * empty frame cannot ride [[commit]]'s dynamic partition overwrite
+    * (zero rows land zero partitions — the [[checkpointOps]] empty-fold
+    * special case, shared here), so the genesis writes its directory
+    * directly. Loud when `path` already holds commits — CREATE makes a
+    * table; an existing log is ADOPTED by registration, never
+    * re-created over.
+    */
+  def createLog(spark: SparkSession, path: String,
+                tableSchema: org.apache.spark.sql.types.StructType,
+                ops: Boolean = true, writer: String = SoloWriter): Unit = {
+    require(!tableSchema.fieldNames.contains(CommitCol) &&
+      !tableSchema.fieldNames.contains(OpCol),
+      s"the table schema carries a reserved column ($CommitCol/$OpCol)")
+    require(commitIds(path).isEmpty,
+      s"$path already holds commits — CREATE makes a fresh log; adopt " +
+        "an existing one by registering it")
+    val shape =
+      if (ops) tableSchema.add(OpCol, org.apache.spark.sql.types.StringType)
+      else tableSchema
+    claimCommit(path, 0L, writer)
+    val dir = LogFs.child(path, s"$CommitCol=0")
+    LogFs.delete(dir)
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), shape)
+      .write.mode("overwrite").parquet(dir)
+    writeCommitInfo(path, 0L, "create", writer)
+  }
+
   /** [[commit]] with the verb the info marker records — the internal
     * entry every higher verb (upsert/delete/merge/restore) routes
     * through so DESCRIBE HISTORY names the operation, not the plumbing.
@@ -850,7 +884,8 @@ object Changelog {
       keys.map(col) ++ trackCols.map(c => col(c).as(s"old_$c")) :+
         lit(true).as("_had_old"): _*)
     val changed = trackCols
-      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .map(c => differsNullSafe(col(s"old_$c"), col(s"new_$c"),
+        log.schema(c).dataType))
       .reduce(_ || _)
     newSide.join(oldSide, keys, "left")
       .filter(col("_had_old").isNull || changed)
@@ -1137,6 +1172,42 @@ object Changelog {
     * `[newest base ≤ v, v]` — both partition filters, so pre-base
     * commit directories are never opened.
     */
+  /** `!(a <=> b)` for a column of type `dt`, with MAP types
+    * canonicalized first: `<=>` cannot order maps (SQL defines no map
+    * ordering), but a map's entries sorted by key are a faithful
+    * orderable image (keys are unique), so equality on the image IS
+    * map equality. Recurses through array elements, struct fields,
+    * and map values, so nested maps compare too; map-free types pass
+    * through untouched (zero plan change on every pre-existing
+    * schema). Null maps stay null under `map_entries`/`transform`/
+    * `sort_array`, so the null-safe semantics are preserved.
+    */
+  private[graft] def differsNullSafe(a: Column, b: Column,
+                                     dt: org.apache.spark.sql.types.DataType)
+      : Column = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    def hasMap(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case _: MapType => true
+      case ArrayType(et, _) => hasMap(et)
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+    def canon(c: Column,
+              t: org.apache.spark.sql.types.DataType): Column = t match {
+      case MapType(kt, vt, _) =>
+        sort_array(transform(map_entries(c), e =>
+          struct(canon(e.getField("key"), kt).as("key"),
+            canon(e.getField("value"), vt).as("value"))))
+      case ArrayType(et, _) if hasMap(et) =>
+        transform(c, x => canon(x, et))
+      case s: StructType if s.fields.exists(f => hasMap(f.dataType)) =>
+        struct(s.fields.toIndexedSeq.map(f =>
+          canon(c.getField(f.name), f.dataType).as(f.name)): _*)
+      case _ => c
+    }
+    if (hasMap(dt)) !(canon(a, dt) <=> canon(b, dt)) else !(a <=> b)
+  }
+
   private def opsWindow(df: DataFrame, path: String, v: Long): DataFrame = {
     val floor = baseFloor(path, v)
     val upTo = df.filter(col(CommitCol) <= v)
@@ -1254,7 +1325,8 @@ object Changelog {
       keys.map(col) ++ trackCols.map(c => col(c).as(s"old_$c")) :+
         (col(OpCol) === "u").as("_old_live"): _*)
     val changed = trackCols
-      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .map(c => differsNullSafe(col(s"old_$c"), col(s"new_$c"),
+        log.schema(c).dataType))
       .reduce(_ || _)
     val oldLive = coalesce(col("_old_live"), lit(false))
     val newLive = coalesce(col("_new_live"), lit(false))
@@ -1523,7 +1595,8 @@ object Changelog {
       dataCols.map(c2 => col(c2).as(s"_c_$c2")) :+ lit(true).as("_in_c"): _*)
     val j = t.join(c, keys, "full_outer")
     val differs = dataCols
-      .map(cc => !(col(s"_t_$cc") <=> col(s"_c_$cc")))
+      .map(cc => differsNullSafe(col(s"_t_$cc"), col(s"_c_$cc"),
+        target.schema(cc).dataType))
       .reduceOption(_ || _).getOrElse(lit(false))
     val ups = j.filter(col("_in_t").isNotNull &&
         (col("_in_c").isNull || differs))
@@ -1840,7 +1913,8 @@ object Changelog {
     val j = s.join(c, keys, "left")
     val matched = col("_in_c").isNotNull
     val differs = dataCols
-      .map(cc => !(col(cc) <=> col(s"_c_$cc")))
+      .map(cc => differsNullSafe(col(cc), col(s"_c_$cc"),
+        current.schema(cc).dataType))
       .reduceOption(_ || _).getOrElse(lit(false))
     val ups = j.filter(!col("_del") && (!matched || differs))
       .select((keys ++ dataCols).map(col): _*)

@@ -267,7 +267,7 @@ object GraftLog {
       (if (opts.readChangeFeed)
         Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
       else Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.MICRO_BATCH_READ))
+        TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE))
         .asJava
 
     // A scan whose BATCH side is a stub: batch read positions never
@@ -359,13 +359,48 @@ object GraftLog {
       require(!opts.readChangeFeed,
         "the change feed is a derived read surface — INSERT into the " +
           "log's table, not its feed")
+      val multiWriter = Option(info.options().get("multiWriter"))
+        .exists(_.toBoolean)
       val writer = Option(info.options().get("writer"))
-        .getOrElse(Changelog.SoloWriter)
-      new WriteBuilder {
+        .getOrElse(if (multiWriter) s"q_${info.queryId()}"
+                   else Changelog.SoloWriter)
+      // SupportsStreamingUpdateAsAppend: an UPDATE-mode streaming
+      // aggregation's changed groups land as ordinary upserts — on a
+      // keyed LWW table that is exactly the declarative-MV semantics
+      // (the LogSink discipline, reached through the table NAME)
+      new WriteBuilder
+          with org.apache.spark.sql.internal.connector
+            .SupportsStreamingUpdateAsAppend {
         override def build(): Write = new Write {
           override def toBatch: BatchWrite =
             new AppendBatchWrite(opts.path, writer, info.schema(),
               opsShape, s"insert_${info.queryId()}")
+          // `writeStream.toTable("glog.t")`: every epoch is ONE commit
+          // of table-shaped UPSERTS — the streaming spelling of INSERT
+          // INTO, with the sink's exactly-once epoch discipline (base
+          // marker / per-epoch claim under multiWriter) and the same
+          // planning-time guards as the batch leg
+          override def toStreaming: org.apache.spark.sql.connector
+              .write.streaming.StreamingWrite = {
+            val s = info.schema()
+            require(!s.fieldNames.contains(Changelog.CommitCol),
+              s"streaming input carries the reserved " +
+                s"${Changelog.CommitCol} column — the epoch claim " +
+                "assigns the commit id")
+            require(!s.fieldNames.contains(Changelog.OpCol),
+              s"streaming input carries ${Changelog.OpCol} — the " +
+                "table's schema is the snapshot shape; every streamed " +
+                "row is an upsert (per-op feeds ride the LogSink " +
+                "format directly)")
+            s.fields.foreach { f =>
+              require(graft.streaming.LogSink.supportedType(f.dataType),
+                s"streamed column ${f.name} has type ${f.dataType} — " +
+                  "outside the staged parquet writer's type surface")
+            }
+            new graft.streaming.LogSink.LogStreamingWrite(opts.path,
+              writer, s, info.queryId(), multiWriter,
+              constantOp = if (opsShape) Some("u") else None)
+          }
         }
       }
     }

@@ -45,10 +45,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * `spark.sql.catalog.<cat>.log.<name>.path` (+ `.keys`, and optional
   * `.mergeSchema`, or for feed tables `.readChangeFeed`/`.trackCols`/
   * `.startVersion`/`.keyFilter`). [[register]]/[[registerFeed]] write
-  * them. DDL stays refused by design — tables are created by
-  * COMMITTING to the log, never by CREATE TABLE — while DML
-  * (INSERT/DELETE/UPDATE/MERGE/TRUNCATE, on [[GraftLog.LogTable]]) and
-  * maintenance (the `system` procedures) are first-class.
+  * them — and so does SQL DDL: `CREATE TABLE … LOCATION … TBLPROPERTIES
+  * ('keys'='…')` initializes a fresh log (empty genesis commit, verb
+  * `create`) and registers it (CTAS composes — create + one appended
+  * upsert commit); DROP TABLE unregisters the name and KEEPS the log
+  * (erasure is the checkpoint's vacuum, never a catalog verb); RENAME
+  * re-points the name. ALTER stays refused — schema evolution is a
+  * commit, not a metadata edit. DML (INSERT/DELETE/UPDATE/MERGE/
+  * TRUNCATE, on [[GraftLog.LogTable]]) and maintenance (the `system`
+  * procedures) are first-class.
   */
 class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
 
@@ -294,39 +299,127 @@ class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
           Changelog.restoreOps(s, o.path, o.keys, in.getLong(1), v)
           v
         })
+      // zero-copy branch of the log at `as_of_version` into a FRESH
+      // path (hard links where the filesystem allows) — non-mutating
+      // on the origin, so no mutex; the clone is its own log (register
+      // it to address it by name)
+      case "clone" => new MaintenanceProcedure("clone",
+        Seq(inParam("table", DataTypes.StringType),
+          inParam("as_of_version", DataTypes.LongType),
+          inParam("dest_path", DataTypes.StringType)),
+        (s, o, in) => {
+          val v = in.getLong(1)
+          Changelog.cloneAt(s, o.path, in.getUTF8String(2).toString, v)
+          v
+        })
+      // record min/max commit stats for `columns` (comma-separated) on
+      // commit `version` — what re-arms the stats-skipping lookups
+      // after a checkpoint fold dropped the marker (the fold rewrote
+      // the directory, so the old ranges no longer bound it)
+      case "analyze" => new MaintenanceProcedure("analyze",
+        Seq(inParam("table", DataTypes.StringType),
+          inParam("version", DataTypes.LongType),
+          inParam("columns", DataTypes.StringType)),
+        (s, o, in) => {
+          val v = in.getLong(1)
+          Changelog.writeCommitStatsMulti(s, o.path, v,
+            in.getUTF8String(2).toString.split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq)
+          v
+        })
       case other => throw new IllegalArgumentException(
         s"unknown procedure $catName.system.$other — available: " +
-          "checkpoint, optimize, optimize_string, restore")
+          "checkpoint, optimize, optimize_string, restore, clone, analyze")
     }
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("checkpoint", "optimize", "optimize_string", "restore")
+      Array("checkpoint", "optimize", "optimize_string", "restore",
+          "clone", "analyze")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
-  private def readOnly(verb: String): Nothing =
-    throw new UnsupportedOperationException(
-      s"GraftLogCatalog is read-only: $verb is not supported — tables " +
-        "are created and mutated by COMMITTING to the log " +
-        "(Changelog.commit*/LogSink), never by catalog DDL")
+  // ---- SQL DDL: the table LIFECYCLE ---------------------------------
+  //
+  // `CREATE TABLE cat.t (k BIGINT, v DOUBLE) LOCATION '<dir>'
+  //  TBLPROPERTIES ('keys'='k')` initializes a FRESH log at the
+  // location (one empty genesis commit carrying the declared schema,
+  // verb `create` in DESCRIBE HISTORY) and registers the name — after
+  // which every surface (SELECT/AS OF/DML/CALL/readStream/writeStream)
+  // resolves it. CTAS composes for free: Spark creates the table then
+  // drives the ordinary batch append (one genesis + one upsert
+  // commit). DROP TABLE unregisters the NAME and keeps the log —
+  // external-table semantics: the log's history is durable data;
+  // erasure is the checkpoint's vacuum, never a catalog verb (PURGE
+  // refuses via the inherited purgeTable default). RENAME re-points
+  // the name. ALTER stays refused — schema evolution is a COMMIT
+  // (land an evolved commit, read with mergeSchema), not a metadata
+  // edit: a catalog that rewrote the schema out from under the pinned
+  // footers would lie to every versioned read below it.
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    readOnly("CREATE TABLE")
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "changelog tables partition by _commit internally — " +
+        "PARTITIONED BY is not supported")
+    require(opt(ident, "path").isEmpty,
+      s"table $catName.$ident is already registered — DROP it first " +
+        "or pick another name")
+    val loc = Option(properties.get(TableCatalog.PROP_LOCATION)).getOrElse(
+      throw new IllegalArgumentException(
+        s"CREATE TABLE $catName.$ident needs LOCATION '<log dir>' — " +
+          "the log lives at an explicit path"))
+    val keys = Option(properties.get("keys")).map(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    require(keys.nonEmpty,
+      s"CREATE TABLE $catName.$ident needs TBLPROPERTIES " +
+        "('keys'='<key cols>') — the log's row identity")
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"key column $k is not in the declared schema " +
+        s"[${schema.fieldNames.mkString(", ")}]"))
+    val ops = !Option(properties.get("ops")).exists(_.equalsIgnoreCase("false"))
+    val spark = SparkSession.active
+    Changelog.createLog(spark, loc, schema, ops)
+    GraftLogCatalog.register(spark, catName,
+      (ident.namespace() :+ ident.name()).mkString("."), loc, keys)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    if (opt(ident, "path").isEmpty) false
+    else {
+      // unregister the NAME; the log stays (external-table semantics)
+      val conf = SparkSession.active.conf
+      Seq("path", "keys", "mergeSchema", "readChangeFeed", "trackCols",
+        "startVersion", "keyFilter")
+        .foreach(leaf => conf.unset(confKey(ident, leaf)))
+      true
+    }
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit = {
+    require(opt(oldIdent, "path").isDefined,
+      s"no registered table $catName.$oldIdent to rename")
+    require(opt(newIdent, "path").isEmpty,
+      s"table $catName.$newIdent already exists")
+    val conf = SparkSession.active.conf
+    Seq("path", "keys", "mergeSchema", "readChangeFeed", "trackCols",
+      "startVersion", "keyFilter").foreach { leaf =>
+      opt(oldIdent, leaf).foreach { v =>
+        conf.set(confKey(newIdent, leaf), v)
+        conf.unset(confKey(oldIdent, leaf))
+      }
+    }
+  }
 
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table =
-    readOnly("ALTER TABLE")
-
-  override def dropTable(ident: Identifier): Boolean =
-    readOnly("DROP TABLE")
-
-  override def renameTable(oldIdent: Identifier,
-                           newIdent: Identifier): Unit =
-    readOnly("RENAME TABLE")
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported — schema evolution is a COMMIT " +
+        "(land an evolved commit, read with mergeSchema), not a " +
+        "metadata edit; registration knobs are session conf keys")
 }
 
 object GraftLogCatalog {

@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, MapType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import graft.sources.{Changelog, LogFs}
@@ -564,6 +564,7 @@ object CdcSource {
         case LongType      => g.getLong(idx, 0)
         case IntegerType   => g.getInteger(idx, 0)
         case DoubleType    => g.getDouble(idx, 0)
+        case FloatType     => g.getFloat(idx, 0)
         case BooleanType   => g.getBoolean(idx, 0)
         case StringType    => UTF8String.fromString(g.getString(idx, 0))
         case TimestampType => g.getLong(idx, 0) // spooled epoch micros
@@ -590,9 +591,11 @@ object CdcSource {
                   g.getBinary(idx, 0).getBytes)), d.scale),
                 d.precision, d.scale)
           }
-        case ArrayType(FloatType, _) =>
+        case ArrayType(et, _) =>
           // the standard 3-level LIST group:
-          // <name> (LIST) { repeated group list { optional element } }
+          // <name> (LIST) { repeated group list { optional element } } —
+          // elements recurse through this dispatch, so nested
+          // structs/arrays/maps decode like top-level columns
           val listGroup = g.getGroup(idx, 0)
           val n = listGroup.getFieldRepetitionCount(0)
           val out = new Array[Any](n)
@@ -601,10 +604,32 @@ object CdcSource {
             val elt = listGroup.getGroup(0, j)
             out(j) =
               if (elt.getFieldRepetitionCount(0) == 0) null
-              else elt.getFloat(0, 0)
+              else readField(elt, 0, et)
             j += 1
           }
           new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+        case MapType(kt, vt, _) =>
+          // the standard MAP group: <name> (MAP) { repeated group
+          // key_value { required key; optional value } } — keys are
+          // non-null by the parquet map contract
+          val mapGroup = g.getGroup(idx, 0)
+          val n = mapGroup.getFieldRepetitionCount(0)
+          val ks = new Array[Any](n)
+          val vs = new Array[Any](n)
+          var j = 0
+          while (j < n) {
+            val kv = mapGroup.getGroup(0, j)
+            val kIdx = kv.getType.getFieldIndex("key")
+            val vIdx = kv.getType.getFieldIndex("value")
+            ks(j) = readField(kv, kIdx, kt)
+            vs(j) =
+              if (kv.getFieldRepetitionCount(vIdx) == 0) null
+              else readField(kv, vIdx, vt)
+            j += 1
+          }
+          new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(ks),
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(vs))
         case s: StructType =>
           readGroup(g.getGroup(idx, 0), s)
         case other => throw new IllegalStateException(

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapabi
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, MapType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.sources.{Changelog, LogFs}
 
@@ -43,14 +43,15 @@ import graft.sources.{Changelog, LogFs}
   *
   * The input schema must match the target log's shape (the
   * plain-vs-ops write guard runs at planning time, BEFORE any epoch
-  * starts) and is bounded to long/int/double/string/boolean/timestamp/
-  * date/binary/decimal(precision ≤ 18)/array&lt;float&gt; columns — the
-  * staged files are written by the sink itself, not Spark's parquet
-  * writer, so the type surface is explicit (see [[LogSink.supportedType]];
-  * timestamps stage as UTC-micros INT64 and dates as epoch-days INT32,
-  * Spark's own internal representations, and read back exactly; the
-  * widening lets the documents/embeddings shapes — binary media,
-  * float embeddings — ride the streaming table format). Writer identity
+  * starts) and is bounded to long/int/double/float/string/boolean/
+  * timestamp/date/binary/decimal (any precision)/struct/array/map
+  * columns — the staged files are written by the sink itself, not
+  * Spark's parquet writer, so the type surface is explicit (see
+  * [[LogSink.supportedType]]; timestamps stage as UTC-micros INT64 and
+  * dates as epoch-days INT32, Spark's own internal representations,
+  * and read back exactly; the widening lets the documents/embeddings
+  * shapes — binary media, float embeddings, token lists, feature
+  * maps — ride the streaming table format). Writer identity
   * comes from option `writer` (default [[Changelog.SoloWriter]]) —
   * give concurrent producers distinct ids, the claim arbitration does
   * the rest.
@@ -79,18 +80,22 @@ class LogSink extends TableProvider {
 
 object LogSink {
 
-  /** The staged-parquet type surface (widened round 15, again round
-    * 16): the original six scalar types plus DATE (annotated INT32 —
-    * Spark's internal date IS epoch days), DECIMAL at ANY precision
-    * (annotated INT64 of the unscaled value for p ≤ 18 — the physical
-    * layout Spark itself writes there — and FIXED_LEN_BYTE_ARRAY of
-    * the two's-complement unscaled value for wider, the DECIMAL(38)
-    * money shape), BINARY (the documents media shape, q42),
-    * ARRAY<FLOAT> (the embeddings shape) as the standard 3-level LIST
-    * group, and STRUCT with recursively-supported fields (the q121
-    * CDC payload shape). Everything stages byte-faithfully: what the
-    * snapshot read returns is value-identical to what the stream
-    * wrote (q216/q229 oracles + StreamTypesSpec byte pins).
+  /** The staged-parquet type surface (widened rounds 15–16): the
+    * original six scalar types plus DATE (annotated INT32 — Spark's
+    * internal date IS epoch days), DECIMAL at ANY precision (annotated
+    * INT64 of the unscaled value for p ≤ 18 — the physical layout
+    * Spark itself writes there — and FIXED_LEN_BYTE_ARRAY of the
+    * two's-complement unscaled value for wider, the DECIMAL(38) money
+    * shape), BINARY (the documents media shape, q42), ARRAY of ANY
+    * supported element (the standard 3-level LIST group — floats for
+    * the embeddings shape, strings for token lists, longs for id
+    * lists, nested structs/arrays/maps for document trees), MAP with
+    * supported key and value types (the standard key_value group —
+    * the tags/features shape), and STRUCT with recursively-supported
+    * fields (the q121 CDC payload shape). Everything stages
+    * byte-faithfully: what the snapshot read returns is
+    * value-identical to what the stream wrote (q216/q229/q233 oracles
+    * + StreamTypesSpec byte pins).
     *
     * TIMESTAMP is top-level only: the CDC/row-level spool readers
     * decode Spark-written parquet directly and rely on the spool
@@ -103,11 +108,20 @@ object LogSink {
   private[graft] def supportedType(
       dt: org.apache.spark.sql.types.DataType,
       topLevel: Boolean = true): Boolean = dt match {
-    case LongType | IntegerType | DoubleType | StringType | BooleanType |
-         DateType | BinaryType => true
+    case LongType | IntegerType | DoubleType | FloatType | StringType |
+         BooleanType | DateType | BinaryType => true
     case TimestampType => topLevel
     case _: DecimalType => true
-    case ArrayType(FloatType, _) => true
+    case ArrayType(et, _) => supportedType(et, topLevel = false)
+    // map KEYS are atomic scalars (parquet requires them non-null;
+    // a group-typed key has no stable required-repetition encoding
+    // across writers) — values recurse freely
+    case MapType(kt, vt, _) =>
+      (kt match {
+        case LongType | IntegerType | DoubleType | FloatType | StringType |
+             BooleanType | DateType | BinaryType | _: DecimalType => true
+        case _ => false
+      }) && supportedType(vt, topLevel = false)
     case s: StructType =>
       s.fields.forall(f => supportedType(f.dataType, topLevel = false))
     case _ => false
@@ -149,9 +163,9 @@ object LogSink {
       s.fields.foreach { f =>
         require(LogSink.supportedType(f.dataType),
           s"LogSink input column ${f.name} has type ${f.dataType} — " +
-            "the staged parquet writer covers long/int/double/string/" +
-            "boolean/timestamp/date/binary/decimal/array<float>/" +
-            "struct only (timestamps top-level only)")
+            "the staged parquet writer covers long/int/double/float/" +
+            "string/boolean/timestamp/date/binary/decimal/array/" +
+            "map (atomic keys)/struct only (timestamps top-level only)")
       }
       // the plain-vs-ops shape guard, BEFORE any epoch runs: a plain
       // stream into an ops log would land rows that compact as DEAD
@@ -183,9 +197,16 @@ object LogSink {
   private case class StagedFile(file: String) extends WriterCommitMessage
   private case object NoRows extends WriterCommitMessage
 
-  private class LogStreamingWrite(path: String, writer: String,
-                                  schema: StructType, queryId: String,
-                                  multiWriter: Boolean)
+  /** The epoch→commit streaming write. `constantOp` is the
+    * table-identity path (`writeStream.toTable("glog.t")` on an ops
+    * log): the input is TABLE-shaped (no op column — the table schema
+    * has none to carry), and every row lands as an upsert, exactly
+    * like the batch INSERT INTO.
+    */
+  private[graft] class LogStreamingWrite(path: String, writer: String,
+                                         schema: StructType, queryId: String,
+                                         multiWriter: Boolean,
+                                         constantOp: Option[String] = None)
       extends StreamingWrite {
 
     // staging is namespaced by QUERY, not just epoch: two concurrent
@@ -279,7 +300,7 @@ object LogSink {
 
     override def createStreamingWriterFactory(
         info: PhysicalWriteInfo): StreamingDataWriterFactory =
-      new LogWriterFactory(path, schema, queryId)
+      new LogWriterFactory(path, schema, queryId, constantOp)
 
     override def commit(epochId: Long,
                         messages: Array[WriterCommitMessage]): Unit = {
@@ -319,11 +340,13 @@ object LogSink {
   }
 
   private class LogWriterFactory(path: String, schema: StructType,
-                                 queryId: String)
+                                 queryId: String,
+                                 constantOp: Option[String])
       extends StreamingDataWriterFactory {
     override def createWriter(partitionId: Int, taskId: Long,
                               epochId: Long): DataWriter[InternalRow] =
-      new StagingWriter(path, schema, queryId, partitionId, taskId, epochId)
+      new StagingWriter(path, schema, queryId, partitionId, taskId, epochId,
+        constantOp)
   }
 
   /** The batch-write half of the staging discipline (GraftLog's
@@ -373,44 +396,66 @@ object LogSink {
     import org.apache.parquet.schema.LogicalTypeAnnotation.stringType
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 
-    /** One parquet field per Spark type — recursive for STRUCT. */
+    /** One parquet field per Spark type — recursive for STRUCT, LIST,
+      * and MAP. `required = true` only for map KEYS (parquet's map
+      * contract; Spark map keys are never null).
+      */
     private def parquetField(
         name: String,
-        dt: org.apache.spark.sql.types.DataType)
-        : org.apache.parquet.schema.Type = dt match {
-      case LongType    => Types.optional(INT64).named(name)
-      case IntegerType => Types.optional(INT32).named(name)
-      case DoubleType  => Types.optional(DOUBLE).named(name)
-      case BooleanType => Types.optional(BOOLEAN).named(name)
-      case StringType  => Types.optional(BINARY).as(stringType())
-        .named(name)
-      // Spark's internal timestamp IS epoch micros (UTC-adjusted):
-      // the annotated INT64 reads back as TimestampType exactly
-      case TimestampType => Types.optional(INT64).as(
-        LogicalTypeAnnotation.timestampType(true,
-          LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
-      // Spark's internal date IS epoch days: annotated INT32
-      case DateType => Types.optional(INT32)
-        .as(LogicalTypeAnnotation.dateType()).named(name)
-      // unscaled long + decimal annotation for p <= 18 (the layout
-      // Spark's own writer uses there); two's-complement fixed bytes
-      // for wider — the DECIMAL(38) shape
-      case d: DecimalType if d.precision <= 18 => Types.optional(INT64)
-        .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
-        .named(name)
-      case d: DecimalType => Types.optional(FIXED_LEN_BYTE_ARRAY)
-        .length(minBytesForPrecision(d.precision))
-        .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
-        .named(name)
-      case BinaryType => Types.optional(BINARY).named(name)
-      // standard 3-level LIST group (what Spark writes and reads)
-      case ArrayType(FloatType, _) =>
-        Types.optionalList().optionalElement(FLOAT).named(name)
-      case s: org.apache.spark.sql.types.StructType =>
-        s.fields.foldLeft(Types.optionalGroup())((g, f) =>
-          g.addField(parquetField(f.name, f.dataType))).named(name)
-      case other => throw new IllegalStateException(
-        s"unreachable: type $other passed the planning bound")
+        dt: org.apache.spark.sql.types.DataType,
+        required: Boolean = false)
+        : org.apache.parquet.schema.Type = {
+      def prim(t: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName) =
+        if (required) Types.required(t) else Types.optional(t)
+      dt match {
+        case LongType    => prim(INT64).named(name)
+        case IntegerType => prim(INT32).named(name)
+        case DoubleType  => prim(DOUBLE).named(name)
+        case FloatType   => prim(FLOAT).named(name)
+        case BooleanType => prim(BOOLEAN).named(name)
+        case StringType  => prim(BINARY).as(stringType()).named(name)
+        // Spark's internal timestamp IS epoch micros (UTC-adjusted):
+        // the annotated INT64 reads back as TimestampType exactly
+        case TimestampType => prim(INT64).as(
+          LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+        // Spark's internal date IS epoch days: annotated INT32
+        case DateType => prim(INT32)
+          .as(LogicalTypeAnnotation.dateType()).named(name)
+        // unscaled long + decimal annotation for p <= 18 (the layout
+        // Spark's own writer uses there); two's-complement fixed bytes
+        // for wider — the DECIMAL(38) shape
+        case d: DecimalType if d.precision <= 18 => prim(INT64)
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+          .named(name)
+        case d: DecimalType => prim(FIXED_LEN_BYTE_ARRAY)
+          .length(minBytesForPrecision(d.precision))
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+          .named(name)
+        case BinaryType => prim(BINARY).named(name)
+        // standard 3-level LIST group (what Spark writes and reads):
+        // <name> (LIST) { repeated group list { optional <element> } }
+        case ArrayType(et, _) =>
+          Types.optionalGroup().as(LogicalTypeAnnotation.listType())
+            .addField(Types.repeatedGroup()
+              .addField(parquetField("element", et))
+              .named("list"))
+            .named(name)
+        // standard MAP group: <name> (MAP) { repeated group key_value
+        // { required key; optional value } } — Spark's own layout
+        case MapType(kt, vt, _) =>
+          Types.optionalGroup().as(LogicalTypeAnnotation.mapType())
+            .addField(Types.repeatedGroup()
+              .addField(parquetField("key", kt, required = true))
+              .addField(parquetField("value", vt))
+              .named("key_value"))
+            .named(name)
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.foldLeft(Types.optionalGroup())((g, f) =>
+            g.addField(parquetField(f.name, f.dataType))).named(name)
+        case other => throw new IllegalStateException(
+          s"unreachable: type $other passed the planning bound")
+      }
     }
 
     private val messageType: MessageType = {
@@ -453,6 +498,7 @@ object LogSink {
       case LongType      => g.append(name, src.getLong(i))
       case IntegerType   => g.append(name, src.getInt(i))
       case DoubleType    => g.append(name, src.getDouble(i))
+      case FloatType     => g.append(name, src.getFloat(i))
       case BooleanType   => g.append(name, src.getBoolean(i))
       case StringType    => g.append(name, src.getUTF8String(i).toString)
       case TimestampType => g.append(name, src.getLong(i))
@@ -477,14 +523,31 @@ object LogSink {
         g.append(name,
           org.apache.parquet.io.api.Binary.fromReusedByteArray(
             src.getBinary(i)))
-      case ArrayType(FloatType, _) =>
-        // standard 3-level list: <name> { repeated list { element } }
+      case ArrayType(et, _) =>
+        // standard 3-level list: <name> { repeated list { element } } —
+        // elements recurse through this dispatch (ArrayData IS a
+        // SpecializedGetters), so nested structs/arrays/maps stage
+        // with the same per-type encodings as top-level columns
         val arr = src.getArray(i)
         val listGroup = g.addGroup(name)
         var j = 0
         while (j < arr.numElements()) {
           val elt = listGroup.addGroup("list")
-          if (!arr.isNullAt(j)) elt.append("element", arr.getFloat(j))
+          if (!arr.isNullAt(j)) appendField(elt, "element", et, arr, j)
+          j += 1
+        }
+      case MapType(kt, vt, _) =>
+        // standard map: <name> { repeated key_value { key; value } } —
+        // keys are never null in Spark maps (required in the schema)
+        val m = src.getMap(i)
+        val mapGroup = g.addGroup(name)
+        val keys = m.keyArray()
+        val vals = m.valueArray()
+        var j = 0
+        while (j < m.numElements()) {
+          val kv = mapGroup.addGroup("key_value")
+          appendField(kv, "key", kt, keys, j)
+          if (!vals.isNullAt(j)) appendField(kv, "value", vt, vals, j)
           j += 1
         }
       case s: org.apache.spark.sql.types.StructType =>

@@ -513,6 +513,96 @@ class GraftLogTableSpec extends SparkSpec {
         s"live key $k must be last streamed at its head value") }
   }
 
+  test("writeStream.toTable lands each epoch as ONE upsert commit — " +
+       "the streaming spelling of INSERT INTO, through the table name") {
+    import spark.implicits._
+    val path = opsFixture("tbl_stream_write") // head = 2
+    val landing = freshDir("tbl_stream_write_landing")
+    val ckpt = freshDir("tbl_stream_write_ckpt")
+    GraftLogCatalog.register(spark, "glogspec20", "t", path, Seq("k"))
+    val d0 = Seq((600L, 1.0), (2L, 777.0)).toDF("k", "v")
+    val d1 = Seq((601L, 2.0), (600L, 3.0)).toDF("k", "v")
+    def files() = Option(new java.io.File(landing).listFiles()).fold(
+      Set.empty[java.io.File])(_.filter(_.getName.endsWith(".parquet")).toSet)
+    var mtime = System.currentTimeMillis() - 8000L
+    Seq(d0, d1).foreach { d =>
+      val before = files()
+      d.coalesce(1).write.mode("append").parquet(landing)
+      (files() -- before).foreach(f => require(f.setLastModified(mtime)))
+      mtime += 2000L
+    }
+    val q = spark.readStream.schema(d0.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("glogspec20.t")
+    q.awaitTermination()
+    // a FRESH query appends after the head (the sink's base-marker
+    // discipline through the table name): epochs 0,1 → commits 3,4
+    assert(Changelog.headVersion(path).contains(4L))
+    val infos = Changelog.commitInfos(path)
+    assert(infos(3L)._1 == "stream-epoch" && infos(4L)._1 == "stream-epoch")
+    val snap = Changelog.snapshotAtOps(spark, path, Seq("k"), Long.MaxValue)
+      .as[(Long, Double)].collect().toMap
+    assert(snap(600L) == 3.0, "the later epoch's upsert wins (LWW)")
+    assert(snap(601L) == 2.0 && snap(2L) == 777.0)
+    // per-epoch time travel through the SAME name: commit 3 has the
+    // first delivery only
+    val at3 = spark.sql("SELECT v FROM glogspec20.t VERSION AS OF 3 " +
+      "WHERE k = 600").as[Double].collect().toSeq
+    assert(at3 == Seq(1.0))
+    // _op-carrying input refuses loudly (surfacing through the query's
+    // termination — the guard runs at stream planning time): the
+    // table's schema is the snapshot shape, every streamed row IS an
+    // upsert
+    val bad = spark.readStream.schema(d0.schema).parquet(landing)
+      .withColumn(Changelog.OpCol, org.apache.spark.sql.functions.lit("u"))
+      .writeStream.option("checkpointLocation", freshDir("tsw_bad_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("glogspec20.t")
+    val e = intercept[Exception] { bad.awaitTermination() }
+    assert(e.getMessage != null)
+    assert(Changelog.headVersion(path).contains(4L),
+      "the refused stream must land nothing")
+  }
+
+  test("update-mode streaming aggregation into the table name: changed " +
+       "groups land as upserts (the declarative-MV semantics by name)") {
+    import spark.implicits._
+    val path = freshDir("tbl_mv_log")
+    // seed the log so the table resolves (tables are created by
+    // committing); key space disjoint from the streamed groups
+    Changelog.commitUpsert(Seq((-1L, 0.0)).toDF("k", "v"), path, 0L)
+    val landing = freshDir("tbl_mv_landing")
+    val ckpt = freshDir("tbl_mv_ckpt")
+    GraftLogCatalog.register(spark, "glogspec21", "mv", path, Seq("k"))
+    val d0 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "amt")
+    val d1 = Seq((1L, 5.0), (3L, 7.0)).toDF("k", "amt")
+    def files() = Option(new java.io.File(landing).listFiles()).fold(
+      Set.empty[java.io.File])(_.filter(_.getName.endsWith(".parquet")).toSet)
+    var mtime = System.currentTimeMillis() - 8000L
+    Seq(d0, d1).foreach { d =>
+      val before = files()
+      d.coalesce(1).write.mode("append").parquet(landing)
+      (files() -- before).foreach(f => require(f.setLastModified(mtime)))
+      mtime += 2000L
+    }
+    val q = spark.readStream.schema(d0.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .groupBy($"k").agg(org.apache.spark.sql.functions.sum($"amt").as("v"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("glogspec21.mv")
+    q.awaitTermination()
+    // the MV converges: per-key running totals, LWW-compacted
+    val got = Changelog.snapshotAtOps(spark, path, Seq("k"), Long.MaxValue)
+      .filter($"k" >= 0L).as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 15.0, 2L -> 20.0, 3L -> 7.0))
+  }
+
   test("glog.t.history serves DESCRIBE HISTORY at the SQL prompt, " +
        "current at query time; a real table named 'history' shadows it") {
     import spark.implicits._
@@ -575,6 +665,43 @@ class GraftLogTableSpec extends SparkSpec {
       spark.sql("CALL glogspec10.system.nope('t')").collect()
     }
     assert(msgs(u).exists(_.contains("checkpoint, optimize")))
+  }
+
+  test("CALL clone branches the log (origin commits after the branch " +
+       "point stay invisible); CALL analyze re-arms commit skipping") {
+    import spark.implicits._
+    val path = opsFixture("proc_clone") // head = 2
+    val dest = freshDir("proc_clone_dest")
+    GraftLogCatalog.register(spark, "glogspec22", "t", path, Seq("k"))
+    val r = spark.sql(
+      s"CALL glogspec22.system.clone('t', 1, '$dest')").collect()
+    assert(r.length == 1 && r(0).getString(1) == "clone" &&
+      r(0).getLong(2) == 1L)
+    // a post-clone origin commit must not leak into the branch
+    Changelog.commitUpsert(Seq((999L, 1.0)).toDF("k", "v"), path, 3L)
+    assert(Changelog.headVersion(dest).contains(1L))
+    GraftLogCatalog.register(spark, "glogspec22", "branch", dest, Seq("k"))
+    val branch = spark.sql("SELECT * FROM glogspec22.branch")
+      .as[(Long, Double)].collect().toMap
+    val want = Changelog.snapshotAtOps(spark, path, Seq("k"), 1L)
+      .as[(Long, Double)].collect().toMap
+    assert(branch == want && !branch.contains(999L))
+    // analyze: record stats on the branch's base, then a beyond-max
+    // probe plans NO parquet scan (strict bound tightened by the rule)
+    spark.sql("CALL glogspec22.system.analyze('branch', 0, 'k')").collect()
+    spark.sql("CALL glogspec22.system.analyze('branch', 1, 'k')").collect()
+    val none = spark.sql("SELECT * FROM glogspec22.branch WHERE k > 39")
+    assert(!none.queryExecution.executedPlan.toString
+      .toLowerCase.contains("parquet"),
+      "a probe beyond every recorded max must plan no scan")
+    assert(none.isEmpty)
+    // the unknown-procedure refusal names the full verb set (Spark
+    // wraps the loadProcedure failure in its analysis error)
+    val e = intercept[Exception] {
+      spark.sql("CALL glogspec22.system.nope('t')").collect()
+    }
+    val msg = Option(e.getCause).fold(e.getMessage)(_.getMessage)
+    assert(msg.contains("clone") && msg.contains("analyze"))
   }
 
   test("row-level DML is SERIALIZABLE: a concurrent key-intersecting " +
@@ -745,6 +872,60 @@ class GraftLogTableSpec extends SparkSpec {
       s"EXTENDED output must name the table implementation:\n$full")
   }
 
+  test("SQL CREATE TABLE initializes a fresh log (empty genesis, verb " +
+       "'create'); DROP unregisters and KEEPS the log; RENAME re-points") {
+    import spark.implicits._
+    val loc = freshDir("ddl_create_loc")
+    spark.conf.set("spark.sql.catalog.glogspec23",
+      classOf[graft.sources.GraftLogCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS glogspec23.t")
+    spark.sql("DROP TABLE IF EXISTS glogspec23.t2")
+    spark.sql(s"CREATE TABLE glogspec23.t (k BIGINT, v DOUBLE) " +
+      s"LOCATION '$loc' TBLPROPERTIES ('keys'='k')")
+    // genesis: one empty create commit; the table reads empty; keys
+    // are non-nullable in the declared table schema
+    assert(Changelog.commitInfos(loc)(0L)._1 == "create")
+    assert(spark.sql("SELECT * FROM glogspec23.t").isEmpty)
+    assert(spark.table("glogspec23.t").schema("k").nullable == false)
+    // the whole DML story works on the created table
+    spark.sql("INSERT INTO glogspec23.t VALUES (1, 10.0), (2, 20.0)")
+    spark.sql("UPDATE glogspec23.t SET v = v + 1.0 WHERE k = 2")
+    assert(spark.sql("SELECT v FROM glogspec23.t WHERE k = 2")
+      .as[Double].head() == 21.0)
+    // RENAME re-points the name; the old name is gone
+    spark.sql("ALTER TABLE glogspec23.t RENAME TO t2")
+    assert(spark.sql("SELECT count(*) FROM glogspec23.t2")
+      .as[Long].head() == 2L)
+    intercept[Exception] { spark.sql("SELECT * FROM glogspec23.t").collect() }
+    // DROP unregisters the NAME and keeps the LOG (external semantics)
+    spark.sql("DROP TABLE glogspec23.t2")
+    intercept[Exception] { spark.sql("SELECT * FROM glogspec23.t2").collect() }
+    assert(Changelog.headVersion(loc).contains(2L),
+      "the dropped table's log survives on disk")
+    // re-registration ADOPTS the surviving log
+    GraftLogCatalog.register(spark, "glogspec23", "t3", loc, Seq("k"))
+    assert(spark.sql("SELECT count(*) FROM glogspec23.t3")
+      .as[Long].head() == 2L)
+    // refusals: no LOCATION / no keys / key outside the schema /
+    // existing commits at the location / PARTITIONED BY / ALTER
+    intercept[Exception] { spark.sql(
+      "CREATE TABLE glogspec23.bad1 (k BIGINT) TBLPROPERTIES ('keys'='k')") }
+    intercept[Exception] { spark.sql(
+      s"CREATE TABLE glogspec23.bad2 (k BIGINT) LOCATION '$loc'") }
+    intercept[Exception] { spark.sql(
+      s"CREATE TABLE glogspec23.bad3 (k BIGINT) LOCATION " +
+        s"'${freshDir("ddl_bad3")}' TBLPROPERTIES ('keys'='nope')") }
+    intercept[Exception] { spark.sql(
+      s"CREATE TABLE glogspec23.bad4 (k BIGINT) LOCATION '$loc' " +
+        "TBLPROPERTIES ('keys'='k')") } // loc already holds commits
+    intercept[Exception] { spark.sql(
+      s"CREATE TABLE glogspec23.bad5 (k BIGINT, p BIGINT) LOCATION " +
+        s"'${freshDir("ddl_bad5")}' PARTITIONED BY (p) " +
+        "TBLPROPERTIES ('keys'='k')") }
+    intercept[Exception] { spark.sql(
+      "ALTER TABLE glogspec23.t3 ADD COLUMN z BIGINT") }
+  }
+
   test("loud contracts: options, DDL, writes") {
     val path = opsFixture("loud")
     intercept[IllegalArgumentException] {
@@ -764,11 +945,13 @@ class GraftLogTableSpec extends SparkSpec {
         .option("keyFilter", "k % 2 = 0").load()
     }
     GraftLogCatalog.register(spark, "glogspec2", "t", path, Seq("k"))
+    // ALTER stays refused — schema evolution is a commit, never a
+    // metadata edit (CREATE/DROP/RENAME are first-class, specced above)
     val ddl = intercept[Exception] {
-      spark.sql("DROP TABLE glogspec2.t")
+      spark.sql("ALTER TABLE glogspec2.t ADD COLUMN z BIGINT")
     }
-    assert(ddl.getMessage.contains("read-only") ||
-      ddl.getMessage.toLowerCase.contains("not supported"))
+    assert(ddl.getMessage.toLowerCase.contains("not supported") ||
+      ddl.getMessage.toLowerCase.contains("evolution"))
     // unregistered name: loud table-not-found, not a silent empty
     intercept[Exception] {
       spark.sql("SELECT * FROM glogspec2.absent").collect()

@@ -241,6 +241,131 @@ class StreamTypesSpec extends SparkSpec {
     assert(e.getMessage.contains("top-level"))
   }
 
+  // ---- round-16 widening #2: generic ARRAY, MAP, and FLOAT ----------
+
+  private val genSchema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("toks", ArrayType(StringType)),
+    StructField("ids", ArrayType(LongType)),
+    StructField("feats", MapType(StringType, DoubleType)),
+    StructField("ratio", FloatType),
+    StructField("spans", ArrayType(StructType(Seq(
+      StructField("s", LongType), StructField("e", LongType))))),
+    StructField(op, StringType)))
+
+  private def genDf(rows: Seq[Row]) =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), genSchema)
+
+  // battery: null arrays/maps, EMPTY array/map, null elements, null
+  // map VALUES, an array of structs (one null element, one null field)
+  private val g0 = genDf(Seq(
+    Row(1L, Seq("a", null, "c"), Seq(7L, null), Map("x" -> 1.5, "y" -> null),
+      0.25f, Seq(Row(1L, 2L), null, Row(3L, null)), "u"),
+    Row(2L, Seq.empty[String], Seq.empty[Long], Map.empty[String, Double],
+      null, Seq.empty[Row], "u"),
+    Row(3L, null, null, null, 1.75f, null, "u")))
+
+  private val g1 = genDf(Seq(
+    Row(3L, null, null, null, null, null, "d"),
+    Row(1L, Seq("z"), Seq(-1L, 0L), Map("only" -> -2.5), -0.5f,
+      Seq(Row(9L, 10L)), "u")))
+
+  test("generic ARRAY / MAP / FLOAT ride the streaming sink exactly " +
+       "(nulls, empties, null elements, null map values, struct elements)") {
+    val landing = Sinks.tmpPath("types_gen_landing")
+    val log = Sinks.tmpPath("types_gen_log")
+    val ckpt = Sinks.tmpPath("types_gen_ckpt")
+    Seq(landing, log, ckpt).foreach(Sinks.deleteRecursively)
+    stage(landing, Seq(g0, g1))
+    val q = spark.readStream.schema(genSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing)
+      .writeStream.format(classOf[LogSink].getName)
+      .option("path", log)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // canonical comparable form: WrappedArray → Vector, Map stays Map
+    def canonG(r: Row): Seq[Any] = r.toSeq.map {
+      case s: scala.collection.Seq[_] => s.toVector
+      case m: scala.collection.Map[_, _] => m.toMap
+      case other => other
+    }
+    val got = Changelog.snapshotAtOps(spark, log, Seq("k"), Long.MaxValue)
+      .orderBy("k").collect().toSeq.map(canonG)
+    // the control: the same frames batch-committed (Spark's own writer)
+    val ctl = Sinks.tmpPath("types_gen_ctl")
+    Sinks.deleteRecursively(ctl)
+    Seq(g0, g1).zipWithIndex.foreach { case (d, i) =>
+      Changelog.commit(d, ctl, i.toLong) }
+    val want = Changelog.snapshotAtOps(spark, ctl, Seq("k"), Long.MaxValue)
+      .orderBy("k").collect().toSeq.map(canonG)
+    assert(got == want)
+    val byK = got.map(r => r.head.asInstanceOf[Long] -> r).toMap
+    assert(!byK.contains(3L), "tombstoned key must be gone")
+    assert(byK(1L)(1) == Vector("z"))
+    assert(byK(1L)(2) == Vector(-1L, 0L))
+    assert(byK(1L)(3) == Map("only" -> -2.5))
+    assert(byK(1L)(4) == -0.5f)
+    assert(byK(1L)(5) == Vector(Row(9L, 10L)))
+    assert(byK(2L)(1) == Vector.empty)
+    assert(byK(2L)(3) == Map.empty[String, Double])
+    assert(byK(2L)(4) == null)
+  }
+
+  test("generic ARRAY / MAP / FLOAT ride the CDC feed: the spool " +
+       "decoder reproduces the batch feed value-for-value") {
+    val log = Sinks.tmpPath("types_gen_cdc_log")
+    val out = Sinks.tmpPath("types_gen_cdc_out")
+    val ckpt = Sinks.tmpPath("types_gen_cdc_ckpt")
+    Seq(log, out, ckpt).foreach(Sinks.deleteRecursively)
+    Changelog.commit(g0, log, 0L)
+    Changelog.commit(g1, log, 1L)
+    val tracked = Seq("toks", "ids", "feats", "ratio", "spans")
+    val q = spark.readStream.format(classOf[CdcSource].getName)
+      .option("path", log)
+      .option("keys", "k")
+      .option("trackCols", tracked.mkString(","))
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+          batch.write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def canonFeed(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("k", "change_type").collect().toSeq.map { r =>
+        r.toSeq.map {
+          case s: scala.collection.Seq[_] => s.toVector
+          case m: scala.collection.Map[_, _] => m.toMap
+          case other => other
+        }
+      }
+    val cols = col("k") +: tracked.flatMap(c =>
+      Seq(col(s"new_$c"), col(s"old_$c"))) :+ col("change_type")
+    val streamed = canonFeed(spark.read.parquet(out).select(cols: _*))
+    val batchFeed = canonFeed(
+      Changelog.changesBetweenOps(spark, log, Seq("k"), -1L, 0L, tracked)
+        .unionByName(Changelog.changesBetweenOps(spark, log, Seq("k"),
+          0L, 1L, tracked))
+        .select(cols: _*))
+    assert(streamed.nonEmpty && streamed == batchFeed)
+    // map keys stay atomic, loudly: a struct-keyed map is refused at
+    // the sink's planning bound
+    val badSchema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("bad", MapType(
+        StructType(Seq(StructField("a", LongType))), LongType)),
+      StructField(op, StringType)))
+    assert(!LogSink.supportedType(badSchema("bad").dataType))
+  }
+
   test("CdcSource spools and decodes the widened types: the streamed " +
        "feed equals the batch feed value-for-value") {
     val log = Sinks.tmpPath("types_cdc_log")
