@@ -66,13 +66,87 @@ object GraftSqlFunctions {
         parseMarketCapExpr(children.head)
       }))
 
+  /** `table_changes('<cat>.<table>', startVersion, endVersion)` — the
+    * change-data-feed window as a TABLE-VALUED FUNCTION (Delta's exact
+    * spelling): an AD-HOC window over any registered snapshot table,
+    * without registering a feed table per window. Resolves the table
+    * through the same conf-backed registration the catalog reads use;
+    * tracked columns are every non-key column of the log's schema (the
+    * full-row CDF, Delta's semantics). The builder returns the
+    * engine's OWN feed plan (`Changelog.changesBetweenOps`), analyzed —
+    * the nested-resolution discipline ResolveGraftLog already uses.
+    * Arguments must be literals (a TVF's window is part of the query
+    * text); a FEED registration refuses — it already IS a window, read
+    * it FROM the table name.
+    */
+  private[plans] def tableChangesPlan(args: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(args.length == 3,
+      "table_changes takes (table, startVersion, endVersion), got " +
+        s"${args.length} arguments")
+    def strArg(e: Expression, what: String): String = e match {
+      case Literal(v, org.apache.spark.sql.types.StringType)
+        if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"table_changes: $what must be a string literal, got $other")
+    }
+    def longArg(e: Expression, what: String): Long = e match {
+      case Literal(v, org.apache.spark.sql.types.LongType) => v.asInstanceOf[Long]
+      case Literal(v, org.apache.spark.sql.types.IntegerType) =>
+        v.asInstanceOf[Int].toLong
+      case other => throw new IllegalArgumentException(
+        s"table_changes: $what must be an integer literal, got $other")
+    }
+    val full = strArg(args.head, "the table name")
+    val parts = full.split("\\.")
+    require(parts.length >= 2,
+      s"table_changes: qualify the table as '<catalog>.<name>', got '$full'")
+    val cat = parts.head
+    val name = parts.tail.mkString(".")
+    def opt(leaf: String): Option[String] = Option(
+      org.apache.spark.sql.internal.SQLConf.get.getConfString(
+        s"spark.sql.catalog.$cat.log.$name.$leaf", null))
+    val path = opt("path").getOrElse(
+      throw new IllegalArgumentException(
+        s"table_changes: no registered changelog table '$full' " +
+          s"(spark.sql.catalog.$cat.log.$name.path is unset)"))
+    require(!opt("readChangeFeed").exists(_.toBoolean),
+      s"table_changes: '$full' is a FEED registration — it already IS " +
+        "a window; SELECT FROM the table name (VERSION AS OF pins the " +
+        "end) or point table_changes at the snapshot registration")
+    val keys = opt("keys").map(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    require(keys.nonEmpty, s"table_changes: '$full' has no key columns")
+    val v0 = longArg(args(1), "startVersion")
+    val v1 = longArg(args(2), "endVersion")
+    val spark = SparkSession.active
+    val trackCols = spark.read.parquet(path).schema.fieldNames.toSeq
+      .filterNot(keys.contains)
+      .filterNot(Seq(graft.sources.Changelog.OpCol,
+        graft.sources.Changelog.CommitCol).contains)
+    graft.sources.Changelog.changesBetweenOps(spark, path, keys, v0, v1,
+        trackCols)
+      .queryExecution.analyzed
+  }
+
+  val tableEntries: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    (FunctionIdentifier("table_changes"),
+      new ExpressionInfo("graft.sources.Changelog", "table_changes"),
+      tableChangesPlan _))
+
   /** Register on an existing session (idempotent: re-registration
     * replaces the same entry).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     entries.foreach { case (id, info, builder) =>
       FunctionBridge.register(spark, id, info, builder)
     }
+    tableEntries.foreach { case (id, info, builder) =>
+      FunctionBridge.registerTable(spark, id, info, builder)
+    }
+  }
 }
 
 /** Opt-in `spark.sql.extensions` entry point. Besides the SQL scalar
@@ -87,6 +161,7 @@ object GraftSqlFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftSqlFunctions.entries.foreach(e => ext.injectFunction(e))
+    GraftSqlFunctions.tableEntries.foreach(e => ext.injectTableFunction(e))
     ext.injectPreCBORule(ResolveGraftLog.apply)
   }
 }

@@ -1096,6 +1096,24 @@ object TableFormatQueries {
         infos.get(1L).exists(_._1 == "upsert"),
         s"CTAS = genesis + one appended upsert commit, got $infos")
       s.sql("SELECT * FROM glog.orders_ctas_q238")
+    }),
+
+    // CHANGE FEED AS A TABLE-VALUED FUNCTION — `SELECT … FROM
+    // table_changes('glog.t', 0, 2)` (Delta's exact spelling): an
+    // AD-HOC CDF window over the registered SNAPSHOT table, no feed
+    // registration per window; the TVF builder returns the engine's
+    // own feed plan, resolved through the same conf-backed
+    // registration. The (0, 2] window over the standard ops log is
+    // q214's net-feed law verbatim (tracked columns are the full row —
+    // Delta's CDF semantics — projected here to the law's shape).
+    "q239_table_changes_tvf" -> ((s, d) => {
+      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q239")
+      GraftLogCatalog.register(s, "glog", "orders_ops_q239", path,
+        Seq("o_orderkey"))
+      s.sql("""SELECT o_orderkey, change_type,
+              |  old_o_totalprice, new_o_totalprice
+              |FROM table_changes('glog.orders_ops_q239', 0, 2)"""
+        .stripMargin)
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1562,5 +1580,31 @@ object TableFormatQueries {
     // CTAS: exactly the selected slice
     "q238_sql_ctas" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
-        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin)
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
+
+    // q214's net-feed law verbatim, reached through the TVF: deletes
+    // (tombstoned non-resurrected 10ths, olds carried), updates
+    // (resurrections +1000, the mod-7 branch +500), inserts (the
+    // held-out tail), no-ops suppressed
+    "q239_table_changes_tvf" ->
+      """SELECT o_orderkey, 'delete' AS change_type,
+        |  o_totalprice AS old_o_totalprice,
+        |  CAST(NULL AS DOUBLE) AS new_o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 <> 3 AND o_orderkey % 10 = 0
+        |  AND o_orderkey % 20 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, 'update', o_totalprice,
+        |  o_totalprice + 1000.0
+        |FROM orders WHERE o_orderkey % 20 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'update', o_totalprice,
+        |  o_totalprice + 500.0
+        |FROM orders
+        |WHERE o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |  AND o_orderkey % 7 = 1
+        |UNION ALL
+        |SELECT o_orderkey, 'insert', CAST(NULL AS DOUBLE),
+        |  o_totalprice
+        |FROM orders WHERE o_orderkey % 4 = 3""".stripMargin)
 }

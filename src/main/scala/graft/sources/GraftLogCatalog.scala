@@ -299,6 +299,23 @@ class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
           Changelog.restoreOps(s, o.path, o.keys, in.getLong(1), v)
           v
         })
+      // the fused maintenance pass: checkpoint whose folded base lands
+      // CLUSTERED on `cluster_col` (numFiles arithmetic-range files,
+      // sorted within each) — one CALL does fold + horizon + vacuum +
+      // layout
+      case "checkpoint_clustered" => new MaintenanceProcedure(
+        "checkpoint_clustered",
+        Seq(inParam("table", DataTypes.StringType),
+          inParam("version", DataTypes.LongType),
+          inParam("cluster_col", DataTypes.StringType),
+          inParam("domain", DataTypes.LongType),
+          inParam("num_files", DataTypes.IntegerType)),
+        (s, o, in) => {
+          val v = in.getLong(1)
+          Changelog.checkpointOpsClustered(s, o.path, o.keys, v,
+            in.getUTF8String(2).toString, in.getLong(3), in.getInt(4))
+          v
+        })
       // zero-copy branch of the log at `as_of_version` into a FRESH
       // path (hard links where the filesystem allows) — non-mutating
       // on the origin, so no mutex; the clone is its own log (register
@@ -329,14 +346,15 @@ class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
         })
       case other => throw new IllegalArgumentException(
         s"unknown procedure $catName.system.$other — available: " +
-          "checkpoint, optimize, optimize_string, restore, clone, analyze")
+          "checkpoint, checkpoint_clustered, optimize, optimize_string, " +
+          "restore, clone, analyze")
     }
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("checkpoint", "optimize", "optimize_string", "restore",
-          "clone", "analyze")
+      Array("checkpoint", "checkpoint_clustered", "optimize",
+          "optimize_string", "restore", "clone", "analyze")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 

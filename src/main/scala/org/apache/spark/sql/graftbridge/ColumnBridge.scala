@@ -31,4 +31,16 @@ object FunctionBridge {
                builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(id, info, builder)
+
+  /** TABLE-function leg of the same shim (`tableFunctionRegistry` is
+    * equally `private[sql]`): a TVF builder maps argument expressions
+    * to the LogicalPlan the FROM clause reads.
+    */
+  def registerTable(spark: SparkSession, id: FunctionIdentifier,
+                    info: ExpressionInfo,
+                    builder: Seq[Expression] =>
+                      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry.registerFunction(id, info, builder)
 }

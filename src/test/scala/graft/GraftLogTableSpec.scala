@@ -664,7 +664,8 @@ class GraftLogTableSpec extends SparkSpec {
     val u = intercept[Exception] {
       spark.sql("CALL glogspec10.system.nope('t')").collect()
     }
-    assert(msgs(u).exists(_.contains("checkpoint, optimize")))
+    assert(msgs(u).exists(_.contains("checkpoint, checkpoint_clustered, " +
+      "optimize")))
   }
 
   test("CALL clone branches the log (origin commits after the branch " +
@@ -695,13 +696,21 @@ class GraftLogTableSpec extends SparkSpec {
       .toLowerCase.contains("parquet"),
       "a probe beyond every recorded max must plan no scan")
     assert(none.isEmpty)
+    // checkpoint_clustered: one CALL folds + lays out the base as
+    // numFiles key-range files — content equals the plain snapshot
+    spark.sql("CALL glogspec22.system.checkpoint_clustered(" +
+      "'branch', 1, 'k', 40, 4)").collect()
+    val folded = spark.sql("SELECT * FROM glogspec22.branch")
+      .as[(Long, Double)].collect().toMap
+    assert(folded == want)
     // the unknown-procedure refusal names the full verb set (Spark
     // wraps the loadProcedure failure in its analysis error)
     val e = intercept[Exception] {
       spark.sql("CALL glogspec22.system.nope('t')").collect()
     }
     val msg = Option(e.getCause).fold(e.getMessage)(_.getMessage)
-    assert(msg.contains("clone") && msg.contains("analyze"))
+    assert(msg.contains("clone") && msg.contains("analyze") &&
+      msg.contains("checkpoint_clustered"))
   }
 
   test("row-level DML is SERIALIZABLE: a concurrent key-intersecting " +
@@ -924,6 +933,74 @@ class GraftLogTableSpec extends SparkSpec {
         "TBLPROPERTIES ('keys'='k')") }
     intercept[Exception] { spark.sql(
       "ALTER TABLE glogspec23.t3 ADD COLUMN z BIGINT") }
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE: target rows absent from the " +
+       "source update/delete through the same delta rewrite") {
+    import spark.implicits._
+    val path = opsFixture("merge_nmbs") // head 2: live = expectedHead
+    GraftLogCatalog.register(spark, "glogspec25", "t", path, Seq("k"))
+    // source covers only k < 10; everything else is NOT MATCHED BY
+    // SOURCE and gets tombstoned — the sync-to-source semantics
+    Seq((1L, -1.0), (500L, -2.0)).toDF("k", "v")
+      .createOrReplaceTempView("src_nmbs")
+    spark.sql("""MERGE INTO glogspec25.t t USING src_nmbs s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET v = s.v
+                |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+                |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val after = spark.sql("SELECT * FROM glogspec25.t")
+      .as[(Long, Double)].collect().toMap
+    assert(after == Map(1L -> -1.0, 500L -> -2.0),
+      s"sync-to-source must leave exactly the source rows, got $after")
+    // and the UPDATE flavor: bump the stragglers instead of deleting
+    val path2 = opsFixture("merge_nmbs2")
+    GraftLogCatalog.register(spark, "glogspec25", "t2", path2, Seq("k"))
+    val live2 = expectedHead(path2).as[(Long, Double)].collect().toMap
+    spark.sql("""MERGE INTO glogspec25.t2 t USING src_nmbs s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET v = s.v
+                |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = t.v + 1.0
+                |""".stripMargin)
+    val after2 = spark.sql("SELECT * FROM glogspec25.t2")
+      .as[(Long, Double)].collect().toMap
+    val want2 = live2.map { case (k, v) =>
+      k -> (if (k == 1L) -1.0 else v + 1.0) }
+    assert(after2 == want2)
+  }
+
+  test("table_changes TVF: ad-hoc CDF windows in one SQL expression; " +
+       "feed registrations and unknown names refuse loudly") {
+    import spark.implicits._
+    val path = opsFixture("tvf_changes") // commits 0,1,2
+    GraftLogCatalog.register(spark, "glogspec24", "t", path, Seq("k"))
+    // the (1, 2] window equals the library feed verbatim
+    val got = spark.sql(
+      "SELECT k, change_type, old_v, new_v " +
+        "FROM table_changes('glogspec24.t', 1, 2)")
+      .orderBy("k", "change_type").collect().toSeq
+    val want = Changelog.changesBetweenOps(spark, path, Seq("k"), 1L, 2L,
+        Seq("v"))
+      .select($"k", $"change_type", $"old_v", $"new_v")
+      .orderBy("k", "change_type").collect().toSeq
+    assert(got.nonEmpty && got == want)
+    // a TVF window composes with ordinary SQL (aggregate over it)
+    val n = spark.sql("SELECT count(*) FROM " +
+      "table_changes('glogspec24.t', 0, 2) WHERE change_type = 'insert'")
+      .as[Long].head()
+    assert(n == Changelog.changesBetweenOps(spark, path, Seq("k"), 0L, 2L,
+      Seq("v")).filter($"change_type" === "insert").count())
+    // refusals: unregistered name; a FEED registration (already a
+    // window); non-literal arguments
+    intercept[Exception] { spark.sql(
+      "SELECT * FROM table_changes('glogspec24.absent', 0, 1)").collect() }
+    GraftLogCatalog.registerFeed(spark, "glogspec24", "tfeed", path,
+      Seq("k"), trackCols = Seq("v"))
+    val e = intercept[Exception] { spark.sql(
+      "SELECT * FROM table_changes('glogspec24.tfeed', 0, 1)").collect() }
+    assert(e.getMessage.contains("FEED") ||
+      Option(e.getCause).exists(_.getMessage.contains("FEED")))
+    intercept[Exception] { spark.sql(
+      "SELECT * FROM table_changes('glogspec24.t', 0, (SELECT 1))")
+      .collect() }
   }
 
   test("loud contracts: options, DDL, writes") {
