@@ -170,6 +170,29 @@ object Changelog {
     * instant before the first commit (nothing existed — an empty
     * read would masquerade as an empty table).
     */
+  /** The stream-start coordinate for "serve commits stamped AT or
+    * AFTER `tsMillis`" (Delta's `startingTimestamp` semantics): the
+    * latest commit id stamped strictly BEFORE the instant — the feed
+    * window (that id, …] then begins with the first commit at/after
+    * it — or (min commit − 1) when every commit is at/after. Same
+    * all-stamped guard as [[versionAtTimestamp]]: an unstamped commit
+    * cannot be placed on the clock.
+    */
+  def versionBeforeTimestamp(path: String, tsMillis: Long): Long = {
+    val stamps = commitTimestamps(path)
+    require(stamps.nonEmpty,
+      s"$path has no stamped commits — stampCommit each commit to " +
+        "enable timestamp-addressed streams")
+    val stamped = stamps.map(_._1).toSet
+    val unstamped = commitIds(path).filterNot(stamped).sorted
+    require(unstamped.isEmpty,
+      s"commits [${unstamped.mkString(", ")}] of $path are unstamped — " +
+        "a timestamp start cannot place them on the clock; stamp them " +
+        "or use startingVersion")
+    val before = stamps.filter(_._2 < tsMillis).map(_._1)
+    if (before.nonEmpty) before.max else stamps.map(_._1).min - 1
+  }
+
   def versionAtTimestamp(path: String, tsMillis: Long): Long = {
     val stamps = commitTimestamps(path)
     require(stamps.nonEmpty,

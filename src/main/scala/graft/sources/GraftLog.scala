@@ -306,9 +306,23 @@ object GraftLog {
                   "per-commit diff the CDC source computes is keyed)")
               def num(k: String): Option[Long] =
                 Option(o.get(k)).map(_.toLong)
+              // the stream's START COORDINATE as reader options:
+              // `startingVersion` (exclusive — the window begins
+              // after it) or `startingTimestamp` (epoch millis — the
+              // first served commit is the first one stamped at/after
+              // the instant, Delta's semantics); either overrides a
+              // feed registration's default. Only the FIRST run reads
+              // it — a restart resumes from the checkpointed offset.
+              val fromVersion = num("startingVersion")
+              val fromTs = num("startingTimestamp").map(
+                Changelog.versionBeforeTimestamp(opts.path, _))
+              require(fromVersion.isEmpty || fromTs.isEmpty,
+                "startingVersion and startingTimestamp are mutually " +
+                  "exclusive reader options")
               val base = CdcSource.Opts(opts.path, opts.keys,
                 trackCols = opts.trackCols,
-                startVersion = opts.startingVersion,
+                startVersion = fromVersion.orElse(fromTs)
+                  .orElse(opts.startingVersion),
                 maxCommitsPerTrigger = num("maxCommitsPerTrigger"),
                 columns = None,
                 keyFilter = opts.keyFilter,

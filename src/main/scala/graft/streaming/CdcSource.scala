@@ -133,8 +133,15 @@ object CdcSource {
         v.foreach(r => require(r >= 1, s"$k must be >= 1, got $r"))
         v
       }
+      val fromVersion = Option(o.get("startVersion")).map(_.toLong)
+      // Delta's startingTimestamp semantics: the first served commit
+      // is the first one stamped at/after the instant (epoch millis)
+      val fromTs = Option(o.get("startingTimestamp")).map(ts =>
+        graft.sources.Changelog.versionBeforeTimestamp(path, ts.toLong))
+      require(fromVersion.isEmpty || fromTs.isEmpty,
+        "startVersion and startingTimestamp are mutually exclusive")
       Opts(path, csv("keys"), csv("trackCols"),
-        Option(o.get("startVersion")).map(_.toLong),
+        fromVersion.orElse(fromTs),
         positive("maxCommitsPerTrigger"),
         Option(o.get("columns")).map(_.split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq),

@@ -435,4 +435,70 @@ class CdcSourceSpec extends SparkSpec {
     // commit 2 inserts k1(11.0, c10) and k4(40.0, c20) vs state at 1
     assert(served(rollLog) == Seq((10L, 1L, 11.0), (20L, 1L, 40.0)))
   }
+
+  test("startingTimestamp starts the stream at the first commit " +
+       "stamped at/after the instant (Delta's semantics); refusals " +
+       "for unstamped logs and mixed start options") {
+    val opsLog = Sinks.tmpPath("cdc_ts_ops")
+    val out = Sinks.tmpPath("cdc_ts_out")
+    val ckpt = Sinks.tmpPath("cdc_ts_ckpt")
+    Seq(opsLog, out, ckpt).foreach(Sinks.deleteRecursively)
+    commits.zipWithIndex.foreach { case (c, i) =>
+      Changelog.commitStamped(c, opsLog, i.toLong, 1000L * (i + 1)) }
+    def run(options: Map[String, String], outDir: String,
+            ckptDir: String): Unit = {
+      val r = spark.readStream.format(classOf[CdcSource].getName)
+        .option("path", opsLog).option("keys", "o_orderkey")
+        .option("trackCols", "o_totalprice")
+        .options(options)
+        .load()
+        .writeStream.option("checkpointLocation", ckptDir)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) => b.write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      r.awaitTermination()
+    }
+    // ts 1500: the first served commit is #1 (stamped 2000) — exactly
+    // the windows (0,1] and (1,2]
+    run(Map("startingTimestamp" -> "1500"), out, ckpt)
+    val got = spark.read.parquet(out)
+      .select("o_orderkey", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = (Changelog.changesBetweenOps(spark, opsLog,
+        Seq("o_orderkey"), 0L, 1L, Seq("o_totalprice"))
+      .unionByName(Changelog.changesBetweenOps(spark, opsLog,
+        Seq("o_orderkey"), 1L, 2L, Seq("o_totalprice"))))
+      .select("o_orderkey", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want)
+    // ts exactly on a stamp (2000): commit #1 itself is served
+    val out2 = Sinks.tmpPath("cdc_ts_out2")
+    val ckpt2 = Sinks.tmpPath("cdc_ts_ckpt2")
+    Seq(out2, ckpt2).foreach(Sinks.deleteRecursively)
+    run(Map("startingTimestamp" -> "2000"), out2, ckpt2)
+    assert(spark.read.parquet(out2).select("o_orderkey", "change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet == want)
+    // mixed start options refuse loudly
+    intercept[IllegalArgumentException] {
+      spark.readStream.format(classOf[CdcSource].getName)
+        .option("path", opsLog).option("keys", "o_orderkey")
+        .option("trackCols", "o_totalprice")
+        .option("startVersion", "0").option("startingTimestamp", "1500")
+        .load()
+    }
+    // an unstamped log cannot be clock-addressed
+    val raw = Sinks.tmpPath("cdc_ts_raw")
+    Sinks.deleteRecursively(raw)
+    commits.zipWithIndex.foreach { case (c, i) =>
+      Changelog.commit(c, raw, i.toLong) }
+    intercept[IllegalArgumentException] {
+      spark.readStream.format(classOf[CdcSource].getName)
+        .option("path", raw).option("keys", "o_orderkey")
+        .option("trackCols", "o_totalprice")
+        .option("startingTimestamp", "1500")
+        .load()
+    }
+  }
 }

@@ -798,6 +798,36 @@ class GraftLogTableSpec extends SparkSpec {
         0L, 2L, Seq("v")))
     assert(streamed.drop("batch").collect().toSet ==
       want.collect().toSet)
+    // the stream's START coordinate rides the same way:
+    // startingVersion=1 serves only the (1, 2] window
+    val out2 = freshDir("feed_table_budget_out2")
+    val ckpt2 = freshDir("feed_table_budget_ckpt2")
+    val q2 = spark.readStream
+      .option("startingVersion", 1)
+      .table("glogspec13.tc")
+      .writeStream.option("checkpointLocation", ckpt2)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) => b.write.mode("append").parquet(out2)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(out2).collect().toSet ==
+      Changelog.changesBetweenOps(spark, path, Seq("k"), 1L, 2L,
+        Seq("v")).collect().toSet)
+    // startingVersion and startingTimestamp are mutually exclusive
+    val bad = spark.readStream
+      .option("startingVersion", 1).option("startingTimestamp", 1500)
+      .table("glogspec13.tc")
+      .writeStream.option("checkpointLocation", freshDir("ftb_bad_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) => ()
+      }.start()
+    val e = intercept[Exception] { bad.awaitTermination() }
+    assert(e.getMessage != null)
   }
 
   test("a selective UPDATE spools only the matched rows: translatable " +
@@ -1001,6 +1031,69 @@ class GraftLogTableSpec extends SparkSpec {
     intercept[Exception] { spark.sql(
       "SELECT * FROM table_changes('glogspec24.t', 0, (SELECT 1))")
       .collect() }
+  }
+
+  test("COMPOSITE keys through the table surface: SQL DML, the table " +
+       "stream, and table_changes all group by the full key tuple") {
+    import spark.implicits._
+    val path = freshDir("composite_log")
+    val base = Seq((1L, "x", 10.0), (1L, "y", 20.0), (2L, "x", 30.0))
+      .toDF("a", "b", "v")
+    Changelog.commitUpsert(base, path, 0L)
+    GraftLogCatalog.register(spark, "glogspec26", "t", path,
+      Seq("a", "b"))
+    // DML addresses the full tuple: (1,x) updates, (1,y) untouched
+    spark.sql("UPDATE glogspec26.t SET v = v + 1.0 " +
+      "WHERE a = 1 AND b = 'x'")
+    spark.sql("DELETE FROM glogspec26.t WHERE a = 2")
+    spark.sql("INSERT INTO glogspec26.t VALUES (3, 'z', 40.0)")
+    val state = spark.sql("SELECT * FROM glogspec26.t")
+      .as[(Long, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(state == Map((1L, "x") -> 11.0, (1L, "y") -> 20.0,
+      (3L, "z") -> 40.0))
+    // MERGE keyed on the tuple: update one pair, insert another
+    Seq((1L, "y", -1.0), (4L, "w", 4.0)).toDF("a", "b", "v")
+      .createOrReplaceTempView("src_comp")
+    spark.sql("""MERGE INTO glogspec26.t t USING src_comp s
+                |ON t.a = s.a AND t.b = s.b
+                |WHEN MATCHED THEN UPDATE SET v = s.v
+                |WHEN NOT MATCHED THEN INSERT (a, b, v)
+                |VALUES (s.a, s.b, s.v)""".stripMargin)
+    val state2 = spark.sql("SELECT * FROM glogspec26.t")
+      .as[(Long, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(state2((1L, "y")) == -1.0 && state2((4L, "w")) == 4.0)
+    // table_changes over the full history carries both key columns and
+    // equals the library feed
+    val head = Changelog.headVersion(path).get
+    val tvf = spark.sql("SELECT * FROM table_changes('glogspec26.t', " +
+      s"0, $head)").collect().toSet
+    val lib = Changelog.changesBetweenOps(spark, path, Seq("a", "b"),
+      0L, head, Seq("v")).collect().toSet
+    assert(tvf.nonEmpty && tvf == lib)
+    // the snapshot table's own stream groups by the tuple too: the
+    // last streamed value per pair equals the head state
+    val out = freshDir("composite_stream_out")
+    val ckpt = freshDir("composite_stream_ckpt")
+    val q = spark.readStream.table("glogspec26.t")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) =>
+          b.withColumn("batch", org.apache.spark.sql.functions.lit(id))
+            .write.mode("append").parquet(out)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val lastSeen = spark.read.parquet(out)
+      .as[(Long, String, Double, Long)].collect()
+      .groupBy(r => (r._1, r._2))
+      .map { case (k, rs) => k -> rs.maxBy(_._4)._3 }
+    state2.foreach { case (k, v) =>
+      assert(lastSeen.get(k).contains(v),
+        s"live pair $k must be last streamed at its head value $v") }
   }
 
   test("loud contracts: options, DDL, writes") {
