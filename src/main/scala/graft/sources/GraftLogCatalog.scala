@@ -299,6 +299,20 @@ class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
           Changelog.restoreOps(s, o.path, o.keys, in.getLong(1), v)
           v
         })
+      case "optimize_zorder" => new MaintenanceProcedure("optimize_zorder",
+        Seq(inParam("table", DataTypes.StringType),
+          inParam("version", DataTypes.LongType),
+          inParam("x_col", DataTypes.StringType),
+          inParam("y_col", DataTypes.StringType),
+          inParam("bits", DataTypes.IntegerType),
+          inParam("num_files", DataTypes.IntegerType)),
+        (s, o, in) => {
+          val v = in.getLong(1)
+          Changelog.optimizeOpsZOrder(s, o.path, o.keys, v,
+            in.getUTF8String(2).toString, in.getUTF8String(3).toString,
+            in.getInt(4), in.getInt(5))
+          v
+        })
       // the fused maintenance pass: checkpoint whose folded base lands
       // CLUSTERED on `cluster_col` (numFiles arithmetic-range files,
       // sorted within each) — one CALL does fold + horizon + vacuum +
@@ -347,14 +361,15 @@ class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
       case other => throw new IllegalArgumentException(
         s"unknown procedure $catName.system.$other — available: " +
           "checkpoint, checkpoint_clustered, optimize, optimize_string, " +
-          "restore, clone, analyze")
+          "optimize_zorder, restore, clone, analyze")
     }
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("checkpoint", "checkpoint_clustered", "optimize",
-          "optimize_string", "restore", "clone", "analyze")
+          "optimize_string", "optimize_zorder", "restore", "clone",
+          "analyze")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 

@@ -570,6 +570,10 @@ object CdcSource {
       dt match {
         case LongType      => g.getLong(idx, 0)
         case IntegerType   => g.getInteger(idx, 0)
+        case org.apache.spark.sql.types.ShortType =>
+          g.getInteger(idx, 0).toShort
+        case org.apache.spark.sql.types.ByteType =>
+          g.getInteger(idx, 0).toByte
         case DoubleType    => g.getDouble(idx, 0)
         case FloatType     => g.getFloat(idx, 0)
         case BooleanType   => g.getBoolean(idx, 0)

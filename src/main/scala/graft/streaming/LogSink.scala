@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapabi
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, MapType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, ByteType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, MapType, ShortType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.sources.{Changelog, LogFs}
 
@@ -108,8 +108,9 @@ object LogSink {
   private[graft] def supportedType(
       dt: org.apache.spark.sql.types.DataType,
       topLevel: Boolean = true): Boolean = dt match {
-    case LongType | IntegerType | DoubleType | FloatType | StringType |
-         BooleanType | DateType | BinaryType => true
+    case LongType | IntegerType | ShortType | ByteType | DoubleType |
+         FloatType | StringType | BooleanType | DateType |
+         BinaryType => true
     case TimestampType => topLevel
     case _: DecimalType => true
     case ArrayType(et, _) => supportedType(et, topLevel = false)
@@ -118,8 +119,9 @@ object LogSink {
     // across writers) — values recurse freely
     case MapType(kt, vt, _) =>
       (kt match {
-        case LongType | IntegerType | DoubleType | FloatType | StringType |
-             BooleanType | DateType | BinaryType | _: DecimalType => true
+        case LongType | IntegerType | ShortType | ByteType | DoubleType |
+             FloatType | StringType | BooleanType | DateType |
+             BinaryType | _: DecimalType => true
         case _ => false
       }) && supportedType(vt, topLevel = false)
     case s: StructType =>
@@ -410,6 +412,12 @@ object LogSink {
       dt match {
         case LongType    => prim(INT64).named(name)
         case IntegerType => prim(INT32).named(name)
+        // annotated INT32 — parquet's standard int8/int16 encodings
+        // (what Spark's own writer uses; reads back as byte/short)
+        case ShortType => prim(INT32)
+          .as(LogicalTypeAnnotation.intType(16, true)).named(name)
+        case ByteType => prim(INT32)
+          .as(LogicalTypeAnnotation.intType(8, true)).named(name)
         case DoubleType  => prim(DOUBLE).named(name)
         case FloatType   => prim(FLOAT).named(name)
         case BooleanType => prim(BOOLEAN).named(name)
@@ -497,6 +505,8 @@ object LogSink {
                             i: Int): Unit = dt match {
       case LongType      => g.append(name, src.getLong(i))
       case IntegerType   => g.append(name, src.getInt(i))
+      case ShortType     => g.append(name, src.getShort(i).toInt)
+      case ByteType      => g.append(name, src.getByte(i).toInt)
       case DoubleType    => g.append(name, src.getDouble(i))
       case FloatType     => g.append(name, src.getFloat(i))
       case BooleanType   => g.append(name, src.getBoolean(i))

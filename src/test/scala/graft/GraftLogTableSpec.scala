@@ -713,6 +713,32 @@ class GraftLogTableSpec extends SparkSpec {
       msg.contains("checkpoint_clustered"))
   }
 
+  test("CALL optimize_zorder lands a 2-D z-clustered base as a pure " +
+       "rewrite (content identical, head advanced)") {
+    import spark.implicits._
+    val path = freshDir("proc_zorder")
+    val rows = for { x <- 0L until 16L; y <- 0L until 16L }
+      yield (x, y, x * 100 + y.toDouble)
+    Changelog.commitUpsert(rows.toDF("x", "y", "v"), path, 0L)
+    GraftLogCatalog.register(spark, "glogspec27", "t", path,
+      Seq("x", "y"))
+    val r = spark.sql(
+      "CALL glogspec27.system.optimize_zorder('t', 1, 'x', 'y', 4, 8)")
+      .collect()
+    assert(r.length == 1 && r(0).getString(1) == "optimize_zorder")
+    assert(Changelog.headVersion(path).contains(1L))
+    val got = spark.sql("SELECT * FROM glogspec27.t")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == rows.toSet, "OPTIMIZE is a pure rewrite")
+    // the z-layout serves boxed probes through few files: a box slice
+    // on both key columns still answers exactly
+    val box = spark.sql("SELECT * FROM glogspec27.t " +
+      "WHERE x >= 4 AND x < 8 AND y >= 4 AND y < 8")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(box == rows.filter(r => r._1 >= 4 && r._1 < 8 &&
+      r._2 >= 4 && r._2 < 8).toSet)
+  }
+
   test("row-level DML is SERIALIZABLE: a concurrent key-intersecting " +
        "commit refuses the statement loudly (first-committer-wins); a " +
        "key-disjoint one serializes cleanly") {

@@ -251,6 +251,8 @@ class StreamTypesSpec extends SparkSpec {
     StructField("ratio", FloatType),
     StructField("spans", ArrayType(StructType(Seq(
       StructField("s", LongType), StructField("e", LongType))))),
+    StructField("flag", ByteType),
+    StructField("ord", ShortType),
     StructField(op, StringType)))
 
   private def genDf(rows: Seq[Row]) =
@@ -262,15 +264,16 @@ class StreamTypesSpec extends SparkSpec {
   // map VALUES, an array of structs (one null element, one null field)
   private val g0 = genDf(Seq(
     Row(1L, Seq("a", null, "c"), Seq(7L, null), Map("x" -> 1.5, "y" -> null),
-      0.25f, Seq(Row(1L, 2L), null, Row(3L, null)), "u"),
+      0.25f, Seq(Row(1L, 2L), null, Row(3L, null)),
+      (-128).toByte, Short.MinValue, "u"),
     Row(2L, Seq.empty[String], Seq.empty[Long], Map.empty[String, Double],
-      null, Seq.empty[Row], "u"),
-    Row(3L, null, null, null, 1.75f, null, "u")))
+      null, Seq.empty[Row], null, null, "u"),
+    Row(3L, null, null, null, 1.75f, null, 127.toByte, Short.MaxValue, "u")))
 
   private val g1 = genDf(Seq(
-    Row(3L, null, null, null, null, null, "d"),
+    Row(3L, null, null, null, null, null, null, null, "d"),
     Row(1L, Seq("z"), Seq(-1L, 0L), Map("only" -> -2.5), -0.5f,
-      Seq(Row(9L, 10L)), "u")))
+      Seq(Row(9L, 10L)), 7.toByte, (-9).toShort, "u")))
 
   test("generic ARRAY / MAP / FLOAT ride the streaming sink exactly " +
        "(nulls, empties, null elements, null map values, struct elements)") {
@@ -311,6 +314,8 @@ class StreamTypesSpec extends SparkSpec {
     assert(byK(1L)(3) == Map("only" -> -2.5))
     assert(byK(1L)(4) == -0.5f)
     assert(byK(1L)(5) == Vector(Row(9L, 10L)))
+    assert(byK(1L)(6) == 7.toByte && byK(1L)(7) == (-9).toShort)
+    assert(byK(2L)(6) == null && byK(2L)(7) == null)
     assert(byK(2L)(1) == Vector.empty)
     assert(byK(2L)(3) == Map.empty[String, Double])
     assert(byK(2L)(4) == null)
@@ -324,7 +329,8 @@ class StreamTypesSpec extends SparkSpec {
     Seq(log, out, ckpt).foreach(Sinks.deleteRecursively)
     Changelog.commit(g0, log, 0L)
     Changelog.commit(g1, log, 1L)
-    val tracked = Seq("toks", "ids", "feats", "ratio", "spans")
+    val tracked = Seq("toks", "ids", "feats", "ratio", "spans", "flag",
+      "ord")
     val q = spark.readStream.format(classOf[CdcSource].getName)
       .option("path", log)
       .option("keys", "k")
@@ -364,6 +370,51 @@ class StreamTypesSpec extends SparkSpec {
         StructType(Seq(StructField("a", LongType))), LongType)),
       StructField(op, StringType)))
     assert(!LogSink.supportedType(badSchema("bad").dataType))
+  }
+
+  test("an EVOLVED stream schema lands through the sink; the " +
+       "mergeSchema table read serves the union schema") {
+    val landing = Sinks.tmpPath("types_evo_landing")
+    val log = Sinks.tmpPath("types_evo_log")
+    val ckpt = Sinks.tmpPath("types_evo_ckpt")
+    Seq(landing, log, ckpt).foreach(Sinks.deleteRecursively)
+    // commit 0: the narrow shape (k, v)
+    val narrow = spark.range(0, 10).selectExpr("id AS k",
+      "CAST(id * 1.5 AS DOUBLE) AS v", s"'u' AS `$op`")
+    Changelog.commit(narrow, log, 0L)
+    // the stream then lands a WIDER shape (k, v, w)
+    val wide = spark.range(5, 15).selectExpr("id AS k",
+      "CAST(id * 2.0 AS DOUBLE) AS v", "CAST(id AS STRING) AS w",
+      s"'u' AS `$op`")
+    stage(landing, Seq(wide))
+    val q = spark.readStream.schema(wide.schema)
+      .parquet(landing)
+      .writeStream.format(classOf[LogSink].getName)
+      .option("path", log)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the evolved read serves the union: old rows carry null w
+    val got = Changelog.snapshotAtOpsEvolved(spark, log, Seq("k"),
+        Long.MaxValue)
+      .orderBy("k").collect().toSeq.map(r =>
+        (r.getLong(r.fieldIndex("k")),
+          r.getDouble(r.fieldIndex("v")),
+          Option(r.get(r.fieldIndex("w"))).map(_.toString).orNull))
+    val want = (0L until 5L).map(k => (k, k * 1.5, null)) ++
+      (5L until 15L).map(k => (k, k * 2.0, k.toString))
+    assert(got == want)
+    // the table surface reaches the same union via mergeSchema=true
+    val viaTable = spark.read.format(classOf[graft.sources.GraftLog]
+        .getName)
+      .option("path", log).option("keys", "k")
+      .option("mergeSchema", "true").load()
+      .orderBy("k").collect().toSeq.map(r =>
+        (r.getLong(r.fieldIndex("k")),
+          r.getDouble(r.fieldIndex("v")),
+          Option(r.get(r.fieldIndex("w"))).map(_.toString).orNull))
+    assert(viaTable == want)
   }
 
   test("CdcSource spools and decodes the widened types: the streamed " +
