@@ -1395,21 +1395,80 @@ object Changelog {
     // the horizon ordering (base lands → horizon → vacuum)
   }
 
-  def checkpointOps(spark: SparkSession, path: String, keys: Seq[String],
-                    v: Long): Unit =
-      withMaintenanceMutex(path, s"checkpointOps@$v") {
-    requireAboveHorizon(path, v, "checkpoint version")
-    val staging = s"${path.stripSuffix("/")}__ckpt_staging_v$v"
+  /** Stage the window's full LWW compaction — live rows AND the
+    * window's surviving tombstones — partitioned by `_op` (tombstone
+    * presence is then a directory fact, and the erasure pass reads
+    * the live side pruned). The tombstones are load-bearing for
+    * CONCURRENT readers: between the fold landing at `_commit=v` and
+    * the vacuum of the older commits, a reader lists BOTH — without
+    * the tombstones in the fold, its per-key LWW would pick a deleted
+    * key's latest surviving UPSERT from a pre-vacuum commit and
+    * silently resurrect it (a real interleaving, caught by the
+    * checkpoint-vs-reader race spec). With them, the fold's row at
+    * commit v wins for every key under any listing interleaving:
+    * every completed concurrent read is correct, every stale plan
+    * fails loudly on the swapped files.
+    */
+  private def stageFold(spark: SparkSession, path: String,
+                        keys: Seq[String], v: Long,
+                        staging: String): Unit = {
     LogFs.delete(staging)
     Upsert.latestByKey(
       opsWindow(requireOpsLog(
         spark.read.option("mergeSchema", "true").parquet(path), path),
         path, v),
       keys, opsVersion)
-      .filter(col(OpCol) === "u")
       .drop(CommitCol)
-      .write.mode("overwrite").parquet(staging)
-    landFold(spark, staging, path, v)
+      .write.mode("overwrite").partitionBy(OpCol).parquet(staging)
+  }
+
+  /** The staged fold's LIVE side, `_op` column restored. */
+  private def stagedLive(spark: SparkSession, staging: String): DataFrame =
+    spark.read.option("basePath", staging)
+      .parquet(LogFs.child(staging, s"$OpCol=u"))
+
+  /** Test-only interleave point, invoked right after the checkpoint's
+    * phase-1 fold lands (the fold and the not-yet-vacuumed commits
+    * coexist): a spec reads here to pin deterministically that a
+    * concurrent snapshot over the MIXED listing is correct — the
+    * tombstones carried by the phase-1 fold are what prevent deleted
+    * keys from resurrecting. No-op in production.
+    */
+  private[graft] val testAfterFold =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](() => ())
+
+  /** Land `df` (possibly empty) as the fold at `_commit=v` — the
+    * zero-row case writes the schema-bearing empty directory directly
+    * (a zero-row dynamic overwrite is a silent no-op that would leave
+    * the pre-fold directory to survive the vacuum).
+    */
+  private def landFoldFrame(df: DataFrame, path: String, v: Long): Unit =
+    if (df.isEmpty) {
+      val dir = LogFs.child(path, s"$CommitCol=$v")
+      LogFs.delete(dir)
+      df.write.mode("overwrite").parquet(dir)
+    } else overwriteCommit(df, path, v, Nil)
+
+  def checkpointOps(spark: SparkSession, path: String, keys: Seq[String],
+                    v: Long): Unit =
+      withMaintenanceMutex(path, s"checkpointOps@$v") {
+    requireAboveHorizon(path, v, "checkpoint version")
+    val staging = s"${path.stripSuffix("/")}__ckpt_staging_v$v"
+    stageFold(spark, path, keys, v, staging)
+    val hasLive = LogFs.exists(LogFs.child(staging, s"$OpCol=u"))
+    val hasDead = LogFs.exists(LogFs.child(staging, s"$OpCol=d"))
+    // phase 1: land live ∪ tombstones (concurrent readers stay
+    // correct while the fold and the pre-vacuum commits coexist). A
+    // ZERO-ROW window (every commit in it empty) leaves no staging
+    // partition dirs to read — land the schema-bearing empty base
+    // from the log's own schema.
+    if (!hasLive && !hasDead)
+      landFoldFrame(
+        requireOpsLog(spark.read.option("mergeSchema", "true")
+          .parquet(path), path).drop(CommitCol).limit(0),
+        path, v)
+    else landFold(spark, staging, path, v)
+    testAfterFold.get()()
     // the fold REWROTE _commit=v: its pre-fold info marker no longer
     // describes the directory — re-record as the checkpoint's own verb
     writeCommitInfo(path, v, "checkpoint", SoloWriter)
@@ -1418,6 +1477,22 @@ object Changelog {
     // (re-run to finish) — never erased history with a silent read path
     writeHorizon(path, v)
     vacuumBelow(path, v)
+    // phase 2 (erasure): with the history vacuumed the tombstones are
+    // inert — rewrite the base LIVE-ONLY so no surviving file holds
+    // even a deleted key (the physical-erasure contract). Skipped when
+    // the window had no deletes (a directory fact — zero extra cost on
+    // the delete-free checkpoint). A crash between the vacuum and here
+    // leaves a value-clean base whose tombstones the next checkpoint's
+    // own phase 2 erases; readers stay correct throughout (a tombstone
+    // in the base deletes exactly like a tombstone in a delta).
+    if (hasDead) {
+      landFoldFrame(
+        if (hasLive) stagedLive(spark, staging)
+        else spark.read.option("basePath", staging)
+          .parquet(LogFs.child(staging, s"$OpCol=d")).limit(0),
+        path, v)
+      writeCommitInfo(path, v, "checkpoint", SoloWriter)
+    }
     LogFs.delete(staging)
   }
 
@@ -1446,32 +1521,42 @@ object Changelog {
       withMaintenanceMutex(path, s"checkpointOpsClustered@$v") {
     requireAboveHorizon(path, v, "checkpoint version")
     val staging = s"${path.stripSuffix("/")}__ckpt_staging_v$v"
-    LogFs.delete(staging)
-    Upsert.latestByKey(
-      opsWindow(requireOpsLog(
-        spark.read.option("mergeSchema", "true").parquet(path), path),
-        path, v),
-      keys, opsVersion)
-      .filter(col(OpCol) === "u")
-      .drop(CommitCol)
-      .write.mode("overwrite").parquet(staging)
-    // land clustered: one file per arithmetic key range inside the
+    stageFold(spark, path, keys, v, staging)
+    val hasLive = LogFs.exists(LogFs.child(staging, s"$OpCol=u"))
+    val hasDead = LogFs.exists(LogFs.child(staging, s"$OpCol=d"))
+    // cluster + land: one file per arithmetic key range inside the
     // _commit=v directory; the dynamic overwrite swaps at job commit,
     // and no shuffle sits between the placement and the write (the
-    // partition-column sort the writer inserts is on a constant). The
-    // EMPTY fold takes the landFold branch — a zero-row dynamic
-    // overwrite would leave the pre-fold directory to survive the
-    // vacuum (and there is nothing to cluster).
-    val staged = spark.read.parquet(staging)
-    if (staged.isEmpty) landFold(spark, staging, path, v)
-    else ZOrderLayout.rangeClustered(staged, clusterCol, domain, numFiles)
-      .withColumn(CommitCol, lit(v))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(CommitCol).parquet(path)
+    // partition-column sort the writer inserts is on a constant).
+    def landClustered(df: DataFrame): Unit =
+      ZOrderLayout.rangeClustered(df, clusterCol, domain, numFiles)
+        .withColumn(CommitCol, lit(v))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(CommitCol).parquet(path)
+    // phase 1: with deletes in the window, land the PLAIN live ∪
+    // tombstone fold (what concurrent readers need while the
+    // pre-vacuum commits are still listed — see checkpointOps); the
+    // clustered live-only landing is then the phase-2 erasure rewrite.
+    // Without deletes, cluster directly in one landing.
+    if (!hasLive && !hasDead)
+      landFoldFrame(
+        requireOpsLog(spark.read.option("mergeSchema", "true")
+          .parquet(path), path).drop(CommitCol).limit(0),
+        path, v)
+    else if (!hasDead) landClustered(stagedLive(spark, staging))
+    else landFold(spark, staging, path, v)
     writeCommitInfo(path, v, "checkpoint", SoloWriter)
     writeHorizon(path, v)
     vacuumBelow(path, v)
+    if (hasDead) {
+      if (hasLive) landClustered(stagedLive(spark, staging))
+      else landFoldFrame(
+        spark.read.option("basePath", staging)
+          .parquet(LogFs.child(staging, s"$OpCol=d")).limit(0),
+        path, v)
+      writeCommitInfo(path, v, "checkpoint", SoloWriter)
+    }
     LogFs.delete(staging)
   }
 

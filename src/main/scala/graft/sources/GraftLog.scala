@@ -375,9 +375,22 @@ object GraftLog {
           "log's table, not its feed")
       val multiWriter = Option(info.options().get("multiWriter"))
         .exists(_.toBoolean)
-      val writer = Option(info.options().get("writer"))
+      val explicitWriter = Option(info.options().get("writer"))
+      val writer = explicitWriter
         .getOrElse(if (multiWriter) s"q_${info.queryId()}"
                    else Changelog.SoloWriter)
+      // Delta's txnAppId/txnVersion discipline for BATCH appends:
+      // `.option("writer", app).option("txnVersion", n)` makes the
+      // append IDEMPOTENT — a replayed (writer, txnVersion) re-lands
+      // its recorded commit id byte-equivalently instead of appending
+      // twice (the streaming sink's map-marker mechanism, one marker
+      // per txn; swept below checkpoint horizons like epoch markers,
+      // so replays must not reach back past maintenance horizons).
+      val txnVersion = Option(info.options().get("txnVersion"))
+        .map(_.toLong)
+      require(txnVersion.isEmpty || explicitWriter.isDefined,
+        "txnVersion needs an explicit 'writer' option — the pair " +
+          "(writer, txnVersion) is the transaction's identity")
       // SupportsStreamingUpdateAsAppend: an UPDATE-mode streaming
       // aggregation's changed groups land as ordinary upserts — on a
       // keyed LWW table that is exactly the declarative-MV semantics
@@ -388,7 +401,7 @@ object GraftLog {
         override def build(): Write = new Write {
           override def toBatch: BatchWrite =
             new AppendBatchWrite(opts.path, writer, info.schema(),
-              opsShape, s"insert_${info.queryId()}")
+              opsShape, s"insert_${info.queryId()}", txnVersion)
           // `writeStream.toTable("glog.t")`: every epoch is ONE commit
           // of table-shaped UPSERTS — the streaming spelling of INSERT
           // INTO, with the sink's exactly-once epoch discipline (base
@@ -611,7 +624,9 @@ object GraftLog {
     */
   private class AppendBatchWrite(path: String, writer: String,
                                  schema: StructType, opsShape: Boolean,
-                                 stagingId: String) extends BatchWrite {
+                                 stagingId: String,
+                                 txnVersion: Option[Long] = None)
+      extends BatchWrite {
 
     // planning-time guards, BEFORE any task runs: the write schema must
     // be the staged-file type surface, and its shape must match the log
@@ -639,7 +654,25 @@ object GraftLog {
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val staged = messages.flatMap(graft.streaming.LogSink.stagedFileOf)
       if (staged.nonEmpty) {
-        val id = Changelog.claimNextId(path, writer)
+        // txn-idempotent slot resolution: a replayed (writer,
+        // txnVersion) reads its marker back and RE-LANDS the same
+        // commit id (the claim names this writer and passes; the
+        // delete-then-rename below replaces any earlier attempt)
+        val id = txnVersion match {
+          case Some(tv) =>
+            val marker = LogFs.child(path,
+              s"${Changelog.SinkMapPrefix}txn_${writer}_$tv")
+            if (LogFs.exists(marker)) {
+              val prev = LogFs.readString(marker).trim.toLong
+              Changelog.claimCommit(path, prev, writer)
+              prev
+            } else {
+              val fresh = Changelog.claimNextId(path, writer)
+              LogFs.writeAtomic(marker, fresh.toString)
+              fresh
+            }
+          case None => Changelog.claimNextId(path, writer)
+        }
         val dir = LogFs.child(path, s"${Changelog.CommitCol}=$id")
         LogFs.delete(dir)
         LogFs.mkdirs(dir)

@@ -280,6 +280,38 @@ class GraftLogTableSpec extends SparkSpec {
     }
   }
 
+  test("txn-idempotent batch append: a replayed (writer, txnVersion) " +
+       "re-lands its recorded commit instead of appending twice") {
+    import spark.implicits._
+    val path = opsFixture("txn_append") // head 2
+    GraftLogCatalog.register(spark, "glogspec28", "t", path, Seq("k"))
+    def put(rows: Seq[(Long, Double)], tv: Long): Unit =
+      rows.toDF("k", "v").writeTo("glogspec28.t")
+        .option("writer", "app1").option("txnVersion", tv.toString)
+        .append()
+    put(Seq((700L, 1.0)), 1L)
+    assert(Changelog.headVersion(path).contains(3L))
+    // the same txn replayed — byte-equivalent re-landing, head flat
+    put(Seq((700L, 1.0)), 1L)
+    assert(Changelog.headVersion(path).contains(3L),
+      "a replayed txn must not append a second commit")
+    // the NEXT txn appends normally
+    put(Seq((701L, 2.0)), 2L)
+    assert(Changelog.headVersion(path).contains(4L))
+    // a replay AFTER later commits re-lands its own slot (3), not a
+    // new head — and the snapshot still serves both rows
+    put(Seq((700L, 1.0)), 1L)
+    assert(Changelog.headVersion(path).contains(4L))
+    val snap = Changelog.snapshotAtOps(spark, path, Seq("k"),
+        Long.MaxValue).as[(Long, Double)].collect().toMap
+    assert(snap(700L) == 1.0 && snap(701L) == 2.0)
+    // txnVersion without an explicit writer refuses loudly
+    intercept[Exception] {
+      Seq((702L, 3.0)).toDF("k", "v").writeTo("glogspec28.t")
+        .option("txnVersion", "3").append()
+    }
+  }
+
   test("SQL DELETE FROM tombstones by the CURRENT state — non-key " +
        "predicates included — as one commit; plain logs refuse") {
     import spark.implicits._

@@ -546,6 +546,46 @@ class TopKChangelogSpec extends SparkSpec {
       Changelog.snapshotAtOps(spark, path, Seq("k"), 3L))
   }
 
+  test("the mid-checkpoint listing is DETERMINISTICALLY correct: a " +
+       "snapshot planned while the fold and the pre-vacuum commits " +
+       "coexist must not resurrect deleted keys (the phase-1 fold " +
+       "carries the window's tombstones)") {
+    val path = Sinks.tmpPath("changelog_midckpt")
+    Sinks.deleteRecursively(path)
+    for (c <- 0L to 3L)
+      Changelog.commitUpsert(
+        spark.range(c * 10, c * 10 + 20).select(
+          concat(lit("k"), col("id")).as("k"),
+          concat(lit("v"), col("id"), lit("_c"), lit(c)).as("v")),
+        path, c)
+    Changelog.commitDelete(spark,
+      spark.range(0, 5).select(concat(lit("k"), col("id")).as("k")),
+      path, 4L)
+    val expected = Changelog.snapshotAtOps(spark, path, Seq("k"), 4L)
+      .as[(String, String)].collect().sorted.toSeq
+    // read EXACTLY in the window the old single-phase fold left wrong:
+    // fold landed at _commit=4, commits 0..3 still listed
+    @volatile var midState: Seq[(String, String)] = null
+    Changelog.testAfterFold.set { () =>
+      midState = Changelog.snapshotAtOps(spark, path, Seq("k"), 4L)
+        .as[(String, String)].collect().sorted.toSeq
+    }
+    try Changelog.checkpointOps(spark, path, Seq("k"), 4L)
+    finally Changelog.testAfterFold.set(() => ())
+    assert(midState == expected,
+      s"the mid-checkpoint mixed listing resurrected deleted keys: " +
+        s"${midState.filterNot(expected.contains).take(3)}")
+    // post-checkpoint: the erasure pass ran — no tombstone rows (or
+    // deleted keys) survive in the base, and the snapshot is intact
+    assert(Changelog.snapshotAtOps(spark, path, Seq("k"), 4L)
+      .as[(String, String)].collect().sorted.toSeq == expected)
+    val base = spark.read.parquet(path)
+    assert(base.filter(col(Changelog.OpCol) === "d").isEmpty,
+      "phase 2 must erase the fold's tombstones once history is gone")
+    assert(base.filter(col("k").isin((0 to 4).map(i => s"k$i"): _*))
+      .isEmpty, "deleted keys must not survive the checkpoint")
+  }
+
   test("commitDelete racing commitUpsert under ONE commit id (the q184 " +
        "redelivery interleave): the key resolves DETERMINISTICALLY — " +
        "tombstone wins at equal commit id") {
