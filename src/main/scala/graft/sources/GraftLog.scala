@@ -640,9 +640,9 @@ object GraftLog {
       schema.fields.foreach { f =>
         require(graft.streaming.LogSink.supportedType(f.dataType),
           s"INSERT column ${f.name} has type ${f.dataType} — the " +
-            "staged parquet writer covers long/int/double/string/" +
-            "boolean/timestamp/date/binary/decimal/array<float>/" +
-            "struct only (timestamps top-level only)")
+            "staged parquet writer covers long/int/short/byte/double/" +
+            "float/string/boolean/timestamp/date/binary/decimal/" +
+            "array/map (atomic keys)/struct only")
       }
     }
 

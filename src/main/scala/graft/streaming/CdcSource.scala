@@ -81,15 +81,18 @@ import graft.sources.{Changelog, LogFs}
   * f-fraction slice of a shared log pays O(f · delta) per window,
   * not O(delta)-then-filter).
   *
-  * Feed column types are long/int/double/string/boolean/timestamp/
-  * date/binary/decimal/array&lt;float&gt; — loudly checked at load() —
-  * because the spool readers decode parquet directly (no Spark row
-  * codec on the read side; timestamps spool as epoch-micros INT64 and
-  * dates as epoch-days INT32, Spark's own internal representations;
-  * decimals dispatch on the spool file's physical layout; float arrays
-  * decode the standard 3-level LIST group). The widening means the
-  * documents (binary media) and embeddings (array&lt;float&gt;) shapes
-  * ride the feed (q217).
+  * Feed column types are the staged type surface ([[LogSink
+  * .supportedType]]: the full integral family, double/float, string,
+  * boolean, timestamp at any depth, date, binary, decimal at any
+  * precision, arrays, atomic-keyed maps, structs) — loudly checked at
+  * load() — because the spool readers decode parquet directly (no
+  * Spark row codec on the read side; timestamps spool as epoch-micros
+  * INT64 recursively and dates as epoch-days INT32, Spark's own
+  * internal representations; decimals dispatch on the spool file's
+  * physical layout; collections decode the standard LIST/MAP groups).
+  * The widening means the documents (binary media), embeddings
+  * (array&lt;float&gt;), token-list, and feature-map shapes all ride
+  * the feed (q217, q233).
   */
 class CdcSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -167,9 +170,9 @@ object CdcSource {
     schema.fields.foreach { f =>
       require(LogSink.supportedType(f.dataType),
         s"feed column ${f.name} has type ${f.dataType} — the CDC " +
-          "source's spool readers decode long/int/double/string/" +
-          "boolean/timestamp/date/binary/decimal/array<float>/struct " +
-          "only (timestamps top-level only)")
+          "source's spool readers decode long/int/short/byte/double/" +
+          "float/string/boolean/timestamp/date/binary/decimal/array/" +
+          "map (atomic keys)/struct only")
     }
     // explicit projection: the spool (the window's write amplification)
     // is as narrow as the consumer declares, not as wide as the feed.
@@ -229,20 +232,48 @@ object CdcSource {
   }
 
   /** Rewrite `df` into the spool readers' on-disk representation:
-    * timestamp columns as plain epoch-micros INT64 (Spark's internal
-    * value — the reader hands the long straight back, independent of
-    * whatever physical timestamp encoding Spark's parquet writer would
-    * pick). Shared with the row-level-operation snapshot spool.
+    * TIMESTAMP values — at ANY depth (top-level, struct fields, array
+    * elements, map values; map keys are atomic by the type surface) —
+    * as plain epoch-micros INT64 (Spark's internal value — the reader
+    * hands the long straight back, independent of whatever physical
+    * timestamp encoding Spark's parquet writer would pick). Null-ness
+    * is preserved level by level (a rebuilt struct would otherwise
+    * turn a NULL struct into a struct of nulls). Timestamp-free
+    * columns pass through untouched — zero plan change on the common
+    * schema. Shared with the row-level-operation snapshot spool.
     */
   private[graft] def spoolRepresentation(
-      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{lit, map_from_arrays, map_keys, map_values, struct, transform, unix_micros, when}
+    def hasTs(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case TimestampType => true
+      case ArrayType(et, _) => hasTs(et)
+      case MapType(_, vt, _) => hasTs(vt)
+      case s: StructType => s.fields.exists(f => hasTs(f.dataType))
+      case _ => false
+    }
+    def toSpool(c: Column,
+                dt: org.apache.spark.sql.types.DataType): Column = dt match {
+      case TimestampType => unix_micros(c)
+      case ArrayType(et, _) if hasTs(et) =>
+        transform(c, x => toSpool(x, et))
+      case MapType(_, vt, _) if hasTs(vt) =>
+        map_from_arrays(map_keys(c),
+          transform(map_values(c), x => toSpool(x, vt)))
+      case s: StructType if s.fields.exists(f => hasTs(f.dataType)) =>
+        when(c.isNull, lit(null)).otherwise(
+          struct(s.fields.toIndexedSeq.map(f =>
+            toSpool(c.getField(f.name), f.dataType).as(f.name)): _*))
+      case _ => c
+    }
     df.schema.fields.foldLeft(df) { (d, f) =>
-      if (f.dataType == TimestampType)
+      if (hasTs(f.dataType))
         d.withColumn(f.name,
-          org.apache.spark.sql.functions.unix_micros(
-            org.apache.spark.sql.functions.col(f.name)))
+          toSpool(org.apache.spark.sql.functions.col(f.name), f.dataType))
       else d
     }
+  }
 
   /** The last window's spooled column list — observability for the
     * pruning proof (the ProfileConnector `payloadBuilds` discipline:

@@ -97,23 +97,21 @@ object LogSink {
     * value-identical to what the stream wrote (q216/q229/q233 oracles
     * + StreamTypesSpec byte pins).
     *
-    * TIMESTAMP is top-level only: the CDC/row-level spool readers
-    * decode Spark-written parquet directly and rely on the spool
-    * rewriting timestamps to plain epoch-micros INT64
-    * ([[CdcSource.spoolRepresentation]]), which only reaches top-level
-    * columns — a nested timestamp's physical encoding would depend on
-    * session configuration, and ONE type surface shared by every
-    * staged/spooled path beats three subtly different ones.
+    * TIMESTAMP rides at ANY depth (round-16 closing of the last type
+    * gap): the sink's stager annotates micros-INT64 wherever it
+    * appears, and the CDC/row-level spool rewrites timestamps to
+    * plain epoch-micros INT64 RECURSIVELY
+    * ([[CdcSource.spoolRepresentation]] — struct fields, array
+    * elements, map values), so the spool readers' decode never
+    * depends on session-configured physical encodings.
     */
   private[graft] def supportedType(
-      dt: org.apache.spark.sql.types.DataType,
-      topLevel: Boolean = true): Boolean = dt match {
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType | DoubleType |
          FloatType | StringType | BooleanType | DateType |
-         BinaryType => true
-    case TimestampType => topLevel
+         BinaryType | TimestampType => true
     case _: DecimalType => true
-    case ArrayType(et, _) => supportedType(et, topLevel = false)
+    case ArrayType(et, _) => supportedType(et)
     // map KEYS are atomic scalars (parquet requires them non-null;
     // a group-typed key has no stable required-repetition encoding
     // across writers) — values recurse freely
@@ -121,11 +119,11 @@ object LogSink {
       (kt match {
         case LongType | IntegerType | ShortType | ByteType | DoubleType |
              FloatType | StringType | BooleanType | DateType |
-             BinaryType | _: DecimalType => true
+             BinaryType | TimestampType | _: DecimalType => true
         case _ => false
-      }) && supportedType(vt, topLevel = false)
+      }) && supportedType(vt)
     case s: StructType =>
-      s.fields.forall(f => supportedType(f.dataType, topLevel = false))
+      s.fields.forall(f => supportedType(f.dataType))
     case _ => false
   }
 
@@ -165,9 +163,9 @@ object LogSink {
       s.fields.foreach { f =>
         require(LogSink.supportedType(f.dataType),
           s"LogSink input column ${f.name} has type ${f.dataType} — " +
-            "the staged parquet writer covers long/int/double/float/" +
-            "string/boolean/timestamp/date/binary/decimal/array/" +
-            "map (atomic keys)/struct only (timestamps top-level only)")
+            "the staged parquet writer covers long/int/short/byte/" +
+            "double/float/string/boolean/timestamp/date/binary/" +
+            "decimal/array/map (atomic keys)/struct only")
       }
       // the plain-vs-ops shape guard, BEFORE any epoch runs: a plain
       // stream into an ops log would land rows that compact as DEAD

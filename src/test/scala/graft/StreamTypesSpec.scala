@@ -223,22 +223,57 @@ class StreamTypesSpec extends SparkSpec {
           0L, 1L, Seq("meta", "big")))
         .select(cols: _*).orderBy("k", "change_type").collect().toSeq
     assert(streamed.nonEmpty && streamed == batchFeed)
-    // a NESTED timestamp stays out, loudly, at load(): the spool
-    // cannot bound its physical encoding (spoolRepresentation only
-    // rewrites top-level timestamp columns)
+    // NESTED timestamps ride the feed too (the round-16 recursive
+    // spool representation): struct fields, array elements, and map
+    // values all rewrite to epoch-micros before the spool and decode
+    // back exactly — null structs/elements/values preserved
     val tsLog = Sinks.tmpPath("types_wide_cdc_tslog")
-    Sinks.deleteRecursively(tsLog)
+    val tsOut = Sinks.tmpPath("types_wide_cdc_tsout")
+    val tsCkpt = Sinks.tmpPath("types_wide_cdc_tsckpt")
+    Seq(tsLog, tsOut, tsCkpt).foreach(Sinks.deleteRecursively)
+    def tsRow(k: Long, base: String) = spark.sql(
+      s"SELECT ${k}L AS k, named_struct('at', " +
+        s"CAST('$base' AS TIMESTAMP), 'tag', 'x$k') AS meta, " +
+        s"array(CAST('$base' AS TIMESTAMP), NULL) AS times, " +
+        s"map('t0', CAST('$base' AS TIMESTAMP), 't1', " +
+        s"CAST(NULL AS TIMESTAMP)) AS byname, 'u' AS `$op`")
     Changelog.commit(
-      spark.sql("SELECT 1L AS k, " +
-        "named_struct('at', current_timestamp()) AS meta, 'u' AS " +
-        s"`$op`"),
+      tsRow(1L, "2024-03-01 10:11:12.123456")
+        .unionByName(spark.sql("SELECT 2L AS k, " +
+          "CAST(NULL AS STRUCT<at: TIMESTAMP, tag: STRING>) AS meta, " +
+          "CAST(NULL AS ARRAY<TIMESTAMP>) AS times, " +
+          "CAST(NULL AS MAP<STRING, TIMESTAMP>) AS byname, " +
+          s"'u' AS `$op`")),
       tsLog, 0L)
-    val e = intercept[IllegalArgumentException] {
-      spark.readStream.format(classOf[CdcSource].getName)
-        .option("path", tsLog).option("keys", "k")
-        .option("trackCols", "meta").load()
-    }
-    assert(e.getMessage.contains("top-level"))
+    Changelog.commit(tsRow(1L, "2025-06-07 01:02:03.000009"), tsLog, 1L)
+    val tq = spark.readStream.format(classOf[CdcSource].getName)
+      .option("path", tsLog).option("keys", "k")
+      .option("trackCols", "meta,times,byname").load()
+      .writeStream.option("checkpointLocation", tsCkpt)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+          batch.write.mode("append").parquet(tsOut)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    tq.awaitTermination()
+    val tsCols = Seq(col("k"), col("new_meta"), col("old_meta"),
+      col("new_times"), col("old_times"), col("new_byname"),
+      col("old_byname"), col("change_type"))
+    def canonTs(d: org.apache.spark.sql.DataFrame) =
+      d.select(tsCols: _*).orderBy("k", "change_type")
+        .collect().toSeq.map(_.toSeq.map {
+          case s: scala.collection.Seq[_] => s.toVector
+          case m: scala.collection.Map[_, _] => m.toMap
+          case other => other
+        })
+    val tsStreamed = canonTs(spark.read.parquet(tsOut))
+    val tsBatch = canonTs(
+      Changelog.changesBetweenOps(spark, tsLog, Seq("k"), -1L, 0L,
+          Seq("meta", "times", "byname"))
+        .unionByName(Changelog.changesBetweenOps(spark, tsLog, Seq("k"),
+          0L, 1L, Seq("meta", "times", "byname"))))
+    assert(tsStreamed.nonEmpty && tsStreamed == tsBatch)
   }
 
   // ---- round-16 widening #2: generic ARRAY, MAP, and FLOAT ----------
