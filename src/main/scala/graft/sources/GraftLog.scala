@@ -391,6 +391,13 @@ object GraftLog {
       require(txnVersion.isEmpty || explicitWriter.isDefined,
         "txnVersion needs an explicit 'writer' option — the pair " +
           "(writer, txnVersion) is the transaction's identity")
+      // the txn map marker's NAME embeds the writer id — bound it to
+      // filename-safe characters (the commitInfo discipline: reject at
+      // write time, never corrupt a marker)
+      if (txnVersion.isDefined)
+        require(writer.matches("[A-Za-z0-9._-]+"),
+          s"writer id '$writer' for a txn append must use only " +
+            "[A-Za-z0-9._-] — it names the on-disk txn marker")
       // SupportsStreamingUpdateAsAppend: an UPDATE-mode streaming
       // aggregation's changed groups land as ordinary upserts — on a
       // keyed LWW table that is exactly the declarative-MV semantics
