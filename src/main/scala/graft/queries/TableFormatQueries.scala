@@ -1098,6 +1098,55 @@ object TableFormatQueries {
       s.sql("SELECT * FROM glog.orders_ctas_q238")
     }),
 
+    // THE FULLY BY-NAME DECLARATIVE MATERIALIZED VIEW — the round-16
+    // capstone: q207's MV pipeline with ZERO paths and ZERO format
+    // strings anywhere in the flow. SQL CREATE TABLE makes the MV
+    // table (genesis commit), readStream.table serves the upstream
+    // CDC feed, an UPDATE-mode aggregation's changed groups land
+    // through writeStream.toTable as upserts, and a SQL SELECT reads
+    // the converged view — five surfaces, one table identity each,
+    // q207's oracle verbatim.
+    "q240_mv_by_name" -> ((s, d) => {
+      val upstream = AuditQueries.opsLog(s, d, "orders_ops_log_q240")
+      val viewLog = Sinks.tmpPathFor("orders_mv_byname", d)
+      val ckpt = Sinks.tmpPathFor("orders_mv_byname_ckpt", d)
+      Seq(viewLog, ckpt).foreach(Sinks.deleteRecursively)
+      s.conf.set("spark.sql.catalog.glog",
+        classOf[GraftLogCatalog].getName)
+      s.sql("DROP TABLE IF EXISTS glog.mv_q240")
+      s.sql(s"""CREATE TABLE glog.mv_q240 (
+               |  o_custkey BIGINT, n_orders BIGINT, cents BIGINT)
+               |LOCATION '$viewLog'
+               |TBLPROPERTIES ('keys' = 'o_custkey')""".stripMargin)
+      GraftLogCatalog.registerFeed(s, "glog", "changes_q240", upstream,
+        Seq("o_orderkey"), trackCols = Seq("o_custkey", "o_totalprice"))
+      val feed = s.readStream.table("glog.changes_q240")
+      val contrib = feed.select(explode(array(
+          struct(col("old_o_custkey").as("o_custkey"),
+            lit(-1L).as("sgn"),
+            (-round(col("old_o_totalprice") * 100)).cast("long")
+              .as("cents"),
+            col("change_type").isin("update", "delete").as("live")),
+          struct(col("new_o_custkey").as("o_custkey"),
+            lit(1L).as("sgn"),
+            round(col("new_o_totalprice") * 100).cast("long").as("cents"),
+            col("change_type").isin("update", "insert").as("live"))))
+          .as("c"))
+        .filter(col("c.live"))
+        .select(col("c.o_custkey").as("o_custkey"),
+          col("c.sgn").as("sgn"), col("c.cents").as("cents"))
+      val q = contrib.groupBy("o_custkey")
+        .agg(sum(col("sgn")).as("n_orders"), sum(col("cents")).as("cents"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("glog.mv_q240")
+      q.awaitTermination()
+      s.sql("""SELECT o_custkey, n_orders,
+              |  CAST(cents AS DOUBLE) / 100.0 AS sum_price
+              |FROM glog.mv_q240 WHERE n_orders > 0""".stripMargin)
+    }),
+
     // CHANGE FEED AS A TABLE-VALUED FUNCTION — `SELECT … FROM
     // table_changes('glog.t', 0, 2)` (Delta's exact spelling): an
     // AD-HOC CDF window over the registered SNAPSHOT table, no feed
@@ -1581,6 +1630,23 @@ object TableFormatQueries {
     "q238_sql_ctas" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
+
+    // q207's MV law verbatim, reached with zero paths in the pipeline
+    "q240_mv_by_name" ->
+      """WITH live AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |         WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |              AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders
+        |  WHERE o_orderkey % 4 = 3
+        |     OR o_orderkey % 10 <> 0
+        |     OR o_orderkey % 20 = 0)
+        |SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |       AS BIGINT) AS DOUBLE) / 100.0 AS sum_price
+        |FROM live GROUP BY o_custkey""".stripMargin,
 
     // q214's net-feed law verbatim, reached through the TVF: deletes
     // (tombstoned non-resurrected 10ths, olds carried), updates

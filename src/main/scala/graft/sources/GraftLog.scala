@@ -238,6 +238,28 @@ object GraftLog {
       s"graft_log(${opts.path} @ $coord)"
     }
 
+    /** Surfaced by `SHOW TBLPROPERTIES cat.t` / `DESCRIBE TABLE
+      * EXTENDED`: the table's physical coordinates and pinned read
+      * version — operator-facing metadata, derived (never a second
+      * source of truth: the conf registration and the log's own
+      * markers stay authoritative).
+      */
+    override def properties(): util.Map[String, String] = {
+      val base = Map(
+        "path" -> opts.path,
+        "keys" -> opts.keys.mkString(","),
+        "shape" -> (if (opsShape) "ops" else "plain"),
+        "surface" -> (if (opts.readChangeFeed) "changeFeed"
+                      else "snapshot"))
+      val coord =
+        if (opts.readChangeFeed)
+          Map("startingVersion" -> opts.startingVersion.get.toString,
+            "endingVersion" -> pinnedEnd.toString,
+            "trackCols" -> opts.trackCols.mkString(","))
+        else Map("pinnedVersion" -> pinnedVersion.toString)
+      (base ++ coord).asJava
+    }
+
     /** The table schema — the resolved plan's, with KEY columns marked
       * non-nullable on snapshot reads: a key is the log's row identity
       * (the LWW compaction groups by it; a null key has no meaning in

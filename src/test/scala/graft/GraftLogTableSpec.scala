@@ -967,6 +967,25 @@ class GraftLogTableSpec extends SparkSpec {
       .collect().map(_.toString).mkString("\n")
     assert(full.contains("k") && full.contains("graft_log"),
       s"EXTENDED output must name the table implementation:\n$full")
+    // SHOW TBLPROPERTIES surfaces the physical coordinates and the
+    // pinned read version (derived metadata, conf stays authoritative)
+    val props = spark.sql("SHOW TBLPROPERTIES glogspec17.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("path").contains(path) &&
+      props.get("keys").contains("k") &&
+      props.get("shape").contains("ops") &&
+      props.get("surface").contains("snapshot") &&
+      props.get("pinnedVersion").contains("2"),
+      s"SHOW TBLPROPERTIES must surface the table's coordinates, " +
+        s"got $props")
+    // and the FEED registration reports its window coordinates
+    GraftLogCatalog.registerFeed(spark, "glogspec17", "tc", path,
+      Seq("k"), trackCols = Seq("v"))
+    val fprops = spark.sql("SHOW TBLPROPERTIES glogspec17.tc").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fprops.get("surface").contains("changeFeed") &&
+      fprops.get("trackCols").contains("v") &&
+      fprops.get("endingVersion").contains("2"), s"got $fprops")
   }
 
   test("SQL CREATE TABLE initializes a fresh log (empty genesis, verb " +
