@@ -1437,6 +1437,15 @@ object Changelog {
   private[graft] val testAfterFold =
     new java.util.concurrent.atomic.AtomicReference[() => Unit](() => ())
 
+  /** Test-only interleave point, invoked after the checkpoint's vacuum
+    * and before the phase-2 erasure rewrite: a spec throws here to
+    * SIMULATE the crash leg (a value-clean, tombstone-carrying base
+    * that stays correct to read and whose re-run finishes the
+    * erasure). No-op in production.
+    */
+  private[graft] val testAfterVacuum =
+    new java.util.concurrent.atomic.AtomicReference[() => Unit](() => ())
+
   /** Land `df` (possibly empty) as the fold at `_commit=v` — the
     * zero-row case writes the schema-bearing empty directory directly
     * (a zero-row dynamic overwrite is a silent no-op that would leave
@@ -1477,6 +1486,7 @@ object Changelog {
     // (re-run to finish) — never erased history with a silent read path
     writeHorizon(path, v)
     vacuumBelow(path, v)
+    testAfterVacuum.get()()
     // phase 2 (erasure): with the history vacuumed the tombstones are
     // inert — rewrite the base LIVE-ONLY so no surviving file holds
     // even a deleted key (the physical-erasure contract). Skipped when

@@ -586,6 +586,54 @@ class TopKChangelogSpec extends SparkSpec {
       .isEmpty, "deleted keys must not survive the checkpoint")
   }
 
+  test("a crash between the vacuum and the erasure pass leaves a " +
+       "value-clean, CORRECT base; the re-run checkpoint finishes " +
+       "the key-level erasure") {
+    val path = Sinks.tmpPath("changelog_ckpt_crash")
+    Sinks.deleteRecursively(path)
+    Changelog.commitUpsert(
+      spark.range(0, 10).select(concat(lit("k"), col("id")).as("k"),
+        concat(lit("crashsecret"), col("id")).as("v")), path, 0L)
+    Changelog.commitDelete(spark,
+      spark.range(0, 3).select(concat(lit("k"), col("id")).as("k")),
+      path, 1L)
+    val expected = Changelog.snapshotAtOps(spark, path, Seq("k"), 1L)
+      .as[(String, String)].collect().sorted.toSeq
+    Changelog.testAfterVacuum.set(() =>
+      throw new RuntimeException("simulated crash before phase 2"))
+    try intercept[RuntimeException](
+      Changelog.checkpointOps(spark, path, Seq("k"), 1L))
+    finally Changelog.testAfterVacuum.set(() => ())
+    // post-crash: the base carries tombstones (history already
+    // vacuumed) — reads stay CORRECT and the deleted VALUES are
+    // already gone (a tombstone holds the key and nulls, never data)
+    assert(Changelog.snapshotAtOps(spark, path, Seq("k"), 1L)
+      .as[(String, String)].collect().sorted.toSeq == expected)
+    val mid = spark.read.parquet(path)
+    assert(mid.filter(col(Changelog.OpCol) === "d").count() == 3,
+      "the crash leg keeps the fold's tombstones")
+    def bytesOf(dir: java.io.File): String = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(dir).map(f => new String(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.ISO_8859_1)).mkString
+    }
+    for (i <- 0 to 2)
+      assert(!bytesOf(new java.io.File(path)).contains(s"crashsecret$i"),
+        s"deleted VALUE $i must be gone even on the crash leg")
+    // the RE-RUN checkpoint (v == horizon passes the guard) finishes
+    // phase 2: no tombstone rows, no deleted keys, snapshot intact
+    Changelog.checkpointOps(spark, path, Seq("k"), 1L)
+    val base = spark.read.parquet(path)
+    assert(base.filter(col(Changelog.OpCol) === "d").isEmpty)
+    assert(base.filter(col("k").isin("k0", "k1", "k2")).isEmpty,
+      "the re-run must finish the key-level erasure")
+    assert(Changelog.snapshotAtOps(spark, path, Seq("k"), 1L)
+      .as[(String, String)].collect().sorted.toSeq == expected)
+  }
+
   test("commitDelete racing commitUpsert under ONE commit id (the q184 " +
        "redelivery interleave): the key resolves DETERMINISTICALLY — " +
        "tombstone wins at equal commit id") {
