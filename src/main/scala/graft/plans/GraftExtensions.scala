@@ -66,18 +66,33 @@ object GraftSqlFunctions {
         parseMarketCapExpr(children.head)
       }))
 
-  /** `table_changes('<cat>.<table>', startVersion, endVersion)` — the
-    * change-data-feed window as a TABLE-VALUED FUNCTION (Delta's exact
-    * spelling): an AD-HOC window over any registered snapshot table,
-    * without registering a feed table per window. Resolves the table
-    * through the same conf-backed registration the catalog reads use;
-    * tracked columns are every non-key column of the log's schema (the
-    * full-row CDF, Delta's semantics). The builder returns the
-    * engine's OWN feed plan (`Changelog.changesBetweenOps`), analyzed —
-    * the nested-resolution discipline ResolveGraftLog already uses.
-    * Arguments must be literals (a TVF's window is part of the query
-    * text); a FEED registration refuses — it already IS a window, read
-    * it FROM the table name.
+  /** `table_changes('<cat>.<table>', start, end)` — the
+    * change-data-feed window as a TABLE-VALUED FUNCTION (Delta's
+    * spelling; NOTE the window semantics differ — see below): an
+    * AD-HOC window over any registered snapshot table, without
+    * registering a feed table per window. Endpoints are either both
+    * INTEGER literals (commit versions) or both STRING literals
+    * (timestamps, `'yyyy-MM-dd HH:mm:ss[.SSS]'`, read as UTC),
+    * resolved through the commit clock ([[graft.sources.Changelog
+    * .versionAtTimestamp]] — latest commit stamped ≤ t, the
+    * q190/q192 law); two instants resolving to the SAME commit refuse
+    * loudly (an empty window — a consumer polling faster than commits
+    * land should skip the cycle, not read a silently-empty feed).
+    *
+    * WINDOW SEMANTICS, stated loudly: the window is EXCLUSIVE-START
+    * `(start, end]` — this engine's feed law everywhere
+    * (changesBetweenOps, feed tables, the CDC stream) — whereas
+    * Delta's table_changes INCLUDES changes at startVersion. Porting
+    * a Delta query: pass your startVersion − 1.
+    *
+    * Resolves the table through the same conf-backed registration the
+    * catalog reads use; tracked columns are every non-key column of
+    * the log's schema (the full-row CDF). The builder returns the
+    * engine's OWN feed plan (`Changelog.changesBetweenOps`),
+    * analyzed — the nested-resolution discipline ResolveGraftLog
+    * already uses. Arguments must be literals (a TVF's window is part
+    * of the query text); a FEED registration refuses — it already IS
+    * a window, read it FROM the table name.
     */
   private[plans] def tableChangesPlan(args: Seq[Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
@@ -117,8 +132,43 @@ object GraftSqlFunctions {
     val keys = opt("keys").map(_.split(",").map(_.trim)
       .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
     require(keys.nonEmpty, s"table_changes: '$full' has no key columns")
-    val v0 = longArg(args(1), "startVersion")
-    val v1 = longArg(args(2), "endVersion")
+    val isString: Expression => Boolean = {
+      case Literal(_, org.apache.spark.sql.types.StringType) => true
+      case _ => false
+    }
+    val (v0, v1) =
+      if (isString(args(1)) || isString(args(2))) {
+        // timestamp endpoints: both must be strings, both resolve
+        // through the commit clock (latest stamp ≤ t)
+        def ts(e: Expression, what: String): Long = e match {
+          case Literal(v, org.apache.spark.sql.types.StringType)
+            if v != null =>
+            val raw = v.toString
+            try java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                throw new IllegalArgumentException(
+                  s"table_changes: $what '$raw' is not a timestamp — " +
+                    "use 'yyyy-MM-dd HH:mm:ss[.SSS]' (UTC), or " +
+                    "integer versions for both endpoints")
+            }
+          case other => throw new IllegalArgumentException(
+            "table_changes: endpoints must BOTH be versions or BOTH " +
+              s"be timestamp strings, got $other for $what")
+        }
+        val t0 = ts(args(1), "startTimestamp")
+        val t1 = ts(args(2), "endTimestamp")
+        val r0 = graft.sources.Changelog.versionAtTimestamp(path, t0)
+        val r1 = graft.sources.Changelog.versionAtTimestamp(path, t1)
+        require(r0 != r1,
+          s"table_changes: both instants resolve to commit $r0 of " +
+            s"'$full' — the window is empty (no commit landed between " +
+            "them); a consumer polling faster than commits land should " +
+            "skip the cycle, not read a silently-empty feed")
+        (r0, r1)
+      } else
+        (longArg(args(1), "startVersion"), longArg(args(2), "endVersion"))
     val spark = SparkSession.active
     val trackCols = spark.read.parquet(path).schema.fieldNames.toSeq
       .filterNot(keys.contains)

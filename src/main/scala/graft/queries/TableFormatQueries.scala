@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.{Changelog, GraftLog, GraftLogCatalog, Sinks}
+import graft.sources.{Changelog, GraftLog, GraftLogCatalog, LogFs, Sinks}
 
 /** Table-format interface pack (round 15): the changelog's BATCH DSv2
   * read surface — `spark.read.format(GraftLog)` with versionAsOf /
@@ -1148,8 +1148,10 @@ object TableFormatQueries {
     }),
 
     // CHANGE FEED AS A TABLE-VALUED FUNCTION — `SELECT … FROM
-    // table_changes('glog.t', 0, 2)` (Delta's exact spelling): an
-    // AD-HOC CDF window over the registered SNAPSHOT table, no feed
+    // table_changes('glog.t', 0, 2)` (Delta's spelling; the window
+    // here is EXCLUSIVE-start (0, 2] — the engine's feed law — where
+    // Delta includes changes AT the start version): an AD-HOC CDF
+    // window over the registered SNAPSHOT table, no feed
     // registration per window; the TVF builder returns the engine's
     // own feed plan, resolved through the same conf-backed
     // registration. The (0, 2] window over the standard ops log is
@@ -1163,6 +1165,157 @@ object TableFormatQueries {
               |  old_o_totalprice, new_o_totalprice
               |FROM table_changes('glog.orders_ops_q239', 0, 2)"""
         .stripMargin)
+    }),
+
+    // SQL `ALTER TABLE … ADD COLUMNS` — schema evolution as what it IS
+    // in this format: ONE empty schema-bearing commit (the q143/q185
+    // law at the DDL surface; in-query require pins the `add_columns`
+    // verb in the history) plus mergeSchema reads. The mod-3 slice
+    // lands PRE-evolution, the even keys land POST-evolution carrying
+    // the new provenance column at +10000 — the union snapshot
+    // null-fills `src` on every key only the first insert touched,
+    // and LWW resolves the overlap (multiples of 6) to the evolved
+    // rows. Drop/rename/property ALTERs stay refused loudly.
+    "q241_sql_alter_add_columns" -> ((s, d) => {
+      val loc = Sinks.tmpPathFor("orders_alter_q241", d)
+      s.conf.set("spark.sql.catalog.glog",
+        classOf[GraftLogCatalog].getName)
+      s.sql("DROP TABLE IF EXISTS glog.orders_alter_q241")
+      Sinks.deleteRecursively(loc)
+      AuditQueries.opsOrders(s, d)
+        .createOrReplaceTempView("orders_src_q241")
+      s.sql(s"""CREATE TABLE glog.orders_alter_q241 (
+               |  o_orderkey BIGINT, o_totalprice DOUBLE)
+               |LOCATION '$loc'
+               |TBLPROPERTIES ('keys' = 'o_orderkey')""".stripMargin)
+      s.sql("INSERT INTO glog.orders_alter_q241 " +
+        "SELECT o_orderkey, o_totalprice FROM orders_src_q241 " +
+        "WHERE o_orderkey % 3 = 0")
+      s.sql("ALTER TABLE glog.orders_alter_q241 ADD COLUMNS (src STRING)")
+      require(Changelog.commitInfos(loc).get(2L)
+          .exists(_._1 == "add_columns"),
+        "evolution must land as ONE commit recording verb 'add_columns'")
+      // only ADD COLUMNS evolves; everything else refuses loudly
+      val drop = scala.util.Try(
+        s.sql("ALTER TABLE glog.orders_alter_q241 DROP COLUMN src"))
+      require(drop.isFailure && drop.failed.get.getMessage != null,
+        "DROP COLUMN must refuse")
+      require(scala.util.Try(s.sql(
+          "ALTER TABLE glog.orders_alter_q241 RENAME COLUMN src TO s2"))
+        .isFailure, "RENAME COLUMN must refuse")
+      require(scala.util.Try(s.sql(
+          "ALTER TABLE glog.orders_alter_q241 " +
+            "SET TBLPROPERTIES ('x'='y')"))
+        .isFailure, "SET TBLPROPERTIES must refuse")
+      s.sql("INSERT INTO glog.orders_alter_q241 " +
+        "SELECT o_orderkey, o_totalprice + 10000.0, 'late' " +
+        "FROM orders_src_q241 WHERE o_orderkey % 2 = 0")
+      s.sql("SELECT * FROM glog.orders_alter_q241")
+    }),
+
+    // MERGE WITH SCHEMA EVOLUTION — Spark's own resolution
+    // (AUTOMATIC_SCHEMA_EVOLUTION capability) computes the
+    // source-only columns and drives them through the SAME evolved
+    // commit the ALTER verb lands (in-query require pins the
+    // `add_columns` commit BELOW the merge commit), then the
+    // statement's UPDATE SET * / INSERT * carry the new provenance
+    // column: q224's source slice (+700, keys ≡ 0 mod 6) stamped
+    // `src='m'` on every row the merge touched; every untouched live
+    // row null-fills. The plain-MERGE non-evolution contract is
+    // spec-pinned (GraftLogTableSpec).
+    "q242_sql_merge_schema_evolution" -> ((s, d) => {
+      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q242")
+      GraftLogCatalog.register(s, "glog", "orders_ops_q242", path,
+        Seq("o_orderkey"))
+      AuditQueries.opsOrders(s, d)
+        .filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 700.0)
+        .withColumn("src", lit("m"))
+        .createOrReplaceTempView("merge_src_q242")
+      s.sql("""MERGE WITH SCHEMA EVOLUTION INTO glog.orders_ops_q242 t
+              |USING merge_src_q242 s
+              |ON t.o_orderkey = s.o_orderkey
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *
+              |""".stripMargin)
+      val infos = Changelog.commitInfos(path)
+      require(infos.get(3L).exists(_._1 == "add_columns") &&
+        infos.get(4L).exists(_._1 == "merge"),
+        s"evolved MERGE = one add_columns commit + one merge commit, " +
+          s"got $infos")
+      s.sql("SELECT * FROM glog.orders_ops_q242")
+    }),
+
+    // THE TVF ADDRESSED BY THE CLOCK — `table_changes('glog.t',
+    // '<t0>', '<t1>')` with TIMESTAMP-STRING endpoints (UTC), each
+    // resolved through the commit clock (latest stamp ≤ t — the
+    // q190/q192 law): stamps at 1000/2000/3000 ms, the window
+    // ('…:01', '…:03'] resolves to (version 0, version 2] — q192's
+    // feed and oracle verbatim, reached through the TVF's clock
+    // spelling. Two instants resolving to the SAME commit refuse
+    // loudly (in-query require).
+    "q243_tvf_by_timestamp" -> ((s, d) => {
+      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q243")
+      Changelog.stampCommit(path, 0L, 1000L)
+      Changelog.stampCommit(path, 1L, 2000L)
+      Changelog.stampCommit(path, 2L, 3000L)
+      GraftLogCatalog.register(s, "glog", "orders_ops_q243", path,
+        Seq("o_orderkey"))
+      require(scala.util.Try(s.sql(
+          "SELECT * FROM table_changes('glog.orders_ops_q243', " +
+            "'1970-01-01 00:00:01', '1970-01-01 00:00:01.500')"))
+        .isFailure,
+        "an equal-resolution clock window must refuse loudly")
+      s.sql("""SELECT o_orderkey, change_type,
+              |  old_o_totalprice, new_o_totalprice
+              |FROM table_changes('glog.orders_ops_q243',
+              |  '1970-01-01 00:00:01', '1970-01-01 00:00:03')"""
+        .stripMargin)
+    }),
+
+    // STANDALONE `CALL glog.system.vacuum` — Delta's OPTIMIZE-then-
+    // VACUUM decomposition at the SQL surface: optimize lands the live
+    // fold as base commit 3 while commits 0–2 stay readable (in-query
+    // require reads AS OF 1), then vacuum reclaims the history below
+    // the base — NO fold of its own. Refusal legs in-query:
+    // retain_version above the head, and vacuum on a log whose window
+    // holds no base. After the vacuum: the below-base directories are
+    // physically gone, reads below the horizon refuse loudly, and the
+    // head snapshot is byte-identical (the oracle — q191's live-state
+    // law verbatim).
+    "q245_sql_call_vacuum" -> ((s, d) => {
+      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q245")
+      s.conf.set("spark.sql.catalog.glog",
+        classOf[GraftLogCatalog].getName)
+      GraftLogCatalog.register(s, "glog", "orders_ops_q245", path,
+        Seq("o_orderkey"))
+      // vacuum with no base anywhere refuses — un-folded history is
+      // live state, never reclaimable
+      require(scala.util.Try(s.sql(
+          "CALL glog.system.vacuum('orders_ops_q245', 2)").collect())
+        .isFailure, "vacuum without a base must refuse loudly")
+      val dom = AuditQueries.opsOrders(s, d)
+        .agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+      s.sql("CALL glog.system.optimize('orders_ops_q245', 3, " +
+        s"'o_orderkey', $dom, 8)").collect()
+      require(s.sql(
+          "SELECT * FROM glog.orders_ops_q245 VERSION AS OF 1")
+        .count() > 0, "history below the base must stay readable " +
+          "until vacuum reclaims it")
+      // retain_version above the head refuses
+      require(scala.util.Try(s.sql(
+          "CALL glog.system.vacuum('orders_ops_q245', 99)").collect())
+        .isFailure, "retain_version above the head must refuse loudly")
+      s.sql("CALL glog.system.vacuum('orders_ops_q245', 3)").collect()
+      require(!LogFs.exists(LogFs.child(path,
+          s"${Changelog.CommitCol}=0")) &&
+        !LogFs.exists(LogFs.child(path, s"${Changelog.CommitCol}=2")),
+        "directories below the base must be physically gone")
+      require(scala.util.Try(s.sql(
+          "SELECT * FROM glog.orders_ops_q245 VERSION AS OF 1")
+          .collect()).isFailure,
+        "reads below the horizon must refuse loudly after vacuum")
+      s.sql("SELECT * FROM glog.orders_ops_q245")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1672,5 +1825,73 @@ object TableFormatQueries {
         |UNION ALL
         |SELECT o_orderkey, 'insert', CAST(NULL AS DOUBLE),
         |  o_totalprice
-        |FROM orders WHERE o_orderkey % 4 = 3""".stripMargin)
+        |FROM orders WHERE o_orderkey % 4 = 3""".stripMargin,
+
+    // the evolved-table closed form: keys from either insert; even
+    // keys carry the post-evolution values (+10000, src='late' — LWW
+    // over the mod-6 overlap), everything else keeps the pre-evolution
+    // price with src null-filled by the union read
+    "q241_sql_alter_add_columns" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 10000.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN 'late' END AS src
+        |FROM orders
+        |WHERE o_orderkey % 3 = 0 OR o_orderkey % 2 = 0""".stripMargin,
+
+    // the evolved-merge closed form: q224's live state with the mod-6
+    // slice updated-or-inserted at +700 and stamped 'm'; every row the
+    // merge never touched null-fills the evolved column. (mod-6 keys
+    // are even, so the %4=3 branch never overlaps; inserts are the
+    // non-live mod-6 keys — odd multiples of 30.)
+    "q242_sql_merge_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 700.0
+        |       WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |       WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |            AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderkey % 6 = 0 THEN 'm' END AS src
+        |FROM orders
+        |WHERE o_orderkey % 6 = 0
+        |   OR o_orderkey % 4 = 3
+        |   OR o_orderkey % 10 <> 0
+        |   OR o_orderkey % 20 = 0""".stripMargin,
+
+    // q192's clock-window oracle verbatim — the TVF's timestamp
+    // spelling and the library's changesBetweenOpsTimestamps converge
+    "q243_tvf_by_timestamp" ->
+      """SELECT o_orderkey, 'delete' AS change_type,
+        |  o_totalprice AS old_o_totalprice,
+        |  CAST(NULL AS DOUBLE) AS new_o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 <> 3 AND o_orderkey % 10 = 0
+        |  AND o_orderkey % 20 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, 'update', o_totalprice,
+        |  o_totalprice + 1000.0
+        |FROM orders WHERE o_orderkey % 20 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'update', o_totalprice,
+        |  o_totalprice + 500.0
+        |FROM orders
+        |WHERE o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |  AND o_orderkey % 7 = 1
+        |UNION ALL
+        |SELECT o_orderkey, 'insert', CAST(NULL AS DOUBLE),
+        |  o_totalprice
+        |FROM orders WHERE o_orderkey % 4 = 3""".stripMargin,
+
+    // the head snapshot is untouched by retention — q191's live-state
+    // law verbatim, served from the base alone after the vacuum
+    "q245_sql_call_vacuum" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |       WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |            AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 = 3
+        |   OR o_orderkey % 10 <> 0
+        |   OR o_orderkey % 20 = 0""".stripMargin)
 }

@@ -632,6 +632,55 @@ object Changelog {
     writeCommitInfo(path, 0L, "create", writer)
   }
 
+  /** SCHEMA EVOLUTION as a COMMIT (the q143/q185 law, packaged as a
+    * verb): land ONE empty schema-bearing commit whose parquet footer
+    * carries the union of the log's current column set and
+    * `newFields` appended at the end. History is untouched — every
+    * pinned footer below stays byte-identical, versioned reads below
+    * the evolution see the old shape, and a mergeSchema read folds
+    * the union with pre-evolution rows null-filling the new columns.
+    * Columns can only be ADDED, nullable, top-level — a drop, rename,
+    * or retype is a NEW TABLE (the rule every lakehouse format
+    * without column-mapping metadata enforces), refused loudly.
+    * Planning cost is one mergeSchema footer listing plus one empty
+    * parquet write — no data is read or rewritten at any scale.
+    * Returns the landed commit id.
+    */
+  def commitAddColumns(spark: SparkSession, path: String,
+                       newFields: Seq[org.apache.spark.sql.types.StructField],
+                       writer: String = SoloWriter): Long = {
+    require(newFields.nonEmpty, "ADD COLUMNS needs at least one column")
+    val current = spark.read.option("mergeSchema", "true").parquet(path)
+      .schema.fields.filter(_.name != CommitCol)
+    val existing = current.map(_.name.toLowerCase).toSet
+    newFields.foreach { f =>
+      require(f.name != CommitCol && f.name != OpCol,
+        s"column ${f.name} is a reserved changelog column")
+      require(!existing.contains(f.name.toLowerCase),
+        s"column ${f.name} already exists in the log at $path — " +
+          "evolution only ADDS columns")
+      require(f.nullable,
+        s"added column ${f.name} must be NULLABLE — every " +
+          "pre-evolution row null-fills it under the union read")
+      require(graft.streaming.LogSink.supportedType(f.dataType),
+        s"added column ${f.name} has type ${f.dataType} — outside " +
+          "the log's supported type surface")
+    }
+    // keep _op LAST (the ops-shape induction reads it as the final
+    // field of every commit footer): new columns slot in before it
+    val (ops, data) = current.partition(_.name == OpCol)
+    val evolved = org.apache.spark.sql.types.StructType(
+      data ++ newFields ++ ops)
+    val id = claimNextId(path, writer)
+    val dir = LogFs.child(path, s"$CommitCol=$id")
+    LogFs.delete(dir)
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), evolved)
+      .write.mode("overwrite").parquet(dir)
+    writeCommitInfo(path, id, "add_columns", writer)
+    id
+  }
+
   /** [[commit]] with the verb the info marker records — the internal
     * entry every higher verb (upsert/delete/merge/restore) routes
     * through so DESCRIBE HISTORY names the operation, not the plumbing.
@@ -1570,6 +1619,47 @@ object Changelog {
     LogFs.delete(staging)
   }
 
+  /** STANDALONE RETENTION — the second half of Delta's
+    * OPTIMIZE-then-VACUUM decomposition: [[optimizeOps]] (or any
+    * base-marked rewrite) lands the live fold as a NEW commit while
+    * every historical version stays readable; this verb later
+    * RECLAIMS that history when retention allows — horizon + vacuum
+    * below the newest base ≤ `retainVersion`, with NO fold of its own
+    * (the base IS the fold, so nothing is read or rewritten — cost is
+    * O(reclaimed directories), zero data jobs at any scale). Refuses
+    * loudly when `retainVersion` exceeds the head, and when no base
+    * exists at or below it — vacuuming un-folded history would
+    * destroy live state (land an optimize first, or use
+    * [[checkpointOps]] which folds and vacuums in one pass). After
+    * it: snapshots at/above the base are byte-identical (reads there
+    * start at the base floor and never opened the reclaimed
+    * directories), reads below fail loudly through the horizon guard,
+    * and the reclaimed directories are physically gone. The base's
+    * own stats marker SURVIVES (the directory was not rewritten — its
+    * ranges still bound it, so rangeLookup pruning stays armed).
+    * Idempotent: a re-run finds nothing left to sweep. Runs under the
+    * maintenance mutex like every verb that rewrites shared state.
+    */
+  def vacuumRetain(path: String, retainVersion: Long): Unit =
+      withMaintenanceMutex(path, s"vacuumRetain@$retainVersion") {
+    val head = headVersion(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no commits — nothing to vacuum"))
+    require(retainVersion <= head,
+      s"retain_version $retainVersion exceeds the head $head of $path " +
+        "— retention cannot be promised above versions that exist")
+    val b = baseFloor(path, retainVersion)
+    require(b != Long.MinValue,
+      s"no base commit at or below $retainVersion of $path — vacuum " +
+        "reclaims history BELOW a fold, never un-folded commits " +
+        "(deleting them would destroy live state); land a base first " +
+        "(optimizeOps / CALL system.optimize keeps history readable " +
+        "until this verb reclaims it) or use checkpointOps, which " +
+        "folds and vacuums in one pass")
+    writeHorizon(path, b)
+    vacuumBelow(path, b, statsAtVStale = false)
+  }
+
   /** Zero-copy SHALLOW CLONE of the log at version `v` — the lakehouse
     * "CREATE TABLE ... CLONE ... AS OF v" / branch primitive: `dest`
     * becomes an independent log holding exactly the commits ≤ v,
@@ -1891,7 +1981,7 @@ object Changelog {
     */
   def rangeLookupOps(spark: SparkSession, path: String, keys: Seq[String],
                      v: Long, statsCol: String, valueLo: Long,
-                     valueHi: Long): DataFrame = {
+                     valueHi: Long, mergeSchema: Boolean = false): DataFrame = {
     require(valueLo <= valueHi,
       s"need valueLo <= valueHi, got $valueLo > $valueHi")
     rangeLookupImpl(spark, path, keys, v, statsCol,
@@ -1900,7 +1990,8 @@ object Changelog {
         case _: AllNullColStats      => false // no non-null values at all
         case _                       => true  // type mismatch: be exact, not clever
       },
-      probe = col(statsCol) >= valueLo && col(statsCol) <= valueHi)
+      probe = col(statsCol) >= valueLo && col(statsCol) <= valueHi,
+      mergeSchema = mergeSchema)
   }
 
   /** [[pointLookupOps]] for a STRING key column — same skipping
@@ -1910,13 +2001,16 @@ object Changelog {
     */
   def pointLookupOpsString(spark: SparkSession, path: String,
                            keys: Seq[String], v: Long, statsCol: String,
-                           value: String): DataFrame =
-    rangeLookupOpsString(spark, path, keys, v, statsCol, value, value)
+                           value: String, mergeSchema: Boolean = false)
+      : DataFrame =
+    rangeLookupOpsString(spark, path, keys, v, statsCol, value, value,
+      mergeSchema)
 
   /** [[rangeLookupOps]] for a STRING key column. */
   def rangeLookupOpsString(spark: SparkSession, path: String,
                            keys: Seq[String], v: Long, statsCol: String,
-                           valueLo: String, valueHi: String): DataFrame = {
+                           valueLo: String, valueHi: String,
+                           mergeSchema: Boolean = false): DataFrame = {
     require(utf8Compare(valueLo, valueHi) <= 0,
       s"need valueLo <= valueHi (UTF-8 order), got '$valueLo' > '$valueHi'")
     rangeLookupImpl(spark, path, keys, v, statsCol,
@@ -1926,52 +2020,118 @@ object Changelog {
         case _: AllNullColStats => false
         case _                  => true
       },
-      probe = col(statsCol) >= valueLo && col(statsCol) <= valueHi)
+      probe = col(statsCol) >= valueLo && col(statsCol) <= valueHi,
+      mergeSchema = mergeSchema)
   }
 
+  /** One column's contribution to a multi-window lookup: the stats
+    * column, its driver-side admit test, and the in-scan probe.
+    */
+  private[graft] case class LookupWindow(statsCol: String,
+                                         admits: ColStats => Boolean,
+                                         probe: org.apache.spark.sql.Column)
+
+  /** The INTERSECTION lookup over several constrained key columns —
+    * what a composite-key point/range read prunes by: a commit is
+    * admitted iff EVERY window's recorded stats admit it (a commit
+    * outside any one column's range cannot hold a row satisfying the
+    * conjunction), so each additional constrained column can only
+    * shrink the opened set. Same conservatism per column as the
+    * single-column forms: a missing marker (or a marker lacking the
+    * column) admits.
+    */
+  private[graft] def rangeLookupOpsWindows(spark: SparkSession,
+                                           path: String, keys: Seq[String],
+                                           v: Long,
+                                           windows: Seq[LookupWindow],
+                                           mergeSchema: Boolean = false)
+      : DataFrame =
+    rangeLookupImpl(spark, path, keys, v, windows, mergeSchema)
+
+  /** The [[LookupWindow]] of a long-typed inclusive range. */
+  private[graft] def longWindow(statsCol: String, valueLo: Long,
+                                valueHi: Long): LookupWindow =
+    LookupWindow(statsCol,
+      admits = {
+        case LongColStats(lo, hi, _) => hi >= valueLo && lo <= valueHi
+        case _: AllNullColStats      => false
+        case _                       => true
+      },
+      probe = col(statsCol) >= valueLo && col(statsCol) <= valueHi)
+
+  /** The [[LookupWindow]] of a string-typed inclusive range (UTF-8
+    * order — the order the recorded min/max were computed in).
+    */
+  private[graft] def stringWindow(statsCol: String, valueLo: String,
+                                  valueHi: String): LookupWindow =
+    LookupWindow(statsCol,
+      admits = {
+        case StringColStats(lo, hi, _) =>
+          utf8Compare(hi, valueLo) >= 0 && utf8Compare(lo, valueHi) <= 0
+        case _: AllNullColStats => false
+        case _                  => true
+      },
+      probe = col(statsCol) >= valueLo && col(statsCol) <= valueHi)
+
   /** Shared lookup kernel: select the commit directories ≤ v (and ≥
-    * the base floor) whose recorded stats ADMIT the probe — commits
-    * without a marker, or whose marker lacks `statsCol`, are
+    * the base floor) whose recorded stats ADMIT every window — commits
+    * without a marker, or whose marker lacks a window's column, are
     * conservatively included — then compact only those under the
-    * probe predicate (which also pushes into the scan, composing with
-    * parquet row-group skipping).
+    * conjunction of the probes (which also pushes into the scan,
+    * composing with parquet row-group skipping).
     */
   private def rangeLookupImpl(spark: SparkSession, path: String,
                               keys: Seq[String], v: Long, statsCol: String,
                               admits: ColStats => Boolean,
-                              probe: org.apache.spark.sql.Column): DataFrame = {
-    // statsCol must be a KEY column (value constant across a key's
-    // versions): with a non-key statsCol, pushing the window predicate
-    // BEFORE the LWW compaction would resurrect a stale version
-    // whenever the key's latest value moved out of range in a
+                              probe: org.apache.spark.sql.Column,
+                              mergeSchema: Boolean): DataFrame =
+    rangeLookupImpl(spark, path, keys, v,
+      Seq(LookupWindow(statsCol, admits, probe)), mergeSchema)
+
+  private def rangeLookupImpl(spark: SparkSession, path: String,
+                              keys: Seq[String], v: Long,
+                              windows: Seq[LookupWindow],
+                              mergeSchema: Boolean): DataFrame = {
+    require(windows.nonEmpty, "range lookup needs at least one window")
+    // every stats column must be a KEY column (value constant across a
+    // key's versions): with a non-key statsCol, pushing the window
+    // predicate BEFORE the LWW compaction would resurrect a stale
+    // version whenever the key's latest value moved out of range in a
     // stats-skipped commit, and tombstones (null data columns) would
     // be filtered out, un-deleting keys — silently violating the
     // "identical to snapshotAtOps(...).filter(...)" contract
-    require(keys.contains(statsCol),
-      s"statsCol $statsCol must be one of the key columns " +
+    windows.foreach(w => require(keys.contains(w.statsCol),
+      s"statsCol ${w.statsCol} must be one of the key columns " +
         s"[${keys.mkString(", ")}] — a non-key stats column changes " +
         "across a key's versions, making the pre-compaction window " +
-        "filter (and the commit skipping) silently wrong")
+        "filter (and the commit skipping) silently wrong"))
     requireAboveHorizon(path, v, "range-lookup version")
     val stats = commitColumnStats(path)
     val floor = baseFloor(path, v)
+    val probe = windows.map(_.probe).reduce(_ && _)
     val selected = LogFs.list(path)
       .filter { s =>
         val n = s.getPath.getName
         n.startsWith(s"$CommitCol=") && {
           val id = n.stripPrefix(s"$CommitCol=").toLong
-          id <= v && id >= floor &&
-            stats.get(id).forall(_.get(statsCol).forall(admits))
+          id <= v && id >= floor && windows.forall(w =>
+            stats.get(id).forall(_.get(w.statsCol).forall(w.admits)))
         }
       }
+    // mergeSchema folds the ADMITTED commits' footers into their union
+    // (an EVOLVED log's lookup must not let one footer's column set
+    // silently drop later-added columns); fixed-schema logs keep the
+    // single-footer inference
+    val ms = mergeSchema.toString
     val log =
       if (selected.isEmpty)
         // nothing admits the window: any commit's schema gives the
         // shape, the false filter gives the empty result without a scan
-        requireOpsLog(spark.read.parquet(path), path).filter(lit(false))
+        requireOpsLog(spark.read.option("mergeSchema", ms).parquet(path),
+          path).filter(lit(false))
       else
         requireOpsLog(
-          spark.read.option("basePath", path)
+          spark.read.option("basePath", path).option("mergeSchema", ms)
             .parquet(selected.map(_.getPath.toString): _*), path)
     Upsert.latestByKey(
       log.filter(col(CommitCol) <= v && probe),
@@ -2057,7 +2217,8 @@ object Changelog {
     * base should be skippable). Commit STAMPS survive on purpose —
     * the folded base still answers "as of" its instant exactly.
     */
-  private def vacuumBelow(path: String, v: Long): Unit = {
+  private def vacuumBelow(path: String, v: Long,
+                          statsAtVStale: Boolean = true): Unit = {
     LogFs.list(path)
       .filter { s =>
         val n = s.getPath.getName
@@ -2065,11 +2226,17 @@ object Changelog {
           n.stripPrefix(s"$CommitCol=").toLong < v
       }
       .foreach(s => LogFs.delete(s.getPath.toString))
+    // the stats marker AT v is stale when the caller REWROTE the
+    // directory (a checkpoint's fold — the old ranges no longer bound
+    // it; `analyze` re-arms) but still load-bearing when the caller
+    // only reclaimed history below an INTACT base (vacuumRetain)
     LogFs.list(path)
       .filter { s =>
         val n = s.getPath.getName
-        s.isFile && n.startsWith(StatsPrefix) &&
-          n.stripPrefix(StatsPrefix).toLong <= v
+        s.isFile && n.startsWith(StatsPrefix) && {
+          val id = n.stripPrefix(StatsPrefix).toLong
+          id < v || (statsAtVStale && id == v)
+        }
       }
       .foreach(s => LogFs.delete(s.getPath.toString))
     // claim markers below the horizon are stale (their commit dirs are

@@ -285,11 +285,20 @@ object GraftLog {
       * not row-shaped, so deletes ride the feed, never the table
       * stream — stated here, enforced in the scan, spec-pinned).
       */
+    // AUTOMATIC_SCHEMA_EVOLUTION opts the snapshot table into Spark's
+    // `MERGE WITH SCHEMA EVOLUTION` resolution: the analyzer computes
+    // the source-only columns and drives them through the catalog's
+    // alterTable — i.e. the same ONE evolved schema-bearing commit the
+    // ALTER verb lands — then reloads the relation, so the statement's
+    // inserts carry the new columns and matched updates null-fill
+    // them. Without the WITH clause, a source carrying new columns
+    // keeps refusing at resolution (nothing evolves silently).
     override def capabilities(): util.Set[TableCapability] =
       (if (opts.readChangeFeed)
         Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
       else Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-        TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE))
+        TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
+        TableCapability.AUTOMATIC_SCHEMA_EVOLUTION))
         .asJava
 
     // A scan whose BATCH side is a stub: batch read positions never
@@ -403,11 +412,14 @@ object GraftLog {
                    else Changelog.SoloWriter)
       // Delta's txnAppId/txnVersion discipline for BATCH appends:
       // `.option("writer", app).option("txnVersion", n)` makes the
-      // append IDEMPOTENT — a replayed (writer, txnVersion) re-lands
-      // its recorded commit id byte-equivalently instead of appending
-      // twice (the streaming sink's map-marker mechanism, one marker
-      // per txn; swept below checkpoint horizons like epoch markers,
-      // so replays must not reach back past maintenance horizons).
+      // append IDEMPOTENT — a replayed (writer, txnVersion) SKIPS
+      // (drops its staged files) instead of appending twice, exactly
+      // Delta's already-recorded-version contract. The marker is
+      // claimed exclusively BEFORE any commit id, so a concurrent
+      // duplicate submission loses the marker race and skips too.
+      // (One marker per txn; swept below checkpoint horizons like
+      // epoch markers, so replays must not reach back past
+      // maintenance horizons.)
       val txnVersion = Option(info.options().get("txnVersion"))
         .map(_.toLong)
       require(txnVersion.isEmpty || explicitWriter.isDefined,
@@ -683,36 +695,57 @@ object GraftLog {
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val staged = messages.flatMap(graft.streaming.LogSink.stagedFileOf)
       if (staged.nonEmpty) {
-        // txn-idempotent slot resolution: a replayed (writer,
-        // txnVersion) reads its marker back and RE-LANDS the same
-        // commit id (the claim names this writer and passes; the
-        // delete-then-rename below replaces any earlier attempt)
-        val id = txnVersion match {
+        // txn-idempotent slot resolution, Delta's txnAppId contract:
+        // the (writer, txnVersion) marker is claimed EXCLUSIVELY
+        // before any commit id is claimed, so exactly ONE submission
+        // of a txn identity ever lands data — concurrent duplicates
+        // lose the marker race instead of claiming a second id. A
+        // replay whose marker already holds SKIPS entirely (staged
+        // files dropped): it must never delete-then-rename over the
+        // recorded commit, because a checkpoint may since have FOLDED
+        // the entire live base into that very id — re-landing would
+        // replace the folded state with just this txn's delta.
+        val idOpt: Option[Long] = txnVersion match {
           case Some(tv) =>
             val marker = LogFs.child(path,
               s"${Changelog.SinkMapPrefix}txn_${writer}_$tv")
-            if (LogFs.exists(marker)) {
-              val prev = LogFs.readString(marker).trim.toLong
-              Changelog.claimCommit(path, prev, writer)
-              prev
-            } else {
+            if (LogFs.claimExclusive(marker, s"pending:$writer")) {
               val fresh = Changelog.claimNextId(path, writer)
+              // record the id (overwrite our own pending content) so
+              // checkpoint sweeps and operators can resolve the slot
               LogFs.writeAtomic(marker, fresh.toString)
-              fresh
+              Some(fresh)
+            } else {
+              val content = LogFs.readString(marker).trim
+              val landed = content.toLongOption.exists { prev =>
+                LogFs.exists(LogFs.child(path,
+                  s"${Changelog.CommitCol}=$prev"))
+              }
+              require(landed,
+                s"txn (writer=$writer, txnVersion=$tv) on $path has " +
+                  s"a marker (content '$content') but its commit has " +
+                  "not landed — a concurrent duplicate submission is " +
+                  "in flight, or a previous attempt crashed between " +
+                  "claim and landing; wait for the in-flight writer, " +
+                  "or clear the marker (and any orphaned commit " +
+                  "claim) and retry")
+              None // idempotent replay: drop staged files, land nothing
             }
-          case None => Changelog.claimNextId(path, writer)
+          case None => Some(Changelog.claimNextId(path, writer))
         }
-        val dir = LogFs.child(path, s"${Changelog.CommitCol}=$id")
-        LogFs.delete(dir)
-        LogFs.mkdirs(dir)
-        staged.zipWithIndex.foreach { case (f, i) =>
-          val ok = LogFs.fs(path).rename(
-            new org.apache.hadoop.fs.Path(f),
-            new org.apache.hadoop.fs.Path(dir, f"part-$i%05d.parquet"))
-          require(ok, s"failed to land staged insert file $f into $dir")
+        idOpt.foreach { id =>
+          val dir = LogFs.child(path, s"${Changelog.CommitCol}=$id")
+          LogFs.delete(dir)
+          LogFs.mkdirs(dir)
+          staged.zipWithIndex.foreach { case (f, i) =>
+            val ok = LogFs.fs(path).rename(
+              new org.apache.hadoop.fs.Path(f),
+              new org.apache.hadoop.fs.Path(dir, f"part-$i%05d.parquet"))
+            require(ok, s"failed to land staged insert file $f into $dir")
+          }
+          Changelog.writeCommitInfo(path, id,
+            if (opsShape) "upsert" else "append", writer)
         }
-        Changelog.writeCommitInfo(path, id,
-          if (opsShape) "upsert" else "append", writer)
       }
       sweepStaging()
     }

@@ -50,10 +50,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `create`) and registers it (CTAS composes — create + one appended
   * upsert commit); DROP TABLE unregisters the name and KEEPS the log
   * (erasure is the checkpoint's vacuum, never a catalog verb); RENAME
-  * re-points the name. ALTER stays refused — schema evolution is a
-  * commit, not a metadata edit. DML (INSERT/DELETE/UPDATE/MERGE/
-  * TRUNCATE, on [[GraftLog.LogTable]]) and maintenance (the `system`
-  * procedures) are first-class.
+  * re-points the name. ALTER TABLE ADD COLUMNS lands schema evolution
+  * as what it is in this format — ONE empty schema-bearing commit
+  * (the q143/q185 law) — and flips mergeSchema on; every other ALTER
+  * refuses loudly. DML (INSERT/DELETE/UPDATE/MERGE/TRUNCATE, on
+  * [[GraftLog.LogTable]]) and maintenance (the `system` procedures)
+  * are first-class.
   */
 class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
 
@@ -358,10 +360,22 @@ class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
               .filter(_.nonEmpty).toSeq)
           v
         })
+      // retention WITHOUT a fold — Delta's OPTIMIZE-then-VACUUM
+      // decomposition: reclaim history below the newest base ≤
+      // retain_version (refuses when retain_version exceeds the head,
+      // or when nothing at/below it is a base — see vacuumRetain)
+      case "vacuum" => new MaintenanceProcedure("vacuum",
+        Seq(inParam("table", DataTypes.StringType),
+          inParam("retain_version", DataTypes.LongType)),
+        (_, o, in) => {
+          val v = in.getLong(1)
+          Changelog.vacuumRetain(o.path, v)
+          v
+        })
       case other => throw new IllegalArgumentException(
         s"unknown procedure $catName.system.$other — available: " +
           "checkpoint, checkpoint_clustered, optimize, optimize_string, " +
-          "optimize_zorder, restore, clone, analyze")
+          "optimize_zorder, restore, clone, analyze, vacuum")
     }
   }
 
@@ -369,7 +383,7 @@ class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
     if (namespace.sameElements(Array("system")))
       Array("checkpoint", "checkpoint_clustered", "optimize",
           "optimize_string", "optimize_zorder", "restore", "clone",
-          "analyze")
+          "analyze", "vacuum")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -386,10 +400,11 @@ class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
   // external-table semantics: the log's history is durable data;
   // erasure is the checkpoint's vacuum, never a catalog verb (PURGE
   // refuses via the inherited purgeTable default). RENAME re-points
-  // the name. ALTER stays refused — schema evolution is a COMMIT
-  // (land an evolved commit, read with mergeSchema), not a metadata
-  // edit: a catalog that rewrote the schema out from under the pinned
-  // footers would lie to every versioned read below it.
+  // the name. ALTER TABLE ADD COLUMNS is schema evolution AS A COMMIT
+  // (one evolved schema-bearing commit + mergeSchema reads; history
+  // untouched); drop/rename/retype stay refused — a catalog that
+  // rewrote the schema out from under the pinned footers would lie to
+  // every versioned read below it.
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
@@ -447,12 +462,55 @@ class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
     }
   }
 
+  /** `ALTER TABLE cat.t ADD COLUMNS (c TYPE, …)` — the ONE supported
+    * ALTER, landed as what evolution IS in this format: a single
+    * empty schema-bearing commit ([[Changelog.commitAddColumns]],
+    * the q143/q185 law at the DDL surface) plus flipping the
+    * registration's `mergeSchema` on so by-name reads fold the union
+    * (pre-evolution rows null-fill). History is never rewritten —
+    * versioned reads below the evolution keep the old shape. Every
+    * other change (drop/rename/retype/comment-on-column/positioning)
+    * refuses loudly: without column-mapping metadata those verbs
+    * would lie to the pinned footers below — a drop or rename is a
+    * new table.
+    */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported — schema evolution is a COMMIT " +
-        "(land an evolved commit, read with mergeSchema), not a " +
-        "metadata edit; registration knobs are session conf keys")
+                          changes: TableChange*): Table = {
+    val opts = baseOpts(ident)
+    require(!opts.readChangeFeed,
+      s"ALTER TABLE on $catName.$ident — it is a registered FEED; " +
+        "evolve the underlying table, the feed follows")
+    val fields = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"ADD COLUMNS ${a.fieldNames().mkString(".")} — only " +
+            "TOP-LEVEL columns can be added; evolving a nested struct " +
+            "retypes an existing column, which is a new table")
+        require(a.isNullable,
+          s"ADD COLUMNS ${a.fieldNames().head} NOT NULL — added " +
+            "columns must be nullable; every pre-evolution row " +
+            "null-fills them")
+        require(a.position() == null,
+          s"ADD COLUMNS ${a.fieldNames().head} FIRST/AFTER — new " +
+            "columns append at the end; positioning is presentation, " +
+            "reorder in the SELECT")
+        require(a.defaultValue() == null,
+          s"ADD COLUMNS ${a.fieldNames().head} DEFAULT — the log has " +
+            "no default-value metadata; pre-evolution rows read NULL")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames().head, a.dataType(), nullable = true)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE $catName.$ident: only ADD COLUMNS is " +
+            s"supported — ${other.getClass.getSimpleName} would " +
+            "rewrite the schema out from under the pinned commit " +
+            "footers (a drop/rename/retype is a NEW table; land a " +
+            "fresh log and backfill)")
+    }
+    Changelog.commitAddColumns(SparkSession.active, opts.path, fields)
+    SQLConf.get.setConfString(confKey(ident, "mergeSchema"), "true")
+    loadTable(ident)
+  }
 }
 
 object GraftLogCatalog {

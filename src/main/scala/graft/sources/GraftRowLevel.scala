@@ -195,11 +195,11 @@ object GraftRowLevel {
                                          spoolDir: String)
       extends ScanBuilder with SupportsPushDownFilters {
 
-    private var window: Option[KeyWindow] = None
+    private var windows: Seq[KeyWindow] = Seq.empty
     private var pruning: Array[Filter] = Array.empty
 
     override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-      window = extractWindow(opts.keys, filters)
+      windows = extractWindows(opts.keys, filters)
       pruning = filters
       filters // all of them re-evaluate above the scan — pruning only
     }
@@ -207,23 +207,34 @@ object GraftRowLevel {
     override def pushedFilters(): Array[Filter] = Array.empty
 
     override def build(): Scan =
-      new SnapshotSpoolScan(spark, opts, head, spoolDir, window, pruning)
+      new SnapshotSpoolScan(spark, opts, head, spoolDir, windows, pruning)
   }
 
-  private sealed trait KeyWindow { def key: String }
-  private case class LongWindow(key: String, lo: Long, hi: Long)
+  private[graft] sealed trait KeyWindow { def key: String }
+  private[graft] case class LongWindow(key: String, lo: Long, hi: Long)
       extends KeyWindow
-  private case class StringWindow(key: String, value: String)
+  private[graft] case class StringWindow(key: String, lo: String,
+                                         hi: String)
       extends KeyWindow
 
-  /** The widest inclusive window the pushed conjuncts imply for the
-    * FIRST key column any of them constrains — the
+  /** The widest inclusive window the pushed conjuncts imply for EVERY
+    * key column any of them constrains — the
     * [[graft.plans.ResolveGraftLog]] extraction re-stated over
     * `sources.Filter` (the shape V2ScanRelationPushDown hands a V1
-    * pushdown). `And` splits; any other composite contributes nothing.
+    * pushdown), one window per constrained column: the lookup kernel
+    * INTERSECTS them (a commit outside any one column's recorded range
+    * cannot hold a row satisfying the conjunction), so a composite-key
+    * statement prunes by every column its condition pins, not just the
+    * first. Strings prune by equality AND by closed ranges (both
+    * bounds present — the stats marker records UTF-8 min/max, the same
+    * order the probe compares in). `And` splits; any other composite
+    * contributes nothing. Strict bounds widen to inclusive — pruning
+    * may only over-admit, never drop (the full condition re-evaluates
+    * above the scan).
     */
-  private def extractWindow(keys: Seq[String],
-                            filters: Array[Filter]): Option[KeyWindow] = {
+  private[graft] def extractWindows(keys: Seq[String],
+                                    filters: Array[Filter])
+      : Seq[KeyWindow] = {
     import org.apache.spark.sql.sources._
     def conjuncts(f: Filter): Seq[Filter] = f match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -235,65 +246,108 @@ object GraftRowLevel {
       case i: Int  => Some(i.toLong)
       case _       => None
     }
-    keys.iterator.map { key =>
+    def strOf(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case _         => None
+    }
+    keys.flatMap { key =>
       var lo: Option[Long] = None
       var hi: Option[Long] = None
-      var seq: Option[String] = None
+      var slo: Option[String] = None
+      var shi: Option[String] = None
+      def maxS(a: Option[String], x: String) =
+        Some(a.fold(x)(v => if (v >= x) v else x))
+      def minS(a: Option[String], x: String) =
+        Some(a.fold(x)(v => if (v <= x) v else x))
       flat.foreach {
         case EqualTo(a, v) if a == key =>
           longOf(v).foreach { x =>
             lo = Some(lo.fold(x)(math.max(_, x)))
             hi = Some(hi.fold(x)(math.min(_, x)))
           }
-          v match { case s: String => seq = Some(s); case _ => () }
+          strOf(v).foreach { s => slo = maxS(slo, s); shi = minS(shi, s) }
         case GreaterThan(a, v) if a == key =>
           longOf(v).foreach(x => lo = Some(lo.fold(x)(math.max(_, x))))
+          strOf(v).foreach(s => slo = maxS(slo, s))
         case GreaterThanOrEqual(a, v) if a == key =>
           longOf(v).foreach(x => lo = Some(lo.fold(x)(math.max(_, x))))
+          strOf(v).foreach(s => slo = maxS(slo, s))
         case LessThan(a, v) if a == key =>
           longOf(v).foreach(x => hi = Some(hi.fold(x)(math.min(_, x))))
+          strOf(v).foreach(s => shi = minS(shi, s))
         case LessThanOrEqual(a, v) if a == key =>
           longOf(v).foreach(x => hi = Some(hi.fold(x)(math.min(_, x))))
+          strOf(v).foreach(s => shi = minS(shi, s))
         case _ => ()
       }
-      key -> (seq match {
-        case Some(s) => Some(StringWindow(key, s))
-        case None if lo.isDefined || hi.isDefined =>
+      (slo, shi) match {
+        // a string window needs BOTH bounds (the stats lookup is a
+        // closed range); half-open long windows widen to ±∞
+        case (Some(l), Some(h)) if l <= h => Some(StringWindow(key, l, h))
+        case _ if lo.isDefined || hi.isDefined =>
           val l = lo.getOrElse(Long.MinValue)
           val h = hi.getOrElse(Long.MaxValue)
           if (l <= h) Some(LongWindow(key, l, h)) else None
-        case None => None
-      })
-    }.collectFirst { case (_, Some(w)) => w }
+        case _ => None
+      }
+    }
   }
 
   private class SnapshotSpoolScan(spark: SparkSession, opts: GraftLog.Opts,
                                   head: Long, spoolDir: String,
-                                  window: Option[KeyWindow],
+                                  windows: Seq[KeyWindow],
                                   pruning: Array[Filter])
       extends Scan with Batch {
 
-    GraftRowLevel.lastWindow.set(window.map {
-      case LongWindow(k, lo, hi) => s"$k in [$lo, $hi]"
-      case StringWindow(k, v)    => s"$k = '$v'"
-    })
+    GraftRowLevel.lastWindow.set(
+      if (windows.isEmpty) None
+      else Some(windows.map {
+        case LongWindow(k, lo, hi) => s"$k in [$lo, $hi]"
+        case StringWindow(k, lo, hi) if lo == hi => s"$k = '$lo'"
+        case StringWindow(k, lo, hi) => s"$k in ['$lo', '$hi']"
+      }.mkString(" & ")))
 
     private val snapshot: DataFrame = {
-      val source = window match {
-        case Some(LongWindow(k, lo, hi)) =>
-          Changelog.rangeLookupOps(spark, opts.path, opts.keys, head,
-            k, lo, hi)
-        case Some(StringWindow(k, v)) =>
-          Changelog.pointLookupOpsString(spark, opts.path, opts.keys,
-            head, k, v)
-        case None =>
-          Changelog.snapshotAtOps(spark, opts.path, opts.keys, head)
-      }
+      import org.apache.spark.sql.functions.{col, lit}
+      val source =
+        if (windows.nonEmpty)
+          // one lookup window per constrained key column — the kernel
+          // INTERSECTS their stats admissions, so a composite-key
+          // statement opens strictly fewer commits than any single
+          // column's window alone
+          Changelog.rangeLookupOpsWindows(spark, opts.path, opts.keys,
+            head,
+            windows.map {
+              case LongWindow(k, lo, hi)   => Changelog.longWindow(k, lo, hi)
+              case StringWindow(k, lo, hi) =>
+                Changelog.stringWindow(k, lo, hi)
+            },
+            mergeSchema = opts.mergeSchema)
+        else if (opts.mergeSchema)
+          Changelog.snapshotAtOpsEvolved(spark, opts.path, opts.keys,
+            head)
+        else Changelog.snapshotAtOps(spark, opts.path, opts.keys, head)
+      // an EVOLVED table's spool must serve the UNION schema even when
+      // the pruned window admits only pre-evolution commits: conform —
+      // missing columns null-fill, exactly the evolved read's semantics
+      // for those rows
+      val conformed =
+        if (!opts.mergeSchema) source
+        else {
+          val union = spark.read.option("mergeSchema", "true")
+            .parquet(opts.path).schema.fields
+            .filter(f => f.name != Changelog.CommitCol &&
+              f.name != Changelog.OpCol)
+          val have = source.columns.toSet
+          source.select(union.map(f =>
+            if (have.contains(f.name)) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        }
       // every fully-translatable pushed filter shrinks the spool to
       // O(matched rows); untranslatable ones contribute nothing (Spark
       // re-applies the complete condition above the scan either way)
       pruning.flatMap(GraftLog.filterToColumn)
-        .foldLeft(source)(_ filter _)
+        .foldLeft(conformed)(_ filter _)
     }
 
     {
@@ -309,7 +363,9 @@ object GraftRowLevel {
     override def readSchema(): StructType = snapshot.schema
 
     override def description(): String = {
-      val pruned = window.fold("full")(w => s"key-window on ${w.key}")
+      val pruned =
+        if (windows.isEmpty) "full"
+        else s"key-windows on ${windows.map(_.key).mkString(", ")}"
       s"graft_log row-level snapshot spool over ${opts.path} @ $head " +
         s"($pruned)"
     }

@@ -143,7 +143,28 @@ private[graft] object LogFs {
       s".${target.getName}.claim.${java.util.UUID.randomUUID()}.tmp")
     val out = f.create(tmp, true)
     try out.write(content.getBytes(UTF_8)) finally out.close()
-    try {
+    if (isLocal(path)) {
+      // POSIX rename REPLACES an existing target, and Hadoop's local
+      // rename-without-overwrite is check-then-act — two concurrent
+      // claimants could both "win" in the microsecond window between
+      // the check and the rename (caught by the mutex race spec). The
+      // kernel's atomic create-if-absent primitive is link(2): exactly
+      // one hardlink lands, every other claimant gets EEXIST.
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        f.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.io.IOException =>
+          f.delete(tmp, false)
+          false
+      }
+    } else try {
+      // HDFS / object stores arbitrate rename-without-overwrite
+      // server-side (namenode-atomic) — the rename IS the claim
       val fc = FileContext.getFileContext(target.toUri, conf)
       fc.rename(tmp, target) // NO overwrite: loses atomically if taken
       true

@@ -281,7 +281,8 @@ class GraftLogTableSpec extends SparkSpec {
   }
 
   test("txn-idempotent batch append: a replayed (writer, txnVersion) " +
-       "re-lands its recorded commit instead of appending twice") {
+       "SKIPS (Delta's already-recorded contract) instead of " +
+       "appending twice or rewriting its commit") {
     import spark.implicits._
     val path = opsFixture("txn_append") // head 2
     GraftLogCatalog.register(spark, "glogspec28", "t", path, Seq("k"))
@@ -291,15 +292,14 @@ class GraftLogTableSpec extends SparkSpec {
         .append()
     put(Seq((700L, 1.0)), 1L)
     assert(Changelog.headVersion(path).contains(3L))
-    // the same txn replayed — byte-equivalent re-landing, head flat
+    // the same txn replayed — skipped, head flat
     put(Seq((700L, 1.0)), 1L)
     assert(Changelog.headVersion(path).contains(3L),
       "a replayed txn must not append a second commit")
     // the NEXT txn appends normally
     put(Seq((701L, 2.0)), 2L)
     assert(Changelog.headVersion(path).contains(4L))
-    // a replay AFTER later commits re-lands its own slot (3), not a
-    // new head — and the snapshot still serves both rows
+    // a replay AFTER later commits skips — head flat, both rows served
     put(Seq((700L, 1.0)), 1L)
     assert(Changelog.headVersion(path).contains(4L))
     val snap = Changelog.snapshotAtOps(spark, path, Seq("k"),
@@ -309,6 +309,56 @@ class GraftLogTableSpec extends SparkSpec {
     intercept[Exception] {
       Seq((702L, 3.0)).toDF("k", "v").writeTo("glogspec28.t")
         .option("txnVersion", "3").append()
+    }
+  }
+
+  test("txn replay after a checkpoint folding AT the recorded commit " +
+       "must not destroy the folded base (skip, not re-land)") {
+    import spark.implicits._
+    val path = opsFixture("txn_ckpt") // head 2
+    GraftLogCatalog.register(spark, "glogspec34", "t", path, Seq("k"))
+    Seq((800L, 8.0)).toDF("k", "v").writeTo("glogspec34.t")
+      .option("writer", "appc").option("txnVersion", "1").append()
+    assert(Changelog.headVersion(path).contains(3L))
+    val before = Changelog.snapshotAtOps(spark, path, Seq("k"),
+        Long.MaxValue).as[(Long, Double)].collect().toMap
+    // checkpoint folds the ENTIRE live state into commit 3 — exactly
+    // the txn's recorded id; its marker (content 3, not < horizon 3)
+    // survives the sweep. Before the fix a replay re-landed into
+    // _commit=3 via delete-then-rename, wiping every other key.
+    Changelog.checkpointOps(spark, path, Seq("k"), 3L)
+    Seq((800L, 8.0)).toDF("k", "v").writeTo("glogspec34.t")
+      .option("writer", "appc").option("txnVersion", "1").append()
+    val after = Changelog.snapshotAtOps(spark, path, Seq("k"),
+        Long.MaxValue).as[(Long, Double)].collect().toMap
+    assert(after == before,
+      "a post-checkpoint txn replay must leave the folded base intact")
+    assert(Changelog.headVersion(path).contains(3L))
+  }
+
+  test("txn marker without a landed commit refuses loudly (concurrent " +
+       "duplicate in flight, or crashed between claim and landing)") {
+    import spark.implicits._
+    val path = opsFixture("txn_pend")
+    GraftLogCatalog.register(spark, "glogspec35", "t", path, Seq("k"))
+    // simulate the loser's view of an in-flight duplicate: the winner
+    // claimed the marker but has not landed its commit yet
+    graft.sources.LogFs.writeAtomic(
+      graft.sources.LogFs.child(path,
+        s"${Changelog.SinkMapPrefix}txn_appd_7"), "pending:appd")
+    val e = intercept[Exception] {
+      Seq((900L, 9.0)).toDF("k", "v").writeTo("glogspec35.t")
+        .option("writer", "appd").option("txnVersion", "7").append()
+    }
+    assert(e.getMessage.contains("has not landed"),
+      s"expected the in-flight/crashed diagnosis, got: ${e.getMessage}")
+    // same refusal when the marker records an id whose commit is gone
+    graft.sources.LogFs.writeAtomic(
+      graft.sources.LogFs.child(path,
+        s"${Changelog.SinkMapPrefix}txn_appd_8"), "9999")
+    intercept[Exception] {
+      Seq((901L, 9.1)).toDF("k", "v").writeTo("glogspec35.t")
+        .option("writer", "appd").option("txnVersion", "8").append()
     }
   }
 
@@ -1038,8 +1088,43 @@ class GraftLogTableSpec extends SparkSpec {
       s"CREATE TABLE glogspec23.bad5 (k BIGINT, p BIGINT) LOCATION " +
         s"'${freshDir("ddl_bad5")}' PARTITIONED BY (p) " +
         "TBLPROPERTIES ('keys'='k')") }
-    intercept[Exception] { spark.sql(
-      "ALTER TABLE glogspec23.t3 ADD COLUMN z BIGINT") }
+  }
+
+  test("ALTER TABLE ADD COLUMNS lands ONE evolved schema-bearing " +
+       "commit; drop/rename/retype/properties refuse loudly") {
+    import spark.implicits._
+    val path = opsFixture("ddl_alter") // head 2
+    GraftLogCatalog.register(spark, "glogspec36", "t", path, Seq("k"))
+    spark.sql("ALTER TABLE glogspec36.t ADD COLUMNS (src STRING)")
+    // the evolution is a COMMIT (verb add_columns), zero rows
+    assert(Changelog.commitInfos(path)(3L)._1 == "add_columns")
+    assert(Changelog.headVersion(path).contains(3L))
+    // the table now reads the union schema; pre-evolution rows
+    // null-fill the new column and values are untouched
+    val evolved = spark.table("glogspec36.t")
+    assert(evolved.schema.fieldNames.toSeq == Seq("k", "v", "src"))
+    assert(evolved.filter($"src".isNotNull).isEmpty)
+    assert(evolved.drop("src").orderBy("k").collect().toSeq ==
+      sortedRows(expectedHead(path)))
+    // an INSERT carrying the new column lands, LWW over old keys
+    spark.sql("INSERT INTO glogspec36.t VALUES (1, 99.0, 'late')")
+    val row = spark.sql("SELECT v, src FROM glogspec36.t WHERE k = 1")
+      .collect().head
+    assert(row.getDouble(0) == 99.0 && row.getString(1) == "late")
+    // everything but ADD COLUMNS refuses loudly
+    Seq(
+      "ALTER TABLE glogspec36.t DROP COLUMN src",
+      "ALTER TABLE glogspec36.t RENAME COLUMN src TO s2",
+      "ALTER TABLE glogspec36.t SET TBLPROPERTIES ('a'='b')",
+      "ALTER TABLE glogspec36.t ADD COLUMNS (src2 STRING NOT NULL)",
+      // a duplicate column refuses at the evolution commit
+      "ALTER TABLE glogspec36.t ADD COLUMNS (src STRING)")
+      .foreach { ddl =>
+        assert(scala.util.Try(spark.sql(ddl)).isFailure,
+          s"must refuse: $ddl")
+      }
+    // still exactly ONE evolution commit + one insert landed
+    assert(Changelog.headVersion(path).contains(4L))
   }
 
   test("MERGE WHEN NOT MATCHED BY SOURCE: target rows absent from the " +
@@ -1192,13 +1277,14 @@ class GraftLogTableSpec extends SparkSpec {
         .option("keyFilter", "k % 2 = 0").load()
     }
     GraftLogCatalog.register(spark, "glogspec2", "t", path, Seq("k"))
-    // ALTER stays refused — schema evolution is a commit, never a
-    // metadata edit (CREATE/DROP/RENAME are first-class, specced above)
+    // non-ADD ALTERs stay refused — a drop/rename/retype would rewrite
+    // the schema out from under the pinned footers (ADD COLUMNS is
+    // first-class, specced in its own test)
     val ddl = intercept[Exception] {
-      spark.sql("ALTER TABLE glogspec2.t ADD COLUMN z BIGINT")
+      spark.sql("ALTER TABLE glogspec2.t DROP COLUMN v")
     }
-    assert(ddl.getMessage.toLowerCase.contains("not supported") ||
-      ddl.getMessage.toLowerCase.contains("evolution"))
+    assert(ddl.getMessage.toLowerCase.contains("only add columns") ||
+      ddl.getMessage.toLowerCase.contains("not supported"))
     // unregistered name: loud table-not-found, not a silent empty
     intercept[Exception] {
       spark.sql("SELECT * FROM glogspec2.absent").collect()
