@@ -26,7 +26,8 @@ object Verify {
     // it as an opaque hash mismatch. Skipped when the caller's `only`
     // filter selects none of the affected queries.
     val sigQueries = Set("q29_knn_lsh", "q30_embed_neardup",
-      "q43_bucket_centroids", "q45_knn_ivf", "q74_lloyd_refine")
+      "q43_bucket_centroids", "q45_knn_ivf", "q74_lloyd_refine",
+      "q244_semdedup")
     if (new java.io.File(s"$sfDir/embeddings.parquet").exists() &&
         (only.isEmpty || only.exists(sigQueries)))
       graft.ext.ExtQueries.assertVerifyScale(spark, sfDir)

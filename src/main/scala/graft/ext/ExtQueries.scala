@@ -224,6 +224,21 @@ object ExtQueries {
         CosineThreshold, Similarity.bitsFor(embCount(s, d)), EmbDims)
     }),
 
+    // SemDeDup (Abbas et al.) — embedding-space near-dup PRUNING,
+    // cluster-first: the IVF coarse cells play the paper's k-means
+    // clusters, cosine pairs are emitted only within a cell, and a
+    // vector is pruned iff a same-cell neighbor above the threshold
+    // dominates it by quality (document length; ties keep the lower
+    // id — q64's argmax-survivor law pairwise). Completes the dedup
+    // family: exact, n-gram, MinHash, SimHash, passage-level,
+    // incremental, and now embedding-space.
+    "q244_semdedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.semDeDup(emb, "vec_id", "embedding",
+        Tables.documents(s, d), "doc_id", "n_chars",
+        CosineThreshold, Similarity.bitsFor(embCount(s, d)), EmbDims)
+    }),
+
     // SimHash near-dup pairs: 4-banded 60-bit fingerprints, exact
     // recall for hamming <= 3.
     "q44_simhash_pairs" -> ((s, d) =>
@@ -670,6 +685,28 @@ object ExtQueries {
        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= $CosineThreshold""".stripMargin
   }
 
+  /** SemDeDup twin: cell-exact pairs (no multi-probe — the paper's
+    * method is strictly within-cluster), quality = document length,
+    * domination = higher quality (ties: lower id).
+    */
+  private val semDedupSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |s AS (
+       |  SELECT e.vec_id, e.v, CAST(${signSigSql("v")} AS BIGINT) AS sig,
+       |    CAST(d.n_chars AS BIGINT) AS q
+       |  FROM e JOIN documents d ON d.doc_id = e.vec_id),
+       |pruned AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM s a JOIN s b
+       |    ON a.sig = b.sig AND a.vec_id <> b.vec_id
+       |   AND (b.q > a.q OR (b.q = a.q AND b.vec_id < a.vec_id))
+       |  WHERE ${cosineSql("a.v", "b.v")} >= $CosineThreshold)
+       |SELECT s.vec_id, s.sig, s.q AS quality,
+       |  p.vec_id IS NOT NULL AS pruned
+       |FROM s LEFT JOIN pruned p ON p.vec_id = s.vec_id""".stripMargin
+
   /** SimHash banded near-dup twin: same CTE chain as simhashSql up to
     * the per-doc fingerprint, then 4 × 15-bit band keys, band-bucket
     * self-join, xor popcount verify.
@@ -919,6 +956,7 @@ object ExtQueries {
     "q146_quantized_rerank" -> quantRerankSql,
     "q29_knn_lsh" -> knnLshSql,
     "q30_embed_neardup" -> embedNearDupSql,
+    "q244_semdedup" -> semDedupSql,
     "q43_bucket_centroids" -> bucketCentroidsSql,
     "q44_simhash_pairs" -> simhashPairsSql,
     "q45_knn_ivf" -> knnIvfSql,

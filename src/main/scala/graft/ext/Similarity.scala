@@ -393,4 +393,46 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
+
+  /** SemDeDup — embedding-space near-dup PRUNING, cluster-first (the
+    * public method of Abbas et al., arXiv:2303.09540, recast on this
+    * engine's quantizer): the IVF coarse cells (sign-LSH signatures)
+    * play the paper's k-means clusters, cosine pairs are emitted only
+    * WITHIN a cell, and a vector is pruned iff some same-cell neighbor
+    * above `threshold` DOMINATES it by quality — higher `qualityCol`,
+    * ties keep the lower id (the q64 argmax-survivor law applied
+    * pairwise). One row per vector: (vec_id, sig, quality, pruned).
+    *
+    * Scale shape: bucketed by construction — the self-join is an
+    * equi-join on the cell id, O(N · cell occupancy) under the
+    * scale-adaptive signature width (bitsFor), never all-pairs; the
+    * quality frame joins once by id before the cell join, so the
+    * corpus shuffles twice total (quality join + cell join) at any
+    * corpus size. Deterministic: fixed hyperplanes, total domination
+    * order.
+    */
+  def semDeDup(vectors: DataFrame, idCol: String, embCol: String,
+               quality: DataFrame, qIdCol: String, qualityCol: String,
+               threshold: Double, bits: Int, dims: Int): DataFrame = {
+    val corpus = signedCorpus(vectors, idCol, embCol, bits, dims)
+      .join(quality.select(col(qIdCol).as("nbr_id"),
+        col(qualityCol).cast("long").as("q")), "nbr_id")
+      .localCheckpoint() // the index: built once, read by both sides
+    val dominated = corpus.as("a")
+      .join(corpus.as("b"),
+        col("a.sig") === col("b.sig") &&
+          col("a.nbr_id") =!= col("b.nbr_id") &&
+          (col("b.q") > col("a.q") ||
+           (col("b.q") === col("a.q") &&
+             col("b.nbr_id") < col("a.nbr_id"))))
+      .withColumn("cosine", cosineFromNorms(
+        col("a.nbr_emb"), col("a.nbr_nrm"),
+        col("b.nbr_emb"), col("b.nbr_nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.nbr_id").as("pruned_id")).distinct()
+    corpus.select(col("nbr_id").as("vec_id"), col("sig"), col("q"))
+      .join(dominated, col("vec_id") === col("pruned_id"), "left")
+      .select(col("vec_id"), col("sig"), col("q").as("quality"),
+        col("pruned_id").isNotNull.as("pruned"))
+  }
 }

@@ -99,6 +99,19 @@ object GraftRowLevel {
   private[graft] val lastSpoolRows =
     new java.util.concurrent.atomic.AtomicLong(-1L)
 
+  /** Opt-in spec observability: when set, the next spool records the
+    * DISTINCT COMMIT DIRECTORIES its source plan reads
+    * ([[lastSpoolCommits]]) — the structural proof that multi-window
+    * intersection opens fewer commits. Off by default: deriving it
+    * walks the plan's input files (a driver-side listing the
+    * production path must not pay per statement).
+    */
+  private[graft] val trackSpoolCommits =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private[graft] val lastSpoolCommits =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+
   /** Test-only interleave point, invoked at the top of the delta
     * write's driver commit: a spec lands a CONCURRENT commit here to
     * race the statement deterministically (the conflict-detection
@@ -346,8 +359,14 @@ object GraftRowLevel {
       // every fully-translatable pushed filter shrinks the spool to
       // O(matched rows); untranslatable ones contribute nothing (Spark
       // re-applies the complete condition above the scan either way)
-      pruning.flatMap(GraftLog.filterToColumn)
+      val out = pruning.flatMap(GraftLog.filterToColumn)
         .foldLeft(conformed)(_ filter _)
+      if (GraftRowLevel.trackSpoolCommits.get())
+        GraftRowLevel.lastSpoolCommits.set(
+          out.inputFiles.flatMap(_.split("/")
+              .find(_.startsWith(s"${Changelog.CommitCol}=")))
+            .distinct.sorted.toIndexedSeq)
+      out
     }
 
     {

@@ -336,6 +336,33 @@ class GraftLogTableSpec extends SparkSpec {
     assert(Changelog.headVersion(path).contains(3L))
   }
 
+  test("vacuumRetain reclaims history below an optimize base without " +
+       "a fold: base stats survive, state is untouched, re-run no-ops") {
+    val path = opsFixture("vacuum_retain") // head 2
+    for (c <- 0L to 2L) Changelog.writeCommitStats(spark, path, c, "k")
+    // no base anywhere → refuse (un-folded history is live state)
+    intercept[Exception] { Changelog.vacuumRetain(path, 2L) }
+    Changelog.optimizeOps(spark, path, Seq("k"), 3L, "k", 40L, 4)
+    val before = sortedRows(
+      Changelog.snapshotAtOps(spark, path, Seq("k"), Long.MaxValue))
+    // retain above the head → refuse
+    intercept[Exception] { Changelog.vacuumRetain(path, 99L) }
+    Changelog.vacuumRetain(path, 3L)
+    assert(Changelog.horizonOf(path) == 3L)
+    assert(Changelog.baseIds(path) == Seq(3L))
+    assert(Changelog.commitColumnStats(path).keySet == Set(3L),
+      "the base's own stats marker survives — the directory was not " +
+        "rewritten, so its ranges still bound it")
+    assert(sortedRows(Changelog.snapshotAtOps(spark, path, Seq("k"),
+      Long.MaxValue)) == before, "retention must not move the state")
+    intercept[IllegalArgumentException] {
+      Changelog.snapshotAtOps(spark, path, Seq("k"), 1L)
+    }
+    // idempotent re-run: nothing left to sweep, same horizon
+    Changelog.vacuumRetain(path, 3L)
+    assert(Changelog.horizonOf(path) == 3L)
+  }
+
   test("txn marker without a landed commit refuses loudly (concurrent " +
        "duplicate in flight, or crashed between claim and landing)") {
     import spark.implicits._
@@ -421,6 +448,77 @@ class GraftLogTableSpec extends SparkSpec {
     // zero matching rows: no claim, no commit
     spark.sql("UPDATE glogspec5.t SET v = 0.0 WHERE k = -1")
     assert(Changelog.headVersion(path).contains(3L))
+  }
+
+  test("composite-key UPDATE intersects spool windows per constrained " +
+       "column — strictly fewer commits open than any one column's " +
+       "window; string ranges prune too") {
+    import spark.implicits._
+    import graft.sources.GraftRowLevel
+    val path = freshDir("dml_update_multikey")
+    def block(gs: Range, ks: Range) =
+      (for (g <- gs; k <- ks) yield (g.toLong, k.toLong, g * 1000.0 + k))
+        .toDF("g", "k", "v")
+    Changelog.commitUpsert(block(0 to 4, 0 to 49), path, 0L)
+    Changelog.commitUpsert(block(5 to 9, 0 to 49), path, 1L)
+    Changelog.commitUpsert(block(0 to 9, 100 to 149), path, 2L)
+    for (c <- 0L to 2L)
+      Changelog.writeCommitStatsMulti(spark, path, c, Seq("g", "k"))
+    GraftLogCatalog.register(spark, "glogspec37", "t", path,
+      Seq("g", "k"))
+    GraftRowLevel.trackSpoolCommits.set(true)
+    try {
+      // control: ONE constrained column (g = 7) admits commits 1 AND 2
+      spark.sql("UPDATE glogspec37.t SET v = v + 0.5 WHERE g = 7")
+      val gOnly = GraftRowLevel.lastSpoolCommits.get()
+      assert(gOnly == Seq(s"${Changelog.CommitCol}=1",
+        s"${Changelog.CommitCol}=2"),
+        s"g-only window must open commits 1 and 2, got $gOnly")
+      Changelog.writeCommitStatsMulti(spark, path, 3L, Seq("g", "k"))
+      // the two-column conjunction INTERSECTS: k ∈ [120, 130] rules
+      // commit 1 out (its k range is [0, 49]) — strictly fewer opened
+      spark.sql("UPDATE glogspec37.t SET v = v + 0.25 " +
+        "WHERE g = 7 AND k >= 120 AND k <= 130")
+      val both = GraftRowLevel.lastSpoolCommits.get()
+      assert(both == Seq(s"${Changelog.CommitCol}=2",
+        s"${Changelog.CommitCol}=3"),
+        s"the conjunction must intersect to commits 2 and 3, got $both")
+      assert(both.size < gOnly.size + 1, // +1: commit 3 landed between
+        "the two-conjunct window must open strictly fewer commits")
+      assert(GraftRowLevel.lastWindow.get().exists(w =>
+        w.contains("g in") && w.contains("k in")),
+        s"both windows must render, got ${GraftRowLevel.lastWindow.get()}")
+      // final state: both updates applied, everything else untouched
+      val got = spark.table("glogspec37.t").as[(Long, Long, Double)]
+        .collect().map(t => (t._1, t._2) -> t._3).toMap
+      assert(got((7L, 125L)) == 7125.75 && got((7L, 20L)) == 7020.5 &&
+        got((3L, 125L)) == 3125.0, s"unexpected values")
+    } finally GraftRowLevel.trackSpoolCommits.set(false)
+
+    // STRING ranges prune: disjoint name ranges per commit, a closed
+    // range window opens exactly the admitted commit
+    val spath = freshDir("dml_update_strkey")
+    def srows(names: Seq[String]) =
+      names.map(n => (n, 1.0)).toDF("name", "v")
+    Changelog.commitUpsert(srows(Seq("apple", "berry", "cherry")), spath, 0L)
+    Changelog.commitUpsert(srows(Seq("date", "elder", "fig")), spath, 1L)
+    Changelog.commitUpsert(srows(Seq("grape", "honey", "iris")), spath, 2L)
+    for (c <- 0L to 2L)
+      Changelog.writeCommitStatsMulti(spark, spath, c, Seq("name"))
+    GraftLogCatalog.register(spark, "glogspec38", "t", spath, Seq("name"))
+    GraftRowLevel.trackSpoolCommits.set(true)
+    try {
+      spark.sql("UPDATE glogspec38.t SET v = v + 1.0 " +
+        "WHERE name >= 'd' AND name <= 'f'")
+      val opened = GraftRowLevel.lastSpoolCommits.get()
+      assert(opened == Seq(s"${Changelog.CommitCol}=1"),
+        s"the string range must open only commit 1, got $opened")
+      val got = spark.table("glogspec38.t").as[(String, Double)]
+        .collect().toMap
+      assert(got("date") == 2.0 && got("elder") == 2.0 &&
+        got("fig") == 1.0 && got("apple") == 1.0 && got("iris") == 1.0,
+        s"unexpected post-update state: $got")
+    } finally GraftRowLevel.trackSpoolCommits.set(false)
   }
 
   test("SQL UPDATE refuses key-column rewrites and plain logs; SQL " +
@@ -1125,6 +1223,42 @@ class GraftLogTableSpec extends SparkSpec {
       }
     // still exactly ONE evolution commit + one insert landed
     assert(Changelog.headVersion(path).contains(4L))
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION lands one add_columns commit then " +
+       "the merge; a plain MERGE never evolves silently") {
+    import spark.implicits._
+    val path = opsFixture("merge_evolve") // head 2, columns (k, v)
+    GraftLogCatalog.register(spark, "glogspec39", "t", path, Seq("k"))
+    Seq((1L, 500.0, "m"), (900L, 9.0, "m")).toDF("k", "v", "src")
+      .createOrReplaceTempView("mev_src")
+    // WITHOUT the WITH clause: whatever Spark does with the extra
+    // source column (refuse or ignore), the TABLE must not evolve
+    scala.util.Try(spark.sql(
+      """MERGE INTO glogspec39.t t USING mev_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(!Changelog.commitInfos(path).values.exists(_._1 == "add_columns"),
+      "a plain MERGE must never land an evolution commit")
+    assert(!spark.table("glogspec39.t").columns.contains("src"),
+      "a plain MERGE must never widen the table schema")
+    val h0 = Changelog.headVersion(path).get
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO glogspec39.t t
+        |USING mev_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val infos = Changelog.commitInfos(path)
+    assert(infos(h0 + 1)._1 == "add_columns" &&
+      infos(h0 + 2)._1 == "merge",
+      s"evolved MERGE = add_columns + merge above head $h0, got $infos")
+    val snap = spark.table("glogspec39.t").as[(Long, Double, String)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(snap(1L) == ((500.0, "m")), s"matched row must carry the " +
+      s"evolved column from the source, got ${snap(1L)}")
+    assert(snap(900L) == ((9.0, "m")), "the insert must carry it too")
+    assert(snap(2L)._2 == null,
+      "rows the merge never touched null-fill the evolved column")
   }
 
   test("MERGE WHEN NOT MATCHED BY SOURCE: target rows absent from the " +
