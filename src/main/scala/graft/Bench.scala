@@ -43,6 +43,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Quiet.shutdownNoise()
 
     def consume(fn: (SparkSession, String) => DataFrame, dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()

@@ -239,6 +239,18 @@ object ExtQueries {
         CosineThreshold, Similarity.bitsFor(embCount(s, d)), EmbDims)
     }),
 
+    // Semantic duplicate CLUSTERS — the SemDeDup edge set (cell-exact
+    // cosine pairs) closed under transitivity: every vector in a
+    // semantic near-dup component labeled with the component's min id
+    // (q46's closure law on embedding-space edges instead of
+    // n-gram-Jaccard ones).
+    "q246_semdedup_clusters" -> ((s, d) =>
+      Graph.connectedComponents(
+        Similarity.semDupPairs(Tables.embeddings(s, d), "vec_id",
+          "embedding", CosineThreshold,
+          Similarity.bitsFor(embCount(s, d)), EmbDims)
+          .select(col("id_a"), col("id_b")))),
+
     // SimHash near-dup pairs: 4-banded 60-bit fingerprints, exact
     // recall for hamming <= 3.
     "q44_simhash_pairs" -> ((s, d) =>
@@ -707,6 +719,30 @@ object ExtQueries {
        |  p.vec_id IS NOT NULL AS pruned
        |FROM s LEFT JOIN pruned p ON p.vec_id = s.vec_id""".stripMargin
 
+  /** Semantic-cluster twin: the cell-exact pair set closed under
+    * transitivity — q46's recursive-closure form over embedding-space
+    * edges instead of n-gram-Jaccard ones.
+    */
+  private val semDedupClustersSql =
+    s"""WITH RECURSIVE e0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |s AS (SELECT vec_id, v, ${signSigSql("v")} AS sig FROM e0),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+       |  WHERE ${cosineSql("a.v", "b.v")} >= $CosineThreshold),
+       |e AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION
+       |  SELECT id_b AS u, id_a AS v FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM e
+       |  UNION
+       |  SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u)
+       |SELECT u AS id, least(u, min(v)) AS cluster_id
+       |FROM reach GROUP BY u""".stripMargin
+
   /** SimHash banded near-dup twin: same CTE chain as simhashSql up to
     * the per-doc fingerprint, then 4 × 15-bit band keys, band-bucket
     * self-join, xor popcount verify.
@@ -957,6 +993,7 @@ object ExtQueries {
     "q29_knn_lsh" -> knnLshSql,
     "q30_embed_neardup" -> embedNearDupSql,
     "q244_semdedup" -> semDedupSql,
+    "q246_semdedup_clusters" -> semDedupClustersSql,
     "q43_bucket_centroids" -> bucketCentroidsSql,
     "q44_simhash_pairs" -> simhashPairsSql,
     "q45_knn_ivf" -> knnIvfSql,

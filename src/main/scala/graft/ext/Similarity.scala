@@ -394,6 +394,30 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
 
+  /** Cell-exact cosine pair edges — the SemDeDup edge set without the
+    * domination fold: every same-cell pair (id_a < id_b) at/above
+    * `threshold`, one equi-join on the cell id (O(N · occupancy),
+    * never all-pairs). [[semDeDup]] consumes these pairwise; the
+    * cluster form ([[graft.ext.Graph.connectedComponents]] over this
+    * edge set) is the transitive-closure reading — semantic duplicate
+    * GROUPS rather than per-vector domination.
+    */
+  def semDupPairs(vectors: DataFrame, idCol: String, embCol: String,
+                  threshold: Double, bits: Int, dims: Int): DataFrame = {
+    val corpus = signedCorpus(vectors, idCol, embCol, bits, dims)
+      .localCheckpoint()
+    corpus.as("a")
+      .join(corpus.as("b"),
+        col("a.sig") === col("b.sig") &&
+          col("a.nbr_id") < col("b.nbr_id"))
+      .withColumn("cosine", cosineFromNorms(
+        col("a.nbr_emb"), col("a.nbr_nrm"),
+        col("b.nbr_emb"), col("b.nbr_nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.nbr_id").as("id_a"), col("b.nbr_id").as("id_b"),
+        col("cosine"))
+  }
+
   /** SemDeDup — embedding-space near-dup PRUNING, cluster-first (the
     * public method of Abbas et al., arXiv:2303.09540, recast on this
     * engine's quantizer): the IVF coarse cells (sign-LSH signatures)
