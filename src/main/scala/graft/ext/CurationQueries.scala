@@ -19,6 +19,7 @@ object CurationQueries {
   private val DefaultRate = 0.75
   private val MixFrac = 0.6    // q135: overall mixture budget ⌊frac·N⌋
   private val MixSalt = "m135" // q135: hash-law salt
+  private val UnimaxSalt = "umx247" // q247: hash-law salt
   // q139: per-language interleave weights (higher = denser in the
   // order); lcm = 6, so strides are en 2 / de,es,zh 3 / fr 6
   private val StrideWeights = Seq(
@@ -230,6 +231,19 @@ object CurationQueries {
       Sampling.temperatureMixture(
         Tables.documents(s, d).select(col("doc_id"), col("lang")),
         "lang", "doc_id", MixFrac, MixSalt)),
+
+    // UniMax budgeted mixture (Chung et al.): a 1.6·N row budget
+    // water-filled as uniformly as possible across languages, each
+    // capped at 2 epochs — at the verify corpus the four tail
+    // languages hit their caps (two full epochs each) while the head
+    // language takes the water level as one full epoch plus a
+    // salted-hash-ranked partial; allocation is exact integer
+    // arithmetic over the per-language stats frame.
+    "q247_unimax_mixture" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      Sampling.unimaxMixture(docs, "lang", "doc_id",
+        budget = docs.count() * 8 / 5, maxEpochs = 2, salt = UnimaxSalt)
+    }),
 
     // Stride-scheduled epoch order: q135 picks the documents, this
     // assigns their global reading sequence — every contiguous window
@@ -492,6 +506,55 @@ object CurationQueries {
        |JOIN thr ON d.lang = thr.src
        |WHERE CAST('0x' || substr(md5('$MixSalt' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
        |    % ${Sampling.Denom} < thr""".stripMargin
+
+  /** UniMax twin: the identical integer water-fill (prefix-closed
+    * per-row cap test in (capacity, source) order, integer share +
+    * remainder), then per-language salted-hash rank membership and
+    * the epoch explode.
+    */
+  private val unimaxSql =
+    s"""WITH stats AS (
+       |  SELECT lang AS src, CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS s_cnt FROM stats),
+       |bud AS (
+       |  SELECT CAST((count(*) * 8) // 5 AS BIGINT) AS b FROM documents),
+       |ord AS (
+       |  SELECT src, n, n * 2 AS cap,
+       |    CAST(row_number() OVER (ORDER BY n * 2, src) AS BIGINT) AS i,
+       |    COALESCE(CAST(sum(n * 2) OVER (ORDER BY n * 2, src
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |      0) AS pfx
+       |  FROM stats),
+       |flg AS (
+       |  SELECT o.*, (o.cap * (t.s_cnt - o.i + 1) + o.pfx <= b.b) AS capped
+       |  FROM ord o, tot t, bud b),
+       |aggs AS (
+       |  SELECT COALESCE(sum(CASE WHEN capped THEN cap END), 0) AS capsum,
+       |    COALESCE(sum(CASE WHEN capped THEN 1 ELSE 0 END), 0) AS ncap
+       |  FROM flg),
+       |alloc AS (
+       |  SELECT f.src, f.n,
+       |    CASE WHEN f.capped THEN f.cap
+       |         ELSE (b.b - a.capsum) // (t.s_cnt - a.ncap)
+       |           + CASE WHEN f.i - a.ncap
+       |                       <= (b.b - a.capsum) % (t.s_cnt - a.ncap)
+       |                  THEN 1 ELSE 0 END END AS bgt
+       |  FROM flg f, aggs a, tot t, bud b),
+       |ranked AS (
+       |  SELECT d.doc_id, d.lang,
+       |    CAST(row_number() OVER (PARTITION BY d.lang
+       |      ORDER BY md5('$UnimaxSalt' || CAST(d.doc_id AS VARCHAR)),
+       |        d.doc_id) AS BIGINT) AS rk
+       |  FROM documents d),
+       |x AS (
+       |  SELECT r.doc_id, r.lang,
+       |    (a.bgt // a.n)
+       |      + CASE WHEN r.rk <= (a.bgt % a.n) THEN 1 ELSE 0 END AS cnt
+       |  FROM ranked r JOIN alloc a ON a.src = r.lang)
+       |SELECT doc_id, lang,
+       |  CAST(unnest(range(0, CAST(cnt AS BIGINT))) AS BIGINT) AS epoch
+       |FROM x WHERE cnt > 0""".stripMargin
 
   /** Stride-interleave twin: the same integer law — 0-based per-language
     * rank r, vt = (2r+1)·(lcm/w), global order (vt, lang, doc_id).
@@ -920,6 +983,7 @@ object CurationQueries {
 
     "q48_stratified_sample" -> stratifiedSampleSql,
     "q135_mixture_sample" -> mixtureSampleSql,
+    "q247_unimax_mixture" -> unimaxSql,
 
     "q139_stride_interleave" -> strideInterleaveSql,
 

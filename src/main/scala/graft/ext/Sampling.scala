@@ -143,6 +143,88 @@ object Sampling {
       .drop("_src", "_thr")
   }
 
+  /** UniMax budgeted mixture (Chung et al. 2023 — "UniMax: Fairer and
+    * More Effective Language Sampling"): allocate a TOTAL row budget
+    * across sources as uniformly as possible while capping every
+    * source at `maxEpochs` passes over its data — the fairness rule
+    * large multilingual/domain mixtures train with (√-temperature
+    * still up-weights heads; UniMax gives every source an equal share
+    * unless its cap binds, then water-fills the remainder over the
+    * rest). Output: the input rows with an `epoch` column — source s
+    * with allocation b_s emits ⌊b_s/n_s⌋ FULL epochs (0-indexed) plus
+    * a partial epoch of (b_s mod n_s) rows chosen by salted-hash rank
+    * (deterministic and partition-invariant — the groupSample
+    * discipline; repetition is explicit in the epoch index).
+    *
+    * The allocation is an exact integer water-fill over the
+    * metadata-sized per-source stats frame, never the corpus: with
+    * capacities c_s = n_s·maxEpochs in ascending (capacity, source)
+    * order, source i is CAPPED iff c_i·(S−i+1) + prefix_cap(i−1) ≤ B —
+    * ascending capacities make that per-row test prefix-closed (for
+    * j < i: prefix(j−1) + c_j(i−j) ≤ prefix(i−1) term-by-term, so j's
+    * test follows from i's), which is what lets every engine evaluate
+    * it independently per row with no sequential scan. The uncapped
+    * sources split the remaining budget by integer division, the
+    * first (rem mod r) of them in the same total order taking one
+    * extra row. Pure integer arithmetic end to end — cross-engine
+    * exact.
+    *
+    * Shape at 100 TB: aggregates + windows over #sources rows, one
+    * broadcast join of the allocations, one per-source rank window
+    * (the corpus's single exchange), and an explode bounded by
+    * maxEpochs + 1.
+    */
+  def unimaxMixture(df: DataFrame, srcCol: String, idCol: String,
+                    budget: Long, maxEpochs: Int, salt: String): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    require(maxEpochs > 0, s"maxEpochs must be > 0, got $maxEpochs")
+    val reserved = Seq("_src", "_n", "_cap", "_pfx", "_i", "_S",
+      "_capped", "_capsum", "_ncap", "_bgt", "_rk", "_cnt", "epoch")
+    require(reserved.forall(c => !df.columns.contains(c)),
+      s"input must not contain reserved columns ${reserved.mkString(",")}")
+    val ordW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_cap"), col("_src"))
+    // one row per source — the single-partition window is over a
+    // metadata-sized frame by contract (sources number in the
+    // thousands at most), the same trade the mixture samplers make
+    val stats = df.groupBy(col(srcCol).as("_src"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_cap", col("_n") * maxEpochs)
+      .withColumn("_i", row_number().over(ordW).cast("long"))
+      .withColumn("_pfx", coalesce(sum(col("_cap")).over(
+        ordW.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)), lit(0L)))
+    val total = stats.agg(count(lit(1)).as("_S"))
+    val flagged = stats.crossJoin(broadcast(total))
+      .withColumn("_capped",
+        col("_cap") * (col("_S") - col("_i") + lit(1L)) + col("_pfx")
+          <= budget)
+    val aggs = flagged.agg(
+      coalesce(sum(when(col("_capped"), col("_cap"))), lit(0L))
+        .as("_capsum"),
+      coalesce(sum(when(col("_capped"), lit(1L))), lit(0L)).as("_ncap"))
+    val alloc = flagged.crossJoin(broadcast(aggs))
+      .withColumn("_bgt", when(col("_capped"), col("_cap")).otherwise(
+        expr(s"(${budget}L - _capsum) div (_S - _ncap)") +
+          when(col("_i") - col("_ncap") <=
+            expr(s"(${budget}L - _capsum) % (_S - _ncap)"), lit(1L))
+            .otherwise(lit(0L))))
+      .select(col("_src"), col("_n"), col("_bgt"))
+    df.withColumn("_rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(srcCol))
+          .orderBy(
+            md5(concat(lit(salt), col(idCol).cast("string"))
+              .cast("binary")),
+            col(idCol))).cast("long"))
+      .join(broadcast(alloc), col(srcCol) === col("_src"))
+      .withColumn("_cnt", expr("_bgt div _n") +
+        when(col("_rk") <= expr("_bgt % _n"), lit(1L)).otherwise(lit(0L)))
+      .filter(col("_cnt") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("_cnt") - 1)))
+      .drop("_src", "_n", "_bgt", "_rk", "_cnt")
+  }
+
   /** Deterministic FIXED-QUOTA per-group sample — exactly
     * `min(k, |group|)` rows per group, chosen by ranking the group on a
     * salted content hash (the distributed, reproducible analogue of a
