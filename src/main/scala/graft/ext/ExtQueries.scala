@@ -49,6 +49,8 @@ object ExtQueries {
   private[ext] val JaccardThreshold = 0.5
   private val KnnK = 10
   private val KnnQueryIds = 5 // vec_id < 5 → 5 query vectors
+  private val PqM = 4    // q248: subspaces (64 dims → 4 × 16)
+  private val PqBits = 4 // q248: ≤ 16 codebook entries per subspace
   private val EmbDims = 64
   private val QuantLevels = 256      // q146: int8 quantizer levels
   private val RerankCandidates = 48  // q146: stage-1 survivors per query
@@ -275,6 +277,20 @@ object ExtQueries {
         Similarity.bitsFor(embCount(s, d)), EmbDims, IvfProbes)
     }),
 
+    // Product quantization + ADC search (Jégou et al. — the Faiss
+    // IVF-PQ codebook leg): dims split into PqM subspaces, per-
+    // subspace codebooks from the subvector sign-cell quantized means
+    // (fixed hyperplanes — train is deterministic), every vector
+    // stored as PqM small codes, search = per-query distance TABLE +
+    // a lookup-sum over the code table (the corpus-wide stage never
+    // touches floats wider than the integer micro-unit distances).
+    "q248_pq_adc_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < KnnQueryIds), KnnK, PqM, PqBits,
+        EmbDims)
+    }),
+
     // Lloyd-trained quantizer: k-means refinement rounds over the
     // LSH-bucket seeding — zero-RNG, cross-engine-exact training.
     "q74_lloyd_refine" -> ((s, d) => {
@@ -465,13 +481,21 @@ object ExtQueries {
   /** Twin of Similarity.signSignature: bit j set iff dot(v, plane_j) > 0.
     * Hyperplane ±1 entries inlined as a literal list per bit.
     */
-  private def signSigSql(v: String): String =
-    TextHash.hyperplanes(VerifyLshBits, EmbDims).zipWithIndex.map { case (w, j) =>
+  private def signSigSqlFor(v: String, bits: Int, dims: Int): String =
+    TextHash.hyperplanes(bits, dims).zipWithIndex.map { case (w, j) =>
       val lits = w.map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
       val dot = foldSum(
         s"list_transform(range(1, len($v) + 1), i -> $v[i] * (LIST_VALUE($lits))[i])")
       s"(CASE WHEN $dot > 0.0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
+
+  private def signSigSql(v: String): String =
+    signSigSqlFor(v, VerifyLshBits, EmbDims)
+
+  /** Twin of Similarity.sqDist: left-to-right squared-L2 fold. */
+  private def sqDistSql(a: String, b: String): String =
+    foldSum(s"list_transform(range(1, len($a) + 1), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))")
 
   /** Banded LSH candidate pairs + exact-Jaccard verification (twin of
     * Dedup.minhashLshPairs), parameterized by band count so the q176
@@ -695,6 +719,67 @@ object ExtQueries {
        |    ${cosineSql("a.v", "b.v")} AS cosine
        |  FROM pa a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id)
        |SELECT id_a, id_b, cosine FROM p WHERE cosine >= $CosineThreshold""".stripMargin
+  }
+
+  /** PQ + ADC twin: the identical subvector slicing, sign-cell
+    * quantized-mean codebooks, micro-unit encode argmin, per-query
+    * distance table, and lookup-sum ranking.
+    */
+  private val pqAdcSql = {
+    val subDims = EmbDims / PqM
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |sv AS (
+       |  SELECT vec_id, CAST(s.range AS INT) AS sub,
+       |    list_slice(v, s.range * $subDims + 1,
+       |      s.range * $subDims + $subDims) AS semb
+       |  FROM e, range(0, $PqM) s),
+       |cells AS (
+       |  SELECT vec_id, sub, semb,
+       |    ${signSigSqlFor("semb", PqBits, subDims)} AS sig
+       |  FROM sv),
+       |px AS (
+       |  SELECT sub, sig, i.range - 1 AS pos,
+       |    semb[CAST(i.range AS INT)] AS x
+       |  FROM cells, range(1, ${subDims + 1}) i),
+       |bk AS (
+       |  SELECT sub, sig AS code, pos,
+       |    CAST(sum(CAST(round(x * ${Similarity.MeanQuantum}) AS BIGINT)) AS DOUBLE)
+       |      / ${Similarity.MeanQuantum} / count(*) AS mean
+       |  FROM px GROUP BY sub, sig, pos),
+       |books AS (
+       |  SELECT sub, code, list(mean ORDER BY pos) AS centroid
+       |  FROM bk GROUP BY sub, code),
+       |enc0 AS (
+       |  SELECT c.vec_id, c.sub, b.code,
+       |    CAST(floor(${sqDistSql("c.semb", "b.centroid")}
+       |      * ${Similarity.MeanQuantum}) AS BIGINT) AS d
+       |  FROM cells c JOIN books b ON b.sub = c.sub),
+       |codes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT enc0.*, row_number() OVER (PARTITION BY vec_id, sub
+       |      ORDER BY d, code) AS rk FROM enc0)
+       |  WHERE rk = 1),
+       |dt AS (
+       |  SELECT q.vec_id AS query_id, q.sub, b.code,
+       |    CAST(floor(${sqDistSql("q.semb", "b.centroid")}
+       |      * ${Similarity.MeanQuantum}) AS BIGINT) AS d
+       |  FROM cells q JOIN books b ON b.sub = q.sub
+       |  WHERE q.vec_id < $KnnQueryIds),
+       |adc AS (
+       |  SELECT dt.query_id, c.vec_id AS nbr_id,
+       |    CAST(sum(dt.d) AS BIGINT) AS adist_micro
+       |  FROM codes c JOIN dt ON dt.sub = c.sub AND dt.code = c.code
+       |  WHERE c.vec_id <> dt.query_id
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, nbr_id, adist_micro,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist_micro, nbr_id) AS INT) AS rank
+       |  FROM adc)
+       |SELECT query_id, nbr_id, adist_micro, rank
+       |FROM r WHERE rank <= $KnnK""".stripMargin
   }
 
   /** SemDeDup twin: cell-exact pairs (no multi-probe — the paper's
@@ -994,6 +1079,7 @@ object ExtQueries {
     "q30_embed_neardup" -> embedNearDupSql,
     "q244_semdedup" -> semDedupSql,
     "q246_semdedup_clusters" -> semDedupClustersSql,
+    "q248_pq_adc_topk" -> pqAdcSql,
     "q43_bucket_centroids" -> bucketCentroidsSql,
     "q44_simhash_pairs" -> simhashPairsSql,
     "q45_knn_ivf" -> knnIvfSql,

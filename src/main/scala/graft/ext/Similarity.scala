@@ -394,6 +394,105 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
 
+  /** Left-to-right squared-L2 fold — the PQ distance primitive. Both
+    * engines evaluate the identical IEEE sequence (zip then a
+    * sequential sum fold), so distances are bit-identical; consumers
+    * quantize to integer micro-units before any cross-row reduction
+    * (a double SUM across subspaces would be order-dependent).
+    */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** PRODUCT QUANTIZATION — the third leg of the deployment ANN stack
+    * (IVF = coarse cells, int8 = uniform scalar codes, PQ = per-
+    * subspace CODEBOOKS, Jégou et al. 2011 / the Faiss IVF-PQ index):
+    * dims split into `m` subspaces, each with a codebook of ≤ 2^bits
+    * centroids (zero-RNG seeding: the quantized means of the
+    * subvector sign-LSH cells — the q43 discipline per subspace, fixed
+    * hyperplanes so train is deterministic at any cluster size), and
+    * every vector stored as m small codes (m·bits bits instead of
+    * dims·64 — the 100-TB storage story). Search is ADC (asymmetric
+    * distance computation): per query, ONE distance table of
+    * m · |codebook| exact subvector distances, then every corpus
+    * vector's approximate distance is a TABLE LOOKUP SUM over its m
+    * codes — the corpus-wide stage touches only the code table.
+    *
+    * Cross-engine determinism: subvector distances are fixed-order
+    * IEEE folds quantized to integer MICRO-UNITS at the fold boundary
+    * (`floor(d·10⁶)`), so the per-vector sum over m subspaces is an
+    * order-free integer sum; encode argmin and the final rank
+    * tie-break on (distance, code/neighbor id).
+    *
+    * Scale shape: train = one subvector explode (m rows per vector) +
+    * the quantized-mean aggregate (map-side combinable, centroid-sized
+    * exchange); encode = corpus × broadcast codebook (m·2^bits rows)
+    * with a per-(vector, subspace) argmin window; search = the code
+    * table equi-joined against the broadcast per-query distance
+    * tables + one partial-aggregable sum — linear in corpus size for
+    * a fixed query set, no stage ever materializes corpus × corpus.
+    */
+  def pqTopK(vectors: DataFrame, idCol: String, embCol: String,
+             queries: DataFrame, k: Int, m: Int, bits: Int,
+             dims: Int): DataFrame = {
+    require(dims % m == 0, s"dims ($dims) must split evenly into m ($m)")
+    val subDims = dims / m
+    val planes = TextHash.hyperplanes(bits, subDims)
+    def subVectors(df: DataFrame, id: String): DataFrame =
+      df.select(col(id), toDoubleArray(col(embCol)).as("_emb"))
+        .select(col(id), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+          col("_emb"))
+        .withColumn("semb",
+          slice(col("_emb"), col("sub") * subDims + 1, lit(subDims)))
+        .drop("_emb")
+    // train: codebook = quantized means of the subvector sign cells,
+    // keys packed (sub, cell) — one aggregate chain, centroid-sized
+    val corpusSubs = subVectors(vectors, idCol)
+      .withColumnRenamed(idCol, "vec_id")
+      .localCheckpoint() // the index build — read by train AND encode
+    val books = quantizedMeans(
+      corpusSubs.select(
+        (col("sub") * (1L << bits) +
+          graft.plans.VectorExprs.signSignature(col("semb"), planes))
+          .as("_skey"),
+        col("semb").as("nbr_emb")), "_skey")
+      .select(expr(s"_skey div ${1L << bits}").cast("int").as("sub"),
+        pmod(col("_skey"), lit(1L << bits)).as("code"),
+        col("centroid"))
+    // encode: nearest codebook centroid per (vector, subspace) by the
+    // quantized squared-L2 (ties → smallest code)
+    val encW = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("_d"), col("code"))
+    val codes = corpusSubs.join(broadcast(books), Seq("sub"))
+      .withColumn("_d",
+        floor(sqDist(col("semb"), col("centroid")) * lit(1e6))
+          .cast("long"))
+      .withColumn("_rk", row_number().over(encW))
+      .filter(col("_rk") === 1)
+      .select(col("vec_id"), col("sub"), col("code"))
+    // ADC search: per-query exact subvector distances to every
+    // codebook entry (the distance table — broadcast-sized), then the
+    // corpus-wide stage is a lookup-sum over each vector's m codes
+    val dtable = subVectors(queries, idCol)
+      .withColumnRenamed(idCol, "query_id")
+      .join(broadcast(books), Seq("sub"))
+      .withColumn("adist_micro",
+        floor(sqDist(col("semb"), col("centroid")) * lit(1e6))
+          .cast("long"))
+      .select(col("query_id"), col("sub"), col("code"),
+        col("adist_micro"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_micro"), col("nbr_id"))
+    codes.join(broadcast(dtable), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("nbr_id"))
+      .agg(sum(col("adist_micro")).as("adist_micro"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("adist_micro"),
+        col("rank"))
+  }
+
   /** Cell-exact cosine pair edges — the SemDeDup edge set without the
     * domination fold: every same-cell pair (id_a < id_b) at/above
     * `threshold`, one equi-join on the cell id (O(N · occupancy),
