@@ -291,6 +291,17 @@ object ExtQueries {
         EmbDims)
     }),
 
+    // THE COMPOSED IVF-PQ INDEX (Faiss's deployment shape): the
+    // coarse quantizer picks each query's nProbe nearest cells, the
+    // ADC lookup-sum runs over only those cells' member codes —
+    // q45's cell law × q248's code law, composed.
+    "q249_pq_ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.pqIvfTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < KnnQueryIds), KnnK, PqM, PqBits,
+        EmbDims, Similarity.bitsFor(embCount(s, d)), IvfProbes)
+    }),
+
     // Lloyd-trained quantizer: k-means refinement rounds over the
     // LSH-bucket seeding — zero-RNG, cross-engine-exact training.
     "q74_lloyd_refine" -> ((s, d) => {
@@ -782,6 +793,96 @@ object ExtQueries {
        |FROM r WHERE rank <= $KnnK""".stripMargin
   }
 
+  /** IVF-PQ twin: the coarse probed-cell CTEs (knnIvfSql's) composed
+    * with the PQ codebook/encode/distance-table CTEs (pqAdcSql's),
+    * the ADC sum restricted to probed-cell members.
+    */
+  private val pqIvfSql = {
+    val subDims = EmbDims / PqM
+    val Q = Similarity.MeanQuantum
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |s AS (SELECT vec_id, v, ${signSigSql("v")} AS sig FROM e),
+       |cpx AS (
+       |  SELECT sig, i.range - 1 AS pos, v[CAST(i.range AS INT)] AS x
+       |  FROM s, range(1, ${EmbDims + 1}) i),
+       |ca AS (
+       |  SELECT sig, pos,
+       |    CAST(sum(CAST(round(x * $Q) AS BIGINT)) AS DOUBLE)
+       |      / $Q / count(*) AS mean
+       |  FROM cpx GROUP BY sig, pos),
+       |c AS (SELECT sig, list(mean ORDER BY pos) AS centroid
+       |      FROM ca GROUP BY sig),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM s
+       |      WHERE vec_id < $KnnQueryIds),
+       |pr AS (
+       |  SELECT q.query_id, c.sig,
+       |    ${cosineSql("q.qv", "c.centroid")} AS c_cos
+       |  FROM q, c),
+       |probed AS (
+       |  SELECT query_id, sig FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY c_cos DESC, sig) AS crk FROM pr)
+       |  WHERE crk <= $IvfProbes),
+       |sv AS (
+       |  SELECT vec_id, CAST(t.range AS INT) AS sub,
+       |    list_slice(v, t.range * $subDims + 1,
+       |      t.range * $subDims + $subDims) AS semb
+       |  FROM e, range(0, $PqM) t),
+       |cells AS (
+       |  SELECT vec_id, sub, semb,
+       |    ${signSigSqlFor("semb", PqBits, subDims)} AS ssig
+       |  FROM sv),
+       |spx AS (
+       |  SELECT sub, ssig, i.range - 1 AS pos,
+       |    semb[CAST(i.range AS INT)] AS x
+       |  FROM cells, range(1, ${subDims + 1}) i),
+       |sbk AS (
+       |  SELECT sub, ssig AS code, pos,
+       |    CAST(sum(CAST(round(x * $Q) AS BIGINT)) AS DOUBLE)
+       |      / $Q / count(*) AS mean
+       |  FROM spx GROUP BY sub, ssig, pos),
+       |books AS (
+       |  SELECT sub, code, list(mean ORDER BY pos) AS centroid
+       |  FROM sbk GROUP BY sub, code),
+       |enc0 AS (
+       |  SELECT cl.vec_id, cl.sub, b.code,
+       |    CAST(floor(${sqDistSql("cl.semb", "b.centroid")}
+       |      * $Q) AS BIGINT) AS d
+       |  FROM cells cl JOIN books b ON b.sub = cl.sub),
+       |codes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT enc0.*, row_number() OVER (PARTITION BY vec_id, sub
+       |      ORDER BY d, code) AS rk FROM enc0)
+       |  WHERE rk = 1),
+       |dt AS (
+       |  SELECT qq.vec_id AS query_id, qq.sub, b.code,
+       |    CAST(floor(${sqDistSql("qq.semb", "b.centroid")}
+       |      * $Q) AS BIGINT) AS d
+       |  FROM cells qq JOIN books b ON b.sub = qq.sub
+       |  WHERE qq.vec_id < $KnnQueryIds),
+       |mem AS (
+       |  SELECT p.query_id, s.vec_id
+       |  FROM s JOIN probed p ON s.sig = p.sig),
+       |adc AS (
+       |  SELECT m.query_id, cd.vec_id AS nbr_id,
+       |    CAST(sum(dt.d) AS BIGINT) AS adist_micro
+       |  FROM mem m
+       |  JOIN codes cd ON cd.vec_id = m.vec_id
+       |  JOIN dt ON dt.query_id = m.query_id AND dt.sub = cd.sub
+       |         AND dt.code = cd.code
+       |  WHERE m.vec_id <> m.query_id
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, nbr_id, adist_micro,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist_micro, nbr_id) AS INT) AS rank
+       |  FROM adc)
+       |SELECT query_id, nbr_id, adist_micro, rank
+       |FROM r WHERE rank <= $KnnK""".stripMargin
+  }
+
   /** SemDeDup twin: cell-exact pairs (no multi-probe — the paper's
     * method is strictly within-cluster), quality = document length,
     * domination = higher quality (ties: lower id).
@@ -1080,6 +1181,7 @@ object ExtQueries {
     "q244_semdedup" -> semDedupSql,
     "q246_semdedup_clusters" -> semDedupClustersSql,
     "q248_pq_adc_topk" -> pqAdcSql,
+    "q249_pq_ivf_topk" -> pqIvfSql,
     "q43_bucket_centroids" -> bucketCentroidsSql,
     "q44_simhash_pairs" -> simhashPairsSql,
     "q45_knn_ivf" -> knnIvfSql,

@@ -432,58 +432,137 @@ object Similarity {
     * tables + one partial-aggregable sum — linear in corpus size for
     * a fixed query set, no stage ever materializes corpus × corpus.
     */
-  def pqTopK(vectors: DataFrame, idCol: String, embCol: String,
-             queries: DataFrame, k: Int, m: Int, bits: Int,
-             dims: Int): DataFrame = {
-    require(dims % m == 0, s"dims ($dims) must split evenly into m ($m)")
-    val subDims = dims / m
-    val planes = TextHash.hyperplanes(bits, subDims)
-    def subVectors(df: DataFrame, id: String): DataFrame =
-      df.select(col(id), toDoubleArray(col(embCol)).as("_emb"))
-        .select(col(id), explode(sequence(lit(0), lit(m - 1))).as("sub"),
-          col("_emb"))
-        .withColumn("semb",
-          slice(col("_emb"), col("sub") * subDims + 1, lit(subDims)))
-        .drop("_emb")
-    // train: codebook = quantized means of the subvector sign cells,
-    // keys packed (sub, cell) — one aggregate chain, centroid-sized
-    val corpusSubs = subVectors(vectors, idCol)
-      .withColumnRenamed(idCol, "vec_id")
-      .localCheckpoint() // the index build — read by train AND encode
-    val books = quantizedMeans(
+  /** Subvector explode: one (id, sub, semb) row per subspace. */
+  private def pqSubVectors(df: DataFrame, idCol: String, idAs: String,
+                           embCol: String, m: Int,
+                           subDims: Int): DataFrame =
+    df.select(col(idCol).as(idAs), toDoubleArray(col(embCol)).as("_emb"))
+      .select(col(idAs), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("_emb"))
+      .withColumn("semb",
+        slice(col("_emb"), col("sub") * subDims + 1, lit(subDims)))
+      .drop("_emb")
+
+  /** Per-subspace codebooks: quantized means of the subvector sign
+    * cells, keys packed (sub, cell) — one aggregate chain,
+    * centroid-sized.
+    */
+  private def pqBooks(corpusSubs: DataFrame, bits: Int,
+                      subDims: Int): DataFrame =
+    quantizedMeans(
       corpusSubs.select(
         (col("sub") * (1L << bits) +
-          graft.plans.VectorExprs.signSignature(col("semb"), planes))
+          graft.plans.VectorExprs.signSignature(col("semb"),
+            TextHash.hyperplanes(bits, subDims)))
           .as("_skey"),
         col("semb").as("nbr_emb")), "_skey")
       .select(expr(s"_skey div ${1L << bits}").cast("int").as("sub"),
         pmod(col("_skey"), lit(1L << bits)).as("code"),
         col("centroid"))
-    // encode: nearest codebook centroid per (vector, subspace) by the
-    // quantized squared-L2 (ties → smallest code)
+
+  /** Encode: nearest codebook centroid per (vector, subspace) by the
+    * quantized squared-L2 (ties → smallest code) → (vec_id, sub, code).
+    */
+  private def pqEncode(corpusSubs: DataFrame,
+                       books: DataFrame): DataFrame = {
     val encW = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("_d"), col("code"))
-    val codes = corpusSubs.join(broadcast(books), Seq("sub"))
+    corpusSubs.join(broadcast(books), Seq("sub"))
       .withColumn("_d",
         floor(sqDist(col("semb"), col("centroid")) * lit(1e6))
           .cast("long"))
       .withColumn("_rk", row_number().over(encW))
       .filter(col("_rk") === 1)
       .select(col("vec_id"), col("sub"), col("code"))
-    // ADC search: per-query exact subvector distances to every
-    // codebook entry (the distance table — broadcast-sized), then the
-    // corpus-wide stage is a lookup-sum over each vector's m codes
-    val dtable = subVectors(queries, idCol)
-      .withColumnRenamed(idCol, "query_id")
-      .join(broadcast(books), Seq("sub"))
+  }
+
+  /** The per-query ADC distance table — exact subvector distances to
+    * every codebook entry, integer micro-units (broadcast-sized:
+    * queries × m × 2^bits rows).
+    */
+  private def pqDistTable(querySubs: DataFrame,
+                          books: DataFrame): DataFrame =
+    querySubs.join(broadcast(books), Seq("sub"))
       .withColumn("adist_micro",
         floor(sqDist(col("semb"), col("centroid")) * lit(1e6))
           .cast("long"))
       .select(col("query_id"), col("sub"), col("code"),
         col("adist_micro"))
+
+  def pqTopK(vectors: DataFrame, idCol: String, embCol: String,
+             queries: DataFrame, k: Int, m: Int, bits: Int,
+             dims: Int): DataFrame = {
+    require(dims % m == 0, s"dims ($dims) must split evenly into m ($m)")
+    val subDims = dims / m
+    val corpusSubs = pqSubVectors(vectors, idCol, "vec_id", embCol, m,
+      subDims).localCheckpoint() // the index build — train AND encode
+    val books = pqBooks(corpusSubs, bits, subDims)
+    val codes = pqEncode(corpusSubs, books)
+    val dtable = pqDistTable(
+      pqSubVectors(queries, idCol, "query_id", embCol, m, subDims),
+      books)
     val rankW = Window.partitionBy(col("query_id"))
       .orderBy(col("adist_micro"), col("nbr_id"))
     codes.join(broadcast(dtable), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("nbr_id"))
+      .agg(sum(col("adist_micro")).as("adist_micro"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("nbr_id"), col("adist_micro"),
+        col("rank"))
+  }
+
+  /** THE COMPOSED IVF-PQ INDEX (Faiss's deployment shape): the coarse
+    * quantizer picks each query's nProbe nearest CELLS (q45's probed
+    * discipline — query × broadcast centroids, never query × corpus),
+    * and the ADC lookup-sum then runs over ONLY those cells' members —
+    * per query the scanned code rows drop from O(N·m) to
+    * O(nProbe · occupancy · m), the same cost law ivfTopK proves for
+    * the float path, now over codes 128× smaller than the vectors.
+    * Everything is the composition of proven parts: the coarse cells
+    * and centroids are q43/q45's, the codebooks/codes/distance table
+    * are q248's, and determinism carries through (integer micro-unit
+    * distances, total-order tie-breaks).
+    */
+  def pqIvfTopK(vectors: DataFrame, idCol: String, embCol: String,
+                queries: DataFrame, k: Int, m: Int, bits: Int,
+                dims: Int, coarseBits: Int, nProbe: Int): DataFrame = {
+    require(dims % m == 0, s"dims ($dims) must split evenly into m ($m)")
+    val subDims = dims / m
+    // coarse index: full-dim cell per vector + cell centroids
+    val corpus = signedCorpus(vectors, idCol, embCol, coarseBits, dims)
+      .localCheckpoint()
+    val cents = centroidsOf(corpus)
+      .select(col("sig"), col("centroid"))
+      .withColumn("c_nrm", l2Norm(col("centroid")))
+    val q = queries.select(col(idCol).as("query_id"),
+      toDoubleArray(col(embCol)).as("q_emb"))
+      .withColumn("q_nrm", l2Norm(col("q_emb")))
+    val cellW = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_cos").desc, col("sig"))
+    val probed = q.join(broadcast(cents), lit(true))
+      .withColumn("c_cos", cosineFromNorms(col("q_emb"), col("q_nrm"),
+        col("centroid"), col("c_nrm")))
+      .withColumn("crk", row_number().over(cellW))
+      .filter(col("crk") <= nProbe)
+      .select(col("query_id"), col("sig"))
+    // PQ artifacts (q248's train + encode, unchanged)
+    val corpusSubs = pqSubVectors(vectors, idCol, "vec_id", embCol, m,
+      subDims).localCheckpoint()
+    val books = pqBooks(corpusSubs, bits, subDims)
+    val codes = pqEncode(corpusSubs, books)
+    val dtable = pqDistTable(
+      pqSubVectors(queries, idCol, "query_id", embCol, m, subDims),
+      books)
+    // cell-restricted ADC: member codes of probed cells only
+    val members = corpus.select(col("nbr_id").as("vec_id"), col("sig"))
+      .join(broadcast(probed), Seq("sig"))
+      .select(col("query_id"), col("vec_id"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_micro"), col("nbr_id"))
+    members.join(codes, Seq("vec_id"))
+      .join(broadcast(dtable), Seq("query_id", "sub", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id").as("nbr_id"))
       .agg(sum(col("adist_micro")).as("adist_micro"))

@@ -1329,6 +1329,39 @@ class GraftLogTableSpec extends SparkSpec {
       .collect() }
   }
 
+  test("table_changes by timestamp: clock endpoints resolve through " +
+       "the commit stamps; mixed/garbled endpoint kinds refuse") {
+    import spark.implicits._
+    val path = opsFixture("tvf_clock") // commits 0,1,2
+    Changelog.stampCommit(path, 0L, 1000L)
+    Changelog.stampCommit(path, 1L, 2000L)
+    Changelog.stampCommit(path, 2L, 3000L)
+    GraftLogCatalog.register(spark, "glogspec40", "t", path, Seq("k"))
+    // the clock window ('…:01', '…:03'] equals the version window (0, 2]
+    val byClock = spark.sql(
+      "SELECT k, change_type, old_v, new_v FROM table_changes(" +
+        "'glogspec40.t', '1970-01-01 00:00:01', '1970-01-01 00:00:03')")
+      .orderBy("k", "change_type").collect().toSeq
+    val byVersion = spark.sql(
+      "SELECT k, change_type, old_v, new_v " +
+        "FROM table_changes('glogspec40.t', 0, 2)")
+      .orderBy("k", "change_type").collect().toSeq
+    assert(byClock.nonEmpty && byClock == byVersion)
+    // refusals: mixed endpoint kinds, non-timestamp strings, and two
+    // instants resolving to the same commit (an empty window)
+    Seq(
+      "table_changes('glogspec40.t', 0, '1970-01-01 00:00:03')",
+      "table_changes('glogspec40.t', '1970-01-01 00:00:01', 2)",
+      "table_changes('glogspec40.t', 'yesterday', 'today')",
+      "table_changes('glogspec40.t', '1970-01-01 00:00:01'," +
+        " '1970-01-01 00:00:01.900')")
+      .foreach { tvf =>
+        assert(scala.util.Try(
+          spark.sql(s"SELECT * FROM $tvf")).isFailure,
+          s"must refuse: $tvf")
+      }
+  }
+
   test("COMPOSITE keys through the table surface: SQL DML, the table " +
        "stream, and table_changes all group by the full key tuple") {
     import spark.implicits._
