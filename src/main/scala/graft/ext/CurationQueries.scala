@@ -232,6 +232,15 @@ object CurationQueries {
         Tables.documents(s, d).select(col("doc_id"), col("lang")),
         "lang", "doc_id", MixFrac, MixSalt)),
 
+    // Gopher quality-rule filter (Rae et al. §A1.1 — the public rule
+    // set FineWeb/Dolma-class curation starts from): one boolean per
+    // rule + the conjunction, integer cross-multiplied thresholds
+    // (no float boundary can flip a document cross-engine); both
+    // filter and audit surfaces in one projection pass.
+    "q250_gopher_rules" -> ((s, d) =>
+      TextStats.gopherFlags(Tables.documents(s, d), "doc_id", "text",
+        minStops = 1)), // the synthetic vocabulary holds only 'the'
+
     // UniMax budgeted mixture (Chung et al.): a 1.6·N row budget
     // water-filled as uniformly as possible across languages, each
     // capped at 2 epochs — at the verify corpus the four tail
@@ -506,6 +515,48 @@ object CurationQueries {
        |JOIN thr ON d.lang = thr.src
        |WHERE CAST('0x' || substr(md5('$MixSalt' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
        |    % ${Sampling.Denom} < thr""".stripMargin
+
+  /** Gopher-rules twin: identical tokenization, integer
+    * cross-multiplied thresholds, and the same stoplist.
+    */
+  private val gopherRulesSql = {
+    val stops = TextStats.GopherStops.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    regexp_split_to_array(trim(text), '\\s+') AS tk
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id,
+       |    CAST(len(tk) AS BIGINT) AS n_tokens,
+       |    CAST(list_reduce(list_prepend(0,
+       |      list_transform(tk, x -> length(x))), (a, x) -> a + x)
+       |      AS BIGINT) AS tok_chars,
+       |    CAST(len(list_filter(tk,
+       |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+       |    CAST(length(text) - length(replace(text, '#', ''))
+       |      AS BIGINT) AS n_hash,
+       |    CAST((length(text) - length(replace(text, '...', ''))) // 3
+       |      + (length(text) - length(replace(text, '…', '')))
+       |      AS BIGINT) AS n_ell,
+       |    CAST(len(list_filter([$stops],
+       |      w -> list_contains(list_transform(tk, x -> lower(x)), w)))
+       |      AS BIGINT) AS n_stops
+       |  FROM t)
+       |SELECT doc_id AS id, n_tokens,
+       |  n_tokens >= 50 AND n_tokens <= 100000 AS pass_word_count,
+       |  tok_chars >= 3 * n_tokens AND tok_chars <= 10 * n_tokens
+       |    AS pass_word_len,
+       |  10 * n_hash <= n_tokens AND 10 * n_ell <= n_tokens
+       |    AS pass_symbols,
+       |  5 * n_alpha >= 4 * n_tokens AS pass_alpha,
+       |  n_stops >= 1 AS pass_stopwords,
+       |  (n_tokens >= 50 AND n_tokens <= 100000)
+       |    AND (tok_chars >= 3 * n_tokens AND tok_chars <= 10 * n_tokens)
+       |    AND (10 * n_hash <= n_tokens AND 10 * n_ell <= n_tokens)
+       |    AND (5 * n_alpha >= 4 * n_tokens)
+       |    AND (n_stops >= 1) AS pass
+       |FROM b""".stripMargin
+  }
 
   /** UniMax twin: the identical integer water-fill (prefix-closed
     * per-row cap test in (capacity, source) order, integer share +
@@ -984,6 +1035,7 @@ object CurationQueries {
     "q48_stratified_sample" -> stratifiedSampleSql,
     "q135_mixture_sample" -> mixtureSampleSql,
     "q247_unimax_mixture" -> unimaxSql,
+    "q250_gopher_rules" -> gopherRulesSql,
 
     "q139_stride_interleave" -> strideInterleaveSql,
 

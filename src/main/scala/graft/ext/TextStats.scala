@@ -37,6 +37,79 @@ object TextStats {
     */
   val BpeIshPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+"
 
+  /** The Gopher-rule stoplist (Rae et al. 2021, §A1.1 — the "contains
+    * at least 2 of these" heuristic that kills keyword-stuffed and
+    * non-prose documents).
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** GOPHER QUALITY-RULE FILTER (Rae et al. 2021 §A1.1, the public
+    * rule set FineWeb/Dolma-class pipelines still start from): one
+    * boolean per rule plus the conjunction, so a curation run can
+    * both FILTER on `pass` and AUDIT which rule rejected what —
+    *  - word count in [50, 100000];
+    *  - mean word length in [3, 10];
+    *  - symbol-to-word ratio ≤ 0.1 for '#' and for '…'/'...';
+    *  - ≥ 80% of words carry at least one alphabetic character;
+    *  - ≥ `minStops` distinct [[GopherStops]] present (the paper's
+    *    threshold is 2; corpora whose vocabulary barely intersects the
+    *    English list tune it down — the law is the same membership
+    *    count either way).
+    * Every threshold compares in INTEGER cross-multiplied form
+    * (`10·hashes ≤ words`, `3n ≤ Σlen ≤ 10n`, `5·alpha ≥ 4·words`) —
+    * no float boundary can flip a document cross-engine. Pure
+    * projection work: embarrassingly parallel, no shuffle at any
+    * scale, the same closed forms recomputable by the oracle.
+    */
+  def gopherFlags(docs: DataFrame, idCol: String, textCol: String,
+                  minStops: Int = 2): DataFrame = {
+    val toks = tokens(col(textCol))
+    // lower projections alias the HOF expressions once (the profile()
+    // CSE discipline — codegen does not deduplicate lambda folds):
+    // the token array and its lowered image materialize one time each
+    val arrs = docs.select(col(idCol).as("id"), col(textCol).as("_text"),
+      toks.as("_tk"),
+      transform(toks, t => lower(t)).as("_lt"))
+    val base = arrs.select(
+      col("id"),
+      size(col("_tk")).cast("long").as("n_tokens"),
+      aggregate(transform(col("_tk"), t => length(t).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("_tok_chars"),
+      size(filter(col("_tk"), t => t.rlike("[A-Za-z]"))).cast("long")
+        .as("_n_alpha"),
+      ((length(col("_text")) -
+        length(regexp_replace(col("_text"), "#", ""))).cast("long"))
+        .as("_n_hash"),
+      (((length(col("_text")) -
+        length(regexp_replace(col("_text"), "\\.\\.\\.", ""))) / 3)
+        .cast("long") +
+        (length(col("_text")) -
+          length(regexp_replace(col("_text"), "…", "")))
+          .cast("long")).as("_n_ell"),
+      size(filter(
+        lit(GopherStops.toArray),
+        w => array_contains(col("_lt"), w)))
+        .cast("long").as("_n_stops"))
+    base.select(
+      col("id"), col("n_tokens"),
+      (col("n_tokens") >= 50L && col("n_tokens") <= 100000L)
+        .as("pass_word_count"),
+      (col("_tok_chars") >= lit(3L) * col("n_tokens") &&
+        col("_tok_chars") <= lit(10L) * col("n_tokens"))
+        .as("pass_word_len"),
+      (lit(10L) * col("_n_hash") <= col("n_tokens") &&
+        lit(10L) * col("_n_ell") <= col("n_tokens"))
+        .as("pass_symbols"),
+      (lit(5L) * col("_n_alpha") >= lit(4L) * col("n_tokens"))
+        .as("pass_alpha"),
+      (col("_n_stops") >= minStops.toLong).as("pass_stopwords"))
+      .withColumn("pass",
+        col("pass_word_count") && col("pass_word_len") &&
+          col("pass_symbols") && col("pass_alpha") &&
+          col("pass_stopwords"))
+  }
+
   /** Profile: id, n_chars, n_tokens (whitespace), n_bpe_tokens
     * (pre-tokenizer regex), avg_token_len, stopword_ratio (English
     * set), quality score in [0,1], language guess, and the rolling
