@@ -123,6 +123,7 @@ object Bench {
       val w = new java.io.PrintWriter("bench_summary.json", "UTF-8")
       try { w.println(fullLine); w.println(summaryLine) } finally w.close()
     } catch { case _: Throwable => () }
+    Quiet.stopNoise()
     spark.stop()
     // Re-print AFTER stop(): whatever shutdown noise the streaming state
     // stores emit during stop() lands BETWEEN the two prints, so at least

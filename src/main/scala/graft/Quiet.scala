@@ -5,9 +5,15 @@ package graft
   * that exercised streaming state —
   *  - `TimerStateImpl` WARNs once per orphaned timer while state
   *    stores unload ("Failed to delete timer … since it does not
-  *    exist" — expected on transformWithState teardown);
+  *    exist" — expected on transformWithState teardown; these fire
+  *    every time a streaming query STOPS, i.e. throughout the run,
+  *    so this category is demoted up front);
   *  - the local-mode heartbeater (`Executor`) WARNs a full
-  *    `awaitResult` stack trace when the session stops under it.
+  *    `awaitResult` stack trace when the session stops under it —
+  *    but a MID-RUN Executor WARN (heartbeat trouble, task-level
+  *    warnings) is exactly the signal that explains a bench mover,
+  *    so that category is demoted only at [[stopNoise]], immediately
+  *    before `spark.stop()`, never during the measured window.
   * Both have swamped the per-round bench capture before (the r15
   * artifact lost its summary tail to exactly this). Drop ONLY those
   * two logger categories to ERROR; everything else keeps WARN, so a
@@ -15,11 +21,19 @@ package graft
   * the full WARN stream.
   */
 object Quiet {
+  private def demote(name: String): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      name, org.apache.logging.log4j.Level.ERROR)
+
+  /** Call at main START: categories that are pure noise mid-run too. */
   def shutdownNoise(): Unit =
-    Seq("org.apache.spark.sql.execution.streaming.operators.stateful" +
-          ".transformwithstate.timers.TimerStateImpl",
-        "org.apache.spark.executor.Executor").foreach { name =>
-      org.apache.logging.log4j.core.config.Configurator.setLevel(
-        name, org.apache.logging.log4j.Level.ERROR)
-    }
+    demote("org.apache.spark.sql.execution.streaming.operators.stateful" +
+      ".transformwithstate.timers.TimerStateImpl")
+
+  /** Call immediately BEFORE `spark.stop()`: the heartbeater's
+    * teardown stack trace — demoting it any earlier would hide real
+    * mid-run executor warnings from the bench capture.
+    */
+  def stopNoise(): Unit =
+    demote("org.apache.spark.executor.Executor")
 }

@@ -170,14 +170,19 @@ case class ResolveGraftLog(spark: SparkSession) extends Rule[LogicalPlan] {
       val conjuncts = splitConjuncts(cond).filter(_.deterministic)
       val window = opts.keys.iterator.map(k => k -> boundsFor(k, conjuncts))
         .collectFirst { case (k, Some(b)) => k -> b }
+      // a mapped (rename-only) log still skips: the window is on a KEY
+      // column (never mapped), and the lookup's physical output is
+      // projected to the table's logical names before the splice
       window match {
         case Some((k, LongBounds(lo, hi))) =>
-          Changelog.rangeLookupOps(spark, opts.path, opts.keys,
-            table.pinnedVersion, k, lo, hi)
+          Changelog.applyMapping(
+            Changelog.rangeLookupOps(spark, opts.path, opts.keys,
+              table.pinnedVersion, k, lo, hi), table.pinnedMapping)
             .queryExecution.optimizedPlan
         case Some((k, StringBounds(lo, hi))) =>
-          Changelog.rangeLookupOpsString(spark, opts.path, opts.keys,
-            table.pinnedVersion, k, lo, hi)
+          Changelog.applyMapping(
+            Changelog.rangeLookupOpsString(spark, opts.path, opts.keys,
+              table.pinnedVersion, k, lo, hi), table.pinnedMapping)
             .queryExecution.optimizedPlan
         case None => sitePlan(table, seen)
       }

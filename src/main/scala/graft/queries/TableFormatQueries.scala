@@ -1175,7 +1175,9 @@ object TableFormatQueries {
     // the new provenance column at +10000 — the union snapshot
     // null-fills `src` on every key only the first insert touched,
     // and LWW resolves the overlap (multiples of 6) to the evolved
-    // rows. Drop/rename/property ALTERs stay refused loudly.
+    // rows. Retype/key-rename/property ALTERs stay refused loudly
+    // (rename/drop of DATA columns are now column-mapping verbs —
+    // q251 owns that surface).
     "q241_sql_alter_add_columns" -> ((s, d) => {
       val loc = Sinks.tmpPathFor("orders_alter_q241", d)
       s.conf.set("spark.sql.catalog.glog",
@@ -1195,14 +1197,19 @@ object TableFormatQueries {
       require(Changelog.commitInfos(loc).get(2L)
           .exists(_._1 == "add_columns"),
         "evolution must land as ONE commit recording verb 'add_columns'")
-      // only ADD COLUMNS evolves; everything else refuses loudly
-      val drop = scala.util.Try(
-        s.sql("ALTER TABLE glog.orders_alter_q241 DROP COLUMN src"))
-      require(drop.isFailure && drop.failed.get.getMessage != null,
-        "DROP COLUMN must refuse")
+      // schema verbs beyond add/rename/drop refuse loudly — a retype
+      // rewrites the schema out from under the pinned footers
+      val retype = scala.util.Try(
+        s.sql("ALTER TABLE glog.orders_alter_q241 " +
+          "ALTER COLUMN src TYPE INT"))
+      require(retype.isFailure && retype.failed.get.getMessage != null,
+        "ALTER COLUMN TYPE must refuse")
+      // ...and the KEY column never renames (the key set is the
+      // table's row identity, held by the registration, not the log)
       require(scala.util.Try(s.sql(
-          "ALTER TABLE glog.orders_alter_q241 RENAME COLUMN src TO s2"))
-        .isFailure, "RENAME COLUMN must refuse")
+          "ALTER TABLE glog.orders_alter_q241 " +
+            "RENAME COLUMN o_orderkey TO k"))
+        .isFailure, "RENAME of a KEY column must refuse")
       require(scala.util.Try(s.sql(
           "ALTER TABLE glog.orders_alter_q241 " +
             "SET TBLPROPERTIES ('x'='y')"))
@@ -1238,11 +1245,17 @@ object TableFormatQueries {
               |WHEN MATCHED THEN UPDATE SET *
               |WHEN NOT MATCHED THEN INSERT *
               |""".stripMargin)
+      // RELATIVE asserts (fixture-count-independent): exactly one
+      // add_columns commit landed, strictly BELOW the statement's own
+      // merge commit — the evolution precedes the DML it enables
       val infos = Changelog.commitInfos(path)
-      require(infos.get(3L).exists(_._1 == "add_columns") &&
-        infos.get(4L).exists(_._1 == "merge"),
-        s"evolved MERGE = one add_columns commit + one merge commit, " +
-          s"got $infos")
+      val addIds = infos.collect {
+        case (id, ("add_columns", _, _)) => id }
+      val mergeIds = infos.collect { case (id, ("merge", _, _)) => id }
+      require(addIds.size == 1 && mergeIds.nonEmpty &&
+        addIds.head < mergeIds.max,
+        s"evolved MERGE = ONE add_columns commit strictly below the " +
+          s"merge commit, got $infos")
       s.sql("SELECT * FROM glog.orders_ops_q242")
     }),
 
@@ -1316,6 +1329,131 @@ object TableFormatQueries {
           .collect()).isFailure,
         "reads below the horizon must refuse loudly after vacuum")
       s.sql("SELECT * FROM glog.orders_ops_q245")
+    }),
+
+    // RETENTION BY THE CLOCK — `CALL glog.system.vacuum_at(t, '<ts>')`
+    // composes q243's commit clock with q245's reclaim: the instant
+    // resolves through versionAtTimestamp (latest stamp ≤ t) to the
+    // newest base at/below it, then the versioned vacuum runs with
+    // every guard. Refusal legs in-query: an instant before the first
+    // stamp, an instant resolving below any base, and vacuum_at with
+    // no base anywhere. After the vacuum: below-base directories
+    // physically gone, below-horizon reads refuse, head snapshot
+    // byte-identical (q245's oracle law verbatim).
+    "q254_sql_vacuum_by_timestamp" -> ((s, d) => {
+      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q254")
+      Changelog.stampCommit(path, 0L, 1000L)
+      Changelog.stampCommit(path, 1L, 2000L)
+      Changelog.stampCommit(path, 2L, 3000L)
+      s.conf.set("spark.sql.catalog.glog",
+        classOf[GraftLogCatalog].getName)
+      GraftLogCatalog.register(s, "glog", "orders_ops_q254", path,
+        Seq("o_orderkey"))
+      // no base anywhere: un-folded history is live state
+      require(scala.util.Try(s.sql(
+          "CALL glog.system.vacuum_at('orders_ops_q254', " +
+            "'1970-01-01 00:00:03')").collect()).isFailure,
+        "vacuum_at without a base must refuse loudly")
+      val dom = AuditQueries.opsOrders(s, d)
+        .agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+      s.sql("CALL glog.system.optimize('orders_ops_q254', 3, " +
+        s"'o_orderkey', $dom, 8)").collect()
+      Changelog.stampCommit(path, 3L, 4000L)
+      // an instant before the log's first stamp refuses
+      require(scala.util.Try(s.sql(
+          "CALL glog.system.vacuum_at('orders_ops_q254', " +
+            "'1970-01-01 00:00:00.500')").collect()).isFailure,
+        "an instant before the first stamp must refuse loudly")
+      // an instant resolving BELOW the base refuses (version 1 holds
+      // no fold — reclaiming under it would destroy live state)
+      require(scala.util.Try(s.sql(
+          "CALL glog.system.vacuum_at('orders_ops_q254', " +
+            "'1970-01-01 00:00:02')").collect()).isFailure,
+        "an instant resolving below every base must refuse loudly")
+      // the real reclaim: t=4.25s resolves to the base (commit 3)
+      s.sql("CALL glog.system.vacuum_at('orders_ops_q254', " +
+        "'1970-01-01 00:00:04.250')").collect()
+      require(!LogFs.exists(LogFs.child(path,
+          s"${Changelog.CommitCol}=0")) &&
+        !LogFs.exists(LogFs.child(path, s"${Changelog.CommitCol}=2")),
+        "directories below the base must be physically gone")
+      require(scala.util.Try(s.sql(
+          "SELECT * FROM glog.orders_ops_q254 VERSION AS OF 1")
+          .collect()).isFailure,
+        "reads below the horizon must refuse loudly after vacuum_at")
+      s.sql("SELECT * FROM glog.orders_ops_q254")
+    }),
+
+    // COLUMN MAPPING — `ALTER TABLE … RENAME COLUMN` / `DROP COLUMN`
+    // as METADATA (Delta's columnMapping discipline on this format's
+    // marker primitive): each verb is one empty commit + one mapping
+    // marker, never a data rewrite. The flow: insert under the birth
+    // names → RENAME o_totalprice→price → insert through the NEW name
+    // (in-query require proves the commit's footer still carries the
+    // PHYSICAL name — pinned footers never change) → DROP note.
+    // Time travel below the rename serves the OLD names (in-query
+    // requires on both sides); rename-to-existing, retype, and
+    // key-rename all refuse loudly. The final snapshot is the mapped
+    // closed form the oracle recomputes.
+    "q251_sql_rename_drop_column" -> ((s, d) => {
+      val loc = Sinks.tmpPathFor("orders_colmap_q251", d)
+      s.conf.set("spark.sql.catalog.glog",
+        classOf[GraftLogCatalog].getName)
+      s.sql("DROP TABLE IF EXISTS glog.orders_colmap_q251")
+      Sinks.deleteRecursively(loc)
+      AuditQueries.opsOrders(s, d)
+        .createOrReplaceTempView("orders_src_q251")
+      s.sql(s"""CREATE TABLE glog.orders_colmap_q251 (
+               |  o_orderkey BIGINT, o_totalprice DOUBLE, note STRING)
+               |LOCATION '$loc'
+               |TBLPROPERTIES ('keys' = 'o_orderkey')""".stripMargin)
+      s.sql("INSERT INTO glog.orders_colmap_q251 " +
+        "SELECT o_orderkey, o_totalprice, 'early' FROM orders_src_q251 " +
+        "WHERE o_orderkey % 3 = 0")
+      s.sql("ALTER TABLE glog.orders_colmap_q251 " +
+        "RENAME COLUMN o_totalprice TO price")
+      require(Changelog.commitInfos(loc).values
+          .count(_._1 == "rename_column") == 1,
+        "the rename must land as ONE commit recording 'rename_column'")
+      // the statement resolves the NEW name; the landed footer keeps
+      // the PHYSICAL (birth) name — metadata-only, proven on disk
+      s.sql("INSERT INTO glog.orders_colmap_q251 " +
+        "SELECT o_orderkey, o_totalprice + 10000.0, 'late' " +
+        "FROM orders_src_q251 WHERE o_orderkey % 2 = 0")
+      val lateCommit = Changelog.commitInfos(loc).keys.max
+      require(s.read.parquet(
+          s"$loc/${Changelog.CommitCol}=$lateCommit").columns
+          .contains("o_totalprice"),
+        "post-rename commits must land under the PHYSICAL column name")
+      // renaming onto an existing logical name refuses
+      require(scala.util.Try(s.sql(
+          "ALTER TABLE glog.orders_colmap_q251 " +
+            "RENAME COLUMN price TO note")).isFailure,
+        "RENAME onto an existing logical column must refuse")
+      // time travel below the rename serves the OLD names
+      require(s.sql("SELECT * FROM glog.orders_colmap_q251 " +
+          "VERSION AS OF 1").columns.toSeq ==
+          Seq("o_orderkey", "o_totalprice", "note"),
+        "reads below the rename must serve the pre-rename names")
+      s.sql("ALTER TABLE glog.orders_colmap_q251 DROP COLUMN note")
+      require(Changelog.commitInfos(loc).values
+          .count(_._1 == "drop_column") == 1,
+        "the drop must land as ONE commit recording 'drop_column'")
+      // below the drop (above the rename): new price name, note alive
+      require(s.sql("SELECT * FROM glog.orders_colmap_q251 " +
+          s"VERSION AS OF $lateCommit").columns.toSeq ==
+          Seq("o_orderkey", "price", "note"),
+        "reads below the drop must still serve the dropped column")
+      // retype and KEY rename stay refused
+      require(scala.util.Try(s.sql(
+          "ALTER TABLE glog.orders_colmap_q251 " +
+            "ALTER COLUMN price TYPE INT")).isFailure,
+        "ALTER COLUMN TYPE must refuse")
+      require(scala.util.Try(s.sql(
+          "ALTER TABLE glog.orders_colmap_q251 " +
+            "RENAME COLUMN o_orderkey TO k")).isFailure,
+        "RENAME of a KEY column must refuse")
+      s.sql("SELECT * FROM glog.orders_colmap_q251")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -1893,5 +2031,28 @@ object TableFormatQueries {
         |FROM orders
         |WHERE o_orderkey % 4 = 3
         |   OR o_orderkey % 10 <> 0
-        |   OR o_orderkey % 20 = 0""".stripMargin)
+        |   OR o_orderkey % 20 = 0""".stripMargin,
+
+    // q245's live-state law verbatim — retention by the clock leaves
+    // the head snapshot untouched, served from the base alone
+    "q254_sql_vacuum_by_timestamp" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |       WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |            AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 = 3
+        |   OR o_orderkey % 10 <> 0
+        |   OR o_orderkey % 20 = 0""".stripMargin,
+
+    // the mapped closed form: keys from either insert; even keys carry
+    // the post-rename insert's values (+10000 — LWW over the mod-6
+    // overlap) under the LOGICAL name `price`; `note` is dropped
+    "q251_sql_rename_drop_column" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 10000.0
+        |       ELSE o_totalprice END AS price
+        |FROM orders
+        |WHERE o_orderkey % 3 = 0 OR o_orderkey % 2 = 0""".stripMargin)
 }

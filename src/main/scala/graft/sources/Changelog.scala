@@ -614,8 +614,8 @@ object Changelog {
   def createLog(spark: SparkSession, path: String,
                 tableSchema: org.apache.spark.sql.types.StructType,
                 ops: Boolean = true, writer: String = SoloWriter): Unit = {
-    require(!tableSchema.fieldNames.contains(CommitCol) &&
-      !tableSchema.fieldNames.contains(OpCol),
+    require(!tableSchema.fieldNames.exists(n =>
+      n.toLowerCase == CommitCol || n.toLowerCase == OpCol),
       s"the table schema carries a reserved column ($CommitCol/$OpCol)")
     require(commitIds(path).isEmpty,
       s"$path already holds commits — CREATE makes a fresh log; adopt " +
@@ -654,7 +654,12 @@ object Changelog {
       .schema.fields.filter(_.name != CommitCol)
     val existing = current.map(_.name.toLowerCase).toSet
     newFields.foreach { f =>
-      require(f.name != CommitCol && f.name != OpCol,
+      // case-INSENSITIVE like the duplicate check below: under Spark's
+      // default resolution `_COMMIT` collides with the `_commit`
+      // partition column — a case-variant reserved name must refuse
+      // just as loudly as the exact spelling
+      require(f.name.toLowerCase != CommitCol &&
+        f.name.toLowerCase != OpCol,
         s"column ${f.name} is a reserved changelog column")
       require(!existing.contains(f.name.toLowerCase),
         s"column ${f.name} already exists in the log at $path — " +
@@ -666,18 +671,289 @@ object Changelog {
         s"added column ${f.name} has type ${f.dataType} — outside " +
           "the log's supported type surface")
     }
+    // on a COLUMN-MAPPED log the new name must also clear the LOGICAL
+    // namespace: a physical footer check alone would admit a column
+    // whose name collides with a renamed column's current logical
+    // name, and the mapped read would then project two columns to one
+    currentMapping(path).foreach { m =>
+      val logical = current.map(f => m.logicalOf(f.name).toLowerCase)
+        .toSet
+      newFields.foreach { f =>
+        require(!logical.contains(f.name.toLowerCase),
+          s"column ${f.name} collides with a LOGICAL (renamed) column " +
+            s"of the mapped log at $path")
+      }
+    }
     // keep _op LAST (the ops-shape induction reads it as the final
     // field of every commit footer): new columns slot in before it
     val (ops, data) = current.partition(_.name == OpCol)
     val evolved = org.apache.spark.sql.types.StructType(
       data ++ newFields ++ ops)
+    val id = landEmptySchemaCommit(spark, path, evolved, "add_columns",
+      writer)
+    id
+  }
+
+  /** Land ONE empty commit whose parquet footer carries `shape` —
+    * the shared substrate of every metadata-only schema verb
+    * (add_columns / rename_column / drop_column): claims the next id,
+    * writes a zero-row parquet directory, records the verb. No data
+    * is read or rewritten at any scale.
+    */
+  private def landEmptySchemaCommit(spark: SparkSession, path: String,
+      shape: org.apache.spark.sql.types.StructType, verb: String,
+      writer: String): Long = {
     val id = claimNextId(path, writer)
     val dir = LogFs.child(path, s"$CommitCol=$id")
     LogFs.delete(dir)
     spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), evolved)
+      new java.util.ArrayList[org.apache.spark.sql.Row](), shape)
       .write.mode("overwrite").parquet(dir)
-    writeCommitInfo(path, id, "add_columns", writer)
+    writeCommitInfo(path, id, verb, writer)
+    id
+  }
+
+  /** True when the log's HISTORY proves its commit footers may carry
+    * DIFFERENT column sets — any landed `add_columns` commit (later
+    * footers carry more columns) or `drop_column` state (commits
+    * landed after the drop omit the dropped physical column). The
+    * table surface reads this at load and FORCES the union
+    * (mergeSchema) read on an evolved log, so a fresh session that
+    * re-registers the table without remembering to pass mergeSchema
+    * can never have Spark infer the schema from an arbitrary
+    * pre-evolution footer and silently drop the added columns (the
+    * registration flag becomes a no-op the log itself subsumes).
+    * Sound across maintenance: vacuum removes an `add_columns` info
+    * marker only together with every pre-evolution commit directory
+    * below the fold — after which all surviving footers already carry
+    * the union and the plain read is correct (mapping markers are
+    * never swept, so the drop signal outlives vacuum). One marker
+    * listing, the same O(commits) cost every load's head listing
+    * already pays.
+    */
+  def isEvolvedLog(path: String): Boolean =
+    commitInfos(path).values.exists(_._1 == "add_columns") ||
+      currentMapping(path).exists(_.dropped.nonEmpty)
+
+  // ---- Column mapping: RENAME/DROP COLUMN as metadata ----------------
+  //
+  // Delta's columnMapping discipline, reduced to this format's marker
+  // primitive: the parquet footers keep each column's PHYSICAL name
+  // (its name at birth — create/add_columns time), and a tiny mapping
+  // marker records the logical↔physical correspondence, so a rename
+  // or drop is ONE empty commit + ONE marker — never a data rewrite,
+  // at any scale. `_graft_mapping_<id>` carries the FULL mapping
+  // state in force from commit `<id>` on (line-oriented:
+  // `r<TAB>physical<TAB>logical` per renamed column, `d<TAB>physical`
+  // per dropped column); a read at version v resolves through the
+  // NEWEST marker ≤ v — no fold, and time travel below the rename
+  // sees the old names for free. Mapping markers are never swept by
+  // maintenance (they are the log's live name state, O(renames)
+  // bytes); clones copy them like every other marker.
+  //
+  // Boundaries, all loud:
+  //  - KEY columns never rename/drop — the key set is the table's row
+  //    identity and lives in the REGISTRATION (session conf), not the
+  //    log; renaming it would desynchronize every registered reader.
+  //  - retype stays refused (a type change is a new table).
+  //  - the change FEED and the streaming surfaces refuse over a
+  //    mapped log (their spool serves physical names; mapping them is
+  //    future work, and serving wrong names silently is not).
+  //  - a dropped column's bytes remain in pre-drop footers until a
+  //    checkpoint rewrite — Delta's semantics exactly; logical drop
+  //    now, physical reclaim with maintenance.
+
+  private[graft] val MappingPrefix = "_graft_mapping_"
+
+  /** The logical↔physical name state of a mapped log. `renames` maps
+    * PHYSICAL → LOGICAL (identity entries never stored); `dropped`
+    * holds physical names whose column is logically deleted.
+    */
+  final case class ColumnMapping(renames: Map[String, String],
+                                 dropped: Set[String]) {
+    def logicalOf(physical: String): String =
+      renames.getOrElse(physical, physical)
+    lazy val physicalByLogical: Map[String, String] =
+      renames.map(_.swap)
+    def physicalOf(logical: String): String =
+      physicalByLogical.getOrElse(logical, logical)
+    def isEmpty: Boolean = renames.isEmpty && dropped.isEmpty
+  }
+
+  private def serializeMapping(m: ColumnMapping): String = {
+    val rs = m.renames.toSeq.sortBy(_._1)
+      .map { case (p, l) => s"r\t$p\t$l" }
+    val ds = m.dropped.toSeq.sorted.map(p => s"d\t$p")
+    ("v1" +: (rs ++ ds)).mkString("\n")
+  }
+
+  private def parseMapping(content: String): ColumnMapping = {
+    val lines = content.split("\n")
+    require(lines.headOption.contains("v1"),
+      "unrecognized mapping marker format")
+    val entries = lines.drop(1).filter(_.nonEmpty).map(_.split("\t", 3))
+    ColumnMapping(
+      entries.collect { case Array("r", p, l) => p -> l }.toMap,
+      entries.collect { case Array("d", p) => p }.toSet)
+  }
+
+  /** The mapping in force at version `v` — the newest marker ≤ v;
+    * None when the log has never been renamed/dropped below v.
+    */
+  def mappingAt(path: String, v: Long): Option[ColumnMapping] = {
+    val markers = LogFs.list(path)
+      .filter(s => s.isFile && s.getPath.getName.startsWith(MappingPrefix))
+      .map(s => (s.getPath.getName.stripPrefix(MappingPrefix).toLong,
+        s.getPath.toString))
+      .filter(_._1 <= v)
+    if (markers.isEmpty) None
+    else Some(parseMapping(LogFs.readString(markers.maxBy(_._1)._2)))
+  }
+
+  /** The mapping in force at the head (write-side coordinate). */
+  def currentMapping(path: String): Option[ColumnMapping] =
+    mappingAt(path, Long.MaxValue)
+
+  /** Project a PHYSICAL-name frame to its LOGICAL shape under `m`:
+    * dropped columns vanish, renamed columns surface their logical
+    * name, everything else (including `_op`/`_commit` if present —
+    * reserved names can never be mapped) passes through. Pure
+    * projection — zero shuffle, participates in column pruning.
+    */
+  def applyMapping(df: DataFrame, m: ColumnMapping): DataFrame =
+    df.select(df.columns.filterNot(m.dropped.contains)
+      .map(c => col(c).as(m.logicalOf(c))).toIndexedSeq: _*)
+
+  /** [[applyMapping]] for an optional mapping — the read-path form. */
+  def applyMapping(df: DataFrame,
+                   m: Option[ColumnMapping]): DataFrame =
+    m.fold(df)(applyMapping(df, _))
+
+  /** Rename every field of a LOGICAL-shape schema to its physical
+    * name — the write-path inverse of [[applyMapping]] (positional:
+    * the rows are untouched, only the staged parquet field names
+    * change).
+    */
+  def toPhysicalSchema(schema: org.apache.spark.sql.types.StructType,
+                       m: Option[ColumnMapping])
+      : org.apache.spark.sql.types.StructType =
+    m.fold(schema)(mm => org.apache.spark.sql.types.StructType(
+      schema.fields.map(f => f.copy(name = mm.physicalOf(f.name)))))
+
+  /** The log's current LOGICAL data columns (mapped names, dropped
+    * columns excluded, reserved columns excluded) — the schema a SQL
+    * user of the table sees, minus nothing. One footer-union listing.
+    */
+  def logicalColumns(spark: SparkSession, path: String): Seq[String] = {
+    val m = currentMapping(path)
+      .getOrElse(ColumnMapping(Map.empty, Set.empty))
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .schema.fields.map(_.name)
+      .filter(n => n != CommitCol && n != OpCol)
+      .filterNot(m.dropped.contains).map(m.logicalOf).toSeq
+  }
+
+  /** Shared validation: resolve logical column `name` on the mapped
+    * log (case-insensitive, the session default), refusing reserved
+    * and KEY columns. Returns the column's PHYSICAL name.
+    */
+  private def resolveMappedColumn(spark: SparkSession, path: String,
+      keys: Seq[String], name: String, verb: String): String = {
+    require(!name.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"$verb column name '$name' contains a tab/newline — mapping " +
+        "markers are tab-delimited; use a flat identifier")
+    require(name.toLowerCase != CommitCol && name.toLowerCase != OpCol,
+      s"$verb ${name}: reserved changelog column")
+    require(!keys.exists(_.equalsIgnoreCase(name)),
+      s"$verb $name: it is a KEY column — the key set is the table's " +
+        "row identity and lives in the registration, not the log; " +
+        "renaming or dropping it would desynchronize every registered " +
+        "reader (re-key by writing a new table)")
+    val m = currentMapping(path)
+      .getOrElse(ColumnMapping(Map.empty, Set.empty))
+    val physical = spark.read.option("mergeSchema", "true").parquet(path)
+      .schema.fields.map(_.name)
+      .filter(n => n != CommitCol && n != OpCol)
+      .filterNot(m.dropped.contains)
+    val hits = physical.filter(p =>
+      m.logicalOf(p).equalsIgnoreCase(name))
+    require(hits.nonEmpty,
+      s"$verb $name: no such column on the log at $path — logical " +
+        s"columns: [${physical.map(m.logicalOf).mkString(", ")}]")
+    require(hits.length == 1,
+      s"$verb $name: ambiguous under case-insensitive resolution " +
+        s"(physical candidates: [${hits.mkString(", ")}])")
+    hits.head
+  }
+
+  /** RENAME COLUMN as metadata: one empty commit (verb
+    * `rename_column`, footers untouched — same physical union shape)
+    * plus one mapping marker at that id. Reads at/above the commit
+    * serve the new name; time travel below it serves the old; pinned
+    * footers keep their physical names forever. Returns the landed
+    * commit id.
+    */
+  def commitRenameColumn(spark: SparkSession, path: String,
+      keys: Seq[String], oldName: String, newName: String,
+      writer: String = SoloWriter): Long = {
+    val physical = resolveMappedColumn(spark, path, keys, oldName,
+      "RENAME COLUMN")
+    require(!newName.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"RENAME COLUMN to '$newName' — mapping markers are " +
+        "tab-delimited; use a flat identifier")
+    require(newName.trim.nonEmpty, "RENAME COLUMN to an empty name")
+    require(newName.toLowerCase != CommitCol &&
+      newName.toLowerCase != OpCol,
+      s"RENAME COLUMN to $newName: reserved changelog column")
+    val m = currentMapping(path)
+      .getOrElse(ColumnMapping(Map.empty, Set.empty))
+    val union = spark.read.option("mergeSchema", "true").parquet(path)
+      .schema.fields.filter(_.name != CommitCol)
+    val otherLogical = union.map(_.name)
+      .filter(n => n != OpCol && n != physical)
+      .filterNot(m.dropped.contains).map(m.logicalOf)
+    require(!otherLogical.exists(_.equalsIgnoreCase(newName)),
+      s"RENAME COLUMN to $newName: collides with an existing logical " +
+        s"column of the log at $path")
+    val renamed =
+      if (physical.equalsIgnoreCase(newName) && physical == newName)
+        m.renames - physical // renamed back to its birth name
+      else m.renames.updated(physical, newName)
+    val next = m.copy(renames = renamed)
+    val id = landEmptySchemaCommit(spark, path,
+      org.apache.spark.sql.types.StructType(union), "rename_column",
+      writer)
+    LogFs.writeAtomic(LogFs.child(path, s"$MappingPrefix$id"),
+      serializeMapping(next))
+    id
+  }
+
+  /** DROP COLUMN as metadata: one empty commit (verb `drop_column`)
+    * plus one mapping marker whose state retires the column's
+    * physical name. The bytes in pre-drop footers remain until a
+    * checkpoint rewrite (Delta's semantics — logical drop now,
+    * physical reclaim with maintenance); commits landed after the
+    * drop simply omit the column, which is why a mapped-drop log
+    * reads through the union path ([[isEvolvedLog]]). The retired
+    * physical name can never be re-added (the footer-union collision
+    * check in [[commitAddColumns]] holds it). Returns the landed
+    * commit id.
+    */
+  def commitDropColumn(spark: SparkSession, path: String,
+      keys: Seq[String], name: String,
+      writer: String = SoloWriter): Long = {
+    val physical = resolveMappedColumn(spark, path, keys, name,
+      "DROP COLUMN")
+    val m = currentMapping(path)
+      .getOrElse(ColumnMapping(Map.empty, Set.empty))
+    val union = spark.read.option("mergeSchema", "true").parquet(path)
+      .schema.fields.filter(_.name != CommitCol)
+    val next = ColumnMapping(m.renames - physical, m.dropped + physical)
+    val id = landEmptySchemaCommit(spark, path,
+      org.apache.spark.sql.types.StructType(union), "drop_column",
+      writer)
+    LogFs.writeAtomic(LogFs.child(path, s"$MappingPrefix$id"),
+      serializeMapping(next))
     id
   }
 
@@ -1660,6 +1936,34 @@ object Changelog {
     vacuumBelow(path, b, statsAtVStale = false)
   }
 
+  /** `'yyyy-MM-dd HH:mm:ss[.SSS]'` (UTC) → epoch millis — the commit
+    * clock's string spelling, shared by the table_changes TVF and the
+    * timestamp-addressed maintenance verbs. Loud on anything else.
+    */
+  def parseUtcTimestamp(raw: String, what: String): Long =
+    try java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(
+          s"$what '$raw' is not a timestamp — use " +
+            "'yyyy-MM-dd HH:mm:ss[.SSS]' (UTC)")
+    }
+
+  /** [[vacuumRetain]] addressed by the CLOCK — Delta's VACUUM speaks
+    * time, not versions: retain every version readable at/after
+    * instant `tsMillis`, reclaim below. The instant resolves through
+    * [[versionAtTimestamp]] (latest commit stamped ≤ t — the q190/
+    * q243 law), then the versioned verb runs unchanged, inheriting
+    * every guard: unstamped commits, instants before the first stamp,
+    * no base at/below the resolved version, and the head bound. The
+    * resolved version is the correct retention floor exactly because
+    * a reader addressing the clock at any instant ≥ t resolves to a
+    * version ≥ it.
+    */
+  def vacuumRetainAt(path: String, tsMillis: Long): Unit =
+    vacuumRetain(path, versionAtTimestamp(path, tsMillis))
+
   /** Zero-copy SHALLOW CLONE of the log at version `v` — the lakehouse
     * "CREATE TABLE ... CLONE ... AS OF v" / branch primitive: `dest`
     * becomes an independent log holding exactly the commits ≤ v,
@@ -1746,7 +2050,8 @@ object Changelog {
     // (the cloned base is byte-identical) and keep the clone's reads
     // pruned. writeAtomic keeps the no-torn-marker law on the clone.
     def markerId(n: String): Option[Long] =
-      Seq(StatsPrefix, ClaimPrefix, BasePrefix, InfoPrefix)
+      Seq(StatsPrefix, ClaimPrefix, BasePrefix, InfoPrefix,
+          MappingPrefix)
         .collectFirst { case p if n.startsWith(p) =>
           n.stripPrefix(p).toLong }
     LogFs.list(path)

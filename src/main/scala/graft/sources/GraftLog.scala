@@ -161,11 +161,27 @@ object GraftLog {
     * before any scan is built; reaching it means the extension is not
     * installed, and the error says exactly that.
     */
-  private[graft] class LogTable(val opts: Opts) extends Table
+  private[graft] class LogTable(rawOpts: Opts) extends Table
       with SupportsRead with SupportsWrite with SupportsDelete
       with SupportsRowLevelOperations {
 
     private val spark = SparkSession.active
+
+    /** The load-time options with evolution NORMALIZED IN: a log whose
+      * history holds an `add_columns` commit reads through the union
+      * (mergeSchema) path whether or not the registration remembered
+      * to say so — otherwise a fresh session re-registering the table
+      * (register() defaults mergeSchema=false) would let Spark infer
+      * the schema from an arbitrary pre-evolution footer and the added
+      * columns would silently vanish. The log itself is the source of
+      * truth for its own shape; the explicit flag remains an opt-in
+      * for logs evolved by out-of-band writers. Feed reads keep their
+      * options as-is (the feed path has no mergeSchema coordinate).
+      */
+    val opts: Opts =
+      if (rawOpts.readChangeFeed || rawOpts.mergeSchema) rawOpts
+      else rawOpts.copy(
+        mergeSchema = Changelog.isEvolvedLog(rawOpts.path))
 
     /** Ops vs plain, sniffed once from a footer (the write guard's
       * probe) — routes every mode below to the right library verb.
@@ -185,6 +201,26 @@ object GraftLog {
     /** Feed end, pinned at load like the snapshot version. */
     val pinnedEnd: Long = opts.endingVersion
       .getOrElse(Changelog.headVersion(opts.path).getOrElse(-1L))
+
+    /** The column mapping (RENAME/DROP COLUMN metadata) in force at
+      * the pinned read version, resolved ONCE at load like the
+      * version itself — snapshot reads project physical names to
+      * logical through it, so time travel below a rename serves the
+      * old names. The FEED surface refuses over a mapped log (the
+      * feed's old_/new_ frames are physical-name plans; serving them
+      * under a mapping would silently expose physical names).
+      */
+    val pinnedMapping: Option[Changelog.ColumnMapping] = {
+      val m = Changelog.mappingAt(opts.path,
+        if (opts.readChangeFeed) Long.MaxValue else pinnedVersion)
+        .filterNot(_.isEmpty)
+      require(m.isEmpty || !opts.readChangeFeed,
+        s"${opts.path} carries a column mapping (renamed/dropped " +
+          "columns) — the change feed over a mapped log is not " +
+          "supported; read snapshots, or rebuild the feed on an " +
+          "unmapped log")
+      if (opts.readChangeFeed) None else m
+    }
 
     /** The library plan this table IS — what ResolveGraftLog splices
       * into the query (lazy: schema needs it at load; the rule reuses
@@ -217,17 +253,21 @@ object GraftLog {
             opts.startingVersion.get, pinnedEnd, opts.trackCols)
         }
       } else if (opsShape) {
-        if (opts.mergeSchema)
-          Changelog.snapshotAtOpsEvolved(spark, opts.path, opts.keys,
-            pinnedVersion)
-        else Changelog.snapshotAtOps(spark, opts.path, opts.keys,
-          pinnedVersion)
+        Changelog.applyMapping(
+          if (opts.mergeSchema)
+            Changelog.snapshotAtOpsEvolved(spark, opts.path, opts.keys,
+              pinnedVersion)
+          else Changelog.snapshotAtOps(spark, opts.path, opts.keys,
+            pinnedVersion),
+          pinnedMapping)
       } else {
-        if (opts.mergeSchema)
-          Changelog.snapshotAtEvolved(spark, opts.path, opts.keys,
-            pinnedVersion)
-        else Changelog.snapshotAt(spark, opts.path, opts.keys,
-          pinnedVersion)
+        Changelog.applyMapping(
+          if (opts.mergeSchema)
+            Changelog.snapshotAtEvolved(spark, opts.path, opts.keys,
+              pinnedVersion)
+          else Changelog.snapshotAt(spark, opts.path, opts.keys,
+            pinnedVersion),
+          pinnedMapping)
       }
 
     override def name(): String = {
@@ -335,6 +375,11 @@ object GraftLog {
                 s"${opts.path} is a PLAIN (append-only) log — the " +
                   "streaming surfaces ride the ops shape (the " +
                   "per-commit diff the CDC source computes is keyed)")
+              require(pinnedMapping.isEmpty,
+                s"${opts.path} carries a column mapping (renamed/" +
+                  "dropped columns) — the streaming spool serves " +
+                  "physical names and is not mapped; stream an " +
+                  "unmapped log, or read snapshots")
               def num(k: String): Option[Long] =
                 Option(o.get(k)).map(_.toLong)
               // the stream's START COORDINATE as reader options:
@@ -440,8 +485,13 @@ object GraftLog {
           with org.apache.spark.sql.internal.connector
             .SupportsStreamingUpdateAsAppend {
         override def build(): Write = new Write {
+          // a mapped log stages its files under PHYSICAL names: the
+          // statement resolved against the logical schema, and the
+          // rows are positional — only the staged field names change
           override def toBatch: BatchWrite =
-            new AppendBatchWrite(opts.path, writer, info.schema(),
+            new AppendBatchWrite(opts.path, writer,
+              Changelog.toPhysicalSchema(info.schema(),
+                Changelog.currentMapping(opts.path)),
               opsShape, s"insert_${info.queryId()}", txnVersion)
           // `writeStream.toTable("glog.t")`: every epoch is ONE commit
           // of table-shaped UPSERTS — the streaming spelling of INSERT
@@ -465,6 +515,11 @@ object GraftLog {
                 s"streamed column ${f.name} has type ${f.dataType} — " +
                   "outside the staged parquet writer's type surface")
             }
+            require(Changelog.currentMapping(opts.path)
+                .forall(_.isEmpty),
+              s"${opts.path} carries a column mapping (renamed/" +
+                "dropped columns) — streaming writes are not mapped; " +
+                "write batches, or stream into an unmapped log")
             new graft.streaming.LogSink.LogStreamingWrite(opts.path,
               writer, s, info.queryId(), multiWriter,
               constantOp = if (opsShape) Some("u") else None)
@@ -547,8 +602,18 @@ object GraftLog {
       val head = Changelog.headVersion(opts.path).getOrElse(
         throw new IllegalArgumentException(
           s"${opts.path} has no commits — nothing to delete"))
-      val keysDf = Changelog.snapshotAtOps(spark, opts.path, opts.keys,
-          head).filter(cond)
+      // the condition arrived in LOGICAL names (the SQL surface) and
+      // may reference post-evolution columns: read the union snapshot
+      // on an evolved log and apply the mapping before filtering; the
+      // key columns are never mapped, so the tombstone frame is
+      // physical as commitDelete requires
+      val snap =
+        if (opts.mergeSchema)
+          Changelog.snapshotAtOpsEvolved(spark, opts.path, opts.keys,
+            head)
+        else Changelog.snapshotAtOps(spark, opts.path, opts.keys, head)
+      val keysDf = Changelog.applyMapping(snap,
+          Changelog.mappingAt(opts.path, head)).filter(cond)
         .select(opts.keys.map(col): _*)
       if (!keysDf.isEmpty) {
         val id = Changelog.claimNextId(opts.path, Changelog.SoloWriter)

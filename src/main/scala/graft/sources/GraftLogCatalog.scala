@@ -372,10 +372,25 @@ class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
           Changelog.vacuumRetain(o.path, v)
           v
         })
+      // retention by the CLOCK — Delta's VACUUM speaks time: retain
+      // every version readable at/after the instant (UTC timestamp
+      // string, the table_changes spelling), reclaim below; resolves
+      // through the commit clock then runs the versioned verb with
+      // all its guards (see Changelog.vacuumRetainAt)
+      case "vacuum_at" => new MaintenanceProcedure("vacuum_at",
+        Seq(inParam("table", DataTypes.StringType),
+          inParam("retain_timestamp", DataTypes.StringType)),
+        (_, o, in) => {
+          val t = Changelog.parseUtcTimestamp(
+            in.getUTF8String(1).toString, "vacuum_at retain_timestamp")
+          val v = Changelog.versionAtTimestamp(o.path, t)
+          Changelog.vacuumRetain(o.path, v)
+          v
+        })
       case other => throw new IllegalArgumentException(
         s"unknown procedure $catName.system.$other — available: " +
           "checkpoint, checkpoint_clustered, optimize, optimize_string, " +
-          "optimize_zorder, restore, clone, analyze, vacuum")
+          "optimize_zorder, restore, clone, analyze, vacuum, vacuum_at")
     }
   }
 
@@ -383,7 +398,7 @@ class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
     if (namespace.sameElements(Array("system")))
       Array("checkpoint", "checkpoint_clustered", "optimize",
           "optimize_string", "optimize_zorder", "restore", "clone",
-          "analyze", "vacuum")
+          "analyze", "vacuum", "vacuum_at")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
@@ -462,17 +477,26 @@ class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
     }
   }
 
-  /** `ALTER TABLE cat.t ADD COLUMNS (c TYPE, …)` — the ONE supported
-    * ALTER, landed as what evolution IS in this format: a single
-    * empty schema-bearing commit ([[Changelog.commitAddColumns]],
-    * the q143/q185 law at the DDL surface) plus flipping the
-    * registration's `mergeSchema` on so by-name reads fold the union
-    * (pre-evolution rows null-fill). History is never rewritten —
-    * versioned reads below the evolution keep the old shape. Every
-    * other change (drop/rename/retype/comment-on-column/positioning)
-    * refuses loudly: without column-mapping metadata those verbs
-    * would lie to the pinned footers below — a drop or rename is a
-    * new table.
+  /** The supported ALTER verbs, each landed as what it IS in this
+    * format — metadata, never a data rewrite:
+    *  - `ADD COLUMNS (c TYPE, …)` — a single empty schema-bearing
+    *    commit ([[Changelog.commitAddColumns]], the q143/q185 law at
+    *    the DDL surface) plus flipping the registration's
+    *    `mergeSchema` on so by-name reads fold the union
+    *    (pre-evolution rows null-fill; the log itself also forces the
+    *    union read from its own history, so a fresh registration
+    *    cannot lose the columns).
+    *  - `RENAME COLUMN a TO b` / `DROP COLUMN c` — column MAPPING
+    *    ([[Changelog.commitRenameColumn]]/[[Changelog.commitDropColumn]],
+    *    Delta's columnMapping discipline): one empty commit + one
+    *    mapping marker; pinned footers below keep their physical
+    *    names, time travel below the change sees the old shape, and
+    *    no byte of data moves at any scale. Key columns refuse (the
+    *    key set lives in the registration, not the log).
+    * History is never rewritten. Everything else (retype /
+    * comment-on-column / positioning / properties) refuses loudly:
+    * a type change rewrites the schema out from under the pinned
+    * commit footers — that is a NEW table.
     */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
@@ -480,8 +504,30 @@ class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
     require(!opts.readChangeFeed,
       s"ALTER TABLE on $catName.$ident — it is a registered FEED; " +
         "evolve the underlying table, the feed follows")
-    val fields = changes.map {
-      case a: TableChange.AddColumn =>
+    val spark = SparkSession.active
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val renames = changes.collect {
+      case r: TableChange.RenameColumn => r }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    changes.foreach {
+      case _: TableChange.AddColumn | _: TableChange.RenameColumn |
+           _: TableChange.DeleteColumn => ()
+      case other =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE $catName.$ident: only ADD COLUMNS / RENAME " +
+            s"COLUMN / DROP COLUMN are supported — " +
+            s"${other.getClass.getSimpleName} would rewrite the " +
+            "schema out from under the pinned commit footers (a " +
+            "retype is a NEW table; land a fresh log and backfill)")
+    }
+    // DROP COLUMN IF EXISTS on a missing column arrives as an EMPTY
+    // change list (Spark resolves the IF EXISTS at analysis) — a
+    // clean no-op, no commit
+    if (changes.isEmpty) return loadTable(ident)
+    require(Seq(adds, renames, drops).count(_.nonEmpty) == 1,
+      s"ALTER TABLE $catName.$ident: one schema verb per statement")
+    if (adds.nonEmpty) {
+      val fields = adds.map { a =>
         require(a.fieldNames().length == 1,
           s"ADD COLUMNS ${a.fieldNames().mkString(".")} — only " +
             "TOP-LEVEL columns can be added; evolving a nested struct " +
@@ -499,16 +545,34 @@ class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
             "no default-value metadata; pre-evolution rows read NULL")
         org.apache.spark.sql.types.StructField(
           a.fieldNames().head, a.dataType(), nullable = true)
-      case other =>
-        throw new UnsupportedOperationException(
-          s"ALTER TABLE $catName.$ident: only ADD COLUMNS is " +
-            s"supported — ${other.getClass.getSimpleName} would " +
-            "rewrite the schema out from under the pinned commit " +
-            "footers (a drop/rename/retype is a NEW table; land a " +
-            "fresh log and backfill)")
+      }
+      Changelog.commitAddColumns(spark, opts.path, fields)
+      SQLConf.get.setConfString(confKey(ident, "mergeSchema"), "true")
+    } else if (renames.nonEmpty) {
+      require(renames.length == 1,
+        s"ALTER TABLE $catName.$ident: one RENAME COLUMN per statement")
+      val r = renames.head
+      require(r.fieldNames().length == 1,
+        s"RENAME COLUMN ${r.fieldNames().mkString(".")} — only " +
+          "TOP-LEVEL columns rename (a nested rename retypes the " +
+          "parent struct, which is a new table)")
+      Changelog.commitRenameColumn(spark, opts.path, opts.keys,
+        r.fieldNames().head, r.newName())
+    } else {
+      drops.foreach { dd =>
+        require(dd.fieldNames().length == 1,
+          s"DROP COLUMN ${dd.fieldNames().mkString(".")} — only " +
+            "TOP-LEVEL columns drop (a nested drop retypes the " +
+            "parent struct, which is a new table)")
+        val name = dd.fieldNames().head
+        // IF EXISTS skips a missing column — but ONLY a missing one:
+        // key/reserved refusals must still surface loudly
+        val missing = !Changelog.logicalColumns(spark, opts.path)
+          .exists(_.equalsIgnoreCase(name))
+        if (!(dd.ifExists() && missing))
+          Changelog.commitDropColumn(spark, opts.path, opts.keys, name)
+      }
     }
-    Changelog.commitAddColumns(SparkSession.active, opts.path, fields)
-    SQLConf.get.setConfString(confKey(ident, "mergeSchema"), "true")
     loadTable(ident)
   }
 }

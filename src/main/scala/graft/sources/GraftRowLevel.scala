@@ -178,9 +178,14 @@ object GraftRowLevel {
     override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
       new DeltaWriteBuilder {
         override def build(): DeltaWrite = new DeltaWrite {
+          // a mapped log lands its delta under PHYSICAL names — the
+          // statement resolved logically, the rows are positional,
+          // only the staged field names change (keys never map)
           override def toBatch: DeltaBatchWrite =
             new LogDeltaBatchWrite(opts.path, opts.keys, writer,
-              info.schema(), cmd.name.toLowerCase, spoolDir,
+              Changelog.toPhysicalSchema(info.schema(),
+                Changelog.mappingAt(opts.path, head)),
+              cmd.name.toLowerCase, spoolDir,
               s"rowlevel_${info.queryId()}", head)
         }
       }
@@ -356,11 +361,18 @@ object GraftRowLevel {
             if (have.contains(f.name)) col(f.name)
             else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
         }
+      // a MAPPED log's spool serves the LOGICAL shape the statement
+      // resolved against: dropped columns vanish, renamed columns
+      // surface their logical name — BEFORE the pushed filters, which
+      // arrived in logical names (keys are never mapped, so the
+      // stats-window pruning above is untouched)
+      val mapped = Changelog.applyMapping(conformed,
+        Changelog.mappingAt(opts.path, head))
       // every fully-translatable pushed filter shrinks the spool to
       // O(matched rows); untranslatable ones contribute nothing (Spark
       // re-applies the complete condition above the scan either way)
       val out = pruning.flatMap(GraftLog.filterToColumn)
-        .foldLeft(conformed)(_ filter _)
+        .foldLeft(mapped)(_ filter _)
       if (GraftRowLevel.trackSpoolCommits.get())
         GraftRowLevel.lastSpoolCommits.set(
           out.inputFiles.flatMap(_.split("/")

@@ -149,7 +149,10 @@ private[graft] object LogFs {
       // claimants could both "win" in the microsecond window between
       // the check and the rename (caught by the mutex race spec). The
       // kernel's atomic create-if-absent primitive is link(2): exactly
-      // one hardlink lands, every other claimant gets EEXIST.
+      // one hardlink lands, every other claimant gets EEXIST. ONLY
+      // EEXIST means "lost the race" — a genuine IO fault (disk full,
+      // permissions, cross-device link) must surface as itself, never
+      // masquerade as a phantom claimant the operator then hunts for.
       try {
         java.nio.file.Files.createLink(
           java.nio.file.Paths.get(target.toUri.getPath),
@@ -157,10 +160,19 @@ private[graft] object LogFs {
         f.delete(tmp, false)
         true
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.io.IOException =>
+        case _: java.nio.file.FileAlreadyExistsException =>
           f.delete(tmp, false)
           false
+        case e: java.io.IOException =>
+          f.delete(tmp, false)
+          // some JDK/FS combinations report EEXIST as a bare
+          // FileSystemException — the claim is lost iff the target
+          // landed; anything else is a real fault, rethrown with the
+          // claim context
+          if (f.exists(target)) false
+          else throw new java.io.IOException(
+            s"claimExclusive($path) failed on an IO fault (NOT a " +
+              "lost race — no competing marker exists)", e)
       }
     } else try {
       // HDFS / object stores arbitrate rename-without-overwrite
@@ -170,10 +182,17 @@ private[graft] object LogFs {
       true
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-           _: java.nio.file.FileAlreadyExistsException |
-           _: java.io.IOException =>
+           _: java.nio.file.FileAlreadyExistsException =>
         f.delete(tmp, false)
         false
+      case e: java.io.IOException =>
+        f.delete(tmp, false)
+        // same honesty remotely: a store may surface the taken target
+        // as a generic rename IOException — lost iff the target exists
+        if (f.exists(target)) false
+        else throw new java.io.IOException(
+          s"claimExclusive($path) failed on an IO fault (NOT a " +
+            "lost race — no competing marker exists)", e)
     }
   }
 

@@ -1,0 +1,265 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Changelog, GraftLog, GraftLogCatalog, LogFs, Sinks}
+
+/** Column mapping (RENAME/DROP COLUMN as metadata — the Delta
+  * columnMapping discipline on the changelog's marker primitive) and
+  * the evolved-read normalization: a log whose history proves
+  * evolution reads through the union path regardless of what the
+  * registration remembered to say. Plus the claim primitive's
+  * IO-honesty contract (a disk fault must never read as contention).
+  */
+class ColumnMappingSpec extends SparkSpec {
+
+  private def fmt = classOf[GraftLog].getName
+
+  private def freshDir(name: String): String = {
+    val p = Sinks.tmpPath(s"colmap_spec_$name")
+    Sinks.deleteRecursively(p)
+    p
+  }
+
+  /** Two-commit ops log (k BIGINT, v DOUBLE, note STRING). */
+  private def fixture(name: String): String = {
+    import spark.implicits._
+    val path = freshDir(name)
+    Changelog.commitUpsert(
+      (0L until 20L).map(k => (k, k * 10.0, s"n$k")).toDF("k", "v", "note"),
+      path, 0L)
+    Changelog.commitUpsert(
+      Seq((3L, 333.0, "upd")).toDF("k", "v", "note"), path, 1L)
+    path
+  }
+
+  test("RENAME COLUMN is one empty commit + a mapping marker: reads " +
+       "serve the new name, footers and time travel keep the old") {
+    val path = fixture("rename")
+    GraftLogCatalog.register(spark, "cmspec1", "t", path, Seq("k"))
+    spark.sql("ALTER TABLE cmspec1.t RENAME COLUMN v TO price")
+    // ONE commit, verb rename_column, zero rows
+    assert(Changelog.commitInfos(path)(2L)._1 == "rename_column")
+    assert(Changelog.commitDirRowCount(path, 2L) == 0L)
+    // head serves the LOGICAL name with untouched values
+    val head = spark.table("cmspec1.t")
+    assert(head.schema.fieldNames.toSeq == Seq("k", "price", "note"))
+    assert(head.filter(col("k") === 3L).select("price")
+      .head().getDouble(0) == 333.0)
+    // time travel below the rename serves the OLD name
+    assert(spark.sql("SELECT * FROM cmspec1.t VERSION AS OF 1")
+      .schema.fieldNames.toSeq == Seq("k", "v", "note"))
+    // the pinned footers never changed (metadata-only on disk)
+    assert(spark.read.parquet(s"$path/${Changelog.CommitCol}=0")
+      .columns.contains("v"))
+    // the LIBRARY read stays physical (mapping is a TABLE-surface law)
+    assert(Changelog.snapshotAtOps(spark, path, Seq("k"), 2L)
+      .columns.toSeq == Seq("k", "v", "note"))
+  }
+
+  test("writes through a mapped table land PHYSICAL names: INSERT, " +
+       "UPDATE, MERGE, DELETE all resolve the logical schema") {
+    import spark.implicits._
+    val path = fixture("dml")
+    GraftLogCatalog.register(spark, "cmspec2", "t", path, Seq("k"))
+    spark.sql("ALTER TABLE cmspec2.t RENAME COLUMN v TO price")
+    // INSERT through the new name
+    spark.sql("INSERT INTO cmspec2.t VALUES (100, 1.5, 'ins')")
+    val insCommit = Changelog.commitInfos(path).keys.max
+    assert(spark.read.parquet(s"$path/${Changelog.CommitCol}=$insCommit")
+      .columns.contains("v"), "staged insert must carry the physical name")
+    assert(spark.sql("SELECT price FROM cmspec2.t WHERE k = 100")
+      .head().getDouble(0) == 1.5)
+    // UPDATE references the logical name in SET and WHERE
+    spark.sql("UPDATE cmspec2.t SET price = price + 1.0 WHERE k = 100")
+    assert(spark.sql("SELECT price FROM cmspec2.t WHERE k = 100")
+      .head().getDouble(0) == 2.5)
+    // MERGE through the logical name
+    Seq((100L, 9.0, "m"), (200L, 8.0, "m")).toDF("k", "price", "note")
+      .createOrReplaceTempView("cm_src")
+    spark.sql("""MERGE INTO cmspec2.t t USING cm_src s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT price FROM cmspec2.t WHERE k IN (100, 200)")
+      .collect().map(_.getDouble(0)).sorted.toSeq == Seq(8.0, 9.0))
+    // DELETE with the condition on the RENAMED column
+    spark.sql("DELETE FROM cmspec2.t WHERE price >= 8.0")
+    assert(spark.sql("SELECT * FROM cmspec2.t WHERE k IN (100, 200)")
+      .isEmpty)
+    // the delta commits all landed physical (mergeSchema union has no
+    // logical name anywhere on disk)
+    assert(!spark.read.option("mergeSchema", "true").parquet(path)
+      .columns.contains("price"))
+  }
+
+  test("DROP COLUMN is metadata: gone at head, alive below, physical " +
+       "name retired, post-drop commits omit it") {
+    val path = fixture("drop")
+    GraftLogCatalog.register(spark, "cmspec3", "t", path, Seq("k"))
+    spark.sql("ALTER TABLE cmspec3.t DROP COLUMN note")
+    assert(Changelog.commitInfos(path)(2L)._1 == "drop_column")
+    assert(spark.table("cmspec3.t").schema.fieldNames.toSeq ==
+      Seq("k", "v"))
+    // below the drop the column is alive with its values
+    assert(spark.sql("SELECT note FROM cmspec3.t VERSION AS OF 1 " +
+      "WHERE k = 3").head().getString(0) == "upd")
+    // post-drop INSERT omits the column physically
+    spark.sql("INSERT INTO cmspec3.t VALUES (500, 5.0)")
+    val ins = Changelog.commitInfos(path).keys.max
+    assert(!spark.read.parquet(s"$path/${Changelog.CommitCol}=$ins")
+      .columns.contains("note"))
+    // the retired physical name can never come back
+    assert(scala.util.Try(spark.sql(
+      "ALTER TABLE cmspec3.t ADD COLUMNS (note STRING)")).isFailure)
+    // DROP COLUMN IF EXISTS on a missing column is a clean no-op...
+    val head0 = Changelog.commitInfos(path).keys.max
+    spark.sql("ALTER TABLE cmspec3.t DROP COLUMN IF EXISTS ghost")
+    assert(Changelog.commitInfos(path).keys.max == head0)
+    // ...but IF EXISTS never softens the KEY refusal
+    assert(scala.util.Try(spark.sql(
+      "ALTER TABLE cmspec3.t DROP COLUMN IF EXISTS k")).isFailure)
+  }
+
+  test("mapping refusals: keys, reserved, collisions, retype, and the " +
+       "feed/streaming surfaces") {
+    import spark.implicits._
+    val path = fixture("refuse")
+    GraftLogCatalog.register(spark, "cmspec4", "t", path, Seq("k"))
+    // key columns never rename/drop
+    assert(scala.util.Try(spark.sql(
+      "ALTER TABLE cmspec4.t RENAME COLUMN k TO kk")).isFailure)
+    assert(scala.util.Try(spark.sql(
+      "ALTER TABLE cmspec4.t DROP COLUMN k")).isFailure)
+    // rename onto an existing logical name refuses
+    assert(scala.util.Try(spark.sql(
+      "ALTER TABLE cmspec4.t RENAME COLUMN v TO note")).isFailure)
+    // reserved names refuse in both directions
+    assert(scala.util.Try(spark.sql(
+      "ALTER TABLE cmspec4.t RENAME COLUMN v TO _commit")).isFailure)
+    assert(scala.util.Try(Changelog.commitRenameColumn(spark, path,
+      Seq("k"), Changelog.OpCol, "x")).isFailure)
+    // retype stays refused
+    assert(scala.util.Try(spark.sql(
+      "ALTER TABLE cmspec4.t ALTER COLUMN v TYPE INT")).isFailure)
+    spark.sql("ALTER TABLE cmspec4.t RENAME COLUMN v TO price")
+    // ADD COLUMNS colliding with the LOGICAL (renamed) name refuses —
+    // the physical footer check alone would admit it
+    assert(scala.util.Try(spark.sql(
+      "ALTER TABLE cmspec4.t ADD COLUMNS (price DOUBLE)")).isFailure)
+    // ...and the physical (birth) name stays blocked by the footers
+    assert(scala.util.Try(spark.sql(
+      "ALTER TABLE cmspec4.t ADD COLUMNS (v DOUBLE)")).isFailure)
+    // the change feed refuses over a mapped log
+    assert(scala.util.Try(
+      spark.read.format(fmt).option("path", path).option("keys", "k")
+        .option("readChangeFeed", "true").option("startingVersion", 0)
+        .option("trackCols", "v").load()).isFailure)
+    // streaming writes refuse over a mapped log
+    val landing = freshDir("refuse_landing")
+    Seq((7L, 7.0, "s")).toDF("k", "price", "note")
+      .write.parquet(landing)
+    val attempt = scala.util.Try {
+      val q = spark.readStream
+        .schema("k BIGINT, price DOUBLE, note STRING").parquet(landing)
+        .writeStream.format(fmt)
+        .option("path", path).option("keys", "k")
+        .option("checkpointLocation", freshDir("refuse_ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    assert(attempt.isFailure,
+      "streaming into a mapped log must refuse loudly")
+  }
+
+  test("rename chains resolve through ONE marker state: a->b->c, " +
+       "swap, and rename-back to the birth name") {
+    val path = fixture("chain")
+    GraftLogCatalog.register(spark, "cmspec5", "t", path, Seq("k"))
+    spark.sql("ALTER TABLE cmspec5.t RENAME COLUMN v TO tmp")
+    spark.sql("ALTER TABLE cmspec5.t RENAME COLUMN note TO v")
+    spark.sql("ALTER TABLE cmspec5.t RENAME COLUMN tmp TO note")
+    // full swap: logical v is the old note (string), logical note the
+    // old v (double)
+    val head = spark.table("cmspec5.t")
+    assert(head.schema("v").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(head.schema("note").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(head.filter(col("k") === 3L).select("v", "note").head()
+      .toSeq == Seq("upd", 333.0))
+    // rename BACK to the birth name drops the identity entry
+    spark.sql("ALTER TABLE cmspec5.t RENAME COLUMN note TO v2")
+    spark.sql("ALTER TABLE cmspec5.t RENAME COLUMN v TO note")
+    spark.sql("ALTER TABLE cmspec5.t RENAME COLUMN v2 TO v")
+    val m = Changelog.currentMapping(path).get
+    assert(!m.renames.contains("v") && !m.renames.contains("note"),
+      s"identity entries must not be stored, got ${m.renames}")
+  }
+
+  test("stats-skipping point lookup still prunes on a mapped log " +
+       "(keys never map) and serves logical names") {
+    import spark.implicits._
+    val path = fixture("skip")
+    // a key-DISJOINT commit the k=3 lookup must never open
+    Changelog.commitUpsert(
+      (1000L until 1020L).map(k => (k, k * 1.0, "hi"))
+        .toDF("k", "v", "note"), path, 2L)
+    Seq(0L, 1L, 2L).foreach(id =>
+      Changelog.writeCommitStats(spark, path, id, "k"))
+    GraftLogCatalog.register(spark, "cmspec6", "t", path, Seq("k"))
+    spark.sql("ALTER TABLE cmspec6.t RENAME COLUMN v TO price")
+    val out = spark.sql(
+      "SELECT price FROM cmspec6.t WHERE k = 3")
+    assert(out.head().getDouble(0) == 333.0)
+    // structural pruning proof: the disjoint commit is never opened
+    // (the empty rename commit has no stats and admits conservatively)
+    val dirs = out.inputFiles.flatMap(_.split("/")
+      .find(_.startsWith(s"${Changelog.CommitCol}="))).distinct
+    assert(dirs.nonEmpty &&
+      !dirs.contains(s"${Changelog.CommitCol}=2"),
+      s"the lookup must prune the disjoint commit, read ${dirs.toSeq}")
+  }
+
+  test("evolved logs read the union WITHOUT a mergeSchema flag — the " +
+       "history itself forces it (fresh-registration safety)") {
+    import spark.implicits._
+    val path = freshDir("evoread")
+    Changelog.commitUpsert((0L until 5L).map(k => (k, k * 1.0))
+      .toDF("k", "v"), path, 0L)
+    Changelog.commitAddColumns(spark, path,
+      Seq(org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.StringType)))
+    Changelog.commitUpsert(Seq((9L, 9.0, "late")).toDF("k", "v", "src"),
+      path, 2L)
+    // format read with NO mergeSchema option — the added column must
+    // survive a registration that forgot the flag
+    val df = spark.read.format(fmt)
+      .option("path", path).option("keys", "k").load()
+    assert(df.schema.fieldNames.contains("src"),
+      "an evolved log must force the union read from its own history")
+    assert(df.filter(col("k") === 9L).select("src").head()
+      .getString(0) == "late")
+    // case-variant reserved names refuse at the evolution commit
+    assert(scala.util.Try(Changelog.commitAddColumns(spark, path,
+      Seq(org.apache.spark.sql.types.StructField("_COMMIT",
+        org.apache.spark.sql.types.StringType)))).isFailure)
+  }
+
+  test("claimExclusive: an IO fault surfaces as the fault, never as " +
+       "a phantom claimant") {
+    val dir = freshDir("claim_io")
+    LogFs.mkdirs(dir)
+    // a lost race still reads as false
+    assert(LogFs.claimExclusive(LogFs.child(dir, "m1"), "a"))
+    assert(!LogFs.claimExclusive(LogFs.child(dir, "m1"), "b"))
+    // an unwritable parent (a FILE where the directory should be —
+    // root ignores permission bits, ENOTDIR it cannot) is an IO
+    // FAULT: thrown, never returned as a false "another claimant
+    // holds"
+    val fileParent = new java.io.File(dir, "notadir")
+    assert(fileParent.createNewFile())
+    intercept[java.io.IOException] {
+      LogFs.claimExclusive(s"${fileParent.getAbsolutePath}/m2", "c")
+    }
+  }
+}

@@ -1209,10 +1209,12 @@ class GraftLogTableSpec extends SparkSpec {
     val row = spark.sql("SELECT v, src FROM glogspec36.t WHERE k = 1")
       .collect().head
     assert(row.getDouble(0) == 99.0 && row.getString(1) == "late")
-    // everything but ADD COLUMNS refuses loudly
+    // everything but add/rename/drop refuses loudly (rename/drop of
+    // DATA columns are column-mapping verbs — their own spec below);
+    // a retype and a KEY rename stay refused
     Seq(
-      "ALTER TABLE glogspec36.t DROP COLUMN src",
-      "ALTER TABLE glogspec36.t RENAME COLUMN src TO s2",
+      "ALTER TABLE glogspec36.t ALTER COLUMN src TYPE INT",
+      "ALTER TABLE glogspec36.t RENAME COLUMN k TO kk",
       "ALTER TABLE glogspec36.t SET TBLPROPERTIES ('a'='b')",
       "ALTER TABLE glogspec36.t ADD COLUMNS (src2 STRING NOT NULL)",
       // a duplicate column refuses at the evolution commit
@@ -1444,11 +1446,11 @@ class GraftLogTableSpec extends SparkSpec {
         .option("keyFilter", "k % 2 = 0").load()
     }
     GraftLogCatalog.register(spark, "glogspec2", "t", path, Seq("k"))
-    // non-ADD ALTERs stay refused — a drop/rename/retype would rewrite
-    // the schema out from under the pinned footers (ADD COLUMNS is
-    // first-class, specced in its own test)
+    // a RETYPE stays refused — it would rewrite the schema out from
+    // under the pinned footers (add/rename/drop are first-class,
+    // specced in their own tests)
     val ddl = intercept[Exception] {
-      spark.sql("ALTER TABLE glogspec2.t DROP COLUMN v")
+      spark.sql("ALTER TABLE glogspec2.t ALTER COLUMN v TYPE INT")
     }
     assert(ddl.getMessage.toLowerCase.contains("only add columns") ||
       ddl.getMessage.toLowerCase.contains("not supported"))
