@@ -241,6 +241,45 @@ object CurationQueries {
       TextStats.gopherFlags(Tables.documents(s, d), "doc_id", "text",
         minStops = 1)), // the synthetic vocabulary holds only 'the'
 
+    // DSIR importance resampling (Xie et al. 2023): non-English docs
+    // scored by how English-corpus-typical their hashed-unigram
+    // distribution is (target = en, raw = the whole corpus; 512
+    // buckets, add-1 smoothing, fixed-point micro-log ratios), the
+    // top-60 kept deterministically — the data-selection law between
+    // Gopher rules (q250) and model scoring.
+    "q252_dsir_selection" -> ((s, d) =>
+      Sampling.dsirSelect(
+        Tables.documents(s, d).select(col("doc_id"), col("text"),
+          col("lang")),
+        "doc_id", "text",
+        isTarget = col("lang") === "en",
+        candidate = col("lang") =!= "en",
+        buckets = 512, budget = 60)),
+
+    // Line-level exact dedup (the C4/RefinedWeb repeated-line law):
+    // boilerplate appended in-query — every doc gains a shared
+    // newsletter line, even docs a shared rights line, odd docs a
+    // unique signature — and the dedup removes exactly the lines
+    // whose document frequency exceeds 1, reassembling the rest in
+    // order.
+    "q255_line_dedup" -> ((s, d) =>
+      Dedup.lineDedup(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat_ws("\n", col("text"),
+            lit("subscribe to our newsletter"),
+            when(col("doc_id") % 2 === 0, lit("all rights reserved"))
+              .otherwise(concat(lit("sig "),
+                col("doc_id").cast("string")))).as("text")),
+        "doc_id", "text", maxDocFreq = 1)),
+
+    // fastText-style linear quality scorer (the model half of public
+    // curation — q250 is the rule half): hashed bag-of-words dot
+    // product against a broadcast 256-bucket integer weight table,
+    // sigmoid-free keep decision in the linear domain.
+    "q253_linear_quality" -> ((s, d) =>
+      TextStats.linearQualityScore(Tables.documents(s, d), "doc_id",
+        "text", dims = FtDims, seed = FtSeed, biasPpm = 0L)),
+
     // UniMax budgeted mixture (Chung et al.): a 1.6·N row budget
     // water-filled as uniformly as possible across languages, each
     // capped at 2 epochs — at the verify corpus the four tail
@@ -556,6 +595,97 @@ object CurationQueries {
        |    AND (5 * n_alpha >= 4 * n_tokens)
        |    AND (n_stops >= 1) AS pass
        |FROM b""".stripMargin
+  }
+
+  /** DSIR twin: the identical hashed-unigram bucket stats (md5-prefix
+    * 60-bit hash mod 512), add-1 smoothed single-ln fixed-point
+    * micro-log ratio per bucket, exact long per-document sum, and the
+    * deterministic top-60.
+    */
+  private val dsirSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, lang,
+       |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 512
+       |      AS bucket
+       |  FROM toks),
+       |stats AS (
+       |  SELECT bucket,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS tc,
+       |    CAST(COUNT(*) AS BIGINT) AS rc
+       |  FROM b GROUP BY bucket),
+       |tot AS (
+       |  SELECT CAST(SUM(tc) AS BIGINT) AS t_cnt,
+       |    CAST(SUM(rc) AS BIGINT) AS r_cnt FROM stats),
+       |llr AS (
+       |  SELECT bucket,
+       |    CAST(round(ln(((tc + 1.0) * (r_cnt + 512.0)) /
+       |      ((rc + 1.0) * (t_cnt + 512.0))) * 1e6) AS BIGINT)
+       |      AS llr_ppm
+       |  FROM stats, tot)
+       |SELECT doc_id, CAST(SUM(llr_ppm) AS BIGINT) AS importance_ppm
+       |FROM b JOIN llr USING (bucket)
+       |WHERE lang <> 'en'
+       |GROUP BY doc_id
+       |ORDER BY importance_ppm DESC, doc_id
+       |LIMIT 60""".stripMargin
+
+  /** Line-dedup twin: the same in-query boilerplate fixture, md5 line
+    * identity, distinct-first document frequency, and ordered
+    * reassembly (string_agg ORDER BY the zipped unnest position).
+    */
+  private val lineDedupSql =
+    """WITH src AS (
+      |  SELECT doc_id,
+      |    text || chr(10) || 'subscribe to our newsletter' || chr(10) ||
+      |    CASE WHEN doc_id % 2 = 0 THEN 'all rights reserved'
+      |         ELSE 'sig ' || CAST(doc_id AS VARCHAR) END AS text
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(text, chr(10))) AS line,
+      |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+      |  FROM src),
+      |h AS (SELECT doc_id, pos, line, md5(line) AS lh FROM l),
+      |freq AS (
+      |  SELECT lh, count(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, lh FROM h) GROUP BY lh)
+      |SELECT doc_id,
+      |  COALESCE(string_agg(line, chr(10) ORDER BY pos)
+      |    FILTER (WHERE df <= 1), '') AS dedup_text,
+      |  CAST(COUNT(*) FILTER (WHERE df <= 1) AS BIGINT) AS n_kept,
+      |  CAST(COUNT(*) FILTER (WHERE df > 1) AS BIGINT) AS n_dropped
+      |FROM h JOIN freq USING (lh)
+      |GROUP BY doc_id""".stripMargin
+
+  private val FtDims = 256
+  private val FtSeed = "ftq253"
+
+  /** Linear-scorer twin: the driver-derived integer weight table
+    * inlined as literals (the hyperplane-constant discipline), the
+    * same md5-prefix bucket hash, exact long sum, linear-domain keep.
+    */
+  private val linearQualitySql = {
+    val vals = TextStats.linearWeights(FtDims, FtSeed).zipWithIndex
+      .map { case (w, b) => s"($b, $w)" }.mkString(", ")
+    s"""WITH w(b, wt) AS (VALUES $vals),
+       |toks AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |bk AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+       |      % $FtDims AS b
+       |  FROM toks)
+       |SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS score_ppm,
+       |  CAST(SUM(wt) AS BIGINT) > 0 AS keep
+       |FROM bk JOIN w USING (b)
+       |GROUP BY doc_id""".stripMargin
   }
 
   /** UniMax twin: the identical integer water-fill (prefix-closed
@@ -1036,6 +1166,9 @@ object CurationQueries {
     "q135_mixture_sample" -> mixtureSampleSql,
     "q247_unimax_mixture" -> unimaxSql,
     "q250_gopher_rules" -> gopherRulesSql,
+    "q252_dsir_selection" -> dsirSql,
+    "q253_linear_quality" -> linearQualitySql,
+    "q255_line_dedup" -> lineDedupSql,
 
     "q139_stride_interleave" -> strideInterleaveSql,
 

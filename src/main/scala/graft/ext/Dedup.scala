@@ -497,4 +497,53 @@ object Dedup {
           x => concat(x("ss").cast("string"), lit("-"),
             x("se").cast("string")))).as("spans"))
   }
+
+  /** LINE-level exact dedup — the C4/RefinedWeb repeated-line removal
+    * law, the one public text-dedup granularity between document
+    * (exactGroups) and passage (repeatedSpans): boilerplate
+    * (navigation bars, cookie banners, signatures) repeats VERBATIM
+    * across pages while each page's body is unique, so a line whose
+    * corpus-wide DOCUMENT FREQUENCY exceeds `maxDocFreq` is removed
+    * from EVERY document and the survivors reassemble in their
+    * original order. Output: (id, dedup_text, n_kept, n_dropped) —
+    * one row per input document, empty string when everything
+    * dropped.
+    *
+    * Line identity is the md5 of the exact line (128-bit — the
+    * exactGroups collision discipline; a 60-bit key would collide at
+    * web scale). Frequency is per-DOCUMENT (a line repeated inside
+    * one doc counts once), computed distinct-first so the count is
+    * the paper's df.
+    *
+    * Shape at 100 TB: one line explode; one distinct + one count on
+    * the md5 key (map-side combinable — the frequency table is
+    * O(distinct lines), never broadcast); one equi-join back on the
+    * same key (scan → exchange → hash join, the family's no-all-pairs
+    * rule); one per-document reassembly aggregate whose collect is
+    * bounded by document length. AQE's skew handling covers the hot
+    * boilerplate keys — exactly the stop-shingle case above.
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                maxDocFreq: Int): DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    val lines = docs.select(col(idCol).as("_ld_id"),
+        posexplode(split(col(textCol), "\n", -1))
+          .as(Seq("_ld_pos", "_ld_line")))
+      .withColumn("_ld_h", md5Hex(col("_ld_line")))
+    val freq = lines.select(col("_ld_id"), col("_ld_h")).distinct()
+      .groupBy(col("_ld_h")).agg(count(lit(1)).as("_ld_df"))
+    val keep = col("_ld_df") <= maxDocFreq
+    lines.join(freq, Seq("_ld_h"))
+      .groupBy(col("_ld_id"))
+      .agg(
+        coalesce(array_join(transform(
+          array_sort(collect_list(when(keep,
+            struct(col("_ld_pos"), col("_ld_line"))))),
+          x => x.getField("_ld_line")), "\n"), lit(""))
+          .as("dedup_text"),
+        sum(when(keep, lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        sum(when(keep, lit(0L)).otherwise(lit(1L))).as("n_dropped"))
+      .select(col("_ld_id").as(idCol), col("dedup_text"),
+        col("n_kept"), col("n_dropped"))
+  }
 }

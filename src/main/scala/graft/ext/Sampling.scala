@@ -225,6 +225,76 @@ object Sampling {
       .drop("_src", "_n", "_bgt", "_rk", "_cnt")
   }
 
+  /** DSIR importance-based data selection (Xie et al. 2023,
+    * arXiv:2302.03169 — Data Selection with Importance Resampling,
+    * reduced to its hashed-n-gram law): estimate target and raw
+    * distributions over HASHED token buckets, score every candidate
+    * document by its summed per-token log importance ratio, and keep
+    * the top `budget` — the public method between heuristic rules
+    * (Gopher, q250) and model scoring for "select web data that looks
+    * like the target corpus".
+    *
+    *  - features: hashed unigram buckets `hash60(token) % buckets`
+    *    (the paper's hashed n-gram generative model, n=1 — the hash
+    *    is the cross-engine md5 contract, no engine-native hashing);
+    *  - bucket probabilities with add-1 smoothing; a bucket's
+    *    log-importance is ONE `ln` of ONE exact-double rational —
+    *    `llr_ppm = round(ln(((tc+1)·(R+B)) / ((rc+1)·(T+B)))·10⁶)`
+    *    as a long (the [[graft.ext.LangModel]] fixed-point
+    *    discipline: counts are exact, the products stay far under
+    *    2⁵³, and both engines evaluate the identical expression
+    *    shape);
+    *  - a document's importance is the exact long SUM of its tokens'
+    *    llr_ppm (the paper's product model in log space, token
+    *    multiplicity included);
+    *  - selection is deterministic top-`budget` by (importance desc,
+    *    id asc) — Gumbel-free: the paper's Gumbel noise exists to
+    *    de-duplicate near-identical web text, a job the dedup family
+    *    owns in this engine, so selection here is the pure argmax.
+    *
+    * Shape at 100 TB: two token passes (one aggregate to the
+    * `buckets`-sized stats frame with map-side combine, one scoring
+    * pass joining the BROADCAST llr table), one shuffle on the doc id
+    * for the per-doc sum, and a TakeOrderedAndProject for the top
+    * budget (per-partition top-k, never a global sort).
+    *
+    * @param isTarget  rows of the TARGET distribution (never selected)
+    * @param candidate rows eligible for selection (scored against the
+    *                  raw distribution, which is the WHOLE input)
+    */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: org.apache.spark.sql.Column,
+                 candidate: org.apache.spark.sql.Column,
+                 buckets: Int, budget: Int): DataFrame = {
+    require(buckets > 0 && budget > 0,
+      s"buckets ($buckets) and budget ($budget) must be > 0")
+    val toks = docs.select(col(idCol).as("_ds_id"), isTarget.as("_ds_t"),
+        candidate.as("_ds_c"),
+        explode(TextHash.tokens(col(textCol))).as("_ds_tok"))
+      .withColumn("_ds_b", hash60(col("_ds_tok")) % buckets)
+    val stats = toks.groupBy(col("_ds_b")).agg(
+      sum(when(col("_ds_t"), lit(1L)).otherwise(lit(0L))).as("_ds_tc"),
+      count(lit(1)).as("_ds_rc"))
+    val tot = stats.agg(sum(col("_ds_tc")).as("_ds_T"),
+      sum(col("_ds_rc")).as("_ds_R"))
+    val llr = stats.crossJoin(broadcast(tot))
+      .withColumn("_ds_llr",
+        round(log(
+          ((col("_ds_tc") + lit(1.0)) *
+            (col("_ds_R") + lit(buckets.toDouble))) /
+          ((col("_ds_rc") + lit(1.0)) *
+            (col("_ds_T") + lit(buckets.toDouble)))) * lit(1e6))
+          .cast("long"))
+      .select(col("_ds_b"), col("_ds_llr"))
+    toks.filter(col("_ds_c"))
+      .join(broadcast(llr), Seq("_ds_b"))
+      .groupBy(col("_ds_id"))
+      .agg(sum(col("_ds_llr")).as("importance_ppm"))
+      .orderBy(col("importance_ppm").desc, col("_ds_id"))
+      .limit(budget)
+      .select(col("_ds_id").as(idCol), col("importance_ppm"))
+  }
+
   /** Deterministic FIXED-QUOTA per-group sample — exactly
     * `min(k, |group|)` rows per group, chosen by ranking the group on a
     * salted content hash (the distributed, reproducible analogue of a

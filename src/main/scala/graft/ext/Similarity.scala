@@ -462,19 +462,24 @@ object Similarity {
 
   /** Encode: nearest codebook centroid per (vector, subspace) by the
     * quantized squared-L2 (ties → smallest code) → (vec_id, sub, code).
+    * The argmin is a `min_by` over a (distance, code) struct — a HASH
+    * aggregate with map-side partial combine, so the corpus×codebook
+    * candidate rows reduce locally before the one shuffle on
+    * (vec_id, sub); the earlier `row_number` window form sorted the
+    * full candidate set inside each partition after the shuffle. Same
+    * deterministic tie-break (struct order compares distance, then
+    * code).
     */
   private def pqEncode(corpusSubs: DataFrame,
-                       books: DataFrame): DataFrame = {
-    val encW = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("_d"), col("code"))
+                       books: DataFrame): DataFrame =
     corpusSubs.join(broadcast(books), Seq("sub"))
       .withColumn("_d",
         floor(sqDist(col("semb"), col("centroid")) * lit(1e6))
           .cast("long"))
-      .withColumn("_rk", row_number().over(encW))
-      .filter(col("_rk") === 1)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("_d"), col("code"))).getField("code")
+        .as("code"))
       .select(col("vec_id"), col("sub"), col("code"))
-  }
 
   /** The per-query ADC distance table — exact subvector distances to
     * every codebook entry, integer micro-units (broadcast-sized:

@@ -110,6 +110,53 @@ object TextStats {
           col("pass_stopwords"))
   }
 
+  /** Deterministic hashed-bag-of-words weight table for
+    * [[linearQualityScore]]: `dims` integer micro-unit weights in
+    * [−1000, 1000] ppm derived from md5 of fixed seeds (the
+    * hyperplane-constant discipline — no RNG, and the oracle inlines
+    * the identical literals). At deployment these are the TRAINED
+    * model's quantized weights; the derivation here stands in for the
+    * training run this engine does not own.
+    */
+  def linearWeights(dims: Int, seed: String): Seq[Long] =
+    (0 until dims).map(b =>
+      TextHash.seedLong(s"${seed}_w_$b") % 2001L - 1000L)
+
+  /** fastText-style LINEAR quality scorer (Joulin et al. 2016 — the
+    * model half of public curation next to the Gopher rule half,
+    * q250; the CCNet/FineWeb-Edu classifier discipline): a document's
+    * score is `bias + Σ_tokens w[hash60(token) mod dims]` — a hashed
+    * bag-of-words dot product against a broadcast integer weight
+    * table. SIGMOID-FREE on purpose: the keep decision compares in
+    * the linear domain (`score > 0` ⇔ `sigmoid(score) > 0.5`), so
+    * every arithmetic step is exact long addition and no float
+    * boundary can flip a document cross-engine.
+    *
+    * Shape at 100 TB: one token explode + one BROADCAST join of the
+    * `dims`-row weight table + one per-document sum (the single
+    * shuffle, map-side combinable). Token multiplicity counts, as in
+    * fastText's mean-of-embeddings with a frozen linear head.
+    *
+    * Output: (idCol, score_ppm, keep).
+    */
+  def linearQualityScore(docs: DataFrame, idCol: String,
+                         textCol: String, dims: Int, seed: String,
+                         biasPpm: Long): DataFrame = {
+    require(dims > 0, s"dims must be > 0, got $dims")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = linearWeights(dims, seed).zipWithIndex
+      .map { case (w, b) => (b.toLong, w) }.toDF("_ft_b", "_ft_w")
+    docs.select(col(idCol).as("_ft_id"),
+        explode(tokens(col(textCol))).as("_ft_tok"))
+      .withColumn("_ft_b", TextHash.hash60(col("_ft_tok")) % dims)
+      .join(broadcast(wdf), Seq("_ft_b"))
+      .groupBy(col("_ft_id"))
+      .agg((sum(col("_ft_w")) + lit(biasPpm)).as("score_ppm"))
+      .select(col("_ft_id").as(idCol), col("score_ppm"),
+        (col("score_ppm") > 0L).as("keep"))
+  }
+
   /** Profile: id, n_chars, n_tokens (whitespace), n_bpe_tokens
     * (pre-tokenizer regex), avg_token_len, stopword_ratio (English
     * set), quality score in [0,1], language guess, and the rolling
