@@ -678,10 +678,20 @@ object Changelog {
     currentMapping(path).foreach { m =>
       val logical = current.map(f => m.logicalOf(f.name).toLowerCase)
         .toSet
+      val retired = m.dropped.map(_.toLowerCase)
       newFields.foreach { f =>
         require(!logical.contains(f.name.toLowerCase),
           s"column ${f.name} collides with a LOGICAL (renamed) column " +
             s"of the mapped log at $path")
+        // a DROPPED column's physical name is retired FOREVER — the
+        // footer-union check holds it while pre-drop footers survive,
+        // and this holds it after a checkpoint physically reclaimed
+        // them (re-admitting the name would resurrect the dropped
+        // column for time travel between the drop and the re-add)
+        require(!retired.contains(f.name.toLowerCase),
+          s"column ${f.name} is a RETIRED (dropped) column of the " +
+            s"mapped log at $path — a dropped physical name never " +
+            "comes back; pick a fresh name")
       }
     }
     // keep _op LAST (the ops-shape induction reads it as the final
@@ -1738,14 +1748,36 @@ object Changelog {
                         keys: Seq[String], v: Long,
                         staging: String): Unit = {
     LogFs.delete(staging)
-    Upsert.latestByKey(
-      opsWindow(requireOpsLog(
-        spark.read.option("mergeSchema", "true").parquet(path), path),
-        path, v),
-      keys, opsVersion)
-      .drop(CommitCol)
+    reclaimDropped(
+      Upsert.latestByKey(
+        opsWindow(requireOpsLog(
+          spark.read.option("mergeSchema", "true").parquet(path), path),
+          path, v),
+        keys, opsVersion)
+        .drop(CommitCol), path, v)
       .write.mode("overwrite").partitionBy(OpCol).parquet(staging)
   }
+
+  /** PHYSICAL reclaim of logically-dropped columns at the fold
+    * boundary — the DROP COLUMN half of the right-to-be-forgotten
+    * contract the checkpoint already gives tombstones: a column
+    * dropped at/below the fold version is PROJECTED OUT of the base,
+    * so after the vacuum no surviving file below the horizon holds
+    * its bytes (Delta needs an explicit REWRITE/purge pass; here the
+    * fold IS the rewrite, so the reclaim is free). Sound because
+    * drops only accumulate: every readable version ≥ the fold applies
+    * a mapping whose dropped set contains these columns — the
+    * projection removes only bytes no surviving read can reach.
+    * Pre-drop commits ABOVE the fold keep their bytes (time travel
+    * still owns them) until a later fold passes the drop.
+    */
+  private def reclaimDropped(folded: DataFrame, path: String,
+                             v: Long): DataFrame =
+    mappingAt(path, v).map(_.dropped).filter(_.nonEmpty) match {
+      case Some(dropped) =>
+        folded.drop(dropped.toSeq.filter(folded.columns.contains): _*)
+      case None => folded
+    }
 
   /** The staged fold's LIVE side, `_op` column restored. */
   private def stagedLive(spark: SparkSession, staging: String): DataFrame =
@@ -1798,8 +1830,9 @@ object Changelog {
     // from the log's own schema.
     if (!hasLive && !hasDead)
       landFoldFrame(
-        requireOpsLog(spark.read.option("mergeSchema", "true")
-          .parquet(path), path).drop(CommitCol).limit(0),
+        reclaimDropped(
+          requireOpsLog(spark.read.option("mergeSchema", "true")
+            .parquet(path), path).drop(CommitCol).limit(0), path, v),
         path, v)
     else landFold(spark, staging, path, v)
     testAfterFold.get()()
@@ -1876,8 +1909,9 @@ object Changelog {
     // Without deletes, cluster directly in one landing.
     if (!hasLive && !hasDead)
       landFoldFrame(
-        requireOpsLog(spark.read.option("mergeSchema", "true")
-          .parquet(path), path).drop(CommitCol).limit(0),
+        reclaimDropped(
+          requireOpsLog(spark.read.option("mergeSchema", "true")
+            .parquet(path), path).drop(CommitCol).limit(0), path, v),
         path, v)
     else if (!hasDead) landClustered(stagedLive(spark, staging))
     else landFold(spark, staging, path, v)

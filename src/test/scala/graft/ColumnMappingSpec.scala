@@ -245,6 +245,33 @@ class ColumnMappingSpec extends SparkSpec {
         org.apache.spark.sql.types.StringType)))).isFailure)
   }
 
+  test("checkpoint PHYSICALLY reclaims dropped columns at the fold — " +
+       "the DROP half of right-to-be-forgotten") {
+    val path = fixture("reclaim")
+    GraftLogCatalog.register(spark, "cmspec7", "t", path, Seq("k"))
+    spark.sql("ALTER TABLE cmspec7.t DROP COLUMN note") // commit 2
+    Changelog.checkpointOps(spark, path, Seq("k"), 2L)
+    // no surviving footer carries the dropped column's bytes
+    assert(!spark.read.option("mergeSchema", "true").parquet(path)
+      .columns.contains("note"),
+      "the fold must project the dropped column out of the base")
+    // head reads unchanged, values intact
+    val head = spark.table("cmspec7.t")
+    assert(head.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(head.filter(col("k") === 3L).select("v").head()
+      .getDouble(0) == 333.0)
+    // the retired name still refuses re-addition AFTER the physical
+    // reclaim (the footer-union check no longer holds it — the
+    // mapping's retirement does)
+    assert(scala.util.Try(spark.sql(
+      "ALTER TABLE cmspec7.t ADD COLUMNS (note STRING)")).isFailure,
+      "a physically-reclaimed dropped name must stay retired")
+    // a fresh name still evolves fine
+    spark.sql("ALTER TABLE cmspec7.t ADD COLUMNS (note2 STRING)")
+    assert(spark.table("cmspec7.t").schema.fieldNames.toSeq ==
+      Seq("k", "v", "note2"))
+  }
+
   test("claimExclusive: an IO fault surfaces as the fault, never as " +
        "a phantom claimant") {
     val dir = freshDir("claim_io")
