@@ -516,12 +516,14 @@ object Dedup {
     * the paper's df.
     *
     * Shape at 100 TB: one line explode; one distinct + one count on
-    * the md5 key (map-side combinable — the frequency table is
-    * O(distinct lines), never broadcast); one equi-join back on the
-    * same key (scan → exchange → hash join, the family's no-all-pairs
-    * rule); one per-document reassembly aggregate whose collect is
-    * bounded by document length. AQE's skew handling covers the hot
-    * boilerplate keys — exactly the stop-shingle case above.
+    * the md5 key (map-side combinable); one equi-join back on the
+    * same key — the frequency table is O(distinct lines), so Catalyst
+    * broadcasts it only while it measurably fits and the join
+    * degrades to scan → exchange → hash join at corpus scale (the
+    * family's no-all-pairs rule either way); one per-document
+    * reassembly aggregate whose collect is bounded by document
+    * length. AQE's skew handling covers the hot boilerplate keys —
+    * exactly the stop-shingle case above.
     */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
                 maxDocFreq: Int): DataFrame = {

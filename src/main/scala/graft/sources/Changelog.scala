@@ -766,9 +766,11 @@ object Changelog {
   //    identity and lives in the REGISTRATION (session conf), not the
   //    log; renaming it would desynchronize every registered reader.
   //  - retype stays refused (a type change is a new table).
-  //  - the change FEED and the streaming surfaces refuse over a
-  //    mapped log (their spool serves physical names; mapping them is
-  //    future work, and serving wrong names silently is not).
+  //  - the change FEED and the streaming READS refuse over a mapped
+  //    log (their spool serves physical names; mapping them is future
+  //    work, and serving wrong names silently is not). Streaming
+  //    WRITES map like batch writes — positional schema rename on the
+  //    staged files.
   //  - a dropped column's bytes remain in pre-drop footers until a
   //    checkpoint rewrite — Delta's semantics exactly; logical drop
   //    now, physical reclaim with maintenance.
@@ -1968,6 +1970,61 @@ object Changelog {
         "folds and vacuums in one pass")
     writeHorizon(path, b)
     vacuumBelow(path, b, statsAtVStale = false)
+  }
+
+  /** OPERATOR recovery for a txn slot poisoned by a crashed writer —
+    * the actionable form of the loud marker-without-commit refusal in
+    * the idempotent-append path: a writer that died between claiming
+    * its (writer, txnVersion) marker and landing the commit leaves
+    * every replay refusing until the slot is cleared. This verb
+    * clears it SAFELY for each crash window:
+    *  - marker still `pending:<writer>` (died before or just after
+    *    claiming a commit id): retire the marker (a commit id the
+    *    writer may have claimed but never recorded stays claimed —
+    *    a leaked id is skipped forever, which is harmless; landing
+    *    over it is what would not be);
+    *  - marker records a commit id with NO landed directory (died
+    *    between recording and landing): release that claim iff THIS
+    *    writer holds it, then retire the marker;
+    *  - the commit LANDED: refuse — a completed transaction is never
+    *    resolved away (undo is `restoreOps`, not marker surgery).
+    *
+    * DELIBERATELY an explicit verb, never automatic: no lease or
+    * marker age can PROVE a writer dead (a stalled-but-alive writer
+    * past any timeout would land over a reused id — the exact
+    * double-landing the exclusive claim exists to prevent), so the
+    * liveness judgment belongs to the operator who can see the
+    * writer's process. Runs under the maintenance mutex.
+    */
+  def resolveStaleTxn(path: String, writer: String,
+                      txnVersion: Long): Unit =
+      withMaintenanceMutex(path, s"resolveStaleTxn@${writer}_$txnVersion") {
+    val marker = LogFs.child(path,
+      s"${SinkMapPrefix}txn_${writer}_$txnVersion")
+    require(LogFs.exists(marker),
+      s"no txn marker for (writer=$writer, txnVersion=$txnVersion) on " +
+        s"$path — nothing to resolve")
+    val content = LogFs.readString(marker).trim
+    content.toLongOption match {
+      case Some(id) =>
+        require(!LogFs.exists(LogFs.child(path, s"$CommitCol=$id")),
+          s"txn (writer=$writer, txnVersion=$txnVersion) LANDED as " +
+            s"commit $id — a completed transaction is never resolved " +
+            "away; roll the TABLE back with restoreOps if you must " +
+            "undo it")
+        claimHolder(path, id).foreach { h =>
+          require(h == writer,
+            s"commit $id's claim is held by '$h', not txn writer " +
+              s"'$writer' — refusing to release someone else's claim")
+          releaseClaim(path, id)
+        }
+        LogFs.delete(marker)
+      case None =>
+        require(content == s"pending:$writer",
+          s"unrecognized txn marker content '$content' for " +
+            s"(writer=$writer, txnVersion=$txnVersion) — refusing")
+        LogFs.delete(marker)
+    }
   }
 
   /** `'yyyy-MM-dd HH:mm:ss[.SSS]'` (UTC) → epoch millis — the commit

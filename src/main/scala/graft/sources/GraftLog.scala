@@ -515,13 +515,15 @@ object GraftLog {
                 s"streamed column ${f.name} has type ${f.dataType} — " +
                   "outside the staged parquet writer's type surface")
             }
-            require(Changelog.currentMapping(opts.path)
-                .forall(_.isEmpty),
-              s"${opts.path} carries a column mapping (renamed/" +
-                "dropped columns) — streaming writes are not mapped; " +
-                "write batches, or stream into an unmapped log")
+            // a mapped log's stream stages PHYSICAL names, exactly
+            // like the batch leg: the plan resolved against the
+            // logical schema, rows are positional, only the staged
+            // field names change
             new graft.streaming.LogSink.LogStreamingWrite(opts.path,
-              writer, s, info.queryId(), multiWriter,
+              writer,
+              Changelog.toPhysicalSchema(s,
+                Changelog.currentMapping(opts.path)),
+              info.queryId(), multiWriter,
               constantOp = if (opsShape) Some("u") else None)
           }
         }
@@ -792,8 +794,9 @@ object GraftLog {
                   "not landed — a concurrent duplicate submission is " +
                   "in flight, or a previous attempt crashed between " +
                   "claim and landing; wait for the in-flight writer, " +
-                  "or clear the marker (and any orphaned commit " +
-                  "claim) and retry")
+                  "or — once you KNOW it is dead — clear the slot " +
+                  "with Changelog.resolveStaleTxn / CALL " +
+                  "system.resolve_txn and retry")
               None // idempotent replay: drop staged files, land nothing
             }
           case None => Some(Changelog.claimNextId(path, writer))

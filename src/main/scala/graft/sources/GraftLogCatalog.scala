@@ -387,10 +387,25 @@ class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
           Changelog.vacuumRetain(o.path, v)
           v
         })
+      // operator recovery for a txn slot poisoned by a CRASHED writer
+      // — the actionable verb the idempotent-append refusal names;
+      // explicit on purpose (no lease can prove a writer dead — see
+      // Changelog.resolveStaleTxn)
+      case "resolve_txn" => new MaintenanceProcedure("resolve_txn",
+        Seq(inParam("table", DataTypes.StringType),
+          inParam("writer", DataTypes.StringType),
+          inParam("txn_version", DataTypes.LongType)),
+        (_, o, in) => {
+          val tv = in.getLong(2)
+          Changelog.resolveStaleTxn(o.path,
+            in.getUTF8String(1).toString, tv)
+          tv
+        })
       case other => throw new IllegalArgumentException(
         s"unknown procedure $catName.system.$other — available: " +
           "checkpoint, checkpoint_clustered, optimize, optimize_string, " +
-          "optimize_zorder, restore, clone, analyze, vacuum, vacuum_at")
+          "optimize_zorder, restore, clone, analyze, vacuum, " +
+          "vacuum_at, resolve_txn")
     }
   }
 
@@ -398,7 +413,7 @@ class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
     if (namespace.sameElements(Array("system")))
       Array("checkpoint", "checkpoint_clustered", "optimize",
           "optimize_string", "optimize_zorder", "restore", "clone",
-          "analyze", "vacuum", "vacuum_at")
+          "analyze", "vacuum", "vacuum_at", "resolve_txn")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 

@@ -119,8 +119,8 @@ class ColumnMappingSpec extends SparkSpec {
       "ALTER TABLE cmspec3.t DROP COLUMN IF EXISTS k")).isFailure)
   }
 
-  test("mapping refusals: keys, reserved, collisions, retype, and the " +
-       "feed/streaming surfaces") {
+  test("mapping refusals (keys, reserved, collisions, retype, feed) " +
+       "and the streaming write mapping") {
     import spark.implicits._
     val path = fixture("refuse")
     GraftLogCatalog.register(spark, "cmspec4", "t", path, Seq("k"))
@@ -153,22 +153,25 @@ class ColumnMappingSpec extends SparkSpec {
       spark.read.format(fmt).option("path", path).option("keys", "k")
         .option("readChangeFeed", "true").option("startingVersion", 0)
         .option("trackCols", "v").load()).isFailure)
-    // streaming writes refuse over a mapped log
-    val landing = freshDir("refuse_landing")
-    Seq((7L, 7.0, "s")).toDF("k", "price", "note")
+    // streaming WRITES map like batch writes: the epoch lands under
+    // PHYSICAL names and the table read serves the logical shape
+    val landing = freshDir("stream_landing")
+    Seq((700L, 7.0, "s")).toDF("k", "price", "note")
       .write.parquet(landing)
-    val attempt = scala.util.Try {
-      val q = spark.readStream
-        .schema("k BIGINT, price DOUBLE, note STRING").parquet(landing)
-        .writeStream.format(fmt)
-        .option("path", path).option("keys", "k")
-        .option("checkpointLocation", freshDir("refuse_ckpt"))
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
-    }
-    assert(attempt.isFailure,
-      "streaming into a mapped log must refuse loudly")
+    val q = spark.readStream
+      .schema("k BIGINT, price DOUBLE, note STRING").parquet(landing)
+      .writeStream.format(fmt)
+      .option("path", path).option("keys", "k")
+      .option("checkpointLocation", freshDir("stream_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val epoch = Changelog.commitInfos(path).keys.max
+    assert(spark.read.parquet(s"$path/${Changelog.CommitCol}=$epoch")
+      .columns.contains("v"),
+      "a streamed epoch into a mapped log must land the physical name")
+    assert(spark.sql("SELECT price FROM cmspec4.t WHERE k = 700")
+      .head().getDouble(0) == 7.0)
   }
 
   test("rename chains resolve through ONE marker state: a->b->c, " +

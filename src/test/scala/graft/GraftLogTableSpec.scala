@@ -387,6 +387,30 @@ class GraftLogTableSpec extends SparkSpec {
       Seq((901L, 9.1)).toDF("k", "v").writeTo("glogspec35.t")
         .option("writer", "appd").option("txnVersion", "8").append()
     }
+    // OPERATOR recovery: once the writer is KNOWN dead, resolve_txn
+    // clears the pending slot and the retry lands normally
+    spark.sql("CALL glogspec35.system.resolve_txn('t', 'appd', 7)")
+      .collect()
+    Seq((900L, 9.0)).toDF("k", "v").writeTo("glogspec35.t")
+      .option("writer", "appd").option("txnVersion", "7").append()
+    assert(spark.sql("SELECT v FROM glogspec35.t WHERE k = 900")
+      .head().getDouble(0) == 9.0)
+    // the id-recorded crash window clears too (no landed dir at 9999)
+    spark.sql("CALL glogspec35.system.resolve_txn('t', 'appd', 8)")
+      .collect()
+    Seq((901L, 9.1)).toDF("k", "v").writeTo("glogspec35.t")
+      .option("writer", "appd").option("txnVersion", "8").append()
+    // a LANDED txn refuses resolution — undo is restore, never
+    // marker surgery
+    intercept[Exception] {
+      spark.sql("CALL glogspec35.system.resolve_txn('t', 'appd', 7)")
+        .collect()
+    }
+    // ...and a missing marker refuses (nothing to resolve)
+    intercept[Exception] {
+      spark.sql("CALL glogspec35.system.resolve_txn('t', 'appd', 99)")
+        .collect()
+    }
   }
 
   test("SQL DELETE FROM tombstones by the CURRENT state — non-key " +
