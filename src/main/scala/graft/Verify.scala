@@ -28,7 +28,8 @@ object Verify {
     // filter selects none of the affected queries.
     val sigQueries = Set("q29_knn_lsh", "q30_embed_neardup",
       "q43_bucket_centroids", "q45_knn_ivf", "q74_lloyd_refine",
-      "q244_semdedup", "q246_semdedup_clusters", "q249_pq_ivf_topk")
+      "q244_semdedup", "q246_semdedup_clusters", "q249_pq_ivf_topk",
+      "q256_sem_decontaminate")
     if (new java.io.File(s"$sfDir/embeddings.parquet").exists() &&
         (only.isEmpty || only.exists(sigQueries)))
       graft.ext.ExtQueries.assertVerifyScale(spark, sfDir)

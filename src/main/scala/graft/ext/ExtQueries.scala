@@ -253,6 +253,19 @@ object ExtQueries {
           Similarity.bitsFor(embCount(s, d)), EmbDims)
           .select(col("id_a"), col("id_b")))),
 
+    // Embedding-space benchmark decontamination — the semantic half
+    // of the hygiene pass (q55 is the n-gram half): corpus vectors
+    // cosine-matched against a held-out benchmark slice, within
+    // shared LSH cells only (bipartite SemDeDup — never
+    // corpus × benchmark).
+    "q256_sem_decontaminate" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.semContamination(
+        emb.filter(col("vec_id") % 23 =!= 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") % 23 === 0), "vec_id", "embedding",
+        CosineThreshold, Similarity.bitsFor(embCount(s, d)), EmbDims)
+    }),
+
     // SimHash near-dup pairs: 4-banded 60-bit fingerprints, exact
     // recall for hamming <= 3.
     "q44_simhash_pairs" -> ((s, d) =>
@@ -905,6 +918,22 @@ object ExtQueries {
        |  p.vec_id IS NOT NULL AS pruned
        |FROM s LEFT JOIN pruned p ON p.vec_id = s.vec_id""".stripMargin
 
+  /** Semantic-decontamination twin: the bipartite cell-exact match —
+    * the same signature/cosine CTEs, corpus slice vs benchmark slice,
+    * count per contaminated corpus vector.
+    */
+  private val semContaminationSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |s AS (SELECT vec_id, v, ${signSigSql("v")} AS sig FROM e),
+       |c AS (SELECT * FROM s WHERE vec_id % 23 <> 0),
+       |b AS (SELECT * FROM s WHERE vec_id % 23 = 0)
+       |SELECT c.vec_id, CAST(count(*) AS BIGINT) AS n_bench_matches
+       |FROM c JOIN b ON c.sig = b.sig
+       |WHERE ${cosineSql("c.v", "b.v")} >= $CosineThreshold
+       |GROUP BY c.vec_id""".stripMargin
+
   /** Semantic-cluster twin: the cell-exact pair set closed under
     * transitivity — q46's recursive-closure form over embedding-space
     * edges instead of n-gram-Jaccard ones.
@@ -1180,6 +1209,7 @@ object ExtQueries {
     "q30_embed_neardup" -> embedNearDupSql,
     "q244_semdedup" -> semDedupSql,
     "q246_semdedup_clusters" -> semDedupClustersSql,
+    "q256_sem_decontaminate" -> semContaminationSql,
     "q248_pq_adc_topk" -> pqAdcSql,
     "q249_pq_ivf_topk" -> pqIvfSql,
     "q43_bucket_centroids" -> bucketCentroidsSql,

@@ -601,6 +601,36 @@ object Similarity {
         col("cosine"))
   }
 
+  /** EMBEDDING-SPACE benchmark decontamination — the semantic half of
+    * the pre-training hygiene pass ([[graft.ext.Dedup.contamination]]
+    * is the n-gram half): flag every corpus vector whose cosine to
+    * ANY benchmark vector reaches `threshold` — the leak an n-gram
+    * check misses when the eval text was paraphrased. Bipartite
+    * [[semDupPairs]]: both sides sign into the same LSH cells and
+    * pairs are emitted only WITHIN a cell, so the plan is an
+    * equi-join on the cell id — O(|corpus| · bench-occupancy), never
+    * corpus × benchmark (and the benchmark side is small by nature,
+    * so Catalyst broadcasts it). Output: one row per CONTAMINATED
+    * corpus vector with its benchmark match count — integer-exact
+    * cross-engine (the cosine threshold compares the same
+    * deterministic fold the q244 family proves).
+    */
+  def semContamination(corpus: DataFrame, cIdCol: String, cEmbCol: String,
+                       bench: DataFrame, bIdCol: String, bEmbCol: String,
+                       threshold: Double, bits: Int,
+                       dims: Int): DataFrame = {
+    val c = signedCorpus(corpus, cIdCol, cEmbCol, bits, dims)
+    val b = signedCorpus(bench, bIdCol, bEmbCol, bits, dims)
+      .select(col("sig"), col("nbr_id").as("bench_id"),
+        col("nbr_emb").as("bench_emb"), col("nbr_nrm").as("bench_nrm"))
+    c.join(b, Seq("sig"))
+      .filter(cosineFromNorms(col("nbr_emb"), col("nbr_nrm"),
+        col("bench_emb"), col("bench_nrm")) >= threshold)
+      .groupBy(col("nbr_id"))
+      .agg(count(lit(1)).as("n_bench_matches"))
+      .select(col("nbr_id").as("vec_id"), col("n_bench_matches"))
+  }
+
   /** SemDeDup — embedding-space near-dup PRUNING, cluster-first (the
     * public method of Abbas et al., arXiv:2303.09540, recast on this
     * engine's quantizer): the IVF coarse cells (sign-LSH signatures)

@@ -570,6 +570,66 @@ object Changelog {
       HistorySchema)
   }
 
+  /** [[describeDetail]]'s schema — shared with the SQL-addressable
+    * detail child table ([[GraftLogCatalog]]'s `cat.t.detail`).
+    */
+  val DetailSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("keys", StringType),
+      StructField("shape", StringType),
+      StructField("head_version", LongType),
+      StructField("horizon", LongType),
+      StructField("num_commits", LongType),
+      StructField("num_bases", LongType),
+      StructField("num_data_files", LongType),
+      StructField("size_bytes", LongType),
+      StructField("evolved", BooleanType, nullable = false),
+      StructField("renamed_columns", StringType),
+      StructField("dropped_columns", StringType)))
+  }
+
+  /** DESCRIBE DETAIL — one row of table-level facts (Delta's
+    * ergonomics): physical coordinates, shape, head/horizon, commit
+    * and base counts, data-file count + on-disk bytes, and the
+    * evolution state (union-read forced? renamed/dropped columns?).
+    * Driver-side metadata assembly: marker listings plus one
+    * recursive file listing of the commit directories — O(files),
+    * the same order as any maintenance verb's sweep, never a data
+    * job. Null horizon = nothing folded yet.
+    */
+  def describeDetail(spark: SparkSession, path: String,
+                     keys: Seq[String]): DataFrame = {
+    val ids = commitIds(path)
+    require(ids.nonEmpty, s"$path has no commits — nothing to describe")
+    def walk(dir: String): Seq[org.apache.hadoop.fs.FileStatus] =
+      LogFs.list(dir).flatMap(s =>
+        if (s.isDirectory) walk(s.getPath.toString) else Seq(s))
+    val files = ids.flatMap(id =>
+      walk(LogFs.child(path, s"$CommitCol=$id")))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val h = horizonOf(path)
+    val m = currentMapping(path)
+      .getOrElse(ColumnMapping(Map.empty, Set.empty))
+    val row = org.apache.spark.sql.Row(
+      path, keys.mkString(","),
+      if (isOpsLog(spark, path)) "ops" else "plain",
+      java.lang.Long.valueOf(ids.max),
+      if (h == Long.MinValue) null else java.lang.Long.valueOf(h),
+      java.lang.Long.valueOf(ids.size.toLong),
+      java.lang.Long.valueOf(baseIds(path).size.toLong),
+      java.lang.Long.valueOf(files.size.toLong),
+      java.lang.Long.valueOf(files.map(_.getLen).sum),
+      java.lang.Boolean.valueOf(isEvolvedLog(path)),
+      m.renames.toSeq.sortBy(_._1)
+        .map { case (p, l) => s"$l<-$p" }.mkString(","),
+      m.dropped.toSeq.sorted.mkString(","))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.List.of(row)), DetailSchema)
+  }
+
   /** The append write itself, claim-free — the checkpoint fold lands
     * through this (it REWRITES an id that is legitimately claimed by
     * whoever committed it; its own guard is the horizon ordering).

@@ -122,19 +122,26 @@ class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
     * appears in SHOW TABLES.
     */
   override def loadTable(ident: Identifier): Table =
-    historyParent(ident) match {
+    childParent(ident, "history") match {
       case Some(parent) =>
         new GraftLogCatalog.HistoryTable(baseOpts(parent).path,
           s"$catName.${(parent.namespace() :+ parent.name()).mkString(".")}")
-      case None => new GraftLog.LogTable(baseOpts(ident))
+      case None => childParent(ident, "detail") match {
+        case Some(parent) =>
+          val po = baseOpts(parent)
+          new GraftLogCatalog.DetailTable(po.path, po.keys,
+            s"$catName.${(parent.namespace() :+ parent.name()).mkString(".")}")
+        case None => new GraftLog.LogTable(baseOpts(ident))
+      }
     }
 
-  /** `Some(parent)` iff `ident` is `<registered-table>.history` and is
-    * not itself a registered table (a real table named `history`
-    * shadows the child).
+  /** `Some(parent)` iff `ident` is `<registered-table>.<child>` and is
+    * not itself a registered table (a real table named like the child
+    * shadows it).
     */
-  private def historyParent(ident: Identifier): Option[Identifier] =
-    if (ident.name() == "history" && ident.namespace().nonEmpty &&
+  private def childParent(ident: Identifier,
+                          child: String): Option[Identifier] =
+    if (ident.name() == child && ident.namespace().nonEmpty &&
         opt(ident, "path").isEmpty) {
       val parent = Identifier.of(ident.namespace().dropRight(1),
         ident.namespace().last)
@@ -623,6 +630,41 @@ object GraftLogCatalog {
           override def rows()
               : Array[org.apache.spark.sql.catalyst.InternalRow] =
             Changelog.describeHistory(SparkSession.active, path)
+              .queryExecution.executedPlan.executeCollect()
+        }
+      }
+  }
+
+  /** The table-facts metadata child (`cat.t.detail` — Delta's
+    * DESCRIBE DETAIL ergonomics): one row of physical coordinates,
+    * shape, head/horizon, commit/base/file counts + bytes, and the
+    * evolution state; recomputed at every scan build, served through
+    * a LocalScan like the history child (driver-listable metadata,
+    * never a distributed scan pretending otherwise).
+    */
+  private[graft] class DetailTable(path: String, keys: Seq[String],
+                                   parentName: String)
+      extends Table
+      with org.apache.spark.sql.connector.catalog.SupportsRead {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.connector.catalog.TableCapability
+    import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+
+    override def name(): String = s"$parentName.detail"
+    override def schema(): StructType = Changelog.DetailSchema
+    override def capabilities(): util.Set[TableCapability] =
+      Set(TableCapability.BATCH_READ).asJava
+
+    override def newScanBuilder(
+        options: CaseInsensitiveStringMap): ScanBuilder =
+      new ScanBuilder {
+        override def build(): Scan = new LocalScan {
+          override def readSchema(): StructType = Changelog.DetailSchema
+          override def description(): String =
+            s"graft_log detail over $path (driver-side metadata)"
+          override def rows()
+              : Array[org.apache.spark.sql.catalyst.InternalRow] =
+            Changelog.describeDetail(SparkSession.active, path, keys)
               .queryExecution.executedPlan.executeCollect()
         }
       }

@@ -275,6 +275,31 @@ class ColumnMappingSpec extends SparkSpec {
       Seq("k", "v", "note2"))
   }
 
+  test("cat.t.detail serves one row of table facts including the " +
+       "mapping state (DESCRIBE DETAIL ergonomics)") {
+    val path = fixture("detail")
+    GraftLogCatalog.register(spark, "cmspec8", "t", path, Seq("k"))
+    spark.sql("ALTER TABLE cmspec8.t RENAME COLUMN v TO price")
+    spark.sql("ALTER TABLE cmspec8.t DROP COLUMN note")
+    val r = spark.sql("SELECT * FROM cmspec8.t.detail").collect().head
+    assert(r.getAs[String]("shape") == "ops")
+    assert(r.getAs[Long]("head_version") == 3L)
+    assert(r.isNullAt(r.fieldIndex("horizon")),
+      "nothing folded yet — horizon must read null")
+    assert(r.getAs[Long]("num_commits") == 4L)
+    assert(r.getAs[String]("keys") == "k")
+    assert(r.getAs[Boolean]("evolved"))
+    assert(r.getAs[String]("renamed_columns") == "price<-v")
+    assert(r.getAs[String]("dropped_columns") == "note")
+    assert(r.getAs[Long]("num_data_files") > 0L &&
+      r.getAs[Long]("size_bytes") > 0L)
+    // after a checkpoint the horizon surfaces
+    Changelog.checkpointOps(spark, path, Seq("k"), 3L)
+    val r2 = spark.sql("SELECT * FROM cmspec8.t.detail").collect().head
+    assert(r2.getAs[Long]("horizon") == 3L)
+    assert(r2.getAs[Long]("num_commits") == 1L)
+  }
+
   test("claimExclusive: an IO fault surfaces as the fault, never as " +
        "a phantom claimant") {
     val dir = freshDir("claim_io")
