@@ -826,11 +826,13 @@ object Changelog {
   //    identity and lives in the REGISTRATION (session conf), not the
   //    log; renaming it would desynchronize every registered reader.
   //  - retype stays refused (a type change is a new table).
-  //  - the change FEED and the streaming READS refuse over a mapped
-  //    log (their spool serves physical names; mapping them is future
-  //    work, and serving wrong names silently is not). Streaming
-  //    WRITES map like batch writes — positional schema rename on the
-  //    staged files.
+  //  - the change FEED maps when the mapping is STABLE across its
+  //    window (tracked columns translate logical→physical for the
+  //    diff, outputs rename back); a mapping commit strictly inside
+  //    the window refuses loudly (one physical column, two names —
+  //    ambiguous). Streaming READS refuse over a mapped log (the
+  //    spool serves physical names); streaming WRITES map like batch
+  //    writes — positional schema rename on the staged files.
   //  - a dropped column's bytes remain in pre-drop footers until a
   //    checkpoint rewrite — Delta's semantics exactly; logical drop
   //    now, physical reclaim with maintenance.
@@ -885,6 +887,16 @@ object Changelog {
   /** The mapping in force at the head (write-side coordinate). */
   def currentMapping(path: String): Option[ColumnMapping] =
     mappingAt(path, Long.MaxValue)
+
+  /** All mapping-marker commit ids — the feed's window-stability
+    * probe (a marker strictly inside a feed window means the names
+    * changed mid-window).
+    */
+  private[graft] def mappingIds(path: String): Seq[Long] =
+    LogFs.list(path)
+      .filter(s => s.isFile &&
+        s.getPath.getName.startsWith(MappingPrefix))
+      .map(_.getPath.getName.stripPrefix(MappingPrefix).toLong)
 
   /** Project a PHYSICAL-name frame to its LOGICAL shape under `m`:
     * dropped columns vanish, renamed columns surface their logical

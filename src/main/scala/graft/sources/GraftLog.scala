@@ -203,24 +203,53 @@ object GraftLog {
       .getOrElse(Changelog.headVersion(opts.path).getOrElse(-1L))
 
     /** The column mapping (RENAME/DROP COLUMN metadata) in force at
-      * the pinned read version, resolved ONCE at load like the
+      * the pinned read coordinate, resolved ONCE at load like the
       * version itself — snapshot reads project physical names to
       * logical through it, so time travel below a rename serves the
-      * old names. The FEED surface refuses over a mapped log (the
-      * feed's old_/new_ frames are physical-name plans; serving them
-      * under a mapping would silently expose physical names).
+      * old names. FEED reads map too — tracked columns translate
+      * logical→physical for the diff and the old_/new_ outputs
+      * surface the logical names — but ONLY when the mapping is
+      * STABLE across the window: a mapping commit strictly inside
+      * (start, end] means the same physical column answered to two
+      * names within one window, and the feed refuses loudly rather
+      * than pick one.
       */
-    val pinnedMapping: Option[Changelog.ColumnMapping] = {
-      val m = Changelog.mappingAt(opts.path,
-        if (opts.readChangeFeed) Long.MaxValue else pinnedVersion)
+    val pinnedMapping: Option[Changelog.ColumnMapping] =
+      if (opts.readChangeFeed) {
+        val m = Changelog.mappingAt(opts.path, pinnedEnd)
+          .filterNot(_.isEmpty)
+        m.foreach { _ =>
+          val start = opts.startingVersion.get
+          require(!Changelog.mappingIds(opts.path)
+              .exists(id => id > start && id <= pinnedEnd),
+            s"${opts.path}: the column mapping changed INSIDE the " +
+              s"feed window ($start, $pinnedEnd] — old_/new_ names " +
+              "would be ambiguous across the window; split the " +
+              "window at the mapping commit")
+        }
+        m
+      } else Changelog.mappingAt(opts.path, pinnedVersion)
         .filterNot(_.isEmpty)
-      require(m.isEmpty || !opts.readChangeFeed,
-        s"${opts.path} carries a column mapping (renamed/dropped " +
-          "columns) — the change feed over a mapped log is not " +
-          "supported; read snapshots, or rebuild the feed on an " +
-          "unmapped log")
-      if (opts.readChangeFeed) None else m
-    }
+
+    /** Feed tracked columns in PHYSICAL space (the diff runs over the
+      * footers' names) and the output rename back to logical.
+      */
+    private def physTrackCols: Seq[String] =
+      pinnedMapping.fold(opts.trackCols)(m =>
+        opts.trackCols.map(m.physicalOf))
+
+    private def mapFeedNames(df: DataFrame): DataFrame =
+      pinnedMapping.fold(df) { m =>
+        df.select(df.columns.map { c =>
+          val logical =
+            if (c.startsWith("old_"))
+              "old_" + m.logicalOf(c.stripPrefix("old_"))
+            else if (c.startsWith("new_"))
+              "new_" + m.logicalOf(c.stripPrefix("new_"))
+            else c
+          org.apache.spark.sql.functions.col(c).as(logical)
+        }.toIndexedSeq: _*)
+      }
 
     /** The library plan this table IS — what ResolveGraftLog splices
       * into the query (lazy: schema needs it at load; the rule reuses
@@ -242,15 +271,17 @@ object GraftLog {
     private def buildResolved: DataFrame =
       if (opts.readChangeFeed) {
         if (opsShape)
-          Changelog.changesBetweenOps(spark, opts.path, opts.keys,
-            opts.startingVersion.get, pinnedEnd, opts.trackCols,
-            opts.keyFilter)
+          mapFeedNames(
+            Changelog.changesBetweenOps(spark, opts.path, opts.keys,
+              opts.startingVersion.get, pinnedEnd, physTrackCols,
+              opts.keyFilter))
         else {
           require(opts.keyFilter.isEmpty,
             "keyFilter is an ops-feed option (the plain feed has no " +
               "selective-slice path)")
-          Changelog.changesBetween(spark, opts.path, opts.keys,
-            opts.startingVersion.get, pinnedEnd, opts.trackCols)
+          mapFeedNames(
+            Changelog.changesBetween(spark, opts.path, opts.keys,
+              opts.startingVersion.get, pinnedEnd, physTrackCols))
         }
       } else if (opsShape) {
         Changelog.applyMapping(
@@ -375,11 +406,12 @@ object GraftLog {
                 s"${opts.path} is a PLAIN (append-only) log — the " +
                   "streaming surfaces ride the ops shape (the " +
                   "per-commit diff the CDC source computes is keyed)")
-              require(pinnedMapping.isEmpty,
+              require(Changelog.currentMapping(opts.path)
+                  .forall(_.isEmpty),
                 s"${opts.path} carries a column mapping (renamed/" +
                   "dropped columns) — the streaming spool serves " +
                   "physical names and is not mapped; stream an " +
-                  "unmapped log, or read snapshots")
+                  "unmapped log, or read batch windows")
               def num(k: String): Option[Long] =
                 Option(o.get(k)).map(_.toLong)
               // the stream's START COORDINATE as reader options:

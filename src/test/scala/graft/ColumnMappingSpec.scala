@@ -275,6 +275,39 @@ class ColumnMappingSpec extends SparkSpec {
       Seq("k", "v", "note2"))
   }
 
+  test("the change feed maps when the mapping is stable across its " +
+       "window; a mid-window mapping change refuses") {
+    import spark.implicits._
+    val path = fixture("feed") // commits 0,1: (k, v, note)
+    GraftLogCatalog.register(spark, "cmspec9", "t", path, Seq("k"))
+    spark.sql("ALTER TABLE cmspec9.t RENAME COLUMN v TO price") // c2
+    spark.sql(
+      "INSERT INTO cmspec9.t VALUES (3, 999.0, 'x'), (800, 8.0, 'i')")
+    // window (2, 3]: the mapping commit is NOT inside — the feed
+    // serves LOGICAL old_/new_ names over the physical diff
+    val feed = spark.read.format(fmt)
+      .option("path", path).option("keys", "k")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 2).option("trackCols", "price")
+      .load()
+    assert(feed.columns.toSeq ==
+      Seq("k", "new_price", "old_price", "change_type"))
+    val upd = feed.filter(col("k") === 3L)
+      .select("change_type", "old_price", "new_price").head()
+    assert(upd.getString(0) == "update" && upd.getDouble(1) == 333.0 &&
+      upd.getDouble(2) == 999.0)
+    assert(feed.filter(col("k") === 800L).select("change_type")
+      .head().getString(0) == "insert")
+    // window (1, 3] SPANS the mapping commit — ambiguous, refuses
+    assert(scala.util.Try(
+      spark.read.format(fmt)
+        .option("path", path).option("keys", "k")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1).option("trackCols", "price")
+        .load()).isFailure,
+      "a feed window spanning a mapping commit must refuse loudly")
+  }
+
   test("cat.t.detail serves one row of table facts including the " +
        "mapping state (DESCRIBE DETAIL ergonomics)") {
     val path = fixture("detail")
