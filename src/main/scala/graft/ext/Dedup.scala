@@ -460,7 +460,22 @@ object Dedup {
     * probe — linear, unlike the k² a pair-join would emit.
     */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                    n: Int): DataFrame = {
+                    n: Int): DataFrame =
+    spanIslands(docs, idCol, textCol, n)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("se") - col("ss")).cast("long")).as("masked_tokens"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("ss"), col("se")))),
+          x => concat(x("ss").cast("string"), lit("-"),
+            x("se").cast("string")))).as("spans"))
+
+  /** The merged repeated-span intervals — (id, ss, se), token
+    * positions 1-based, [ss, se) — shared by the REPORT
+    * ([[repeatedSpans]]) and the REMOVAL ([[removeRepeatedSpans]]).
+    */
+  private def spanIslands(docs: DataFrame, idCol: String,
+                          textCol: String, n: Int): DataFrame = {
     require(n >= 2, s"n-gram order must be >= 2, got $n")
     import org.apache.spark.sql.expressions.Window
     val toks = docs
@@ -485,17 +500,50 @@ object Dedup {
       when(col("s") > coalesce(
         max(col("e")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)),
         lit(-1)), 1L).otherwise(0L))
-    val islands = flagged.withColumn("span_id",
+    flagged.withColumn("span_id",
       sum(col("new_span")).over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
-    islands.groupBy(col("id"), col("span_id"))
+      .groupBy(col("id"), col("span_id"))
       .agg(min(col("s")).as("ss"), max(col("e")).as("se"))
+      .select(col("id"), col("ss"), col("se"))
+  }
+
+  /** ExactSubstr REMOVAL — the second half of Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better"):
+    * [[repeatedSpans]] detects cross-document repeated token spans;
+    * this verb REMOVES them and reassembles the survivors in order —
+    * the usable corpus output, one row per input document
+    * (`clean_text` empty when everything was repeated). n_removed
+    * per document equals the report's masked_tokens by construction.
+    *
+    * Shape at 100 TB: the detection stages are [[spanIslands]]'s
+    * (gram explode, bucketed dup-gram count, semi-join back, bounded
+    * per-doc island window); removal adds one bounded explode of the
+    * span intervals, one anti-join of token rows on (id, position) —
+    * O(corpus tokens), bucketed, never all-pairs — and the q255-style
+    * per-document reassembly aggregate bounded by document length.
+    */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String,
+                          textCol: String, n: Int): DataFrame = {
+    val drop = spanIslands(docs, idCol, textCol, n)
+      .select(col("id"), explode(sequence(col("ss"), col("se") - 1))
+        .as("i"))
+    val toks = docs.select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + 1).as("i"), col("tok"))
+    val kept = toks.join(drop, Seq("id", "i"), "left_anti")
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum((col("se") - col("ss")).cast("long")).as("masked_tokens"),
-        concat_ws(",", transform(
-          array_sort(collect_list(struct(col("ss"), col("se")))),
-          x => concat(x("ss").cast("string"), lit("-"),
-            x("se").cast("string")))).as("spans"))
+      .agg(array_join(transform(array_sort(collect_list(
+          struct(col("i"), col("tok")))), x => x.getField("tok")), " ")
+          .as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol).as("id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
   }
 
   /** LINE-level exact dedup — the C4/RefinedWeb repeated-line removal

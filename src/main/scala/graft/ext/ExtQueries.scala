@@ -180,6 +180,14 @@ object ExtQueries {
     // [start, end) token spans of every 8-gram shared by ≥ 2 docs —
     // the regions a curation pass would mask. Gram rows carry only a
     // 60-bit hash; no all-pairs stage.
+    // ExactSubstr REMOVAL (Lee et al. 2021, the second half of q132's
+    // detection): repeated cross-document token spans cut out of
+    // every document, survivors reassembled in order — the usable
+    // corpus output of passage-level dedup.
+    "q257_span_removal" -> ((s, d) =>
+      Dedup.removeRepeatedSpans(Tables.documents(s, d), "doc_id",
+        "text", SpanGramN)),
+
     "q132_repeated_spans" -> ((s, d) =>
       Dedup.repeatedSpans(Tables.documents(s, d), "doc_id", "text",
         SpanGramN).withColumnRenamed("id", "doc_id")),
@@ -1202,6 +1210,60 @@ object ExtQueries {
          |  string_agg(ss || '-' || se, ',' ORDER BY ss, se) AS spans
          |FROM spans GROUP BY doc_id""".stripMargin
     },
+    // q132's island CTEs + interval explode + positional anti-join +
+    // ordered reassembly — the removal twin
+    "q257_span_removal" -> {
+      val nm1 = SpanGramN - 1
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, CAST(i AS INT) AS i,
+         |    ${hash60Sql(s"array_to_string(t[i:i+$nm1], ' ')")} AS gh
+         |  FROM toks, unnest(range(1, len(t) - ${nm1 - 1})) AS u(i)
+         |  WHERE len(t) >= $SpanGramN),
+         |dup AS (SELECT gh FROM grams GROUP BY gh
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |hits AS (
+         |  SELECT doc_id, i AS s, i + $SpanGramN AS e
+         |  FROM grams WHERE gh IN (SELECT gh FROM dup)),
+         |flagged AS (
+         |  SELECT doc_id, s, e,
+         |    CASE WHEN s > coalesce(max(e) OVER (
+         |      PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |    THEN 1 ELSE 0 END AS new_span
+         |  FROM hits),
+         |islands AS (
+         |  SELECT doc_id, s, e, sum(new_span) OVER (
+         |    PARTITION BY doc_id ORDER BY s, e
+         |    ROWS UNBOUNDED PRECEDING) AS span_id
+         |  FROM flagged),
+         |spans AS (
+         |  SELECT doc_id, span_id, min(s) AS ss, max(e) AS se
+         |  FROM islands GROUP BY 1, 2),
+         |drp AS (
+         |  SELECT doc_id, unnest(range(ss, se)) AS i FROM spans),
+         |tk AS (
+         |  SELECT doc_id, CAST(i AS INT) AS i, t[i] AS tok
+         |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+         |kept AS (
+         |  SELECT tk.doc_id, tk.i, tk.tok
+         |  FROM tk LEFT JOIN drp d
+         |    ON d.doc_id = tk.doc_id AND d.i = tk.i
+         |  WHERE d.i IS NULL),
+         |agg AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+         |    CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM kept GROUP BY doc_id),
+         |cnt AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+         |SELECT cnt.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+         |  COALESCE(agg.n_kept, 0) AS n_kept,
+         |  cnt.n_tokens - COALESCE(agg.n_kept, 0) AS n_removed
+         |FROM cnt LEFT JOIN agg USING (doc_id)""".stripMargin
+    },
+
     "q27_text_stats" -> textStatsSql("documents"),
     "q28_knn_brute" -> knnBruteSql,
     "q146_quantized_rerank" -> quantRerankSql,
