@@ -1585,7 +1585,13 @@ object Changelog {
     claimCommit(path, newCommitId, writer)
     val staging = s"${path.stripSuffix("/")}__opt_staging_v$newCommitId"
     LogFs.delete(staging)
-    snapshotAtOpsEvolved(spark, path, keys, head)
+    // the base is a pure rewrite of the live state — logically-dropped
+    // columns are projected out of it (the checkpoint fold's reclaim
+    // law: every read served FROM the base is at/above the base, and
+    // drops only accumulate, so no reachable read wants those bytes;
+    // reads below the base open the original commits, untouched)
+    reclaimDropped(snapshotAtOpsEvolved(spark, path, keys, head),
+      path, head)
       .withColumn(OpCol, lit("u"))
       .write.mode("overwrite").parquet(staging)
     val staged = spark.read.parquet(staging)

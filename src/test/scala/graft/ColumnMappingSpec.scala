@@ -273,6 +273,21 @@ class ColumnMappingSpec extends SparkSpec {
     spark.sql("ALTER TABLE cmspec7.t ADD COLUMNS (note2 STRING)")
     assert(spark.table("cmspec7.t").schema.fieldNames.toSeq ==
       Seq("k", "v", "note2"))
+    // the OPTIMIZE base reclaims too — while the commits below it
+    // keep the bytes for time travel below the drop
+    val path2 = fixture("reclaim_opt")
+    GraftLogCatalog.register(spark, "cmspec10", "t", path2, Seq("k"))
+    spark.sql("ALTER TABLE cmspec10.t DROP COLUMN note") // commit 2
+    Changelog.optimizeOps(spark, path2, Seq("k"), 3L, "k", 1000L, 4)
+    assert(!spark.read.parquet(s"$path2/${Changelog.CommitCol}=3")
+      .columns.contains("note"),
+      "the optimize base must project the dropped column out")
+    assert(spark.sql("SELECT note FROM cmspec10.t VERSION AS OF 1 " +
+      "WHERE k = 3").head().getString(0) == "upd",
+      "time travel below the drop must still serve the column from " +
+        "the pre-base commits")
+    assert(spark.table("cmspec10.t").schema.fieldNames.toSeq ==
+      Seq("k", "v"))
   }
 
   test("the change feed maps when the mapping is stable across its " +
