@@ -888,6 +888,13 @@ object Changelog {
   def currentMapping(path: String): Option[ColumnMapping] =
     mappingAt(path, Long.MaxValue)
 
+  /** Canonical fingerprint of the CURRENT mapping state — what a
+    * mapped stream pins at start and re-checks per batch (drift =
+    * restart). Empty string = no mapping.
+    */
+  def mappingFingerprint(path: String): String =
+    currentMapping(path).map(serializeMapping).getOrElse("")
+
   /** All mapping-marker commit ids — the feed's window-stability
     * probe (a marker strictly inside a feed window means the names
     * changed mid-window).

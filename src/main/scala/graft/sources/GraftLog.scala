@@ -406,12 +406,19 @@ object GraftLog {
                 s"${opts.path} is a PLAIN (append-only) log — the " +
                   "streaming surfaces ride the ops shape (the " +
                   "per-commit diff the CDC source computes is keyed)")
-              require(Changelog.currentMapping(opts.path)
-                  .forall(_.isEmpty),
+              // the MAPPED table's own stream works (physical diff,
+              // logical output names, mapping pinned per run — drift
+              // fails the batch, restart re-pins); the FEED stream
+              // over a mapped log stays refused (its old_/new_ frames
+              // are physical-name plans)
+              val streamMapping = Changelog.currentMapping(opts.path)
+                .filterNot(_.isEmpty)
+              require(streamMapping.isEmpty || !opts.readChangeFeed,
                 s"${opts.path} carries a column mapping (renamed/" +
-                  "dropped columns) — the streaming spool serves " +
-                  "physical names and is not mapped; stream an " +
-                  "unmapped log, or read batch windows")
+                  "dropped columns) — the streaming FEED serves " +
+                  "physical old_/new_ names and is not mapped; " +
+                  "stream the table itself, or read batch feed " +
+                  "windows")
               def num(k: String): Option[Long] =
                 Option(o.get(k)).map(_.toLong)
               // the stream's START COORDINATE as reader options:
@@ -449,10 +456,19 @@ object GraftLog {
                       s"table column ${f.name} has type ${f.dataType} " +
                         "— outside the streaming spool's type surface")
                   }
+                  // tracked columns in PHYSICAL space (the diff runs
+                  // over the footers' names); the spool renames its
+                  // table-shaped output back to logical via logicalBy
+                  val logicalTracked = schemaHere.fieldNames.toSeq
+                    .filterNot(opts.keys.contains)
                   base.copy(
-                    trackCols = schemaHere.fieldNames.toSeq
-                      .filterNot(opts.keys.contains),
-                    tableShape = true)
+                    trackCols = streamMapping.fold(logicalTracked)(m =>
+                      logicalTracked.map(m.physicalOf)),
+                    tableShape = true,
+                    logicalBy = streamMapping.fold(
+                      Map.empty[String, String])(_.renames),
+                    mappingPin = streamMapping.map(_ =>
+                      Changelog.mappingFingerprint(opts.path)))
                 }
               CdcSource.microBatchStream(LogTable.this.schema(),
                 streamOpts, checkpointLocation)

@@ -114,7 +114,18 @@ object CdcSource {
                                  keyFilter: Option[String],
                                  maxRowsPerTrigger: Option[Long],
                                  maxBytesPerTrigger: Option[Long],
-                                 tableShape: Boolean = false) {
+                                 tableShape: Boolean = false,
+                                 // column-mapping support (the mapped
+                                 // TABLE's own stream): trackCols are
+                                 // PHYSICAL, this renames the
+                                 // table-shaped output back to logical
+                                 logicalBy: Map[String, String] =
+                                   Map.empty,
+                                 // the mapping fingerprint pinned when
+                                 // the stream started — a batch
+                                 // planned after the mapping moved
+                                 // fails loudly (restart re-pins)
+                                 mappingPin: Option[String] = None) {
     /** True when any admission budget (rows or bytes) is set — the
       * sliced-offset machinery is live.
       */
@@ -487,6 +498,18 @@ object CdcSource {
       // deterministic). A partial spool (crash mid-write) has no
       // _SUCCESS and is rebuilt. The horizon guard inside
       // changesBetweenOps keeps a below-horizon window LOUD.
+      // mapping drift: the stream's schema (and its logical output
+      // names) were pinned when the query started — a rename/drop
+      // landing mid-stream would silently desynchronize them, so a
+      // batch planned after the mapping moved fails loudly and a
+      // RESTART re-pins against the new names (Delta's
+      // schema-change-stops-the-stream discipline)
+      opts.mappingPin.foreach { pin =>
+        require(Changelog.mappingFingerprint(opts.path) == pin,
+          s"${opts.path}: the column mapping changed while this " +
+            "stream was running — the pinned logical names no longer " +
+            "match the table; restart the stream to re-pin")
+      }
       val dir = spoolDir(winStart, winEnd, ns)
       if (!LogFs.exists(LogFs.child(dir, "_SUCCESS"))) {
         LogFs.delete(dir)
@@ -504,7 +527,8 @@ object CdcSource {
               .col("change_type") =!= "delete")
             .select(opts.keys.map(org.apache.spark.sql.functions.col) ++
               opts.trackCols.map(c => org.apache.spark.sql.functions
-                .col(s"new_$c").as(c)): _*)
+                .col(s"new_$c")
+                .as(opts.logicalBy.getOrElse(c, c))): _*)
         else raw)
           .select(schema.fieldNames.map(
             org.apache.spark.sql.functions.col).toIndexedSeq: _*)

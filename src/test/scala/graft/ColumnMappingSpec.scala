@@ -323,6 +323,51 @@ class ColumnMappingSpec extends SparkSpec {
       "a feed window spanning a mapping commit must refuse loudly")
   }
 
+  test("the mapped table's own stream serves LOGICAL names; a restart " +
+       "after a further rename re-pins") {
+    val path = fixture("stream_read")
+    GraftLogCatalog.register(spark, "cmspec11", "t", path, Seq("k"))
+    spark.sql("ALTER TABLE cmspec11.t RENAME COLUMN v TO price") // c2
+    def runOnce(sink: String): Unit = {
+      // fresh checkpoint per run (the memory sink cannot recover one);
+      // the property under test is the RE-PIN, not offset resume
+      val q = spark.readStream.table("cmspec11.t")
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", freshDir(s"ckpt_$sink"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    runOnce("cm_stream1")
+    val got = spark.table("cm_stream1")
+    assert(got.columns.toSeq == Seq("k", "price", "note"),
+      s"the stream must serve logical names, got ${got.columns.toSeq}")
+    assert(got.filter(col("k") === 3L).select("price")
+      .orderBy(col("price").desc).head().getDouble(0) == 333.0)
+    // the mapping moves; a fresh run RE-PINS against the new logical
+    // names and serves them
+    spark.sql("ALTER TABLE cmspec11.t RENAME COLUMN price TO cost")
+    spark.sql("INSERT INTO cmspec11.t VALUES (900, 9.0, 's')")
+    runOnce("cm_stream2")
+    val got2 = spark.table("cm_stream2")
+    assert(got2.columns.toSeq == Seq("k", "cost", "note"))
+    assert(got2.filter(col("k") === 900L).select("cost")
+      .head().getDouble(0) == 9.0)
+    // the FEED stream stays refused over a mapped log
+    assert(scala.util.Try {
+      val q = spark.readStream.format(fmt)
+        .option("path", path).option("keys", "k")
+        .option("readChangeFeed", "true").option("startingVersion", 0)
+        .option("trackCols", "v")
+        .load()
+        .writeStream.format("memory").queryName("cm_stream3")
+        .option("checkpointLocation", freshDir("stream_read_ckpt3"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }.isFailure, "the feed STREAM over a mapped log must refuse")
+  }
+
   test("cat.t.detail serves one row of table facts including the " +
        "mapping state (DESCRIBE DETAIL ergonomics)") {
     val path = fixture("detail")
