@@ -830,9 +830,11 @@ object Changelog {
   //    window (tracked columns translate logical→physical for the
   //    diff, outputs rename back); a mapping commit strictly inside
   //    the window refuses loudly (one physical column, two names —
-  //    ambiguous). Streaming READS refuse over a mapped log (the
-  //    spool serves physical names); streaming WRITES map like batch
-  //    writes — positional schema rename on the staged files.
+  //    ambiguous). The TABLE's own stream maps (physical diff,
+  //    logical output, fingerprint-pinned per run — drift fails the
+  //    batch, restart re-pins); streaming WRITES map like batch
+  //    writes. The one remaining refusal is the FEED STREAM over a
+  //    mapped log (its old_/new_ frames are physical-name plans).
   //  - a dropped column's bytes remain in pre-drop footers until a
   //    checkpoint rewrite — Delta's semantics exactly; logical drop
   //    now, physical reclaim with maintenance.
