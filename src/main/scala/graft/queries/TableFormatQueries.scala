@@ -1384,6 +1384,38 @@ object TableFormatQueries {
       s.sql("SELECT * FROM glog.orders_ops_q254")
     }),
 
+    // THE MAPPED FEED — the change-data-feed window over a RENAMED
+    // column: the rename lands (one empty commit + mapping marker),
+    // a post-rename upsert touches the mod-9 slice at +222, and the
+    // feed window STARTING AT the rename commit tracks the LOGICAL
+    // name `price` — the diff runs over the physical footers, the
+    // old_/new_ outputs surface the logical name, and liveness at the
+    // window start labels update-vs-insert (a tombstoned key's
+    // re-upsert is an insert). A window SPANNING the rename refuses
+    // (in-query require — the window-stability law).
+    "q258_mapped_feed_window" -> ((s, d) => {
+      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q258")
+      val renameId = Changelog.commitRenameColumn(s, path,
+        Seq("o_orderkey"), "o_totalprice", "price")
+      Changelog.commitUpsert(
+        AuditQueries.opsOrders(s, d)
+          .filter(col("o_orderkey") % 9 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 222.0),
+        path, renameId + 1)
+      require(scala.util.Try(
+          s.read.format(fmt)
+            .option("path", path).option("keys", "o_orderkey")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", renameId - 1)
+            .option("trackCols", "price").load()).isFailure,
+        "a feed window spanning the rename commit must refuse loudly")
+      s.read.format(fmt)
+        .option("path", path).option("keys", "o_orderkey")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", renameId)
+        .option("trackCols", "price").load()
+    }),
+
     // COLUMN MAPPING — `ALTER TABLE … RENAME COLUMN` / `DROP COLUMN`
     // as METADATA (Delta's columnMapping discipline on this format's
     // marker primitive): each verb is one empty commit + one mapping
@@ -2032,6 +2064,26 @@ object TableFormatQueries {
         |WHERE o_orderkey % 4 = 3
         |   OR o_orderkey % 10 <> 0
         |   OR o_orderkey % 20 = 0""".stripMargin,
+
+    // the mapped-feed closed form: every mod-9 key lands +222 in the
+    // window; keys LIVE at the window start (q191's live set) label
+    // update and carry their q191 value as old_price; dead keys
+    // (tombstoned, never resurrected) label insert with null old
+    "q258_mapped_feed_window" ->
+      """SELECT o_orderkey,
+        |  o_totalprice + 222.0 AS new_price,
+        |  CASE WHEN (o_orderkey % 4 = 3 OR o_orderkey % 10 <> 0
+        |             OR o_orderkey % 20 = 0) THEN
+        |    CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |         WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |              AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |         ELSE o_totalprice END
+        |  END AS old_price,
+        |  CASE WHEN (o_orderkey % 4 = 3 OR o_orderkey % 10 <> 0
+        |             OR o_orderkey % 20 = 0) THEN 'update'
+        |       ELSE 'insert' END AS change_type
+        |FROM orders
+        |WHERE o_orderkey % 9 = 0""".stripMargin,
 
     // q245's live-state law verbatim — retention by the clock leaves
     // the head snapshot untouched, served from the base alone
