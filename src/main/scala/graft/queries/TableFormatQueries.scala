@@ -1416,6 +1416,60 @@ object TableFormatQueries {
         .option("trackCols", "price").load()
     }),
 
+    // THE MAPPED FEED **STREAM** — the last column-mapping surface:
+    // `readStream … readChangeFeed` over a RENAMED log serves the
+    // full-label feed under the LOGICAL old_/new_ names (tracked
+    // columns translate logical→physical for the diff, the spool
+    // renames back, and the mapping fingerprint is pinned per run —
+    // q258's law on the streaming surface). Drift-refusal leg
+    // in-query: after a SECOND rename lands, restarting the stream
+    // with the original startingVersion refuses loudly at load (the
+    // window now spans a mapping commit — re-pin by starting at/after
+    // it). The drained feed is q258's closed form verbatim.
+    "q259_mapped_feed_stream" -> ((s, d) => {
+      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q259")
+      val out = Sinks.tmpPathFor("mapped_feed_stream_out", d)
+      val ckpt = Sinks.tmpPathFor("mapped_feed_stream_ckpt", d)
+      Seq(out, ckpt).foreach(Sinks.deleteRecursively)
+      val renameId = Changelog.commitRenameColumn(s, path,
+        Seq("o_orderkey"), "o_totalprice", "price")
+      Changelog.commitUpsert(
+        AuditQueries.opsOrders(s, d)
+          .filter(col("o_orderkey") % 9 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 222.0),
+        path, renameId + 1)
+      val q = s.readStream.format(fmt)
+        .option("path", path).option("keys", "o_orderkey")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", renameId)
+        .option("trackCols", "price").load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            batch.write.mode("append").parquet(out)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // a second rename moves the mapping: the original registration
+      // now names a window spanning a mapping commit — restart must
+      // refuse loudly (re-pin by bumping startingVersion past it)
+      Changelog.commitRenameColumn(s, path, Seq("o_orderkey"),
+        "price", "price2")
+      require(scala.util.Try(
+          s.readStream.format(fmt)
+            .option("path", path).option("keys", "o_orderkey")
+            .option("readChangeFeed", "true")
+            .option("startingVersion", renameId)
+            .option("trackCols", "price").load()).isFailure,
+        "restarting a mapped feed stream across a later rename must " +
+          "refuse loudly at load")
+      s.read.parquet(out).select(col("o_orderkey"), col("new_price"),
+        col("old_price"), col("change_type"))
+    }),
+
     // COLUMN MAPPING — `ALTER TABLE … RENAME COLUMN` / `DROP COLUMN`
     // as METADATA (Delta's columnMapping discipline on this format's
     // marker primitive): each verb is one empty commit + one mapping
@@ -2070,6 +2124,24 @@ object TableFormatQueries {
     // update and carry their q191 value as old_price; dead keys
     // (tombstoned, never resurrected) label insert with null old
     "q258_mapped_feed_window" ->
+      """SELECT o_orderkey,
+        |  o_totalprice + 222.0 AS new_price,
+        |  CASE WHEN (o_orderkey % 4 = 3 OR o_orderkey % 10 <> 0
+        |             OR o_orderkey % 20 = 0) THEN
+        |    CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 1000.0
+        |         WHEN o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0
+        |              AND o_orderkey % 7 = 1 THEN o_totalprice + 500.0
+        |         ELSE o_totalprice END
+        |  END AS old_price,
+        |  CASE WHEN (o_orderkey % 4 = 3 OR o_orderkey % 10 <> 0
+        |             OR o_orderkey % 20 = 0) THEN 'update'
+        |       ELSE 'insert' END AS change_type
+        |FROM orders
+        |WHERE o_orderkey % 9 = 0""".stripMargin,
+
+    // q258's closed form verbatim — the STREAMING surface drains the
+    // same mapped window ((renameId, renameId+1]) it serves in batch
+    "q259_mapped_feed_stream" ->
       """SELECT o_orderkey,
         |  o_totalprice + 222.0 AS new_price,
         |  CASE WHEN (o_orderkey % 4 = 3 OR o_orderkey % 10 <> 0

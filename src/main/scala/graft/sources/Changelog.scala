@@ -772,13 +772,22 @@ object Changelog {
     */
   private def landEmptySchemaCommit(spark: SparkSession, path: String,
       shape: org.apache.spark.sql.types.StructType, verb: String,
-      writer: String): Long = {
+      writer: String,
+      mappingMarker: Option[ColumnMapping] = None): Long = {
     val id = claimNextId(path, writer)
     val dir = LogFs.child(path, s"$CommitCol=$id")
     LogFs.delete(dir)
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), shape)
       .write.mode("overwrite").parquet(dir)
+    // the mapping marker (rename/drop verbs) lands BEFORE the info
+    // marker: a crash between the two leaves the mapping ACTIVE with
+    // a null verb in DESCRIBE HISTORY — a visible anomaly on an
+    // already-recognized state (commits without info read fine) —
+    // never the inverse (a recorded 'rename_column' whose mapping
+    // silently never changed, which no reader could detect)
+    mappingMarker.foreach(m => LogFs.writeAtomic(
+      LogFs.child(path, s"$MappingPrefix$id"), serializeMapping(m)))
     writeCommitInfo(path, id, verb, writer)
     id
   }
@@ -830,11 +839,13 @@ object Changelog {
   //    window (tracked columns translate logical→physical for the
   //    diff, outputs rename back); a mapping commit strictly inside
   //    the window refuses loudly (one physical column, two names —
-  //    ambiguous). The TABLE's own stream maps (physical diff,
-  //    logical output, fingerprint-pinned per run — drift fails the
-  //    batch, restart re-pins); streaming WRITES map like batch
-  //    writes. The one remaining refusal is the FEED STREAM over a
-  //    mapped log (its old_/new_ frames are physical-name plans).
+  //    ambiguous), whether or not the end-of-window mapping is empty
+  //    (a rename-and-back still changed names mid-window). BOTH
+  //    streams map — the TABLE's own stream and the FEED stream
+  //    (physical diff, logical old_/new_ output, fingerprint-pinned
+  //    per run — drift fails the batch, restart re-pins; historical
+  //    mapping commits become batch boundaries in the source);
+  //    streaming WRITES map like batch writes.
   //  - a dropped column's bytes remain in pre-drop footers until a
   //    checkpoint rewrite — Delta's semantics exactly; logical drop
   //    now, physical reclaim with maintenance.
@@ -1013,12 +1024,9 @@ object Changelog {
         m.renames - physical // renamed back to its birth name
       else m.renames.updated(physical, newName)
     val next = m.copy(renames = renamed)
-    val id = landEmptySchemaCommit(spark, path,
+    landEmptySchemaCommit(spark, path,
       org.apache.spark.sql.types.StructType(union), "rename_column",
-      writer)
-    LogFs.writeAtomic(LogFs.child(path, s"$MappingPrefix$id"),
-      serializeMapping(next))
-    id
+      writer, mappingMarker = Some(next))
   }
 
   /** DROP COLUMN as metadata: one empty commit (verb `drop_column`)
@@ -1042,12 +1050,9 @@ object Changelog {
     val union = spark.read.option("mergeSchema", "true").parquet(path)
       .schema.fields.filter(_.name != CommitCol)
     val next = ColumnMapping(m.renames - physical, m.dropped + physical)
-    val id = landEmptySchemaCommit(spark, path,
+    landEmptySchemaCommit(spark, path,
       org.apache.spark.sql.types.StructType(union), "drop_column",
-      writer)
-    LogFs.writeAtomic(LogFs.child(path, s"$MappingPrefix$id"),
-      serializeMapping(next))
-    id
+      writer, mappingMarker = Some(next))
   }
 
   /** [[commit]] with the verb the info marker records — the internal
@@ -2274,7 +2279,16 @@ object Changelog {
         s"$path, got $newCommitId — commit ids are the version order")
     val target = snapshotAtOpsEvolved(spark, path, keys, v)
     val current = snapshotAtOpsEvolved(spark, path, keys, head)
-    val dataCols = target.columns.filterNot(keys.contains).toSeq
+    // columns DROPPED as of the head never ride the restore commit:
+    // the drop contract says new commits omit retired bytes — a
+    // restore below the drop that re-materialized the dropped
+    // column's values would re-write them into a fresh post-drop
+    // commit (invisible to mapped reads, but deferring their
+    // physical reclaim past the next fold)
+    val droppedNow = mappingAt(path, head)
+      .map(_.dropped).getOrElse(Set.empty[String])
+    val dataCols = target.columns.filterNot(keys.contains)
+      .filterNot(droppedNow.contains).toSeq
     val generated = Set("_in_t", "_in_c") ++
       dataCols.flatMap(c => Seq(s"_t_$c", s"_c_$c"))
     require((keys ++ dataCols).forall(!generated.contains(_)),

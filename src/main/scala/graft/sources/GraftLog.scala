@@ -212,20 +212,39 @@ object GraftLog {
       * STABLE across the window: a mapping commit strictly inside
       * (start, end] means the same physical column answered to two
       * names within one window, and the feed refuses loudly rather
-      * than pick one.
+      * than pick one. The probe runs whenever ANY mapping marker sits
+      * inside the window — including when the end-of-window mapping
+      * is EMPTY (a rename followed by a rename-back-to-birth-name
+      * still changed the names mid-window; serving physical names as
+      * if nothing happened would silently skip the law). A STREAM
+      * restarting from its checkpoint trips this too when its
+      * original `startingVersion` now sits below a mapping commit —
+      * bump the option to at/after the mapping commit (only the
+      * first run ever reads it; the checkpointed offset governs the
+      * resume).
       */
     val pinnedMapping: Option[Changelog.ColumnMapping] =
       if (opts.readChangeFeed) {
+        val start = opts.startingVersion.get
+        require(!Changelog.mappingIds(opts.path)
+            .exists(id => id > start && id <= pinnedEnd),
+          s"${opts.path}: the column mapping changed INSIDE the " +
+            s"feed window ($start, $pinnedEnd] — old_/new_ names " +
+            "would be ambiguous across the window; split the " +
+            "window at the mapping commit (for a restarting stream: " +
+            "set startingVersion at/after it — the checkpointed " +
+            "offset governs the resume)")
         val m = Changelog.mappingAt(opts.path, pinnedEnd)
           .filterNot(_.isEmpty)
-        m.foreach { _ =>
-          val start = opts.startingVersion.get
-          require(!Changelog.mappingIds(opts.path)
-              .exists(id => id > start && id <= pinnedEnd),
-            s"${opts.path}: the column mapping changed INSIDE the " +
-              s"feed window ($start, $pinnedEnd] — old_/new_ names " +
-              "would be ambiguous across the window; split the " +
-              "window at the mapping commit")
+        // a logically-DROPPED column has no feed: tracking it would
+        // resurrect deleted data from pre-drop footers
+        m.foreach { mm =>
+          opts.trackCols.foreach { c =>
+            require(!mm.dropped.contains(mm.physicalOf(c)),
+              s"trackCols names '$c' — a DROPPED column of the " +
+                s"mapped log at ${opts.path}; the feed serves live " +
+                "logical columns only")
+          }
         }
         m
       } else Changelog.mappingAt(opts.path, pinnedVersion)
@@ -406,19 +425,16 @@ object GraftLog {
                 s"${opts.path} is a PLAIN (append-only) log — the " +
                   "streaming surfaces ride the ops shape (the " +
                   "per-commit diff the CDC source computes is keyed)")
-              // the MAPPED table's own stream works (physical diff,
-              // logical output names, mapping pinned per run — drift
-              // fails the batch, restart re-pins); the FEED stream
-              // over a mapped log stays refused (its old_/new_ frames
-              // are physical-name plans)
+              // BOTH streams of a mapped log work — the table's own
+              // stream AND the feed stream: the diff runs over
+              // physical names, the outputs surface the logical
+              // names, and the mapping is pinned per run (a
+              // fingerprint re-checked per planned batch — drift
+              // fails the batch loudly, restart re-pins; historical
+              // mapping commits become batch boundaries in the
+              // source, so no served window ever mixes name-epochs)
               val streamMapping = Changelog.currentMapping(opts.path)
                 .filterNot(_.isEmpty)
-              require(streamMapping.isEmpty || !opts.readChangeFeed,
-                s"${opts.path} carries a column mapping (renamed/" +
-                  "dropped columns) — the streaming FEED serves " +
-                  "physical old_/new_ names and is not mapped; " +
-                  "stream the table itself, or read batch feed " +
-                  "windows")
               def num(k: String): Option[Long] =
                 Option(o.get(k)).map(_.toLong)
               // the stream's START COORDINATE as reader options:
@@ -444,7 +460,19 @@ object GraftLog {
                 maxRowsPerTrigger = num("maxRowsPerTrigger"),
                 maxBytesPerTrigger = num("maxBytesPerTrigger"))
               val streamOpts =
-                if (opts.readChangeFeed) base
+                if (opts.readChangeFeed)
+                  // the FEED stream of a mapped log: tracked columns
+                  // translate logical→physical for the diff, the
+                  // spool renames its old_/new_ outputs back to
+                  // logical, and the pin fails a batch planned after
+                  // the mapping moved
+                  base.copy(
+                    trackCols = streamMapping.fold(opts.trackCols)(m =>
+                      opts.trackCols.map(m.physicalOf)),
+                    logicalBy = streamMapping.fold(
+                      Map.empty[String, String])(_.renames),
+                    mappingPin = streamMapping.map(_ =>
+                      Changelog.mappingFingerprint(opts.path)))
                 else {
                   // the SNAPSHOT table's own stream: upserted row
                   // values, table-shaped — every non-key column is a

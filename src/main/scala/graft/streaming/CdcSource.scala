@@ -116,9 +116,12 @@ object CdcSource {
                                  maxBytesPerTrigger: Option[Long],
                                  tableShape: Boolean = false,
                                  // column-mapping support (the mapped
-                                 // TABLE's own stream): trackCols are
-                                 // PHYSICAL, this renames the
-                                 // table-shaped output back to logical
+                                 // table's own stream AND the mapped
+                                 // FEED stream): trackCols are
+                                 // PHYSICAL, this renames the spooled
+                                 // output back to logical (table
+                                 // shape: the column itself; feed
+                                 // shape: its old_/new_ pair)
                                  logicalBy: Map[String, String] =
                                    Map.empty,
                                  // the mapping fingerprint pinned when
@@ -390,6 +393,27 @@ object CdcSource {
         opts.maxBytesPerTrigger.forall(b =>
           bytes + Changelog.commitDirByteSize(opts.path, c) <= b)
 
+    /** A MAPPED stream never serves a window that mixes name-epochs:
+      * historical mapping commits (renames below the stream's start
+      * are already refused at load; this covers markers the pin
+      * tolerates, e.g. a start placed exactly at a mapping commit
+      * boundary on a multi-rename log) become BATCH BOUNDARIES — a
+      * candidate window is capped just below the first mapping id
+      * inside it, and the mapping commit itself (an empty commit,
+      * zero feed rows) is served alone on the next trigger. Unmapped
+      * streams are untouched (their windows stay byte-identical).
+      */
+    private def capAtMappingBoundary(startV: Long, endV: Long): Long = {
+      if (opts.mappingPin.isEmpty || endV <= startV + 1) return endV
+      val inside = Changelog.mappingIds(opts.path)
+        .filter(id => id > startV && id <= endV)
+      if (inside.isEmpty) endV
+      else {
+        val first = inside.min
+        if (first == startV + 1) first else first - 1
+      }
+    }
+
     override def initialOffset(): Offset = CdcOffset(
       opts.startVersion.getOrElse {
         val h = Changelog.horizonOf(opts.path)
@@ -416,8 +440,8 @@ object CdcSource {
             s"${st.slice} of ${st.nSlices}) but no row/byte budget is " +
             "set any more — restore the option until the in-flight " +
             "commit drains, then remove it at a commit boundary")
-        CdcOffset(math.min(head,
-          st.version + opts.maxCommitsPerTrigger.getOrElse(1L)))
+        CdcOffset(capAtMappingBoundary(st.version, math.min(head,
+          st.version + opts.maxCommitsPerTrigger.getOrElse(1L))))
       } else if (st.version >= head) st
       else if (st.slice > 0) {
         // a commit already in flight drains at the slicing its offset
@@ -451,7 +475,7 @@ object CdcSource {
             bytes += opts.maxBytesPerTrigger.fold(0L)(_ =>
               Changelog.commitDirByteSize(opts.path, end))
           }
-          CdcOffset(end)
+          CdcOffset(capAtMappingBoundary(st.version, end))
         }
       }
     }
@@ -509,6 +533,18 @@ object CdcSource {
           s"${opts.path}: the column mapping changed while this " +
             "stream was running — the pinned logical names no longer " +
             "match the table; restart the stream to re-pin")
+        // backstop of the batch-boundary law for windows REPLAYED
+        // from an offset log written before the boundary capping
+        // existed: a mapped multi-commit window must not span a
+        // mapping commit (capAtMappingBoundary keeps fresh windows
+        // clear of this by construction)
+        if (winEnd - winStart > 1)
+          require(!Changelog.mappingIds(opts.path)
+              .exists(id => id > winStart && id <= winEnd),
+            s"${opts.path}: the offset log's window ($winStart, " +
+              s"$winEnd] spans a mapping commit — drain it one " +
+              "commit at a time (maxCommitsPerTrigger=1) past the " +
+              "mapping boundary, then restore the trigger budget")
       }
       val dir = spoolDir(winStart, winEnd, ns)
       if (!LogFs.exists(LogFs.child(dir, "_SUCCESS"))) {
@@ -529,6 +565,22 @@ object CdcSource {
               opts.trackCols.map(c => org.apache.spark.sql.functions
                 .col(s"new_$c")
                 .as(opts.logicalBy.getOrElse(c, c))): _*)
+        else if (opts.logicalBy.nonEmpty)
+          // the mapped FEED stream: the engine's feed plan carries
+          // physical old_/new_ names (the diff runs over the
+          // footers); rename each pair back to the logical name the
+          // stream's pinned schema serves — a pure projection
+          raw.select(raw.columns.map { c =>
+            val logical =
+              if (c.startsWith("old_"))
+                "old_" + opts.logicalBy.getOrElse(
+                  c.stripPrefix("old_"), c.stripPrefix("old_"))
+              else if (c.startsWith("new_"))
+                "new_" + opts.logicalBy.getOrElse(
+                  c.stripPrefix("new_"), c.stripPrefix("new_"))
+              else c
+            org.apache.spark.sql.functions.col(c).as(logical)
+          }.toIndexedSeq: _*)
         else raw)
           .select(schema.fieldNames.map(
             org.apache.spark.sql.functions.col).toIndexedSeq: _*)

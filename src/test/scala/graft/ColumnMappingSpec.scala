@@ -148,7 +148,8 @@ class ColumnMappingSpec extends SparkSpec {
     // ...and the physical (birth) name stays blocked by the footers
     assert(scala.util.Try(spark.sql(
       "ALTER TABLE cmspec4.t ADD COLUMNS (v DOUBLE)")).isFailure)
-    // the change feed refuses over a mapped log
+    // a change-feed window SPANNING the rename commit refuses (the
+    // window-stability law; windows clear of it serve logical names)
     assert(scala.util.Try(
       spark.read.format(fmt).option("path", path).option("keys", "k")
         .option("readChangeFeed", "true").option("startingVersion", 0)
@@ -353,19 +354,170 @@ class ColumnMappingSpec extends SparkSpec {
     assert(got2.columns.toSeq == Seq("k", "cost", "note"))
     assert(got2.filter(col("k") === 900L).select("cost")
       .head().getDouble(0) == 9.0)
-    // the FEED stream stays refused over a mapped log
+    // a feed stream whose startingVersion sits BELOW a mapping commit
+    // still refuses at load (the window-spanning law — re-pin by
+    // starting at/after the mapping commit)
     assert(scala.util.Try {
-      val q = spark.readStream.format(fmt)
+      spark.readStream.format(fmt)
         .option("path", path).option("keys", "k")
         .option("readChangeFeed", "true").option("startingVersion", 0)
         .option("trackCols", "v")
         .load()
-        .writeStream.format("memory").queryName("cm_stream3")
-        .option("checkpointLocation", freshDir("stream_read_ckpt3"))
+    }.isFailure,
+      "a feed stream starting below a mapping commit must refuse")
+  }
+
+  test("the mapped FEED stream serves LOGICAL old_/new_ names; " +
+       "mid-run mapping drift fails the batch loudly") {
+    import spark.implicits._
+    val path = fixture("feed_stream") // commits 0,1: (k, v, note)
+    GraftLogCatalog.register(spark, "cmspec12", "t", path, Seq("k"))
+    spark.sql("ALTER TABLE cmspec12.t RENAME COLUMN v TO price") // c2
+    spark.sql("INSERT INTO cmspec12.t VALUES (3, 999.0, 'x')")   // c3
+    spark.sql("INSERT INTO cmspec12.t VALUES (800, 8.0, 'i')")   // c4
+    def feedStream = spark.readStream.format(fmt)
+      .option("path", path).option("keys", "k")
+      .option("readChangeFeed", "true").option("startingVersion", 2)
+      .option("trackCols", "price").load()
+    val q = feedStream
+      .writeStream.format("memory").queryName("cm_feed1")
+      .option("checkpointLocation", freshDir("feed_stream_ckpt1"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val got = spark.table("cm_feed1")
+    assert(got.columns.toSeq ==
+      Seq("k", "new_price", "old_price", "change_type"),
+      s"the feed stream must serve logical names, got ${got.columns.toSeq}")
+    val upd = got.filter(col("k") === 3L)
+      .select("change_type", "old_price", "new_price").head()
+    assert(upd.getString(0) == "update" && upd.getDouble(1) == 333.0 &&
+      upd.getDouble(2) == 999.0)
+    assert(got.filter(col("k") === 800L).select("change_type")
+      .head().getString(0) == "insert")
+    // DRIFT: a rename landing between two micro-batches fails the
+    // NEXT planned batch loudly (the fingerprint pin) — the batch
+    // that already ran keeps its output
+    spark.sql("INSERT INTO cmspec12.t VALUES (5, 55.0, 'y')")  // c5
+    spark.sql("INSERT INTO cmspec12.t VALUES (6, 66.0, 'z')")  // c6
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val failed = scala.util.Try {
+      val q2 = feedStream
+        .writeStream
+        .option("checkpointLocation", freshDir("feed_stream_ckpt2"))
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            seen += batchId
+            batch.count()
+            if (batchId == 0L)
+              // the mapping moves while the stream is running
+              Changelog.commitRenameColumn(spark, path, Seq("k"),
+                "price", "cost")
+            ()
+        }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.awaitTermination() finally q.stop()
-    }.isFailure, "the feed STREAM over a mapped log must refuse")
+      try q2.awaitTermination() finally q2.stop()
+    }
+    assert(failed.isFailure,
+      "a mapped feed stream must fail the batch planned after drift")
+    assert(seen.nonEmpty && seen.max < 3,
+      s"drift must stop the stream before it drains all commits, ran $seen")
+  }
+
+  test("a mapped table stream's multi-commit windows break at " +
+       "mapping-commit boundaries (no window mixes name-epochs)") {
+    import spark.implicits._
+    val path = fixture("boundary") // commits 0,1
+    GraftLogCatalog.register(spark, "cmspec13", "t", path, Seq("k"))
+    spark.sql("ALTER TABLE cmspec13.t RENAME COLUMN v TO price") // c2
+    spark.sql("INSERT INTO cmspec13.t VALUES (901, 1.0, 'a')")   // c3
+    spark.sql("INSERT INTO cmspec13.t VALUES (902, 2.0, 'b')")   // c4
+    val batches =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = spark.readStream
+      .option("maxCommitsPerTrigger", 10)
+      .table("cmspec13.t")
+      .writeStream
+      .option("checkpointLocation", freshDir("boundary_ckpt"))
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         batchId: Long) =>
+          batches += ((batchId, batch.count()))
+          ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    // one 10-commit budget over commits 0..4 with the rename at 2:
+    // windows (−1,1] (0,1] wait — floor is 0, start = −1: (−1,1],
+    // then (1,2] (the mapping commit alone, zero rows), then (2,4] —
+    // THREE batches, never one spanning the rename
+    assert(batches.length == 3,
+      s"a 10-commit budget must split at the mapping commit, got $batches")
+    assert(batches(1)._2 == 0L,
+      "the mapping-commit-alone window must serve zero rows")
+    assert(batches.map(_._2).sum == 22L,
+      s"20 base rows + 2 inserts must drain across the batches, got $batches")
+  }
+
+  test("restore below a DROP does not re-materialize the dropped " +
+       "column; a dropped column cannot be a tracked feed column") {
+    import spark.implicits._
+    val path = fixture("restore_drop") // c0: 20 rows, c1: upd k=3
+    Changelog.commitDropColumn(spark, path, Seq("k"), "note") // c2
+    // k=3's v moves at head vs v0 → restore writes an upsert for it
+    Changelog.restoreOps(spark, path, Seq("k"), 0L, 3L)
+    // the restore commit omits the retired column entirely
+    assert(!spark.read.parquet(s"$path/${Changelog.CommitCol}=3")
+      .columns.contains("note"),
+      "a restore commit must omit columns dropped as of the head")
+    // and restores the surviving columns to their v0 state
+    val head = Changelog.applyMapping(
+      Changelog.snapshotAtOpsEvolved(spark, path, Seq("k"), 3L),
+      Changelog.currentMapping(path))
+    assert(head.columns.toSeq == Seq("k", "v"))
+    assert(head.filter(col("k") === 3L).select("v")
+      .head().getDouble(0) == 30.0)
+    // tracking a dropped column in a feed refuses loudly
+    assert(scala.util.Try(
+      spark.read.format(fmt)
+        .option("path", path).option("keys", "k")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 2).option("trackCols", "note")
+        .load()).isFailure,
+      "a dropped column must refuse as a tracked feed column")
+  }
+
+  test("rename-and-back inside a feed window still refuses (the " +
+       "names changed mid-window even though the end mapping is empty)") {
+    import spark.implicits._
+    val path = fixture("rename_back")
+    Changelog.commitRenameColumn(spark, path, Seq("k"), "v", "price") // c2
+    Changelog.commitRenameColumn(spark, path, Seq("k"), "price", "v") // c3
+    assert(Changelog.currentMapping(path).forall(_.isEmpty),
+      "rename-back-to-birth-name must leave an empty mapping state")
+    // window (1, 3] holds both mapping commits — refuses even though
+    // the end-of-window mapping is empty
+    assert(scala.util.Try(
+      spark.read.format(fmt)
+        .option("path", path).option("keys", "k")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1).option("trackCols", "v")
+        .load()).isFailure,
+      "a window spanning rename-and-back must refuse loudly")
+    // a window clear of the mapping commits serves plain names
+    Changelog.commitUpsert(Seq((3L, 444.0, "u2")).toDF("k", "v", "note"),
+      path, 4L)
+    val feed = spark.read.format(fmt)
+      .option("path", path).option("keys", "k")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 3).option("trackCols", "v").load()
+    assert(feed.columns.toSeq ==
+      Seq("k", "new_v", "old_v", "change_type"))
+    assert(feed.filter(col("k") === 3L).select("new_v")
+      .head().getDouble(0) == 444.0)
   }
 
   test("cat.t.detail serves one row of table facts including the " +
