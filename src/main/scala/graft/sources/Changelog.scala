@@ -759,6 +759,10 @@ object Changelog {
     val (ops, data) = current.partition(_.name == OpCol)
     val evolved = org.apache.spark.sql.types.StructType(
       data ++ newFields ++ ops)
+    // the evolution marker lands FIRST (see EvolvedMarker: a
+    // false-positive is a harmless mergeSchema read; the inverse
+    // order risks silent column loss on a fresh registration)
+    LogFs.writeAtomic(LogFs.child(path, EvolvedMarker), "v1")
     val id = landEmptySchemaCommit(spark, path, evolved, "add_columns",
       writer)
     id
@@ -792,26 +796,42 @@ object Changelog {
     id
   }
 
-  /** True when the log's HISTORY proves its commit footers may carry
-    * DIFFERENT column sets — any landed `add_columns` commit (later
-    * footers carry more columns) or `drop_column` state (commits
-    * landed after the drop omit the dropped physical column). The
-    * table surface reads this at load and FORCES the union
+  /** The SINGLETON evolution marker: written (idempotently) by the
+    * first `add_columns` verb, BEFORE its commit lands — a crash
+    * between the two leaves a false-positive marker, which is
+    * harmless (the union read of a never-evolved log is still
+    * correct, it merely pays mergeSchema planning), while the
+    * inverse order could leave an evolved log that a fresh session
+    * reads through one arbitrary footer, silently dropping columns.
+    * Monotone by design — evolution is never un-happened — so
+    * maintenance must NEVER sweep it (after a fold past the
+    * evolution the union read stays correct; the marker then only
+    * costs mergeSchema planning, the price of a provably-safe load).
+    */
+  private[graft] val EvolvedMarker = "_graft_evolved"
+
+  /** True when the log's commit footers may carry DIFFERENT column
+    * sets — an `add_columns` commit landed (the singleton
+    * [[EvolvedMarker]]) or a mapped DROP is in force (commits landed
+    * after the drop omit the dropped physical column). The table
+    * surface reads this at EVERY load and FORCES the union
     * (mergeSchema) read on an evolved log, so a fresh session that
     * re-registers the table without remembering to pass mergeSchema
     * can never have Spark infer the schema from an arbitrary
     * pre-evolution footer and silently drop the added columns (the
     * registration flag becomes a no-op the log itself subsumes).
-    * Sound across maintenance: vacuum removes an `add_columns` info
-    * marker only together with every pre-evolution commit directory
-    * below the fold — after which all surviving footers already carry
-    * the union and the plain read is correct (mapping markers are
-    * never swept, so the drop signal outlives vacuum). One marker
-    * listing, the same O(commits) cost every load's head listing
-    * already pays.
+    * Load-path cost: ONE marker stat plus the mapping listing every
+    * mapped read already does — never a content read per commit (the
+    * pre-marker implementation opened every `_graft_info_*` marker
+    * at every load: a per-query GET storm at object-store commit
+    * counts; spec-pinned at zero content reads now). A log evolved
+    * by a PRE-MARKER build of this library carries no marker — one
+    * re-run of any evolving verb (or writing the marker by hand)
+    * migrates it; this library's own verbs have always landed
+    * through [[commitAddColumns]].
     */
   def isEvolvedLog(path: String): Boolean =
-    commitInfos(path).values.exists(_._1 == "add_columns") ||
+    LogFs.exists(LogFs.child(path, EvolvedMarker)) ||
       currentMapping(path).exists(_.dropped.nonEmpty)
 
   // ---- Column mapping: RENAME/DROP COLUMN as metadata ----------------
@@ -2244,6 +2264,13 @@ object Changelog {
         LogFs.writeAtomic(LogFs.child(dest, s.getPath.getName),
           LogFs.readString(s.getPath.toString))
       }
+    // the singleton evolution marker travels unconditionally: it has
+    // no commit id to bound by, and a false positive on a clone cut
+    // below the evolution is a harmless mergeSchema read, while
+    // losing it on a clone cut above would silently drop the added
+    // columns from a fresh registration of the clone
+    if (LogFs.exists(LogFs.child(path, EvolvedMarker)))
+      LogFs.writeAtomic(LogFs.child(dest, EvolvedMarker), "v1")
   }
 
   /** RESTORE the ops table to its state at version `v`, landed as NEW

@@ -104,7 +104,15 @@ private[graft] object LogFs {
     fs(path).delete(new Path(path), true): Unit
   }
 
+  /** Content reads performed through [[readString]] — a TEST hook for
+    * load-path cost pins (e.g. "the evolution probe of a fresh table
+    * load opens zero marker contents"); never consulted by the engine.
+    */
+  private[graft] val contentReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   def readString(path: String): String = {
+    contentReads.incrementAndGet()
     val in = fs(path).open(new Path(path))
     try {
       val out = new java.io.ByteArrayOutputStream()

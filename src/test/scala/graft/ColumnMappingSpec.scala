@@ -249,6 +249,44 @@ class ColumnMappingSpec extends SparkSpec {
         org.apache.spark.sql.types.StringType)))).isFailure)
   }
 
+  test("the evolution probe is O(1): one singleton-marker stat, zero " +
+       "per-commit content reads, surviving clones and folds") {
+    import spark.implicits._
+    val path = freshDir("evoprobe")
+    Changelog.commitUpsert((0L until 5L).map(k => (k, k * 1.0))
+      .toDF("k", "v"), path, 0L)
+    // a NON-evolved log: probe false, zero marker contents opened
+    val before = LogFs.contentReads.get()
+    assert(!Changelog.isEvolvedLog(path))
+    assert(LogFs.contentReads.get() == before,
+      "the probe of a plain log must open no marker contents")
+    Changelog.commitAddColumns(spark, path,
+      Seq(org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.StringType)))
+    // the evolved log: probe true from ONE stat — still zero content
+    // reads (the pre-marker implementation opened every _graft_info_*
+    // content here, a per-load GET storm at long histories)
+    val b2 = LogFs.contentReads.get()
+    assert(Changelog.isEvolvedLog(path))
+    assert(LogFs.contentReads.get() == b2,
+      "the probe of an evolved log must be one stat, not content reads")
+    // the marker travels with clones (a clone cut ABOVE the evolution
+    // must keep forcing the union read)
+    val dest = freshDir("evoprobe_clone")
+    Changelog.cloneAt(spark, path, dest, 1L)
+    assert(Changelog.isEvolvedLog(dest),
+      "a clone of an evolved log must stay evolved")
+    // ...and survives a fold past the evolution (monotone — the union
+    // read of the folded log is still correct, merely conservative)
+    Changelog.commitUpsert(Seq((9L, 9.0, "late")).toDF("k", "v", "src"),
+      path, 2L)
+    Changelog.checkpointOps(spark, path, Seq("k"), 2L)
+    assert(Changelog.isEvolvedLog(path),
+      "the evolution marker must survive maintenance")
+    assert(spark.read.format(fmt).option("path", path).option("keys", "k")
+      .load().schema.fieldNames.contains("src"))
+  }
+
   test("checkpoint PHYSICALLY reclaims dropped columns at the fold — " +
        "the DROP half of right-to-be-forgotten") {
     val path = fixture("reclaim")
