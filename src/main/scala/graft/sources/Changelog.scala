@@ -2410,19 +2410,35 @@ object Changelog {
     * commit is immutable), so the overwrite is idempotent.
     */
   def writeCommitStatsMulti(spark: SparkSession, path: String,
-                            commitId: Long, cols: Seq[String]): Unit = {
-    require(cols.nonEmpty, "writeCommitStatsMulti needs at least one column")
+                            commitId: Long, rawCols: Seq[String]): Unit = {
+    require(rawCols.nonEmpty, "writeCommitStatsMulti needs at least one column")
     val dir = LogFs.child(path, s"$CommitCol=$commitId")
     require(LogFs.isDirectory(dir),
       s"cannot write stats for commit $commitId of $path — no " +
         s"$CommitCol=$commitId directory exists")
     val df = spark.read.parquet(dir)
     val schema = df.schema
+    // on a MAPPED log the caller speaks the CURRENT logical namespace
+    // (the names `CALL analyze` users see at the SQL prompt); resolve
+    // each name to the footer's PHYSICAL spelling — the namespace the
+    // marker records and the lookups consult (keys, the only
+    // probe-able stats columns, never map, so lookups are unaffected;
+    // this makes the RECORDING surface speak both spellings)
+    val mapping = currentMapping(path)
+      .getOrElse(ColumnMapping(Map.empty, Set.empty))
+    val cols = rawCols.map { c =>
+      if (schema.fieldNames.contains(c)) c
+      else {
+        val phys = mapping.physicalOf(c)
+        require(schema.fieldNames.contains(phys),
+          s"stats column $c not in commit $commitId's schema " +
+            s"[${schema.fieldNames.mkString(", ")}]" +
+            (if (phys != c) s" (resolved physical name $phys)" else ""))
+        phys
+      }
+    }
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
     cols.foreach { c =>
-      require(schema.fieldNames.contains(c),
-        s"stats column $c not in commit $commitId's schema " +
-          s"[${schema.fieldNames.mkString(", ")}]")
       val dt = schema(c).dataType
       require(dt == LongType || dt == IntegerType || dt == StringType,
         s"stats column $c has type $dt — only long/int/string columns " +
@@ -2623,7 +2639,14 @@ object Changelog {
     // version whenever the key's latest value moved out of range in a
     // stats-skipped commit, and tombstones (null data columns) would
     // be filtered out, un-deleting keys — silently violating the
-    // "identical to snapshotAtOps(...).filter(...)" contract
+    // "identical to snapshotAtOps(...).filter(...)" contract.
+    // COLUMN MAPPING never reaches this path: key columns refuse to
+    // rename/drop (resolveMappedColumn), so a probe-able stats
+    // column's logical and physical spellings coincide by
+    // construction — "a renamed stats column" is an unreachable
+    // state, closed at the rename verb, not translated here. The
+    // RECORDING surface (writeCommitStatsMulti / CALL analyze) does
+    // resolve logical spellings for non-key audit columns.
     windows.foreach(w => require(keys.contains(w.statsCol),
       s"statsCol ${w.statsCol} must be one of the key columns " +
         s"[${keys.mkString(", ")}] — a non-key stats column changes " +

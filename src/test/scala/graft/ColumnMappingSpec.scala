@@ -222,6 +222,18 @@ class ColumnMappingSpec extends SparkSpec {
     assert(dirs.nonEmpty &&
       !dirs.contains(s"${Changelog.CommitCol}=2"),
       s"the lookup must prune the disjoint commit, read ${dirs.toSeq}")
+    // the RECORDING surface speaks the logical namespace: stats for
+    // a renamed audit column by its LOGICAL spelling land under the
+    // PHYSICAL name (the namespace the marker format records); an
+    // unknown name still refuses
+    spark.sql("ALTER TABLE cmspec6.t RENAME COLUMN note TO label")
+    Changelog.writeCommitStatsMulti(spark, path, 0L, Seq("k", "label"))
+    val st = Changelog.commitColumnStats(path)(0L)
+    assert(st.contains("note") && !st.contains("label"),
+      s"logical stats spellings must record physically, got ${st.keys}")
+    assert(st("note").isInstanceOf[Changelog.StringColStats])
+    assert(scala.util.Try(Changelog.writeCommitStatsMulti(
+      spark, path, 0L, Seq("nope"))).isFailure)
   }
 
   test("evolved logs read the union WITHOUT a mergeSchema flag — the " +
