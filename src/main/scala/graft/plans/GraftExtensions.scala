@@ -213,5 +213,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftSqlFunctions.entries.foreach(e => ext.injectFunction(e))
     GraftSqlFunctions.tableEntries.foreach(e => ext.injectTableFunction(e))
     ext.injectPreCBORule(ResolveGraftLog.apply)
+    // ALTER TABLE … ADD CONSTRAINT … CHECK over changelog tables:
+    // Spark's exec validates by executing the scan child, which this
+    // table cannot serve — the strategy swaps in the engine's own
+    // add-constraint command (see GraftConstraintStrategy)
+    ext.injectPlannerStrategy(GraftConstraintStrategy.apply)
   }
 }

@@ -80,6 +80,14 @@ case class ResolveGraftLog(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewrite(plan: LogicalPlan, seen: Seen): LogicalPlan = plan match {
     case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable =>
       d
+    // ALTER TABLE … ADD CONSTRAINT … CHECK: the child is Spark's
+    // validation query over the table relation — left whole, because
+    // the graft PLANNER strategy replaces the entire command with the
+    // engine's own add-constraint exec (which validates through the
+    // library's resolved plan; a spliced child here would leave the
+    // command shape unplannable by any strategy)
+    case a: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint =>
+      a
     // filter sits on the relation (optionally through the column-prune
     // projection ColumnPruning inserts): route through stats skipping
     case f @ Filter(cond, child) if graftUnder(child).isDefined =>

@@ -1470,6 +1470,74 @@ object TableFormatQueries {
         col("old_price"), col("change_type"))
     }),
 
+    // TABLE CHECK CONSTRAINTS — Delta's constraint discipline at the
+    // SQL prompt: `ALTER TABLE … ADD CONSTRAINT <n> CHECK (<expr>)`
+    // lands ONE properties commit + one marker (never a data
+    // operation beyond the one-time validation of existing rows), and
+    // the predicate then guards EVERY write. Refusal legs in-query: a
+    // constraint the existing rows violate refuses at ADD; a
+    // violating INSERT and a violating UPDATE refuse loudly and land
+    // NOTHING (head pinned before/after); DELETE stays exempt (a
+    // tombstone names a row, it does not write one). DROP CONSTRAINT
+    // stops enforcement — the formerly-refused row then lands. The
+    // final snapshot is the closed form the oracle recomputes.
+    "q260_sql_check_constraints" -> ((s, d) => {
+      val loc = Sinks.tmpPathFor("orders_check_q260", d)
+      s.conf.set("spark.sql.catalog.glog",
+        classOf[GraftLogCatalog].getName)
+      s.sql("DROP TABLE IF EXISTS glog.orders_check_q260")
+      Sinks.deleteRecursively(loc)
+      AuditQueries.opsOrders(s, d)
+        .createOrReplaceTempView("orders_src_q260")
+      s.sql(s"""CREATE TABLE glog.orders_check_q260 (
+               |  o_orderkey BIGINT, o_totalprice DOUBLE, status STRING)
+               |LOCATION '$loc'
+               |TBLPROPERTIES ('keys' = 'o_orderkey')""".stripMargin)
+      s.sql("INSERT INTO glog.orders_check_q260 " +
+        "SELECT o_orderkey, o_totalprice, 'ok' FROM orders_src_q260 " +
+        "WHERE o_orderkey % 3 = 0")
+      s.sql("ALTER TABLE glog.orders_check_q260 " +
+        "ADD CONSTRAINT price_nonneg CHECK (o_totalprice >= 0)")
+      require(Changelog.commitInfos(loc).values
+          .count(_._1 == "add_constraint") == 1,
+        "ADD CONSTRAINT must land ONE properties commit")
+      // a constraint the existing rows violate refuses at ADD
+      require(scala.util.Try(s.sql(
+          "ALTER TABLE glog.orders_check_q260 " +
+            "ADD CONSTRAINT no_ok CHECK (status <> 'ok')")).isFailure,
+        "a constraint violated by existing rows must refuse at ADD")
+      // a violating INSERT refuses loudly and lands nothing
+      val headBefore = Changelog.commitInfos(loc).keys.max
+      require(scala.util.Try(s.sql(
+          "INSERT INTO glog.orders_check_q260 " +
+            "VALUES (2000000002, -5.0, 'bad')")).isFailure,
+        "a violating INSERT must refuse loudly")
+      require(Changelog.commitInfos(loc).keys.max == headBefore,
+        "a refused INSERT must land nothing")
+      s.sql("INSERT INTO glog.orders_check_q260 " +
+        "SELECT o_orderkey, o_totalprice + 5000.0, 'late' " +
+        "FROM orders_src_q260 WHERE o_orderkey % 2 = 0")
+      // a violating UPDATE refuses (Spark's own CheckInvariant over
+      // the row-level delta); the head stays pinned
+      val headBefore2 = Changelog.commitInfos(loc).keys.max
+      require(scala.util.Try(s.sql(
+          "UPDATE glog.orders_check_q260 SET o_totalprice = -1.0 " +
+            "WHERE o_orderkey % 30 = 0")).isFailure,
+        "a violating UPDATE must refuse loudly")
+      require(Changelog.commitInfos(loc).keys.max == headBefore2,
+        "a refused UPDATE must land nothing")
+      // DELETE is exempt — a tombstone names a row, never writes one
+      s.sql("DELETE FROM glog.orders_check_q260 WHERE o_orderkey % 7 = 0")
+      // DROP CONSTRAINT stops enforcement
+      s.sql("ALTER TABLE glog.orders_check_q260 " +
+        "DROP CONSTRAINT price_nonneg")
+      require(Changelog.checkConstraints(loc).isEmpty,
+        "DROP CONSTRAINT must clear the marker")
+      s.sql("INSERT INTO glog.orders_check_q260 " +
+        "VALUES (2000000001, -1.0, 'neg')")
+      s.sql("SELECT * FROM glog.orders_check_q260")
+    }),
+
     // COLUMN MAPPING — `ALTER TABLE … RENAME COLUMN` / `DROP COLUMN`
     // as METADATA (Delta's columnMapping discipline on this format's
     // marker primitive): each verb is one empty commit + one mapping
@@ -2156,6 +2224,22 @@ object TableFormatQueries {
         |       ELSE 'insert' END AS change_type
         |FROM orders
         |WHERE o_orderkey % 9 = 0""".stripMargin,
+
+    // the constrained closed form: mod-3 'ok' base ∪ mod-2 'late'
+    // (+5000, LWW over the mod-6 overlap), minus the exempt mod-7
+    // delete, plus the post-drop negative row — every refused write
+    // contributed NOTHING
+    "q260_sql_check_constraints" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 5000.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN 'late'
+        |       ELSE 'ok' END AS status
+        |FROM orders
+        |WHERE (o_orderkey % 3 = 0 OR o_orderkey % 2 = 0)
+        |  AND o_orderkey % 7 <> 0
+        |UNION ALL
+        |SELECT 2000000001, -1.0, 'neg'""".stripMargin,
 
     // q245's live-state law verbatim — retention by the clock leaves
     // the head snapshot untouched, served from the base alone

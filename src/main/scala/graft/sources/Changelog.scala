@@ -777,21 +777,23 @@ object Changelog {
   private def landEmptySchemaCommit(spark: SparkSession, path: String,
       shape: org.apache.spark.sql.types.StructType, verb: String,
       writer: String,
-      mappingMarker: Option[ColumnMapping] = None): Long = {
+      markerFor: Option[Long => (String, String)] = None): Long = {
     val id = claimNextId(path, writer)
     val dir = LogFs.child(path, s"$CommitCol=$id")
     LogFs.delete(dir)
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), shape)
       .write.mode("overwrite").parquet(dir)
-    // the mapping marker (rename/drop verbs) lands BEFORE the info
-    // marker: a crash between the two leaves the mapping ACTIVE with
-    // a null verb in DESCRIBE HISTORY — a visible anomaly on an
+    // the verb's state marker (mapping / constraint) lands BEFORE the
+    // info marker: a crash between the two leaves the state ACTIVE
+    // with a null verb in DESCRIBE HISTORY — a visible anomaly on an
     // already-recognized state (commits without info read fine) —
     // never the inverse (a recorded 'rename_column' whose mapping
     // silently never changed, which no reader could detect)
-    mappingMarker.foreach(m => LogFs.writeAtomic(
-      LogFs.child(path, s"$MappingPrefix$id"), serializeMapping(m)))
+    markerFor.foreach { f =>
+      val (name, content) = f(id)
+      LogFs.writeAtomic(LogFs.child(path, name), content)
+    }
     writeCommitInfo(path, id, verb, writer)
     id
   }
@@ -1046,7 +1048,8 @@ object Changelog {
     val next = m.copy(renames = renamed)
     landEmptySchemaCommit(spark, path,
       org.apache.spark.sql.types.StructType(union), "rename_column",
-      writer, mappingMarker = Some(next))
+      writer, markerFor = Some(id =>
+        (s"$MappingPrefix$id", serializeMapping(next))))
   }
 
   /** DROP COLUMN as metadata: one empty commit (verb `drop_column`)
@@ -1072,7 +1075,176 @@ object Changelog {
     val next = ColumnMapping(m.renames - physical, m.dropped + physical)
     landEmptySchemaCommit(spark, path,
       org.apache.spark.sql.types.StructType(union), "drop_column",
-      writer, mappingMarker = Some(next))
+      writer, markerFor = Some(id =>
+        (s"$MappingPrefix$id", serializeMapping(next))))
+  }
+
+  // ---- Table CHECK constraints ---------------------------------------
+  //
+  // Delta's constraint discipline on this format's marker primitive:
+  // `_graft_check_<name>` carries one constraint's predicate SQL
+  // (spoken in the table's CURRENT LOGICAL column names), and adding/
+  // dropping one is an empty properties commit (verbs
+  // `add_constraint`/`drop_constraint` in DESCRIBE HISTORY) plus the
+  // marker — never a data operation beyond the one-time validation of
+  // existing rows at ADD time. Enforcement is everywhere a row can
+  // land:
+  //  - SQL writes (INSERT / UPDATE / MERGE / df.writeTo) ride Spark's
+  //    OWN analyzer rule — LogTable.constraints() surfaces these as
+  //    enforced Check constraints and ResolveTableConstraints injects
+  //    the CheckInvariant filter into every V2WriteCommand/WriteDelta;
+  //  - library verbs (commit/commitUpsert/commitIdempotent/
+  //    commitWithRetry/restore) wrap the delta in
+  //    [[withConstraintChecks]] — a guard PROJECTION inside the write
+  //    job itself (raise_error on violation: no second scan, the
+  //    write fails before landing a file);
+  //  - streaming epochs validate their staged files at the driver's
+  //    epoch commit, BEFORE any rename lands them.
+  // Null semantics are SQL CHECK semantics: a predicate evaluating to
+  // NULL passes. Tombstones (`_op = 'd'`, data columns all null) are
+  // EXEMPT — a delete names a row, it does not write one. Maintenance
+  // folds are pure rewrites of already-validated state and skip the
+  // guard. RESTORE validates: rolling back to data that predates the
+  // constraint refuses loudly (drop the constraint first) — stricter
+  // than Delta's RESTORE, which silently resurrects violating rows.
+
+  private[graft] val ConstraintPrefix = "_graft_check_"
+
+  /** The log's CHECK constraints: name → predicate SQL (logical
+    * column names). One marker listing + one tiny content read per
+    * constraint — only ever paid on logs that declared one.
+    */
+  def checkConstraints(path: String): Map[String, String] =
+    LogFs.list(path)
+      .filter(s => s.isFile &&
+        s.getPath.getName.startsWith(ConstraintPrefix))
+      .map { s =>
+        val parts = LogFs.readString(s.getPath.toString).split("\n", 2)
+        require(parts.headOption.contains("v1") && parts.length == 2,
+          s"unrecognized constraint marker format in ${s.getPath}")
+        (s.getPath.getName.stripPrefix(ConstraintPrefix), parts(1))
+      }.toMap
+
+  /** ADD CONSTRAINT <name> CHECK (<predicateSql>): validates the
+    * predicate against the current LOGICAL schema AND the existing
+    * rows (head snapshot — Delta's ADD CONSTRAINT discipline: a
+    * constraint the data already violates refuses, naming the count),
+    * then lands one empty properties commit + the marker. Returns the
+    * landed commit id.
+    */
+  def addCheckConstraint(spark: SparkSession, path: String,
+      keys: Seq[String], name: String, predicateSql: String,
+      writer: String = SoloWriter, validated: Boolean = false): Long = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"constraint name '$name' must use only [A-Za-z0-9._-] — it " +
+        "names the on-disk marker")
+    require(predicateSql.trim.nonEmpty, "empty CHECK predicate")
+    require(!checkConstraints(path).contains(name),
+      s"constraint $name already exists on $path — DROP it first")
+    val head = headVersion(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path has no commits — create the log before constraining it"))
+    // resolve against the LOGICAL head frame: unknown/reserved names
+    // and type errors refuse here, loudly, before anything lands
+    val snap = applyMapping(
+      if (isOpsLog(spark, path))
+        snapshotAtOpsEvolved(spark, path, keys, head)
+      else snapshotAtEvolved(spark, path, keys, head),
+      currentMapping(path))
+    val pred = org.apache.spark.sql.functions.expr(predicateSql)
+    require(snap.select(pred.cast("boolean")).schema.head.dataType ==
+      org.apache.spark.sql.types.BooleanType, // analysis forced here
+      s"CHECK ($predicateSql) is not a boolean predicate")
+    // `validated = true` (the SQL path: AddCheckConstraintExec already
+    // ran the violation count against the resolved snapshot) skips
+    // the data scan — the schema/type resolution above still ran
+    if (!validated) {
+      val violating = snap.filter(!coalesce(pred, lit(true))).count()
+      require(violating == 0L,
+        s"cannot ADD CONSTRAINT $name CHECK ($predicateSql) on $path " +
+          s"— $violating existing row(s) violate it")
+    }
+    val union = spark.read.option("mergeSchema", "true").parquet(path)
+      .schema.fields.filter(_.name != CommitCol)
+    landEmptySchemaCommit(spark, path,
+      org.apache.spark.sql.types.StructType(union), "add_constraint",
+      writer, markerFor = Some(_ =>
+        (s"$ConstraintPrefix$name", s"v1\n$predicateSql")))
+  }
+
+  /** DROP CONSTRAINT: removes the marker (enforcement stops), then
+    * records the verb as an empty commit — effect before record, like
+    * every state verb here (a crash between the two leaves a dropped
+    * constraint with no history line, never a recorded drop that
+    * still enforces). Returns the landed commit id.
+    */
+  def dropCheckConstraint(spark: SparkSession, path: String,
+      name: String, writer: String = SoloWriter): Long = {
+    require(checkConstraints(path).contains(name),
+      s"no constraint named $name on $path — declared: " +
+        s"[${checkConstraints(path).keys.toSeq.sorted.mkString(", ")}]")
+    LogFs.delete(LogFs.child(path, s"$ConstraintPrefix$name"))
+    val union = spark.read.option("mergeSchema", "true").parquet(path)
+      .schema.fields.filter(_.name != CommitCol)
+    landEmptySchemaCommit(spark, path,
+      org.apache.spark.sql.types.StructType(union), "drop_constraint",
+      writer)
+  }
+
+  /** Wrap a PHYSICAL-name delta in the log's constraint guards: each
+    * row either passes every CHECK (null = pass, SQL semantics), is a
+    * tombstone (exempt), or THROWS inside the write job itself —
+    * raise_error in a guard projection, so enforcement adds no second
+    * scan and no file lands. Constraint predicates speak LOGICAL
+    * names; their column references translate to the delta's physical
+    * spelling here. Zero-cost on unconstrained logs (one listing).
+    */
+  private[graft] def withConstraintChecks(delta: DataFrame,
+                                          path: String): DataFrame = {
+    val cs = checkConstraints(path)
+    if (cs.isEmpty) return delta
+    val m = currentMapping(path)
+      .getOrElse(ColumnMapping(Map.empty, Set.empty))
+    // guard in the LOGICAL namespace (the predicates' own): rename
+    // every present column logical-ward, filter, rename back — two
+    // pure projections bracketing the guard, zero shuffle, and
+    // `expr(sql)` resolves the predicate exactly as the SQL surface
+    // would (dropped columns, if a legacy delta still carries one,
+    // pass through under their physical spelling — unreferencable by
+    // any predicate, never lost)
+    val logical = delta.select(delta.columns.map(c =>
+      col(c).as(m.logicalOf(c))).toIndexedSeq: _*)
+    val exempt =
+      if (logical.columns.contains(OpCol)) col(OpCol) === "d"
+      else lit(false)
+    val rowJson = org.apache.spark.sql.functions.to_json(
+      org.apache.spark.sql.functions.struct(
+        logical.columns.filterNot(_ == OpCol).map(col).toIndexedSeq: _*))
+    val guards = cs.toSeq.sortBy(_._1).map { case (name, sql) =>
+      val pred = org.apache.spark.sql.functions.expr(sql)
+      when(exempt || coalesce(pred, lit(true)), lit(true))
+        .otherwise(org.apache.spark.sql.functions.raise_error(
+          org.apache.spark.sql.functions.concat(
+            lit(s"CHECK constraint $name ($sql) violated by row: "),
+            coalesce(rowJson, lit("<row>")))).cast("boolean"))
+    }
+    logical.filter(guards.reduce(_ && _))
+      .select(delta.columns.map(c =>
+        col(m.logicalOf(c)).as(c)).toIndexedSeq: _*)
+  }
+
+  /** Driver-side validation of a streaming epoch's STAGED files
+    * before any of them land — the stream-sink leg of constraint
+    * enforcement (the epoch's rows exist only as staged parquet by
+    * the time the driver commits it). One read of the epoch's own
+    * files, only on constrained logs.
+    */
+  private[graft] def validateStagedConstraints(spark: SparkSession,
+      path: String, stagedFiles: Seq[String]): Unit = {
+    if (stagedFiles.isEmpty || checkConstraints(path).isEmpty) return
+    val staged = spark.read.parquet(stagedFiles: _*)
+    // the guard throws inside the count job on the first violation
+    withConstraintChecks(staged, path).count(): Unit
   }
 
   /** [[commit]] with the verb the info marker records — the internal
@@ -1086,7 +1258,7 @@ object Changelog {
       s"Changelog reserves column name $CommitCol; rename it on the input")
     requireMatchingShape(delta, path)
     claimCommit(path, commitId, writer)
-    appendCommit(delta, path, commitId)
+    appendCommit(withConstraintChecks(delta, path), path, commitId)
     writeCommitInfo(path, commitId, verb, writer)
   }
 
@@ -1113,7 +1285,8 @@ object Changelog {
       s"Changelog reserves column name $CommitCol; rename it on the input")
     requireMatchingShape(delta, path)
     claimCommit(path, commitId, writer)
-    overwriteCommit(delta, path, commitId, alsoPartitionBy)
+    overwriteCommit(withConstraintChecks(delta, path), path, commitId,
+      alsoPartitionBy)
     writeCommitInfo(path, commitId, "append", writer)
   }
 
@@ -1241,7 +1414,7 @@ object Changelog {
         // namespace — a shared-root append would collide in the
         // committer's `_temporary/0` under exactly the concurrency
         // this method exists for
-        delta.write.mode("overwrite")
+        withConstraintChecks(delta, path).write.mode("overwrite")
           .parquet(LogFs.child(path, s"$CommitCol=$target"))
         writeCommitInfo(path, target, "occ-append", writer)
         return target

@@ -350,6 +350,28 @@ object GraftLog {
       (base ++ coord).asJava
     }
 
+    /** The log's CHECK constraints surfaced through the DSv2 contract
+      * — Spark's OWN analyzer rule (ResolveTableConstraints) then
+      * injects the CheckInvariant guard into every SQL write
+      * (INSERT / UPDATE / MERGE / df.writeTo), so the enforced-
+      * constraint discipline needs no engine-side hook on those
+      * paths. Always enforced, always validated (ADD CONSTRAINT
+      * validates existing rows before landing). Feed tables carry
+      * none (a derived read surface).
+      */
+    override def constraints()
+        : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+      if (opts.readChangeFeed) Array.empty
+      else Changelog.checkConstraints(opts.path).toSeq.sortBy(_._1)
+        .map { case (n, sql) =>
+          org.apache.spark.sql.connector.catalog.constraints.Constraint
+            .check(n).predicateSql(sql).enforced(true)
+            .validationStatus(org.apache.spark.sql.connector.catalog
+              .constraints.Constraint.ValidationStatus.VALID)
+            .build()
+            : org.apache.spark.sql.connector.catalog.constraints.Constraint
+        }.toArray
+
     /** The table schema — the resolved plan's, with KEY columns marked
       * non-nullable on snapshot reads: a key is the log's row identity
       * (the LWW compaction groups by it; a null key has no meaning in

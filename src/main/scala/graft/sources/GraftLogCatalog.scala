@@ -67,6 +67,18 @@ class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
 
   override def name(): String = catName
 
+  // SUPPORT_TABLE_CONSTRAINT admits `ALTER TABLE … ADD CONSTRAINT
+  // <n> CHECK (<expr>)` / `DROP CONSTRAINT` through Spark's own
+  // analysis (AddCheckConstraintExec validates the existing rows
+  // against the resolved snapshot plan, then hands the VALID
+  // constraint to alterTable below)
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] = {
+    import scala.jdk.CollectionConverters._
+    Set(org.apache.spark.sql.connector.catalog.TableCatalogCapability
+      .SUPPORT_TABLE_CONSTRAINT).asJava
+  }
+
   private def confKey(ident: Identifier, leaf: String): String = {
     val tbl = (ident.namespace() :+ ident.name()).mkString(".")
     s"spark.sql.catalog.$catName.log.$tbl.$leaf"
@@ -531,13 +543,19 @@ class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
     val renames = changes.collect {
       case r: TableChange.RenameColumn => r }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    val addCs = changes.collect {
+      case c: TableChange.AddConstraint => c }
+    val dropCs = changes.collect {
+      case c: TableChange.DropConstraint => c }
     changes.foreach {
       case _: TableChange.AddColumn | _: TableChange.RenameColumn |
-           _: TableChange.DeleteColumn => ()
+           _: TableChange.DeleteColumn | _: TableChange.AddConstraint |
+           _: TableChange.DropConstraint => ()
       case other =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE $catName.$ident: only ADD COLUMNS / RENAME " +
-            s"COLUMN / DROP COLUMN are supported — " +
+            s"COLUMN / DROP COLUMN / ADD CONSTRAINT … CHECK / DROP " +
+            s"CONSTRAINT are supported — " +
             s"${other.getClass.getSimpleName} would rewrite the " +
             "schema out from under the pinned commit footers (a " +
             "retype is a NEW table; land a fresh log and backfill)")
@@ -546,9 +564,43 @@ class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
     // change list (Spark resolves the IF EXISTS at analysis) — a
     // clean no-op, no commit
     if (changes.isEmpty) return loadTable(ident)
-    require(Seq(adds, renames, drops).count(_.nonEmpty) == 1,
+    require(Seq(adds, renames, drops, addCs, dropCs)
+        .count(_.nonEmpty) == 1,
       s"ALTER TABLE $catName.$ident: one schema verb per statement")
-    if (adds.nonEmpty) {
+    if (addCs.nonEmpty) {
+      require(addCs.length == 1,
+        s"ALTER TABLE $catName.$ident: one ADD CONSTRAINT per statement")
+      addCs.head.constraint() match {
+        case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          require(chk.predicateSql() != null &&
+            chk.predicateSql().trim.nonEmpty,
+            s"ADD CONSTRAINT ${chk.name()}: no predicate SQL")
+          // AddCheckConstraintExec already validated existing rows
+          // against the resolved snapshot plan (status VALID);
+          // revalidate only when the status says otherwise
+          Changelog.addCheckConstraint(spark, opts.path, opts.keys,
+            chk.name(), chk.predicateSql(),
+            validated = chk.validationStatus() ==
+              org.apache.spark.sql.connector.catalog.constraints
+                .Constraint.ValidationStatus.VALID)
+        case other =>
+          throw new UnsupportedOperationException(
+            s"ALTER TABLE $catName.$ident ADD CONSTRAINT " +
+              s"${other.name()}: only CHECK constraints are " +
+              "enforceable on a changelog (PRIMARY KEY/UNIQUE/" +
+              "FOREIGN KEY are informational in every lakehouse " +
+              "format and the key set already lives in the " +
+              "registration)")
+      }
+    } else if (dropCs.nonEmpty) {
+      require(dropCs.length == 1,
+        s"ALTER TABLE $catName.$ident: one DROP CONSTRAINT per statement")
+      val d = dropCs.head
+      val missing = !Changelog.checkConstraints(opts.path)
+        .contains(d.name())
+      if (!(d.ifExists() && missing))
+        Changelog.dropCheckConstraint(spark, opts.path, d.name())
+    } else if (adds.nonEmpty) {
       val fields = adds.map { a =>
         require(a.fieldNames().length == 1,
           s"ADD COLUMNS ${a.fieldNames().mkString(".")} — only " +

@@ -314,6 +314,13 @@ object LogSink {
           id
         }
       val staged = messages.collect { case StagedFile(f) => f }
+      // CHECK constraints: validate the epoch's staged files BEFORE
+      // any rename lands them — a violating epoch fails loudly here
+      // and nothing lands (one read of the epoch's own files, only on
+      // constrained logs)
+      Changelog.validateStagedConstraints(
+        org.apache.spark.sql.SparkSession.active, path,
+        staged.toIndexedSeq)
       val dir = LogFs.child(path, s"${Changelog.CommitCol}=$commitId")
       // replace-don't-append: a redelivered epoch overwrites any
       // complete or partial earlier attempt (the commitIdempotent
