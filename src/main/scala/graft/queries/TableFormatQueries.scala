@@ -1538,6 +1538,58 @@ object TableFormatQueries {
       s.sql("SELECT * FROM glog.orders_check_q260")
     }),
 
+    // EVERY VERB SPEAKS TIME — `CALL glog.system.restore_at(t, '<ts>',
+    // n)` / `clone_at(t, '<ts>', dest)` complete the commit-clock
+    // story (q190 stamps → q243 TVF → q254 vacuum_at → now restore
+    // and clone): the instant resolves through versionAtTimestamp
+    // (latest stamp ≤ t) and the versioned verb runs with every
+    // guard. Refusal legs in-query: an instant before the first
+    // stamp, and a restore whose new_version is not above the head.
+    // The clone at the same instant must equal the restored head
+    // exactly (in-query symmetric-difference require); the final
+    // snapshot is the as-of-2.5s law (q213's oracle verbatim).
+    "q261_sql_restore_clone_by_timestamp" -> ((s, d) => {
+      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q261")
+      Changelog.stampCommit(path, 0L, 1000L)
+      Changelog.stampCommit(path, 1L, 2000L)
+      Changelog.stampCommit(path, 2L, 3000L)
+      s.conf.set("spark.sql.catalog.glog",
+        classOf[GraftLogCatalog].getName)
+      GraftLogCatalog.register(s, "glog", "orders_ops_q261", path,
+        Seq("o_orderkey"))
+      // an instant before the log's first stamp refuses
+      require(scala.util.Try(s.sql(
+          "CALL glog.system.restore_at('orders_ops_q261', " +
+            "'1970-01-01 00:00:00.500', 3)").collect()).isFailure,
+        "an instant before the first stamp must refuse loudly")
+      // a restore landing at/below the head refuses (versions are the
+      // order of history; a restore is one more commit on top)
+      require(scala.util.Try(s.sql(
+          "CALL glog.system.restore_at('orders_ops_q261', " +
+            "'1970-01-01 00:00:02.500', 2)").collect()).isFailure,
+        "restore_at must land as a NEW commit above the head")
+      // the clone at 2.5s is the as-of state, branched zero-copy
+      val dest = Sinks.tmpPathFor("orders_clone_q261", d)
+      Sinks.deleteRecursively(dest)
+      s.sql("CALL glog.system.clone_at('orders_ops_q261', " +
+        s"'1970-01-01 00:00:02.500', '$dest')").collect()
+      // the restore to the same instant lands as commit 3
+      s.sql("CALL glog.system.restore_at('orders_ops_q261', " +
+        "'1970-01-01 00:00:02.500', 3)").collect()
+      GraftLogCatalog.register(s, "glog", "orders_clone_q261", dest,
+        Seq("o_orderkey"))
+      val restored = s.sql("SELECT * FROM glog.orders_ops_q261")
+      val cloned = s.sql("SELECT * FROM glog.orders_clone_q261")
+      require(restored.exceptAll(cloned).isEmpty &&
+        cloned.exceptAll(restored).isEmpty,
+        "the clock-addressed clone and the clock-addressed restore " +
+          "must serve the identical state")
+      // history stays fully readable below the restore
+      require(s.sql("SELECT * FROM glog.orders_ops_q261 VERSION AS OF 2")
+        .count() > 0, "history below a restore must stay readable")
+      restored
+    }),
+
     // COLUMN MAPPING — `ALTER TABLE … RENAME COLUMN` / `DROP COLUMN`
     // as METADATA (Delta's columnMapping discipline on this format's
     // marker primitive): each verb is one empty commit + one mapping
@@ -2253,6 +2305,15 @@ object TableFormatQueries {
         |WHERE o_orderkey % 4 = 3
         |   OR o_orderkey % 10 <> 0
         |   OR o_orderkey % 20 = 0""".stripMargin,
+
+    // the as-of-2.5s (commit-1) law: the base upsert minus the mod-10
+    // delete, at base prices — the clock-addressed restore rolls the
+    // head back to it (and the clone served the identical frame,
+    // required in-query)
+    "q261_sql_restore_clone_by_timestamp" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 4 <> 3 AND o_orderkey % 10 <> 0""".stripMargin,
 
     // the mapped closed form: keys from either insert; even keys carry
     // the post-rename insert's values (+10000 — LWW over the mod-6

@@ -320,6 +320,36 @@ class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
           Changelog.restoreOps(s, o.path, o.keys, in.getLong(1), v)
           v
         })
+      // RESTORE BY THE CLOCK — `CALL glog.system.restore_at(t, '<ts>',
+      // n)`: the instant resolves through versionAtTimestamp (latest
+      // stamp ≤ t, the q243/q254 law) and the versioned restore runs
+      // with every guard (above-horizon target, new commit above the
+      // head, O(changed-keys) diff)
+      case "restore_at" => new MaintenanceProcedure("restore_at",
+        Seq(inParam("table", DataTypes.StringType),
+          inParam("as_of_timestamp", DataTypes.StringType),
+          inParam("new_version", DataTypes.LongType)),
+        (s, o, in) => {
+          val t = Changelog.parseUtcTimestamp(
+            in.getUTF8String(1).toString, "restore_at as_of_timestamp")
+          val v = Changelog.versionAtTimestamp(o.path, t)
+          val nv = in.getLong(2)
+          Changelog.restoreOps(s, o.path, o.keys, v, nv)
+          nv
+        })
+      // CLONE BY THE CLOCK — same resolution, then the zero-copy
+      // branch verb with its horizon-race guard
+      case "clone_at" => new MaintenanceProcedure("clone_at",
+        Seq(inParam("table", DataTypes.StringType),
+          inParam("as_of_timestamp", DataTypes.StringType),
+          inParam("dest_path", DataTypes.StringType)),
+        (s, o, in) => {
+          val t = Changelog.parseUtcTimestamp(
+            in.getUTF8String(1).toString, "clone_at as_of_timestamp")
+          val v = Changelog.versionAtTimestamp(o.path, t)
+          Changelog.cloneAt(s, o.path, in.getUTF8String(2).toString, v)
+          v
+        })
       case "optimize_zorder" => new MaintenanceProcedure("optimize_zorder",
         Seq(inParam("table", DataTypes.StringType),
           inParam("version", DataTypes.LongType),
@@ -423,16 +453,17 @@ class GraftLogCatalog extends TableCatalog with ProcedureCatalog {
       case other => throw new IllegalArgumentException(
         s"unknown procedure $catName.system.$other — available: " +
           "checkpoint, checkpoint_clustered, optimize, optimize_string, " +
-          "optimize_zorder, restore, clone, analyze, vacuum, " +
-          "vacuum_at, resolve_txn")
+          "optimize_zorder, restore, restore_at, clone, clone_at, " +
+          "analyze, vacuum, vacuum_at, resolve_txn")
     }
   }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("checkpoint", "checkpoint_clustered", "optimize",
-          "optimize_string", "optimize_zorder", "restore", "clone",
-          "analyze", "vacuum", "vacuum_at", "resolve_txn")
+          "optimize_string", "optimize_zorder", "restore", "restore_at",
+          "clone", "clone_at", "analyze", "vacuum", "vacuum_at",
+          "resolve_txn")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 
