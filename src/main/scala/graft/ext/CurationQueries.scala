@@ -272,6 +272,23 @@ object CurationQueries {
                 col("doc_id").cast("string")))).as("text")),
         "doc_id", "text", maxDocFreq = 1)),
 
+    // PARAGRAPH-granularity boilerplate removal — the same repeated-
+    // unit law at RefinedWeb's granularity (`\n\n`-delimited
+    // paragraphs instead of C4's lines): a MULTI-LINE cookie banner
+    // repeats verbatim across every page — invisible to line dedup
+    // when its individual lines also occur legitimately, but one
+    // repeated UNIT at paragraph granularity. Same identity/
+    // frequency/reassembly kernel, one delimiter knob.
+    "q262_paragraph_dedup" -> ((s, d) =>
+      Dedup.lineDedup(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat_ws("\n\n", col("text"),
+            lit("cookie notice\nwe use cookies on this site"),
+            when(col("doc_id") % 3 === 0, lit("promoted content"))
+              .otherwise(concat(lit("local tail "),
+                col("doc_id").cast("string")))).as("text")),
+        "doc_id", "text", maxDocFreq = 1, delimiter = "\n\n")),
+
     // fastText-style linear quality scorer (the model half of public
     // curation — q250 is the rule half): hashed bag-of-words dot
     // product against a broadcast 256-bucket integer weight table,
@@ -656,6 +673,37 @@ object CurationQueries {
       |  FROM (SELECT DISTINCT doc_id, lh FROM h) GROUP BY lh)
       |SELECT doc_id,
       |  COALESCE(string_agg(line, chr(10) ORDER BY pos)
+      |    FILTER (WHERE df <= 1), '') AS dedup_text,
+      |  CAST(COUNT(*) FILTER (WHERE df <= 1) AS BIGINT) AS n_kept,
+      |  CAST(COUNT(*) FILTER (WHERE df > 1) AS BIGINT) AS n_dropped
+      |FROM h JOIN freq USING (lh)
+      |GROUP BY doc_id""".stripMargin
+
+  /** Paragraph-granularity twin of [[lineDedupSql]]: the unit is the
+    * `\n\n`-delimited paragraph and survivors rejoin with the same
+    * delimiter — otherwise the identical df law.
+    */
+  private val paragraphDedupSql =
+    """WITH src AS (
+      |  SELECT doc_id,
+      |    text || chr(10) || chr(10) ||
+      |    'cookie notice' || chr(10) || 'we use cookies on this site' ||
+      |    chr(10) || chr(10) ||
+      |    CASE WHEN doc_id % 3 = 0 THEN 'promoted content'
+      |         ELSE 'local tail ' || CAST(doc_id AS VARCHAR) END AS text
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(text, chr(10) || chr(10))) AS line,
+      |    unnest(range(1,
+      |      len(string_split(text, chr(10) || chr(10))) + 1)) AS pos
+      |  FROM src),
+      |h AS (SELECT doc_id, pos, line, md5(line) AS lh FROM l),
+      |freq AS (
+      |  SELECT lh, count(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, lh FROM h) GROUP BY lh)
+      |SELECT doc_id,
+      |  COALESCE(string_agg(line, chr(10) || chr(10) ORDER BY pos)
       |    FILTER (WHERE df <= 1), '') AS dedup_text,
       |  CAST(COUNT(*) FILTER (WHERE df <= 1) AS BIGINT) AS n_kept,
       |  CAST(COUNT(*) FILTER (WHERE df > 1) AS BIGINT) AS n_dropped
@@ -1169,6 +1217,7 @@ object CurationQueries {
     "q252_dsir_selection" -> dsirSql,
     "q253_linear_quality" -> linearQualitySql,
     "q255_line_dedup" -> lineDedupSql,
+    "q262_paragraph_dedup" -> paragraphDedupSql,
 
     "q139_stride_interleave" -> strideInterleaveSql,
 

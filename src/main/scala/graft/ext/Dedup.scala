@@ -574,10 +574,18 @@ object Dedup {
     * exactly the stop-shingle case above.
     */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String,
-                maxDocFreq: Int): DataFrame = {
+                maxDocFreq: Int, delimiter: String = "\n"): DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
+    require(delimiter.nonEmpty, "lineDedup needs a non-empty delimiter")
+    // `delimiter` generalizes the granularity: "\n" is C4's line law,
+    // "\n\n" is RefinedWeb's paragraph law — the unit whose verbatim
+    // repetition across documents marks boilerplate. Same identity,
+    // frequency, and reassembly machinery at every granularity; the
+    // delimiter is quoted (a literal, not a regex) and survivors
+    // rejoin with it verbatim.
     val lines = docs.select(col(idCol).as("_ld_id"),
-        posexplode(split(col(textCol), "\n", -1))
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(delimiter), -1))
           .as(Seq("_ld_pos", "_ld_line")))
       .withColumn("_ld_h", md5Hex(col("_ld_line")))
     val freq = lines.select(col("_ld_id"), col("_ld_h")).distinct()
@@ -589,7 +597,7 @@ object Dedup {
         coalesce(array_join(transform(
           array_sort(collect_list(when(keep,
             struct(col("_ld_pos"), col("_ld_line"))))),
-          x => x.getField("_ld_line")), "\n"), lit(""))
+          x => x.getField("_ld_line")), delimiter), lit(""))
           .as("dedup_text"),
         sum(when(keep, lit(1L)).otherwise(lit(0L))).as("n_kept"),
         sum(when(keep, lit(0L)).otherwise(lit(1L))).as("n_dropped"))
