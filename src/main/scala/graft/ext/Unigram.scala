@@ -1,0 +1,176 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import TextHash.tokens
+
+/** Unigram-LM (SentencePiece-style) tokenizer TRAINING — the second
+  * public tokenizer family next to BPE (Kudo 2018, arXiv:1804.10959):
+  * seed a candidate vocabulary from frequent substrings, fit a
+  * unigram language model by EM over each word's segmentation
+  * lattice, prune low-contribution pieces, iterate; the surviving
+  * scored pieces ARE the tokenizer model artifact. This
+  * implementation is the HARD-EM (Viterbi) variant in exact integer
+  * fixed point, so the trained vocabulary is bit-identical across
+  * engines and reruns:
+  *
+  *  - piece scores are MICRO-LOG longs — `round(ln((cnt + 1) /
+  *    (total + |V|)) * 1e6)` (Laplace-smoothed unigram probability;
+  *    one `ln` of one exact-double rational, the q252 DSIR
+  *    discipline) — so Viterbi path comparisons are exact integer
+  *    sums, never float accumulations;
+  *  - the E-step segments each distinct word by Viterbi DP over its
+  *    positions (ties: the larger path score, then the SMALLER piece
+  *    start — the longest-final-piece rule), and piece counts are
+  *    the path occurrences weighted by word frequency;
+  *  - the M-step rescores from those counts and PRUNES: single
+  *    characters never prune (SentencePiece's required-character
+  *    rule — every word stays segmentable), multi-character pieces
+  *    keep only the used (count > 0) top ⌈3n/4⌉ by (count desc,
+  *    piece asc) — Kudo's shrink-by-a-quarter-per-iteration
+  *    schedule on the hard-count loss.
+  *
+  * Shape at 100 TB: the corpus is touched ONCE (the word-frequency
+  * aggregation, map-side combinable — the q106 BPE discipline);
+  * everything after runs on the DISTINCT-WORD table joined against
+  * the vocabulary-bounded piece table. The Viterbi DP is UNROLLED
+  * over word positions (bounded by `maxWordLen`, checked loudly):
+  * each position is one bounded equi-join + aggregation, and the
+  * backtrack is the same number of argmax steps — never a per-row
+  * recursive UDF, never a driver loop over data rows. The only
+  * driver-side values are vocabulary sizes (bounded metadata, the
+  * Bloom-bitmap exception).
+  */
+object Unigram {
+
+  /** Train and return the final vocabulary: one row per piece —
+    * (piece, count, score_ulog), the trained model artifact. `count`
+    * is the piece's weighted occurrence count on the final Viterbi
+    * paths; `score_ulog` its micro-log unigram score.
+    */
+  def train(docs: DataFrame, textCol: String, seedMulti: Int,
+            emRounds: Int, vocabSize: Int, maxPieceLen: Int = 4,
+            maxWordLen: Int = 8): DataFrame = {
+    require(seedMulti >= 1 && emRounds >= 1 && vocabSize >= 1,
+      s"seedMulti ($seedMulti), emRounds ($emRounds) and vocabSize " +
+        s"($vocabSize) must all be >= 1")
+    require(maxPieceLen >= 2, s"maxPieceLen must be >= 2, got $maxPieceLen")
+    // ONE corpus pass: word frequencies (the weighted training set)
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    val longest = words.agg(max(length(col("w")))).head().getInt(0)
+    require(longest <= maxWordLen,
+      s"a corpus word has $longest characters > maxWordLen=" +
+        s"$maxWordLen — raise the knob (it bounds the position-" +
+        "unrolled Viterbi; SentencePiece's own trainer caps sentence " +
+        "pieces the same way)")
+    // every candidate piece occurrence: (w, i, j) half-open on
+    // 0-indexed positions, piece = w[i, j), j - i <= maxPieceLen
+    val cands = words.select(col("w"), col("freq"),
+        explode(expr(
+          s"""flatten(transform(sequence(0, length(w) - 1), i ->
+             |  transform(sequence(i + 1,
+             |      least(length(w), i + $maxPieceLen)), j ->
+             |    struct(i AS i, j AS j,
+             |      substring(w, i + 1, j - i) AS piece))))""".stripMargin))
+          .as("c"))
+      .select(col("w"), col("freq"), col("c.i").as("i"),
+        col("c.j").as("j"), col("c.piece").as("piece"))
+      .localCheckpoint()
+    // seed vocabulary: every single character (coverage) + the top
+    // `seedMulti` multi-character substrings by weighted occurrence
+    val occ = cands.groupBy("piece").agg(sum("freq").as("cnt"))
+    val seed = occ.filter(length(col("piece")) === 1).unionByName(
+      occ.filter(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece")).limit(seedMulti))
+
+    // Laplace-smoothed micro-log scores from counts — one ln of one
+    // exact rational per piece (cross-engine exact after rounding)
+    def scored(v: DataFrame): DataFrame = {
+      val tot = v.agg(sum(col("cnt")).cast("long").as("t"),
+        count(lit(1)).as("nv"))
+      v.crossJoin(broadcast(tot))
+        .withColumn("score_ulog",
+          round(log((col("cnt") + lit(1.0)) / (col("t") + col("nv")))
+            * lit(1e6)).cast("long"))
+        .select(col("piece"), col("cnt"), col("score_ulog"))
+    }
+
+    var vocab = scored(seed).localCheckpoint()
+    for (_ <- 1 to emRounds) {
+      val edges = cands
+        .join(vocab.select(col("piece"), col("score_ulog").as("sc")),
+          "piece")
+        .select(col("w"), col("i"), col("j"), col("piece"), col("sc"))
+        .localCheckpoint()
+      // FORWARD: best path score to each position, one bounded
+      // join + max per unrolled position
+      var best = words.select(col("w"), lit(0).as("pos"),
+        lit(0L).as("best"))
+      for (j <- 1 to maxWordLen) {
+        val bj = edges.filter(col("j") === j).as("e")
+          .join(best.as("b"),
+            col("e.w") === col("b.w") && col("b.pos") === col("e.i"))
+          .groupBy(col("e.w").as("w"))
+          .agg(max(col("b.best") + col("e.sc")).as("best"))
+          .select(col("w"), lit(j).as("pos"), col("best"))
+        best = best.unionByName(bj)
+        if (j % 4 == 0) best = best.localCheckpoint()
+      }
+      best = best.localCheckpoint()
+      // BACKTRACK: the argmax edge into the current position (path
+      // score desc, then smaller start = longest final piece), one
+      // window-rank step per unrolled position
+      var cursor = words.select(col("w"), length(col("w")).as("pos"))
+      var picks: DataFrame = null
+      for (t <- 1 to maxWordLen) {
+        val step = cursor.filter(col("pos") > 0).as("c")
+          .join(edges.as("e"),
+            col("e.w") === col("c.w") && col("e.j") === col("c.pos"))
+          .join(best.as("b"),
+            col("b.w") === col("c.w") && col("b.pos") === col("e.i"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("c.w"))
+              .orderBy((col("b.best") + col("e.sc")).desc, col("e.i"))))
+          .filter(col("rn") === 1)
+          .select(col("c.w").as("w"), col("e.piece").as("piece"),
+            col("e.i").as("pos"))
+        picks = if (picks == null) step
+          else picks.unionByName(step)
+        cursor = step.select(col("w"), col("pos"))
+        if (t % 4 == 0) {
+          picks = picks.localCheckpoint()
+          cursor = cursor.localCheckpoint()
+        }
+      }
+      // E-step counts: path occurrences weighted by word frequency
+      val counts = picks.join(words, "w")
+        .groupBy("piece").agg(sum("freq").as("cnt"))
+      val recounted = vocab.select("piece")
+        .join(counts, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      // M-step prune: characters always survive; used multi-char
+      // pieces keep the top ceil(3/4 of the current multi count)
+      val nMulti = vocab.filter(length(col("piece")) > 1).count()
+      val keepN = ((nMulti * 3) + 3) / 4
+      val kept = recounted.filter(length(col("piece")) === 1)
+        .unionByName(
+          recounted.filter(length(col("piece")) > 1 && col("cnt") > 0)
+            .orderBy(col("cnt").desc, col("piece"))
+            .limit(keepN.toInt))
+      vocab = scored(kept).localCheckpoint()
+    }
+    // final artifact: characters + the top multi-char pieces up to
+    // vocabSize, scored as trained
+    val nChars = vocab.filter(length(col("piece")) === 1).count()
+    vocab.filter(length(col("piece")) === 1).unionByName(
+        vocab.filter(length(col("piece")) > 1)
+          .orderBy(col("cnt").desc, col("piece"))
+          .limit(math.max(0L, vocabSize - nChars).toInt))
+      .select(col("piece"), col("cnt").as("count"), col("score_ulog"))
+  }
+}

@@ -44,6 +44,15 @@ object AuditQueries {
   // q106: merge rounds — enough to produce multi-character subwords
   // over the ~31-word corpus without exhausting pair diversity
   private val BpeRounds = 8
+
+  // unigram-LM trainer knobs (q263): seed 40 multi-char substrings,
+  // two hard-EM rounds, 40-piece budget, pieces <= 4 chars, words
+  // <= 8 chars (the corpus bound, loudly checked)
+  private val UgSeedMulti = 40
+  private val UgEmRounds = 2
+  private val UgVocabSize = 40
+  private val UgMaxPiece = 4
+  private val UgMaxWord = 8
   // q112: prefix-2 blocking over the adjective-noun part names keeps
   // blocks plural while excluding cross-first-word matches by contract
   private val FuzzyPrefixLen = 2
@@ -1020,6 +1029,20 @@ object AuditQueries {
     "q108_bpe_encode" -> ((s, d) =>
       Bpe.encode(Tables.documents(s, d), "doc_id", "text", BpeRounds)),
 
+    // Tokenizer TRAINING, the SECOND public family: unigram-LM
+    // (SentencePiece, Kudo 2018) — seed vocabulary from frequent
+    // substrings, hard-EM (Viterbi) refits in integer micro-log
+    // fixed point, shrink-by-a-quarter pruning per round (characters
+    // never prune — coverage), final truncation to the vocab budget.
+    // The scored piece table is the model artifact; the oracle
+    // unrolls the identical position-bounded DP (the q106/q113
+    // materialized-CTE discipline).
+    "q263_unigram_lm_train" -> ((s, d) =>
+      graft.ext.Unigram.train(Tables.documents(s, d), "text",
+        seedMulti = UgSeedMulti, emRounds = UgEmRounds,
+        vocabSize = UgVocabSize, maxPieceLen = UgMaxPiece,
+        maxWordLen = UgMaxWord)),
+
     // A-priori-pruned frequent term pairs with fixed-point PMI: the
     // collocation/association-mining step after the q92 vocabulary.
     "q94_frequent_pairs" -> ((s, d) => {
@@ -1291,6 +1314,124 @@ object AuditQueries {
        |FROM tt JOIN enc USING (w)
        |WHERE length(w) > 0
        |GROUP BY doc_id""".stripMargin
+
+  /** q263 twin: the unigram-LM trainer's hard-EM rounds UNROLLED into
+    * materialized CTEs (the q106/q113 discipline). Per EM round r:
+    * edge scores (e_r = candidate substrings ∩ current vocab), the
+    * position-bounded Viterbi forward pass (b_r_j for j = 1..L, each
+    * joining the up-to-4 prior positions a ≤maxPieceLen piece can
+    * reach from), the backtrack argmax steps (s_r_t, tie-break path
+    * score desc then smaller start — the longest-final-piece rule),
+    * path counts, the shrink-by-a-quarter prune (characters exempt),
+    * and the Laplace micro-log rescore. All integer fixed point; the
+    * one float is the single `ln` per piece, rounded to micro-units
+    * (the q252 discipline).
+    */
+  private val unigramSql: String = {
+    val L = UgMaxWord
+    def fwd(r: Int): String = (1 to L).map { j =>
+      val priors = (math.max(0, j - UgMaxPiece) until j)
+        .map(i => s"SELECT * FROM b${r}_$i").mkString(" UNION ALL ")
+      s"""b${r}_$j AS MATERIALIZED (
+         |  SELECT e.w AS w, $j AS pos, max(p.best + e.sc) AS best
+         |  FROM e$r e JOIN ($priors) p
+         |    ON p.w = e.w AND p.pos = e.i
+         |  WHERE e.j = $j
+         |  GROUP BY e.w)""".stripMargin
+    }.mkString(",\n")
+    def bwd(r: Int): String = (1 to L).map { t =>
+      s"""s${r}_$t AS MATERIALIZED (
+         |  SELECT w, piece, i AS pos FROM (
+         |    SELECT c.w AS w, e.piece AS piece, e.i AS i,
+         |      row_number() OVER (PARTITION BY c.w
+         |        ORDER BY (p.best + e.sc) DESC, e.i) AS rn
+         |    FROM cur${r}_${t - 1} c
+         |    JOIN e$r e ON e.w = c.w AND e.j = c.pos
+         |    JOIN bb$r p ON p.w = c.w AND p.pos = e.i
+         |    WHERE c.pos > 0) q
+         |  WHERE rn = 1),
+         |cur${r}_$t AS (SELECT w, pos FROM s${r}_$t)""".stripMargin
+    }.mkString(",\n")
+    def emRound(r: Int): String = {
+      val prev = s"v${r - 1}"
+      val bbAll = (0 to L).map(i => s"SELECT * FROM b${r}_$i")
+        .mkString(" UNION ALL ")
+      val pkAll = (1 to L).map(t => s"SELECT w, piece FROM s${r}_$t")
+        .mkString(" UNION ALL ")
+      s"""e$r AS MATERIALIZED (
+         |  SELECT c.w, c.i, c.j, c.piece, v.sc
+         |  FROM cand c JOIN $prev v USING (piece)),
+         |b${r}_0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS best
+         |            FROM wf),
+         |${fwd(r)},
+         |bb$r AS MATERIALIZED ($bbAll),
+         |cur${r}_0 AS (SELECT w, length(w) AS pos FROM wf),
+         |${bwd(r)},
+         |pk$r AS ($pkAll),
+         |cnt$r AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+         |          FROM pk$r JOIN wf USING (w) GROUP BY piece),
+         |rc$r AS (SELECT v.piece AS piece, COALESCE(c.cnt, 0) AS cnt
+         |         FROM $prev v LEFT JOIN cnt$r c USING (piece)),
+         |keep$r AS MATERIALIZED (
+         |  SELECT piece, cnt FROM rc$r WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt,
+         |      row_number() OVER (ORDER BY cnt DESC, piece) AS rn,
+         |      (SELECT count(*) FROM $prev WHERE length(piece) > 1)
+         |        AS nm
+         |    FROM rc$r WHERE length(piece) > 1 AND cnt > 0) q
+         |  WHERE rn <= (nm * 3 + 3) // 4),
+         |v$r AS MATERIALIZED (
+         |  SELECT piece, cnt,
+         |    CAST(round(ln((cnt + 1.0) / (t + nv)) * 1e6) AS BIGINT)
+         |      AS sc
+         |  FROM keep$r,
+         |    (SELECT CAST(sum(cnt) AS BIGINT) AS t, count(*) AS nv
+         |     FROM keep$r))""".stripMargin
+    }
+    s"""WITH t0 AS (
+       |  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |  FROM documents),
+       |wf AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM t0 WHERE length(w) > 0 GROUP BY w),
+       |cand AS MATERIALIZED (
+       |  SELECT w, freq, i, j, substr(w, i + 1, j - i) AS piece
+       |  FROM wf,
+       |    (SELECT unnest(range(0, $L)) AS i) ri,
+       |    (SELECT unnest(range(1, ${L + 1})) AS j) rj
+       |  WHERE i < length(w) AND j > i AND j <= length(w)
+       |    AND j - i <= $UgMaxPiece),
+       |occ AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+       |        FROM cand GROUP BY piece),
+       |seed0 AS MATERIALIZED (
+       |  SELECT piece, cnt FROM occ WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt,
+       |      row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+       |    FROM occ WHERE length(piece) > 1) q
+       |  WHERE rn <= $UgSeedMulti),
+       |v0 AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |    CAST(round(ln((cnt + 1.0) / (t + nv)) * 1e6) AS BIGINT)
+       |      AS sc
+       |  FROM seed0,
+       |    (SELECT CAST(sum(cnt) AS BIGINT) AS t, count(*) AS nv
+       |     FROM seed0)),
+       |${(1 to UgEmRounds).map(emRound).mkString(",\n")}
+       |SELECT piece, cnt AS "count", sc AS score_ulog
+       |FROM v$UgEmRounds WHERE length(piece) = 1
+       |UNION ALL
+       |SELECT piece, cnt, sc FROM (
+       |  SELECT piece, cnt, sc,
+       |    row_number() OVER (ORDER BY cnt DESC, piece) AS rn,
+       |    (SELECT count(*) FROM v$UgEmRounds
+       |     WHERE length(piece) = 1) AS nc
+       |  FROM v$UgEmRounds WHERE length(piece) > 1) q
+       |WHERE rn <= $UgVocabSize - nc""".stripMargin
+  }
 
   /** q113 twin: the synchronous LPA rounds UNROLLED into MATERIALIZED
     * per-round CTEs (plain CTEs re-expand multiplicatively per round —
@@ -1720,6 +1861,7 @@ object AuditQueries {
         |   OR o_orderkey % 20 = 0""".stripMargin,
 
     "q106_bpe_merges" -> bpeMergesSql,
+    "q263_unigram_lm_train" -> unigramSql,
     "q108_bpe_encode" -> bpeEncodeSql,
 
     // Every event lands in exactly the two 2-hour windows starting at
