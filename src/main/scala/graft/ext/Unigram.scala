@@ -51,7 +51,96 @@ object Unigram {
     */
   def train(docs: DataFrame, textCol: String, seedMulti: Int,
             emRounds: Int, vocabSize: Int, maxPieceLen: Int = 4,
-            maxWordLen: Int = 8): DataFrame = {
+            maxWordLen: Int = 8): DataFrame =
+    trainState(docs, textCol, seedMulti, emRounds, vocabSize,
+      maxPieceLen, maxWordLen)._3
+
+  /** ENCODE under the trained tokenizer: per-document word and
+    * subword counts after unigram-LM training — q108's question
+    * (how many tokens is my corpus under the REAL trained model)
+    * asked of the second tokenizer family. One more Viterbi pass
+    * segments every DISTINCT word under the FINAL vocabulary's
+    * scores; the per-word subword table is vocabulary-bounded and
+    * broadcasts back to the token stream (the q92/q108 join shape).
+    * `subwords_per_word_ppm` is exact integer fixed point.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             seedMulti: Int, emRounds: Int, vocabSize: Int,
+             maxPieceLen: Int = 4, maxWordLen: Int = 8): DataFrame = {
+    val (words, cands, fin) = trainState(docs, textCol, seedMulti,
+      emRounds, vocabSize, maxPieceLen, maxWordLen)
+    val edges = cands
+      .join(fin.select(col("piece"), col("score_ulog").as("sc")),
+        "piece")
+      .select(col("w"), col("i"), col("j"), col("piece"), col("sc"))
+      .localCheckpoint()
+    val perWord = viterbiPicks(words, edges, maxWordLen)
+      .groupBy("w").agg(count(lit(1)).as("nsw"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(perWord), "w")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum(col("nsw")).as("n_subwords"))
+      .withColumn("subwords_per_word_ppm",
+        expr("n_subwords * 1000000L div n_words"))
+  }
+
+  /** One Viterbi segmentation pass over every distinct word under
+    * `edges` (w, i, j, piece, sc): the position-unrolled forward DP
+    * followed by the argmax backtrack; returns one row per path
+    * piece occurrence — (w, piece, pos). Shared by the EM loop and
+    * [[encode]].
+    */
+  private def viterbiPicks(words: DataFrame, edges: DataFrame,
+                           maxWordLen: Int): DataFrame = {
+    var best = words.select(col("w"), lit(0).as("pos"),
+      lit(0L).as("best"))
+    for (j <- 1 to maxWordLen) {
+      val bj = edges.filter(col("j") === j).as("e")
+        .join(best.as("b"),
+          col("e.w") === col("b.w") && col("b.pos") === col("e.i"))
+        .groupBy(col("e.w").as("w"))
+        .agg(max(col("b.best") + col("e.sc")).as("best"))
+        .select(col("w"), lit(j).as("pos"), col("best"))
+      best = best.unionByName(bj)
+      if (j % 4 == 0) best = best.localCheckpoint()
+    }
+    best = best.localCheckpoint()
+    var cursor = words.select(col("w"), length(col("w")).as("pos"))
+    var picks: DataFrame = null
+    for (t <- 1 to maxWordLen) {
+      val step = cursor.filter(col("pos") > 0).as("c")
+        .join(edges.as("e"),
+          col("e.w") === col("c.w") && col("e.j") === col("c.pos"))
+        .join(best.as("b"),
+          col("b.w") === col("c.w") && col("b.pos") === col("e.i"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("c.w"))
+            .orderBy((col("b.best") + col("e.sc")).desc, col("e.i"))))
+        .filter(col("rn") === 1)
+        .select(col("c.w").as("w"), col("e.piece").as("piece"),
+          col("e.i").as("pos"))
+      picks = if (picks == null) step else picks.unionByName(step)
+      cursor = step.select(col("w"), col("pos"))
+      if (t % 4 == 0) {
+        picks = picks.localCheckpoint()
+        cursor = cursor.localCheckpoint()
+      }
+    }
+    picks
+  }
+
+  /** The training loop's full state: (distinct words with
+    * frequencies, candidate piece occurrences, the final scored
+    * vocabulary). Shared by [[train]] (the artifact) and [[encode]]
+    * (one more segmentation pass under it).
+    */
+  private def trainState(docs: DataFrame, textCol: String,
+      seedMulti: Int, emRounds: Int, vocabSize: Int, maxPieceLen: Int,
+      maxWordLen: Int): (DataFrame, DataFrame, DataFrame) = {
     require(seedMulti >= 1 && emRounds >= 1 && vocabSize >= 1,
       s"seedMulti ($seedMulti), emRounds ($emRounds) and vocabSize " +
         s"($vocabSize) must all be >= 1")
@@ -107,47 +196,9 @@ object Unigram {
           "piece")
         .select(col("w"), col("i"), col("j"), col("piece"), col("sc"))
         .localCheckpoint()
-      // FORWARD: best path score to each position, one bounded
-      // join + max per unrolled position
-      var best = words.select(col("w"), lit(0).as("pos"),
-        lit(0L).as("best"))
-      for (j <- 1 to maxWordLen) {
-        val bj = edges.filter(col("j") === j).as("e")
-          .join(best.as("b"),
-            col("e.w") === col("b.w") && col("b.pos") === col("e.i"))
-          .groupBy(col("e.w").as("w"))
-          .agg(max(col("b.best") + col("e.sc")).as("best"))
-          .select(col("w"), lit(j).as("pos"), col("best"))
-        best = best.unionByName(bj)
-        if (j % 4 == 0) best = best.localCheckpoint()
-      }
-      best = best.localCheckpoint()
-      // BACKTRACK: the argmax edge into the current position (path
-      // score desc, then smaller start = longest final piece), one
-      // window-rank step per unrolled position
-      var cursor = words.select(col("w"), length(col("w")).as("pos"))
-      var picks: DataFrame = null
-      for (t <- 1 to maxWordLen) {
-        val step = cursor.filter(col("pos") > 0).as("c")
-          .join(edges.as("e"),
-            col("e.w") === col("c.w") && col("e.j") === col("c.pos"))
-          .join(best.as("b"),
-            col("b.w") === col("c.w") && col("b.pos") === col("e.i"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("c.w"))
-              .orderBy((col("b.best") + col("e.sc")).desc, col("e.i"))))
-          .filter(col("rn") === 1)
-          .select(col("c.w").as("w"), col("e.piece").as("piece"),
-            col("e.i").as("pos"))
-        picks = if (picks == null) step
-          else picks.unionByName(step)
-        cursor = step.select(col("w"), col("pos"))
-        if (t % 4 == 0) {
-          picks = picks.localCheckpoint()
-          cursor = cursor.localCheckpoint()
-        }
-      }
-      // E-step counts: path occurrences weighted by word frequency
+      // E-step: Viterbi path pieces (forward DP + argmax backtrack),
+      // counted weighted by word frequency
+      val picks = viterbiPicks(words, edges, maxWordLen)
       val counts = picks.join(words, "w")
         .groupBy("piece").agg(sum("freq").as("cnt"))
       val recounted = vocab.select("piece")
@@ -167,10 +218,12 @@ object Unigram {
     // final artifact: characters + the top multi-char pieces up to
     // vocabSize, scored as trained
     val nChars = vocab.filter(length(col("piece")) === 1).count()
-    vocab.filter(length(col("piece")) === 1).unionByName(
+    val fin = vocab.filter(length(col("piece")) === 1).unionByName(
         vocab.filter(length(col("piece")) > 1)
           .orderBy(col("cnt").desc, col("piece"))
           .limit(math.max(0L, vocabSize - nChars).toInt))
       .select(col("piece"), col("cnt").as("count"), col("score_ulog"))
+      .localCheckpoint()
+    (words, cands, fin)
   }
 }

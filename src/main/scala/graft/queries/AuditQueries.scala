@@ -1043,6 +1043,17 @@ object AuditQueries {
         vocabSize = UgVocabSize, maxPieceLen = UgMaxPiece,
         maxWordLen = UgMaxWord)),
 
+    // Unigram ENCODING: per-document subword counts under the q263
+    // model — q108's question asked of the second trained tokenizer
+    // family (one more vocabulary-bounded Viterbi pass under the
+    // final scores; the per-word subword table broadcasts back to
+    // the token stream, the q92/q108 join shape).
+    "q264_unigram_encode" -> ((s, d) =>
+      graft.ext.Unigram.encode(Tables.documents(s, d), "doc_id",
+        "text", seedMulti = UgSeedMulti, emRounds = UgEmRounds,
+        vocabSize = UgVocabSize, maxPieceLen = UgMaxPiece,
+        maxWordLen = UgMaxWord)),
+
     // A-priori-pruned frequent term pairs with fixed-point PMI: the
     // collocation/association-mining step after the q92 vocabulary.
     "q94_frequent_pairs" -> ((s, d) => {
@@ -1327,9 +1338,9 @@ object AuditQueries {
     * one float is the single `ln` per piece, rounded to micro-units
     * (the q252 discipline).
     */
-  private val unigramSql: String = {
+  private val unigramCtes: String = {
     val L = UgMaxWord
-    def fwd(r: Int): String = (1 to L).map { j =>
+    def fwd(r: String): String = (1 to L).map { j =>
       val priors = (math.max(0, j - UgMaxPiece) until j)
         .map(i => s"SELECT * FROM b${r}_$i").mkString(" UNION ALL ")
       s"""b${r}_$j AS MATERIALIZED (
@@ -1339,7 +1350,7 @@ object AuditQueries {
          |  WHERE e.j = $j
          |  GROUP BY e.w)""".stripMargin
     }.mkString(",\n")
-    def bwd(r: Int): String = (1 to L).map { t =>
+    def bwd(r: String): String = (1 to L).map { t =>
       s"""s${r}_$t AS MATERIALIZED (
          |  SELECT w, piece, i AS pos FROM (
          |    SELECT c.w AS w, e.piece AS piece, e.i AS i,
@@ -1363,10 +1374,10 @@ object AuditQueries {
          |  FROM cand c JOIN $prev v USING (piece)),
          |b${r}_0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS best
          |            FROM wf),
-         |${fwd(r)},
+         |${fwd(r.toString)},
          |bb$r AS MATERIALIZED ($bbAll),
          |cur${r}_0 AS (SELECT w, length(w) AS pos FROM wf),
-         |${bwd(r)},
+         |${bwd(r.toString)},
          |pk$r AS ($pkAll),
          |cnt$r AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
          |          FROM pk$r JOIN wf USING (w) GROUP BY piece),
@@ -1420,18 +1431,60 @@ object AuditQueries {
        |  FROM seed0,
        |    (SELECT CAST(sum(cnt) AS BIGINT) AS t, count(*) AS nv
        |     FROM seed0)),
-       |${(1 to UgEmRounds).map(emRound).mkString(",\n")}
-       |SELECT piece, cnt AS "count", sc AS score_ulog
-       |FROM v$UgEmRounds WHERE length(piece) = 1
-       |UNION ALL
-       |SELECT piece, cnt, sc FROM (
-       |  SELECT piece, cnt, sc,
-       |    row_number() OVER (ORDER BY cnt DESC, piece) AS rn,
-       |    (SELECT count(*) FROM v$UgEmRounds
-       |     WHERE length(piece) = 1) AS nc
-       |  FROM v$UgEmRounds WHERE length(piece) > 1) q
-       |WHERE rn <= $UgVocabSize - nc""".stripMargin
+       |${(1 to UgEmRounds).map(emRound).mkString(",\n")},
+       |vF AS MATERIALIZED (
+       |  SELECT piece, cnt, sc
+       |  FROM v$UgEmRounds WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt, sc FROM (
+       |    SELECT piece, cnt, sc,
+       |      row_number() OVER (ORDER BY cnt DESC, piece) AS rn,
+       |      (SELECT count(*) FROM v$UgEmRounds
+       |       WHERE length(piece) = 1) AS nc
+       |    FROM v$UgEmRounds WHERE length(piece) > 1) q
+       |  WHERE rn <= $UgVocabSize - nc),
+       |eF AS MATERIALIZED (
+       |  SELECT c.w, c.i, c.j, c.piece, v.sc
+       |  FROM cand c JOIN vF v USING (piece)),
+       |bF_0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS best
+       |         FROM wf),
+       |${fwd("F")},
+       |bbF AS MATERIALIZED (${(0 to L).map(i => s"SELECT * FROM bF_$i")
+           .mkString(" UNION ALL ")}),
+       |curF_0 AS (SELECT w, length(w) AS pos FROM wf),
+       |${bwd("F")}""".stripMargin
   }
+
+  /** q263's final select over the shared CTE chain: the trained
+    * vocabulary (the model artifact).
+    */
+  private val unigramSql: String =
+    unigramCtes + "\n" +
+      """SELECT piece, cnt AS "count", sc AS score_ulog FROM vF"""
+
+  /** q264 twin of q108 for the SECOND tokenizer family: per-word
+    * subword counts from the final-vocabulary Viterbi pass (the
+    * sF_t path pieces the shared chain already derives), joined back
+    * to the document token stream.
+    */
+  private val unigramEncodeSql: String =
+    unigramCtes + ",\n" +
+      s"""nswF AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS nsw
+         |  FROM (${(1 to UgMaxWord).map(t => s"SELECT w, piece FROM sF_$t")
+             .mkString(" UNION ALL ")}) p
+         |  GROUP BY w),
+         |tt AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |  FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(nsw) AS BIGINT) AS n_subwords,
+         |  CAST(sum(nsw) * 1000000 // count(*) AS BIGINT)
+         |    AS subwords_per_word_ppm
+         |FROM tt JOIN nswF USING (w)
+         |WHERE length(w) > 0
+         |GROUP BY doc_id""".stripMargin
 
   /** q113 twin: the synchronous LPA rounds UNROLLED into MATERIALIZED
     * per-round CTEs (plain CTEs re-expand multiplicatively per round —
@@ -1862,6 +1915,7 @@ object AuditQueries {
 
     "q106_bpe_merges" -> bpeMergesSql,
     "q263_unigram_lm_train" -> unigramSql,
+    "q264_unigram_encode" -> unigramEncodeSql,
     "q108_bpe_encode" -> bpeEncodeSql,
 
     // Every event lands in exactly the two 2-hour windows starting at

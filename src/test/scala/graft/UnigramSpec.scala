@@ -47,4 +47,21 @@ class UnigramSpec extends SparkSpec {
       seedMulti = 3, emRounds = 1, vocabSize = 5)).isFailure,
       "a word beyond maxWordLen must refuse loudly")
   }
+
+  test("encode segments under the FINAL vocabulary: per-document " +
+       "word/subword counts in exact fixed point") {
+    import spark.implicits._
+    // same fixture: abab = ab|ab (2 pieces), ab = ab (1), cd = cd (1)
+    // -> 6 words, 3*2 + 2*1 + 1 = 9 subwords, ppm = 9e6 div 6
+    val out = Unigram.encode(
+      Seq((7L, "abab abab abab ab ab cd")).toDF("doc_id", "text"),
+      "doc_id", "text", seedMulti = 3, emRounds = 1, vocabSize = 6,
+      maxPieceLen = 2, maxWordLen = 4).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_words") == 6L)
+    assert(r.getAs[Long]("n_subwords") == 9L,
+      s"closed-form subword count mismatch: ${r.mkString(",")}")
+    assert(r.getAs[Long]("subwords_per_word_ppm") == 1500000L)
+  }
 }
