@@ -587,7 +587,8 @@ object Changelog {
       StructField("size_bytes", LongType),
       StructField("evolved", BooleanType, nullable = false),
       StructField("renamed_columns", StringType),
-      StructField("dropped_columns", StringType)))
+      StructField("dropped_columns", StringType),
+      StructField("check_constraints", StringType)))
   }
 
   /** DESCRIBE DETAIL — one row of table-level facts (Delta's
@@ -624,7 +625,9 @@ object Changelog {
       java.lang.Boolean.valueOf(isEvolvedLog(path)),
       m.renames.toSeq.sortBy(_._1)
         .map { case (p, l) => s"$l<-$p" }.mkString(","),
-      m.dropped.toSeq.sorted.mkString(","))
+      m.dropped.toSeq.sorted.mkString(","),
+      checkConstraints(path).toSeq.sortBy(_._1)
+        .map { case (n, sql) => s"$n: CHECK ($sql)" }.mkString("; "))
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
         java.util.List.of(row)), DetailSchema)

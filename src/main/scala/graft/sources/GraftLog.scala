@@ -335,12 +335,20 @@ object GraftLog {
       * markers stay authoritative).
       */
     override def properties(): util.Map[String, String] = {
+      val cs = if (opts.readChangeFeed) Map.empty[String, String]
+        else {
+          val declared = Changelog.checkConstraints(opts.path)
+          if (declared.isEmpty) Map.empty[String, String]
+          else Map("checkConstraints" -> declared.toSeq.sortBy(_._1)
+            .map { case (n, sql) => s"$n: CHECK ($sql)" }
+            .mkString("; "))
+        }
       val base = Map(
         "path" -> opts.path,
         "keys" -> opts.keys.mkString(","),
         "shape" -> (if (opsShape) "ops" else "plain"),
         "surface" -> (if (opts.readChangeFeed) "changeFeed"
-                      else "snapshot"))
+                      else "snapshot")) ++ cs
       val coord =
         if (opts.readChangeFeed)
           Map("startingVersion" -> opts.startingVersion.get.toString,

@@ -89,6 +89,19 @@ class ConstraintsSpec extends SparkSpec {
     assert(scala.util.Try(spark.sql(
       "ALTER TABLE ckspec1.t DROP CONSTRAINT nope")).isFailure)
     spark.sql("ALTER TABLE ckspec1.t DROP CONSTRAINT IF EXISTS nope")
+    // NOT NULL discipline is expressible as CHECK (IS NOT NULL is
+    // never null, so the null-passes rule does not apply); the
+    // declared state surfaces in DESCRIBE DETAIL and TBLPROPERTIES
+    spark.sql("ALTER TABLE ckspec1.t " +
+      "ADD CONSTRAINT note_nn CHECK (note IS NOT NULL)")
+    assert(scala.util.Try(spark.sql(
+      "INSERT INTO ckspec1.t VALUES (103, 1.0, NULL)")).isFailure,
+      "CHECK (col IS NOT NULL) must refuse a null write")
+    assert(spark.sql("SELECT check_constraints FROM ckspec1.t.detail")
+      .head().getString(0) == "note_nn: CHECK (note IS NOT NULL)")
+    assert(spark.sql("SHOW TBLPROPERTIES ckspec1.t")
+      .filter(col("key") === "checkConstraints").head()
+      .getString(1) == "note_nn: CHECK (note IS NOT NULL)")
   }
 
   test("library verbs guard inside the write job (tombstones exempt), " +
