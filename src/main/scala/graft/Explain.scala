@@ -18,7 +18,9 @@ object Explain {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // opt-in verbosity for job-level attribution during plan audits
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOG", "ERROR"))
     if (name == "all") {
       // one-line audit per query: exchanges, generators, broadcast vs
       // sort-merge joins, from_json count — and a hard flag on any

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import TextHash.tokens
 
@@ -96,8 +95,18 @@ object Unigram {
     */
   private def viterbiPicks(words: DataFrame, edges: DataFrame,
                            maxWordLen: Int): DataFrame = {
-    var best = words.select(col("w"), lit(0).as("pos"),
-      lit(0L).as("best"))
+    // Planning-floor discipline (optimization guide §7.3, measured in
+    // round 19): the corpus contributes nothing here — the frames are
+    // vocabulary/word-bounded — so the cost of the unrolled DP is
+    // Catalyst PLANNING, not execution (q264 before the rewrite: 115
+    // jobs totaling 6.5 s of execution inside ~85 s of wall). Chained
+    // `unionByName` accumulators double the logical tree per step and
+    // every eager localCheckpoint re-optimizes the whole accumulated
+    // history; per-step checkpoints + FLAT unions of checkpointed
+    // leaves keep every planned tree one join deep, so planning stays
+    // O(steps) instead of O(2^steps-ish).
+    var best = words.select(col("w"), lit(0).as("pos"), lit(0L).as("best"))
+      .localCheckpoint()
     for (j <- 1 to maxWordLen) {
       val bj = edges.filter(col("j") === j).as("e")
         .join(best.as("b"),
@@ -105,30 +114,28 @@ object Unigram {
         .groupBy(col("e.w").as("w"))
         .agg(max(col("b.best") + col("e.sc")).as("best"))
         .select(col("w"), lit(j).as("pos"), col("best"))
-      best = best.unionByName(bj)
-      if (j % 4 == 0) best = best.localCheckpoint()
+      best = best.unionByName(bj).localCheckpoint()
     }
-    best = best.localCheckpoint()
+    // Backtrack argmax as a hash AGGREGATE (map-side combinable), not a
+    // row_number window (exchange + sort per step): min over the struct
+    // (-score, start, piece) is the identical (score desc, e.i asc)
+    // tie-break — (w, pos, start) determines the piece, so the struct
+    // order never reaches the piece field.
     var cursor = words.select(col("w"), length(col("w")).as("pos"))
     var picks: DataFrame = null
-    for (t <- 1 to maxWordLen) {
+    for (_ <- 1 to maxWordLen) {
       val step = cursor.filter(col("pos") > 0).as("c")
         .join(edges.as("e"),
           col("e.w") === col("c.w") && col("e.j") === col("c.pos"))
         .join(best.as("b"),
           col("b.w") === col("c.w") && col("b.pos") === col("e.i"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("c.w"))
-            .orderBy((col("b.best") + col("e.sc")).desc, col("e.i"))))
-        .filter(col("rn") === 1)
-        .select(col("c.w").as("w"), col("e.piece").as("piece"),
-          col("e.i").as("pos"))
+        .groupBy(col("c.w").as("w"))
+        .agg(min(struct((-(col("b.best") + col("e.sc"))).as("nscore"),
+          col("e.i").as("pos"), col("e.piece").as("piece"))).as("m"))
+        .select(col("w"), col("m.piece").as("piece"), col("m.pos").as("pos"))
+        .localCheckpoint()
       picks = if (picks == null) step else picks.unionByName(step)
       cursor = step.select(col("w"), col("pos"))
-      if (t % 4 == 0) {
-        picks = picks.localCheckpoint()
-        cursor = cursor.localCheckpoint()
-      }
     }
     picks
   }
