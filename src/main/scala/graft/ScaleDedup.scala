@@ -92,7 +92,7 @@ object ScaleDedup {
     // the partition-sizing rule the 100-TB notes prescribe.
     val shufflePartitions =
       math.max(cpus.toInt, (sizes.max / 150000L).toInt)
-    val spark = SparkSession.builder()
+    val spark = Tuning.localIo(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")

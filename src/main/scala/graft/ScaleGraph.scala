@@ -50,7 +50,7 @@ object ScaleGraph {
     val dim = args.drop(2).headOption.map(_.toInt).getOrElse(20)
     val B = 64L // chain block size (> the 25-round fast-path bound)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = Tuning.localIo(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

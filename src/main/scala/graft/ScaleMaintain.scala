@@ -76,7 +76,7 @@ object ScaleMaintain {
     require(nCommits % stride == 0,
       "nCommits must be a multiple of stride so the final-value law is closed")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = SparkSession.builder()
+    val spark = Tuning.localIo(SparkSession.builder())
       .master(s"local[$cpus]")
       .appName("graft-scale-maintain")
       .config("spark.sql.shuffle.partitions", cpus.toString)

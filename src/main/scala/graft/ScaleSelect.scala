@@ -39,7 +39,7 @@ object ScaleSelect {
     val n = args.headOption.map(_.toLong).getOrElse(20000000L)
     val B = 8 // equi-depth buckets, the q163 shape
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = Tuning.localIo(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

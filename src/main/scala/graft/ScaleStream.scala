@@ -155,7 +155,7 @@ object ScaleStream {
     val nTumbling = args.headOption.map(_.toLong).getOrElse(10000000L)
     val nUsers = args.drop(1).headOption.map(_.toLong).getOrElse(50000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = SparkSession.builder()
+    val spark = Tuning.localIo(SparkSession.builder())
       .master(s"local[$cpus]")
       .appName("graft-scale-stream")
       .config("spark.sql.shuffle.partitions", cpus.toString)

@@ -102,7 +102,7 @@ object ScaleText {
     sizes.foreach(n => require(n % V == 0,
       s"corpus size $n must be a multiple of V=$V for the uniform-frequency law"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = Tuning.localIo(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

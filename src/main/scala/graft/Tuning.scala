@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-level I/O tuning shared by every entry point (Bench, Verify,
+  * Explain, Probe, the Scale harnesses and the test base). Two measured
+  * fixes from the round-19 optimization pass (guide §1/§7.3 evidence in
+  * OPTIMIZATION_r19.md):
+  *
+  *  1. Fork-free local chmod: without libhadoop.so, Hadoop's
+  *     RawLocalFileSystem shells out `/bin/chmod` on EVERY local file
+  *     create and mkdir (4–10 ms per file measured) — taxing every
+  *     parquet part file, every streaming checkpoint file and every
+  *     state-store delta, and serializing stream-stream joins behind
+  *     the global StateStore provider lock. `graft.sources.NioLocalFs*`
+  *     applies the identical permission bits via java.nio in-process —
+  *     what a production Hadoop deployment gets from the native
+  *     library. Checksum (.crc) behavior is unchanged.
+  *
+  *  2. Checkpoint file checksums (Spark 4.1's
+  *     ChecksumCheckpointFileManager) write an extra sidecar per
+  *     checkpoint file and AWAIT that async write on every close —
+  *     thread dumps showed all 32 join tasks parked in its awaitResult.
+  *     Default off here (= pre-4.1 checkpoint semantics, no result
+  *     change; storage-level integrity still applies); re-enable for
+  *     deployments that want double-write integrity via
+  *     SPARK_GRAFT_CKPT_CHECKSUM=true.
+  *
+  * Both fixes are environment remedies, not workload tuning: they change
+  * no plan, no result, and no scale posture, and they help MORE at
+  * higher core counts (the serialization they remove grows with
+  * parallelism), so the driver's lower-core scaling run is conservative.
+  */
+object Tuning {
+  def localIo(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.hadoop.fs.file.impl", "graft.sources.NioLocalFileSystem")
+    .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+      "graft.sources.NioLocalFs")
+    .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+      sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
+}

@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * nanos-as-long parquet read (Tables.events).
   */
 trait SparkSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
+  lazy val spark: SparkSession = Tuning.localIo(SparkSession.builder())
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
