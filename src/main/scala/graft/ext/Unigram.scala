@@ -116,23 +116,32 @@ object Unigram {
         .select(col("w"), lit(j).as("pos"), col("best"))
       best = best.unionByName(bj).localCheckpoint()
     }
-    // Backtrack argmax as a hash AGGREGATE (map-side combinable), not a
-    // row_number window (exchange + sort per step): min over the struct
-    // (-score, start, piece) is the identical (score desc, e.i asc)
-    // tie-break — (w, pos, start) determines the piece, so the struct
-    // order never reaches the piece field.
+    // Backtrack. The chosen predecessor at (w, end-position j) —
+    // argmax over edges e with e.j = j of best[e.i] + e.sc, ties to the
+    // smaller start — does NOT depend on the path the backtrack took to
+    // reach j, so it is precomputed ONCE for every (w, j) as a single
+    // hash aggregate (min over the struct (-score, start, piece) ≡ the
+    // (score desc, start asc) tie-break; (w, j, start) determines the
+    // piece, so the struct order never reaches the piece field). Each
+    // backtrack step is then ONE tiny equi-join against `succ` instead
+    // of the former per-step 3-way join + window.
+    val succ = edges.as("e")
+      .join(best.as("b"),
+        col("e.w") === col("b.w") && col("b.pos") === col("e.i"))
+      .groupBy(col("e.w").as("w"), col("e.j").as("j"))
+      .agg(min(struct((-(col("b.best") + col("e.sc"))).as("nscore"),
+        col("e.i").as("pos"), col("e.piece").as("piece"))).as("m"))
+      .select(col("w"), col("j"), col("m.pos").as("pos"),
+        col("m.piece").as("piece"))
+      .localCheckpoint()
     var cursor = words.select(col("w"), length(col("w")).as("pos"))
     var picks: DataFrame = null
     for (_ <- 1 to maxWordLen) {
       val step = cursor.filter(col("pos") > 0).as("c")
-        .join(edges.as("e"),
-          col("e.w") === col("c.w") && col("e.j") === col("c.pos"))
-        .join(best.as("b"),
-          col("b.w") === col("c.w") && col("b.pos") === col("e.i"))
-        .groupBy(col("c.w").as("w"))
-        .agg(min(struct((-(col("b.best") + col("e.sc"))).as("nscore"),
-          col("e.i").as("pos"), col("e.piece").as("piece"))).as("m"))
-        .select(col("w"), col("m.piece").as("piece"), col("m.pos").as("pos"))
+        .join(succ.as("s"),
+          col("s.w") === col("c.w") && col("s.j") === col("c.pos"))
+        .select(col("c.w").as("w"), col("s.piece").as("piece"),
+          col("s.pos").as("pos"))
         .localCheckpoint()
       picks = if (picks == null) step else picks.unionByName(step)
       cursor = step.select(col("w"), col("pos"))
