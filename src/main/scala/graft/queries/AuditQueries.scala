@@ -258,7 +258,26 @@ object AuditQueries {
   def stageFixtures(s: SparkSession, d: String): Unit = {
     stagedOpsLanding(s, d): Unit
     stagedEventsLanding(s, d): Unit
+    stagedOpsLog(s, d): Unit
   }
+
+  /** The standard 3-commit ops log, staged ONCE per JVM per input dir
+    * — for the ~17 queries whose subject is READING that log (snapshot
+    * reads, CDF windows, feeds, TVFs, streams, history): the q168/q169
+    * `stagedCdfLog` discipline applied to the ops-log family. Queries
+    * that MUTATE their log (DML, optimize/checkpoint/vacuum, restore,
+    * clone-with-post-commit, stamp/stats markers, column mapping) keep
+    * their own per-invocation rebuilds — committing is their subject
+    * and a shared fixture must never accrete their markers. Round-19
+    * measurement note: before this, every read-subject trial rebuilt
+    * the 3-commit fixture inside its timed window (~1.2 s each) —
+    * fixture setup, not the declared computation (guide §1.4's
+    * time-the-computation rule; OPTIMIZATION_r19.md keeps the old
+    * numbers).
+    */
+  private val opsLogShared = scala.collection.concurrent.TrieMap[String, String]()
+  private[queries] def stagedOpsLog(s: SparkSession, d: String): String =
+    opsLogShared.getOrElseUpdate(d, opsLog(s, d, "orders_ops_log_shared"))
 
   /** Ops log over DOCUMENTS keyed by a derived STRING key
     * (`D<doc_id zero-padded to 8>` — order-preserving for numeric
@@ -302,7 +321,7 @@ object AuditQueries {
     // compaction; the liveness filter is one predicate AFTER the
     // per-key reduction.
     "q181_ops_snapshot" -> ((s, d) =>
-      Changelog.snapshotAtOps(s, opsLog(s, d, "orders_ops_log_q181"),
+      Changelog.snapshotAtOps(s, stagedOpsLog(s, d),
         Seq("o_orderkey"), 2L)),
 
     // FULL-LABEL CHANGE DATA FEED over the ops log: insert / update /
@@ -313,7 +332,7 @@ object AuditQueries {
     // the pruned (v0, v1] commits, endpoint states semi-joined to
     // candidates before compaction.
     "q182_ops_cdf" -> ((s, d) =>
-      Changelog.changesBetweenOps(s, opsLog(s, d, "orders_ops_log_q182"),
+      Changelog.changesBetweenOps(s, stagedOpsLog(s, d),
         Seq("o_orderkey"), 0L, 2L, trackCols = Seq("o_totalprice"))),
 
     // DELETE-AWARE CDF MAINTENANCE — the proof q182's feed is
@@ -332,7 +351,7 @@ object AuditQueries {
     // key — never classifies) so delete rows can group by their OLD
     // customer.
     "q183_ops_cdf_maintenance" -> ((s, d) => {
-      val path = opsLog(s, d, "orders_ops_log_q183")
+      val path = stagedOpsLog(s, d)
       val cents = (c: org.apache.spark.sql.Column) =>
         (round(c * 100)).cast("long")
       val roll0 = Changelog.snapshotAtOps(s, path, Seq("o_orderkey"), 0L)
@@ -624,7 +643,7 @@ object AuditQueries {
     // incremental catch-up and restart legs are spec-pinned
     // (ReplicationSpec).
     "q206_log_replication" -> ((s, d) => {
-      val upstream = opsLog(s, d, "orders_ops_log_q206")
+      val upstream = stagedOpsLog(s, d)
       val replica = Sinks.tmpPathFor("orders_ops_replica", d)
       val ckpt = Sinks.tmpPathFor("orders_ops_replica_ckpt", d)
       Sinks.deleteRecursively(replica)
@@ -667,7 +686,7 @@ object AuditQueries {
     // slice; feed-equivalence (filtered feed ≡ full feed filtered) is
     // spec-pinned.
     "q210_selective_replication" -> ((s, d) => {
-      val upstream = opsLog(s, d, "orders_ops_log_q210")
+      val upstream = stagedOpsLog(s, d)
       val replica = Sinks.tmpPathFor("orders_ops_tenant_replica", d)
       val ckpt = Sinks.tmpPathFor("orders_ops_tenant_ckpt", d)
       Sinks.deleteRecursively(replica)
@@ -712,7 +731,7 @@ object AuditQueries {
     // filtered on read. State is O(groups), each batch O(delta) —
     // the whole pipeline is three declarative operators.
     "q207_stream_materialized_view" -> ((s, d) => {
-      val upstream = opsLog(s, d, "orders_ops_log_q207")
+      val upstream = stagedOpsLog(s, d)
       val viewLog = Sinks.tmpPathFor("orders_ops_mview", d)
       val ckpt = Sinks.tmpPathFor("orders_ops_mview_ckpt", d)
       Sinks.deleteRecursively(viewLog)
@@ -831,7 +850,7 @@ object AuditQueries {
     // q183 oracle. Restart-from-checkpoint and the loud below-horizon
     // window are spec-pinned (CdcSourceSpec).
     "q200_stream_cdc_source" -> ((s, d) => {
-      val path = opsLog(s, d, "orders_ops_log_q200")
+      val path = stagedOpsLog(s, d)
       val rollPath = Sinks.tmpPathFor("orders_cdc_src_roll", d)
       val ckpt = Sinks.tmpPathFor("orders_cdc_src_ckpt", d)
       Sinks.deleteRecursively(rollPath)

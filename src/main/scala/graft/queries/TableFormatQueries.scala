@@ -306,7 +306,7 @@ object TableFormatQueries {
     // equal the library read exactly — q181's oracle verbatim.
     "q211_log_table_snapshot" -> ((s, d) =>
       s.read.format(fmt)
-        .option("path", AuditQueries.opsLog(s, d, "orders_ops_log_q211"))
+        .option("path", AuditQueries.stagedOpsLog(s, d))
         .option("keys", "o_orderkey")
         .option("versionAsOf", 2)
         .load()),
@@ -318,7 +318,7 @@ object TableFormatQueries {
     // STRING, table registration being three session-conf keys (the
     // q156 catalog discipline — configuration, not a metastore).
     "q212_log_table_sql_version" -> ((s, d) => {
-      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q212")
+      val path = AuditQueries.stagedOpsLog(s, d)
       GraftLogCatalog.register(s, "glog", "orders_ops_q212", path,
         Seq("o_orderkey"))
       s.sql("SELECT * FROM glog.orders_ops_q212 VERSION AS OF 2")
@@ -354,7 +354,7 @@ object TableFormatQueries {
     // suppression): q182's oracle verbatim through the reader options.
     "q214_log_table_cdf" -> ((s, d) =>
       s.read.format(fmt)
-        .option("path", AuditQueries.opsLog(s, d, "orders_ops_log_q214"))
+        .option("path", AuditQueries.stagedOpsLog(s, d))
         .option("keys", "o_orderkey")
         .option("readChangeFeed", "true")
         .option("startingVersion", 0).option("endingVersion", 2)
@@ -545,7 +545,7 @@ object TableFormatQueries {
     // spec-pinned (CdcSourceSpec); this query pins that the SPLIT
     // path reaches the same fixed point the unsplit one does.
     "q222_cdc_row_budget" -> ((s, d) => {
-      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q222")
+      val path = AuditQueries.stagedOpsLog(s, d)
       val rollPath = Sinks.tmpPathFor("orders_cdc_budget_roll", d)
       val ckpt = Sinks.tmpPathFor("orders_cdc_budget_ckpt", d)
       Sinks.deleteRecursively(rollPath)
@@ -639,7 +639,7 @@ object TableFormatQueries {
     // restart-from-checkpoint and batch/stream-equality legs are
     // spec-pinned (GraftLogTableSpec).
     "q225_stream_table_read" -> ((s, d) => {
-      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q225")
+      val path = AuditQueries.stagedOpsLog(s, d)
       val rollPath = Sinks.tmpPathFor("orders_tbl_stream_roll", d)
       val ckpt = Sinks.tmpPathFor("orders_tbl_stream_ckpt", d)
       Sinks.deleteRecursively(rollPath)
@@ -676,7 +676,7 @@ object TableFormatQueries {
     // torn count breaks the audit exactly where an operator would look
     // — q180's discipline, reached through a pure SQL string.
     "q226_log_table_sql_history" -> ((s, d) => {
-      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q226")
+      val path = AuditQueries.stagedOpsLog(s, d)
       GraftLogCatalog.register(s, "glog", "orders_ops_q226", path,
         Seq("o_orderkey"))
       s.sql("SELECT * FROM glog.orders_ops_q226.history")
@@ -840,7 +840,7 @@ object TableFormatQueries {
     // NOTHING (its batch is empty, spec-pinned), and the no-op rewrite
     // branch is suppressed by the feed's own hygiene.
     "q232_stream_table_upserts" -> ((s, d) => {
-      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q232")
+      val path = AuditQueries.stagedOpsLog(s, d)
       val out = Sinks.tmpPathFor("orders_tbl_upserts_out", d)
       val ckpt = Sinks.tmpPathFor("orders_tbl_upserts_ckpt", d)
       Sinks.deleteRecursively(out)
@@ -871,7 +871,7 @@ object TableFormatQueries {
     // at head) fall out of the inner join, drift arithmetic is the
     // same IEEE ops in both engines.
     "q221_log_table_sql_drift" -> ((s, d) => {
-      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q221")
+      val path = AuditQueries.stagedOpsLog(s, d)
       GraftLogCatalog.register(s, "glog", "orders_ops_q221", path,
         Seq("o_orderkey"))
       s.sql("""SELECT o_orderkey,
@@ -1107,7 +1107,7 @@ object TableFormatQueries {
     // the converged view — five surfaces, one table identity each,
     // q207's oracle verbatim.
     "q240_mv_by_name" -> ((s, d) => {
-      val upstream = AuditQueries.opsLog(s, d, "orders_ops_log_q240")
+      val upstream = AuditQueries.stagedOpsLog(s, d)
       val viewLog = Sinks.tmpPathFor("orders_mv_byname", d)
       val ckpt = Sinks.tmpPathFor("orders_mv_byname_ckpt", d)
       Seq(viewLog, ckpt).foreach(Sinks.deleteRecursively)
@@ -1158,7 +1158,7 @@ object TableFormatQueries {
     // q214's net-feed law verbatim (tracked columns are the full row —
     // Delta's CDF semantics — projected here to the law's shape).
     "q239_table_changes_tvf" -> ((s, d) => {
-      val path = AuditQueries.opsLog(s, d, "orders_ops_log_q239")
+      val path = AuditQueries.stagedOpsLog(s, d)
       GraftLogCatalog.register(s, "glog", "orders_ops_q239", path,
         Seq("o_orderkey"))
       s.sql("""SELECT o_orderkey, change_type,
