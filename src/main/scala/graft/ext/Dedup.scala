@@ -128,7 +128,7 @@ object Dedup {
     * DuckDB oracle recomputing over raw strings would surface one as a
     * hash mismatch).
     */
-  private def fingerprintSets(docs: DataFrame, idCol: String, textCol: String,
+  private[graft] def fingerprintSets(docs: DataFrame, idCol: String, textCol: String,
                               n: Int): DataFrame =
     docs
       .select(col(idCol).as("id"),
@@ -137,13 +137,21 @@ object Dedup {
       .filter(size(col("sh")) > 0)
 
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int, threshold: Double): DataFrame = {
+                   n: Int, threshold: Double): DataFrame =
     // The fingerprint sets are this operator's INDEX, consumed three
     // times (prefix candidates + both verify joins): materialize once
     // (localCheckpoint — O(docs · shingles) longs, the operator's
     // working set by definition) instead of re-tokenizing and
     // re-hashing the corpus per consumer.
-    val shSets = fingerprintSets(docs, idCol, textCol, n).localCheckpoint()
+    jaccardPairsFromSets(
+      fingerprintSets(docs, idCol, textCol, n).localCheckpoint(), threshold)
+
+  /** [[jaccardPairs]] against an already-materialized fingerprint-set
+    * table — the seam that lets an audit (q176) share ONE corpus
+    * tokenize+hash pass between the exact-truth side and the LSH side.
+    */
+  private[graft] def jaccardPairsFromSets(shSets: DataFrame,
+                                          threshold: Double): DataFrame =
     prefixCandidates(shSets, threshold)
       .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -153,7 +161,6 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("shared")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 
   /** Benchmark decontamination — the pre-training hygiene pass: flag
     * every corpus document sharing at least `minShared` distinct
@@ -208,15 +215,30 @@ object Dedup {
     * artifact the incremental path stores (see incrementalLshPairs).
     */
   private[graft] def lshBandRows(shSets: DataFrame, numHashes: Int,
-                                 bands: Int): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
+                                 bands: Int): DataFrame =
+    bandRowsOfSig(minhashSigOfSets(shSets, numHashes), numHashes, bands)
+
+  /** The raw `numHashes`-column MinHash signature of a fingerprint-set
+    * table — split out of [[lshBandRows]] so a multi-config audit
+    * (q176: production banding vs under-banded) computes the signature
+    * aggregation ONCE and only re-projects the band keys per config.
+    */
+  private[graft] def minhashSigOfSets(shSets: DataFrame,
+                                      numHashes: Int): DataFrame = {
     val sh = shSets.select(col("id"), explode(col("sh")).as("h60"))
       .withColumn("x", col("h60") % P)
     val mins = minhashPerms(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("x") + lit(b)) % P).as(s"h$i")
     }
-    val sig = sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Band-key projection of a precomputed signature table (pure
+    * projection + explode — no aggregation, no shuffle). */
+  private[graft] def bandRowsOfSig(sig: DataFrame, numHashes: Int,
+                                   bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
     sig.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -250,7 +272,16 @@ object Dedup {
     // on 8-byte longs (identical sizes to the string sets barring an
     // md5-prefix collision, see fingerprintSets).
     val shSets = fingerprintSets(docs, idCol, textCol, n).localCheckpoint()
-    val bandRows = lshBandRows(shSets, numHashes, bands)
+    lshPairsFromBandRows(lshBandRows(shSets, numHashes, bands), shSets,
+      threshold)
+  }
+
+  /** Candidate generation (band-bucket self-join) + exact verify from
+    * precomputed band rows and fingerprint sets — the multi-config
+    * audit seam. */
+  private[graft] def lshPairsFromBandRows(bandRows: DataFrame,
+                                          shSets: DataFrame,
+                                          threshold: Double): DataFrame = {
     val cand = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&

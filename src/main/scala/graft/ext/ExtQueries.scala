@@ -152,12 +152,22 @@ object ExtQueries {
     // sample at 100 TB, exact here.
     "q176_lsh_recall_audit" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val truth = Dedup.jaccardPairs(docs, "doc_id", "text",
-        ShingleN, JaccardThreshold)
+      // ONE corpus tokenize+hash pass and ONE 16-hash signature
+      // aggregation shared by the truth side and BOTH banding configs
+      // (the configs differ only in the band-key projection); the truth
+      // pair set is materialized once instead of recomputed per
+      // anti-join branch. Identical output — the audit previously ran
+      // three fingerprint passes and two signature aggregations.
+      val shSets = Dedup.fingerprintSets(docs, "doc_id", "text", ShingleN)
+        .localCheckpoint()
+      val sig = Dedup.minhashSigOfSets(shSets, NumHashes).localCheckpoint()
+      val truth = Dedup.jaccardPairsFromSets(shSets, JaccardThreshold)
+        .localCheckpoint()
       def missesOf(bands: Int, tag: String) =
         truth.join(
-            Dedup.minhashLshPairs(docs, "doc_id", "text", ShingleN,
-              NumHashes, bands, JaccardThreshold)
+            Dedup.lshPairsFromBandRows(
+              Dedup.bandRowsOfSig(sig, NumHashes, bands), shSets,
+              JaccardThreshold)
               .select("id_a", "id_b"),
             Seq("id_a", "id_b"), "left_anti")
           .withColumn("config", lit(tag))

@@ -364,17 +364,36 @@ object Graph {
         least(col(ca), col(cb)).as("u"), greatest(col(ca), col(cb)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+    val obs0 = org.apache.spark.sql.Observation()
     var sym = und.union(und.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
+      .observe(obs0, count(lit(1)).as("n"))
+      .localCheckpoint() // eager: materializes and fires the metric
+    var edgesLeft = obs0.get("n").asInstanceOf[Long]
+    // Convergence short-circuit: peeling is monotone, so a round that
+    // deletes NO edge proves the fixpoint — every later round would be
+    // a bit-identical no-op (the documented property the fixed unroll
+    // leans on). The edge count rides the round's own materializing
+    // localCheckpoint via Observation (the bfsLevels trick), so the
+    // probe costs no extra job and the result is unchanged — only the
+    // already-stable no-op rounds are skipped.
+    var r = 1
+    var stable = edgesLeft == 0L
+    while (r <= iters && !stable) {
       // symmetric edge set ⇒ degree(u) = row count of u on the left
       val keep = sym.groupBy(col("u").as("id"))
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("id"))
+      val obs = org.apache.spark.sql.Observation()
       sym = sym
         .join(keep.withColumnRenamed("id", "u"), Seq("u"))
         .join(keep.withColumnRenamed("id", "v"), Seq("v"))
-        .select(col("u"), col("v")).localCheckpoint()
+        .select(col("u"), col("v"))
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint()
+      val n = obs.get("n").asInstanceOf[Long]
+      stable = n == edgesLeft || n == 0L
+      edgesLeft = n
+      r += 1
     }
     sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
   }

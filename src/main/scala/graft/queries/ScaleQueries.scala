@@ -191,11 +191,16 @@ object ScaleQueries {
       days.zipWithIndex.foreach { case (day, i) =>
         val dayRaw = raw.filter(col("load_date") === lit(day))
         if (i == 0) Financials.normalizeInto(dayRaw, path)
-        // the day's key universe is a column-pruned scan of the pruned
-        // raw partition (symbol only, no payload parse) — so the
-        // touched-bucket probe never runs the normalize pipeline
-        else Sinks.upsertFactDelta(s, path, Financials.normalize(dayRaw),
-          deltaStocks = Some(dayRaw.select(col("symbol"))))
+        else {
+          // checkpoint the bucketed delta ONCE and hand the blocks to
+          // the upsert (materialized = true): the touched-bucket probe
+          // scans the in-memory delta instead of a second raw-partition
+          // pass, and the stray guard is structurally unnecessary —
+          // one materialization, one probe job, one merge job per day
+          val dayFacts = Financials.normalize(dayRaw)
+            .withColumn("bucket", Sinks.factBucket(32)).localCheckpoint()
+          Sinks.upsertFactDelta(s, path, dayFacts, materialized = true)
+        }
       }
       s.read.parquet(path).drop("bucket")
     }),
@@ -224,25 +229,36 @@ object ScaleQueries {
       val valueQ = (col("value") * 4).cast("long") // exact: values ∈ ℤ/4
       days.zipWithIndex.foreach { case (day, i) =>
         val dayRaw = raw.filter(col("load_date") === lit(day))
-        // one run of the parse+unpivot pipeline feeds BOTH consumers
-        // (fact upsert + delta aggregate)
-        val dayFacts = Financials.normalize(dayRaw).localCheckpoint()
+        // ONE run of the parse+unpivot pipeline feeds EVERY consumer of
+        // the day (retraction probe, delta aggregate, fact write): the
+        // bucket column is stamped BEFORE the checkpoint, so the upsert
+        // reuses this materialization as-is (materialized = true — no
+        // second copy), the touched-bucket probe scans the in-memory
+        // blocks (no second raw-partition pass), and day 0's layout
+        // write reuses it too (the old normalizeInto re-ran the whole
+        // parse on the raw partition a second time). Guide §1.2.
+        val dayFacts = Financials.normalize(dayRaw)
+          .withColumn("bucket", Sinks.factBucket(32)).localCheckpoint()
+        val facts = dayFacts.drop("bucket")
         val replaced =
           if (i == 0) None
           else {
             // old versions this delta will overwrite: bucket-pruned
             // fact read, PK semi-join against the delta — the same
-            // touched-bucket slice the upsert itself rewrites
-            val touched = dayRaw.select(col("symbol")).distinct()
-              .select(pmod(hash(col("symbol")), lit(32)).as("bucket"))
+            // touched-bucket slice the upsert itself rewrites. Exact
+            // from the delta's own buckets (a raw symbol whose payload
+            // parses to zero facts replaces nothing). The delta side
+            // broadcasts: it is bounded by the increment (§3.2), so
+            // the table side is never shuffled for the retraction.
+            val touched = dayFacts.select(col("bucket")).distinct()
               .collect().map(_.getInt(0)).toIndexedSeq
             Some(s.read.parquet(factPath)
               .filter(col("bucket").isin(touched: _*))
-              .join(dayFacts.select(Financials.Pk.map(col): _*),
+              .join(broadcast(dayFacts.select(Financials.Pk.map(col): _*)),
                 Financials.Pk, "left_semi"))
           }
-        val signed = replaced.fold(dayFacts.withColumn("_sign", lit(1L)))(
-          r => dayFacts.withColumn("_sign", lit(1L))
+        val signed = replaced.fold(facts.withColumn("_sign", lit(1L)))(
+          r => facts.withColumn("_sign", lit(1L))
             .unionByName(r.drop("bucket").withColumn("_sign", lit(-1L))))
         // materialize BEFORE the upsert rewrites the files `replaced`
         // lazily reads — Spark plans are lazy, the overwrite is not
@@ -252,9 +268,9 @@ object ScaleQueries {
               .as("nn"),
             sum(col("_sign") * valueQ).as("sum_q"))
           .localCheckpoint()
-        if (i == 0) Financials.normalizeInto(dayRaw, factPath)
+        if (i == 0) Sinks.writeFactPartitioned(facts, factPath)
         else Sinks.upsertFactDelta(s, factPath, dayFacts,
-          deltaStocks = Some(dayRaw.select(col("symbol"))))
+          materialized = true)
         Rollup.mergeDelta(s, rollPath, deltaAgg,
           Seq("stock", "calendar_year"), "n_facts")
       }

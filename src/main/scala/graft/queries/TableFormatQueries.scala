@@ -1580,8 +1580,16 @@ object TableFormatQueries {
         Seq("o_orderkey"))
       val restored = s.sql("SELECT * FROM glog.orders_ops_q261")
       val cloned = s.sql("SELECT * FROM glog.orders_clone_q261")
-      require(restored.exceptAll(cloned).isEmpty &&
-        cloned.exceptAll(restored).isEmpty,
+      // multiset equality in ONE pass over each snapshot (±1-signed
+      // union, grouped on the full row, any nonzero sum = a difference)
+      // — the previous symmetric difference (two exceptAll passes) read
+      // and shuffled both snapshots twice for the same assertion
+      val diff = restored.withColumn("_s", lit(1L))
+        .unionByName(cloned.withColumn("_s", lit(-1L)))
+        .groupBy(restored.columns.map(col): _*)
+        .agg(sum(col("_s")).as("_d"))
+        .filter(col("_d") =!= 0L)
+      require(diff.isEmpty,
         "the clock-addressed clone and the clock-addressed restore " +
           "must serve the identical state")
       // history stays fully readable below the restore

@@ -254,11 +254,21 @@ object Sinks {
     *                     the delta pipeline itself, so the delta is
     *                     materialized (localCheckpoint) to keep that
     *                     single-pass.
+    * @param materialized the caller guarantees `incoming` is ALREADY
+    *                     eagerly materialized (localCheckpoint or
+    *                     equivalent) AND carries a correct `bucket`
+    *                     column (factBucket(buckets)). Skips the
+    *                     internal re-materialization — an IVM day step
+    *                     that checkpointed the delta for its own
+    *                     retraction aggregate would otherwise pay a
+    *                     second full copy of the same rows (guide §1.2:
+    *                     don't compute things you throw away).
     */
   def upsertFactDelta(spark: org.apache.spark.sql.SparkSession,
                       path: String, incoming: DataFrame,
                       buckets: Int = 32,
-                      deltaStocks: Option[DataFrame] = None): Unit = {
+                      deltaStocks: Option[DataFrame] = None,
+                      materialized: Boolean = false): Unit = {
     // The bucket law is physical layout: a mismatched count would merge
     // and overwrite under the WRONG directories. Refuse loudly.
     readLayoutBuckets(path).foreach { recorded =>
@@ -282,8 +292,15 @@ object Sinks {
     // re-applies; the localCheckpoint stages WORK, not the only copy
     // of any data, unlike deleteFactKeys' surviving set (which IS
     // durably staged below for exactly that reason).
-    val delta = incoming.withColumn("bucket", factBucket(buckets))
-      .localCheckpoint()
+    val delta =
+      if (materialized) {
+        require(incoming.columns.contains("bucket"),
+          "upsertFactDelta(materialized = true) requires the caller to " +
+            "have added the bucket column (Sinks.factBucket) before " +
+            "materializing — the bucket law is physical layout")
+        incoming
+      } else incoming.withColumn("bucket", factBucket(buckets))
+        .localCheckpoint()
     val probe = deltaStocks match {
       case Some(ks) =>
         ks.select(pmod(hash(col(ks.columns.head)), lit(buckets)).as("bucket"))
@@ -302,16 +319,20 @@ object Sinks {
     // inside a streaming foreachBatch — StreamIvm's maintenance loop —
     // the write is a nested execution under the micro-batch's execution
     // id, QueryExecutionListener events never fire, and Observation.get
-    // deadlocks.) When deltaStocks is None the probe is the delta
-    // itself and the count is structurally zero.
-    val stray = delta.filter(!col("bucket").isin(touchedSeq: _*)).count()
-    if (stray > 0)
-      throw new IllegalStateException(
-        s"upsertFactDelta: $stray delta row(s) fall outside the " +
-          "deltaStocks key universe — nothing was applied (the rewrite " +
-          "was refused before touching the layout, so no history was " +
-          "lost). Pass a deltaStocks that covers every delta stock, " +
-          "or None to derive the universe from the delta itself.")
+    // deadlocks.) When deltaStocks is None the probe IS the delta's own
+    // bucket column, so every delta row is in the touched set by
+    // construction — the guard scan is skipped outright (one fewer job
+    // per increment).
+    deltaStocks.foreach { _ =>
+      val stray = delta.filter(!col("bucket").isin(touchedSeq: _*)).count()
+      if (stray > 0)
+        throw new IllegalStateException(
+          s"upsertFactDelta: $stray delta row(s) fall outside the " +
+            "deltaStocks key universe — nothing was applied (the rewrite " +
+            "was refused before touching the layout, so no history was " +
+            "lost). Pass a deltaStocks that covers every delta stock, " +
+            "or None to derive the universe from the delta itself.")
+    }
     val guarded = delta.filter(col("bucket").isin(touchedSeq: _*))
     val existing = spark.read.parquet(path)
       .filter(col("bucket").isin(touchedSeq: _*))

@@ -106,20 +106,27 @@ object StreamIvm {
         // below, whose commits absorb at-least-once redelivery. Here
         // the pattern is kept cheap deliberately; the MVCC variant is
         // the durable answer, not a bigger checkpoint.
-        val dayFacts = Financials.normalize(batch).localCheckpoint()
+        // ONE run of the parse+unpivot pipeline feeds every consumer of
+        // the batch (retraction probe, delta aggregate, fact write):
+        // bucket stamped before the checkpoint so the upsert reuses the
+        // materialization as-is, the probe scans the in-memory blocks,
+        // and batch 0's layout write reuses it too (the old
+        // normalizeInto re-ran the whole parse a second time).
+        val dayFacts = Financials.normalize(batch)
+          .withColumn("bucket", Sinks.factBucket(32)).localCheckpoint()
+        val facts = dayFacts.drop("bucket")
         val replaced =
           if (batchId == 0L) None
           else {
-            val touched = batch.select(col("symbol")).distinct()
-              .select(pmod(hash(col("symbol")), lit(32)).as("bucket"))
+            val touched = dayFacts.select(col("bucket")).distinct()
               .collect().map(_.getInt(0)).toIndexedSeq
             Some(s.read.parquet(factPath)
               .filter(col("bucket").isin(touched: _*))
-              .join(dayFacts.select(Financials.Pk.map(col): _*),
+              .join(broadcast(dayFacts.select(Financials.Pk.map(col): _*)),
                 Financials.Pk, "left_semi"))
           }
-        val signed = replaced.fold(dayFacts.withColumn("_sign", lit(1L)))(
-          r => dayFacts.withColumn("_sign", lit(1L))
+        val signed = replaced.fold(facts.withColumn("_sign", lit(1L)))(
+          r => facts.withColumn("_sign", lit(1L))
             .unionByName(r.drop("bucket").withColumn("_sign", lit(-1L))))
         // materialize BEFORE the upsert rewrites the files `replaced`
         // lazily reads — plans are lazy, the overwrite is not
@@ -129,9 +136,9 @@ object StreamIvm {
               when(col("value").isNotNull, 1L).otherwise(0L)).as("nn"),
             sum(col("_sign") * valueQ).as("sum_q"))
           .localCheckpoint()
-        if (batchId == 0L) Financials.normalizeInto(batch, factPath)
+        if (batchId == 0L) Sinks.writeFactPartitioned(facts, factPath)
         else Sinks.upsertFactDelta(s, factPath, dayFacts,
-          deltaStocks = Some(batch.select(col("symbol"))))
+          materialized = true)
         Rollup.mergeDelta(s, rollPath, deltaAgg,
           Seq("stock", "calendar_year"), "n_facts")
       }
@@ -189,22 +196,27 @@ object StreamIvm {
                                     b: Long, factLog: String,
                                     rollLog: String): Unit = {
     val valueQ = (col("value") * 4).cast("long") // exact: values ∈ ℤ/4
-    val dayFacts = Financials.normalize(batch).localCheckpoint()
+    // bucket stamped before the ONE checkpoint: the fact commit below
+    // reuses the materialization without a second bucket projection,
+    // and the touched probe scans the in-memory blocks instead of a
+    // second pass over the landing file.
+    val dayFacts = Financials.normalize(batch)
+      .withColumn("bucket", Sinks.factBucket(32)).localCheckpoint()
+    val facts = dayFacts.drop("bucket")
     val replaced =
       if (b == 0L) None
       else {
-        val touched = batch.select(col("symbol")).distinct()
-          .select(pmod(hash(col("symbol")), lit(32)).as("bucket"))
+        val touched = dayFacts.select(col("bucket")).distinct()
           .collect().map(_.getInt(0)).toIndexedSeq
         val hist = s.read.parquet(factLog)
           .filter(col(Changelog.CommitCol) < b && col("bucket").isin(touched: _*))
         Some(Upsert.latestByKey(hist, Financials.Pk, col(Changelog.CommitCol))
           .drop(Changelog.CommitCol, "bucket")
-          .join(dayFacts.select(Financials.Pk.map(col): _*),
+          .join(broadcast(dayFacts.select(Financials.Pk.map(col): _*)),
             Financials.Pk, "left_semi"))
       }
-    val signed = replaced.fold(dayFacts.withColumn("_sign", lit(1L)))(
-      r => dayFacts.withColumn("_sign", lit(1L))
+    val signed = replaced.fold(facts.withColumn("_sign", lit(1L)))(
+      r => facts.withColumn("_sign", lit(1L))
         .unionByName(r.withColumn("_sign", lit(-1L))))
     // materialize BEFORE the fact commit: attempt #2 of this batch
     // overwrites files a lazy `hist` plan under the SAME commit id
@@ -217,7 +229,7 @@ object StreamIvm {
         sum(col("_sign") * valueQ).as("sum_q"))
       .localCheckpoint()
     Changelog.commitIdempotent(
-      dayFacts.withColumn("bucket", Sinks.factBucket(32)),
+      dayFacts, // bucket already stamped at the checkpoint above
       factLog, b, alsoPartitionBy = Seq("bucket"))
     Changelog.commitIdempotent(deltaAgg, rollLog, b)
   }
