@@ -15,9 +15,10 @@ object ProbeIvm {
       "q54_incremental_fact,q128_incremental_rollup,q131_stream_ivm," +
         "q134_stream_ivm_mvcc").split(",").map(_.trim).filter(_.nonEmpty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus) // A/B aid
     val spark = Tuning.localIo(SparkSession.builder())
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -48,4 +48,56 @@ object Tuning {
     .config(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
       sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "true"))
+
+  /** Per-partition input-byte target for STATEFUL streaming queries —
+    * overridable for deployments whose state-to-input ratio differs
+    * (SPARK_GRAFT_STREAM_PARTITION_BYTES).
+    */
+  val StreamPartitionBytes: Long =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTITION_BYTES").map(_.toLong)
+      .getOrElse(32L * 1024 * 1024)
+
+  private def dirBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk(_)).sum
+      else f.length()
+    val f = new java.io.File(path)
+    if (f.exists()) walk(f) else 0L
+  }
+
+  /** Shuffle-partition count for a STATEFUL streaming query reading the
+    * local landing dir at `inputPath`. A stateful operator instantiates
+    * one state store PER shuffle partition PER micro-batch (stream-
+    * stream joins: four), and the partition count is pinned into the
+    * checkpoint at first start — so it must be sized to the STATE/INPUT
+    * volume, not to the session's core count (guide §2: derive
+    * partitioning from input size, never a constant tuned for one
+    * deployment). A few MB of session/join state spread over 32 stores
+    * is pure per-store overhead (open/load/commit/maintenance files)
+    * that GROWS with core count — measured 2–2.6× on the stream-stream
+    * joins and window aggregations at local[32] (OPTIMIZATION_r20.md).
+    * At scale the same rule yields core-count partitions as soon as the
+    * input exceeds cores × StreamPartitionBytes. Restart-safe: Spark
+    * pins the count from the checkpoint's own metadata on resume.
+    */
+  def streamStatePartitions(s: SparkSession, inputPath: String): Int = {
+    val cores = s.sparkContext.defaultParallelism.max(1)
+    val parts = (dirBytes(inputPath) + StreamPartitionBytes - 1) /
+      StreamPartitionBytes
+    parts.max(1L).min(cores.toLong).toInt
+  }
+
+  /** Run `body` (a stateful stream's start + awaitTermination) with
+    * `spark.sql.shuffle.partitions` sized by [[streamStatePartitions]],
+    * restoring the session value afterwards.
+    */
+  def withStreamShuffle[T](s: SparkSession, inputPath: String)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, streamStatePartitions(s, inputPath).toString)
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
 }

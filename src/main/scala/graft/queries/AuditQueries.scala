@@ -756,16 +756,19 @@ object AuditQueries {
         .filter(col("c.live"))
         .select(col("c.o_custkey").as("o_custkey"), col("c.sgn").as("sgn"),
           col("c.cents").as("cents"))
-      val q = contrib.groupBy("o_custkey")
-        .agg(sum(col("sgn")).as("n_orders"), sum(col("cents")).as("cents"))
-        .withColumn(Changelog.OpCol, lit("u"))
-        .writeStream.format(classOf[graft.streaming.LogSink].getName)
-        .outputMode("update")
-        .option("path", viewLog)
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // state partitions sized to the input, not the core count
+      graft.Tuning.withStreamShuffle(s, upstream) {
+        val q = contrib.groupBy("o_custkey")
+          .agg(sum(col("sgn")).as("n_orders"), sum(col("cents")).as("cents"))
+          .withColumn(Changelog.OpCol, lit("u"))
+          .writeStream.format(classOf[graft.streaming.LogSink].getName)
+          .outputMode("update")
+          .option("path", viewLog)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       Changelog.snapshotAtOps(s, viewLog, Seq("o_custkey"), Long.MaxValue)
         .filter(col("n_orders") > 0)
         .select(col("o_custkey"), col("n_orders"),

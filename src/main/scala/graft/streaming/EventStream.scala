@@ -388,15 +388,21 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
       .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
         col("event_type"), col("n"))
-    val q = stream.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", ckptDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        Sinks.appendRawZone(batch.withColumn("_batch", lit(batchId)), sinkDir)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state partitions sized to the input, not the core count (see
+    // Tuning.streamStatePartitions) — the conf covers start AND
+    // awaitTermination (batch 0 plans on the stream thread, after
+    // start() returns)
+    graft.Tuning.withStreamShuffle(s, staged) {
+      val q = stream.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+          Sinks.appendRawZone(batch.withColumn("_batch", lit(batchId)), sinkDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     Upsert.latestByKey(s.read.parquet(sinkDir),
         Seq("win_start", "event_type"), col("_batch"))
       .select("win_start", "win_end", "event_type", "n")
@@ -430,15 +436,21 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
       .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
         col("event_type"), col("n"))
-    val q = stream.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", ckptDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        Sinks.appendRawZone(batch.withColumn("_batch", lit(batchId)), sinkDir)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state partitions sized to the input, not the core count (see
+    // Tuning.streamStatePartitions) — the conf covers start AND
+    // awaitTermination (batch 0 plans on the stream thread, after
+    // start() returns)
+    graft.Tuning.withStreamShuffle(s, staged) {
+      val q = stream.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+          Sinks.appendRawZone(batch.withColumn("_batch", lit(batchId)), sinkDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     Upsert.latestByKey(s.read.parquet(sinkDir),
         Seq("win_start", "event_type"), col("_batch"))
       .select("win_start", "win_end", "event_type", "n")
@@ -506,14 +518,17 @@ object EventStream {
         col("event_type"))
       .agg(sum(col("n_hour")).as("n"))
       .select(col("dwin.start").as("day_start"), col("event_type"), col("n"))
-    val q = daily.writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", sinkDir)
-      .option("checkpointLocation", ckptDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state partitions sized to the input, not the core count
+    graft.Tuning.withStreamShuffle(s, staged) {
+      val q = daily.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckptDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(sinkDir).filter(col("event_type") =!= "flush")
   }
 
@@ -553,15 +568,18 @@ object EventStream {
       .join(broadcast(cohorts), "user_id") // stream-static equi-join
       .groupBy(col("cohort_week"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val q = stream.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", ckptDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        Sinks.appendRawZone(batch.withColumn("_batch", lit(batchId)), sinkDir)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state partitions sized to the input, not the core count
+    graft.Tuning.withStreamShuffle(s, staged) {
+      val q = stream.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+          Sinks.appendRawZone(batch.withColumn("_batch", lit(batchId)), sinkDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     Upsert.latestByKey(s.read.parquet(sinkDir),
         Seq("cohort_week", "event_type"), col("_batch"))
       .select("cohort_week", "event_type", "n")
@@ -610,15 +628,18 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
         col("user_id"), col("n_events"))
-    val q = stream.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckptDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        Sinks.appendRawZone(batch, sinkDir)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state partitions sized to the input, not the core count
+    graft.Tuning.withStreamShuffle(s, staged) {
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          Sinks.appendRawZone(batch, sinkDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(sinkDir).filter(col("user_id") >= 0)
   }
 
@@ -669,15 +690,18 @@ object EventStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
-    val q = stream.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckptDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        Sinks.appendRawZone(batch, sinkDir)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state partitions sized to the input, not the core count
+    graft.Tuning.withStreamShuffle(s, staged) {
+      val q = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          Sinks.appendRawZone(batch, sinkDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(sinkDir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
@@ -754,15 +778,18 @@ object EventStream {
           out.result().iterator
       }
 
-    val q = alerts.toDF().writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckptDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        Sinks.appendRawZone(batch, sinkDir)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state partitions sized to the input, not the core count
+    graft.Tuning.withStreamShuffle(s, staged) {
+      val q = alerts.toDF().writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          Sinks.appendRawZone(batch, sinkDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(sinkDir)
       .select(col("user_id"), col("event_id"),
         timestamp_micros(col("ts_us")).as("ts"),
@@ -839,15 +866,18 @@ object EventStream {
       val alerts = typed.groupByKey(_.user_id)
         .transformWithState(new SpendProcessor(thresholdMicros),
           TimeMode.EventTime(), OutputMode.Append())
-      val q = alerts.toDF().writeStream
-        .outputMode("append")
-        .option("checkpointLocation", ckptDir)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-          Sinks.appendRawZone(batch, sinkDir)
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // state partitions sized to the input, not the core count
+      graft.Tuning.withStreamShuffle(s, staged) {
+        val q = alerts.toDF().writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckptDir)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+            Sinks.appendRawZone(batch, sinkDir)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     } finally prev match {
       case Some(v) => s.conf.set(providerKey, v)
       case None    => s.conf.unset(providerKey)
@@ -926,15 +956,18 @@ object EventStream {
         .transformWithState(
           new SessionProcessor(gapMinutes.toLong * 60L * 1000000L),
           TimeMode.EventTime(), OutputMode.Append())
-      val q = sessions.toDF().writeStream
-        .outputMode("append")
-        .option("checkpointLocation", ckptDir)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-          Sinks.appendRawZone(batch, sinkDir)
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // state partitions sized to the input, not the core count
+      graft.Tuning.withStreamShuffle(s, staged) {
+        val q = sessions.toDF().writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckptDir)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+            Sinks.appendRawZone(batch, sinkDir)
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     } finally prev match {
       case Some(v) => s.conf.set(providerKey, v)
       case None    => s.conf.unset(providerKey)
@@ -1049,15 +1082,18 @@ object EventStream {
               click_ts BETWEEN ts - INTERVAL 1 HOUR AND ts"""))
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
         col("click_event_id"), col("click_ts"), col("click_value"))
-    val q = joined.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckptDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        Sinks.appendRawZone(batch, sinkDir)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state partitions sized to the input, not the core count
+    graft.Tuning.withStreamShuffle(s, staged) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          Sinks.appendRawZone(batch, sinkDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(sinkDir)
   }
 
@@ -1103,15 +1139,18 @@ object EventStream {
       "left_outer")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
         col("click_event_id"), col("click_ts"), col("click_value"))
-    val q = joined.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckptDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        Sinks.appendRawZone(batch, sinkDir)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state partitions sized to the input, not the core count
+    graft.Tuning.withStreamShuffle(s, staged) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          Sinks.appendRawZone(batch, sinkDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(sinkDir).filter(col("user_id") >= 0)
   }
 
@@ -1160,15 +1199,18 @@ object EventStream {
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
         col("click_event_id"), col("c_user_id"), col("click_ts"),
         col("click_value"))
-    val q = joined.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckptDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        Sinks.appendRawZone(batch, sinkDir)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // state partitions sized to the input, not the core count
+    graft.Tuning.withStreamShuffle(s, staged) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckptDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+          Sinks.appendRawZone(batch, sinkDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.read.parquet(sinkDir)
       .filter(coalesce(col("user_id"), lit(0L)) >= 0 &&
         coalesce(col("c_user_id"), lit(0L)) >= 0)
