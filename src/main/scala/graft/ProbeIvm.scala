@@ -16,9 +16,15 @@ object ProbeIvm {
         "q134_stream_ivm_mvcc").split(",").map(_.trim).filter(_.nonEmpty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus) // A/B aid
-    val spark = Tuning.localIo(SparkSession.builder())
+    var b = Tuning.localIo(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
+    // A/B aid: extra confs as "k=v;k=v"
+    sys.env.get("SPARK_GRAFT_AB_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      b = b.config(k, v)
+    })
+    val spark = b
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

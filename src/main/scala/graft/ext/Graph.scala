@@ -379,10 +379,15 @@ object Graph {
     var r = 1
     var stable = edgesLeft == 0L
     while (r <= iters && !stable) {
-      // symmetric edge set ⇒ degree(u) = row count of u on the left
-      val keep = sym.groupBy(col("u").as("id"))
+      // symmetric edge set ⇒ degree(u) = row count of u on the left.
+      // The survivor set is NODE-bounded (the docstring's "broadcasts
+      // once the peel bites") — but the checkpoint's size estimate is
+      // edge-scale, so the planner would sort-merge and shuffle the
+      // full edge set TWICE per round; the explicit hint keeps both
+      // semi-filters exchange-free (guide §3.1).
+      val keep = broadcast(sym.groupBy(col("u").as("id"))
         .agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("id"))
+        .filter(col("deg") >= k).select(col("id")))
       val obs = org.apache.spark.sql.Observation()
       sym = sym
         .join(keep.withColumnRenamed("id", "u"), Seq("u"))
@@ -436,9 +441,12 @@ object Graph {
     var exhausted = false
     while (r <= maxDepth && !exhausted) {
       val obs = org.apache.spark.sql.Observation()
-      val next = sym.join(frontier.withColumnRenamed("id", "u"), "u")
+      // frontier and visited set are NODE-bounded while sym is
+      // edge-scale with an opaque checkpoint size estimate — broadcast
+      // both small sides so no round shuffles the edge set (guide §3.1)
+      val next = sym.join(broadcast(frontier.withColumnRenamed("id", "u")), "u")
         .select(col("v").as("id")).distinct()
-        .join(levels, Seq("id"), "left_anti")
+        .join(broadcast(levels), Seq("id"), "left_anti")
         .select(col("id"), lit(r).cast("int").as("lvl"))
         .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint() // eager: materializes and fires the metric
