@@ -950,22 +950,25 @@ object ScaleQueries {
       val ckpt = Sinks.tmpPathFor("state_reader_ckpt", d)
       Sinks.deleteRecursively(ckpt) // re-runnable: fresh state history
       import org.apache.spark.sql.streaming.Trigger
-      val q = s.readStream.schema(eventsWhSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(landing)
-        .groupBy(col("event_type")).count()
-        .writeStream
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        // noop sink still MATERIALIZES every partition — an empty
-        // foreachBatch body would skip the tasks whose state-store
-        // commits the batch needs (commit validation rejects it)
-        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-          b.write.mode("overwrite").format("noop").save()
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // state partitions sized to the input, not the core count
+      graft.Tuning.withStreamShuffle(s, landing) {
+        val q = s.readStream.schema(eventsWhSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(landing)
+          .groupBy(col("event_type")).count()
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          // noop sink still MATERIALIZES every partition — an empty
+          // foreachBatch body would skip the tasks whose state-store
+          // commits the batch needs (commit validation rejects it)
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("overwrite").format("noop").save()
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.read.format("statestore").load(ckpt)
         .select(col("key.event_type").as("event_type"),
           col("value.count").as("n"))

@@ -1135,13 +1135,16 @@ object TableFormatQueries {
         .filter(col("c.live"))
         .select(col("c.o_custkey").as("o_custkey"),
           col("c.sgn").as("sgn"), col("c.cents").as("cents"))
-      val q = contrib.groupBy("o_custkey")
-        .agg(sum(col("sgn")).as("n_orders"), sum(col("cents")).as("cents"))
-        .writeStream.outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .toTable("glog.mv_q240")
-      q.awaitTermination()
+      // state partitions sized to the input, not the core count
+      graft.Tuning.withStreamShuffle(s, upstream) {
+        val q = contrib.groupBy("o_custkey")
+          .agg(sum(col("sgn")).as("n_orders"), sum(col("cents")).as("cents"))
+          .writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("glog.mv_q240")
+        q.awaitTermination()
+      }
       s.sql("""SELECT o_custkey, n_orders,
               |  CAST(cents AS DOUBLE) / 100.0 AS sum_price
               |FROM glog.mv_q240 WHERE n_orders > 0""".stripMargin)
