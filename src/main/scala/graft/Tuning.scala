@@ -87,6 +87,22 @@ object Tuning {
     parts.max(1L).min(cores.toLong).toInt
   }
 
+  /** Run two INDEPENDENT write jobs concurrently (guide §2.6: actions
+    * are only sequential because driver code calls them sequentially —
+    * the second job's tasks back-fill executors freed by the first
+    * job's task tail). Callers must guarantee independence: disjoint
+    * output paths and all shared inputs already materialized.
+    */
+  def inParallel(a: => Unit, b: => Unit): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(a)
+    val fb = Future(b)
+    Await.result(fa, Duration.Inf)
+    Await.result(fb, Duration.Inf)
+  }
+
   /** Run `body` (a stateful stream's start + awaitTermination) with
     * `spark.sql.shuffle.partitions` sized by [[streamStatePartitions]],
     * restoring the session value afterwards.

@@ -268,11 +268,15 @@ object ScaleQueries {
               .as("nn"),
             sum(col("_sign") * valueQ).as("sum_q"))
           .localCheckpoint()
-        if (i == 0) Sinks.writeFactPartitioned(facts, factPath)
-        else Sinks.upsertFactDelta(s, factPath, dayFacts,
-          materialized = true)
-        Rollup.mergeDelta(s, rollPath, deltaAgg,
-          Seq("stock", "calendar_year"), "n_facts")
+        // the fact write and the rollup merge touch disjoint layouts
+        // and every shared input is checkpointed above — overlap them
+        // so the merge back-fills the upsert's task tail (§2.6)
+        graft.Tuning.inParallel(
+          if (i == 0) Sinks.writeFactPartitioned(facts, factPath)
+          else Sinks.upsertFactDelta(s, factPath, dayFacts,
+            materialized = true),
+          Rollup.mergeDelta(s, rollPath, deltaAgg,
+            Seq("stock", "calendar_year"), "n_facts"))
       }
       // derived read: all-null groups surface as NULL (nn disambiguates
       // a true zero sum from a cancelled-to-null one)

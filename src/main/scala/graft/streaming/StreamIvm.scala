@@ -136,11 +136,15 @@ object StreamIvm {
               when(col("value").isNotNull, 1L).otherwise(0L)).as("nn"),
             sum(col("_sign") * valueQ).as("sum_q"))
           .localCheckpoint()
-        if (batchId == 0L) Sinks.writeFactPartitioned(facts, factPath)
-        else Sinks.upsertFactDelta(s, factPath, dayFacts,
-          materialized = true)
-        Rollup.mergeDelta(s, rollPath, deltaAgg,
-          Seq("stock", "calendar_year"), "n_facts")
+        // the fact write and the rollup merge touch disjoint layouts
+        // and every shared input is checkpointed above — overlap them
+        // so the merge back-fills the upsert's task tail (§2.6)
+        graft.Tuning.inParallel(
+          if (batchId == 0L) Sinks.writeFactPartitioned(facts, factPath)
+          else Sinks.upsertFactDelta(s, factPath, dayFacts,
+            materialized = true),
+          Rollup.mergeDelta(s, rollPath, deltaAgg,
+            Seq("stock", "calendar_year"), "n_facts"))
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -228,10 +232,13 @@ object StreamIvm {
           when(col("value").isNotNull, 1L).otherwise(0L)).as("nn"),
         sum(col("_sign") * valueQ).as("sum_q"))
       .localCheckpoint()
-    Changelog.commitIdempotent(
-      dayFacts, // bucket already stamped at the checkpoint above
-      factLog, b, alsoPartitionBy = Seq("bucket"))
-    Changelog.commitIdempotent(deltaAgg, rollLog, b)
+    // the two commits land in disjoint logs from checkpointed inputs —
+    // overlap them (§2.6)
+    graft.Tuning.inParallel(
+      Changelog.commitIdempotent(
+        dayFacts, // bucket already stamped at the checkpoint above
+        factLog, b, alsoPartitionBy = Seq("bucket")),
+      Changelog.commitIdempotent(deltaAgg, rollLog, b))
   }
 
   /** The served rollup of the MVCC loop: signed deltas SUM across all
