@@ -167,6 +167,81 @@ object PlanDumps {
       dump("q261_equality_after", diff)
     }
 
+    // ---- q263/q264 unigram Viterbi: position-unrolled DP (17
+    //      checkpoint jobs per pass) vs one-job composition
+    //      enumeration. The before plan's leaves are the per-step
+    //      ExistingRDD checkpoints — the job count IS the claim; the
+    //      after plan is one self-contained join+argmax tree. ----
+    {
+      import graft.ext.TextHash.tokens
+      val docs = graft.queries.Tables.documents(s, sfDir)
+      val maxPieceLen = 4
+      val maxWordLen = 8
+      val words = docs.select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .localCheckpoint()
+      val cands = words.select(col("w"), col("freq"),
+          explode(expr(
+            s"""flatten(transform(sequence(0, length(w) - 1), i ->
+               |  transform(sequence(i + 1,
+               |      least(length(w), i + $maxPieceLen)), j ->
+               |    struct(i AS i, j AS j,
+               |      substring(w, i + 1, j - i) AS piece))))""".stripMargin))
+            .as("c"))
+        .select(col("w"), col("c.i").as("i"), col("c.j").as("j"),
+          col("c.piece").as("piece"))
+        .localCheckpoint()
+      // stand-in seed scores (plan shape is score-value independent)
+      val vocab = cands.groupBy("piece").agg(count(lit(1)).as("cnt"))
+        .withColumn("sc",
+          round(log(col("cnt") + lit(1.0)) * lit(-1e6)).cast("long"))
+        .select(col("piece"), col("sc"))
+      val edges = cands.join(vocab, "piece")
+        .select(col("w"), col("i"), col("j"), col("piece"), col("sc"))
+        .localCheckpoint()
+      // BEFORE (r19): the unrolled forward DP + backtrack — one eager
+      // localCheckpoint per position step, per direction
+      var best = words.select(col("w"), lit(0).as("pos"), lit(0L).as("best"))
+        .localCheckpoint()
+      for (j <- 1 to maxWordLen) {
+        val bj = edges.filter(col("j") === j).as("e")
+          .join(best.as("b"),
+            col("e.w") === col("b.w") && col("b.pos") === col("e.i"))
+          .groupBy(col("e.w").as("w"))
+          .agg(max(col("b.best") + col("e.sc")).as("best"))
+          .select(col("w"), lit(j).as("pos"), col("best"))
+        best = best.unionByName(bj).localCheckpoint()
+      }
+      val succ = edges.as("e")
+        .join(best.as("b"),
+          col("e.w") === col("b.w") && col("b.pos") === col("e.i"))
+        .groupBy(col("e.w").as("w"), col("e.j").as("j"))
+        .agg(min(struct((-(col("b.best") + col("e.sc"))).as("nscore"),
+          col("e.i").as("pos"), col("e.piece").as("piece"))).as("m"))
+        .select(col("w"), col("j"), col("m.pos").as("pos"),
+          col("m.piece").as("piece"))
+        .localCheckpoint()
+      var cursor = words.select(col("w"), length(col("w")).as("pos"))
+      var picks: DataFrame = null
+      for (_ <- 1 to maxWordLen) {
+        val step = cursor.filter(col("pos") > 0).as("c")
+          .join(succ.as("s"),
+            col("s.w") === col("c.w") && col("s.j") === col("c.pos"))
+          .select(col("c.w").as("w"), col("s.piece").as("piece"),
+            col("s.pos").as("pos"))
+          .localCheckpoint()
+        picks = if (picks == null) step else picks.unionByName(step)
+        cursor = step.select(col("w"), col("pos"))
+      }
+      dump("q264_viterbi_before", picks)
+      // AFTER: the real code path — one bounded composition join +
+      // argmax, no per-step materialization
+      dump("q264_viterbi_after",
+        graft.ext.Unigram.viterbiPicks(words, edges, maxWordLen,
+          maxPieceLen))
+    }
+
     spark.stop()
   }
 }

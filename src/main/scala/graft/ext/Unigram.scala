@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import TextHash.tokens
 
@@ -33,13 +33,14 @@ import TextHash.tokens
   * Shape at 100 TB: the corpus is touched ONCE (the word-frequency
   * aggregation, map-side combinable — the q106 BPE discipline);
   * everything after runs on the DISTINCT-WORD table joined against
-  * the vocabulary-bounded piece table. The Viterbi DP is UNROLLED
-  * over word positions (bounded by `maxWordLen`, checked loudly):
-  * each position is one bounded equi-join + aggregation, and the
-  * backtrack is the same number of argmax steps — never a per-row
+  * the vocabulary-bounded piece table. The Viterbi segmentation is
+  * solved by ENUMERATION over the constant composition table (word
+  * lengths bounded by `maxWordLen`, checked loudly; pieces by
+  * `maxPieceLen` — ≤ 223 compositions at the 8/4 defaults): one
+  * bounded join + argmax aggregation per pass — never a per-row
   * recursive UDF, never a driver loop over data rows. The only
-  * driver-side values are vocabulary sizes (bounded metadata, the
-  * Bloom-bitmap exception).
+  * driver-side values are vocabulary sizes and the composition
+  * table (bounded metadata, the Bloom-bitmap exception).
   */
 object Unigram {
 
@@ -68,12 +69,14 @@ object Unigram {
              maxPieceLen: Int = 4, maxWordLen: Int = 8): DataFrame = {
     val (words, cands, fin) = trainState(docs, textCol, seedMulti,
       emRounds, vocabSize, maxPieceLen, maxWordLen)
+    // edges stays lazy: both of viterbiPicks' consumers sit inside ONE
+    // action, and cands/fin are already checkpointed leaves — a
+    // checkpoint here would only add a job (guide §7.3 job floor).
     val edges = cands
       .join(fin.select(col("piece"), col("score_ulog").as("sc")),
         "piece")
       .select(col("w"), col("i"), col("j"), col("piece"), col("sc"))
-      .localCheckpoint()
-    val perWord = viterbiPicks(words, edges, maxWordLen)
+    val perWord = viterbiPicks(words, edges, maxWordLen, maxPieceLen)
       .groupBy("w").agg(count(lit(1)).as("nsw"))
     docs
       .select(col(idCol).as("doc_id"),
@@ -88,65 +91,73 @@ object Unigram {
   }
 
   /** One Viterbi segmentation pass over every distinct word under
-    * `edges` (w, i, j, piece, sc): the position-unrolled forward DP
-    * followed by the argmax backtrack; returns one row per path
-    * piece occurrence — (w, piece, pos). Shared by the EM loop and
+    * `edges` (w, i, j, piece, sc); returns one row per path piece
+    * occurrence — (w, piece, pos). Shared by the EM loop and
     * [[encode]].
+    *
+    * Job-floor discipline (optimization guide §7.3, measured in
+    * rounds 19–20): the frames here are vocabulary/word-bounded, so
+    * the cost is per-JOB overhead, not execution — the former
+    * position-unrolled DP paid one eager localCheckpoint per forward
+    * step and per backtrack step (17 jobs per pass, ~65 per q264).
+    * Because `maxWordLen` and `maxPieceLen` are small, bounded knobs,
+    * the whole segmentation space is enumerable up front: a word of
+    * length L has at most 108 (L ≤ 8, pieces ≤ 4) compositions into
+    * piece spans, a DRIVER-SIDE constant table (bounded metadata, the
+    * Bloom-bitmap exception — never corpus-dependent). One job scores
+    * every composition whose pieces all exist in the vocabulary and
+    * takes the per-word argmax.
+    *
+    * Tie-break equivalence with the DP backtrack (score desc, then
+    * smaller piece start at each step from the END of the word): every
+    * maximum-score path has optimal prefixes at all its cut points, and
+    * the backtrack picks the smallest last-piece start among them, then
+    * recurses — i.e. exactly the lexicographically smallest
+    * END-TO-START starts sequence among maximum-score compositions.
+    * `rstarts` (the composition's piece starts read from the end; a
+    * strictly decreasing sequence ending in 0, so never a proper prefix
+    * of a competitor) is that sort key, precomputed per composition.
     */
-  private def viterbiPicks(words: DataFrame, edges: DataFrame,
-                           maxWordLen: Int): DataFrame = {
-    // Planning-floor discipline (optimization guide §7.3, measured in
-    // round 19): the corpus contributes nothing here — the frames are
-    // vocabulary/word-bounded — so the cost of the unrolled DP is
-    // Catalyst PLANNING, not execution (q264 before the rewrite: 115
-    // jobs totaling 6.5 s of execution inside ~85 s of wall). Chained
-    // `unionByName` accumulators double the logical tree per step and
-    // every eager localCheckpoint re-optimizes the whole accumulated
-    // history; per-step checkpoints + FLAT unions of checkpointed
-    // leaves keep every planned tree one join deep, so planning stays
-    // O(steps) instead of O(2^steps-ish).
-    var best = words.select(col("w"), lit(0).as("pos"), lit(0L).as("best"))
-      .localCheckpoint()
-    for (j <- 1 to maxWordLen) {
-      val bj = edges.filter(col("j") === j).as("e")
-        .join(best.as("b"),
-          col("e.w") === col("b.w") && col("b.pos") === col("e.i"))
-        .groupBy(col("e.w").as("w"))
-        .agg(max(col("b.best") + col("e.sc")).as("best"))
-        .select(col("w"), lit(j).as("pos"), col("best"))
-      best = best.unionByName(bj).localCheckpoint()
-    }
-    // Backtrack. The chosen predecessor at (w, end-position j) —
-    // argmax over edges e with e.j = j of best[e.i] + e.sc, ties to the
-    // smaller start — does NOT depend on the path the backtrack took to
-    // reach j, so it is precomputed ONCE for every (w, j) as a single
-    // hash aggregate (min over the struct (-score, start, piece) ≡ the
-    // (score desc, start asc) tie-break; (w, j, start) determines the
-    // piece, so the struct order never reaches the piece field). Each
-    // backtrack step is then ONE tiny equi-join against `succ` instead
-    // of the former per-step 3-way join + window.
-    val succ = edges.as("e")
-      .join(best.as("b"),
-        col("e.w") === col("b.w") && col("b.pos") === col("e.i"))
-      .groupBy(col("e.w").as("w"), col("e.j").as("j"))
-      .agg(min(struct((-(col("b.best") + col("e.sc"))).as("nscore"),
-        col("e.i").as("pos"), col("e.piece").as("piece"))).as("m"))
-      .select(col("w"), col("j"), col("m.pos").as("pos"),
-        col("m.piece").as("piece"))
-      .localCheckpoint()
-    var cursor = words.select(col("w"), length(col("w")).as("pos"))
-    var picks: DataFrame = null
-    for (_ <- 1 to maxWordLen) {
-      val step = cursor.filter(col("pos") > 0).as("c")
-        .join(succ.as("s"),
-          col("s.w") === col("c.w") && col("s.j") === col("c.pos"))
-        .select(col("c.w").as("w"), col("s.piece").as("piece"),
-          col("s.pos").as("pos"))
-        .localCheckpoint()
-      picks = if (picks == null) step else picks.unionByName(step)
-      cursor = step.select(col("w"), col("pos"))
-    }
-    picks
+  private[graft] def viterbiPicks(words: DataFrame, edges: DataFrame,
+                                  maxWordLen: Int, maxPieceLen: Int): DataFrame = {
+    val comps = compositionSegments(words, maxWordLen, maxPieceLen)
+    val winners = words.select(col("w"), length(col("w")).as("len"))
+      .join(broadcast(comps), "len")
+      .join(edges, Seq("w", "i", "j"))
+      .groupBy(col("w"), col("comp_id"), col("n_segs"), col("rstarts"))
+      .agg(count(lit(1)).as("n"), sum(col("sc")).as("score"))
+      .filter(col("n") === col("n_segs"))
+      .groupBy("w")
+      .agg(min(struct((-col("score")).as("nscore"),
+        col("rstarts").as("rstarts"), col("comp_id").as("cid"))).as("m"))
+      .select(col("w"), col("m.cid").as("comp_id"))
+    winners
+      .join(broadcast(comps.select("comp_id", "i", "j")), "comp_id")
+      .join(edges, Seq("w", "i", "j"))
+      .select(col("w"), col("piece"), col("i").as("pos"))
+  }
+
+  /** The constant composition table: one row per piece span of every
+    * composition of every length 1..maxWordLen into spans of
+    * 1..maxPieceLen — (len, comp_id, n_segs, rstarts, i, j), comp_id
+    * globally unique, rstarts the end-to-start span starts (the
+    * backtrack tie-break key). ≤ 223 compositions / ≤ 800 rows at the
+    * 8/4 defaults; pure bounded metadata.
+    */
+  private def compositionSegments(words: DataFrame, maxWordLen: Int,
+                                  maxPieceLen: Int): DataFrame = {
+    def comps(len: Int): Seq[Seq[(Int, Int)]] =
+      if (len == 0) Seq(Seq.empty)
+      else (1 to math.min(maxPieceLen, len)).flatMap(p =>
+        comps(len - p).map(_ :+ (len - p, len)))
+    val rows = for {
+      (segs, compId) <- (1 to maxWordLen).flatMap(comps).zipWithIndex
+      rstarts = segs.reverse.map(_._1)
+      (i, j) <- segs
+    } yield (segs.last._2, compId, segs.size, rstarts, i, j)
+    val spark = words.sparkSession
+    import spark.implicits._
+    rows.toDF("len", "comp_id", "n_segs", "rstarts", "i", "j")
   }
 
   /** The training loop's full state: (distinct words with
@@ -205,16 +216,31 @@ object Unigram {
         .select(col("piece"), col("cnt"), col("score_ulog"))
     }
 
-    var vocab = scored(seed).localCheckpoint()
+    // The per-vocab single/multi piece counts ride each vocab
+    // checkpoint's own materializing job via Observation (the
+    // kCore/bfsLevels trick) — the former per-round `count()` probe
+    // jobs cost nothing extra now (guide §7.3 job floor).
+    def sized(v: DataFrame): (DataFrame, Observation) = {
+      val obs = Observation()
+      val ck = v.observe(obs,
+        coalesce(sum(when(length(col("piece")) > 1, 1L)), lit(0L))
+          .as("n_multi"),
+        coalesce(sum(when(length(col("piece")) === 1, 1L)), lit(0L))
+          .as("n_chars"))
+        .localCheckpoint()
+      (ck, obs)
+    }
+
+    var (vocab, vocabObs) = sized(scored(seed))
     for (_ <- 1 to emRounds) {
+      // edges stays lazy: its only consumers sit inside the one
+      // counts action below, over already-checkpointed leaves
       val edges = cands
         .join(vocab.select(col("piece"), col("score_ulog").as("sc")),
           "piece")
         .select(col("w"), col("i"), col("j"), col("piece"), col("sc"))
-        .localCheckpoint()
-      // E-step: Viterbi path pieces (forward DP + argmax backtrack),
-      // counted weighted by word frequency
-      val picks = viterbiPicks(words, edges, maxWordLen)
+      // E-step: Viterbi path pieces, counted weighted by word frequency
+      val picks = viterbiPicks(words, edges, maxWordLen, maxPieceLen)
       val counts = picks.join(words, "w")
         .groupBy("piece").agg(sum("freq").as("cnt"))
       val recounted = vocab.select("piece")
@@ -222,18 +248,20 @@ object Unigram {
         .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
       // M-step prune: characters always survive; used multi-char
       // pieces keep the top ceil(3/4 of the current multi count)
-      val nMulti = vocab.filter(length(col("piece")) > 1).count()
+      val nMulti = vocabObs.get("n_multi").asInstanceOf[Long]
       val keepN = ((nMulti * 3) + 3) / 4
       val kept = recounted.filter(length(col("piece")) === 1)
         .unionByName(
           recounted.filter(length(col("piece")) > 1 && col("cnt") > 0)
             .orderBy(col("cnt").desc, col("piece"))
             .limit(keepN.toInt))
-      vocab = scored(kept).localCheckpoint()
+      val (v2, o2) = sized(scored(kept))
+      vocab = v2
+      vocabObs = o2
     }
     // final artifact: characters + the top multi-char pieces up to
     // vocabSize, scored as trained
-    val nChars = vocab.filter(length(col("piece")) === 1).count()
+    val nChars = vocabObs.get("n_chars").asInstanceOf[Long]
     val fin = vocab.filter(length(col("piece")) === 1).unionByName(
         vocab.filter(length(col("piece")) > 1)
           .orderBy(col("cnt").desc, col("piece"))
